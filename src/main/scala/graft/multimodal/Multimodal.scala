@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus the decode / feature-extract plumbing a
+  * 100 TB training-data pipeline needs.
+  *
+  * The decode kernels themselves (JPEG/audio codecs) are STUBBED with
+  * deterministic fakes — the image/audio libraries are not in this
+  * container — but the Spark-side plumbing is real and tested: schema,
+  * batch shape, partitioning, and the mapPartitions boundary where a
+  * JNI/pandas decode would run. Swap `StubCodecs` for a real codec and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)
+  ))
+
+  /** Deterministic stand-in decode kernels. A real deployment replaces
+    * these with an image codec behind the same signatures; marked
+    * clearly as fakes (builder contract: stub the decode, keep the
+    * plumbing real).
+    */
+  object StubCodecs {
+    /** "Decode" = deterministic pixel stats from the payload bytes. */
+    def imageStats(payload: Array[Byte]): (Double, Double) = {
+      if (payload == null || payload.isEmpty) (0.0, 0.0)
+      else {
+        var sum = 0.0; var sq = 0.0
+        payload.foreach { b => val v = (b & 0xff).toDouble; sum += v; sq += v * v }
+        val mean = sum / payload.length
+        (mean, math.sqrt(math.max(0, sq / payload.length - mean * mean)))
+      }
+    }
+
+    /** "Resize" = truncate/pad the byte plane deterministically. */
+    def resize(payload: Array[Byte], outLen: Int): Array[Byte] = {
+      val out = new Array[Byte](outLen)
+      if (payload != null && payload.nonEmpty) {
+        var i = 0
+        while (i < outLen) { out(i) = payload(i % payload.length); i += 1 }
+      }
+      out
+    }
+
+    /** "Frame-sample" = n evenly spaced slices of the payload. */
+    def frameSample(payload: Array[Byte], n: Int, frameLen: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.length == 0 || n <= 0) Seq.empty
+      else (0 until n).map { i =>
+        val start = (payload.length.toLong * i / n).toInt
+        payload.slice(start, math.min(start + frameLen, payload.length))
+      }
+    }
+  }
+
+  private val imageStatsUdf = udf { p: Array[Byte] =>
+    val (mean, std) = StubCodecs.imageStats(p); Map("mean" -> mean, "std" -> std)
+  }
+  private val resizeUdf = udf((p: Array[Byte], n: Int) => StubCodecs.resize(p, n))
+  private val frameSampleUdf = udf((p: Array[Byte], n: Int, len: Int) => StubCodecs.frameSample(p, n, len))
+
+  /** Synthesize a media table from the documents fixture (payload =
+    * utf-8 bytes) — keeps the binary-column path testable offline. */
+  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
+    graft.Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mime"),
+        lit(64).as("width"),
+        lit(64).as("height"),
+        lit(null).cast("long").as("duration_ms")
+      )
+
+  /** Per-row feature extraction over the binary column. The UDF runs
+    * executor-side per partition; payload bytes never route through
+    * the driver. */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media
+      .withColumn("features", imageStatsUdf(col("payload")))
+      .select(
+        col("media_id"),
+        col("kind"),
+        col("features")("mean").as("pixel_mean"),
+        col("features")("std").as("pixel_std"),
+        length(col("payload")).as("payload_bytes")
+      )
+
+  /** Batch resize — binary in/binary out, partition-parallel. */
+  def resizeAll(media: DataFrame, outLen: Int): DataFrame =
+    media.withColumn("payload", resizeUdf(col("payload"), lit(outLen)))
+
+  /** Frame sampling: one row per sampled frame (explode), the shape a
+    * video pipeline needs before per-frame inference. */
+  def sampleFrames(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame =
+    media
+      .select(col("media_id"), posexplode(frameSampleUdf(col("payload"), lit(nFrames), lit(frameLen))).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_bytes", length(col("frame")))
+}

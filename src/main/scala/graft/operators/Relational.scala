@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.6, §2.8) expressed
+  * Spark-first over the driver's TPC-H-ish tables. Every ◆ operator
+  * family from the reference appears here as a DuckDB-checkable query.
+  *
+  * Scale design notes (local[32] tests, 1000-executor target):
+  *  - Dimension-side joins (`nation`, `region`) are `broadcast()` —
+  *    they stay tiny at any SF, so no shuffle on the fact side.
+  *  - Fact⋈fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  *    handles skew. No `collect()` anywhere in a plan.
+  *  - Aggregations rely on Spark's partial/final hash agg (map-side
+  *    combine) — the reference's SQLite has no equivalent (§4.2).
+  *  - `round(sum(x), 2)` on money columns keeps double summation-order
+  *    noise out of the oracle hash-compare.
+  */
+object Relational {
+
+  private def money(c: Column): Column = round(c, 2)
+
+  /** ◆ GROUP BY + SUM/COUNT — reference: dataset size rollup
+    * (`entry.cpp:961-980`) + count aggregates (`database.cpp:227-235`).
+    * TPC-H Q1 shape: partial agg combines map-side before one shuffle. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        money(sum($"l_quantity")).as("sum_qty"),
+        money(sum($"l_extendedprice")).as("sum_base_price"),
+        money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** ◆ Wildcard LIKE filter — reference: path wildcard search
+    * (`dbops.cpp:760-771`, `916-987`). Filter is pushed into the
+    * parquet scan (StringContains in PushedFilters). */
+  def likeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .part(s, dir)
+      .filter($"p_name".like("%wid%"))
+      .select($"p_partkey", $"p_name", $"p_brand")
+  }
+
+  /** ◆ Left outer join + per-key aggregation — reference: entries LEFT
+    * JOIN entries_meta with correlated JSON agg (`dbops.cpp:941-964`).
+    * The meta side is pre-aggregated before the join (one shuffle each
+    * side, co-partitioned on the key). */
+  def metaJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordAgg = Tables
+      .orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("order_count"), money(sum($"o_totalprice")).as("total_spent"))
+    Tables
+      .customer(s, dir)
+      .join(ordAgg, $"c_custkey" === $"o_custkey", "left_outer")
+      .select(
+        $"c_custkey",
+        $"c_name",
+        coalesce($"order_count", lit(0L)).as("order_count"),
+        coalesce($"total_spent", lit(0.0)).as("total_spent")
+      )
+  }
+
+  /** ◆ Left-anti join — reference: delta adds (`delta.cpp:131-149`):
+    * rows on one side with no (key) match on the other. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables
+      .customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** ◆ Left-semi join (EXISTS) — reference: pathExists / conflict
+    * detection (`dbops.cpp:1316-1322`, `registry.cpp:358-508`). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 150000.0)
+    Tables
+      .customer(s, dir)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  /** ◆ Set difference — reference: meta-id diff via EXCEPT semantics
+    * (`delta.cpp:177-197`). */
+  def exceptIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.supplier(s, dir).select($"s_suppkey".as("suppkey"))
+    val used = Tables
+      .lineitem(s, dir)
+      .filter($"l_quantity" >= 48.0)
+      .select($"l_suppkey".as("suppkey"))
+    all.except(used)
+  }
+
+  /** ◆ Union + dedup — reference: multi-pattern list merge
+    * (`dbops.cpp:514-536`). */
+  def unionDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+    val b = Tables.supplier(s, dir).select($"s_nationkey".as("nationkey"))
+    a.unionByName(b).dropDuplicates("nationkey")
+  }
+
+  /** ◆ MIN/MAX temporal extent — reference: dataset extent
+    * (`database.cpp:395-458`), formatted as ISO dates. */
+  def minMaxExtent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, dir)
+      .agg(
+        date_format(min($"o_orderdate"), "yyyy-MM-dd").as("min_date"),
+        date_format(max($"o_orderdate"), "yyyy-MM-dd").as("max_date"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  /** ◆ GROUP BY + COUNT — reference: meta listing
+    * (`metamanager.cpp:198-218`). */
+  def countGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).groupBy($"event_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** ◆ ORDER BY + LIMIT/OFFSET paging — reference: STAC paging
+    * (`stac.cpp:666-680`). Spark plans a global TakeOrderedAndProject —
+    * no full sort materialization. Tie-broken on the key so the page is
+    * deterministic. */
+  def paging(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, dir)
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .select(
+        $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        money($"o_totalprice").as("total_price")
+      )
+      .offset(5)
+      .limit(10)
+  }
+
+  /** ◆ Top-k by measure — `orderBy(...).limit(k)` →
+    * TakeOrderedAndProject (per-partition heap + driver merge, no global
+    * sort shuffle). */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .customer(s, dir)
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .select($"c_custkey", money($"c_acctbal").as("acctbal"))
+      .limit(10)
+  }
+
+  /** ◆ JSON extraction — reference: `json_extract` over `properties`
+    * (`database.cpp:397-400`, `dbops.cpp:943`). Kept as a JSON string
+    * column + `get_json_object`, exactly like the reference keeps
+    * schemaless JSON in a TEXT column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+  }
+
+  /** ◆ Temporal range filter — reference: STAC datetime predicate
+    * (`stac.cpp:643-651`). Timestamp bounds prune parquet row groups
+    * via min/max stats. */
+  def temporalFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, dir)
+      .filter($"ts" >= lit("2024-01-10 00:00:00") && $"ts" < lit("2024-01-20 00:00:00"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), money(sum($"value")).as("sum_value"))
+  }
+
+  /** ◆ CASE expression — reference: polygon-else-point geometry choice
+    * (`stac.cpp:505-511`). */
+  def caseWhen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .orders(s, dir)
+      .withColumn(
+        "bucket",
+        when($"o_totalprice" > 200000.0, lit("large"))
+          .when($"o_totalprice" > 50000.0, lit("medium"))
+          .otherwise(lit("small"))
+      )
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ◆ Window row_number paging — reference: OFFSET paging re-expressed
+    * as a window (§2.8); partitioned so state stays distributed. */
+  def windowTopPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables
+      .orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("top_orderkey"), money($"o_totalprice").as("top_price"))
+  }
+
+  /** ◆ Full-outer conflict join — reference: applyDelta merge
+    * (`registry.cpp:358-508`): rows may exist on either side only. */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, dir).groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("customers"))
+    val sn = Tables.supplier(s, dir).groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("suppliers"))
+    cn.join(sn, Seq("nationkey"), "full_outer")
+      .select(
+        $"nationkey",
+        coalesce($"customers", lit(0L)).as("customers"),
+        coalesce($"suppliers", lit(0L)).as("suppliers")
+      )
+  }
+
+  /** ◆ Multi-way join — customer⋈orders⋈lineitem revenue (TPC-H Q3
+    * shape). The two fact tables sort-merge/shuffle-hash join on
+    * `o_orderkey`; the `nation` dim is broadcast. Headline bench query. */
+  def q3Revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables
+      .customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables
+      .orders(s, dir)
+      .filter($"o_orderdate" < lit("1995-03-15"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables
+      .lineitem(s, dir)
+      .filter($"l_shipdate" > lit("1995-03-15"))
+      .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    ord
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(money(sum($"rev")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"revenue")
+      .limit(10)
+  }
+
+  /** ◆ Broadcast dim join — region⋈nation⋈supplier rollup. Both dims
+    * are explicitly `broadcast()`: at 100 TB the fact side never
+    * shuffles for a dimension lookup. */
+  def dimRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("suppliers"), money(avg($"s_acctbal")).as("avg_acctbal"))
+  }
+
+  /** ◆/◇ Stats aggregate — reference: raster area stats min/max/mean/
+    * stddev/median/count (`raster_analysis.cpp:318-507`), here over a
+    * numeric fact column. Median is the exact *discrete* median (sorted
+    * middle element, mirroring the reference's sort+middle in
+    * `raster_analysis.cpp:396-417`) — interpolating medians differ
+    * across engines in the last ulp, a discrete one is bit-exact. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val base = li
+      .groupBy($"l_returnflag")
+      .agg(
+        money(min($"l_extendedprice")).as("min_price"),
+        money(max($"l_extendedprice")).as("max_price"),
+        money(avg($"l_extendedprice")).as("avg_price"),
+        money(stddev_pop($"l_extendedprice")).as("std_price"),
+        count(lit(1)).as("n")
+      )
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".asc)
+    val medians = li
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .filter($"rn" === expr("(cnt + 1) div 2"))
+      .select($"l_returnflag", money($"l_extendedprice").as("median_price"))
+    base.join(medians, Seq("l_returnflag"))
+  }
+
+  /** ◆ Distinct — reference: path dedup (`dbops.cpp:531-536`). */
+  def distinctSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_mktsegment").distinct()
+  }
+
+  /** ◆ Hourly tumbling rollup — batch shape of the streaming windowed
+    * agg (§2.9); `date_trunc` keeps it DuckDB-checkable. */
+  def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .events(s, dir)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+}

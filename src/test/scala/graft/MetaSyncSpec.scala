@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Meta, Sync}
+import graft.model.MetaRow
+
+/** Meta KV semantics (`tests/meta_test.cpp:14-230`) + stamp/delta
+  * (`delta.cpp`, `database.cpp:288-331`) mirrors.
+  */
+class MetaSyncSpec extends SparkSuite {
+  import spark.implicits._
+  implicit private def s = spark
+
+  test("key validation") {
+    assert(Meta.isValidKey("annotations"))
+    assert(Meta.isValidKey("my-key_2"))
+    assert(!Meta.isValidKey("bad key"))
+    assert(!Meta.isValidKey(""))
+    assert(!Meta.isValidKey("a.b"))
+  }
+
+  test("json normalization: bare string re-quoted, valid json kept") {
+    assert(Meta.normalizeJson("hello") === "\"hello\"")
+    assert(Meta.normalizeJson("{\"a\":1}") === "{\"a\":1}")
+    assert(Meta.normalizeJson("[1,2]") === "[1,2]")
+    assert(Meta.normalizeJson("42") === "42")
+    assert(Meta.normalizeJson("true") === "true")
+    assert(Meta.normalizeJson("3.14") === "3.14")
+  }
+
+  test("plural add appends, singular set replaces") {
+    val m0 = Seq.empty[MetaRow].toDF()
+    val m1 = Meta.add(m0, Meta.metaRow("a.jpg", "annotations", "\"one\"", 100))
+    val m2 = Meta.add(m1, Meta.metaRow("a.jpg", "annotations", "\"two\"", 200))
+    assert(m2.count() === 2)
+    val m3 = Meta.set(m2, Meta.metaRow("a.jpg", "visibility", "1", 100))
+    val m4 = Meta.set(m3, Meta.metaRow("a.jpg", "visibility", "2", 200))
+    assert(m4.filter($"key" === "visibility").count() === 1)
+    assert(m4.filter($"key" === "visibility").select("data").head().getString(0) === "2")
+    intercept[IllegalArgumentException] {
+      Meta.add(m0, Meta.metaRow("a.jpg", "visibility", "1", 100)) // singular key can't add
+    }
+  }
+
+  test("unset and removeById") {
+    val row = Meta.metaRow("a.jpg", "visibility", "1", 100)
+    val m = Meta.set(Seq.empty[MetaRow].toDF(), row)
+    assert(Meta.unset(m, "a.jpg", "visibility").count() === 0)
+    assert(Meta.removeById(m, row.id).count() === 0)
+    assert(Meta.removeById(m, "nope").count() === 1)
+  }
+
+  test("per-path meta JSON: plural -> array, singular -> object") {
+    val m = Seq(
+      Meta.metaRow("a.jpg", "annotations", "\"x\"", 100),
+      Meta.metaRow("a.jpg", "annotations", "\"y\"", 200),
+      Meta.metaRow("a.jpg", "visibility", "2", 150)
+    ).toDF()
+    val json = Meta.perPathJson(m).filter($"path" === "a.jpg").select("meta").head().getString(0)
+    // plural key wrapped in [...], singular bare object; keys sorted
+    assert(json.startsWith("{\"annotations\":["))
+    assert(json.contains("\"visibility\":{\"data\":2"))
+    // valid JSON shape check via Spark's parser
+    val parsed = spark.range(1).select(get_json_object(lit(json), "$.visibility.data").as("v")).head().getString(0)
+    assert(parsed === "2")
+  }
+
+  test("restore: newest mtime wins") {
+    val current = Seq(Meta.metaRow("a.jpg", "visibility", "1", 100)).toDF()
+    val incoming = Seq(Meta.metaRow("a.jpg", "visibility", "2", 300)).toDF()
+    val merged = Meta.restore(current, incoming)
+    // different ids (content-addressed) -> both survive as distinct ids;
+    // same id conflict -> newest wins. Test same-id case:
+    val rowOld = MetaRow("id1", "a.jpg", "visibility", "1", 100)
+    val rowNew = MetaRow("id1", "a.jpg", "visibility", "2", 300)
+    val m2 = Meta.restore(Seq(rowOld).toDF(), Seq(rowNew).toDF())
+    assert(m2.count() === 1)
+    assert(m2.select("data").head().getString(0) === "2")
+  }
+
+  test("stamp checksum is order-stable and content-sensitive") {
+    val e1 = Seq(("a.jpg", "h1"), ("b.jpg", "h2")).toDF("path", "hash")
+    val e1shuffled = Seq(("b.jpg", "h2"), ("a.jpg", "h1")).toDF("path", "hash")
+    val m = Seq.empty[MetaRow].toDF().select("id")
+    val c1 = Sync.stampChecksum(e1, Seq.empty[MetaRow].toDF())
+    val c2 = Sync.stampChecksum(e1shuffled, Seq.empty[MetaRow].toDF())
+    assert(c1 === c2) // row order irrelevant: fold is in path order
+    val e2 = Seq(("a.jpg", "h1"), ("b.jpg", "DIFFERENT")).toDF("path", "hash")
+    assert(Sync.stampChecksum(e2, Seq.empty[MetaRow].toDF()) !== c1)
+  }
+
+  test("delta adds/removes semantics") {
+    val dest = Seq(("a.jpg", "h1"), ("b.jpg", "h2"), ("dir", ""), ("dir/c.jpg", "h3")).toDF("path", "hash")
+    val source = Seq(("a.jpg", "h1"), ("b.jpg", "MODIFIED"), ("dir", ""), ("new.jpg", "h9")).toDF("path", "hash")
+    val adds = Sync.deltaAdds(source, dest).collect().map(_.getString(0)).toSet
+    assert(adds === Set("b.jpg", "new.jpg")) // modified + new
+    val removes = Sync.deltaRemoves(source, dest).collect().map(_.getString(0))
+    assert(removes.toSet === Set("dir/c.jpg")) // b.jpg still exists as file on source side
+  }
+
+  test("delta removes order deepest-first") {
+    val dest = Seq(("d", ""), ("d/sub", ""), ("d/sub/f.jpg", "h")).toDF("path", "hash")
+    val source = Seq(("x.jpg", "h0")).toDF("path", "hash")
+    val removes = Sync.deltaRemoves(source, dest).collect().map(_.getString(0)).toSeq
+    assert(removes === Seq("d/sub/f.jpg", "d/sub", "d"))
+  }
+
+  test("meta id set differences") {
+    val src = Seq("i1", "i2", "i3").toDF("id")
+    val dst = Seq("i2", "i4").toDF("id")
+    assert(Sync.metaAdds(src, dst).collect().map(_.getString(0)).toSet === Set("i1", "i3"))
+    assert(Sync.metaRemoves(src, dst).collect().map(_.getString(0)).toSet === Set("i4"))
+  }
+
+  test("applyDelta: conflict strategies") {
+    val local = Seq(("a.jpg", "LOCAL"), ("keep.jpg", "k")).toDF("path", "hash")
+    val adds = Seq(("a.jpg", "REMOTE"), ("new.jpg", "n")).toDF("path", "hash")
+    val removes = Seq(Tuple1("keep.jpg")).toDF("path")
+    intercept[IllegalStateException] {
+      Sync.applyDelta(local, adds, removes, Sync.DontMerge).collect()
+    }
+    val ours = Sync.applyDelta(local, adds, removes, Sync.KeepOurs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ours === Map("a.jpg" -> "LOCAL", "new.jpg" -> "n"))
+    val theirs = Sync.applyDelta(local, adds, removes, Sync.KeepTheirs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(theirs === Map("a.jpg" -> "REMOTE", "new.jpg" -> "n"))
+  }
+
+  test("status classification incl. mtime short-circuit") {
+    val index = Seq(("a.jpg", 100L, "h1"), ("b.jpg", 100L, "h2"), ("gone.jpg", 100L, "h3"))
+      .toDF("path", "mtime", "hash")
+    val fs = Seq(
+      ("a.jpg", 100L, null.asInstanceOf[String]), // same mtime: not_modified without hashing
+      ("b.jpg", 200L, "h2"), // mtime differs, hash same: not_modified
+      ("new.jpg", 300L, "hx")
+    ).toDF("path", "mtime", "hash")
+    val st = Sync.status(index, fs).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st === Map(
+      "a.jpg" -> "not_modified",
+      "b.jpg" -> "not_modified",
+      "gone.jpg" -> "deleted",
+      "new.jpg" -> "not_indexed"
+    ))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.text.{Dedup, TextOps}
+
+/** Dedup / text-analysis / similarity behavior tests on controlled
+  * inputs (the DuckDB oracle covers the SQL-expressible faces; these
+  * cover the algorithmic guarantees).
+  */
+class TextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark distributed query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "short")
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams, short docs -> empty") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L).contains("the quick brown"))
+    assert(m(1L).contains("quick brown fox"))
+    assert(m(5L).isEmpty)
+    assert(m(1L).distinct.size === m(1L).size)
+  }
+
+  test("minhash finds the near-dup and exact-dup pairs, not the unrelated doc") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = cand.map(c => (c._1, c._2)).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dup estimates jaccard 1.0
+    assert(cand.find(c => c._1 == 1L && c._2 == 4L).get._3 === 1.0)
+  }
+
+  test("simhash: exact dups hamming 0; unrelated doc far") {
+    val sigs = docs.select($"doc_id", Dedup.simhashUdf($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) < java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)))
+    val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, threshold filters") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) === 1.0)
+    assert(j.contains((1L, 2L)) && j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+    assert(!j.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("token count, quality columns") {
+    val df = Seq(("Hello, world! This is a test.", "x")).toDF("text", "lang")
+    val r = df.select(TextOps.tokenCols($"text").as("t")).head()
+    assert(r.getInt(0) === 6)
+    val q = df.select(TextOps.qualityCols($"text"): _*).head()
+    assert(q.getAs[Double]("n_chars") === 29.0)
+    assert(math.abs(q.getAs[Double]("punct_ratio") - 3.0 / 29.0) < 1e-12)
+    assert(math.abs(q.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-12) // "is", "a"
+  }
+
+  test("langid: english stopwords detected; empty -> und") {
+    val df = Seq(
+      "the cat and the dog sat in the house of the king",
+      "el perro y el gato en la casa de los reyes del pueblo",
+      ""
+    ).toDF("text")
+    val got = df.select(TextOps.langIdUdf($"text").as("l")).collect().map(_.getString(0))
+    assert(got(0) === "en")
+    assert(got(1) === "es")
+    assert(got(2) === "und")
+  }
+
+  test("fingerprint winnowing: identical docs identical fingerprints, stable") {
+    val fp = docs.select($"doc_id", TextOps.fingerprintUdf($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L).nonEmpty)
+    assert(fp(5L).isEmpty) // < 3 tokens
+  }
+
+  test("cosine similarity: exact self-similarity and orthogonality") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select(transform($"embedding", _.cast("double")).as("qv"))
+    val got = emb
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", Similarity.cosine(transform($"embedding", _.cast("double")), $"qv").as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+    assert(math.abs(got(3L) - 0.6) < 1e-6) // float32 inputs: 0.6f != 0.6
+  }
+
+  test("topKForQueries ranks per query") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topKForQueries(emb, emb.filter($"vec_id" <= 1), k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(top(0L) === 1L)
+    assert(top(1L) === 0L)
+  }
+
+  test("lsh buckets: identical vectors share bucket") {
+    val emb = Seq(
+      (0L, (0 until 64).map(_.toFloat).toArray),
+      (1L, (0 until 64).map(_.toFloat).toArray)
+    ).toDF("vec_id", "embedding")
+    val b = emb.select(Similarity.lshBucket(transform($"embedding", _.cast("double")), 64, 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) === b(1))
+  }
+}
