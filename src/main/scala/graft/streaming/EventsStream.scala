@@ -22,6 +22,7 @@ object EventsStream {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema(eventSchema)
+      .option("pathGlobFilter", "events*.parquet") // dir holds other tables too
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -37,9 +38,14 @@ object EventsStream {
 
   /** Drive a stream from existing parquet through a memory sink
     * synchronously — the local test harness shape. */
-  def runToMemory(s: SparkSession, df: DataFrame, name: String): StreamingQuery = {
+  def runToMemory(
+      s: SparkSession,
+      df: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Complete // append-mode windows don't flush in a single AvailableNow batch
+  ): StreamingQuery = {
     val q = df.writeStream
-      .outputMode(OutputMode.Append)
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sources.Ingest
+import graft.streaming.EventsStream
+
+/** Structured-Streaming surface + ingest pipeline + multimodal
+  * plumbing — driven end-to-end on local fixtures.
+  */
+class StreamIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming hourly counts over events parquet match the batch rollup") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val agg = EventsStream.hourlyCounts(stream)
+    val q = EventsStream.runToMemory(spark, agg, "hourly_test")
+    try {
+      val streamed = spark.sql("select sum(n) from hourly_test").head().getLong(0)
+      // batch equivalent over the same files (watermark drops nothing in
+      // a replay of historical data with AvailableNow + final flush)
+      val batch = Tables.events(spark, sf0001).count()
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming window boundaries align with date_trunc") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val q = EventsStream.runToMemory(spark, EventsStream.hourlyCounts(stream), "hourly_b")
+    try {
+      val hours = spark.sql("select distinct hour from hourly_b").collect().map(_.getTimestamp(0))
+      assert(hours.forall(t => t.getTime % 3600000L === 0L))
+    } finally q.stop()
+  }
+
+  test("glob to regex semantics: * vs ** vs ?") {
+    val rx = Ingest.globToRegex("photos/*.jpg")
+    assert("photos/a.jpg".matches(rx))
+    assert(!"photos/sub/a.jpg".matches(rx))
+    val rx2 = Ingest.globToRegex("photos/**.jpg")
+    assert("photos/sub/a.jpg".matches(rx2))
+    assert("x1.bin".matches(Ingest.globToRegex("x?.bin")))
+    assert(!"x12.bin".matches(Ingest.globToRegex("x?.bin")))
+  }
+
+  test("ingest end-to-end: list -> entries -> upsert -> incremental no-op") {
+    val dir = Files.createTempDirectory("graft_ingest").toFile
+    try {
+      Files.writeString(Paths.get(dir.getPath, "a.jpg"), "fake jpeg bytes")
+      Files.writeString(Paths.get(dir.getPath, "b.md"), "# doc")
+      Files.createDirectories(Paths.get(dir.getPath, ".ddb"))
+      Files.writeString(Paths.get(dir.getPath, ".ddb", "skip.me"), "internal")
+
+      val files = Ingest.listFiles(spark, dir.getPath)
+      assert(files.count() === 2) // .ddb skipped
+
+      val entries = Ingest.toEntries(files, dir.getPath)
+      val rows = entries.collect()
+      assert(rows.length === 2)
+      val a = rows.find(_.getAs[String]("path") == "a.jpg").get
+      assert(a.getAs[Int]("entryType") === graft.model.EntryType.Image)
+      assert(a.getAs[String]("hash").length === 64) // sha256 hex
+      assert(a.getAs[Long]("size") === 15L)
+      assert(a.getAs[Int]("depth") === 0)
+
+      // upsert same entries again: still 2, no dupes
+      val idx2 = Ingest.upsert(entries, entries)
+      assert(idx2.count() === 2)
+
+      // modify one file: upsert keeps newest mtime row
+      val newer = entries.withColumn("mtime", col("mtime") + 100)
+        .withColumn("hash", lit("0" * 64))
+      val idx3 = Ingest.upsert(entries, newer)
+      assert(idx3.count() === 2)
+      assert(idx3.filter(col("hash") === "0" * 64).count() === 2)
+    } finally {
+      dir.listFiles().foreach { f => if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() }
+      dir.delete()
+    }
+  }
+
+  test("multimodal: feature extraction, resize, frame sampling shapes") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() === 500)
+    val r = feats.head()
+    assert(r.getAs[Double]("pixel_mean") > 0)
+    assert(r.getAs[Int]("payload_bytes") > 0)
+
+    val resized = Multimodal.resizeAll(media.limit(5), 32)
+    assert(resized.select(length(col("payload"))).collect().forall(_.getInt(0) === 32))
+
+    val frames = Multimodal.sampleFrames(media.limit(3), nFrames = 4, frameLen = 8)
+    assert(frames.count() === 12)
+    assert(frames.select(max(col("frame_idx"))).head().getInt(0) === 3)
+    assert(frames.select(max(col("frame_bytes"))).head().getInt(0) <= 8)
+  }
+
+  test("sessionize groups events within gap") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "b"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "c"), // new session
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val sessions = EventsStream.sessionize(spark, ev, gapMs = 30 * 60 * 1000)
+    // batch flatMapGroupsWithState emits completed sessions only (the
+    // trailing open session stays in state); user 1 closed one session of 2
+    val closed = sessions.collect()
+    assert(closed.exists(r => r.getAs[Long]("user_id") == 1L && r.getAs[Long]("events") == 2L))
+  }
+}
