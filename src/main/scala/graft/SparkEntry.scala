@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Similarity
+import graft.functions.Scalars
 import graft.operators.Relational
 import graft.text.{Dedup, TextOps}
 
@@ -47,6 +48,10 @@ object SparkEntry {
     "q_distinct" -> (Relational.distinctSegments _),
     // §2.9 streaming (batch shape)
     "q_hourly" -> (Relational.hourlyRollup _),
+    // §2.7 scalar functions
+    "q_slugify" -> (Scalars.slugifyQuery _),
+    "q_base64" -> (Scalars.base64Query _),
+    "q_path_ops" -> (Scalars.pathOpsQuery _),
     // text analysis
     "q_token_stats" -> (TextOps.tokenStats _),
     "q_quality_stats" -> (TextOps.qualityStats _),
@@ -177,6 +182,21 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_slugify" ->
+      """SELECT DISTINCT regexp_replace(regexp_replace(regexp_replace(lower(p_name),
+        |  '[^a-z0-9]+', '-', 'g'), '-+', '-', 'g'), '^-|-$', '', 'g') AS slug
+        |FROM part""".stripMargin,
+    "q_base64" ->
+      "SELECT c_custkey, to_base64(CAST(c_name AS BLOB)) AS href_token FROM customer",
+    "q_path_ops" ->
+      """SELECT doc_id, path,
+        |  array_length(string_split(path, '/')) - 1 AS depth,
+        |  regexp_replace(path, '/[^/]*$', '') AS parent,
+        |  list_extract(string_split(path, '.'), -1) AS ext
+        |FROM (
+        |  SELECT doc_id, source || '/' || lang || '/doc_' || doc_id || '.txt' AS path
+        |  FROM documents)
+        |WHERE path LIKE 'src1%'""".stripMargin,
     "q_token_stats" ->
       """SELECT lang,
         |  sum(length(regexp_extract_all(text, '\w+'))) AS total_tokens,

@@ -25,11 +25,18 @@ object Tables {
     * microsecond timestamp with integer division — a plain projection,
     * no precision-losing double math on ~1e18 nanos.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsRaw(s, d)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  /** Events with `ts` left as the raw epoch-nanos long. Range filters
+    * belong HERE (compare against nano literals) so they push into the
+    * parquet scan as plain long predicates — a filter on the derived
+    * timestamp column cannot push down. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

