@@ -20,7 +20,10 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Elementwise dot product of two array columns (double math). */
+  /** Elementwise dot product of two array columns (double math) —
+    * built-in higher-order-function form (interpreted lambdas). Kept as
+    * the dependency-free fallback; hot paths use the codegen'd native
+    * expression below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -28,6 +31,13 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine via the native Catalyst expression
+    * (`graft.plans.CosineSimilarity`) — registered per session. */
+  private def fastCosine(s: SparkSession)(a: Column, b: Column): Column = {
+    graft.plans.VectorExpressions.register(s)
+    graft.plans.VectorExpressions.vecCosine(a, b)
+  }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -40,7 +50,7 @@ object Similarity {
     emb
       .filter($"vec_id" =!= queryId)
       .crossJoin(q) // 1-row broadcast: a literal-vector comparison, not a real cross join
-      .select($"vec_id", round(cosine($"v", $"qv"), 6).as("cos_sim"))
+      .select($"vec_id", round(fastCosine(s)($"v", $"qv"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id".asc)
       .limit(k)
   }
@@ -64,11 +74,11 @@ object Similarity {
     * `nBits` deterministic pseudo-random hyperplanes. Vectors in the
     * same bucket are near-duplicate candidates; probing neighbouring
     * buckets trades recall for scan cost. */
-  def lshBucket(v: Column, dim: Int, nBits: Int = 16): Column = {
-    // deterministic "random" hyperplanes from a hash of (bit, dim index)
+  def lshBucket(v: Column, dim: Int, nBits: Int = 16, seed: Int = 0): Column = {
+    // deterministic "random" hyperplanes from a hash of (seed, bit, dim index)
     def plane(bit: Int): Seq[Double] =
       (0 until dim).map { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((bit, j))
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, bit, j))
         (h.toDouble / Int.MaxValue) // in [-1, 1]
       }
     (0 until nBits)
@@ -84,18 +94,39 @@ object Similarity {
       .reduce(_ + _)
   }
 
-  /** ◆ LSH-bucketed near-neighbour candidates: join-on-bucket instead
-    * of N² compare; exact cosine verifies inside the bucket. */
-  def lshNeighbors(s: SparkSession, dir: String, nBits: Int = 12, minCos: Double = 0.9): DataFrame = {
+  /** ◆ LSH-bucketed near-neighbour candidates: multi-table
+    * random-hyperplane LSH (L independent tables of nBits sign bits) —
+    * join-on-(table, bucket) instead of N² compare; exact codegen'd
+    * cosine verifies inside buckets. Collision probability per table is
+    * (1 − θ/π)^nBits, so L tables trade scan cost for recall — the
+    * standard knob at corpus scale. Defaults target mid-similarity
+    * (0.35+) recall ≈ 0.55 on random embeddings; for true near-dup
+    * mining (cos ≥ 0.9, p_bit ≈ 0.86) prefer nBits=16, tables=8 —
+    * bigger buckets only pay off when the threshold is low. */
+  def lshNeighbors(
+      s: SparkSession,
+      dir: String,
+      nBits: Int = 6,
+      tables: Int = 16,
+      minCos: Double = 0.35
+  ): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select($"vec_id", asDouble($"embedding").as("v"))
     val dim = 64
-    val bucketed = emb.withColumn("bucket", lshBucket($"v", dim, nBits))
-    val l = bucketed.select($"bucket", $"vec_id".as("id_a"), $"v".as("va"))
-    val r = bucketed.select($"bucket", $"vec_id".as("id_b"), $"v".as("vb"))
-    l.join(r, Seq("bucket"))
+    val bucketed = emb
+      .select(
+        $"vec_id",
+        $"v",
+        posexplode(array((0 until tables).map(t => lshBucket($"v", dim, nBits, seed = t)): _*))
+          .as(Seq("table", "bucket"))
+      )
+      .dropDuplicates("vec_id", "table", "bucket")
+    val l = bucketed.select($"table", $"bucket", $"vec_id".as("id_a"), $"v".as("va"))
+    val r = bucketed.select($"table", $"bucket", $"vec_id".as("id_b"), $"v".as("vb"))
+    l.join(r, Seq("table", "bucket"))
       .filter($"id_a" < $"id_b")
-      .withColumn("cos_sim", cosine($"va", $"vb"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .withColumn("cos_sim", fastCosine(s)($"va", $"vb"))
       .filter($"cos_sim" >= minCos)
       .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
   }

@@ -119,6 +119,29 @@ class TextSpec extends SparkSuite {
     assert(top(1L) === 0L)
   }
 
+  test("multi-table lsh recall vs brute force on real embeddings") {
+    import graft.plans.VectorExpressions
+    VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val thr = 0.35
+    val a = emb.select($"vec_id".as("id_a"), $"v".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"v".as("vb"))
+    val brute = a.crossJoin(b)
+      .filter($"id_a" < $"id_b")
+      .filter(VectorExpressions.vecCosine($"va", $"vb") >= thr)
+      .select($"id_a", $"id_b")
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNeighbors(spark, sf0001, minCos = thr)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(bruteSet)) // no false positives (exact verify inside buckets)
+    if (bruteSet.nonEmpty) {
+      val recall = lsh.size.toDouble / bruteSet.size
+      assert(recall > 0.4, s"recall $recall over ${bruteSet.size} true pairs")
+    }
+  }
+
   test("lsh buckets: identical vectors share bucket") {
     val emb = Seq(
       (0L, (0 until 64).map(_.toFloat).toArray),
