@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.EntryType
+
+/** Content-sniffing + per-type property extraction over raw bytes —
+  * the pure-JVM core of the reference's `fingerprint` + `parseEntry`
+  * (`entry.cpp:982-1118`, `34-489`). GDAL/Exiv2/PDAL are replaced by
+  * byte-level parsers for the formats the container can host: PNG,
+  * JPEG, GIF, BMP dimension extraction from headers; magic-number
+  * dispatch ahead of the extension fallback (a `.jpg` that is really a
+  * PNG is detected by content, like the reference's sniffing).
+  *
+  * Runs executor-side over the `binaryFile` content column — one UDF
+  * call per file, no driver involvement (the reference's
+  * FingerprintContext reuse, `entry.h:173-195`, becomes "parse once in
+  * one call").
+  */
+object Extractors {
+
+  final case class ImageMeta(format: String, width: Int, height: Int)
+
+  /** PNG IHDR / JPEG SOFn / GIF header / BMP header dimension parse. */
+  def sniffImage(bytes: Array[Byte]): Option[ImageMeta] = {
+    if (bytes == null || bytes.length < 16) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+      // IHDR is always the first chunk: width/height big-endian at 16/20
+      if (bytes.length < 24) None
+      else Some(ImageMeta("png", be32(bytes, 16), be32(bytes, 20)))
+    } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      sniffJpeg(bytes)
+    } else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+      Some(ImageMeta("gif", le16(bytes, 6), le16(bytes, 8)))
+    } else if (bytes(0) == 'B' && bytes(1) == 'M') {
+      if (bytes.length < 26) None
+      else Some(ImageMeta("bmp", le32(bytes, 18), le32(bytes, 22)))
+    } else None
+  }
+
+  /** Walk JPEG segments to the first SOF0-SOF15 frame header. */
+  private def sniffJpeg(bytes: Array[Byte]): Option[ImageMeta] = {
+    var i = 2
+    while (i + 9 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None // lost sync
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // standalone
+      else {
+        val len = be16(bytes, i + 2)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          return Some(ImageMeta("jpeg", be16(bytes, i + 7), be16(bytes, i + 5)))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Content-first fingerprint: magic numbers override extension, like
+    * the reference's sniffing order; panorama upgrade when aspect ratio
+    * ≥ 2 (`entry.cpp:1081-1086`). */
+  def fingerprint(path: String, bytes: Array[Byte]): Int =
+    sniffImage(bytes) match {
+      case Some(m) =>
+        if (m.height > 0 && m.width.toDouble / m.height >= 2.0) EntryType.Panorama
+        else EntryType.Image
+      case None => EntryType.fromExtension(path)
+    }
+
+  /** Properties JSON for image types — the `width`/`height` subset of
+    * `entry.cpp:95-281` that is derivable without EXIF libs. */
+  def imageProperties(bytes: Array[Byte]): String =
+    sniffImage(bytes) match {
+      case Some(m) => s"""{"width":${m.width},"height":${m.height},"format":"${m.format}"}"""
+      case None => "{}"
+    }
+
+  private val fingerprintUdf = udf((p: String, b: Array[Byte]) => fingerprint(p, b))
+  private val propsUdf = udf((b: Array[Byte]) => imageProperties(b))
+
+  /** Column form: (path, content) → (entryType, properties). */
+  def withExtraction(files: DataFrame, pathCol: Column, contentCol: Column): DataFrame =
+    files
+      .withColumn("entryType", fingerprintUdf(pathCol, contentCol))
+      .withColumn("properties", propsUdf(contentCol))
+}

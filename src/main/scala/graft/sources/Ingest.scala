@@ -60,16 +60,19 @@ object Ingest {
     * (`entry.cpp:34-489`) plugs in here per fixture format. */
   def toEntries(files: DataFrame, root: String): DataFrame = {
     val rel = regexp_replace(col("abs_path"), "^" + java.util.regex.Pattern.quote(root) + "/?", "")
-    val fingerprintUdf = udf((p: String) => EntryType.fromExtension(p))
-    files
-      .select(
-        rel.as("path"),
-        lower(sha2(col("content"), 256)).as("hash"),
-        col("mtime"),
-        col("size")
+    Extractors
+      .withExtraction(
+        files.select(
+          rel.as("path"),
+          lower(sha2(col("content"), 256)).as("hash"),
+          col("mtime"),
+          col("size"),
+          col("content")
+        ),
+        col("path"),
+        col("content")
       )
-      .withColumn("entryType", fingerprintUdf(col("path")))
-      .withColumn("properties", lit("{}"))
+      .drop("content")
       .withColumn("depth", Index.depthOf(col("path")))
       .withColumn("pointGeom", lit(null).cast(graft.model.Schemas.pointGeom))
       .withColumn("polygonGeom", lit(null).cast(org.apache.spark.sql.types.ArrayType(graft.model.Schemas.pointGeom, false)))
