@@ -160,6 +160,48 @@ object Similarity {
       .select(monotonically_increasing_id().as("cell_id"), asDouble($"embedding").as("centroid"))
   }
 
+  /** One Lloyd iteration: average assigned vectors per cell — running
+    * a few of these over the seeds gives a k-means-lite quantizer, all
+    * partial-aggregatable (element-wise array sums via posexplode +
+    * groupBy, no driver math). */
+  def refineCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell_id", "dim")
+      .agg(avg("x").as("m"))
+      .groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("cell_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+
+  /** IVF search: quantize the query to its nearest `nProbe` cells and
+    * scan ONLY those cells' vectors — the coarse-quantizer pruning that
+    * makes ANN sublinear at corpus scale. Returns top-k with exact
+    * cosine over the probed subset. */
+  def ivfSearch(
+      s: SparkSession,
+      assigned: DataFrame, // from ivfAssign: (vec_id, v, cell_id)
+      centroids: DataFrame, // (cell_id, centroid)
+      queryVec: Seq[Double],
+      k: Int = 10,
+      nProbe: Int = 2
+  ): DataFrame = {
+    import s.implicits._
+    val q = lit(queryVec.toArray)
+    val probeCells = centroids
+      .withColumn(
+        "dist",
+        aggregate(zip_with(col("centroid"), q, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+      )
+      .orderBy(col("dist").asc, col("cell_id").asc)
+      .limit(nProbe)
+      .select("cell_id")
+    assigned
+      .join(broadcast(probeCells), Seq("cell_id")) // partition-pruning join: untouched cells never scan
+      .select(col("vec_id"), fastCosine(s)(col("v"), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ◆ Vector-norm rollup by label — array math through the agg path. */
   def normByLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
