@@ -60,6 +60,20 @@ object Raster {
     base.crossJoin(median)
   }
 
+  /** Scale-path stats: same aggregate but `percentile_approx` for the
+    * median — no global sort, fully partial-aggregatable, the variant
+    * to use when the ROI is billions of pixels. `areaStats` keeps the
+    * reference-exact sorted-middle median for correctness parity. */
+  def areaStatsApprox(pixels: DataFrame, nodata: Option[Double] = None, accuracy: Int = 10000): DataFrame =
+    validPixels(pixels, nodata).agg(
+      min("value").as("min"),
+      max("value").as("max"),
+      avg("value").as("mean"),
+      stddev_pop("value").as("stddev"),
+      percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("median"),
+      count(lit(1)).as("pixelCount")
+    )
+
   /** Global min/max (GDALComputeRasterMinMax shape) — ref
     * `raster_analysis.cpp:105-117`. */
   def minMax(pixels: DataFrame, nodata: Option[Double] = None): DataFrame =

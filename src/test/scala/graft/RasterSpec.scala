@@ -23,6 +23,14 @@ class RasterSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("stddev") - 28.86607) < 1e-4)
   }
 
+  test("approx stats agree with exact on the known grid") {
+    val px = Raster.grid(spark, 10, 10)((x, y) => (y * lit(10) + x).cast("double"))
+    val r = Raster.areaStatsApprox(px).head()
+    assert(r.getAs[Double]("mean") === 49.5)
+    assert(math.abs(r.getAs[Double]("median") - 49.5) <= 1.0) // approx: within one step
+    assert(r.getAs[Long]("pixelCount") === 100L)
+  }
+
   test("nodata and NaN filtered like the reference") {
     val px = Raster.grid(spark, 4, 1)((x, _) =>
       when(x === 0, lit(Double.NaN)).when(x === 1, lit(-9999.0)).otherwise(x.cast("double")))
