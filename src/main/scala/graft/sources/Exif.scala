@@ -1,0 +1,150 @@
+package graft.sources
+
+/** Minimal pure-JVM EXIF reader — the subset of Exiv2 the reference
+  * leans on (`src/library/exif.cpp`): capture time
+  * (DateTimeOriginal), GPS lat/lon/alt, orientation, make/model,
+  * focal length. Walks the JPEG APP1 segment's embedded TIFF
+  * structure; both byte orders; bounds-checked throughout (corrupt
+  * files return None fields, never throw).
+  *
+  * GeoImage upgrade rule mirrors `entry.cpp:1088-1099`: an image with
+  * a GPS fix becomes GeoImage/GeoPanorama.
+  */
+object Exif {
+
+  final case class ExifData(
+      captureTimeMs: Option[Long],
+      lat: Option[Double],
+      lon: Option[Double],
+      altitude: Option[Double],
+      orientation: Option[Int],
+      make: Option[String],
+      model: Option[String],
+      focalLength: Option[Double]
+  )
+
+  val empty: ExifData = ExifData(None, None, None, None, None, None, None, None)
+
+  /** Extract from JPEG bytes: find APP1 "Exif\0\0", parse the TIFF. */
+  def fromJpeg(bytes: Array[Byte]): ExifData = {
+    if (bytes == null || bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) empty
+    else {
+      var i = 2
+      while (i + 4 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return empty
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return empty // EOI / SOS: no EXIF
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (marker == 0xe1 && i + 4 + 6 <= bytes.length &&
+          bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+          bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+          return fromTiff(bytes, i + 10, math.min(bytes.length, i + 2 + len))
+        }
+        i += 2 + len
+      }
+      empty
+    }
+  }
+
+  /** Parse a TIFF (EXIF) block in bytes[off, end). */
+  def fromTiff(b: Array[Byte], off: Int, end: Int): ExifData = {
+    try {
+      if (off + 8 > end) return empty
+      val little = b(off) == 'I' && b(off + 1) == 'I'
+      val big = b(off) == 'M' && b(off + 1) == 'M'
+      if (!little && !big) return empty
+
+      def u16(i: Int): Int =
+        if (i + 2 > end) 0
+        else if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      def u32(i: Int): Long =
+        if (i + 4 > end) 0L
+        else if (little)
+          (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        else
+          ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+      final case class Tag(id: Int, tpe: Int, count: Long, valueOff: Int)
+
+      def readIfd(ifdOff: Long): Seq[Tag] = {
+        val base = off + ifdOff.toInt
+        if (base + 2 > end || ifdOff <= 0) return Seq.empty
+        val n = u16(base)
+        (0 until math.min(n, 256)).flatMap { k =>
+          val e = base + 2 + k * 12
+          if (e + 12 > end) None
+          else Some(Tag(u16(e), u16(e + 2), u32(e + 4), e + 8))
+        }
+      }
+
+      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 7 -> 1, 10 -> 8)
+
+      def valueBase(t: Tag): Int = {
+        val sz = typeSize.getOrElse(t.tpe, 1).toLong * t.count
+        if (sz <= 4) t.valueOff else off + u32(t.valueOff).toInt
+      }
+
+      def ascii(t: Tag): Option[String] = {
+        val base = valueBase(t)
+        val n = t.count.toInt
+        if (base + n > end || n <= 0) None
+        else Some(new String(b, base, n, "US-ASCII").takeWhile(_ != 0.toChar).trim).filter(_.nonEmpty)
+      }
+
+      def shortVal(t: Tag): Option[Int] =
+        if (t.tpe == 3) Some(u16(t.valueOff)) else None
+
+      def rational(t: Tag, idx: Int = 0): Option[Double] = {
+        val base = valueBase(t) + idx * 8
+        if (base + 8 > end) None
+        else {
+          val num = u32(base); val den = u32(base + 4)
+          if (den == 0) None else Some(num.toDouble / den.toDouble)
+        }
+      }
+
+      val ifd0 = readIfd(u32(off + 4))
+      def find(tags: Seq[Tag], id: Int): Option[Tag] = tags.find(_.id == id)
+
+      val exifIfd = find(ifd0, 0x8769).map(t => readIfd(u32(t.valueOff))).getOrElse(Seq.empty)
+      val gpsIfd = find(ifd0, 0x8825).map(t => readIfd(u32(t.valueOff))).getOrElse(Seq.empty)
+
+      // capture time: DateTimeOriginal (0x9003) else DateTime (0x0132),
+      // "YYYY:MM:DD HH:MM:SS" taken as UTC at fixture scope (the
+      // reference applies per-location timezones via ZoneDetect,
+      // exif.cpp — out of scope without its tz database)
+      val dateStr = find(exifIfd, 0x9003).flatMap(ascii).orElse(find(ifd0, 0x0132).flatMap(ascii))
+      val captureMs = dateStr.flatMap { s0 =>
+        try {
+          val p = s0.split("[: ]").map(_.toInt) // y m d h mi s
+          if (p.length < 6) None
+          else Some(java.time.LocalDateTime.of(p(0), p(1), p(2), p(3), p(4), p(5))
+            .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L)
+        } catch { case _: Exception => None }
+      }
+
+      def dms(t: Tag): Option[Double] =
+        for { d <- rational(t, 0); m <- rational(t, 1); s <- rational(t, 2) } yield d + m / 60 + s / 3600
+
+      val latRaw = find(gpsIfd, 0x0002).flatMap(dms)
+      val latRef = find(gpsIfd, 0x0001).flatMap(ascii)
+      val lonRaw = find(gpsIfd, 0x0004).flatMap(dms)
+      val lonRef = find(gpsIfd, 0x0003).flatMap(ascii)
+      val alt = find(gpsIfd, 0x0006).flatMap(rational(_, 0)).map { a =>
+        if (find(gpsIfd, 0x0005).exists(t => u16(t.valueOff) == 1 || (b(t.valueOff) & 0xff) == 1)) -a else a
+      }
+
+      ExifData(
+        captureTimeMs = captureMs,
+        lat = latRaw.map(v => if (latRef.contains("S")) -v else v),
+        lon = lonRaw.map(v => if (lonRef.contains("W")) -v else v),
+        altitude = alt,
+        orientation = find(ifd0, 0x0112).flatMap(shortVal),
+        make = find(ifd0, 0x010f).flatMap(ascii),
+        model = find(ifd0, 0x0110).flatMap(ascii),
+        focalLength = find(exifIfd, 0x920a).flatMap(rational(_, 0))
+      )
+    } catch { case _: Exception => empty }
+  }
+}

@@ -68,29 +68,77 @@ object Extractors {
 
   /** Content-first fingerprint: magic numbers override extension, like
     * the reference's sniffing order; panorama upgrade when aspect ratio
-    * ≥ 2 (`entry.cpp:1081-1086`). */
+    * ≥ 2 (`entry.cpp:1081-1086`); a GPS fix upgrades Image→GeoImage /
+    * Panorama→GeoPanorama (`entry.cpp:1088-1099`). */
   def fingerprint(path: String, bytes: Array[Byte]): Int =
-    sniffImage(bytes) match {
-      case Some(m) =>
-        if (m.height > 0 && m.width.toDouble / m.height >= 2.0) EntryType.Panorama
-        else EntryType.Image
-      case None => EntryType.fromExtension(path)
-    }
+    extract(path, bytes).entryType
 
   /** Properties JSON for image types — the `width`/`height` subset of
-    * `entry.cpp:95-281` that is derivable without EXIF libs. */
-  def imageProperties(bytes: Array[Byte]): String =
+    * `entry.cpp:95-281` plus the EXIF fields the pure-JVM walker
+    * recovers (captureTime, make, model, focalLength, orientation). */
+  def imageProperties(bytes: Array[Byte]): String = extract("", bytes).properties
+
+  final case class Extracted(
+      entryType: Int,
+      properties: String,
+      lon: Option[Double],
+      lat: Option[Double],
+      alt: Option[Double]
+  )
+
+  /** Full per-file extraction: one parse per file (the reference's
+    * FingerprintContext reuse), type + properties + geotag. */
+  def extract(path: String, bytes: Array[Byte]): Extracted = {
     sniffImage(bytes) match {
-      case Some(m) => s"""{"width":${m.width},"height":${m.height},"format":"${m.format}"}"""
-      case None => "{}"
+      case Some(m) =>
+        val exif = if (m.format == "jpeg") Exif.fromJpeg(bytes) else Exif.empty
+        val pano = m.height > 0 && m.width.toDouble / m.height >= 2.0
+        val hasGps = exif.lat.isDefined && exif.lon.isDefined
+        val tpe =
+          if (pano && hasGps) EntryType.GeoPanorama
+          else if (pano) EntryType.Panorama
+          else if (hasGps) EntryType.GeoImage
+          else EntryType.Image
+        def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        val fields = Seq(
+          Some(s""""width":${m.width}"""),
+          Some(s""""height":${m.height}"""),
+          Some(s""""format":${q(m.format)}"""),
+          exif.captureTimeMs.map(t => s""""captureTime":$t"""),
+          exif.make.map(v => s""""make":${q(v)}"""),
+          exif.model.map(v => s""""model":${q(v)}"""),
+          exif.orientation.map(v => s""""orientation":$v"""),
+          exif.focalLength.map(v => s""""focalLength":$v""")
+        ).flatten
+        Extracted(tpe, fields.mkString("{", ",", "}"), exif.lon, exif.lat, exif.altitude)
+      case None =>
+        Extracted(EntryType.fromExtension(path), "{}", None, None, None)
     }
+  }
 
-  private val fingerprintUdf = udf((p: String, b: Array[Byte]) => fingerprint(p, b))
-  private val propsUdf = udf((b: Array[Byte]) => imageProperties(b))
+  private val extractUdf = udf((p: String, b: Array[Byte]) => extract(p, b))
 
-  /** Column form: (path, content) → (entryType, properties). */
+  /** Column form: (path, content) → entryType, properties, pointGeom,
+    * envelope columns. One UDF evaluation per file. */
   def withExtraction(files: DataFrame, pathCol: Column, contentCol: Column): DataFrame =
     files
-      .withColumn("entryType", fingerprintUdf(pathCol, contentCol))
-      .withColumn("properties", propsUdf(contentCol))
+      .withColumn("__ex", extractUdf(pathCol, contentCol))
+      .withColumn("entryType", col("__ex.entryType"))
+      .withColumn("properties", col("__ex.properties"))
+      .withColumn(
+        "pointGeom",
+        when(
+          col("__ex.lon").isNotNull && col("__ex.lat").isNotNull,
+          struct(
+            col("__ex.lon").as("lon"),
+            col("__ex.lat").as("lat"),
+            coalesce(col("__ex.alt"), lit(0.0)).as("alt")
+          )
+        )
+      )
+      .withColumn("minx", col("__ex.lon"))
+      .withColumn("miny", col("__ex.lat"))
+      .withColumn("maxx", col("__ex.lon"))
+      .withColumn("maxy", col("__ex.lat"))
+      .drop("__ex")
 }
