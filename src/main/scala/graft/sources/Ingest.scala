@@ -55,9 +55,9 @@ object Ingest {
   }
 
   /** Entry assembly from a file listing rooted at `root`: relative
-    * path, depth, extension fingerprint, sha256 (built-in, codegen'd),
-    * empty properties. The per-type property extraction
-    * (`entry.cpp:34-489`) plugs in here per fixture format. */
+    * path, depth, content-sniffed type + properties + geotag
+    * (`Extractors.withExtraction` — the `parseEntry` role,
+    * `entry.cpp:34-489`), sha256 (built-in, codegen'd). */
   def toEntries(files: DataFrame, root: String): DataFrame = {
     val rel = regexp_replace(col("abs_path"), "^" + java.util.regex.Pattern.quote(root) + "/?", "")
     Extractors
@@ -74,12 +74,9 @@ object Ingest {
       )
       .drop("content")
       .withColumn("depth", Index.depthOf(col("path")))
-      .withColumn("pointGeom", lit(null).cast(graft.model.Schemas.pointGeom))
+      // extraction fills pointGeom + point envelope; footprint rings
+      // (polygonGeom) come from raster/camera extractors when present
       .withColumn("polygonGeom", lit(null).cast(org.apache.spark.sql.types.ArrayType(graft.model.Schemas.pointGeom, false)))
-      .withColumn("minx", lit(null).cast("double"))
-      .withColumn("miny", lit(null).cast("double"))
-      .withColumn("maxx", lit(null).cast("double"))
-      .withColumn("maxy", lit(null).cast("double"))
   }
 
   /** Incremental add: which files actually need hashing/parsing —
