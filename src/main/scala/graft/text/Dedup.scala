@@ -160,6 +160,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Embedding-cosine near-dup — the fifth dedup modality: multi-table
+    * LSH over the embedding column with exact cosine verification
+    * (delegates to the ANN machinery; candidates never form outside
+    * shared buckets). */
+  def embeddingNearDup(s: SparkSession, dir: String, minCos: Double = 0.35): DataFrame =
+    graft.ann.Similarity.lshNeighbors(s, dir, minCos = minCos)
+
   def simhashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     simhashCandidates(Tables.documents(s, dir), "doc_id", "text").orderBy($"id_a", $"id_b")
