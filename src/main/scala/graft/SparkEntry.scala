@@ -52,6 +52,9 @@ object SparkEntry {
     "q_slugify" -> (Scalars.slugifyQuery _),
     "q_base64" -> (Scalars.base64Query _),
     "q_path_ops" -> (Scalars.pathOpsQuery _),
+    // §2.7 numeric kernels (◇) under the oracle
+    "q_vegetation" -> (Scalars.vegetationQuery _),
+    "q_thermal" -> (Scalars.thermalQuery _),
     // text analysis
     "q_token_stats" -> (TextOps.tokenStats _),
     "q_quality_stats" -> (TextOps.qualityStats _),
@@ -182,6 +185,18 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_vegetation" ->
+      """SELECT l_returnflag,
+        |  round(avg(((l_tax+0.2) - (l_discount+0.1)) / ((l_tax+0.2) + (l_discount+0.1) - 0.05)), 6) AS avg_vari,
+        |  round(avg(((l_quantity/50.0+0.5) - (l_discount+0.1)) / ((l_quantity/50.0+0.5) + (l_discount+0.1))), 6) AS avg_ndvi,
+        |  round(avg(1.5 * ((l_quantity/50.0+0.5) - (l_discount+0.1)) / ((l_quantity/50.0+0.5) + (l_discount+0.1) + 0.5)), 6) AS avg_savi,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_thermal" ->
+      """SELECT event_type,
+        |  round(avg(1501.0 / ln(21106.77 / (0.012545258 * (((abs(value)+100.0)*100.0) + -7340.0)) + 1.0) - 273.15), 6) AS avg_c,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_slugify" ->
       """SELECT DISTINCT regexp_replace(regexp_replace(regexp_replace(lower(p_name),
         |  '[^a-z0-9]+', '-', 'g'), '-+', '-', 'g'), '^-|-$', '', 'g') AS slug

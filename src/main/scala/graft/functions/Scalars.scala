@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.raster.Vegetation
 import graft.stac.Stac
 
 /** Scalar-function surface (SURVEY §2.7) exposed as oracle-checkable
@@ -28,6 +29,51 @@ object Scalars {
     Tables
       .customer(s, dir)
       .select($"c_custkey", base64($"c_name".cast("binary")).as("href_token"))
+  }
+
+  /** ◇ vegetation-index formulas under the oracle: lineitem columns
+    * stand in as bands (the kernels are pure arithmetic — parity with
+    * the SQL oracle is exactly what's being checked; real band columns
+    * come from the raster layer). VARI + NDVI + SAVI per returnflag. */
+  def vegetationQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, dir)
+      .select(
+        $"l_returnflag",
+        ($"l_discount" + 0.1).as("R"),
+        ($"l_tax" + 0.2).as("G"),
+        lit(0.05).as("B"),
+        ($"l_quantity" / 50.0 + 0.5).as("N")
+      )
+    val bands = Map("R" -> col("R"), "G" -> col("G"), "B" -> col("B"), "N" -> col("N"),
+      "Re" -> col("R"), "L" -> col("R"))
+    li.select(
+      $"l_returnflag",
+      Vegetation.formula("VARI")(bands).as("vari"),
+      Vegetation.formula("NDVI")(bands).as("ndvi"),
+      Vegetation.formula("SAVI")(bands).as("savi")
+    ).groupBy($"l_returnflag")
+      .agg(
+        round(avg($"vari"), 6).as("avg_vari"),
+        round(avg($"ndvi"), 6).as("avg_ndvi"),
+        round(avg($"savi"), 6).as("avg_savi"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  /** ◇ thermal raw→°C under the oracle: value column as raw sensor
+    * counts through the Planck radiometry at emissivity 1. */
+  def thermalQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cal = graft.raster.Thermal.Calibration(emissivity = 1.0)
+    Tables
+      .events(s, dir)
+      // keep raw above the Planck-curve singularity (raw + O > 0)
+      .select($"event_type", ((abs($"value") + 100.0) * 100.0).as("raw"))
+      .select($"event_type", graft.raster.Thermal.rawToCelsius($"raw", cal).as("celsius"))
+      .groupBy($"event_type")
+      .agg(round(avg($"celsius"), 6).as("avg_c"), count(lit(1)).as("n"))
   }
 
   /** ◆ path derivation — depth / parent / extension / LIKE scoping
