@@ -113,13 +113,13 @@ object Similarity {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select($"vec_id", asDouble($"embedding").as("v"))
     val dim = 64
+    // one compiled pass computes every table's bucket (tables × nBits
+    // plane dots): a single UDF call per row instead of tables×nBits
+    // interpreted higher-order-function expressions — same
+    // inline-blowup lesson as the MinHash signatures
+    val allBuckets = lshBucketsUdf(dim, nBits, tables)
     val bucketed = emb
-      .select(
-        $"vec_id",
-        $"v",
-        posexplode(array((0 until tables).map(t => lshBucket($"v", dim, nBits, seed = t)): _*))
-          .as(Seq("table", "bucket"))
-      )
+      .select($"vec_id", $"v", posexplode(allBuckets($"v")).as(Seq("table", "bucket")))
       .dropDuplicates("vec_id", "table", "bucket")
     val l = bucketed.select($"table", $"bucket", $"vec_id".as("id_a"), $"v".as("va"))
     val r = bucketed.select($"table", $"bucket", $"vec_id".as("id_b"), $"v".as("vb"))
@@ -129,6 +129,34 @@ object Similarity {
       .withColumn("cos_sim", fastCosine(s)($"va", $"vb"))
       .filter($"cos_sim" >= minCos)
       .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
+  }
+
+  /** All-tables bucket computation in one closure: plane matrix is
+    * precomputed once per executor from the deterministic seeds. */
+  def lshBucketsUdf(dim: Int, nBits: Int, tables: Int) = {
+    val planes: Array[Array[Double]] = Array.tabulate(tables * nBits) { tb =>
+      val t = tb / nBits; val bit = tb % nBits
+      Array.tabulate(dim) { j =>
+        scala.util.hashing.MurmurHash3.productHash((t, bit, j)).toDouble / Int.MaxValue
+      }
+    }
+    udf { v: Seq[Double] =>
+      val arr = v.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0L
+        var bit = 0
+        while (bit < nBits) {
+          val p = planes(t * nBits + bit)
+          var d = 0.0
+          var j = 0
+          val n = math.min(arr.length, dim)
+          while (j < n) { d += arr(j) * p(j); j += 1 }
+          if (d >= 0) bucket |= (1L << bit)
+          bit += 1
+        }
+        bucket
+      }
+    }
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest
