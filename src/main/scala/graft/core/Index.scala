@@ -138,6 +138,24 @@ object Index {
       .drop("__rn")
   }
 
+  /** Nested-dataset scan — ref `entry.cpp:961-980`: roll a child index
+    * up into ONE entry row of the parent (type=DroneDB, size=SUM(size),
+    * properties = child summary JSON, envelope = child extent). */
+  def nestedDatasetEntry(childEntries: DataFrame, path: String, mtime: Long): DataFrame = {
+    datasetSummary(childEntries).select(
+      lit(path).as("path"),
+      lit("").as("hash"),
+      lit(graft.model.EntryType.DroneDB).as("entryType"),
+      to_json(struct(col("entryCount"), col("totalSize"), col("minTime"), col("maxTime"))).as("properties"),
+      lit(mtime).as("mtime"),
+      coalesce(col("totalSize"), lit(0L)).as("size"),
+      lit(path.count(_ == '/')).as("depth"),
+      lit(null).cast(graft.model.Schemas.pointGeom).as("pointGeom"),
+      lit(null).cast(org.apache.spark.sql.types.ArrayType(graft.model.Schemas.pointGeom, false)).as("polygonGeom"),
+      col("minx"), col("miny"), col("maxx"), col("maxy")
+    )
+  }
+
   /** Dataset-level rollup — ref `entry.cpp:961-980` (nested dataset =
     * SUM(size)) + `database.cpp:370-389` (spatial extent aggregate:
     * union-of-envelopes ≡ min/max fold). */

@@ -90,6 +90,14 @@ class IndexSpec extends SparkSuite {
     assert(r.getAs[Long]("totalSize") === 90L)
   }
 
+  test("nested dataset entry: child index becomes one DroneDB row") {
+    val row = Index.nestedDatasetEntry(entries, "child.ddb", 1700000000L).head()
+    assert(row.getAs[String]("path") === "child.ddb")
+    assert(row.getAs[Int]("entryType") === graft.model.EntryType.DroneDB)
+    assert(row.getAs[Long]("size") === 90L) // SUM(child size), entry.cpp:968
+    assert(row.getAs[String]("properties").contains("\"entryCount\":9"))
+  }
+
   test("bbox intersects prunes on envelope columns") {
     val withEnv = entries
       .withColumn("minx", when($"path" === "ortho.tif", lit(-122.5)))
