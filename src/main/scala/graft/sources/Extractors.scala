@@ -83,15 +83,25 @@ object Extractors {
       properties: String,
       lon: Option[Double],
       lat: Option[Double],
-      alt: Option[Double]
+      alt: Option[Double],
+      footprint: Option[Seq[(Double, Double)]] // closed (lon, lat) ring
   )
 
+  /** Default sensor dimensions (mm) when the camera is not in a sensor
+    * database — common 1/2.3" drone sensor; the reference resolves
+    * these from its sensor DB with similar fallbacks. */
+  val DefaultSensorWidthMm = 6.17
+  val DefaultSensorHeightMm = 4.55
+
   /** Full per-file extraction: one parse per file (the reference's
-    * FingerprintContext reuse), type + properties + geotag. */
+    * FingerprintContext reuse), type + properties + geotag + camera
+    * footprint (EXIF GPS/focal + XMP relative altitude & gimbal yaw —
+    * `entry.cpp:769-836`). */
   def extract(path: String, bytes: Array[Byte]): Extracted = {
     sniffImage(bytes) match {
       case Some(m) =>
         val exif = if (m.format == "jpeg") Exif.fromJpeg(bytes) else Exif.empty
+        val xmp = if (m.format == "jpeg") Xmp.fromJpeg(bytes) else Xmp.empty
         val pano = m.height > 0 && m.width.toDouble / m.height >= 2.0
         val hasGps = exif.lat.isDefined && exif.lon.isDefined
         val tpe =
@@ -99,6 +109,20 @@ object Extractors {
           else if (pano) EntryType.Panorama
           else if (hasGps) EntryType.GeoImage
           else EntryType.Image
+        val footprint = for {
+          lat <- exif.lat
+          lon <- exif.lon
+          relAlt <- xmp.relativeAltitude
+          focal <- exif.focalLength
+          ring <- Option(
+            graft.geo.Geo.cameraFootprint(
+              lon, lat, relAlt, focal,
+              DefaultSensorWidthMm, DefaultSensorHeightMm,
+              yawDeg = xmp.gimbalYaw.getOrElse(0.0),
+              pitchDeg = xmp.gimbalPitch.getOrElse(-90.0)
+            )
+          ).filter(_.nonEmpty)
+        } yield ring
         def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
         val fields = Seq(
           Some(s""""width":${m.width}"""),
@@ -108,19 +132,27 @@ object Extractors {
           exif.make.map(v => s""""make":${q(v)}"""),
           exif.model.map(v => s""""model":${q(v)}"""),
           exif.orientation.map(v => s""""orientation":$v"""),
-          exif.focalLength.map(v => s""""focalLength":$v""")
+          exif.focalLength.map(v => s""""focalLength":$v"""),
+          xmp.relativeAltitude.map(v => s""""relAltitude":$v"""),
+          xmp.gimbalYaw.map(v => s""""cameraYaw":$v"""),
+          xmp.gimbalPitch.map(v => s""""cameraPitch":$v""")
         ).flatten
-        Extracted(tpe, fields.mkString("{", ",", "}"), exif.lon, exif.lat, exif.altitude)
+        Extracted(tpe, fields.mkString("{", ",", "}"), exif.lon, exif.lat, exif.altitude, footprint)
       case None =>
-        Extracted(EntryType.fromExtension(path), "{}", None, None, None)
+        Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
     }
   }
 
   private val extractUdf = udf((p: String, b: Array[Byte]) => extract(p, b))
 
   /** Column form: (path, content) → entryType, properties, pointGeom,
-    * envelope columns. One UDF evaluation per file. */
-  def withExtraction(files: DataFrame, pathCol: Column, contentCol: Column): DataFrame =
+    * polygonGeom (camera footprint), envelope columns. One UDF
+    * evaluation per file; envelope = footprint bbox when present, else
+    * the point. */
+  def withExtraction(files: DataFrame, pathCol: Column, contentCol: Column): DataFrame = {
+    val ring = col("__ex.footprint")
+    val lons = transform(ring, p => p.getField("_1"))
+    val lats = transform(ring, p => p.getField("_2"))
     files
       .withColumn("__ex", extractUdf(pathCol, contentCol))
       .withColumn("entryType", col("__ex.entryType"))
@@ -136,9 +168,17 @@ object Extractors {
           )
         )
       )
-      .withColumn("minx", col("__ex.lon"))
-      .withColumn("miny", col("__ex.lat"))
-      .withColumn("maxx", col("__ex.lon"))
-      .withColumn("maxy", col("__ex.lat"))
+      .withColumn(
+        "polygonGeom",
+        when(
+          ring.isNotNull,
+          transform(ring, p => struct(p.getField("_1").as("lon"), p.getField("_2").as("lat"), lit(0.0).as("alt")))
+        )
+      )
+      .withColumn("minx", when(ring.isNotNull, array_min(lons)).otherwise(col("__ex.lon")))
+      .withColumn("miny", when(ring.isNotNull, array_min(lats)).otherwise(col("__ex.lat")))
+      .withColumn("maxx", when(ring.isNotNull, array_max(lons)).otherwise(col("__ex.lon")))
+      .withColumn("maxy", when(ring.isNotNull, array_max(lats)).otherwise(col("__ex.lat")))
       .drop("__ex")
+  }
 }

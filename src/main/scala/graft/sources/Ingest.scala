@@ -74,9 +74,6 @@ object Ingest {
       )
       .drop("content")
       .withColumn("depth", Index.depthOf(col("path")))
-      // extraction fills pointGeom + point envelope; footprint rings
-      // (polygonGeom) come from raster/camera extractors when present
-      .withColumn("polygonGeom", lit(null).cast(org.apache.spark.sql.types.ArrayType(graft.model.Schemas.pointGeom, false)))
   }
 
   /** Incremental add: which files actually need hashing/parsing —

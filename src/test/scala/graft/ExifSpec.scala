@@ -39,6 +39,33 @@ class ExifSpec extends SparkSuite {
     Exif.fromJpeg(truncated) // must not throw
   }
 
+  test("xmp: relative altitude and gimbal angles parsed from APP1 packet") {
+    import graft.sources.Xmp
+    val jpeg = buildJpegWithExifXmp(buildTiff(), Some(xmpPacket(relAlt = 61.5, yaw = 30.0, pitch = -85.0)))
+    val x = Xmp.fromJpeg(jpeg)
+    assert(x.relativeAltitude === Some(61.5))
+    assert(x.gimbalYaw === Some(30.0))
+    assert(x.gimbalPitch === Some(-85.0))
+    assert(Xmp.fromJpeg(buildJpegWithExif(buildTiff())) === Xmp.empty) // no XMP segment
+  }
+
+  test("camera footprint ring from EXIF GPS + XMP altitude") {
+    val jpeg = buildJpegWithExifXmp(buildTiff(), Some(xmpPacket(relAlt = 60.0, yaw = 0.0, pitch = -90.0)))
+    val ex = Extractors.extract("shot.jpg", jpeg)
+    assert(ex.footprint.isDefined, "footprint should be computed")
+    val ring = ex.footprint.get
+    assert(ring.size === 5 && ring.head === ring.last)
+    // ring surrounds the geotag (lon -91.994, lat 46.842)
+    val lons = ring.map(_._1); val lats = ring.map(_._2)
+    assert(lons.min < -91.994 && lons.max > -91.994)
+    assert(lats.min < 46.842 && lats.max > 46.842)
+    // nadir at 60 m with 3.61 mm focal / 6.17 mm sensor: half-width =
+    // 60 * (6.17/2) / 3.61 = 51.3 m -> ~0.00094 deg lon at this latitude
+    val halfLon = (lons.max - lons.min) / 2
+    assert(halfLon > 0.0005 && halfLon < 0.002, s"halfLon $halfLon")
+    assert(ex.properties.contains("\"relAltitude\":60"))
+  }
+
   test("extraction pipeline: GPS upgrades Image -> GeoImage with pointGeom") {
     val jpeg = buildJpegWithExif(buildTiff())
     val ex = Extractors.extract("shot.jpg", jpeg)
