@@ -139,7 +139,16 @@ object Extractors {
         ).flatten
         Extracted(tpe, fields.mkString("{", ",", "}"), exif.lon, exif.lat, exif.altitude, footprint)
       case None =>
-        Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+        PointCloud.sniff(bytes) match {
+          case Some(m) =>
+            val tpe =
+              if (m.isSplat) EntryType.GaussianSplat
+              else if (m.isMesh) EntryType.Model
+              else EntryType.PointCloud
+            Extracted(tpe, PointCloud.properties(m), None, None, None, None)
+          case None =>
+            Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+        }
     }
   }
 
