@@ -139,15 +139,34 @@ object Extractors {
         ).flatten
         Extracted(tpe, fields.mkString("{", ",", "}"), exif.lon, exif.lat, exif.altitude, footprint)
       case None =>
-        PointCloud.sniff(bytes) match {
-          case Some(m) =>
-            val tpe =
-              if (m.isSplat) EntryType.GaussianSplat
-              else if (m.isMesh) EntryType.Model
-              else EntryType.PointCloud
-            Extracted(tpe, PointCloud.properties(m), None, None, None, None)
+        GeoTiff.sniff(bytes) match {
+          case Some(t) if t.georeferenced =>
+            // GeoRaster: footprint ring + center from the geotransform
+            // (entry.cpp:368-389); fixture scope assumes geographic CRS
+            val fp = t.footprint
+            val center = fp.map(_._2)
+            Extracted(
+              EntryType.GeoRaster,
+              GeoTiff.properties(t),
+              center.map(_._1),
+              center.map(_._2),
+              None,
+              fp.map(_._1)
+            )
+          case Some(t) =>
+            // a TIFF with no georeferencing is just an image (entry.cpp:1045-1062)
+            Extracted(EntryType.Image, GeoTiff.properties(t), None, None, None, None)
           case None =>
-            Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+            PointCloud.sniff(bytes) match {
+              case Some(m) =>
+                val tpe =
+                  if (m.isSplat) EntryType.GaussianSplat
+                  else if (m.isMesh) EntryType.Model
+                  else EntryType.PointCloud
+                Extracted(tpe, PointCloud.properties(m), None, None, None, None)
+              case None =>
+                Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+            }
         }
     }
   }
