@@ -86,16 +86,33 @@ object Ingest {
       "left_outer"
     ).filter(col("idx_mtime").isNull || col("idx_mtime") =!= col("mtime"))
 
+  /** Rescan — ref `dbops.cpp:1034-1140`: re-parse indexed entries
+    * (optionally restricted to some types) from current file bytes and
+    * upsert the fresh rows over the index. Paths not on disk anymore
+    * are left untouched (delete is `Sync.status` + removeEntries'
+    * job). */
+  def rescan(index: DataFrame, root: String, typeFilter: Option[Seq[Int]] = None)(
+      implicit s: org.apache.spark.sql.SparkSession
+  ): DataFrame = {
+    val scoped = typeFilter.foldLeft(index)((df, ts) => df.filter(col("entryType").isin(ts.map(Integer.valueOf): _*)))
+    val fresh = toEntries(listFiles(s, root), root)
+      .join(scoped.select("path"), Seq("path"), "left_semi")
+    upsert(index, fresh)
+  }
+
   /** Upsert: union new entries over current index, newest-mtime wins
-    * per path — the MERGE shape on an immutable store (SURVEY §7.4.6). */
+    * per path, incoming wins mtime ties (a re-parse at the same mtime
+    * must still refresh the row) — the MERGE shape on an immutable
+    * store (SURVEY §7.4.6). */
   def upsert(index: DataFrame, incoming: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("path").orderBy(col("mtime").desc)
+    val w = Window.partitionBy("path").orderBy(col("mtime").desc, col("__src").desc)
     index
-      .unionByName(incoming, allowMissingColumns = true)
+      .withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__src")
   }
 
   /** Index write layout: path-prefix partitioning so folder queries

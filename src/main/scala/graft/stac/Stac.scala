@@ -105,6 +105,45 @@ object Stac {
       )
   }
 
+  /** GeoJSON FeatureCollection sink — ref `entry.cpp:882-915`,
+    * `info.cpp:31-80`: one Feature per entry, first non-empty geometry
+    * wins (polygon over point). Returns a DataFrame of feature JSON
+    * strings; `featureCollectionJson` assembles the (driver-side)
+    * document for API responses. */
+  def features(entries: DataFrame): DataFrame = {
+    val geometry = when(
+      col("polygonGeom").isNotNull,
+      to_json(
+        struct(
+          lit("Polygon").as("type"),
+          array(transform(col("polygonGeom"), p => array(p.getField("lon"), p.getField("lat")))).as("coordinates")
+        )
+      )
+    ).otherwise(
+      to_json(
+        struct(lit("Point").as("type"), array(col("pointGeom.lon"), col("pointGeom.lat")).as("coordinates"))
+      )
+    )
+    entries
+      .filter(col("pointGeom").isNotNull || col("polygonGeom").isNotNull)
+      .select(
+        concat(
+          lit("""{"type":"Feature","geometry":"""),
+          geometry,
+          lit(""","properties":"""),
+          to_json(struct(col("path"), col("entryType"), col("size"), col("mtime"))),
+          lit("}")
+        ).as("feature"),
+        col("path")
+      )
+      .orderBy("path")
+      .select("feature")
+  }
+
+  def featureCollectionJson(entries: DataFrame): String =
+    features(entries).collect().map(_.getString(0))
+      .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+
   /** Collection extent — spatial (envelope union ≡ min/max fold, ref
     * `database.cpp:370-389`) + temporal (`database.cpp:395-458`). */
   def collectionExtent(entries: DataFrame): DataFrame =

@@ -204,6 +204,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+    // counts is one row per doc — per-size AQE picks the join strategy
+    // (broadcastable locally, shuffle-join at corpus scale)
     inter
       .join(counts.select(col("id").as("id_a"), col("cnt").as("cnt_a")), Seq("id_a"))
       .join(counts.select(col("id").as("id_b"), col("cnt").as("cnt_b")), Seq("id_b"))

@@ -79,6 +79,29 @@ class StacSpec extends SparkSuite {
     assert(matched === 1) // only b.jpg (mtime 1700000000); a.jpg captureTime 1690000000
   }
 
+  test("geojson feature collection: polygon wins over point, valid doc") {
+    val withPoly = entries.withColumn(
+      "polygonGeom",
+      when($"path" === "a.jpg",
+        array(
+          struct(lit(-122.4).as("lon"), lit(47.5).as("lat"), lit(0.0).as("alt")),
+          struct(lit(-122.2).as("lon"), lit(47.5).as("lat"), lit(0.0).as("alt")),
+          struct(lit(-122.4).as("lon"), lit(47.5).as("lat"), lit(0.0).as("alt"))
+        ))
+    )
+    val feats = Stac.features(withPoly).collect().map(_.getString(0))
+    assert(feats.length === 2)
+    assert(feats(0).contains("\"Polygon\"")) // a.jpg: polygon beats point
+    assert(feats(1).contains("\"Point\""))
+    val doc = Stac.featureCollectionJson(withPoly)
+    assert(doc.startsWith("""{"type":"FeatureCollection","features":["""))
+    // must be parseable JSON: Spark's parser extracts the type field
+    val parsedType = spark.range(1)
+      .select(get_json_object(lit(doc), "$.type").as("t")).head().getString(0)
+    assert(parsedType === "FeatureCollection")
+    assert(doc.split("\\{\"type\":\"Feature\"").length - 1 === 2)
+  }
+
   test("collection extent aggregates envelope + time") {
     val r = Stac.collectionExtent(entries).head()
     assert(r.getAs[Double]("west") === -122.3)

@@ -82,6 +82,29 @@ class StreamIngestSpec extends SparkSuite {
     }
   }
 
+  test("rescan re-parses indexed entries from current bytes") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_rescan").toFile
+    try {
+      Files.writeString(Paths.get(dir.getPath, "a.md"), "# v1")
+      // materialize through parquet (like a real index): a persisted
+      // in-memory copy of the SAME plan would get cache-substituted
+      // into the fresh scan and hide the rewrite
+      val idxPath = Files.createTempDirectory("graft_idx").toFile.getPath
+      Ingest.toEntries(Ingest.listFiles(spark, dir.getPath), dir.getPath)
+        .write.mode("overwrite").parquet(idxPath)
+      val index = spark.read.parquet(idxPath)
+      val hash1 = index.select("hash").head().getString(0)
+      Files.writeString(Paths.get(dir.getPath, "a.md"), "# version two")
+      val rescanned = Ingest.rescan(index, dir.getPath)
+      assert(rescanned.count() === 1)
+      assert(rescanned.select("hash").head().getString(0) !== hash1)
+      // type filter excluding markdown -> nothing re-parsed, hash unchanged
+      val untouched = Ingest.rescan(index, dir.getPath, Some(Seq(graft.model.EntryType.Image)))
+      assert(untouched.select("hash").head().getString(0) === hash1)
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete() }
+  }
+
   test("multimodal: feature extraction, resize, frame sampling shapes") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
