@@ -84,6 +84,40 @@ object Mutations {
   }
 }
 
+/** Build-artifact dependency — ref `src/library/build.cpp:39-97`,
+  * `dbops.cpp:773-785`: derived artifacts (tiles, COGs, EPTs, meshes)
+  * live in hash-keyed folders; an entry is "pending build" when it is
+  * buildable by type but has no artifact folder for its content hash.
+  * The artifact listing is a small dimension → broadcast join.
+  */
+object Builds {
+  import graft.model.EntryType
+
+  val buildableTypes: Seq[Int] = Seq(
+    EntryType.PointCloud, EntryType.GeoRaster, EntryType.Model, EntryType.Tiles3D
+  )
+
+  /** entries requiring a build: buildable type, no artifact row with
+    * the same content hash. `artifacts` needs a `hash` column (the
+    * hash-keyed build folder name). */
+  def pendingBuilds(entries: org.apache.spark.sql.DataFrame, artifacts: org.apache.spark.sql.DataFrame) =
+    entries
+      .filter(org.apache.spark.sql.functions.col("entryType").isin(buildableTypes.map(Integer.valueOf): _*))
+      .join(
+        org.apache.spark.sql.functions.broadcast(artifacts.select("hash")),
+        Seq("hash"),
+        "left_anti"
+      )
+
+  /** entries whose artifact exists (the build-folder lookup join). */
+  def builtEntries(entries: org.apache.spark.sql.DataFrame, artifacts: org.apache.spark.sql.DataFrame) =
+    entries.join(
+      org.apache.spark.sql.functions.broadcast(artifacts.select("hash")),
+      Seq("hash"),
+      "left_semi"
+    )
+}
+
 /** Password rows — salt + SHA256(salt ++ password), mirroring the
   * reference's `passwords` table shape (`database.cpp:59-64`). Not
   * analytics; completes the §1.1 data-model inventory. */

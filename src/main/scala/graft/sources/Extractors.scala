@@ -124,6 +124,11 @@ object Extractors {
           ).filter(_.nonEmpty)
         } yield ring
         def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        // thermal-sensor heuristic — ref entry.cpp:160-168: make/model
+        // strings identify radiometric cameras
+        val thermal = Seq(exif.make, exif.model).flatten.map(_.toLowerCase).exists(s =>
+          s.contains("flir") || s.contains("thermal") || s.contains("xt2") || s.contains("vue pro") ||
+            s.contains("wiris") || s.contains("duo pro") || s.contains("xt s"))
         val fields = Seq(
           Some(s""""width":${m.width}"""),
           Some(s""""height":${m.height}"""),
@@ -131,6 +136,7 @@ object Extractors {
           exif.captureTimeMs.map(t => s""""captureTime":$t"""),
           exif.make.map(v => s""""make":${q(v)}"""),
           exif.model.map(v => s""""model":${q(v)}"""),
+          if (thermal) Some(""""sensorCategory":"thermal"""") else None,
           exif.orientation.map(v => s""""orientation":$v"""),
           exif.focalLength.map(v => s""""focalLength":$v"""),
           xmp.relativeAltitude.map(v => s""""relAltitude":$v"""),

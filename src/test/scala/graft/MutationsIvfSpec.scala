@@ -95,6 +95,29 @@ class MutationsIvfSpec extends SparkSuite {
     new graft.plans.GraftExtensions().apply(ext)
   }
 
+  test("build-dependency join: pending vs built by content hash") {
+    import graft.core.Builds
+    val idx = Seq(
+      ("cloud.las", "h1", EntryType.PointCloud),
+      ("ortho.tif", "h2", EntryType.GeoRaster),
+      ("photo.jpg", "h3", EntryType.Image), // not buildable
+      ("mesh.obj", "h4", EntryType.Model)
+    ).toDF("path", "hash", "entryType")
+    val artifacts = Seq(Tuple1("h2")).toDF("hash")
+    val pending = Builds.pendingBuilds(idx, artifacts).select("path").collect().map(_.getString(0)).toSet
+    assert(pending === Set("cloud.las", "mesh.obj"))
+    val built = Builds.builtEntries(idx, artifacts).select("path").collect().map(_.getString(0)).toSet
+    assert(built === Set("ortho.tif"))
+  }
+
+  test("thermal sensor heuristic tags properties") {
+    import graft.sources.Extractors
+    val jpeg = ExifFixtures.buildJpegWithExif(ExifFixtures.buildTiff(make = "FLIR", model = "Vue Pro R"))
+    assert(Extractors.extract("t.jpg", jpeg).properties.contains("\"sensorCategory\":\"thermal\""))
+    val normal = ExifFixtures.buildJpegWithExif(ExifFixtures.buildTiff())
+    assert(!Extractors.extract("n.jpg", normal).properties.contains("sensorCategory"))
+  }
+
   test("password salt+hash roundtrip") {
     val row = Passwords.mkRow("hunter2", "somesalt")
     assert(Passwords.verify(row, "hunter2"))

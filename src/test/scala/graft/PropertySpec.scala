@@ -81,7 +81,9 @@ object PathProps extends Properties("paths") {
     val litGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     Prop.forAll(litGen, litGen) { (prefix, tail) =>
       val rx = Ingest.globToRegex(prefix + "*")
-      (prefix + tail).matches(rx) && !("x" + prefix + tail).matches(rx) || prefix.isEmpty
+      // '/' can never start the alphanumeric prefix AND is excluded by
+      // the single-star charset, so prepending it must break the match
+      (prefix + tail).matches(rx) && !("/" + prefix + tail).matches(rx)
     }
   }
 }
