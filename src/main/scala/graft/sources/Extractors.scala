@@ -171,7 +171,22 @@ object Extractors {
                   else EntryType.PointCloud
                 Extracted(tpe, PointCloud.properties(m), None, None, None, None)
               case None =>
-                Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                VectorFile.sniffGeoJson(bytes) match {
+                  case Some(v) =>
+                    val ring = v.bbox.map { case (w, s, e, n) =>
+                      Seq((w, s), (e, s), (e, n), (w, n), (w, s)) // 5-point CCW ring, entry.cpp:632-644
+                    }
+                    val center = v.bbox.map { case (w, s, e, n) => ((w + e) / 2, (s + n) / 2) }
+                    Extracted(EntryType.Vector, VectorFile.properties(v),
+                      center.map(_._1), center.map(_._2), None, ring)
+                  case None =>
+                    Mp4.sniff(bytes) match {
+                      case Some(m) =>
+                        Extracted(EntryType.Video, Mp4.properties(m), None, None, None, None)
+                      case None =>
+                        Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                    }
+                }
             }
         }
     }

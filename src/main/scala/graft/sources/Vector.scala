@@ -1,0 +1,105 @@
+package graft.sources
+
+/** Vector-file extraction — the GeoJSON subset of the reference's OGR
+  * layer scan (`entry.cpp:491-654`): layer name, geometry type,
+  * feature count, union extent → envelope ring + center. (Shapefile/
+  * GPKG need OGR; GeoJSON is plain text and covers the test scope.)
+  */
+object VectorFile {
+
+  final case class VectorMeta(
+      driver: String,
+      featureCount: Long,
+      geometryTypes: Seq[String],
+      bbox: Option[(Double, Double, Double, Double)]
+  )
+
+  private val geomTypes =
+    Seq("Point", "MultiPoint", "LineString", "MultiLineString", "Polygon", "MultiPolygon")
+
+  def sniffGeoJson(bytes: Array[Byte]): Option[VectorMeta] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val head = new String(bytes, 0, math.min(bytes.length, 512), "UTF-8")
+    if (!head.trim.startsWith("{") || !head.contains("FeatureCollection")) return None
+    val text = new String(bytes, "UTF-8")
+    try {
+      val features = "\"type\"\\s*:\\s*\"Feature\"".r.findAllIn(text).length.toLong
+      val present = geomTypes.filter(g => ("\"type\"\\s*:\\s*\"" + g + "\"").r.findFirstIn(text).isDefined)
+      // coordinate walk (same regex strategy as Formats.geojsonBbox)
+      val numPair = "\\[\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)\\s*,\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
+      val ms = numPair.findAllMatchIn(text).toSeq
+      val bbox =
+        if (ms.isEmpty) None
+        else {
+          val xs = ms.map(_.group(1).toDouble); val ys = ms.map(_.group(2).toDouble)
+          Some((xs.min, ys.min, xs.max, ys.max))
+        }
+      Some(VectorMeta("GeoJSON", features, present, bbox))
+    } catch { case _: Exception => None }
+  }
+
+  /** Properties in the reference's vector shape (`entry.cpp:632-644`):
+    * driver + one layer summary. */
+  def properties(m: VectorMeta): String = {
+    val types = m.geometryTypes.map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    val extent = m.bbox.map { case (w, s, e, n) => s""","extent":[$w,$s,$e,$n]""" }.getOrElse("")
+    s"""{"vector":{"driver":"${m.driver}","featureCount":${m.featureCount},"geometryTypes":$types$extent}}"""
+  }
+}
+
+/** MP4/MOV header extraction — duration and track dimensions from the
+  * ISO-BMFF box structure (`mvhd` timescale/duration, `tkhd`
+  * width/height), the subset the reference reads for Video entries
+  * (`entry.cpp:95-281` via exiv2/ffmpeg-style probing).
+  */
+object Mp4 {
+
+  final case class VideoMeta(durationMs: Long, width: Int, height: Int)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  def sniff(b: Array[Byte]): Option[VideoMeta] = {
+    if (b == null || b.length < 16) return None
+    // top-level boxes: size(4) type(4); an MP4 starts with ftyp
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    try {
+      var duration = 0L
+      var width = 0
+      var height = 0
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to && depth < 8) {
+          val size = be32(b, i)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          if (size < 8 || i + size > to) return
+          tpe match {
+            case "moov" | "trak" | "mdia" => walk(i + 8, i + size.toInt, depth + 1)
+            case "mvhd" if i + 32 <= to =>
+              val version = b(i + 8) & 0xff
+              if (version == 0) {
+                val timescale = be32(b, i + 20)
+                val dur = be32(b, i + 24)
+                if (timescale > 0) duration = dur * 1000 / timescale
+              }
+            case "tkhd" if i + 92 <= to =>
+              val version = b(i + 8) & 0xff
+              if (version == 0 && i + 8 + 84 <= to) {
+                // width/height are 16.16 fixed point at offset 76/80 from box payload
+                val w = (be32(b, i + 8 + 76) >> 16).toInt
+                val h = (be32(b, i + 8 + 80) >> 16).toInt
+                if (w > 0 && h > 0) { width = w; height = h }
+              }
+            case _ => ()
+          }
+          i += size.toInt
+        }
+      }
+      walk(0, b.length, 0)
+      if (duration > 0 || (width > 0 && height > 0)) Some(VideoMeta(duration, width, height)) else None
+    } catch { case _: Exception => None }
+  }
+
+  def properties(m: VideoMeta): String =
+    s"""{"width":${m.width},"height":${m.height},"duration":${m.durationMs}}"""
+}

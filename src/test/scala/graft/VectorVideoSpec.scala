@@ -1,0 +1,78 @@
+package graft
+
+import graft.model.EntryType
+import graft.sources.{Extractors, Mp4, VectorFile}
+
+/** GeoJSON vector-layer + MP4 header extraction. */
+class VectorVideoSpec extends SparkSuite {
+
+  private val geojson =
+    """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","geometry":{"type":"Point","coordinates":[-91.5,46.5]},"properties":{}},
+      |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[-92.0,46.0],[-91.0,46.0],[-91.0,47.0],[-92.0,46.0]]]},"properties":{}}
+      |]}""".stripMargin.getBytes("UTF-8")
+
+  test("geojson vector meta: feature count, types, extent") {
+    val m = VectorFile.sniffGeoJson(geojson).get
+    assert(m.featureCount === 2)
+    assert(m.geometryTypes.toSet === Set("Point", "Polygon"))
+    val (w, s, e, n) = m.bbox.get
+    assert(w === -92.0 && s === 46.0 && e === -91.0 && n === 47.0)
+    assert(VectorFile.sniffGeoJson("""{"a": 1}""".getBytes) === None)
+    assert(VectorFile.sniffGeoJson("plain text".getBytes) === None)
+  }
+
+  test("extraction: geojson -> Vector with envelope ring and center") {
+    val ex = Extractors.extract("areas.geojson", geojson)
+    assert(ex.entryType === EntryType.Vector)
+    assert(ex.properties.contains("\"driver\":\"GeoJSON\""))
+    assert(ex.properties.contains("\"featureCount\":2"))
+    assert(ex.footprint.get.size === 5)
+    assert(ex.lon === Some(-91.5) && ex.lat === Some(46.5))
+  }
+
+  /** Minimal MP4: ftyp + moov(mvhd + trak(tkhd)). */
+  private def mp4Bytes(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = { out.write((v >> 24).toInt); out.write((v >> 16).toInt); out.write((v >> 8).toInt); out.write(v.toInt) }
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    // ftyp
+    w32(16); tag("ftyp"); tag("isom"); w32(512)
+    // mvhd box: ver/flags + ctime + mtime + timescale + duration + rest zeroed
+    val mvhd = new java.io.ByteArrayOutputStream()
+    val mv = mvhd // alias
+    def m32(v: Long): Unit = { mv.write((v >> 24).toInt); mv.write((v >> 16).toInt); mv.write((v >> 8).toInt); mv.write(v.toInt) }
+    m32(0) // version+flags
+    m32(0); m32(0) // ctime mtime
+    m32(timescale); m32(duration)
+    (0 until 20).foreach(_ => m32(0))
+    val mvhdBytes = mvhd.toByteArray
+    // tkhd box: ver/flags + 80 bytes payload; width/height 16.16 at offsets 76/80
+    val tk = new Array[Byte](84)
+    def tk32(i: Int, v: Long): Unit = { tk(i) = (v >> 24).toByte; tk(i + 1) = (v >> 16).toByte; tk(i + 2) = (v >> 8).toByte; tk(i + 3) = v.toByte }
+    tk32(76, w.toLong << 16); tk32(80, h.toLong << 16)
+    val tkhdSize = 8 + tk.length
+    val trakSize = 8 + tkhdSize
+    val mvhdSize = 8 + mvhdBytes.length
+    val moovSize = 8 + mvhdSize + trakSize
+    w32(moovSize); tag("moov")
+    w32(mvhdSize); tag("mvhd"); out.write(mvhdBytes)
+    w32(trakSize); tag("trak")
+    w32(tkhdSize); tag("tkhd"); out.write(tk)
+    out.toByteArray
+  }
+
+  test("mp4 header: duration + dimensions") {
+    val m = Mp4.sniff(mp4Bytes(timescale = 1000, duration = 12500, w = 1920, h = 1080)).get
+    assert(m.durationMs === 12500L)
+    assert(m.width === 1920 && m.height === 1080)
+    assert(Mp4.sniff("RIFF....".getBytes) === None)
+  }
+
+  test("extraction: mp4 -> Video with duration properties") {
+    val ex = Extractors.extract("clip.mp4", mp4Bytes(600, 3000, 1280, 720))
+    assert(ex.entryType === EntryType.Video)
+    assert(ex.properties.contains("\"duration\":5000")) // 3000/600 = 5 s
+    assert(ex.properties.contains("\"width\":1280"))
+  }
+}
