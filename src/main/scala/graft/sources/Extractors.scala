@@ -182,7 +182,9 @@ object Extractors {
                   case None =>
                     Mp4.sniff(bytes) match {
                       case Some(m) =>
-                        Extracted(EntryType.Video, Mp4.properties(m), None, None, None, None)
+                        // a GPS fix upgrades Video→GeoVideo (entry.cpp:1088-1099)
+                        val tpe = if (m.lat.isDefined && m.lon.isDefined) EntryType.GeoVideo else EntryType.Video
+                        Extracted(tpe, Mp4.properties(m), m.lon, m.lat, None, None)
                       case None =>
                         Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
                     }

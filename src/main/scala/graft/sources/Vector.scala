@@ -54,7 +54,22 @@ object VectorFile {
   */
 object Mp4 {
 
-  final case class VideoMeta(durationMs: Long, width: Int, height: Int)
+  final case class VideoMeta(
+      durationMs: Long,
+      width: Int,
+      height: Int,
+      lat: Option[Double] = None,
+      lon: Option[Double] = None
+  )
+
+  /** ISO 6709 location string from the `©xyz`/`udta` atom:
+    * "+46.8420-091.9940/" → (lat, lon). */
+  def parseIso6709(s: String): Option[(Double, Double)] = {
+    val rx = "([+-]\\d+(?:\\.\\d+)?)([+-]\\d+(?:\\.\\d+)?)".r
+    rx.findFirstMatchIn(s).flatMap { m =>
+      try Some((m.group(1).toDouble, m.group(2).toDouble)) catch { case _: Exception => None }
+    }
+  }
 
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
@@ -67,14 +82,21 @@ object Mp4 {
       var duration = 0L
       var width = 0
       var height = 0
+      var gps: Option[(Double, Double)] = None
       def walk(from: Int, to: Int, depth: Int): Unit = {
         var i = from
         while (i + 8 <= to && depth < 8) {
           val size = be32(b, i)
-          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val tpe = new String(b, i + 4, 4, "ISO-8859-1")
           if (size < 8 || i + size > to) return
           tpe match {
-            case "moov" | "trak" | "mdia" => walk(i + 8, i + size.toInt, depth + 1)
+            case "moov" | "trak" | "mdia" | "udta" => walk(i + 8, i + size.toInt, depth + 1)
+            case "©xyz" if i + 12 <= to =>
+              // payload: u16 strlen + u16 lang + ISO6709 string
+              val len = ((b(i + 8) & 0xff) << 8) | (b(i + 9) & 0xff)
+              val strOff = i + 12
+              if (strOff + len <= to && len > 0)
+                gps = parseIso6709(new String(b, strOff, len, "UTF-8"))
             case "mvhd" if i + 32 <= to =>
               val version = b(i + 8) & 0xff
               if (version == 0) {
@@ -96,7 +118,9 @@ object Mp4 {
         }
       }
       walk(0, b.length, 0)
-      if (duration > 0 || (width > 0 && height > 0)) Some(VideoMeta(duration, width, height)) else None
+      if (duration > 0 || (width > 0 && height > 0))
+        Some(VideoMeta(duration, width, height, gps.map(_._1), gps.map(_._2)))
+      else None
     } catch { case _: Exception => None }
   }
 

@@ -31,8 +31,8 @@ class VectorVideoSpec extends SparkSuite {
     assert(ex.lon === Some(-91.5) && ex.lat === Some(46.5))
   }
 
-  /** Minimal MP4: ftyp + moov(mvhd + trak(tkhd)). */
-  private def mp4Bytes(timescale: Long, duration: Long, w: Int, h: Int): Array[Byte] = {
+  /** Minimal MP4: ftyp + moov(mvhd + trak(tkhd) [+ udta(©xyz)]). */
+  private def mp4Bytes(timescale: Long, duration: Long, w: Int, h: Int, gps: Option[String] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = { out.write((v >> 24).toInt); out.write((v >> 16).toInt); out.write((v >> 8).toInt); out.write(v.toInt) }
     def tag(s: String): Unit = s.foreach(c => out.write(c))
@@ -54,11 +54,21 @@ class VectorVideoSpec extends SparkSuite {
     val tkhdSize = 8 + tk.length
     val trakSize = 8 + tkhdSize
     val mvhdSize = 8 + mvhdBytes.length
-    val moovSize = 8 + mvhdSize + trakSize
+    val gpsBytes = gps.map(_.getBytes("UTF-8"))
+    val xyzSize = gpsBytes.map(g => 8 + 4 + g.length).getOrElse(0)
+    val udtaSize = gpsBytes.map(_ => 8 + xyzSize).getOrElse(0)
+    val moovSize = 8 + mvhdSize + trakSize + udtaSize
     w32(moovSize); tag("moov")
     w32(mvhdSize); tag("mvhd"); out.write(mvhdBytes)
     w32(trakSize); tag("trak")
     w32(tkhdSize); tag("tkhd"); out.write(tk)
+    gpsBytes.foreach { g =>
+      w32(udtaSize); tag("udta")
+      w32(xyzSize); out.write(0xa9); tag("xyz")
+      out.write(g.length >> 8); out.write(g.length & 0xff) // strlen
+      out.write(0x15); out.write(0xc7) // lang code
+      out.write(g)
+    }
     out.toByteArray
   }
 
@@ -74,5 +84,14 @@ class VectorVideoSpec extends SparkSuite {
     assert(ex.entryType === EntryType.Video)
     assert(ex.properties.contains("\"duration\":5000")) // 3000/600 = 5 s
     assert(ex.properties.contains("\"width\":1280"))
+  }
+
+  test("gps atom upgrades Video -> GeoVideo with geotag") {
+    val withGps = mp4Bytes(600, 3000, 1280, 720, gps = Some("+46.8420-091.9940/"))
+    val m = Mp4.sniff(withGps).get
+    assert(m.lat === Some(46.842) && m.lon === Some(-91.994))
+    val ex = Extractors.extract("flight.mp4", withGps)
+    assert(ex.entryType === EntryType.GeoVideo)
+    assert(ex.lat === Some(46.842) && ex.lon === Some(-91.994))
   }
 }
