@@ -171,6 +171,15 @@ object Extractors {
                   else EntryType.PointCloud
                 Extracted(tpe, PointCloud.properties(m), None, None, None, None)
               case None =>
+                VectorFile.sniffTileset(bytes) match {
+                  case Some(ge) =>
+                    return Extracted(
+                      EntryType.Tiles3D,
+                      s"""{"geometricError":$ge}""",
+                      None, None, None, None
+                    )
+                  case None => ()
+                }
                 VectorFile.sniffGeoJson(bytes) match {
                   case Some(v) =>
                     val ring = v.bbox.map { case (w, s, e, n) =>

@@ -38,6 +38,20 @@ object VectorFile {
     } catch { case _: Exception => None }
   }
 
+  /** 3D Tiles tileset detection — ref `entry.cpp:463-475`: a JSON doc
+    * with an `asset` object and a root `geometricError` is a Cesium
+    * tileset. Returns the top-level geometricError. */
+  def sniffTileset(bytes: Array[Byte]): Option[Double] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val head = new String(bytes, 0, math.min(bytes.length, 4096), "UTF-8")
+    val t = head.trim
+    if (!t.startsWith("{") || !t.contains("\"asset\"") || !t.contains("\"geometricError\"")) None
+    else
+      "\"geometricError\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?)".r
+        .findFirstMatchIn(t)
+        .flatMap(m => try Some(m.group(1).toDouble) catch { case _: Exception => None })
+  }
+
   /** Properties in the reference's vector shape (`entry.cpp:632-644`):
     * driver + one layer summary. */
   def properties(m: VectorMeta): String = {

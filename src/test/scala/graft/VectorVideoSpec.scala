@@ -86,6 +86,17 @@ class VectorVideoSpec extends SparkSuite {
     assert(ex.properties.contains("\"width\":1280"))
   }
 
+  test("tileset.json -> Tiles3D with geometricError") {
+    val tileset = """{"asset":{"version":"1.0"},"geometricError":500.5,"root":{}}""".getBytes
+    assert(VectorFile.sniffTileset(tileset) === Some(500.5))
+    val ex = Extractors.extract("tileset.json", tileset)
+    assert(ex.entryType === EntryType.Tiles3D)
+    assert(ex.properties.contains("\"geometricError\":500.5"))
+    // a plain JSON config is NOT a tileset
+    assert(VectorFile.sniffTileset("""{"name":"config"}""".getBytes) === None)
+    assert(Extractors.extract("conf.json", """{"name":"config"}""".getBytes).entryType === EntryType.Generic)
+  }
+
   test("gps atom upgrades Video -> GeoVideo with geotag") {
     val withGps = mp4Bytes(600, 3000, 1280, 720, gps = Some("+46.8420-091.9940/"))
     val m = Mp4.sniff(withGps).get
