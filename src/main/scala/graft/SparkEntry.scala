@@ -37,6 +37,7 @@ object SparkEntry {
     "q_semi_join" -> (Relational.semiJoin _),
     "q_full_outer" -> (Relational.fullOuter _),
     "q_q3_revenue" -> (Relational.q3Revenue _),
+    "q_delta_adds" -> (Relational.deltaAddsQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
     // §2.5 sorts / paging / top-k
     "q_paging" -> (Relational.paging _),
@@ -151,6 +152,15 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_delta_adds" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value AS VARCHAR) AS hash FROM events),
+        |dst AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path,
+        |         CAST(CASE WHEN event_id % 11 = 0 THEN value + 1.0 ELSE value END AS VARCHAR) AS hash
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT path, hash FROM src
+        |WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.path = src.path AND dst.hash = src.hash)""".stripMargin,
     "q_dim_rollup" ->
       """SELECT r_name, n_name, count(*) AS suppliers,
         |  round(avg(s_acctbal), 2) AS avg_acctbal

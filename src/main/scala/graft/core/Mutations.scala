@@ -45,6 +45,8 @@ object Mutations {
       throw new IllegalArgumentException(s"no such entry: $source")
     if (Index.pathExists(entries, dest))
       throw new IllegalArgumentException(s"destination exists: $dest")
+    if (dest == source || dest.startsWith(source + "/"))
+      throw new IllegalArgumentException(s"cannot move '$source' into itself: $dest")
 
     val isChild = col("path").startsWith(source + "/")
     val hit = col("path") === source || isChild

@@ -310,6 +310,25 @@ object Relational {
     Tables.customer(s, dir).select($"c_mktsegment").distinct()
   }
 
+  /** ◆ Delta adds through `Sync.deltaAdds` itself — two snapshots of
+    * the events table (dest drops every 7th row and modifies every
+    * 11th) diffed on the (path, hash) composite key, exactly the
+    * reference's push/pull delta (`delta.cpp:131-149`). */
+  def deltaAddsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val source = Tables
+      .eventsRaw(s, dir)
+      .select($"event_id".cast("string").as("path"), $"value".cast("string").as("hash"))
+    val dest = Tables
+      .eventsRaw(s, dir)
+      .filter($"event_id" % 7 =!= 0)
+      .select(
+        $"event_id".cast("string").as("path"),
+        when($"event_id" % 11 === 0, ($"value" + 1.0)).otherwise($"value").cast("string").as("hash")
+      )
+    graft.core.Sync.deltaAdds(source, dest).orderBy($"path")
+  }
+
   /** ◆ Hourly tumbling rollup — batch shape of the streaming windowed
     * agg (§2.9); `date_trunc` keeps it DuckDB-checkable. */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame = {

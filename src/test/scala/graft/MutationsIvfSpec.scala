@@ -58,9 +58,10 @@ class MutationsIvfSpec extends SparkSuite {
     assert(m2.filter($"id" === "m1").select("path").head().getString(0) === "imgs/a.jpg")
   }
 
-  test("move errors: missing source, existing dest") {
+  test("move errors: missing source, existing dest, move into own subtree") {
     intercept[IllegalArgumentException](Mutations.moveEntry(entries, meta, "nope", "x"))
     intercept[IllegalArgumentException](Mutations.moveEntry(entries, meta, "photos/a.jpg", "other.bin"))
+    intercept[IllegalArgumentException](Mutations.moveEntry(entries, meta, "photos", "photos/sub"))
   }
 
   test("ivf assign + search prunes to probed cells but finds true neighbors") {
