@@ -38,6 +38,7 @@ object SparkEntry {
     "q_full_outer" -> (Relational.fullOuter _),
     "q_q3_revenue" -> (Relational.q3Revenue _),
     "q_delta_adds" -> (Relational.deltaAddsQuery _),
+    "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
     // §2.5 sorts / paging / top-k
     "q_paging" -> (Relational.paging _),
@@ -152,6 +153,10 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_stamp_checksum" ->
+      """SELECT sha256(string_agg(CAST(event_id AS VARCHAR) || CAST(value AS VARCHAR), ''
+        |                         ORDER BY CAST(event_id AS VARCHAR))) AS checksum
+        |FROM events""".stripMargin,
     "q_delta_adds" ->
       """WITH src AS (
         |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value AS VARCHAR) AS hash FROM events),

@@ -329,6 +329,20 @@ object Relational {
     graft.core.Sync.deltaAdds(source, dest).orderBy($"path")
   }
 
+  /** ◆ Ordered stamp digest through `Sync.stampChecksum` — the
+    * order-sensitive SHA256 fold (`database.cpp:288-331`) computed over
+    * an events-derived entries snapshot, checked against DuckDB's
+    * `sha256(string_agg(... ORDER BY path))`. */
+  def stampChecksumQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val entries = Tables
+      .eventsRaw(s, dir)
+      .select($"event_id".cast("string").as("path"), $"value".cast("string").as("hash"))
+    val meta = Seq.empty[(String, String)].toDF("id", "x").select($"id")
+    val checksum = graft.core.Sync.stampChecksum(entries, meta)
+    Seq(checksum).toDF("checksum")
+  }
+
   /** ◆ Hourly tumbling rollup — batch shape of the streaming windowed
     * agg (§2.9); `date_trunc` keeps it DuckDB-checkable. */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
