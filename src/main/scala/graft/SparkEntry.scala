@@ -39,6 +39,7 @@ object SparkEntry {
     "q_q3_revenue" -> (Relational.q3Revenue _),
     "q_delta_adds" -> (Relational.deltaAddsQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
+    "q_meta_json" -> (Relational.metaJsonQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
     // §2.5 sorts / paging / top-k
     "q_paging" -> (Relational.paging _),
@@ -153,6 +154,27 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_meta_json" ->
+      """WITH m AS (
+        |  SELECT 'e' || CAST(event_id AS VARCHAR) AS id, 'u' || CAST(user_id AS VARCHAR) AS path,
+        |         event_type || 's' AS key, CAST(value AS VARCHAR) AS data, event_id AS mtime
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'p' || CAST(user_id AS VARCHAR), 'u' || CAST(user_id AS VARCHAR), 'profile',
+        |         CAST(count(*) AS VARCHAR), 0 FROM events GROUP BY user_id),
+        |kv AS (
+        |  SELECT path, key,
+        |    CASE WHEN key LIKE '%s' THEN
+        |      '[' || string_agg('{"data":' || data || ',"id":"' || id || '","mtime":' || CAST(mtime AS VARCHAR) || '}',
+        |                        ',' ORDER BY mtime, id, data) || ']'
+        |    ELSE
+        |      string_agg('{"data":' || data || ',"id":"' || id || '","mtime":' || CAST(mtime AS VARCHAR) || '}',
+        |                 ',' ORDER BY mtime, id, data)
+        |    END AS kvs
+        |  FROM m GROUP BY path, key)
+        |SELECT path,
+        |  '{' || string_agg('"' || key || '":' || kvs, ',' ORDER BY '"' || key || '":' || kvs) || '}' AS meta
+        |FROM kv GROUP BY path""".stripMargin,
     "q_stamp_checksum" ->
       """SELECT sha256(string_agg(CAST(event_id AS VARCHAR) || CAST(value AS VARCHAR), ''
         |                         ORDER BY CAST(event_id AS VARCHAR))) AS checksum

@@ -343,6 +343,34 @@ object Relational {
     Seq(checksum).toDF("checksum")
   }
 
+  /** ◆ Per-path meta JSON through `Meta.perPathJson` — the plural→array
+    * / singular→object aggregation (`dbops.cpp:944-958`, SURVEY hard
+    * part §7.4.2) over meta rows synthesized from events: every
+    * event_type+"s" key is plural (many rows per user), one singular
+    * "profile" key per user. */
+  def metaJsonQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val plural = ev.select(
+      concat(lit("e"), $"event_id").as("id"),
+      concat(lit("u"), $"user_id").as("path"),
+      concat($"event_type", lit("s")).as("key"),
+      $"value".cast("string").as("data"),
+      $"event_id".as("mtime")
+    )
+    val singular = ev
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit("p"), $"user_id").as("id"),
+        concat(lit("u"), $"user_id").as("path"),
+        lit("profile").as("key"),
+        $"n".cast("string").as("data"),
+        lit(0L).as("mtime")
+      )
+    graft.core.Meta.perPathJson(plural.unionByName(singular)).orderBy("path")
+  }
+
   /** ◆ Hourly tumbling rollup — batch shape of the streaming windowed
     * agg (§2.9); `date_trunc` keeps it DuckDB-checkable. */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
