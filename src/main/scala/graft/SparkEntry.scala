@@ -113,7 +113,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q_meta_join" ->
@@ -251,7 +251,7 @@ object SparkEntry {
         |WHERE path LIKE 'src1%'""".stripMargin,
     "q_token_stats" ->
       """SELECT lang,
-        |  sum(length(regexp_extract_all(text, '\w+'))) AS total_tokens,
+        |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS total_tokens,
         |  round(avg(length(regexp_extract_all(text, '\w+'))), 4) AS avg_tokens,
         |  round(avg(length(text)), 4) AS avg_chars,
         |  count(*) AS docs
