@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Similarity
 import graft.functions.Scalars
-import graft.operators.Relational
+import graft.operators.{Relational, Windows}
 import graft.text.{Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,6 +51,16 @@ object SparkEntry {
     "q_distinct" -> (Relational.distinctSegments _),
     // §2.9 streaming (batch shape)
     "q_hourly" -> (Relational.hourlyRollup _),
+    // §2.8 windows / analytics
+    "q_rollup" -> (Windows.rollupQuery _),
+    "q_pivot" -> (Windows.pivotQuery _),
+    "q_percentiles" -> (Windows.percentilesQuery _),
+    "q_lag_delta" -> (Windows.lagDeltaQuery _),
+    "q_cumsum" -> (Windows.cumsumQuery _),
+    "q_sessionize" -> (Windows.sessionizeQuery _),
+    "q_asof_join" -> (Windows.asofJoinQuery _),
+    "q_gapfill" -> (Windows.gapfillQuery _),
+    "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
     "q_base64" -> (Scalars.base64Query _),
@@ -288,7 +298,87 @@ object SparkEntry {
       """SELECT label,
         |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS avg_norm,
         |  count(*) AS n
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS suppliers, round(sum(s_acctbal), 2) AS sum_acctbal
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_disc(l_extendedprice, 0.75), 2) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT event_type, round(avg(delta), 6) AS avg_delta, count(delta) AS n_deltas
+        |FROM (
+        |  SELECT event_type,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |  FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_cumsum" ->
+      """SELECT user_id, round(max(cum), 2) AS peak_total, count(*) AS n
+        |FROM (
+        |  SELECT user_id,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events)
+        |GROUP BY user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN prev IS NULL OR tus - prev > 7200000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n_events, max(tus) - min(tus) AS dur_us
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, max(sid) AS n_sessions,
+        |  round(avg(n_events), 4) AS avg_events,
+        |  round(avg(dur_us / 1e6), 4) AS avg_dur_s
+        |FROM per GROUP BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT a.event_id, epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin,
+    "q_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts))::TIMESTAMP AS h0,
+        |         date_trunc('hour', max(ts))::TIMESTAMP AS h1 FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour, types.event_type,
+        |  CAST(coalesce(counts.cnt, 0) AS BIGINT) AS n
+        |FROM spine CROSS JOIN types
+        |LEFT JOIN counts ON counts.h = spine.h AND counts.event_type = types.event_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin
     // q_lang_id / q_fingerprint / q_minhash / q_simhash / q_ngram_jaccard /
     // q_ann_lsh: heuristic or hash-permutation ops with no faithful SQL
     // equivalent → rows-only check (driver contract).

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window / analytic operators (SURVEY §2.8 + the training-pipeline
+  * surface): ordered per-key state (lag deltas, running totals,
+  * sessionization, as-of joins), grouping sets, pivots, discrete
+  * percentiles, gap-filled time series, histograms.
+  *
+  * Scale design: every window partitions by a high-cardinality key
+  * (user_id) so state is distributed; ordering keys are the RAW
+  * epoch-nano longs (exact integer compare, pushdown-friendly, no
+  * timestamp conversion in the sort). No driver-side loops: as-of is
+  * the union+last_value trick (one shuffle, one sort per partition),
+  * not a per-row lookup.
+  */
+object Windows {
+
+  /** user-ordered window over the raw nano timeline; event_id breaks
+    * (theoretical) ties deterministically. */
+  private def userTime = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+
+  /** ◆ ROLLUP grouping sets — subtotal + grand-total rows in one pass
+    * (Spark plans a single shuffle with grouping-id). */
+  def rollupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("suppliers"), round(sum($"s_acctbal"), 2).as("sum_acctbal"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"suppliers",
+        $"sum_acctbal"
+      )
+  }
+
+  /** ◆ Pivot (types → columns) — map-side CASE aggregation, one
+    * shuffle on the grouping key only. */
+  def pivotQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = Tables
+      .eventsRaw(s, dir)
+      .withColumn("bucket", $"user_id" % 10)
+      .groupBy($"bucket")
+      .pivot("event_type", types)
+      .count()
+    piv.select($"bucket" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** ◆ Discrete percentiles (p25/p50/p75) — the exact sorted-element
+    * quantile (DuckDB `quantile_disc` picks element ceil(q·n), 1-based);
+    * one per-group sort, conditional-agg extraction (no three joins). */
+  def percentilesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".asc)
+    def pick(q: Double) =
+      round(max(when($"rn" === greatest(lit(1L), ceil(lit(q) * $"cnt")), $"l_extendedprice")), 2)
+    Tables
+      .lineitem(s, dir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag")
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"), count(lit(1)).as("n"))
+  }
+
+  /** ◆ LAG delta — per-user consecutive-event value difference (the
+    * reference's mtime-compare `checkUpdate` generalized to ordered
+    * per-key state, `dbops.cpp:441-472`). */
+  def lagDeltaQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .eventsRaw(s, dir)
+      .withColumn("delta", $"value" - lag($"value", 1).over(userTime))
+      .groupBy($"event_type")
+      .agg(round(avg($"delta"), 6).as("avg_delta"), count($"delta").as("n_deltas"))
+  }
+
+  /** ◆ Running total + peak per user — cumulative frame
+    * (rowsBetween unboundedPreceding→current), §2.8's profile
+    * accumulation shape. */
+  def cumsumQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cum = sum($"value").over(userTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    Tables
+      .eventsRaw(s, dir)
+      .withColumn("cum", cum)
+      .groupBy($"user_id")
+      .agg(round(max($"cum"), 2).as("peak_total"), count(lit(1)).as("n"))
+  }
+
+  /** ◆ Sessionization (gaps-and-islands): a >2h silence starts a new
+    * session; session id = running count of session starts. All integer
+    * nano math — exact across engines. */
+  def sessionizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // microsecond domain: DuckDB truncates parquet TIMESTAMP(NANOS) to
+    // micros on read, so sub-µs digits would never hash-match
+    val gapUs = 2L * 3600 * 1000000L
+    val prev = lag($"ts", 1).over(userTime)
+    val sessions = Tables
+      .eventsRaw(s, dir)
+      .withColumn("ts", expr("ts div 1000"))
+      .withColumn("new_s", when(prev.isNull || ($"ts" - prev) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(userTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"), (max($"ts") - min($"ts")).as("dur_us"))
+    sessions
+      .groupBy($"user_id")
+      .agg(
+        max($"sid").as("n_sessions"),
+        round(avg($"n_events"), 4).as("avg_events"),
+        round(avg($"dur_us" / 1e6), 4).as("avg_dur_s")
+      )
+  }
+
+  /** ◆ As-of join — each purchase matched to the latest click at-or-
+    * before it (per user). Expressed as the union + last_value(ignore
+    * nulls) trick: ONE shuffle on user_id + one partition-local sort —
+    * never a per-row range probe, never a join blowup; this is the
+    * shape that survives a 100 TB event log. Output is all-integer
+    * (nanosecond gap), so the oracle compare is exact. */
+  def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir).withColumn("ts", expr("ts div 1000")) // µs domain (oracle parity)
+    val clicks = ev
+      .filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("kind"), $"event_id", $"ts".as("click_ts"))
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"), $"event_id", lit(null).cast("long").as("click_ts"))
+    // clicks sort before purchases at equal ts → "at or before" semantics
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks
+      .unionByName(purchases)
+      .withColumn("last_click", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"last_click".isNotNull)
+      .select($"event_id", ($"ts" - $"last_click").as("gap_us"))
+  }
+
+  /** ◆ Gap-filled hourly series — dense time spine (sequence/explode) ×
+    * dimension values, left join the sparse counts, zero-fill. The spine
+    * is generated, never collected. */
+  def gapfillQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(
+      date_trunc("hour", min($"ts")).as("h0"),
+      date_trunc("hour", max($"ts")).as("h1")
+    )
+    val spine = bounds
+      .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+      .crossJoin(ev.select($"event_type").distinct())
+    val counts = ev
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    spine
+      .join(counts, Seq("h", "event_type"), "left_outer")
+      .select(
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type",
+        coalesce($"cnt", lit(0L)).as("n")
+      )
+  }
+
+  /** ◆ Fixed-width histogram — bucket = floor(value/width); one
+    * partial-agg pass. */
+  def histogramQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .eventsRaw(s, dir)
+      .withColumn("bucket", floor($"value" / 25.0).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("avg_value"))
+  }
+}
