@@ -38,6 +38,9 @@ object SparkEntry {
     "q_full_outer" -> (Relational.fullOuter _),
     "q_q3_revenue" -> (Relational.q3Revenue _),
     "q_delta_adds" -> (Relational.deltaAddsQuery _),
+    "q_delta_removes" -> (Relational.deltaRemovesQuery _),
+    "q_status" -> (Relational.statusQuery _),
+    "q_folder_repair" -> (Relational.folderRepairQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
@@ -65,6 +68,16 @@ object SparkEntry {
     "q_slugify" -> (Scalars.slugifyQuery _),
     "q_base64" -> (Scalars.base64Query _),
     "q_path_ops" -> (Scalars.pathOpsQuery _),
+    "q_mime" -> (Scalars.mimeQuery _),
+    "q_epsg" -> (Scalars.epsgQuery _),
+    "q_bytes_human" -> (Scalars.bytesHumanQuery _),
+    // §2.2/§2.7 geospatial (◇ as column math)
+    "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
+    "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
+    "q_haversine" -> (graft.geo.GeoQueries.haversineQuery _),
+    // multimodal binary-column plumbing
+    "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
+    "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
     // §2.7 numeric kernels (◇) under the oracle
     "q_vegetation" -> (Scalars.vegetationQuery _),
     "q_thermal" -> (Scalars.thermalQuery _),
@@ -378,7 +391,140 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_delta_removes" ->
+      """WITH dst AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path,
+        |         CASE WHEN event_id % 13 = 0 THEN '' ELSE CAST(value AS VARCHAR) END AS hash
+        |  FROM events),
+        |src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path,
+        |         CASE WHEN event_id % 13 = 0 THEN '' ELSE CAST(value AS VARCHAR) END AS hash
+        |  FROM events WHERE event_id % 7 <> 0)
+        |SELECT path, hash FROM dst
+        |WHERE NOT EXISTS (SELECT 1 FROM src
+        |                  WHERE src.path = dst.path AND (src.hash = '') = (dst.hash = ''))""".stripMargin,
+    "q_status" ->
+      """WITH ev AS (SELECT event_id, event_id % 1000 AS m, CAST(value AS VARCHAR) AS h, value FROM events),
+        |idx AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path, m AS idx_mtime, h AS idx_hash
+        |  FROM ev WHERE event_id % 19 <> 0),
+        |fs AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path,
+        |         CASE WHEN event_id % 5 = 0 THEN m + 1 ELSE m END AS fs_mtime,
+        |         CASE WHEN event_id % 10 = 0 THEN CAST(value + 1.0 AS VARCHAR) ELSE h END AS fs_hash
+        |  FROM ev WHERE event_id % 17 <> 0)
+        |SELECT status, count(*) AS n FROM (
+        |  SELECT CASE WHEN idx_mtime IS NULL THEN 'not_indexed'
+        |              WHEN fs_mtime IS NULL THEN 'deleted'
+        |              WHEN fs_mtime = idx_mtime THEN 'not_modified'
+        |              WHEN fs_hash IS NOT NULL AND fs_hash = idx_hash THEN 'not_modified'
+        |              ELSE 'modified' END AS status
+        |  FROM idx FULL OUTER JOIN fs USING (path))
+        |GROUP BY status""".stripMargin,
+    "q_folder_repair" ->
+      """WITH paths AS (
+        |  SELECT source || '/' || lang || '/doc_' || doc_id || '.txt' AS path FROM documents),
+        |parts AS (SELECT string_split(path, '/') AS p FROM paths)
+        |SELECT DISTINCT unnest([array_to_string(p[1:i], '/') for i in range(1, len(p))]) AS path
+        |FROM parts""".stripMargin,
+    "q_mime" ->
+      """SELECT doc_id, path,
+        |  CASE list_extract(string_split(path, '.'), -1)
+        |    WHEN 'jpg' THEN 'image/jpeg'
+        |    WHEN 'tif' THEN 'image/tiff'
+        |    WHEN 'laz' THEN 'application/vnd.laszip'
+        |    WHEN 'mp4' THEN 'video/mp4'
+        |    WHEN 'txt' THEN 'text/plain'
+        |    WHEN 'geojson' THEN 'application/geo+json'
+        |    ELSE 'application/octet-stream' END AS mime
+        |FROM (
+        |  SELECT doc_id,
+        |    'f_' || doc_id || '.' ||
+        |      list_extract(['jpg','tif','laz','mp4','txt','geojson','xyz'], CAST(doc_id % 7 AS INT) + 1) AS path
+        |  FROM documents)""".stripMargin,
+    "q_epsg" ->
+      """SELECT n_nationkey,
+        |  CAST(list_extract(regexp_extract_all(wkt, 'AUTHORITY\["EPSG","(\d+)"\]', 1), -1) AS INT) AS epsg
+        |FROM (
+        |  SELECT n_nationkey,
+        |    'PROJCS["utm",GEOGCS["wgs84",AUTHORITY["EPSG","4326"]],AUTHORITY["EPSG","326'
+        |      || (n_nationkey % 60 + 1) || '"]]' AS wkt
+        |  FROM nation)""".stripMargin,
+    "q_bytes_human" ->
+      """SELECT unit, count(*) AS n, round(avg(scaled), 4) AS avg_scaled
+        |FROM (
+        |  SELECT CASE WHEN b < 1024 THEN 'B'
+        |              WHEN b < 1048576 THEN 'KB'
+        |              WHEN b < 1073741824 THEN 'MB'
+        |              ELSE 'GB' END AS unit,
+        |         CASE WHEN b < 1024 THEN CAST(b AS DOUBLE)
+        |              WHEN b < 1048576 THEN b / 1024.0
+        |              WHEN b < 1073741824 THEN b / 1048576.0
+        |              ELSE b / 1073741824.0 END AS scaled
+        |  FROM (SELECT CAST(floor(o_totalprice * 1024.0) AS BIGINT) AS b FROM orders))
+        |GROUP BY unit""".stripMargin,
+    "q_bbox_filter" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(lon), 6) AS avg_lon, round(avg(lat), 6) AS avg_lat
+        |FROM (
+        |  SELECT event_type,
+        |    (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |    (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events)
+        |WHERE NOT (lon + 0.25 < -60.0 OR lon - 0.25 > 60.0
+        |           OR lat + 0.25 < -30.0 OR lat - 0.25 > 30.0)
+        |GROUP BY event_type""".stripMargin,
+    "q_tile_math" ->
+      """WITH pts AS (
+        |  SELECT (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |         (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events),
+        |m AS (
+        |  SELECT lon * (pi() * 6378137.0) / 180.0 AS mx,
+        |         ln(tan((90.0 + lat) * pi() / 360.0)) / (pi() / 180.0) * (pi() * 6378137.0) / 180.0 AS my
+        |  FROM pts WHERE lat > -85.0 AND lat < 85.0),
+        |t AS (
+        |  SELECT greatest(0, CAST(ceil(((mx + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / 1024)) / 256.0) AS BIGINT) - 1) AS tx,
+        |         1023 - greatest(0, CAST(ceil(((my + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / 1024)) / 256.0) AS BIGINT) - 1) AS ty_xyz
+        |  FROM m)
+        |SELECT tx, ty_xyz, count(*) AS n FROM t GROUP BY tx, ty_xyz""".stripMargin,
+    "q_haversine" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |    (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type, lon, lat,
+        |    lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+        |    lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+        |  FROM pts),
+        |d AS (
+        |  SELECT event_type,
+        |    2.0 * 6371000.0 * asin(sqrt(
+        |      sin((lat - plat) * pi() / 180.0 / 2.0) * sin((lat - plat) * pi() / 180.0 / 2.0)
+        |      + cos(plat * pi() / 180.0) * cos(lat * pi() / 180.0)
+        |        * sin((lon - plon) * pi() / 180.0 / 2.0) * sin((lon - plon) * pi() / 180.0 / 2.0))) AS dist_m
+        |  FROM lagged WHERE plon IS NOT NULL)
+        |SELECT event_type, round(avg(dist_m), 4) AS avg_dist_m, count(*) AS n
+        |FROM d GROUP BY event_type""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  round(list_avg(cs), 4) AS pixel_mean,
+        |  round(sqrt(greatest(0.0, list_avg([CAST(c AS DOUBLE) * c for c in cs])
+        |                           - list_avg(cs) * list_avg(cs))), 4) AS pixel_std,
+        |  length(text) AS payload_bytes
+        |FROM (
+        |  SELECT doc_id, text,
+        |    [unicode(text[i]) for i in range(1, length(text) + 1)] AS cs
+        |  FROM documents)""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least((len * i) // 4 + 16, len) - (len * i) // 4 AS INT) AS frame_bytes
+        |FROM (
+        |  SELECT doc_id AS media_id, length(text) AS len, unnest(range(4)) AS i
+        |  FROM documents WHERE length(text) > 0)""".stripMargin
     // q_lang_id / q_fingerprint / q_minhash / q_simhash / q_ngram_jaccard /
     // q_ann_lsh: heuristic or hash-permutation ops with no faithful SQL
     // equivalent → rows-only check (driver contract).

@@ -76,6 +76,64 @@ object Scalars {
       .agg(round(avg($"celsius"), 6).as("avg_c"), count(lit(1)).as("n"))
   }
 
+  /** ◆ MIME type from extension — ref `stac.cpp:86-171`: a broadcast
+    * map literal + `element_at`, octet-stream fallback. */
+  def mimeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exts = Seq("jpg", "tif", "laz", "mp4", "txt", "geojson", "xyz")
+    val extCol = element_at(lit(exts.toArray), ($"doc_id" % exts.size).cast("int") + 1)
+    Tables
+      .documents(s, dir)
+      .withColumn("path", concat(lit("f_"), $"doc_id", lit("."), extCol))
+      .select($"doc_id", $"path", Stac.mimeType($"path").as("mime"))
+  }
+
+  /** ◆ EPSG code from WKT — ref `stac.cpp:173-197`: the LAST
+    * AUTHORITY["EPSG","n"] in the string wins (outer CRS authority). */
+  def epsgQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .nation(s, dir)
+      .withColumn(
+        "wkt",
+        concat(
+          lit("PROJCS[\"utm\",GEOGCS[\"wgs84\",AUTHORITY[\"EPSG\",\"4326\"]],AUTHORITY[\"EPSG\",\"326"),
+          ($"n_nationkey" % 60) + 1,
+          lit("\"]]")
+        )
+      )
+      .select($"n_nationkey", Stac.epsgFromWkt($"wkt").as("epsg"))
+  }
+
+  /** ◆ bytesToHuman — ref `entry.cpp:950` (`io::bytesToHuman`): unit
+    * ladder by thresholds; scaled value kept numeric (string
+    * formatting rounds differently across engines). */
+  def bytesHumanQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // explicit floor: DuckDB's double→BIGINT cast rounds, Spark's truncates
+    val bytes = floor($"o_totalprice" * 1024.0).cast("long")
+    val k = 1024.0
+    Tables
+      .orders(s, dir)
+      .withColumn("bytes", bytes)
+      .withColumn(
+        "unit",
+        when($"bytes" < k, "B")
+          .when($"bytes" < k * k, "KB")
+          .when($"bytes" < k * k * k, "MB")
+          .otherwise("GB")
+      )
+      .withColumn(
+        "scaled",
+        when($"bytes" < k, $"bytes".cast("double"))
+          .when($"bytes" < k * k, $"bytes" / k)
+          .when($"bytes" < k * k * k, $"bytes" / (k * k))
+          .otherwise($"bytes" / (k * k * k))
+      )
+      .groupBy($"unit")
+      .agg(count(lit(1)).as("n"), round(avg($"scaled"), 4).as("avg_scaled"))
+  }
+
   /** ◆ path derivation — depth / parent / extension / LIKE scoping
     * (ref `dbops.cpp:1296`, `mio.cpp` path helpers) over synthetic
     * paths built from the documents table. */

@@ -1,0 +1,85 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Geospatial operators under the oracle: bbox-envelope filtering
+  * (`stac.cpp:629-636`), web-mercator tile math (`tiler.cpp:134-221`),
+  * haversine track distance (`raster_profile.cpp:34-44`) — all pure
+  * column arithmetic (codegen'd, no UDF), over synthetic lon/lat
+  * derived from the events table with exact integer modulo math so the
+  * inputs are bit-identical across engines.
+  *
+  * Scale notes: the envelope min/max live as top-level double columns —
+  * at warehouse scale parquet row-group stats prune on them (the moral
+  * equivalent of the reference's SpatiaLite MBR index, SURVEY §4.3.1).
+  * Tile assignment is per-row map work; the per-tile rollup is one
+  * partial-agg shuffle.
+  */
+object GeoQueries {
+
+  /** Deterministic synthetic geotags: lon/lat on a 0.01° grid offset by
+    * 0.005° so no point sits on a tile/bbox boundary (FP-safe floor). */
+  private def withLonLat(df: DataFrame): DataFrame =
+    df.withColumn("lon", (col("event_id") * 7919L % 36000L) / 100.0 - 180.0 + 0.005)
+      .withColumn("lat", (col("event_id") * 104729L % 18000L) / 100.0 - 90.0 + 0.005)
+
+  /** ◆ Envelope-intersection bbox filter — each point carries a ±0.25°
+    * footprint envelope; query box = [-60,-30,60,30]. Same disjunction
+    * the reference's MbrIntersects expands to. */
+  def bboxFilterQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, south, e, n) = (-60.0, -30.0, 60.0, 30.0)
+    withLonLat(Tables.eventsRaw(s, dir))
+      .withColumn("minx", $"lon" - 0.25)
+      .withColumn("maxx", $"lon" + 0.25)
+      .withColumn("miny", $"lat" - 0.25)
+      .withColumn("maxy", $"lat" + 0.25)
+      .filter(!($"maxx" < w || $"minx" > e || $"maxy" < south || $"miny" > n))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(avg($"lon"), 6).as("avg_lon"), round(avg($"lat"), 6).as("avg_lat"))
+  }
+
+  /** ◆ Web-mercator tile assignment at z=10 (`tiler.cpp:134-221`,
+    * `Mercator.latLonToTile`) + the TMS→XYZ y-flip, rolled up to tile
+    * counts. Formula written identically in the SQL oracle; inputs are
+    * off-boundary by construction. */
+  def tileMathQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = 10
+    val originShift = math.Pi * 6378137.0
+    val res = (2 * math.Pi * 6378137.0 / 256.0) / (1 << z)
+    def tile(m: Column): Column = greatest(lit(0L), (ceil(((m + originShift) / res) / 256.0)).cast("long") - 1)
+    withLonLat(Tables.eventsRaw(s, dir))
+      .filter($"lat" > -85.0 && $"lat" < 85.0)
+      .withColumn("mx", $"lon" * originShift / 180.0)
+      .withColumn("my", log(tan((lit(90.0) + $"lat") * math.Pi / 360.0)) / (math.Pi / 180.0) * originShift / 180.0)
+      .withColumn("tx", tile($"mx"))
+      .withColumn("ty_xyz", lit((1L << z) - 1) - tile($"my"))
+      .groupBy($"tx", $"ty_xyz")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ◆ Haversine track distance — consecutive-fix distance per user
+    * (ordered window lag), rolled up by event type. Identical operation
+    * sequence on both engines (explicit *π/180, squares via
+    * multiplication — `power(x,2)` and `x*x` agree, verified). */
+  def haversineQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    def rad(c: Column): Column = c * math.Pi / 180.0
+    val df = withLonLat(Tables.eventsRaw(s, dir))
+      .withColumn("plon", lag($"lon", 1).over(w))
+      .withColumn("plat", lag($"lat", 1).over(w))
+      .filter($"plon".isNotNull)
+    val sdLat = sin(rad($"lat" - $"plat") / 2.0)
+    val sdLon = sin(rad($"lon" - $"plon") / 2.0)
+    val a = sdLat * sdLat + cos(rad($"plat")) * cos(rad($"lat")) * sdLon * sdLon
+    df.withColumn("dist_m", lit(2.0 * 6371000.0) * asin(sqrt(a)))
+      .groupBy($"event_type")
+      .agg(round(avg($"dist_m"), 4).as("avg_dist_m"), count(lit(1)).as("n"))
+  }
+}

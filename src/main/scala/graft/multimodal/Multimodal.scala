@@ -104,6 +104,27 @@ object Multimodal {
   def resizeAll(media: DataFrame, outLen: Int): DataFrame =
     media.withColumn("payload", resizeUdf(col("payload"), lit(outLen)))
 
+  /** ◆ Media feature extraction under the oracle: byte-plane mean/std
+    * via the stub decode over the binary payload column. The UDF runs
+    * per partition; the oracle recomputes the same stats from the
+    * (ASCII) character codes. */
+  def mediaFeaturesQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.round
+    extractFeatures(mediaFromDocuments(s, dir))
+      .select(
+        col("media_id"),
+        round(col("pixel_mean"), 4).as("pixel_mean"),
+        round(col("pixel_std"), 4).as("pixel_std"),
+        col("payload_bytes")
+      )
+  }
+
+  /** ◆ Frame sampling under the oracle — pure integer slice math
+    * (start = len·i/n truncated), one row per frame. */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir), nFrames = 4, frameLen = 16)
+      .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+
   /** Frame sampling: one row per sampled frame (explode), the shape a
     * video pipeline needs before per-frame inference. */
   def sampleFrames(media: DataFrame, nFrames: Int, frameLen: Int): DataFrame =

@@ -371,6 +371,62 @@ object Relational {
     graft.core.Meta.perPathJson(plural.unionByName(singular)).orderBy("path")
   }
 
+  /** ◆ Delta removes through `Sync.deltaRemoves` — dest entries with no
+    * source row sharing (path, directory-ness), ref `delta.cpp:151-162`;
+    * every 13th path is a "directory" (hash=""), source drops every 7th
+    * row. */
+  def deltaRemovesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def snap(df: DataFrame) = df.select(
+      $"event_id".cast("string").as("path"),
+      when($"event_id" % 13 === 0, lit("")).otherwise($"value".cast("string")).as("hash")
+    )
+    val dest = snap(Tables.eventsRaw(s, dir))
+    val source = snap(Tables.eventsRaw(s, dir).filter($"event_id" % 7 =!= 0))
+    graft.core.Sync.deltaRemoves(source, dest)
+  }
+
+  /** ◆ Status classification through `Sync.status` — full-outer
+    * index↔fs join with the mtime-before-hash short-circuit cascade
+    * (`dbops.cpp:441-472`, `status.cpp:16-77`), rolled up to counts.
+    * fs drops every 17th row (deleted), bumps mtime on every 5th
+    * (forces the hash consult), changes hash on every 10th (modified);
+    * index lacks every 19th row (not_indexed). */
+  def statusQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val index = ev
+      .filter($"event_id" % 19 =!= 0)
+      .select(
+        $"event_id".cast("string").as("path"),
+        ($"event_id" % 1000).as("mtime"),
+        $"value".cast("string").as("hash")
+      )
+    val fs = ev
+      .filter($"event_id" % 17 =!= 0)
+      .select(
+        $"event_id".cast("string").as("path"),
+        when($"event_id" % 5 === 0, $"event_id" % 1000 + 1).otherwise($"event_id" % 1000).as("mtime"),
+        when($"event_id" % 10 === 0, ($"value" + 1.0)).otherwise($"value").cast("string").as("hash")
+      )
+    graft.core.Sync.status(index, fs).groupBy($"status").agg(count(lit(1)).as("n"))
+  }
+
+  /** ◆ Folder-consistency repair through `Index.missingFolders` —
+    * explode path prefixes, anti-join against directory rows
+    * (`dbops.cpp:1284-1314`); synthetic paths have no directory rows,
+    * so every parent prefix is missing. */
+  def folderRepairQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val entries = Tables
+      .documents(s, dir)
+      .select(
+        concat($"source", lit("/"), $"lang", lit("/doc_"), $"doc_id", lit(".txt")).as("path"),
+        lit(graft.model.EntryType.Generic).as("entryType")
+      )
+    graft.core.Index.missingFolders(entries)
+  }
+
   /** ◆ Hourly tumbling rollup — batch shape of the streaming windowed
     * agg (§2.9); `date_trunc` keeps it DuckDB-checkable. */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
