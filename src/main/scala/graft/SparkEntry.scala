@@ -86,9 +86,12 @@ object SparkEntry {
     "q_quality_stats" -> (TextOps.qualityStats _),
     "q_lang_id" -> (TextOps.langIdQuery _),
     "q_fingerprint" -> (TextOps.fingerprintQuery _),
+    // text analysis (cont.)
+    "q_tfidf" -> (TextOps.tfidfQuery _),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactDupGroups _),
     "q_dedup_count" -> (Dedup.dedupCount _),
+    "q_dedup_embed" -> ((s: SparkSession, d: String) => Dedup.embedNearDupExact(s, d)),
     "q_minhash" -> (Dedup.minhashQuery _),
     "q_simhash" -> (Dedup.simhashQuery _),
     "q_ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
@@ -98,7 +101,118 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d))
   )
 
+  /** Generated minhash oracle: same md5→GF(p) hash, same k linear
+    * permutations (constants from `Dedup.minhashA/B`), same r=1 banding
+    * semantics (pair match-count from the melted signature). */
+  private def minhashOracle: String = {
+    val k = 16
+    val p = Dedup.MinhashP
+    val sigCols = (0 until k)
+      .map(i => s"    min((${Dedup.minhashA(i)} * hp + ${Dedup.minhashB(i)}) % $p) AS s$i")
+      .mkString(",\n")
+    val sigList = (0 until k).map(i => s"s$i").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hp FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM h GROUP BY doc_id),
+       |inv AS (
+       |  SELECT doc_id, unnest(range($k)) AS i, unnest([$sigList]) AS v FROM sig)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(count(*) / $k.0, 4) AS est_jaccard
+       |FROM inv a JOIN inv b ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) / $k.0 >= 0.5""".stripMargin
+  }
+
+  /** Generated simhash oracle: 60 bit-vote sums over the md5-derived
+    * token hash, sign → bit, brute-force Hamming verify (the Spark side
+    * prunes by 15-bit blocks; blocking is provably complete for
+    * Hamming ≤ 3, so the result sets are identical). */
+  private def simhashOracle: String = {
+    val votes = (0 until 60).map(j => s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n")
+    val bits = (0 until 60).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |$votes
+       |  FROM th GROUP BY doc_id),
+       |sig AS (
+       |  SELECT d.doc_id, CAST($bits AS BIGINT) AS sg
+       |  FROM documents d LEFT JOIN votes ON votes.doc_id = d.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sg, b.sg)) AS INT) AS hamming
+       |FROM sig a, sig b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin
+  }
+
+  /** Generated LSH oracle: identical md5-derived plane matrix
+    * (`Similarity.planeEntry`), sign-bit buckets per table, candidate =
+    * any shared (table, bucket), exact-cosine verify at the same
+    * threshold. Deterministic planes are what make an LSH result
+    * oracle-checkable at all. */
+  private def lshOracle: String = {
+    val (tables, nBits, minCos) = (16, 6, 0.35)
+    s"""WITH planes AS (
+       |  SELECT t, b, j,
+       |    (('0x' || substr(md5(t || ':' || b || ':' || j), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS w
+       |  FROM range($tables) r1(t), range($nBits) r2(b), range(64) r3(j)),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, t, b, sum(e[j + 1] * w) AS d
+       |  FROM v, planes GROUP BY vec_id, t, b),
+       |buckets AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+       |  FROM buckets a JOIN buckets b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |scored AS (
+       |  SELECT ia, ib,
+       |    list_cosine_similarity(va.e, vb.e) AS cs
+       |  FROM cand JOIN v va ON va.vec_id = ia JOIN v vb ON vb.vec_id = ib)
+       |SELECT ia AS id_a, ib AS id_b, round(cs, 6) AS cos_sim
+       |FROM scored WHERE cs >= $minCos""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_minhash" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
+    "q_ann_lsh" -> lshOracle,
+    "q_tfidf" ->
+      """WITH tr AS (
+        |  SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS stf FROM tr GROUP BY source, term),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tr GROUP BY term),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (
+        |  SELECT source, tf.term AS term,
+        |    round(stf * ln((nd + 1.0) / (df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n)
+        |SELECT source, term, tfidf, rank FROM (
+        |  SELECT source, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, list_sum([x * x for x in e]) AS n2 FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    a.n2 + b.n2 - 2 * list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) AS d2
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT ia AS id_a, ib AS id_b, round(sqrt(greatest(d2, 0.0)), 6) AS dist
+        |FROM p WHERE d2 <= 1.05 * 1.05""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -519,14 +633,69 @@ object SparkEntry {
         |  SELECT doc_id, text,
         |    [unicode(text[i]) for i in range(1, length(text) + 1)] AS cs
         |  FROM documents)""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT
+        |    len(t) AS nt,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE / len(t) AS s_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','los','se','del'], x)))::DOUBLE / len(t) AS s_es,
+        |    len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','est','un','une','du'], x)))::DOUBLE / len(t) AS s_fr,
+        |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','von','den','mit','ein','zu'], x)))::DOUBLE / len(t) AS s_de
+        |  FROM (SELECT regexp_extract_all(lower(text), '\w+') AS t FROM documents))
+        |SELECT lang_pred, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN nt = 0 OR greatest(s_en, s_es, s_fr, s_de) <= 0.0 THEN 'und'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |    WHEN s_fr >= s_de THEN 'fr'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM scored)
+        |GROUP BY lang_pred""".stripMargin,
+    "q_fingerprint" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []
+        |         ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents)),
+        |hashes AS (
+        |  SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in g] AS h FROM grams),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) = 0 THEN []
+        |         WHEN len(h) <= 4 THEN [list_min(h)]
+        |         ELSE list_sort(list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)]))
+        |    END AS f
+        |  FROM hashes)
+        |SELECT doc_id, CAST(len(f) AS INT) AS n_fingerprints,
+        |  md5(array_to_string(f, ',')) AS fp_digest
+        |FROM fp""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+        |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.c BETWEEN 2 AND 64),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM f GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |  FROM f a JOIN f b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(i::DOUBLE / (ca.c + cb.c - i), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = ia
+        |JOIN cnt cb ON cb.doc_id = ib
+        |WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.6""".stripMargin,
     "q_frame_sample" ->
       """SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  CAST(least((len * i) // 4 + 16, len) - (len * i) // 4 AS INT) AS frame_bytes
         |FROM (
         |  SELECT doc_id AS media_id, length(text) AS len, unnest(range(4)) AS i
         |  FROM documents WHERE length(text) > 0)""".stripMargin
-    // q_lang_id / q_fingerprint / q_minhash / q_simhash / q_ngram_jaccard /
-    // q_ann_lsh: heuristic or hash-permutation ops with no faithful SQL
-    // equivalent → rows-only check (driver contract).
+    // Every declared query has an oracle: hash-based ops (minhash,
+    // simhash, fingerprint, LSH) use the engine-neutral md5-derived
+    // hash so DuckDB recomputes the identical sketch.
   )
 }

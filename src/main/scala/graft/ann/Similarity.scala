@@ -70,17 +70,20 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic pseudo-random hyperplane entry for (table, bit, dim):
+    * md5-derived uniform in [-1, 1]. Engine-neutral (the SQL oracle
+    * rebuilds the identical plane matrix from the same md5 strings) —
+    * Rademacher-ish uniform entries are a standard sign-LSH family. */
+  def planeEntry(table: Int, bit: Int, j: Int): Double =
+    (graft.text.TextOps.md5Hash60(s"$table:$bit:$j") % 2000001L - 1000000L).toDouble / 1000000.0
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
     * `nBits` deterministic pseudo-random hyperplanes. Vectors in the
     * same bucket are near-duplicate candidates; probing neighbouring
     * buckets trades recall for scan cost. */
   def lshBucket(v: Column, dim: Int, nBits: Int = 16, seed: Int = 0): Column = {
-    // deterministic "random" hyperplanes from a hash of (seed, bit, dim index)
     def plane(bit: Int): Seq[Double] =
-      (0 until dim).map { j =>
-        val h = scala.util.hashing.MurmurHash3.productHash((seed, bit, j))
-        (h.toDouble / Int.MaxValue) // in [-1, 1]
-      }
+      (0 until dim).map(j => planeEntry(seed, bit, j))
     (0 until nBits)
       .map { b =>
         val p = plane(b)
@@ -136,9 +139,7 @@ object Similarity {
   def lshBucketsUdf(dim: Int, nBits: Int, tables: Int) = {
     val planes: Array[Array[Double]] = Array.tabulate(tables * nBits) { tb =>
       val t = tb / nBits; val bit = tb % nBits
-      Array.tabulate(dim) { j =>
-        scala.util.hashing.MurmurHash3.productHash((t, bit, j)).toDouble / Int.MaxValue
-      }
+      Array.tabulate(dim)(j => planeEntry(t, bit, j))
     }
     udf { v: Seq[Double] =>
       val arr = v.toArray

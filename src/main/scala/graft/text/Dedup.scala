@@ -57,12 +57,27 @@ object Dedup {
       )
   }
 
-  /** MinHash + LSH banding: b bands of r rows (k = b*r). Docs sharing
-    * any band bucket become candidate pairs; estimated Jaccard =
-    * matching-signature fraction, verified ≥ threshold.
+  /** MinHash universe: 60-bit md5 shingle hash folded into GF(p),
+    * p = 2³¹−1, with k linear permutations h_i(x) = (a_i·x + b_i) mod p.
+    * Every constant is embedded identically in the SQL oracle, so the
+    * whole sketch is hash-compare checkable — the reason for md5 over
+    * xxhash64 (DuckDB has no xxhash). a_i·x stays < 2⁶² — no overflow
+    * in either engine. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  def minhashB(i: Int): Long = (40503L * (i + 1) * (i + 1) + 17L) % MinhashP
+
+  /** MinHash + LSH banding, r=1 (one signature position per band).
+    * Docs sharing any signature position become candidate pairs, and
+    * the estimated Jaccard is counted from the inverted index itself
+    * (groupBy pair = number of equal positions) — signature arrays
+    * never ride a shuffle and no N² compare exists. r=1 makes the
+    * candidate set provably complete for ANY threshold > 0 (a pair
+    * with est ≥ θ shares ≥ ⌈θ·k⌉ ≥ 1 positions), which is also what
+    * lets the SQL oracle reproduce the result exactly.
     *
-    * Signature construction is explode-shingles → k seeded xxhash64
-    * columns → k `min` aggregates, NOT k nested
+    * Signature construction is explode-shingles → one md5 hash column
+    * → k min aggregates over linear permutations, NOT k nested
     * `array_min(transform(...))` expressions: the nested form inlines
     * the shingle-array build into every one of the k expressions
     * (k× recompute, interpreted higher-order funcs); the explode form
@@ -74,42 +89,31 @@ object Dedup {
       idCol: String,
       textCol: String,
       nGram: Int = 3,
-      bands: Int = 8,
-      rows: Int = 4,
+      k: Int = 16,
       threshold: Double = 0.5
   ): DataFrame = {
-    val k = bands * rows
-    val shingleRows = docs
+    val hp = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
+    val sig = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), nGram)).as("shingle"))
-    val sig = shingleRows
+      .withColumn("hp", hp)
       .groupBy(col("id"))
       .agg(
-        min(xxhash64(lit(0), col("shingle"))).as("h0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*
+        min((lit(minhashA(0)) * col("hp") + lit(minhashB(0))) % MinhashP).as("s0"),
+        (1 until k).map(i => min((lit(minhashA(i)) * col("hp") + lit(minhashB(i))) % MinhashP).as(s"s$i")): _*
       )
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-      // the signature table feeds both sides of the bucket self-join —
-      // persist it (at 100 TB you'd materialize it to a table) so the
-      // shingle+hash pipeline runs once, not once per join side
+    // melt to (id, position, value) — the inverted index feeds both
+    // sides of the self-join; persist so the shingle+hash pipeline runs
+    // once (at 100 TB: materialize to a table)
+    val inv = sig
+      .select(col("id"), posexplode(array((0 until k).map(i => col(s"s$i")): _*)).as(Seq("i", "v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(
-      col("id"),
-      col("sig"),
-      posexplode(
-        array((0 until bands).map(b => xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)): _*)
-      ).as(Seq("band", "bucket"))
-    )
-    // self-join within (band, bucket); id< id dedups the pair space
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    inv
+      .select(col("i"), col("v"), col("id").as("id_a"))
+      .join(inv.select(col("i"), col("v"), col("id").as("id_b")), Seq("i", "v"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn(
-        "est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x)).cast("double") / lit(k.toDouble)
-      )
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("matched"))
+      .withColumn("est_jaccard", col("matched").cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
@@ -121,25 +125,26 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** SimHash 64-bit signature of a token multiset (deterministic UDF:
+  /** SimHash 60-bit signature of a token multiset (deterministic UDF:
     * per-row, no shuffle; the bit-vote loop doesn't decompose into
-    * codegen-able columns cleanly). */
+    * codegen-able columns cleanly). 60 bits = the md5-derived
+    * engine-neutral hash width (15 hex chars), so the SQL oracle can
+    * rebuild the identical signature with 60 bit-vote expressions. */
   val simhashUdf = udf { text: String =>
     if (text == null) 0L
     else {
       val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
-      val votes = new Array[Int](64)
+      val votes = new Array[Int](60)
       toks.foreach { t =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+        val h = TextOps.md5Hash60(t)
         var i = 0
-        while (i < 64) { if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1; i += 1 }
+        while (i < 60) { if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1; i += 1 }
       }
       votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) => if (v > 0) acc | (1L << i) else acc }
     }
   }
 
-  /** SimHash near-dup candidates: block on 16-bit signature quarters —
+  /** SimHash near-dup candidates: block on 15-bit signature quarters —
     * two docs within Hamming distance 3 share at least one of 4 blocks
     * (pigeonhole). Verification = exact popcount on the pair. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
@@ -147,7 +152,7 @@ object Dedup {
     val blocked = sig.select(
       col("id"),
       col("sig"),
-      posexplode(array((0 until 4).map(b => shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until 4).map(b => shiftrightunsigned(col("sig"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("block", "key"))
     )
     val l = blocked.select(col("block"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -166,6 +171,39 @@ object Dedup {
     * shared buckets). */
   def embeddingNearDup(s: SparkSession, dir: String, minCos: Double = 0.35): DataFrame =
     graft.ann.Similarity.lshNeighbors(s, dir, minCos = minCos)
+
+  /** ◆ EXACT embedding near-dup (L2 ≤ ε) with norm-bucket blocking:
+    * ‖a−b‖ ≤ ε ⟹ |‖a‖−‖b‖| ≤ ε (reverse triangle inequality), so
+    * joining each ε-wide norm bucket against its neighbours is a
+    * provably COMPLETE candidate generator — an exact near-dup pass
+    * with no N² compare, unlike LSH which trades recall. Distances are
+    * assembled from precomputed squared norms + one codegen'd dot per
+    * candidate pair (d² = ‖a‖² + ‖b‖² − 2a·b), never a per-pair array
+    * zip. */
+  def embedNearDupExact(s: SparkSession, dir: String, eps: Double = 1.05): DataFrame = {
+    import s.implicits._
+    graft.plans.VectorExpressions.register(s)
+    val vd = graft.plans.VectorExpressions.vecDot _
+    val emb = Tables
+      .embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("n2", vd($"v", $"v"))
+      .withColumn("bucket", floor(sqrt($"n2") / eps).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = emb.select(
+      $"vec_id".as("id_a"),
+      $"v".as("va"),
+      $"n2".as("n2a"),
+      explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("probe")
+    )
+    val target = emb.select($"vec_id".as("id_b"), $"v".as("vb"), $"n2".as("n2b"), $"bucket".as("probe"))
+    probes
+      .join(target, Seq("probe"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("d2", $"n2a" + $"n2b" - lit(2.0) * vd($"va", $"vb"))
+      .filter($"d2" <= lit(eps * eps))
+      .select($"id_a", $"id_b", round(sqrt(greatest($"d2", lit(0.0))), 6).as("dist"))
+  }
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -91,20 +92,59 @@ object TextOps {
     }
   }
 
-  /** Language ID over the corpus (rows-only check: heuristic output has
-    * no SQL oracle). */
+  /** Stopword-evidence score for one language — pure column math (the
+    * same per-row map shape as the UDF, but codegen-friendly and
+    * SQL-expressible for the oracle). */
+  def langScore(toks: Column, stops: Set[String]): Column =
+    size(filter(toks, t => t.isin(stops.toSeq.map(lit(_)): _*))).cast("double") / size(toks)
+
+  /** ◆ Language ID over the corpus — argmax of per-language stopword
+    * scores; ties break to the alphabetically-first language; zero
+    * evidence → "und". Deterministic CASE cascade mirrored verbatim in
+    * the SQL oracle. */
   def langIdQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables
+    val toks = regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))
+    val scored = Tables
       .documents(s, dir)
-      .withColumn("lang_pred", langIdUdf($"text"))
+      .withColumn("toks", toks)
+      .withColumn("s_en", langScore($"toks", langProfiles("en")))
+      .withColumn("s_es", langScore($"toks", langProfiles("es")))
+      .withColumn("s_fr", langScore($"toks", langProfiles("fr")))
+      .withColumn("s_de", langScore($"toks", langProfiles("de")))
+    scored
+      .withColumn(
+        "lang_pred",
+        when(size($"toks") === 0 || greatest($"s_en", $"s_es", $"s_fr", $"s_de") <= 0.0, "und")
+          .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_de", "en")
+          .when($"s_es" >= $"s_fr" && $"s_es" >= $"s_de", "es")
+          .when($"s_fr" >= $"s_de", "fr")
+          .otherwise("de")
+      )
       .groupBy($"lang_pred")
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Engine-neutral 60-bit string hash: first 15 hex chars of md5,
+    * parsed as an unsigned int. Identical to DuckDB's
+    * `('0x' || substr(md5(s),1,15))::BIGINT`, which is what makes every
+    * hash-based text operator oracle-checkable. */
+  def md5Hash60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(8)
+        .map("%02x".format(_))
+        .mkString
+        .substring(0, 15),
+      16
+    )
+
   /** Rolling-hash document fingerprinting (winnowing, window w=4 over
     * word 3-gram hashes): per-document set of selected hashes. Used by
-    * near-dup candidate generation. Deterministic. */
+    * near-dup candidate generation. Deterministic, md5-based so the
+    * oracle can recompute it. */
   val fingerprintUdf = udf { text: String =>
     if (text == null) Array.empty[Long]
     else {
@@ -112,7 +152,7 @@ object TextOps {
       if (toks.length < 3) Array.empty[Long]
       else {
         val grams = toks.sliding(3).map(_.mkString(" ")).toArray
-        val hashes = grams.map(g => scala.util.hashing.MurmurHash3.stringHash(g).toLong & 0xffffffffL)
+        val hashes = grams.map(md5Hash60)
         val w = 4
         if (hashes.length <= w) Array(hashes.min)
         else hashes.sliding(w).map(_.min).toArray.distinct.sorted
@@ -120,12 +160,44 @@ object TextOps {
     }
   }
 
-  /** Document fingerprints (rows-only check). */
+  /** ◆ TF-IDF top terms per source — term explode → (source, term)
+    * occurrence counts + per-term document frequency, idf =
+    * ln((N+1)/(df+1)), top-3 by rounded score (rounding before ranking
+    * keeps the tie-order engine-independent; ties break on the term).
+    * Two partial-agg shuffles + one window; the doc-count side is a
+    * 1-row broadcast. */
+  def tfidfQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val termRows = docs
+      .select($"source", $"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = termRows.groupBy($"source", $"term").agg(count(lit(1)).as("stf"))
+    val dfT = termRows.select($"term", $"doc_id").distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round($"stf" * log(($"nd" + 1.0) / ($"df" + 1.0)), 6))
+    val w = Window.partitionBy($"source").orderBy($"tfidf".desc, $"term".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"source", $"term", $"tfidf", $"rank")
+  }
+
+  /** ◆ Document fingerprints — winnowed hash count + an md5 digest of
+    * the selected-hash sequence (hash-compared against the oracle's
+    * recomputation). */
   def fingerprintQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables
       .documents(s, dir)
       .select($"doc_id", fingerprintUdf($"text").as("fingerprint"))
-      .select($"doc_id", size($"fingerprint").as("n_fingerprints"))
+      .select(
+        $"doc_id",
+        size($"fingerprint").as("n_fingerprints"),
+        md5(concat_ws(",", transform($"fingerprint", _.cast("string"))).cast("binary")).as("fp_digest")
+      )
   }
 }
