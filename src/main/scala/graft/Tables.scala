@@ -40,6 +40,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Documents rebalanced across the session's shuffle parallelism.
+    * The test files are single-row-group parquet, so the scan is ONE
+    * task — any per-row-heavy pipeline (md5 sketches, regex token
+    * work) would run serially without this. At cluster scale the scan
+    * has many splits and this round-robin exchange is ~free relative
+    * to the downstream hash work; it is the same safeguard you'd keep
+    * against pathologically skewed split sizes. */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 }
 
 /** Shared local SparkSession factory used by tests and mains. */

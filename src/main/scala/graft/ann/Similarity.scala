@@ -121,14 +121,20 @@ object Similarity {
     // interpreted higher-order-function expressions — same
     // inline-blowup lesson as the MinHash signatures
     val allBuckets = lshBucketsUdf(dim, nBits, tables)
-    val bucketed = emb
-      .select($"vec_id", $"v", posexplode(allBuckets($"v")).as(Seq("table", "bucket")))
-      .dropDuplicates("vec_id", "table", "bucket")
-    val l = bucketed.select($"table", $"bucket", $"vec_id".as("id_a"), $"v".as("va"))
-    val r = bucketed.select($"table", $"bucket", $"vec_id".as("id_b"), $"v".as("vb"))
+    // vectors stay OUT of the candidate shuffles: pair generation +
+    // dedup ride on bare (table, bucket, id) rows; the 64-double arrays
+    // only join back in for the final per-pair cosine (once per
+    // DISTINCT pair, not once per bucket collision)
+    val embP = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = embP
+      .select($"vec_id", posexplode(allBuckets($"v")).as(Seq("table", "bucket")))
+    val l = bucketed.select($"table", $"bucket", $"vec_id".as("id_a"))
+    val r = bucketed.select($"table", $"bucket", $"vec_id".as("id_b"))
     l.join(r, Seq("table", "bucket"))
       .filter($"id_a" < $"id_b")
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .join(embP.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
+      .join(embP.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
       .withColumn("cos_sim", fastCosine(s)($"va", $"vb"))
       .filter($"cos_sim" >= minCos)
       .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))

@@ -207,7 +207,7 @@ object Dedup {
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    simhashCandidates(Tables.documents(s, dir), "doc_id", "text").orderBy($"id_a", $"id_b")
+    simhashCandidates(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"id_a", $"id_b")
   }
 
   /** ◆ n-gram Jaccard via the inverted index alone: postings self-join

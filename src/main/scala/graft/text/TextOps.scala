@@ -125,21 +125,27 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Engine-neutral 60-bit string hash: first 15 hex chars of md5,
-    * parsed as an unsigned int. Identical to DuckDB's
-    * `('0x' || substr(md5(s),1,15))::BIGINT`, which is what makes every
-    * hash-based text operator oracle-checkable. */
-  def md5Hash60(s: String): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest
-        .getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-        .take(8)
-        .map("%02x".format(_))
-        .mkString
-        .substring(0, 15),
-      16
-    )
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-neutral 60-bit string hash: first 15 hex chars of md5 as an
+    * unsigned int — identical to DuckDB's
+    * `('0x' || substr(md5(s),1,15))::BIGINT`. 15 hex chars = the first
+    * 7.5 digest bytes, i.e. the big-endian first-8-bytes long shifted
+    * right by one nibble — computed directly on the digest bytes
+    * (no hex-string round-trip; a thread-local digest instance keeps
+    * this allocation-free on the per-token hot path). */
+  def md5Hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 
   /** Rolling-hash document fingerprinting (winnowing, window w=4 over
     * word 3-gram hashes): per-document set of selected hashes. Used by
