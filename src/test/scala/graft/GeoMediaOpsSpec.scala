@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.{GeoQueries, Mercator}
+import graft.multimodal.Multimodal
+
+/** Behavior tests for the geo-query and multimodal operator batches. */
+class GeoMediaOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tile math: tiles in [0, 2^z-1], column query matches the scalar kernel") {
+    val rows = GeoQueries.tileMathQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 1023)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 1023)
+    }
+    // cross-check one synthetic point through the scalar Mercator kernel
+    val id = 7L
+    val lon = (id * 7919 % 36000) / 100.0 - 180.0 + 0.005
+    val lat = (id * 104729 % 18000) / 100.0 - 90.0 + 0.005
+    val (tx, tyTms) = Mercator.latLonToTile(lat, lon, 10)
+    val hit = rows.exists(r => r.getLong(0) == tx && r.getLong(1) == Mercator.tmsToXYZ(tyTms, 10))
+    assert(hit, s"tile of event 7 ($tx, ${Mercator.tmsToXYZ(tyTms, 10)}) must appear")
+  }
+
+  test("bbox filter: subset of the full scan, all points inside the widened box") {
+    val n = GeoQueries.bboxFilterQuery(spark, sf0001).agg(sum($"n")).collect().head.getLong(0)
+    val total = Tables.eventsRaw(spark, sf0001).count()
+    assert(n > 0 && n < total)
+  }
+
+  test("haversine: distances positive, below the antipodal bound") {
+    val rows = GeoQueries.haversineQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getDouble(1)
+      assert(avg > 0 && avg <= math.Pi * 6371000.0)
+    }
+  }
+
+  test("media features: byte stats match a direct computation") {
+    val feats = Multimodal.mediaFeaturesQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text").collect().take(20)
+    docs.foreach { d =>
+      val bytes = d.getString(1).getBytes("UTF-8")
+      val (mean, std, len) = feats(d.getLong(0))
+      assert(len === bytes.length)
+      val m = bytes.map(_ & 0xff).sum.toDouble / bytes.length
+      assert(math.abs(mean - m) < 1e-3)
+      assert(std >= 0)
+    }
+  }
+
+  test("frame sample: 4 frames per non-empty doc, frame bytes in (0, 16]") {
+    val rows = Multimodal.frameSampleQuery(spark, sf0001).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.forall(_._2.length == 4))
+    rows.foreach(r => assert(r.getInt(2) > 0 && r.getInt(2) <= 16))
+  }
+
+  test("status query: classifications cover all four states") {
+    val m = graft.operators.Relational.statusQuery(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("not_indexed", "deleted", "not_modified", "modified").subsetOf(m.keySet))
+    // fs drops every 17th (deleted unless also dropped from index);
+    // index drops every 19th (not_indexed unless also dropped from fs)
+    val ids = Tables.eventsRaw(spark, sf0001).select($"event_id").collect().map(_.getLong(0))
+    assert(m("deleted") === ids.count(i => i % 17 == 0 && i % 19 != 0))
+    assert(m("not_indexed") === ids.count(i => i % 19 == 0 && i % 17 != 0))
+  }
+}

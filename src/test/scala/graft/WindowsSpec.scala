@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windows
+
+/** Behavior tests for the window/analytics operator batch — semantic
+  * guarantees the DuckDB hash-compare can't express (monotonicity,
+  * completeness, frame correctness).
+  */
+class WindowsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("percentiles: p25 <= p50 <= p75, n matches group size") {
+    val rows = Windows.percentilesQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("rollup: has grand-total row equal to the sum of leaf rows") {
+    val rows = Windows.rollupQuery(spark, sf0001).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(leaves.map(_.getLong(2)).sum === grand.head.getLong(2))
+  }
+
+  test("pivot: per-bucket type counts sum to total event count") {
+    val rows = Windows.pivotQuery(spark, sf0001).collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total === Tables.eventsRaw(spark, sf0001).count())
+  }
+
+  test("sessionize: session counts >= 1 and avg_events >= 1") {
+    val rows = Windows.sessionizeQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getDouble(2) >= 1.0)
+    }
+  }
+
+  test("as-of join: every purchase matches the latest click at-or-before it") {
+    val gaps = Windows.asofJoinQuery(spark, sf0001).collect()
+    assert(gaps.nonEmpty)
+    gaps.foreach(r => assert(r.getLong(1) >= 0L, "as-of match must not be in the future"))
+    // cross-check one row against a brute-force lookup
+    val ev = Tables.eventsRaw(spark, sf0001).withColumn("ts", expr("ts div 1000"))
+    val purchases = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts").collect()
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val byId = gaps.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    purchases.take(50).foreach { p =>
+      val prior = clicks.getOrElse(p.getLong(1), Array.empty[Long]).filter(_ <= p.getLong(2))
+      if (prior.nonEmpty) assert(byId(p.getLong(0)) === p.getLong(2) - prior.max)
+      else assert(!byId.contains(p.getLong(0)))
+    }
+  }
+
+  test("gapfill: dense spine (hours x types), zero-filled rows preserved") {
+    val rows = Windows.gapfillQuery(spark, sf0001).collect()
+    val hours = rows.map(_.getString(0)).distinct.length
+    val types = rows.map(_.getString(1)).distinct.length
+    assert(rows.length === hours * types, "spine must be dense")
+    assert(rows.map(_.getLong(2)).sum === Tables.eventsRaw(spark, sf0001).count())
+  }
+
+  test("histogram: bucket counts rebuild the total; buckets are value/25") {
+    val rows = Windows.histogramQuery(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.eventsRaw(spark, sf0001).count())
+    rows.foreach { r =>
+      val (bucket, avg) = (r.getLong(0), r.getDouble(2))
+      assert(avg >= bucket * 25.0 && avg < (bucket + 1) * 25.0)
+    }
+  }
+
+  test("cumsum: peak equals per-user value sum for positive values") {
+    // events.value >= 0, so the running max IS the total sum per user
+    val peaks = Windows.cumsumQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sums = Tables.eventsRaw(spark, sf0001)
+      .groupBy($"user_id").agg(round(sum($"value"), 2).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(peaks === sums)
+  }
+
+  test("lag delta: global deltas count = events - users") {
+    val rows = Windows.lagDeltaQuery(spark, sf0001).collect()
+    val nDeltas = rows.map(_.getLong(2)).sum
+    val ev = Tables.eventsRaw(spark, sf0001)
+    val users = ev.select($"user_id").distinct().count()
+    assert(nDeltas === ev.count() - users)
+  }
+}
