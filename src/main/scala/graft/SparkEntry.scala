@@ -41,6 +41,12 @@ object SparkEntry {
     "q_delta_removes" -> (Relational.deltaRemovesQuery _),
     "q_status" -> (Relational.statusQuery _),
     "q_folder_repair" -> (Relational.folderRepairQuery _),
+    "q_apply_delta" -> (Relational.applyDeltaQuery _),
+    "q_meta_list" -> (Relational.metaListQuery _),
+    "q_stac_page" -> (Relational.stacPageQuery _),
+    // ◇ raster kernels under the oracle
+    "q_volume" -> (graft.raster.RasterQueries.volumeQuery _),
+    "q_profile" -> (graft.raster.RasterQueries.profileQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
@@ -98,7 +104,8 @@ object SparkEntry {
     // similarity search
     "q_ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q_ann_norm" -> (Similarity.normByLabel _),
-    "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d))
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d))
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -693,7 +700,87 @@ object SparkEntry {
         |  CAST(least((len * i) // 4 + 16, len) - (len * i) // 4 AS INT) AS frame_bytes
         |FROM (
         |  SELECT doc_id AS media_id, length(text) AS len, unnest(range(4)) AS i
-        |  FROM documents WHERE length(text) > 0)""".stripMargin
+        |  FROM documents WHERE length(text) > 0)""".stripMargin,
+    "q_apply_delta" ->
+      """WITH l AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value AS VARCHAR) AS hash FROM events),
+        |a AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value + 1.0 AS VARCHAR) AS hash
+        |  FROM events WHERE event_id % 11 = 0),
+        |r AS (SELECT CAST(event_id AS VARCHAR) AS path FROM events WHERE event_id % 23 = 0)
+        |SELECT coalesce(l.path, a.path) AS path, coalesce(a.hash, l.hash) AS hash
+        |FROM l FULL OUTER JOIN a ON l.path = a.path
+        |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.path = coalesce(l.path, a.path))""".stripMargin,
+    "q_meta_list" ->
+      """SELECT path, key, count(*) AS "count" FROM (
+        |  SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS path, event_type || 's' AS key
+        |  FROM events)
+        |GROUP BY path, key""".stripMargin,
+    "q_stac_page" ->
+      """WITH e AS (
+        |  SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS path,
+        |         (event_id * 7919) % 36000 / 100.0 - 180.0 + 0.005 AS lon,
+        |         (event_id * 104729) % 18000 / 100.0 - 90.0 + 0.005 AS lat,
+        |         epoch_us(ts) // 1000000 AS instant
+        |  FROM events),
+        |f AS (
+        |  SELECT * FROM e
+        |  WHERE lon >= -90.0 AND lon <= 90.0 AND lat >= -45.0 AND lat <= 45.0
+        |    AND instant >= 1704844800)
+        |SELECT path, lon, lat, instant, matched FROM (
+        |  SELECT *, count(*) OVER () AS matched FROM f)
+        |ORDER BY path LIMIT 10 OFFSET 3""".stripMargin,
+    "q_volume" ->
+      """SELECT round(cut, 2) AS cut, round(fill, 2) AS fill,
+        |  round(cut - fill, 2) AS volume, CAST(n AS BIGINT) AS area_pixels
+        |FROM (
+        |  SELECT coalesce(sum(CASE WHEN d > 0 THEN d END), 0.0) AS cut,
+        |         coalesce(abs(sum(CASE WHEN d < 0 THEN d END)), 0.0) AS fill,
+        |         count(*) AS n
+        |  FROM (SELECT (value - 50.0) * 0.25 AS d FROM events))""".stripMargin,
+    "q_profile" ->
+      """WITH seg AS (
+        |  SELECT 2.0 * 6371000.0 * asin(sqrt(
+        |      sin((-0.5) * pi() / 180.0 / 2.0) * sin((-0.5) * pi() / 180.0 / 2.0)
+        |      + cos(0.0 * pi() / 180.0) * cos((-0.5) * pi() / 180.0)
+        |        * sin(0.5 * pi() / 180.0 / 2.0) * sin(0.5 * pi() / 180.0 / 2.0)
+        |    )) / 63 AS m),
+        |pts AS (
+        |  SELECT CAST(i AS INT) AS i, i / 63.0 AS frac FROM range(64) t(i)),
+        |geo AS (
+        |  SELECT i, 0.0 + (0.5 - 0.0) * frac AS lon, 0.0 + (-0.5 - 0.0) * frac AS lat FROM pts),
+        |px AS (
+        |  SELECT i, lon, lat,
+        |    CAST(floor((lon - 0.0) / 0.01) AS INT) AS px,
+        |    CAST(floor((lat - 0.0) / (-0.01)) AS INT) AS py
+        |  FROM geo)
+        |SELECT i, round(lon, 6) AS lon, round(lat, 6) AS lat,
+        |  round(i * seg.m, 4) AS distance,
+        |  CASE WHEN px BETWEEN 0 AND 99 AND py BETWEEN 0 AND 99
+        |       THEN CAST((px * 7 + py * 13) % 101 AS DOUBLE) END AS value
+        |FROM px, seg""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, cent.cell_id,
+        |    list_sum([(v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i]) for i in range(1, 65)]) AS dist
+        |  FROM v, cent),
+        |asg AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+        |    FROM d) WHERE rk = 1),
+        |q AS (SELECT e FROM v WHERE vec_id = 0),
+        |cd AS (
+        |  SELECT cell_id,
+        |    list_sum([(c[i] - q.e[i]) * (c[i] - q.e[i]) for i in range(1, 65)]) AS dist
+        |  FROM cent, q),
+        |probe AS (SELECT cell_id FROM cd ORDER BY dist, cell_id LIMIT 2),
+        |res AS (
+        |  SELECT v.vec_id, list_cosine_similarity(v.e, q.e) AS cs
+        |  FROM asg JOIN probe USING (cell_id) JOIN v ON v.vec_id = asg.vec_id CROSS JOIN q)
+        |SELECT vec_id, round(cs, 6) AS cos_sim FROM res ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin,
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

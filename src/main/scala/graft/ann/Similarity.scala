@@ -237,6 +237,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** ◆ IVF search under the oracle: 8 deterministic centroids (the
+    * vectors with vec_id < 8), nearest-cell assignment (tie → lowest
+    * cell), probe the 2 cells nearest the query vector, exact cosine
+    * top-10 over the probed subset only. The oracle reproduces the
+    * same quantization, which is what makes a pruned ANN result
+    * checkable. */
+  def ivfQuery(s: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .filter($"vec_id" < 8)
+      .select($"vec_id".as("cell_id"), asDouble($"embedding").as("centroid"))
+    val assigned = ivfAssign(emb, centroids)
+    val queryVec = emb
+      .filter($"vec_id" === 0)
+      .select(asDouble($"embedding"))
+      .head()
+      .getSeq[Double](0)
+    ivfSearch(s, assigned, centroids, queryVec, k, nProbe)
+      .select($"vec_id", round($"cos_sim", 6).as("cos_sim"))
+  }
+
   /** ◆ Vector-norm rollup by label — array math through the agg path. */
   def normByLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

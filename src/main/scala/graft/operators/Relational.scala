@@ -427,6 +427,61 @@ object Relational {
     graft.core.Index.missingFolders(entries)
   }
 
+  /** ◆ applyDelta with KeepTheirs through `Sync.applyDelta` — full
+    * outer local↔adds merge (`registry.cpp:358-508`), then the removes
+    * anti-join. Adds modify every 11th hash; removes drop every 23rd
+    * path. */
+  def applyDeltaQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val local = ev.select($"event_id".cast("string").as("path"), $"value".cast("string").as("hash"))
+    val adds = ev
+      .filter($"event_id" % 11 === 0)
+      .select($"event_id".cast("string").as("path"), ($"value" + 1.0).cast("string").as("hash"))
+    val removes = ev.filter($"event_id" % 23 === 0).select($"event_id".cast("string").as("path"))
+    graft.core.Sync.applyDelta(local, adds, removes, graft.core.Sync.KeepTheirs)
+  }
+
+  /** ◆ Meta key listing through `Meta.listKeys` — GROUP BY path, key
+    * with counts (`metamanager.cpp:198-218`) over meta rows synthesized
+    * from events. */
+  def metaListQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meta = Tables
+      .eventsRaw(s, dir)
+      .select(
+        concat(lit("u"), $"user_id" % 50).as("path"),
+        concat($"event_type", lit("s")).as("key")
+      )
+    graft.core.Meta.listKeys(meta)
+  }
+
+  /** ◆ STAC ItemCollection shape (`stac.cpp:597-713`): geometry
+    * presence + bbox + temporal filter, numberMatched as a window
+    * count, ORDER BY path LIMIT/OFFSET page — one filtered scan, the
+    * count and the page share it. Paths are zero-padded so lexicographic
+    * order is the numeric order. */
+  def stacPageQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val entries = Tables
+      .eventsRaw(s, dir)
+      .select(
+        lpad($"event_id".cast("string"), 8, "0").as("path"),
+        (($"event_id" * 7919) % 36000 / 100.0 - 180.0 + 0.005).as("lon"),
+        (($"event_id" * 104729) % 18000 / 100.0 - 90.0 + 0.005).as("lat"),
+        expr("ts div 1000000000").as("instant")
+      )
+    val filtered = entries
+      .filter($"lon" >= -90.0 && $"lon" <= 90.0 && $"lat" >= -45.0 && $"lat" <= 45.0)
+      .filter($"instant" >= 1704844800L) // 2024-01-10T00:00:00Z
+    filtered
+      .withColumn("matched", count(lit(1)).over(Window.partitionBy()))
+      .orderBy($"path")
+      .offset(3)
+      .limit(10)
+      .select($"path", $"lon", $"lat", $"instant", $"matched")
+  }
+
   /** ◆ Hourly tumbling rollup — batch shape of the streaming windowed
     * agg (§2.9); `date_trunc` keeps it DuckDB-checkable. */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,60 @@
+package graft.raster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.geo.Geo
+
+/** Raster kernels under the oracle: volume cut/fill and the elevation
+  * profile, driven by deterministic synthetic grids so DuckDB can
+  * recompute them exactly (the golden-value RasterSpec tests cover the
+  * kernels against reference semantics; these queries prove the
+  * distributed shapes hash-match an independent engine).
+  */
+object RasterQueries {
+
+  /** ◆ Volume cut/fill (`volume.cpp:380-457`) over a pixel plane built
+    * from the events table (value column = elevation, flat base plane
+    * z=50). One partial-agg pass; conditional sums split by sign. */
+  def volumeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pixels = Tables
+      .eventsRaw(s, dir)
+      .select(
+        ($"event_id" % 200).cast("int").as("x"),
+        (($"event_id" / 200) % 200).cast("int").as("y"),
+        $"value"
+      )
+    Raster
+      .volume(pixels, pixels, Raster.FlatPlane(50.0), pixelArea = 0.25)
+      .select(
+        round($"cut", 2).as("cut"),
+        round($"fill", 2).as("fill"),
+        round($"volume", 2).as("volume"),
+        $"areaPixels".cast("long").as("area_pixels")
+      )
+  }
+
+  /** ◆ Elevation profile (`raster_profile.cpp:219-266`): 64 equispaced
+    * samples along a line, pixel lookup by inverse geotransform,
+    * distance by haversine accumulation. The grid value is a pure
+    * integer function of (x, y) so the pixel join is exactly
+    * reproducible; sample generation is `spark.range`, never a driver
+    * loop. */
+  def profileQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 64
+    val gt = Array(0.0, 0.01, 0.0, 0.0, 0.0, -0.01)
+    val pixels = Raster.grid(s, 100, 100)((x, y) => ((x * 7 + y * 13) % 101).cast("double"))
+    Raster
+      .profile(s, pixels, gt, lon1 = 0.0, lat1 = 0.0, lon2 = 0.5, lat2 = -0.5, samples = n)
+      .select(
+        $"i",
+        round($"lon", 6).as("lon"),
+        round($"lat", 6).as("lat"),
+        round($"distance", 4).as("distance"),
+        $"value"
+      )
+  }
+}
