@@ -47,6 +47,8 @@ object SparkEntry {
     // ◇ raster kernels under the oracle
     "q_volume" -> (graft.raster.RasterQueries.volumeQuery _),
     "q_profile" -> (graft.raster.RasterQueries.profileQuery _),
+    "q_rescale" -> (graft.raster.RasterQueries.rescaleQuery _),
+    "q_iso_format" -> (Scalars.isoFormatQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
@@ -759,6 +761,26 @@ object SparkEntry {
         |  CASE WHEN px BETWEEN 0 AND 99 AND py BETWEEN 0 AND 99
         |       THEN CAST((px * 7 + py * 13) % 101 AS DOUBLE) END AS value
         |FROM px, seg""".stripMargin,
+    "q_rescale" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT byte, count(*) AS n FROM (
+        |  SELECT least(255, greatest(0,
+        |    CAST(round((l_extendedprice - mn) / (mx - mn) * 255.0) AS INT))) AS byte
+        |  FROM lineitem, mm)
+        |GROUP BY byte""".stripMargin,
+    "q_iso_format" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE epoch_us(ts) // 1000 END AS ct_ms,
+        |         epoch_us(ts) // 1000000 AS mtime_s
+        |  FROM events),
+        |iso AS (
+        |  SELECT CASE WHEN ct_ms > 0
+        |    THEN strftime(make_timestamp(ct_ms * 1000), '%Y-%m-%dT%H:%M:%SZ')
+        |    ELSE strftime(make_timestamp(mtime_s * 1000000), '%Y-%m-%dT%H:%M:%SZ') END AS iso
+        |  FROM t)
+        |SELECT substr(iso, 1, 10) AS day, count(*) AS n,
+        |  min(iso) AS first_iso, max(iso) AS last_iso
+        |FROM iso GROUP BY 1""".stripMargin,
     "q_ann_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),

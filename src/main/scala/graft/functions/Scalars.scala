@@ -134,6 +134,22 @@ object Scalars {
       .agg(count(lit(1)).as("n"), round(avg($"scaled"), 4).as("avg_scaled"))
   }
 
+  /** ◆ STAC datetime coalesce (`stac.cpp:643-651` + `24-51`): use
+    * captureTime (epoch ms) when present and > 0, else mtime (epoch s),
+    * formatted ISO8601 UTC — rolled up per day with the ISO min/max
+    * (lexicographic ≡ chronological). Every 3rd event lacks a
+    * captureTime, exercising both branches. */
+  def isoFormatQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val ctMs = when($"event_id" % 3 === 0, lit(0L)).otherwise(expr("ts div 1000000"))
+    val mtimeS = expr("ts div 1000000000")
+    val iso = when(ctMs > 0, Stac.isoFromEpochMs(ctMs)).otherwise(Stac.isoFromEpochSec(mtimeS))
+    ev.select(iso.as("iso"))
+      .groupBy(substring($"iso", 1, 10).as("day"))
+      .agg(count(lit(1)).as("n"), min($"iso").as("first_iso"), max($"iso").as("last_iso"))
+  }
+
   /** ◆ path derivation — depth / parent / extension / LIKE scoping
     * (ref `dbops.cpp:1296`, `mio.cpp` path helpers) over synthetic
     * paths built from the documents table. */

@@ -36,6 +36,20 @@ object RasterQueries {
       )
   }
 
+  /** ◆ Byte rescale (`tiler.cpp:106-131`): two-pass min/max then
+    * (v−min)/(max−min)·255 clamped — the tiler's normalization pass,
+    * rolled up to a byte histogram. The min/max scalars come from a
+    * first agg (exact doubles, so the oracle's own min/max matches). */
+  def rescaleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_extendedprice".as("value"))
+    val r = Raster.minMax(li).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    li.select(Raster.rescaleByte($"value", mn, mx).as("byte"))
+      .groupBy($"byte")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** ◆ Elevation profile (`raster_profile.cpp:219-266`): 64 equispaced
     * samples along a line, pixel lookup by inverse geotransform,
     * distance by haversine accumulation. The grid value is a pure
