@@ -679,11 +679,12 @@ object SparkEntry {
         |  md5(array_to_string(f, ',')) AS fp_digest
         |FROM fp""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
+        |    unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS s
         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents)
         |  WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shingle FROM sh0),
         |df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
         |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.c BETWEEN 2 AND 64),
         |cnt AS (SELECT doc_id, count(*) AS c FROM f GROUP BY doc_id),

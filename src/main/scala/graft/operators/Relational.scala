@@ -284,24 +284,25 @@ object Relational {
     * across engines in the last ulp, a discrete one is bit-exact. */
   def statsAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val base = li
+    // single pass: the rank/count window shuffles once on the group
+    // key; the same sorted partition then feeds ALL the aggregates
+    // (median extracted as a conditional max) — no second scan, no join
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".asc)
+    Tables
+      .lineitem(s, dir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
       .groupBy($"l_returnflag")
       .agg(
         money(min($"l_extendedprice")).as("min_price"),
         money(max($"l_extendedprice")).as("max_price"),
         money(avg($"l_extendedprice")).as("avg_price"),
         money(stddev_pop($"l_extendedprice")).as("std_price"),
+        money(max(when($"rn" === expr("(cnt + 1) div 2"), $"l_extendedprice"))).as("median_price"),
         count(lit(1)).as("n")
       )
-    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".asc)
-    val medians = li
-      .select($"l_returnflag", $"l_extendedprice")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-      .filter($"rn" === expr("(cnt + 1) div 2"))
-      .select($"l_returnflag", money($"l_extendedprice").as("median_price"))
-    base.join(medians, Seq("l_returnflag"))
+      .select($"l_returnflag", $"min_price", $"max_price", $"avg_price", $"std_price", $"median_price", $"n")
   }
 
   /** ◆ Distinct — reference: path dedup (`dbops.cpp:531-536`). */

@@ -228,8 +228,14 @@ object Dedup {
       threshold: Double = 0.8,
       maxDf: Int = 64
   ): DataFrame = {
+    // postings carry the 60-bit shingle hash, not the string: an 8-byte
+    // join key instead of a ~25-byte n-gram through every shuffle (df
+    // table, df filter, pair self-join). The oracle hashes identically,
+    // so even a (astronomically rare) collision merges the same way in
+    // both engines.
     val inv = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTab = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = inv
