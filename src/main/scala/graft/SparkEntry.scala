@@ -86,6 +86,8 @@ object SparkEntry {
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
+    "q_resize" -> (graft.multimodal.Multimodal.resizeQuery _),
+    "q_upsert" -> (Relational.upsertQuery _),
     // §2.7 numeric kernels (◇) under the oracle
     "q_vegetation" -> (Scalars.vegetationQuery _),
     "q_thermal" -> (Scalars.thermalQuery _),
@@ -704,6 +706,30 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id AS media_id, length(text) AS len, unnest(range(4)) AS i
         |  FROM documents WHERE length(text) > 0)""".stripMargin,
+    "q_resize" ->
+      """SELECT doc_id AS media_id,
+        |  md5(substr(repeat(text, 32 // length(text) + 1), 1, 32)) AS resized_md5
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+    "q_upsert" ->
+      """WITH idx AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value AS VARCHAR) AS hash,
+        |         event_id % 1000 AS mtime, 0 AS src
+        |  FROM events),
+        |inc AS (
+        |  SELECT CAST(event_id AS VARCHAR), CAST(value + 7.0 AS VARCHAR), event_id % 1000 + 5, 1
+        |  FROM events WHERE event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT CAST(event_id AS VARCHAR), CAST(value + 3.0 AS VARCHAR), event_id % 1000, 1
+        |  FROM events WHERE event_id % 6 = 0 AND event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'new/' || event_id, CAST(value AS VARCHAR), event_id % 1000, 1
+        |  FROM events WHERE event_id % 9 = 0),
+        |u AS (SELECT * FROM idx UNION ALL SELECT * FROM inc)
+        |SELECT path, hash, mtime FROM (
+        |  SELECT path, hash, mtime,
+        |    row_number() OVER (PARTITION BY path ORDER BY mtime DESC, src DESC) AS rn
+        |  FROM u)
+        |WHERE rn = 1""".stripMargin,
     "q_apply_delta" ->
       """WITH l AS (
         |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value AS VARCHAR) AS hash FROM events),

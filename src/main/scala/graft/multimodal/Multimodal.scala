@@ -119,6 +119,13 @@ object Multimodal {
       )
   }
 
+  /** ◆ Batch resize under the oracle: cycle the byte plane to a fixed
+    * 32-byte output, digest-compared (the oracle rebuilds the cycled
+    * prefix with repeat+substr over the ASCII payload). */
+  def resizeQuery(s: SparkSession, dir: String): DataFrame =
+    resizeAll(mediaFromDocuments(s, dir), outLen = 32)
+      .select(col("media_id"), md5(col("payload")).as("resized_md5"))
+
   /** ◆ Frame sampling under the oracle — pure integer slice math
     * (start = len·i/n truncated), one row per frame. */
   def frameSampleQuery(s: SparkSession, dir: String): DataFrame =

@@ -428,6 +428,43 @@ object Relational {
     graft.core.Index.missingFolders(entries)
   }
 
+  /** ◆ Upsert through `Ingest.upsert` — the reference's add/update
+    * transaction (`dbops.cpp:629-715`) as union + newest-mtime-wins
+    * (incoming breaks ties) row_number dedup. Incoming modifies every
+    * 4th row (newer mtime), re-sends every 6th unchanged (same mtime —
+    * incoming wins the tie), and adds fresh paths. */
+  def upsertQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val index = ev.select(
+      $"event_id".cast("string").as("path"),
+      $"value".cast("string").as("hash"),
+      ($"event_id" % 1000).as("mtime")
+    )
+    val modified = ev
+      .filter($"event_id" % 4 === 0)
+      .select(
+        $"event_id".cast("string").as("path"),
+        ($"value" + 7.0).cast("string").as("hash"),
+        ($"event_id" % 1000 + 5).as("mtime")
+      )
+    val resent = ev // same mtime, different hash — the tie incoming wins
+      .filter($"event_id" % 6 === 0 && $"event_id" % 4 =!= 0)
+      .select(
+        $"event_id".cast("string").as("path"),
+        ($"value" + 3.0).cast("string").as("hash"),
+        ($"event_id" % 1000).as("mtime")
+      )
+    val fresh = ev
+      .filter($"event_id" % 9 === 0)
+      .select(
+        concat(lit("new/"), $"event_id").as("path"),
+        $"value".cast("string").as("hash"),
+        ($"event_id" % 1000).as("mtime")
+      )
+    graft.sources.Ingest.upsert(index, modified.unionByName(resent).unionByName(fresh))
+  }
+
   /** ◆ applyDelta with KeepTheirs through `Sync.applyDelta` — full
     * outer local↔adds merge (`registry.cpp:358-508`), then the removes
     * anti-join. Adds modify every 11th hash; removes drop every 23rd
