@@ -54,6 +54,15 @@ object EventsStream {
     q
   }
 
+  /** Streaming exact-dedup — the training-pipeline dedup stage on the
+    * ingest path: duplicates by id dropped while their event time is
+    * within the watermark, so state stays bounded (the batch analogue
+    * is the hash-groupBy in `Dedup.exactDupGroups`). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, events: Long, firstTs: Long, lastTs: Long)
 

@@ -135,4 +135,32 @@ class StreamIngestSpec extends SparkSuite {
     val closed = sessions.collect()
     assert(closed.exists(r => r.getAs[Long]("user_id") == 1L && r.getAs[Long]("events") == 2L))
   }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    val stream = EventsStream.readEvents(spark, sf0001)
+    val deduped = EventsStream.dedupedStream(stream.unionByName(stream)) // inject exact duplicates
+    val q = EventsStream.runToMemory(
+      spark, deduped, "dedup_test", org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val n = spark.sql("SELECT count(DISTINCT event_id) AS d, count(*) AS n FROM dedup_test").collect().head
+      assert(n.getLong(0) === n.getLong(1), "every surviving row is a distinct id")
+      assert(n.getLong(1) === Tables.eventsRaw(spark, sf0001).count())
+    } finally q.stop()
+  }
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val ev = Tables.eventsRaw(spark, sf0001)
+    val salted = graft.operators.Skew
+      .saltedCountSum(ev, "event_type", "event_id", "value", nSalts = 8)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toMap
+    val direct = ev
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toMap
+    assert(salted === direct)
+  }
 }
