@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality audit over the ENTIRE query inventory — the properties
+  * that keep every query scale-safe, enforced as a regression gate:
+  * no cartesian products, no filter sitting on a scan that pushed
+  * nothing down, and the known dimension joins stay broadcast.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.explainString(FormattedMode)
+    }
+
+  test("no query plans a CartesianProduct") {
+    val bad = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
+  }
+
+  test("no filtering query leaves a scan with zero pushed predicates") {
+    // a filtered plan whose scans ALL push nothing means the filter
+    // runs entirely post-scan — the shape that dies at 100 TB
+    val offenders = plans.collect {
+      case (name, p)
+          if p.contains("Filter (") && p.contains("PushedFilters: []") &&
+            !raw"PushedFilters: \[[^\]]".r.findFirstIn(p).isDefined =>
+        name
+    }
+    assert(offenders.isEmpty, s"unpushed filter-over-scan in: ${offenders.mkString(", ")}")
+  }
+
+  test("dimension joins broadcast (no shuffle for nation/region lookups)") {
+    Seq("q_dim_rollup", "q_rollup").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"), s"$q should broadcast its dims")
+      assert(!plans(q).contains("SortMergeJoin"), s"$q must not sort-merge a dim join")
+    }
+  }
+
+  test("filter queries push their predicates into the parquet scan") {
+    Seq("q_like_scan", "q_temporal_filter", "q_semi_join", "q_asof_join").foreach { q =>
+      assert(
+        raw"PushedFilters: \[[^\]]".r.findFirstIn(plans(q)).isDefined,
+        s"$q should have non-empty PushedFilters"
+      )
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    Seq("q_topk", "q_q3_revenue").foreach { q =>
+      assert(plans(q).contains("TakeOrderedAndProject"), s"$q should use a per-partition heap")
+    }
+  }
+}
