@@ -98,6 +98,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprintQuery _),
     // text analysis (cont.)
     "q_tfidf" -> (TextOps.tfidfQuery _),
+    "q_pipeline" -> (TextOps.pipelineQuery _),
     // dedup family
     "q_dedup_exact" -> (Dedup.exactDupGroups _),
     "q_dedup_count" -> (Dedup.dedupCount _),
@@ -706,6 +707,30 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id AS media_id, length(text) AS len, unnest(range(4)) AS i
         |  FROM documents WHERE length(text) > 0)""".stripMargin,
+    "q_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN length(regexp_extract_all(text, '\w+')) > 0
+        |      THEN CAST(length(list_filter(regexp_extract_all(text, '\w+'),
+        |           w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(w)))) AS DOUBLE)
+        |           / length(regexp_extract_all(text, '\w+'))
+        |      ELSE 0.0 END AS stopword_ratio
+        |  FROM documents),
+        |gated AS (
+        |  SELECT * FROM q
+        |  WHERE n_chars >= 100.0 AND punct_ratio <= 0.2 AND stopword_ratio >= 0.01),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1)
+        |SELECT lang, count(*) AS docs_kept,
+        |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS total_tokens,
+        |  round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+        |FROM dedup GROUP BY lang""".stripMargin,
     "q_resize" ->
       """SELECT doc_id AS media_id,
         |  md5(substr(repeat(text, 32 // length(text) + 1), 1, 32)) AS resized_md5

@@ -192,6 +192,30 @@ object TextOps {
       .select($"source", $"term", $"tfidf", $"rank")
   }
 
+  /** ◆ Composed training-data pipeline — the canonical pre-training
+    * cleanup chain as ONE declarative plan: quality gate (length,
+    * punctuation, stopword evidence) → exact dedup keep-first (window
+    * over the content digest) → per-language corpus stats. Catalyst
+    * fuses the per-row stages into the scan; the dedup window and the
+    * final rollup are the only shuffles. */
+  def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"h").orderBy($"doc_id".asc)
+    Tables
+      .documents(s, dir)
+      .select(Seq($"doc_id", $"lang", $"text") ++ qualityCols($"text"): _*)
+      .filter($"n_chars" >= 100.0 && $"punct_ratio" <= 0.2 && $"stopword_ratio" >= 0.01)
+      .withColumn("h", md5($"text".cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1) // keep-first by doc_id within identical content
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("docs_kept"),
+        sum(tokenCols($"text")).cast("long").as("total_tokens"),
+        round(avg($"stopword_ratio"), 6).as("avg_stopword_ratio")
+      )
+  }
+
   /** ◆ Document fingerprints — winnowed hash count + an md5 digest of
     * the selected-hash sequence (hash-compared against the oracle's
     * recomputation). */
