@@ -20,7 +20,14 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word shingles (n-grams) as a pure column expression. */
+  /** Word shingles (n-grams) as a pure column expression.
+    *
+    * Measured note: a single-pass Scala UDF version of this is ~50%
+    * SLOWER at sf0.1 (1.5s → 2.3s for the Jaccard query) even though
+    * the HOF tree is interpreted — the UDF pays UTF8String↔String
+    * conversion + array boxing on every row, while the HOF pipeline
+    * stays on unsafe arrays. Used ONCE per pipeline (immediately
+    * exploded), so the round-1 inline-blowup hazard doesn't apply. */
   def shingles(text: Column, n: Int): Column = {
     val toks = regexp_extract_all(lower(text), lit("\\w+"), lit(0))
     // sliding n-grams via transform over start indices
