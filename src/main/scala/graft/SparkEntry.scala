@@ -64,6 +64,7 @@ object SparkEntry {
     "q_hourly" -> (Relational.hourlyRollup _),
     // §2.8 windows / analytics
     "q_rollup" -> (Windows.rollupQuery _),
+    "q_cube" -> (Windows.cubeQuery _),
     "q_pivot" -> (Windows.pivotQuery _),
     "q_percentiles" -> (Windows.percentilesQuery _),
     "q_lag_delta" -> (Windows.lagDeltaQuery _),
@@ -444,6 +445,12 @@ object SparkEntry {
         |FROM supplier, nation, region
         |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS suppliers
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS bucket,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -42,6 +42,23 @@ object Windows {
       )
   }
 
+  /** ◆ CUBE grouping sets — all four groupings (both dims, each dim,
+    * grand total) in one shuffle with grouping-id. */
+  def cubeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"n_name")
+      .agg(count(lit(1)).as("suppliers"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"suppliers"
+      )
+  }
+
   /** ◆ Pivot (types → columns) — map-side CASE aggregation, one
     * shuffle on the grouping key only. */
   def pivotQuery(s: SparkSession, dir: String): DataFrame = {
