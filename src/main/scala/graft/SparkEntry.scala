@@ -111,7 +111,8 @@ object SparkEntry {
     "q_ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q_ann_norm" -> (Similarity.normByLabel _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d)),
-    "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d))
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
+    "q_ann_refine" -> (Similarity.ivfRefineQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -840,6 +841,28 @@ object SparkEntry {
         |SELECT substr(iso, 1, 10) AS day, count(*) AS n,
         |  min(iso) AS first_iso, max(iso) AS last_iso
         |FROM iso GROUP BY 1""".stripMargin,
+    "q_ann_refine" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, cent.cell_id,
+        |    list_sum([(v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i]) for i in range(1, 65)]) AS dist
+        |  FROM v, cent),
+        |asg AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+        |    FROM d) WHERE rk = 1),
+        |dims AS (
+        |  SELECT asg.cell_id, t.j, avg(v.e[t.j]) AS m
+        |  FROM asg JOIN v USING (vec_id), range(1, 65) t(j)
+        |  GROUP BY asg.cell_id, t.j),
+        |norms AS (
+        |  SELECT cell_id, round(sqrt(sum(m * m)), 6) AS centroid_norm
+        |  FROM dims GROUP BY cell_id),
+        |counts AS (SELECT cell_id, count(*) AS n_assigned FROM asg GROUP BY cell_id)
+        |SELECT norms.cell_id, centroid_norm, n_assigned
+        |FROM norms JOIN counts ON norms.cell_id = counts.cell_id""".stripMargin,
     "q_ann_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),

@@ -259,6 +259,30 @@ object Similarity {
       .select($"vec_id", round($"cos_sim", 6).as("cos_sim"))
   }
 
+  /** ◆ One k-means-lite Lloyd iteration under the oracle: assign to
+    * the 8 seed cells, recompute per-cell mean vectors (posexplode →
+    * (cell, dim) partial-agg avgs — elementwise array averaging that
+    * never leaves the agg path), report refined-centroid norms +
+    * assignment counts. */
+  def ivfRefineQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .filter($"vec_id" < 8)
+      .select($"vec_id".as("cell_id"), asDouble($"embedding").as("centroid"))
+    val assigned = ivfAssign(emb, centroids).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refined = refineCentroids(assigned)
+    val counts = assigned.groupBy($"cell_id").agg(count(lit(1)).as("n_assigned"))
+    refined
+      .join(counts, Seq("cell_id"))
+      .select(
+        $"cell_id",
+        round(sqrt(aggregate(transform($"centroid", x => x * x), lit(0.0), (a, x) => a + x)), 6)
+          .as("centroid_norm"),
+        $"n_assigned"
+      )
+  }
+
   /** ◆ Vector-norm rollup by label — array math through the agg path. */
   def normByLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
