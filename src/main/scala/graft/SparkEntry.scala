@@ -72,6 +72,7 @@ object SparkEntry {
     "q_sessionize" -> (Windows.sessionizeQuery _),
     "q_asof_join" -> (Windows.asofJoinQuery _),
     "q_gapfill" -> (Windows.gapfillQuery _),
+    "q_trailing_window" -> (Windows.trailingWindowQuery _),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -522,6 +523,19 @@ object SparkEntry {
         |  CAST(coalesce(counts.cnt, 0) AS BIGINT) AS n
         |FROM spine CROSS JOIN types
         |LEFT JOIN counts ON counts.h = spine.h AND counts.event_type = types.event_type""".stripMargin,
+    "q_trailing_window" ->
+      """SELECT event_type,
+        |  round(avg(trail_n), 4) AS avg_trail_n,
+        |  round(avg(trail_sum), 4) AS avg_trail_sum,
+        |  max(trail_n) AS max_trail_n
+        |FROM (
+        |  SELECT event_type,
+        |    count(*) OVER w AS trail_n,
+        |    sum(value) OVER w AS trail_sum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |GROUP BY event_type""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(value), 4) AS avg_value

@@ -167,6 +167,30 @@ object Windows {
       .select($"event_id", ($"ts" - $"last_click").as("gap_us"))
   }
 
+  /** ◆ Trailing time-RANGE frame — per event, the count/sum of the
+    * user's events in the preceding hour (range frame over the µs
+    * timeline, not a row frame), rolled up by type. The range frame is
+    * evaluated per partition with a sliding pointer — no self-join
+    * against the time axis. */
+  def trailingWindowQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc)
+      .rangeBetween(-3600000000L, 0L) // 1 hour in µs
+    Tables
+      .eventsRaw(s, dir)
+      .withColumn("ts", expr("ts div 1000"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum($"value").over(w))
+      .groupBy($"event_type")
+      .agg(
+        round(avg($"trail_n"), 4).as("avg_trail_n"),
+        round(avg($"trail_sum"), 4).as("avg_trail_sum"),
+        max($"trail_n").as("max_trail_n")
+      )
+  }
+
   /** ◆ Gap-filled hourly series — dense time spine (sequence/explode) ×
     * dimension values, left join the sparse counts, zero-fill. The spine
     * is generated, never collected. */
