@@ -113,7 +113,8 @@ object SparkEntry {
     "q_ann_norm" -> (Similarity.normByLabel _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
-    "q_ann_refine" -> (Similarity.ivfRefineQuery _)
+    "q_ann_refine" -> (Similarity.ivfRefineQuery _),
+    "q_ann_batch" -> (Similarity.batchTopKQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -855,6 +856,19 @@ object SparkEntry {
         |SELECT substr(iso, 1, 10) AS day, count(*) AS n,
         |  min(iso) AS first_iso, max(iso) AS last_iso
         |FROM iso GROUP BY 1""".stripMargin,
+    "q_ann_batch" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, v.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(v.e, q.qe), 6) AS cos_sim
+        |  FROM v, q WHERE v.vec_id <> q.query_id)
+        |SELECT query_id, corpus_id, cos_sim, rank FROM (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     "q_ann_refine" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),

@@ -259,6 +259,17 @@ object Similarity {
       .select($"vec_id", round($"cos_sim", 6).as("cos_sim"))
   }
 
+  /** ◆ Batch retrieval under the oracle: top-3 neighbours for EVERY
+    * vector in a (broadcast) 5-query set — corpus scan stays
+    * partition-local until the per-query heap; ranking on the rounded
+    * cosine with id tie-break keeps the order engine-independent. */
+  def batchTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    topKForQueries(emb, emb.filter($"vec_id" < 5), k = 3)
+      .select($"query_id", $"corpus_id", $"cos_sim", $"rank")
+  }
+
   /** ◆ One k-means-lite Lloyd iteration under the oracle: assign to
     * the 8 seed cells, recompute per-cell mean vectors (posexplode →
     * (cell, dim) partial-agg avgs — elementwise array averaging that
