@@ -79,6 +79,8 @@ object SparkEntry {
     "q_base64" -> (Scalars.base64Query _),
     "q_path_ops" -> (Scalars.pathOpsQuery _),
     "q_mime" -> (Scalars.mimeQuery _),
+    "q_iso_parse" -> (Scalars.isoParseQuery _),
+    "q_wkt_bbox" -> (Scalars.wktBboxQuery _),
     "q_epsg" -> (Scalars.epsgQuery _),
     "q_bytes_human" -> (Scalars.bytesHumanQuery _),
     // §2.2/§2.7 geospatial (◇ as column math)
@@ -600,6 +602,43 @@ object SparkEntry {
         |    'PROJCS["utm",GEOGCS["wgs84",AUTHORITY["EPSG","4326"]],AUTHORITY["EPSG","326'
         |      || (n_nationkey % 60 + 1) || '"]]' AS wkt
         |  FROM nation)""".stripMargin,
+    "q_iso_parse" ->
+      """WITH t AS (
+        |  SELECT user_id % 25 - 12 AS offset_h,
+        |    strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000), '%Y-%m-%dT%H:%M:%S')
+        |      || CASE WHEN user_id % 25 - 12 < 0 THEN '-' ELSE '+' END
+        |      || lpad(CAST(abs(user_id % 25 - 12) AS VARCHAR), 2, '0')
+        |      || ':' || CASE WHEN user_id % 2 = 0 THEN '00' ELSE '30' END AS iso
+        |  FROM events)
+        |SELECT offset_h, count(*) AS n,
+        |  CAST(min(epoch(strptime(iso, '%Y-%m-%dT%H:%M:%S%z'))) AS BIGINT) AS min_epoch,
+        |  CAST(max(epoch(strptime(iso, '%Y-%m-%dT%H:%M:%S%z'))) AS BIGINT) AS max_epoch
+        |FROM t GROUP BY offset_h""".stripMargin,
+    "q_wkt_bbox" ->
+      """WITH c AS (
+        |  SELECT event_type, (event_id * 7919 % 36000) - 18000 AS x,
+        |         (event_id * 104729 % 18000) - 9000 AS y
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    'POLYGON ((' || x || ' ' || y || ', ' || (x+500) || ' ' || y || ', '
+        |      || (x+500) || ' ' || (y+500) || ', ' || x || ' ' || (y+500) || ', '
+        |      || x || ' ' || y || '))' AS wkt
+        |  FROM c),
+        |p AS (
+        |  SELECT event_type,
+        |    regexp_extract_all(wkt, '(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)', 0) AS pairs
+        |  FROM w),
+        |b AS (
+        |  SELECT event_type,
+        |    list_min([CAST(string_split_regex(q, '\s+')[1] AS DOUBLE) for q in pairs]) AS w,
+        |    list_min([CAST(string_split_regex(q, '\s+')[2] AS DOUBLE) for q in pairs]) AS s,
+        |    list_max([CAST(string_split_regex(q, '\s+')[1] AS DOUBLE) for q in pairs]) AS e,
+        |    list_max([CAST(string_split_regex(q, '\s+')[2] AS DOUBLE) for q in pairs]) AS n
+        |  FROM p)
+        |SELECT event_type, count(*) AS n_rings,
+        |  min(w) AS min_w, max(e) AS max_e, min(s) AS min_s, max(n) AS max_n
+        |FROM b GROUP BY event_type""".stripMargin,
     "q_bytes_human" ->
       """SELECT unit, count(*) AS n, round(avg(scaled), 4) AS avg_scaled
         |FROM (

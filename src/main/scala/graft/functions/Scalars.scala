@@ -150,6 +150,59 @@ object Scalars {
       .agg(count(lit(1)).as("n"), min($"iso").as("first_iso"), max($"iso").as("last_iso"))
   }
 
+  /** ◆ ISO8601-with-offset parse (`stac.cpp:245-334`): ±HH:MM offset
+    * strings built from events, parsed back to epoch seconds (the
+    * offset math the reference hand-rolls), rolled up per offset hour.
+    * Both engines build and parse the same strings. */
+  def isoParseQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val local = date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss")
+    val oh = ($"user_id" % 25) - 12
+    val om = when($"user_id" % 2 === 0, "00").otherwise("30")
+    val isoStr = concat(
+      local,
+      when(oh < 0, "-").otherwise("+"),
+      lpad(abs(oh).cast("string"), 2, "0"),
+      lit(":"),
+      om
+    )
+    ev.select(oh.as("offset_h"), graft.functions.Formats.parseIso8601(isoStr).as("epoch_s"))
+      .groupBy($"offset_h")
+      .agg(count(lit(1)).as("n"), min($"epoch_s").as("min_epoch"), max($"epoch_s").as("max_epoch"))
+  }
+
+  /** ◆ WKT POLYGON bbox parse (`database.cpp:495-530`): WKT rings built
+    * from integer milli-degree corners (integer text is formatted
+    * identically in both engines), parsed back to [w,s,e,n] with the
+    * regex + min/max fold, rolled up per event type. */
+  def wktBboxQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir)
+    val xi = ($"event_id" * 7919 % 36000) - 18000 // milli-degree-ish ints
+    val yi = ($"event_id" * 104729 % 18000) - 9000
+    val wkt = concat(
+      lit("POLYGON (("),
+      xi, lit(" "), yi, lit(", "),
+      xi + 500, lit(" "), yi, lit(", "),
+      xi + 500, lit(" "), yi + 500, lit(", "),
+      xi, lit(" "), yi + 500, lit(", "),
+      xi, lit(" "), yi,
+      lit("))")
+    )
+    val bbox = graft.functions.Formats.wktPolygonBbox(wkt)
+    ev.select($"event_type", bbox.as("b"))
+      .select($"event_type", $"b.w".as("w"), $"b.s".as("s"), $"b.e".as("e"), $"b.n".as("n"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_rings"),
+        min($"w").as("min_w"),
+        max($"e").as("max_e"),
+        min($"s").as("min_s"),
+        max($"n").as("max_n")
+      )
+  }
+
   /** ◆ path derivation — depth / parent / extension / LIKE scoping
     * (ref `dbops.cpp:1296`, `mio.cpp` path helpers) over synthetic
     * paths built from the documents table. */
