@@ -31,6 +31,9 @@ object Bench {
       val secs =
         try math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
         catch { case _: Throwable => -1.0 }
+        // drop blocks persisted inside the query plan — cached
+        // intermediates must not accumulate across the 80-query session
+        finally spark.catalog.clearCache()
       name -> secs
     }
     val qs = results

@@ -189,7 +189,7 @@ object SparkEntry {
        |  SELECT vec_id, t, b, sum(e[j + 1] * w) AS d
        |  FROM v, planes GROUP BY vec_id, t, b),
        |buckets AS (
-       |  SELECT vec_id, t, CAST(sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN round(d, 12) >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, t),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
@@ -706,7 +706,8 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, text,
         |    [unicode(text[i]) for i in range(1, length(text) + 1)] AS cs
-        |  FROM documents)""".stripMargin,
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text))""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT
@@ -768,7 +769,8 @@ object SparkEntry {
         |  CAST(least((len * i) // 4 + 16, len) - (len * i) // 4 AS INT) AS frame_bytes
         |FROM (
         |  SELECT doc_id AS media_id, length(text) AS len, unnest(range(4)) AS i
-        |  FROM documents WHERE length(text) > 0)""".stripMargin,
+        |  FROM documents
+        |  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text))""".stripMargin,
     "q_pipeline" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text,
@@ -796,7 +798,8 @@ object SparkEntry {
     "q_resize" ->
       """SELECT doc_id AS media_id,
         |  md5(substr(repeat(text, 32 // length(text) + 1), 1, 32)) AS resized_md5
-        |FROM documents WHERE length(text) > 0""".stripMargin,
+        |FROM documents
+        |WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)""".stripMargin,
     "q_upsert" ->
       """WITH idx AS (
         |  SELECT CAST(event_id AS VARCHAR) AS path, CAST(value AS VARCHAR) AS hash,
@@ -951,7 +954,7 @@ object SparkEntry {
         |res AS (
         |  SELECT v.vec_id, list_cosine_similarity(v.e, q.e) AS cs
         |  FROM asg JOIN probe USING (cell_id) JOIN v ON v.vec_id = asg.vec_id CROSS JOIN q)
-        |SELECT vec_id, round(cs, 6) AS cos_sim FROM res ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin,
+        |SELECT vec_id, round(cs, 6) AS cos_sim FROM res ORDER BY round(cs, 6) DESC, vec_id LIMIT 10""".stripMargin,
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

@@ -92,7 +92,9 @@ object Similarity {
           lit(0.0),
           (acc, x) => acc + x
         )
-        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+        // quantize before the sign test: the bucket bit must not flip
+        // on last-ulp accumulation-order differences between engines
+        when(round(d, 12) >= 0, lit(1L << b)).otherwise(lit(0L))
       }
       .reduce(_ + _)
   }
@@ -158,7 +160,8 @@ object Similarity {
           var j = 0
           val n = math.min(arr.length, dim)
           while (j < n) { d += arr(j) * p(j); j += 1 }
-          if (d >= 0) bucket |= (1L << bit)
+          // quantized sign test — order-insensitive across engines
+          if (math.rint(d * 1e12) >= 0) bucket |= (1L << bit)
           bit += 1
         }
         bucket
@@ -185,14 +188,18 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cell_id"))
   }
 
-  /** Deterministic centroid seed set: the first `nCells` vectors by id. */
+  /** Deterministic centroid seed set: the first `nCells` vectors by id.
+    * Cell ids come from `row_number() - 1` over the (tiny) limited set —
+    * `monotonically_increasing_id` after a sorted limit is fragile under
+    * AQE partition coalescing. */
   def seedCentroids(s: SparkSession, dir: String, nCells: Int): DataFrame = {
     import s.implicits._
+    val w = Window.orderBy($"vec_id")
     Tables
       .embeddings(s, dir)
       .orderBy($"vec_id")
       .limit(nCells)
-      .select(monotonically_increasing_id().as("cell_id"), asDouble($"embedding").as("centroid"))
+      .select((row_number().over(w) - 1).cast("long").as("cell_id"), asDouble($"embedding").as("centroid"))
   }
 
   /** One Lloyd iteration: average assigned vectors per cell — running
@@ -232,7 +239,10 @@ object Similarity {
       .select("cell_id")
     assigned
       .join(broadcast(probeCells), Seq("cell_id")) // partition-pruning join: untouched cells never scan
-      .select(col("vec_id"), fastCosine(s)(col("v"), q).as("cos_sim"))
+      // rank on the ROUNDED cosine (with the id tie-break) so a
+      // last-ulp engine difference near the k-cutoff can't pick
+      // different rows — same convention as topKForQueries
+      .select(col("vec_id"), round(fastCosine(s)(col("v"), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -256,7 +266,6 @@ object Similarity {
       .head()
       .getSeq[Double](0)
     ivfSearch(s, assigned, centroids, queryVec, k, nProbe)
-      .select($"vec_id", round($"cos_sim", 6).as("cos_sim"))
   }
 
   /** ◆ Batch retrieval under the oracle: top-3 neighbours for EVERY

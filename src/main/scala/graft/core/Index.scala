@@ -130,13 +130,12 @@ object Index {
   }
 
   /** Paging in the STAC shape (`stac.cpp:666-680`): ORDER BY path
-    * LIMIT/OFFSET via row_number so the plan stays distributed. */
-  def page(df: DataFrame, limit: Int, offset: Int): DataFrame = {
-    val w = Window.orderBy("path")
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > offset && col("__rn") <= offset + limit)
-      .drop("__rn")
-  }
+    * LIMIT/OFFSET. Spark plans `orderBy.offset.limit` as a
+    * TakeOrderedAndProject (per-partition heap + driver merge of
+    * offset+limit rows) — no global sort and no single-task window,
+    * so the page stays distributed at any index size. */
+  def page(df: DataFrame, limit: Int, offset: Int): DataFrame =
+    df.orderBy("path").offset(offset).limit(limit)
 
   /** Nested-dataset scan — ref `entry.cpp:961-980`: roll a child index
     * up into ONE entry row of the parent (type=DroneDB, size=SUM(size),

@@ -14,21 +14,26 @@ object Sync {
   /** Stamp checksum — ref `database.cpp:288-331`: an *ordered* SHA256
     * fold over (path, hash) pairs in path order, then meta ids in id
     * order. Order-sensitive, so never a commutative aggregate (SURVEY
-    * §7.4.1): sort distributed, collect the (small) digest inputs to
-    * the driver, fold once. Index cardinality is file-count-sized, not
-    * data-sized, so the collect is bounded.
+    * §7.4.1): sort distributed, then *stream* the digest inputs to the
+    * driver one partition at a time via `toLocalIterator` — a global
+    * sort range-partitions the data, so partition-by-partition
+    * iteration preserves global order and driver memory stays bounded
+    * by one partition even at a 100M-file index.
     */
   def stampChecksum(entries: DataFrame, meta: DataFrame): String = {
+    import scala.jdk.CollectionConverters._
     val md = MessageDigest.getInstance("SHA-256")
     entries
       .select(col("path"), col("hash"))
       .orderBy("path")
-      .collect()
+      .toLocalIterator()
+      .asScala
       .foreach { r => md.update(r.getString(0).getBytes("UTF-8")); md.update(r.getString(1).getBytes("UTF-8")) }
     meta
       .select(col("id"))
       .orderBy("id")
-      .collect()
+      .toLocalIterator()
+      .asScala
       .foreach(r => md.update(r.getString(0).getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }

@@ -72,10 +72,16 @@ object Multimodal {
   private val frameSampleUdf = udf((p: Array[Byte], n: Int, len: Int) => StubCodecs.frameSample(p, n, len))
 
   /** Synthesize a media table from the documents fixture (payload =
-    * utf-8 bytes) — keeps the binary-column path testable offline. */
+    * utf-8 bytes) — keeps the binary-column path testable offline.
+    * ASCII-only guard (`octet_length == char length`): the Spark side
+    * iterates payload BYTES while the DuckDB oracle iterates text
+    * CODEPOINTS, which agree exactly on ASCII — a non-ASCII document in
+    * a future fixture would silently diverge, so it is excluded on both
+    * sides by the same engine-neutral predicate. */
   def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
     graft.Tables
       .documents(s, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
       .select(
         col("doc_id").as("media_id"),
         lit("image").as("kind"),
@@ -123,7 +129,7 @@ object Multimodal {
     * 32-byte output, digest-compared (the oracle rebuilds the cycled
     * prefix with repeat+substr over the ASCII payload). */
   def resizeQuery(s: SparkSession, dir: String): DataFrame =
-    resizeAll(mediaFromDocuments(s, dir), outLen = 32)
+    resizeAll(mediaFromDocuments(s, dir).filter(length(col("payload")) > 0), outLen = 32)
       .select(col("media_id"), md5(col("payload")).as("resized_md5"))
 
   /** ◆ Frame sampling under the oracle — pure integer slice math

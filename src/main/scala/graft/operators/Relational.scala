@@ -495,10 +495,13 @@ object Relational {
   }
 
   /** ◆ STAC ItemCollection shape (`stac.cpp:597-713`): geometry
-    * presence + bbox + temporal filter, numberMatched as a window
-    * count, ORDER BY path LIMIT/OFFSET page — one filtered scan, the
-    * count and the page share it. Paths are zero-padded so lexicographic
-    * order is the numeric order. */
+    * presence + bbox + temporal filter, numberMatched as a separate
+    * count aggregate broadcast onto the ORDER BY path LIMIT/OFFSET
+    * page — the reference itself runs two queries
+    * (`stac.cpp:654-664` count + `666-680` page), and the two-scan
+    * shape avoids the single-partition global-window funnel at scale.
+    * Paths are zero-padded so lexicographic order is the numeric
+    * order. */
   def stacPageQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val entries = Tables
@@ -512,11 +515,12 @@ object Relational {
     val filtered = entries
       .filter($"lon" >= -90.0 && $"lon" <= 90.0 && $"lat" >= -45.0 && $"lat" <= 45.0)
       .filter($"instant" >= 1704844800L) // 2024-01-10T00:00:00Z
+    val matched = filtered.agg(count(lit(1)).as("matched"))
     filtered
-      .withColumn("matched", count(lit(1)).over(Window.partitionBy()))
       .orderBy($"path")
       .offset(3)
       .limit(10)
+      .crossJoin(broadcast(matched))
       .select($"path", $"lon", $"lat", $"instant", $"matched")
   }
 

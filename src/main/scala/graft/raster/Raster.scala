@@ -50,12 +50,25 @@ object Raster {
       stddev_pop("value").as("stddev"),
       count(lit(1)).as("pixelCount")
     )
-    val w = Window.orderBy(col("value").asc)
-    val median = v
-      .select(col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over())
-      .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+    // Exact discrete median without sorting raw pixels through one
+    // task: count per DISTINCT value (partial-agg shuffle), then a
+    // cumulative-count window over the distinct values only — the
+    // single-task window input is bounded by value cardinality, not
+    // pixel count. Middle positions come from a broadcast total.
+    val counts = v.groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val w = Window
+      .orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+    val total = v.agg(count(lit(1)).as("n"))
+    val median = ranked
+      .crossJoin(broadcast(total))
+      .filter(
+        (col("lo") <= expr("(n + 1) div 2") && expr("(n + 1) div 2") <= col("hi")) ||
+          (col("lo") <= expr("(n + 2) div 2") && expr("(n + 2) div 2") <= col("hi"))
+      )
       .agg(avg("value").as("median")) // even count → mean of the two middles, ref :414-416
     base.crossJoin(median)
   }

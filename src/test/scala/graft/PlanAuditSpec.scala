@@ -52,4 +52,23 @@ class PlanAuditSpec extends SparkSuite {
       assert(plans(q).contains("TakeOrderedAndProject"), s"$q should use a per-partition heap")
     }
   }
+
+  test("no query plans an unpartitioned Window over raw (non-aggregated) rows") {
+    // Window with an empty partitionSpec funnels EVERY input row
+    // through one task — the classic scale-killer. It is tolerable
+    // only when the window input is already an aggregate (cardinality
+    // bounded by group count, e.g. a cumulative sum over distinct
+    // values), never over raw scan output.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val bad = SparkEntry.queries.keys.filter { name =>
+      SparkEntry
+        .queries(name)(spark, sf0001)
+        .queryExecution
+        .sparkPlan
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .exists(!_.child.exists { case _: BaseAggregateExec => true; case _ => false })
+    }
+    assert(bad.isEmpty, s"unpartitioned raw-row window in: ${bad.mkString(", ")}")
+  }
 }
