@@ -86,6 +86,7 @@ object SparkEntry {
     // §2.2/§2.7 geospatial (◇ as column math)
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
+    "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
     "q_haversine" -> (graft.geo.GeoQueries.haversineQuery _),
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
@@ -677,6 +678,37 @@ object SparkEntry {
         |         1023 - greatest(0, CAST(ceil(((my + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / 1024)) / 256.0) AS BIGINT) - 1) AS ty_xyz
         |  FROM m)
         |SELECT tx, ty_xyz, count(*) AS n FROM t GROUP BY tx, ty_xyz""".stripMargin,
+    "q_tile_pyramid" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 400 AS DOUBLE) AS x,
+        |         CAST((event_id // 400) % 400 AS DOUBLE) AS y,
+        |         value
+        |  FROM events),
+        |mm AS (SELECT min(value) AS mn, max(value) AS mxv FROM px),
+        |plane AS (
+        |  SELECT
+        |    CASE WHEN mxv - mn <= 0 THEN 0
+        |         ELSE least(255, greatest(0, CAST(round((value - mn) / (mxv - mn) * 255.0) AS INT))) END AS byte,
+        |    -10.0 + (x + 0.5) * 0.001 AS lon,
+        |    40.0 - (y + 0.5) * 0.001 AS lat
+        |  FROM px, mm),
+        |m AS (
+        |  SELECT byte,
+        |    lon * (pi() * 6378137.0) / 180.0 AS mxm,
+        |    ln(tan((90.0 + lat) * pi() / 360.0)) / (pi() / 180.0) * (pi() * 6378137.0) / 180.0 AS mym
+        |  FROM plane),
+        |zoomed AS (SELECT byte, mxm, mym, z FROM m CROSS JOIN (SELECT unnest([12, 13, 14]) AS z) zs),
+        |t AS (
+        |  SELECT z,
+        |    greatest(0, CAST(ceil(((mxm + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / power(2, z)) ) / 256.0) AS BIGINT) - 1) AS tx,
+        |    CAST(power(2, z) AS BIGINT) - 1
+        |      - greatest(0, CAST(ceil(((mym + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / power(2, z)) ) / 256.0) AS BIGINT) - 1) AS ty,
+        |    byte
+        |  FROM zoomed)
+        |SELECT z, tx, ty, CAST(count(*) AS BIGINT) AS n_px,
+        |  min(byte) AS byte_min, max(byte) AS byte_max,
+        |  round(avg(byte), 4) AS byte_mean
+        |FROM t GROUP BY z, tx, ty""".stripMargin,
     "q_haversine" ->
       """WITH pts AS (
         |  SELECT user_id, ts, event_id, event_type,

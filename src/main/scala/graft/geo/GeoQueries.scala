@@ -63,6 +63,81 @@ object GeoQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Tile-pyramid core (`gdaltiler.cpp:158-380`): the tiler's
+    * warp-once / per-tile-window pipeline as one relational flow.
+    * Input pixels carry (lon, lat, byte); each pixel is assigned its
+    * web-mercator (z, tx, ty) tile id at EVERY pyramid zoom
+    * (explode), then one partial-agg shuffle materializes per-tile
+    * band stats. The groupBy exchange IS the per-tile window read: at
+    * cluster scale pixels hash-partition by tile id, so each task
+    * assembles complete tiles and untouched tiles never exist — the
+    * same access pattern as the reference's per-tile windowed read,
+    * minus the PNG byte encoder (declared out of relational scope).
+    * Tile ids are XYZ (y-flipped from TMS, `tiler.cpp:219-221`). */
+  def tilePyramid(pixels: DataFrame, zooms: Seq[Int]): DataFrame = {
+    val originShift = math.Pi * 6378137.0
+    val zoomed = pixels
+      .withColumn("mx_m", col("lon") * originShift / 180.0)
+      .withColumn(
+        "my_m",
+        log(tan((lit(90.0) + col("lat")) * math.Pi / 360.0)) / (math.Pi / 180.0) * originShift / 180.0
+      )
+      .withColumn("z", explode(array(zooms.map(z => lit(z)): _*)))
+    val res = lit(2 * math.Pi * 6378137.0 / 256.0) / pow(lit(2.0), col("z"))
+    def tileIdx(m: Column): Column =
+      greatest(lit(0L), ceil(((m + originShift) / res) / 256.0).cast("long") - 1)
+    zoomed
+      .withColumn("tx", tileIdx(col("mx_m")))
+      .withColumn("ty", pow(lit(2.0), col("z")).cast("long") - 1 - tileIdx(col("my_m")))
+      .groupBy(col("z"), col("tx"), col("ty"))
+      .agg(
+        count(lit(1)).as("n_px"),
+        min(col("byte")).as("byte_min"),
+        max(col("byte")).as("byte_max"),
+        round(avg(col("byte")), 4).as("byte_mean")
+      )
+  }
+
+  /** Materialize a tile pyramid partitioned by zoom: one parquet
+    * directory per z level (partition pruning serves "give me level
+    * 14" without touching the rest), clustered by tx inside each
+    * level so a viewport read hits few files. The byte-encode step
+    * (PNG/COG) would map over these grouped rows. */
+  def writeTilePyramid(tiles: DataFrame, path: String): Unit =
+    tiles
+      .repartition(col("z"), col("tx"))
+      .write
+      .partitionBy("z")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** ◆ Tile-pyramid materialization under the oracle
+    * (`gdaltiler.cpp:158-380`, behavior spec `tests/tiler_test.cpp:
+    * 18-230`): synthesize a north-up pixel plane from the events table
+    * (affine gt: origin (−10°, 40°), 0.001°/px, pixel-center sampling),
+    * byte-rescale the band once with the GLOBAL min/max
+    * (`tiler.cpp:106-131` — the tiler normalizes before cutting
+    * tiles), then cut zooms 12–14. The min/max scalars ride a 1-row
+    * broadcast, never a second pass per tile. */
+  def tilePyramidQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val px = Tables
+      .eventsRaw(s, dir)
+      .select(expr("event_id % 400").cast("double").as("x"), expr("(event_id div 400) % 400").cast("double").as("y"), $"value")
+    val mm = px.agg(min($"value").as("mn"), max($"value").as("mxv"))
+    val plane = px
+      .crossJoin(broadcast(mm))
+      .withColumn(
+        "byte",
+        when($"mxv" - $"mn" <= 0, lit(0))
+          .otherwise(least(lit(255), greatest(lit(0), round(($"value" - $"mn") / ($"mxv" - $"mn") * 255.0).cast("int"))))
+      )
+      .withColumn("lon", lit(-10.0) + ($"x" + 0.5) * 0.001)
+      .withColumn("lat", lit(40.0) - ($"y" + 0.5) * 0.001)
+      .select($"lon", $"lat", $"byte")
+    tilePyramid(plane, Seq(12, 13, 14))
+  }
+
   /** ◆ Haversine track distance — consecutive-fix distance per user
     * (ordered window lag), rolled up by event type. Identical operation
     * sequence on both engines (explicit *π/180, squares via
