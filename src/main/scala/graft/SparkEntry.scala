@@ -87,6 +87,7 @@ object SparkEntry {
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
+    "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
     "q_haversine" -> (graft.geo.GeoQueries.haversineQuery _),
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
@@ -203,7 +204,47 @@ object SparkEntry {
        |FROM scored WHERE cs >= $minCos""".stripMargin
   }
 
+  /** Generated CRS oracle: Lambert Conformal Conic 2SP forward +
+    * 4-iteration unrolled inverse with the SAME projection constants
+    * (shortest-repr doubles) interpolated into both engines — see
+    * `GeoQueries.crsTransformQuery`. */
+  private def crsOracle: String = {
+    val p = graft.geo.Crs.forEpsg(31370).get.asInstanceOf[graft.geo.Crs.LambertConformalConic2SP]
+    val e = p.ell.e; val aF = p.ell.a * p.bigF; val n = p.n
+    val fe = p.fe; val fn = p.fn; val lon0 = p.lon0; val r0 = p.r0
+    val eHalf = e / 2; val invN = 1.0 / n
+    def it(prev: String): String =
+      s"pi() / 2 - 2.0 * atan(tp * power((1.0 - $e * sin($prev)) / (1.0 + $e * sin($prev)), $eHalf))"
+    s"""WITH pts AS (SELECT DISTINCT event_id % 25 AS pt_id FROM events),
+       |g AS (
+       |  SELECT pt_id, 2.6 + pt_id * 0.15 AS lon, 49.6 + ((pt_id * 7) % 25) * 0.08 AS lat
+       |  FROM pts),
+       |f AS (
+       |  SELECT pt_id,
+       |    $aF * power(tan(pi() / 4 - (lat * pi() / 180.0) / 2)
+       |      / power((1.0 - $e * sin(lat * pi() / 180.0)) / (1.0 + $e * sin(lat * pi() / 180.0)), $eHalf), $n) AS r,
+       |    $n * ((lon - $lon0) * pi() / 180.0) AS theta
+       |  FROM g),
+       |prj AS (
+       |  SELECT pt_id, $fe + r * sin(theta) AS easting, $fn + $r0 - r * cos(theta) AS northing
+       |  FROM f),
+       |d AS (
+       |  SELECT pt_id, easting, northing, easting - $fe AS dx, $r0 - (northing - $fn) AS dy
+       |  FROM prj),
+       |i0 AS (SELECT *, power(sqrt(dx * dx + dy * dy) / $aF, $invN) AS tp FROM d),
+       |i1 AS (SELECT *, pi() / 2 - 2.0 * atan(tp) AS p0 FROM i0),
+       |i2 AS (SELECT *, ${it("p0")} AS p1 FROM i1),
+       |i3 AS (SELECT *, ${it("p1")} AS p2 FROM i2),
+       |i4 AS (SELECT *, ${it("p2")} AS p3 FROM i3),
+       |i5 AS (SELECT *, ${it("p3")} AS p4 FROM i4)
+       |SELECT pt_id, round(easting, 3) AS easting, round(northing, 3) AS northing,
+       |  round((atan2(dx, dy) / $n) * 180.0 / pi() + $lon0, 6) AS lon_rt,
+       |  round(p4 * 180.0 / pi(), 6) AS lat_rt
+       |FROM i5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_crs_transform" -> crsOracle,
     "q_minhash" -> minhashOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> lshOracle,

@@ -138,6 +138,58 @@ object GeoQueries {
     tilePyramid(plane, Seq(12, 13, 14))
   }
 
+  /** ◆ Dataset-scale CRS reprojection (`entry.cpp:368-389` — the
+    * reference warps footprints per file through PROJ; at warehouse
+    * scale the same transform is a column expression over millions of
+    * coordinates). Forward Lambert Conformal Conic 2SP (EPSG:31370,
+    * Belgian Lambert 72) then the inverse as FOUR UNROLLED fixed-point
+    * iterations — deterministic on both engines, error ≪ the 1e-6°
+    * output rounding. Projection constants (n, a·F, e) are computed
+    * once by `Crs` and injected as identical literals into this plan
+    * AND the SQL oracle, so both engines start from bit-equal
+    * parameters. All codegen'd column math, no UDF. */
+  def crsTransformQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = graft.geo.Crs.forEpsg(31370).get.asInstanceOf[graft.geo.Crs.LambertConformalConic2SP]
+    val (e, aF, n, fe, fn) = (p.ell.e, p.ell.a * p.bigF, p.n, p.fe, p.fn)
+    val lon0 = p.lon0
+    def rad(c: Column): Column = c * math.Pi / 180.0
+    def deg(c: Column): Column = c * 180.0 / math.Pi
+    val pts = Tables
+      .eventsRaw(s, dir)
+      .select(($"event_id" % 25).as("pt_id"))
+      .distinct()
+      .withColumn("lon", lit(2.6) + $"pt_id" * 0.15)
+      .withColumn("lat", lit(49.6) + (($"pt_id" * 7) % 25) * 0.08)
+    val latR = rad($"lat")
+    val tC = tan(lit(math.Pi / 4) - latR / 2) /
+      pow((lit(1.0) - sin(latR) * e) / (lit(1.0) + sin(latR) * e), e / 2)
+    val r = lit(aF) * pow(tC, n)
+    val theta = lit(n) * rad($"lon" - lon0)
+    val fwd = pts
+      .withColumn("easting", lit(fe) + r * sin(theta))
+      .withColumn("northing", lit(fn) + lit(p.r0) - r * cos(theta))
+    // inverse from the projected columns only (r0 = 0 for 31370)
+    val dx = $"easting" - fe
+    val dy = lit(p.r0) - ($"northing" - fn)
+    val rp = sqrt(dx * dx + dy * dy)
+    val tp = pow(rp / aF, 1.0 / n)
+    def iter(phi: Column): Column =
+      lit(math.Pi / 2) - lit(2.0) * atan(tp * pow((lit(1.0) - sin(phi) * e) / (lit(1.0) + sin(phi) * e), e / 2))
+    val phi0 = lit(math.Pi / 2) - lit(2.0) * atan(tp)
+    val phi = iter(iter(iter(iter(phi0))))
+    fwd
+      .withColumn("lon_rt", round(deg(atan2(dx, dy) / n) + lon0, 6))
+      .withColumn("lat_rt", round(deg(phi), 6))
+      .select(
+        $"pt_id",
+        round($"easting", 3).as("easting"),
+        round($"northing", 3).as("northing"),
+        $"lon_rt",
+        $"lat_rt"
+      )
+  }
+
   /** ◆ Haversine track distance — consecutive-fix distance per user
     * (ordered window lag), rolled up by event type. Identical operation
     * sequence on both engines (explicit *π/180, squares via

@@ -19,14 +19,24 @@ object GeoTiff {
       bands: Int,
       bitsPerSample: Int,
       georeferenced: Boolean,
-      geotransform: Option[Array[Double]] // GDAL gt0..gt5
+      geotransform: Option[Array[Double]], // GDAL gt0..gt5
+      epsg: Option[Int] = None // ProjectedCSType/GeographicType geokey
   ) {
-    /** 4-corner footprint ring + center in geo coords (no CRS
-      * reprojection — fixture scope assumes geographic coords, the
-      * reference warps via GDAL otherwise). */
+    /** 4-corner footprint ring + center as WGS84 (lon, lat) — ref
+      * `entry.cpp:368-389` reprojects from the raster's CRS. When the
+      * geokeys name a projected CRS we know (`Crs.forEpsg`: UTM grid,
+      * NZTM2000, Belgian Lambert 72), corners unproject through its
+      * inverse; geographic/unknown CRSs pass through untransformed. */
     def footprint: Option[(Seq[(Double, Double)], (Double, Double))] =
       geotransform.map { gt =>
-        def pt(px: Double, py: Double) = (gt(0) + gt(1) * px + gt(2) * py, gt(3) + gt(4) * px + gt(5) * py)
+        val proj = epsg.flatMap(graft.geo.Crs.forEpsg)
+        def pt(px: Double, py: Double): (Double, Double) = {
+          val (gx, gy) = (gt(0) + gt(1) * px + gt(2) * py, gt(3) + gt(4) * px + gt(5) * py)
+          proj match {
+            case Some(p) => val (lat, lon) = p.inverse(gx, gy); (lon, lat)
+            case None => (gx, gy)
+          }
+        }
         val ring = Seq(pt(0, 0), pt(width, 0), pt(width, height), pt(0, height), pt(0, 0))
         (ring, pt(width / 2.0, height / 2.0))
       }
@@ -64,6 +74,7 @@ object GeoTiff {
       var tiepoint: Option[(Double, Double, Double, Double)] = None
       var transform: Option[Array[Double]] = None
       var hasGeoKeys = false
+      var geoKeysAt = -1; var geoKeyCount = 0L
 
       (0 until math.min(n, 512)).foreach { k =>
         val e = ifdOff + 2 + k * 12
@@ -90,7 +101,7 @@ object GeoTiff {
             case 34264 if count >= 16 =>
               val v = valueAt
               transform = Some(Array(f64(v + 24), f64(v), f64(v + 8), f64(v + 56), f64(v + 32), f64(v + 40)))
-            case 34735 => hasGeoKeys = true
+            case 34735 => hasGeoKeys = true; geoKeysAt = valueAt; geoKeyCount = count
             case _ => ()
           }
         }
@@ -102,8 +113,26 @@ object GeoTiff {
           Array(gx - pi * sx, sx, 0.0, gy + pj * sy, 0.0, -sy)
       }
       val geo = gt.isDefined || hasGeoKeys
+      // GeoKeyDirectory: 4-short header (version, rev, minor, numKeys)
+      // then (keyId, tagLocation, count, value) entries. EPSG code =
+      // ProjectedCSTypeGeoKey 3072 (preferred) or GeographicTypeGeoKey
+      // 2048, inline (tagLocation 0) only.
+      var epsg: Option[Int] = None
+      if (geoKeysAt > 0 && geoKeysAt + 8 <= end && geoKeyCount >= 4) {
+        val numKeys = u16(geoKeysAt + 6)
+        var k = 0
+        while (k < math.min(numKeys, 64)) {
+          val at = geoKeysAt + 8 + k * 8
+          if (at + 8 <= end) {
+            val keyId = u16(at); val loc = u16(at + 2); val v = u16(at + 6)
+            if (loc == 0 && keyId == 3072 && v > 0 && v != 32767) epsg = Some(v)
+            if (loc == 0 && keyId == 2048 && epsg.isEmpty && v > 0 && v != 32767) epsg = Some(v)
+          }
+          k += 1
+        }
+      }
       if (width <= 0 || height <= 0) None
-      else Some(TiffMeta(width, height, bands, bps, geo, gt))
+      else Some(TiffMeta(width, height, bands, bps, geo, gt, epsg))
     } catch { case _: Exception => None }
   }
 
@@ -113,6 +142,7 @@ object GeoTiff {
     val gt = m.geotransform
       .map(g => s""","geotransform":[${g.mkString(",")}]""")
       .getOrElse("")
-    s"""{"width":${m.width},"height":${m.height},"bands":${m.bands},"bitsPerSample":${m.bitsPerSample}$gt}"""
+    val ep = m.epsg.map(c => s""","epsg":$c""").getOrElse("")
+    s"""{"width":${m.width},"height":${m.height},"bands":${m.bands},"bitsPerSample":${m.bitsPerSample}$gt$ep}"""
   }
 }
