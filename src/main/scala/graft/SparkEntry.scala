@@ -88,6 +88,7 @@ object SparkEntry {
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
     "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
+    "q_contour" -> (graft.raster.Contour.contourQuery _),
     "q_haversine" -> (graft.geo.GeoQueries.haversineQuery _),
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
@@ -245,6 +246,42 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_crs_transform" -> crsOracle,
+    "q_contour" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y, value
+        |  FROM events),
+        |corners AS (
+        |  SELECT x AS cx, y AS cy, 0 AS corner, value FROM px
+        |  UNION ALL SELECT x - 1, y, 1, value FROM px
+        |  UNION ALL SELECT x, y - 1, 2, value FROM px
+        |  UNION ALL SELECT x - 1, y - 1, 3, value FROM px),
+        |cells AS (
+        |  SELECT cx, cy,
+        |    max(CASE WHEN corner = 0 THEN value END) AS v00,
+        |    max(CASE WHEN corner = 1 THEN value END) AS v10,
+        |    max(CASE WHEN corner = 2 THEN value END) AS v01,
+        |    max(CASE WHEN corner = 3 THEN value END) AS v11
+        |  FROM corners WHERE cx >= 0 AND cy >= 0
+        |  GROUP BY cx, cy
+        |  HAVING count(DISTINCT corner) = 4),
+        |mm AS (SELECT min(value) AS mn, max(value) AS mxv FROM px),
+        |levels AS (
+        |  SELECT ceil(mn / iv) * iv + k * iv AS level
+        |  FROM (SELECT mn, mxv, (mxv - mn) / 8.0 AS iv FROM mm), range(9) r(k)
+        |  WHERE ceil(mn / iv) * iv + k * iv <= mxv),
+        |edges AS (
+        |  SELECT level, v00 AS va, v10 AS vb, CAST(cx AS DOUBLE) AS ex, CAST(cy AS DOUBLE) AS ey, 1.0 AS dx, 0.0 AS dy FROM cells, levels
+        |  UNION ALL SELECT level, v10, v11, CAST(cx + 1 AS DOUBLE), CAST(cy AS DOUBLE), 0.0, 1.0 FROM cells, levels
+        |  UNION ALL SELECT level, v11, v01, CAST(cx + 1 AS DOUBLE), CAST(cy + 1 AS DOUBLE), -1.0, 0.0 FROM cells, levels
+        |  UNION ALL SELECT level, v01, v00, CAST(cx AS DOUBLE), CAST(cy + 1 AS DOUBLE), 0.0, -1.0 FROM cells, levels),
+        |cr AS (
+        |  SELECT level,
+        |    ex + ((level - va) / (vb - va)) * dx AS cpx,
+        |    ey + ((level - va) / (vb - va)) * dy AS cpy
+        |  FROM edges WHERE (va >= level) <> (vb >= level))
+        |SELECT round(level, 6) AS level, CAST(count(*) AS BIGINT) AS n_crossings,
+        |  round(avg(cpx), 4) AS avg_x, round(avg(cpy), 4) AS avg_y
+        |FROM cr GROUP BY level""".stripMargin,
     "q_minhash" -> minhashOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> lshOracle,
