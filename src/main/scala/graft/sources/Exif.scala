@@ -1,11 +1,13 @@
 package graft.sources
 
 /** Minimal pure-JVM EXIF reader — the subset of Exiv2 the reference
-  * leans on (`src/library/exif.cpp`): capture time
-  * (DateTimeOriginal), GPS lat/lon/alt, orientation, make/model,
-  * focal length. Walks the JPEG APP1 segment's embedded TIFF
-  * structure; both byte orders; bounds-checked throughout (corrupt
-  * files return None fields, never throw).
+  * leans on (`src/library/exif.cpp`): capture time via the reference's
+  * priority cascade (GPS stamp → OffsetTime → geo-timezone → naive
+  * UTC; `exif.cpp:505-655`, zone lookup in `Timezone`), GPS
+  * lat/lon/alt, orientation, make/model, focal length. Walks the JPEG
+  * APP1 segment's embedded TIFF structure; both byte orders;
+  * bounds-checked throughout (corrupt files return None fields, never
+  * throw).
   *
   * GeoImage upgrade rule mirrors `entry.cpp:1088-1099`: an image with
   * a GPS fix becomes GeoImage/GeoPanorama.
@@ -110,20 +112,6 @@ object Exif {
       val exifIfd = find(ifd0, 0x8769).map(t => readIfd(u32(t.valueOff))).getOrElse(Seq.empty)
       val gpsIfd = find(ifd0, 0x8825).map(t => readIfd(u32(t.valueOff))).getOrElse(Seq.empty)
 
-      // capture time: DateTimeOriginal (0x9003) else DateTime (0x0132),
-      // "YYYY:MM:DD HH:MM:SS" taken as UTC at fixture scope (the
-      // reference applies per-location timezones via ZoneDetect,
-      // exif.cpp — out of scope without its tz database)
-      val dateStr = find(exifIfd, 0x9003).flatMap(ascii).orElse(find(ifd0, 0x0132).flatMap(ascii))
-      val captureMs = dateStr.flatMap { s0 =>
-        try {
-          val p = s0.split("[: ]").map(_.toInt) // y m d h mi s
-          if (p.length < 6) None
-          else Some(java.time.LocalDateTime.of(p(0), p(1), p(2), p(3), p(4), p(5))
-            .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L)
-        } catch { case _: Exception => None }
-      }
-
       def dms(t: Tag): Option[Double] =
         for { d <- rational(t, 0); m <- rational(t, 1); s <- rational(t, 2) } yield d + m / 60 + s / 3600
 
@@ -134,11 +122,57 @@ object Exif {
       val alt = find(gpsIfd, 0x0006).flatMap(rational(_, 0)).map { a =>
         if (find(gpsIfd, 0x0005).exists(t => u16(t.valueOff) == 1 || (b(t.valueOff) & 0xff) == 1)) -a else a
       }
+      val lat = latRaw.map(v => if (latRef.contains("S")) -v else v)
+      val lon = lonRaw.map(v => if (lonRef.contains("W")) -v else v)
+
+      // Capture time — the reference's priority cascade
+      // (`exif.cpp:505-655`, OpenSfM-inspired):
+      //   1. GPS DateStamp+TimeStamp — always UTC, most accurate
+      //   2. DateTime + OffsetTime — explicit offset, UTC = local − offset
+      //   3. DateTime + geo-timezone lookup (lat/lon → zone)
+      //   4. DateTime naive — assume UTC
+      def parseLocal(s0: String): Option[java.time.LocalDateTime] =
+        try {
+          val p = s0.split("[: ]").map(_.toInt) // y m d h mi s
+          if (p.length < 6) None
+          else Some(java.time.LocalDateTime.of(p(0), p(1), p(2), p(3), p(4), p(5)))
+        } catch { case _: Exception => None }
+
+      // 1. GPSDateStamp "YYYY:MM:DD" + GPSTimeStamp (3 rationals, UTC)
+      val gpsMs = for {
+        ds <- find(gpsIfd, 0x001d).flatMap(ascii)
+        ts <- find(gpsIfd, 0x0007)
+        h <- rational(ts, 0); m <- rational(ts, 1); sec <- rational(ts, 2)
+        d <- parseLocal(s"$ds ${h.toInt}:${m.toInt}:${sec.toInt}")
+      } yield d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L + math.round((sec - sec.toInt) * 1000)
+
+      val dateStr = find(exifIfd, 0x9003).flatMap(ascii).orElse(find(ifd0, 0x0132).flatMap(ascii))
+      val local = dateStr.flatMap(parseLocal)
+
+      // 2. OffsetTimeOriginal (0x9011) / OffsetTime (0x9010): "±HH:MM"
+      val offsetSecs: Option[Int] =
+        find(exifIfd, 0x9011).flatMap(ascii).orElse(find(exifIfd, 0x9010).flatMap(ascii)).flatMap { o =>
+          "^([+-])(\\d{2}):(\\d{2})$".r.findFirstMatchIn(o.trim).map { m =>
+            val sgn = if (m.group(1) == "-") -1 else 1
+            sgn * (m.group(2).toInt * 3600 + m.group(3).toInt * 60)
+          }
+        }
+
+      val captureMs: Option[Long] = gpsMs.orElse(local.map { d =>
+        offsetSecs match {
+          case Some(off) => d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L - off * 1000L
+          case None =>
+            (lat, lon) match {
+              case (Some(la), Some(lo)) => Timezone.toUtcEpochMs(d, la, lo)
+              case _ => d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+            }
+        }
+      })
 
       ExifData(
         captureTimeMs = captureMs,
-        lat = latRaw.map(v => if (latRef.contains("S")) -v else v),
-        lon = lonRaw.map(v => if (lonRef.contains("W")) -v else v),
+        lat = lat,
+        lon = lon,
         altitude = alt,
         orientation = find(ifd0, 0x0112).flatMap(shortVal),
         make = find(ifd0, 0x010f).flatMap(ascii),

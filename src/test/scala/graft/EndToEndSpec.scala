@@ -53,7 +53,7 @@ class EndToEndSpec extends SparkSuite {
       assert(matched === 1) // only the N/W image is in the NW quadrant
       val item = page.head()
       assert(item.getAs[String]("id") === "photos-img-0001-jpg")
-      assert(item.getAs[String]("datetime") === "2016-06-23T16:32:27Z")
+      assert(item.getAs[String]("datetime") === "2016-06-23T21:32:27Z") // geo-TZ corrected (America/Chicago CDT)
 
       // ---- stamp / delta roundtrip (push-pull shape)
       val checksum1 = Sync.stampChecksum(entries, meta1)

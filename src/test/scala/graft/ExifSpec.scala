@@ -17,13 +17,70 @@ class ExifSpec extends SparkSuite {
     val e = Exif.fromJpeg(jpeg)
     assert(e.make === Some("DJI"))
     assert(e.model === Some("FC300S"))
+    // DateTime has no OffsetTime and the fix is in America/Chicago
+    // (CDT, UTC−5 in June) → geo-timezone cascade (exif.cpp:619-651)
+    // converts local wall-clock to UTC
     assert(e.captureTimeMs === Some(
-      java.time.LocalDateTime.of(2016, 6, 23, 16, 32, 27).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
+      java.time.LocalDateTime.of(2016, 6, 23, 21, 32, 27).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
     // 46°50'31.2" N = 46.842, 91°59'38.4" W = -91.994 (entry_test golden shape)
     assert(math.abs(e.lat.get - 46.842) < 1e-9)
     assert(math.abs(e.lon.get - (-91.994)) < 1e-9)
     assert(math.abs(e.altitude.get - 198.51) < 1e-9)
     assert(math.abs(e.focalLength.get - 3.61) < 1e-9)
+  }
+
+  test("capture-time cascade: OffsetTime beats geo-timezone (exif.cpp:588-618)") {
+    // Brussels flight, explicit +02:00 offset: UTC = local − 2h
+    val jpeg = buildJpegWithExif(buildTiff(
+      dateTime = "2024:06:15 14:30:00",
+      latRef = "N", lat = (50, 50, 24.0), lonRef = "E", lon = (4, 21, 7.2),
+      offsetTime = Some("+02:00")
+    ))
+    val e = Exif.fromJpeg(jpeg)
+    assert(e.captureTimeMs === Some(
+      java.time.LocalDateTime.of(2024, 6, 15, 12, 30, 0).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
+  }
+
+  test("capture-time cascade: non-UTC flight uses geo-timezone lookup (exif.cpp:619-651)") {
+    // Brussels in June = CEST (UTC+2), no OffsetTime tag: wall clock
+    // 14:30 local must become 12:30 UTC via the lat/lon zone lookup
+    val jpeg = buildJpegWithExif(buildTiff(
+      dateTime = "2024:06:15 14:30:00",
+      latRef = "N", lat = (50, 50, 24.0), lonRef = "E", lon = (4, 21, 7.2)
+    ))
+    val e = Exif.fromJpeg(jpeg)
+    assert(e.captureTimeMs === Some(
+      java.time.LocalDateTime.of(2024, 6, 15, 12, 30, 0).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
+    // winter date: CET (UTC+1)
+    val w = Exif.fromJpeg(buildJpegWithExif(buildTiff(
+      dateTime = "2024:01:15 14:30:00",
+      latRef = "N", lat = (50, 50, 24.0), lonRef = "E", lon = (4, 21, 7.2)
+    )))
+    assert(w.captureTimeMs === Some(
+      java.time.LocalDateTime.of(2024, 1, 15, 13, 30, 0).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
+  }
+
+  test("capture-time cascade: GPS DateStamp+TimeStamp wins over everything (exif.cpp:540-571)") {
+    val jpeg = buildJpegWithExif(buildTiff(
+      dateTime = "2024:06:15 14:30:00",
+      latRef = "N", lat = (50, 50, 24.0), lonRef = "E", lon = (4, 21, 7.2),
+      offsetTime = Some("+02:00"),
+      gpsStamp = Some(("2024:06:15", 12, 29, 58)) // UTC, disagrees by 2 s
+    ))
+    val e = Exif.fromJpeg(jpeg)
+    assert(e.captureTimeMs === Some(
+      java.time.LocalDateTime.of(2024, 6, 15, 12, 29, 58).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
+  }
+
+  test("no GPS fix and no offset: naive UTC fallback (exif.cpp:652-655)") {
+    // mid-ocean coordinates outside every zone bbox → UTC passthrough
+    val jpeg = buildJpegWithExif(buildTiff(
+      dateTime = "2024:06:15 14:30:00",
+      latRef = "S", lat = (30, 0, 0.0), lonRef = "W", lon = (140, 0, 0.0)
+    ))
+    val e = Exif.fromJpeg(jpeg)
+    assert(e.captureTimeMs === Some(
+      java.time.LocalDateTime.of(2024, 6, 15, 14, 30, 0).toEpochSecond(java.time.ZoneOffset.UTC) * 1000))
   }
 
   test("southern/eastern hemisphere signs") {
