@@ -215,6 +215,31 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cell_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
 
+  /** Train the IVF coarse quantizer: seed with the first `nCells`
+    * vectors, then run `iters` Lloyd iterations (assign → per-cell
+    * mean). Centroids are k·dim doubles — always driver-sized — so each
+    * round materializes them to a local array and rebroadcasts, exactly
+    * the Spark MLlib k-means pattern: lineage stays flat (no plan
+    * growth across iterations) and the corpus is scanned once per
+    * iteration with everything on the partial-agg path. Cells that
+    * lose all members drop out (standard Lloyd degeneracy handling). */
+  def trainIvf(s: SparkSession, dir: String, nCells: Int = 8, iters: Int = 4): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    var centroids = seedCentroids(s, dir, nCells)
+    var i = 0
+    while (i < iters) {
+      val refined = refineCentroids(ivfAssign(emb, centroids))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      centroids = s
+        .createDataset(refined.toSeq)
+        .toDF("cell_id", "centroid")
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF search: quantize the query to its nearest `nProbe` cells and
     * scan ONLY those cells' vectors — the coarse-quantizer pruning that
     * makes ANN sublinear at corpus scale. Returns top-k with exact
