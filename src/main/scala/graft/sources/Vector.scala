@@ -1,9 +1,11 @@
 package graft.sources
 
-/** Vector-file extraction — the GeoJSON subset of the reference's OGR
-  * layer scan (`entry.cpp:491-654`): layer name, geometry type,
-  * feature count, union extent → envelope ring + center. (Shapefile/
-  * GPKG need OGR; GeoJSON is plain text and covers the test scope.)
+/** Vector-file extraction — the GeoJSON + ESRI Shapefile subset of the
+  * reference's OGR layer scan (`entry.cpp:491-654`,
+  * `vector_query.cpp:121-292`): layer name, geometry type, feature
+  * count, union extent → envelope ring + center. The Shapefile reader
+  * is a pure-JVM parse of the public ESRI spec (main-file header +
+  * per-record bboxes); GPKG (SQLite) stays out of scope.
   */
 object VectorFile {
 
@@ -35,6 +37,67 @@ object VectorFile {
           Some((xs.min, ys.min, xs.max, ys.max))
         }
       Some(VectorMeta("GeoJSON", features, present, bbox))
+    } catch { case _: Exception => None }
+  }
+
+  /** ESRI Shapefile main file (.shp) — public spec: 100-byte header
+    * (file code 9994 BE, version 1000 LE, shape type LE, bbox LE
+    * doubles) then records of (number BE, content-length-in-words BE,
+    * shape type LE, geometry). Feature count and the union extent come
+    * from walking record headers; per-record bboxes (or point coords)
+    * union into the layer extent like OGR's GetExtent. */
+  def sniffShapefile(bytes: Array[Byte]): Option[VectorMeta] = {
+    if (bytes == null || bytes.length < 100) return None
+    val b = bytes; val end = b.length
+    def be32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def leD(i: Int): Double = {
+      var bits = 0L; var k = 7
+      while (k >= 0) { bits = (bits << 8) | (b(i + k) & 0xffL); k -= 1 }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    if (be32(0) != 9994L || le32(28) != 1000L) return None
+    try {
+      def typeName(t: Long): Option[String] = t match {
+        case 1 | 11 | 21 => Some("Point")
+        case 3 | 13 | 23 => Some("LineString")
+        case 5 | 15 | 25 => Some("Polygon")
+        case 8 | 18 | 28 => Some("MultiPoint")
+        case _ => None
+      }
+      var count = 0L
+      var types = Vector.empty[String]
+      var (w, s, e, n) = (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+      var any = false
+      var i = 100
+      while (i + 8 <= end) {
+        val contentWords = be32(i + 4)
+        val c = i + 8
+        if (contentWords < 2 || c + contentWords * 2 > end) { i = end }
+        else {
+          val t = le32(c)
+          typeName(t).foreach { name =>
+            count += 1
+            if (!types.contains(name)) types = types :+ name
+            if ((t == 1 || t == 11 || t == 21) && c + 20 <= end) {
+              val x = leD(c + 4); val y = leD(c + 12)
+              w = math.min(w, x); s = math.min(s, y); e = math.max(e, x); n = math.max(n, y); any = true
+            } else if (c + 36 <= end) {
+              w = math.min(w, leD(c + 4)); s = math.min(s, leD(c + 12))
+              e = math.max(e, leD(c + 20)); n = math.max(n, leD(c + 28)); any = true
+            }
+          }
+          i = c + contentWords.toInt * 2
+        }
+      }
+      val headerBox =
+        if (leD(36) <= leD(52) && (leD(36) != 0.0 || leD(52) != 0.0)) Some((leD(36), leD(44), leD(52), leD(60)))
+        else None
+      val bbox = if (any) Some((w, s, e, n)) else headerBox
+      val tps = if (types.nonEmpty) types else typeName(le32(32)).toSeq
+      Some(VectorMeta("ESRI Shapefile", count, tps, bbox))
     } catch { case _: Exception => None }
   }
 

@@ -72,6 +72,57 @@ class VectorVideoSpec extends SparkSuite {
     out.toByteArray
   }
 
+  /** Minimal .shp main-file bytes per the public ESRI spec. */
+  private def shpBytes(records: Seq[(Int, Array[Double])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def be32(v: Long): Unit = { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+    def le32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    def leD(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(k => w8(((bits >> (8 * k)) & 0xff).toInt))
+    }
+    // header: code 9994 BE, 5 unused, length, version 1000 LE, type LE, bbox, 4 zero ranges
+    be32(9994); (0 until 5).foreach(_ => be32(0)); be32(0)
+    le32(1000); le32(records.headOption.map(_._1.toLong).getOrElse(0L))
+    leD(0); leD(0); leD(0); leD(0) // header bbox left zero: reader must union records
+    (0 until 4).foreach(_ => leD(0))
+    records.zipWithIndex.foreach { case ((tpe, vals), idx) =>
+      val contentBytes = 4 + vals.length * 8
+      be32(idx + 1L); be32(contentBytes / 2L)
+      le32(tpe.toLong); vals.foreach(leD)
+    }
+    out.toByteArray
+  }
+
+  test("shapefile: header + record walk gives count, types, union extent") {
+    // polygon record layout: bbox(4) numParts numPoints... — the reader
+    // only consumes the bbox, so pad with zeros for parts/points
+    val shp = shpBytes(Seq(
+      (5, Array(1.0, 2.0, 4.0, 6.0, 0.0)), // polygon bbox (1,2)-(4,6)
+      (5, Array(-3.0, 0.5, 2.0, 3.0, 0.0)), // polygon bbox (-3,0.5)-(2,3)
+      (1, Array(10.0, -1.0)) // point (10, -1)
+    ))
+    val v = graft.sources.VectorFile.sniffShapefile(shp).get
+    assert(v.driver === "ESRI Shapefile")
+    assert(v.featureCount === 3)
+    assert(v.geometryTypes === Seq("Polygon", "Point"))
+    assert(v.bbox === Some((-3.0, -1.0, 10.0, 6.0)))
+  }
+
+  test("extraction: .shp -> Vector with the same layer shape as GeoJSON") {
+    val shp = shpBytes(Seq((3, Array(0.0, 0.0, 5.0, 5.0, 0.0)))) // polyline bbox
+    val ex = Extractors.extract("layers/roads.shp", shp)
+    assert(ex.entryType === EntryType.Vector)
+    assert(ex.properties.contains("\"driver\":\"ESRI Shapefile\""))
+    assert(ex.properties.contains("\"featureCount\":1"))
+    assert(ex.properties.contains("\"geometryTypes\":[\"LineString\"]"))
+    assert(ex.footprint.isDefined && ex.footprint.get.size === 5)
+    assert(ex.lon === Some(2.5) && ex.lat === Some(2.5))
+    // random bytes are NOT a shapefile
+    assert(graft.sources.VectorFile.sniffShapefile("garbage-bytes-here-x".getBytes) === None)
+  }
+
   test("mp4 header: duration + dimensions") {
     val m = Mp4.sniff(mp4Bytes(timescale = 1000, duration = 12500, w = 1920, h = 1080)).get
     assert(m.durationMs === 12500L)
