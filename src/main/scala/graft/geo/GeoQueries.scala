@@ -1,6 +1,6 @@
 package graft.geo
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,9 +71,9 @@ object GeoQueries {
     * band stats. The groupBy exchange IS the per-tile window read: at
     * cluster scale pixels hash-partition by tile id, so each task
     * assembles complete tiles and untouched tiles never exist — the
-    * same access pattern as the reference's per-tile windowed read,
-    * minus the PNG byte encoder (declared out of relational scope).
-    * Tile ids are XYZ (y-flipped from TMS, `tiler.cpp:219-221`). */
+    * same access pattern as the reference's per-tile windowed read.
+    * `renderTiles` below adds the PNG byte-encode stage. Tile ids are
+    * XYZ (y-flipped from TMS, `tiler.cpp:219-221`). */
   def tilePyramid(pixels: DataFrame, zooms: Seq[Int]): DataFrame = {
     val originShift = math.Pi * 6378137.0
     val zoomed = pixels
@@ -110,6 +110,51 @@ object GeoQueries {
       .partitionBy("z")
       .mode("overwrite")
       .parquet(path)
+
+  /** Render tiles to PNG bytes — the byte-encode stage of
+    * `gdaltiler.cpp:200-400`, previously declared out of scope, now
+    * closed with the pure-JVM deterministic encoder
+    * (`graft.raster.Png`). Pixels carry (lon, lat, byte); each pixel
+    * maps to its (tile, in-tile x, in-tile y) at zoom `z`, one
+    * groupBy(tile) gathers the tile's pixel window (bounded at
+    * 256×256 rows per group), and a per-tile kernel rasterizes +
+    * PNG-encodes. Output: one row per XYZ tile with the `png` binary
+    * column — exactly the reference's per-tile artifact, minus disk.
+    * Sparse coverage renders as 0 (nodata black), like a tiler edge
+    * tile. */
+  def renderTiles(pixels: DataFrame, z: Int): DataFrame = {
+    val originShift = math.Pi * 6378137.0
+    val res = (2 * math.Pi * 6378137.0 / 256.0) / (1L << z)
+    def globalPx(m: Column): Column = (m + originShift) / res
+    val encodeTile = udf { pts: Seq[Row] =>
+      val img = new Array[Byte](256 * 256)
+      pts.foreach { r =>
+        val ix = r.getInt(0); val iy = r.getInt(1)
+        if (ix >= 0 && ix < 256 && iy >= 0 && iy < 256) img(iy * 256 + ix) = r.getInt(2).toByte
+      }
+      graft.raster.Png.encodeGray(256, 256, img)
+    }
+    val withTile = pixels
+      .withColumn("gx", globalPx(col("lon") * originShift / 180.0))
+      .withColumn(
+        "gy",
+        globalPx(log(tan((lit(90.0) + col("lat")) * math.Pi / 360.0)) / (math.Pi / 180.0) * originShift / 180.0)
+      )
+      .withColumn("tx", greatest(lit(0L), ceil(col("gx") / 256.0).cast("long") - 1))
+      .withColumn("ty_tms", greatest(lit(0L), ceil(col("gy") / 256.0).cast("long") - 1))
+      .withColumn("ix", (floor(col("gx")).cast("long") - col("tx") * 256).cast("int"))
+      // PNG rows run top-down while TMS y runs bottom-up: flip inside the tile
+      .withColumn("iy", (lit(255) - (floor(col("gy")).cast("long") - col("ty_tms") * 256)).cast("int"))
+      .withColumn("ty", lit((1L << z) - 1) - col("ty_tms"))
+    withTile
+      .groupBy(col("tx"), col("ty"))
+      .agg(
+        count(lit(1)).as("n_px"),
+        encodeTile(collect_list(struct(col("ix"), col("iy"), col("byte")))).as("png")
+      )
+      .withColumn("z", lit(z))
+      .select(col("z"), col("tx"), col("ty"), col("n_px"), col("png"))
+  }
 
   /** ◆ Tile-pyramid materialization under the oracle
     * (`gdaltiler.cpp:158-380`, behavior spec `tests/tiler_test.cpp:

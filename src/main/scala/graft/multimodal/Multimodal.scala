@@ -28,22 +28,48 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)
   ))
 
-  /** Deterministic stand-in decode kernels. A real deployment replaces
-    * these with an image codec behind the same signatures; marked
-    * clearly as fakes (builder contract: stub the decode, keep the
-    * plumbing real).
+  /** Decode kernels. PNG payloads decode for REAL through the pure-JVM
+    * codec (`graft.raster.Png`) — stats/resize then operate on actual
+    * pixel planes. Non-PNG payloads (e.g. the text-derived fixture
+    * bytes, or formats whose codecs aren't in this container: JPEG,
+    * audio, video) fall back to a deterministic byte-plane fake, kept
+    * clearly separated here (builder contract: stub only what the
+    * container can't decode, keep the plumbing real).
     */
   object StubCodecs {
-    /** "Decode" = deterministic pixel stats from the payload bytes. */
+    /** Pixel mean/std: real decode for PNG, byte-plane stats otherwise. */
     def imageStats(payload: Array[Byte]): (Double, Double) = {
-      if (payload == null || payload.isEmpty) (0.0, 0.0)
+      val plane = graft.raster.Png.decode(payload).map(_.pixels).getOrElse(payload)
+      if (plane == null || plane.isEmpty) (0.0, 0.0)
       else {
         var sum = 0.0; var sq = 0.0
-        payload.foreach { b => val v = (b & 0xff).toDouble; sum += v; sq += v * v }
-        val mean = sum / payload.length
-        (mean, math.sqrt(math.max(0, sq / payload.length - mean * mean)))
+        plane.foreach { b => val v = (b & 0xff).toDouble; sum += v; sq += v * v }
+        val mean = sum / plane.length
+        (mean, math.sqrt(math.max(0, sq / plane.length - mean * mean)))
       }
     }
+
+    /** Real nearest-neighbour image resize for PNG payloads → PNG out. */
+    def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+      graft.raster.Png.decode(payload).map { img =>
+        val out = new Array[Byte](outW * outH * img.channels)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * img.height / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * img.width / outW).toInt
+            var c = 0
+            while (c < img.channels) {
+              out((y * outW + x) * img.channels + c) = img.pixels((sy * img.width + sx) * img.channels + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        graft.raster.Png.encode(outW, outH, img.channels, out)
+      }
 
     /** "Resize" = truncate/pad the byte plane deterministically. */
     def resize(payload: Array[Byte], outLen: Int): Array[Byte] = {

@@ -1,0 +1,145 @@
+package graft.raster
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Minimal deterministic PNG codec (public spec, RFC 2083) — the byte
+  * encoder that completes the tiler path (`gdaltiler.cpp:200-400`
+  * emits PNG tiles). Hand-rolled rather than ImageIO so the output
+  * bytes are deterministic across JVMs: fixed Deflater level, no
+  * ancillary chunks, filter type 0 on every scanline.
+  *
+  * Supports 8-bit greyscale (tiler band output) and 8-bit RGB
+  * (colormapped output). Decode supports what encode emits — enough
+  * for roundtrip verification and real multimodal decode of
+  * self-produced tiles.
+  */
+object Png {
+
+  private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def chunk(out: ByteArrayOutputStream, tag: String, data: Array[Byte]): Unit = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    out.write(be32(data.length.toLong))
+    val tb = tag.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(be32(crc.getValue))
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED) // fixed level → deterministic bytes
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit image; `channels` = 1 (grey) or 3 (RGB), pixels
+    * row-major, `pixels.length == width*height*channels`. */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels must be 1 or 3, got $channels")
+    require(pixels.length == width * height * channels, "pixel buffer size mismatch")
+    val out = new ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = new Array[Byte](13)
+    def put32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = ((v >> 24) & 0xff).toByte; a(i + 1) = ((v >> 16) & 0xff).toByte
+      a(i + 2) = ((v >> 8) & 0xff).toByte; a(i + 3) = (v & 0xff).toByte
+    }
+    put32(ihdr, 0, width); put32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = if (channels == 1) 0 else 2 // colour type: grey | truecolour
+    // compression 0, filter 0, interlace 0 already zeroed
+    chunk(out, "IHDR", ihdr)
+    // raw scanlines: filter byte 0 + row bytes
+    val stride = width * channels
+    val raw = new Array[Byte](height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = 0
+      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    chunk(out, "IDAT", deflate(raw))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    encode(width, height, 1, pixels)
+
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length > 8 && (0 until 8).forall(i => b(i) == Signature(i))
+
+  /** Decode the subset encode produces (8-bit grey/RGB, filter 0 or
+    * the common per-row filters 1/2, no interlace, no palette). */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    if (!isPng(bytes)) return None
+    try {
+      var i = 8
+      var width = 0; var height = 0; var channels = 0
+      val idat = new ByteArrayOutputStream()
+      def be32(at: Int): Int =
+        ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) | ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
+      var done = false
+      while (!done && i + 8 <= bytes.length) {
+        val len = be32(i)
+        val tag = new String(bytes, i + 4, 4, "US-ASCII")
+        val data = i + 8
+        tag match {
+          case "IHDR" =>
+            width = be32(data); height = be32(data + 4)
+            val bitDepth = bytes(data + 8) & 0xff
+            val colour = bytes(data + 9) & 0xff
+            val interlace = bytes(data + 12) & 0xff
+            if (bitDepth != 8 || interlace != 0) return None
+            channels = colour match { case 0 => 1; case 2 => 3; case _ => return None }
+          case "IDAT" => idat.write(bytes, data, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        i = data + len + 4
+      }
+      if (width <= 0 || height <= 0 || channels == 0) return None
+      val inf = new Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = width * channels
+      val raw = new Array[Byte](height * (stride + 1))
+      var off = 0
+      while (!inf.finished() && off < raw.length) off += inf.inflate(raw, off, raw.length - off)
+      inf.end()
+      if (off < raw.length) return None
+      val px = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val f = raw(y * (stride + 1)) & 0xff
+        val row = y * (stride + 1) + 1
+        var x = 0
+        while (x < stride) {
+          val cur = raw(row + x) & 0xff
+          val left = if (x >= channels) px(y * stride + x - channels) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => (cur + left) & 0xff // Sub
+            case 2 => (cur + up) & 0xff // Up
+            case 3 => (cur + (left + up) / 2) & 0xff // Average
+            case _ => return None // Paeth not emitted by encode
+          }
+          px(y * stride + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(width, height, channels, px))
+    } catch { case _: Exception => None }
+  }
+}
