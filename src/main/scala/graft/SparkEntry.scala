@@ -103,6 +103,9 @@ object SparkEntry {
     "q_quality_stats" -> (TextOps.qualityStats _),
     "q_lang_id" -> (TextOps.langIdQuery _),
     "q_fingerprint" -> (TextOps.fingerprintQuery _),
+    "q_sample" -> (TextOps.sampleQuery _),
+    "q_split" -> (TextOps.splitQuery _),
+    "q_lm_score" -> (TextOps.lmScoreQuery _),
     // text analysis (cont.)
     "q_tfidf" -> (TextOps.tfidfQuery _),
     "q_pipeline" -> (TextOps.pipelineQuery _),
@@ -246,6 +249,43 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_crs_transform" -> crsOracle,
+    "q_sample" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+        |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS kept_tokens
+        |FROM d
+        |WHERE h < CASE WHEN lang = 'en' THEN 250 WHEN lang = 'es' THEN 500 ELSE 900 END
+        |GROUP BY lang""".stripMargin,
+    "q_split" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_lm_score" ->
+      """WITH bg0 AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+        |toks AS (SELECT doc_id, lang, unnest(t) AS w FROM bg0),
+        |bigrams AS (
+        |  SELECT doc_id, lang, unnest([{'w': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+        |  FROM bg0 WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, lang, b.w AS w, b.w2 AS w2 FROM bigrams),
+        |c12 AS (SELECT w, w2, count(*) AS c12 FROM bi GROUP BY w, w2),
+        |c1 AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+        |v AS (SELECT count(DISTINCT w) AS v FROM toks),
+        |scored AS (
+        |  SELECT bi.doc_id, bi.lang, log2((c12.c12 + 1.0) / (c1.c1 + v.v)) AS lp
+        |  FROM bi JOIN c12 USING (w, w2) JOIN c1 USING (w) CROSS JOIN v),
+        |per_doc AS (SELECT doc_id, lang, avg(lp) AS ds FROM scored GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(ds), 4) AS avg_lm_score
+        |FROM per_doc GROUP BY lang""".stripMargin,
     "q_contour" ->
       """WITH px AS (
         |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y, value

@@ -230,4 +230,80 @@ object TextOps {
         md5(concat_ws(",", transform($"fingerprint", _.cast("string"))).cast("binary")).as("fp_digest")
       )
   }
+
+  /** Deterministic per-doc hash in [0, mod): md5 of a salted id. The
+    * curation-pipeline replacement for RNG sampling — reproducible
+    * across runs, engines and cluster sizes, and stable under
+    * repartitioning (none of which holds for `rand()`). */
+  def idHash(salt: String, id: Column, mod: Int): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10).cast("long") % mod
+
+  /** ◆ Stratified deterministic sampling — per-language keep rates
+    * (downsample the dominant language, keep the tail), the
+    * `sampleBy` shape every training-data pipeline runs before
+    * tokenization, but hash-deterministic instead of RNG. One scan +
+    * one rollup shuffle. */
+  def sampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 250)
+      .when($"lang" === "es", 500)
+      .otherwise(900) // per-mille keep rates
+    Tables
+      .documents(s, dir)
+      .withColumn("h", idHash("smp:", $"doc_id", 1000))
+      .filter($"h" < rate)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("kept_docs"),
+        sum(tokenCols($"text")).cast("long").as("kept_tokens")
+      )
+  }
+
+  /** ◆ Train/val/test split assignment — hash-bucket 80/10/10, the
+    * standard leakage-safe split (content-independent, id-stable).
+    * Emits per (lang, split) doc and token counts. */
+  def splitQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = idHash("split:", $"doc_id", 100)
+    Tables
+      .documents(s, dir)
+      .withColumn("split", when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCols($"text")).cast("long").as("n_tokens")
+      )
+  }
+
+  /** ◆ Bigram language-model quality score — train add-one-smoothed
+    * bigram stats on the corpus itself, score each document by its
+    * mean log2 P(w2|w1), roll up per language. The classic
+    * perplexity-flavoured quality gate (high = natural text, low =
+    * gibberish/boilerplate). Shapes: one windowed lead per doc for
+    * bigrams, two partial-agg count tables (bigram, unigram), joins on
+    * the word keys (AQE broadcasts the small side locally,
+    * shuffle-joins at corpus scale), everything else column math. */
+  def lmScoreQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables
+      .documents(s, dir)
+      .select($"doc_id", $"lang", posexplode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as(Seq("pos", "w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bigrams = toks
+      .withColumn("w2", lead($"w", 1).over(w))
+      .filter($"w2".isNotNull)
+    val c12 = bigrams.groupBy($"w", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = toks.groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct($"w").as("v"))
+    bigrams
+      .join(c12, Seq("w", "w2"))
+      .join(c1, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log2(($"c12" + 1.0) / ($"c1" + $"v")))
+      .groupBy($"doc_id", $"lang")
+      .agg(avg($"lp").as("doc_score"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), round(avg($"doc_score"), 4).as("avg_lm_score"))
+  }
 }
