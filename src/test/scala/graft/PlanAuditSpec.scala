@@ -53,6 +53,24 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("materialized tile pyramid serves level reads via partition pruning") {
+    // the tiler's derived-artifact store must not scan other zoom
+    // levels when one level is requested — the moral equivalent of the
+    // reference's per-tile windowed read (gdaltiler.cpp:158-200)
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("planaudit_tiles").toString
+    graft.geo.GeoQueries.writeTilePyramid(
+      graft.geo.GeoQueries.tilePyramidQuery(spark, sf0001),
+      dir
+    )
+    val plan = spark.read
+      .parquet(dir)
+      .filter(col("z") === 13)
+      .queryExecution
+      .explainString(FormattedMode)
+    assert(raw"PartitionFilters: \[[^\]]".r.findFirstIn(plan).isDefined, s"z filter must prune partitions:\n$plan")
+  }
+
   test("no query plans an unpartitioned Window over raw (non-aggregated) rows") {
     // Window with an empty partitionSpec funnels EVERY input row
     // through one task — the classic scale-killer. It is tolerable
