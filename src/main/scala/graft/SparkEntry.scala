@@ -48,6 +48,7 @@ object SparkEntry {
     "q_volume" -> (graft.raster.RasterQueries.volumeQuery _),
     "q_profile" -> (graft.raster.RasterQueries.profileQuery _),
     "q_rescale" -> (graft.raster.RasterQueries.rescaleQuery _),
+    "q_colormap" -> (graft.raster.RasterQueries.colormapQuery _),
     "q_iso_format" -> (Scalars.isoFormatQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
@@ -247,7 +248,23 @@ object SparkEntry {
        |FROM i5""".stripMargin
   }
 
+  /** Generated colormap oracle: same stop arrays as
+    * `Vegetation.colormaps("rdylgn")`, nearest-stop index, 1-based
+    * element lookup on both engines. */
+  private def colormapOracle: String = {
+    val stops = graft.raster.Vegetation.colormaps("rdylgn")
+    val n = stops.size
+    val rs = stops.map(_._1).mkString("[", ", ", "]")
+    val gs = stops.map(_._2).mkString("[", ", ", "]")
+    val bs = stops.map(_._3).mkString("[", ", ", "]")
+    s"""WITH vals AS (SELECT (event_id % 101) / 100.0 AS v FROM events),
+       |ix AS (SELECT least(${n - 1}, greatest(0, CAST(round(v * ${n - 1}) AS INT))) + 1 AS i FROM vals)
+       |SELECT $rs[i] AS r, $gs[i] AS g, $bs[i] AS b, CAST(count(*) AS BIGINT) AS n
+       |FROM ix GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_colormap" -> colormapOracle,
     "q_crs_transform" -> crsOracle,
     "q_sample" ->
       """WITH d AS (

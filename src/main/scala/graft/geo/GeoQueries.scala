@@ -122,19 +122,13 @@ object GeoQueries {
     * column — exactly the reference's per-tile artifact, minus disk.
     * Sparse coverage renders as 0 (nodata black), like a tiler edge
     * tile. */
-  def renderTiles(pixels: DataFrame, z: Int): DataFrame = {
+  /** (lon, lat) → XYZ tile id + in-tile pixel position at zoom `z` —
+    * shared by the grey and RGB renderers. */
+  private def withTileCoords(pixels: DataFrame, z: Int): DataFrame = {
     val originShift = math.Pi * 6378137.0
     val res = (2 * math.Pi * 6378137.0 / 256.0) / (1L << z)
     def globalPx(m: Column): Column = (m + originShift) / res
-    val encodeTile = udf { pts: Seq[Row] =>
-      val img = new Array[Byte](256 * 256)
-      pts.foreach { r =>
-        val ix = r.getInt(0); val iy = r.getInt(1)
-        if (ix >= 0 && ix < 256 && iy >= 0 && iy < 256) img(iy * 256 + ix) = r.getInt(2).toByte
-      }
-      graft.raster.Png.encodeGray(256, 256, img)
-    }
-    val withTile = pixels
+    pixels
       .withColumn("gx", globalPx(col("lon") * originShift / 180.0))
       .withColumn(
         "gy",
@@ -146,11 +140,49 @@ object GeoQueries {
       // PNG rows run top-down while TMS y runs bottom-up: flip inside the tile
       .withColumn("iy", (lit(255) - (floor(col("gy")).cast("long") - col("ty_tms") * 256)).cast("int"))
       .withColumn("ty", lit((1L << z) - 1) - col("ty_tms"))
-    withTile
+  }
+
+  def renderTiles(pixels: DataFrame, z: Int): DataFrame = {
+    val encodeTile = udf { pts: Seq[Row] =>
+      val img = new Array[Byte](256 * 256)
+      pts.foreach { r =>
+        val ix = r.getInt(0); val iy = r.getInt(1)
+        if (ix >= 0 && ix < 256 && iy >= 0 && iy < 256) img(iy * 256 + ix) = r.getInt(2).toByte
+      }
+      graft.raster.Png.encodeGray(256, 256, img)
+    }
+    withTileCoords(pixels, z)
       .groupBy(col("tx"), col("ty"))
       .agg(
         count(lit(1)).as("n_px"),
         encodeTile(collect_list(struct(col("ix"), col("iy"), col("byte")))).as("png")
+      )
+      .withColumn("z", lit(z))
+      .select(col("z"), col("tx"), col("ty"), col("n_px"), col("png"))
+  }
+
+  /** Colormapped RGB tile rendering — the tiler's colormap output path
+    * (`gdaltiler.cpp` + the reference's colormap LUTs): pixels carry
+    * (lon, lat, r, g, b) — typically from
+    * `Vegetation.applyColormap` over a normalized band — and each tile
+    * renders as an 8-bit truecolour PNG. */
+  def renderTilesRgb(pixels: DataFrame, z: Int): DataFrame = {
+    val encodeTile = udf { pts: Seq[Row] =>
+      val img = new Array[Byte](256 * 256 * 3)
+      pts.foreach { p =>
+        val ix = p.getInt(0); val iy = p.getInt(1)
+        if (ix >= 0 && ix < 256 && iy >= 0 && iy < 256) {
+          val at = (iy * 256 + ix) * 3
+          img(at) = p.getInt(2).toByte; img(at + 1) = p.getInt(3).toByte; img(at + 2) = p.getInt(4).toByte
+        }
+      }
+      graft.raster.Png.encode(256, 256, 3, img)
+    }
+    withTileCoords(pixels, z)
+      .groupBy(col("tx"), col("ty"))
+      .agg(
+        count(lit(1)).as("n_px"),
+        encodeTile(collect_list(struct(col("ix"), col("iy"), col("r"), col("g"), col("b")))).as("png")
       )
       .withColumn("z", lit(z))
       .select(col("z"), col("tx"), col("ty"), col("n_px"), col("png"))

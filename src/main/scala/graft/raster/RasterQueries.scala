@@ -50,6 +50,22 @@ object RasterQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** ◆ Colormap lookup under the oracle (the reference's byte LUTs,
+    * `gdaltiler.cpp` colormap path + `Vegetation.colormaps`):
+    * normalized band value → nearest-stop (r,g,b), rolled up to
+    * per-colour pixel counts. The stop arrays are embedded identically
+    * in the SQL oracle. */
+  def colormapQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = (($"event_id" % 101L) / 100.0).as("v")
+    Tables
+      .eventsRaw(s, dir)
+      .select(v)
+      .withColumn("c", graft.raster.Vegetation.applyColormap("rdylgn", $"v"))
+      .groupBy($"c.r".as("r"), $"c.g".as("g"), $"c.b".as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** ◆ Elevation profile (`raster_profile.cpp:219-266`): 64 equispaced
     * samples along a line, pixel lookup by inverse geotransform,
     * distance by haversine accumulation. The grid value is a pure

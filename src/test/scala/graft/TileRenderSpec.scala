@@ -66,6 +66,29 @@ class TileRenderSpec extends SparkSuite {
     tiles.unpersist()
   }
 
+  test("colormapped RGB tiles: applyColormap feeds truecolour PNGs") {
+    val z = 12
+    val px = spark
+      .range(32L * 32)
+      .select(
+        (lit(-10.0) + (col("id") % 32 + 0.5) * 0.001).as("lon"),
+        (lit(40.0) - (col("id") / 32 + 0.5) * 0.001).as("lat"),
+        ((col("id") % 32) / 31.0).as("v") // normalized band [0, 1]
+      )
+      .withColumn("c", graft.raster.Vegetation.applyColormap("rdylgn", col("v")))
+      .select(col("lon"), col("lat"), col("c.r").as("r"), col("c.g").as("g"), col("c.b").as("b"))
+    val tiles = GeoQueries.renderTilesRgb(px, z).collect()
+    assert(tiles.nonEmpty)
+    assert(tiles.map(_.getAs[Long]("n_px")).sum === 32L * 32)
+    val img = Png.decode(tiles.head.getAs[Array[Byte]]("png")).get
+    assert(img.width === 256 && img.height === 256 && img.channels === 3)
+    // rendered pixels carry colormap stops (non-black); background stays black
+    val nonBlack = (0 until 256 * 256).count { i =>
+      img.pixels(i * 3) != 0 || img.pixels(i * 3 + 1) != 0 || img.pixels(i * 3 + 2) != 0
+    }
+    assert(nonBlack > 0 && nonBlack <= tiles.head.getAs[Long]("n_px"))
+  }
+
   test("multimodal: PNG payloads decode for REAL; non-PNG falls back to byte plane") {
     val plane = Array.tabulate(32 * 32)(i => ((i * 31) % 256).toByte)
     val png = Png.encodeGray(32, 32, plane)
