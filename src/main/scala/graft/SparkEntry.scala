@@ -49,6 +49,9 @@ object SparkEntry {
     "q_profile" -> (graft.raster.RasterQueries.profileQuery _),
     "q_rescale" -> (graft.raster.RasterQueries.rescaleQuery _),
     "q_colormap" -> (graft.raster.RasterQueries.colormapQuery _),
+    "q_plane_fit" -> (graft.raster.RasterQueries.planeFitQuery _),
+    "q_extent_union" -> (graft.geo.GeoQueries.extentUnionQuery _),
+    "q_sha256" -> (TextOps.contentDigestQuery _),
     "q_iso_format" -> (Scalars.isoFormatQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
@@ -265,6 +268,40 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_colormap" -> colormapOracle,
+    "q_plane_fit" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 200 AS DOUBLE) AS x,
+        |         CAST((event_id // 200) % 200 AS DOUBLE) AS y, value
+        |  FROM events),
+        |s AS (
+        |  SELECT sum(x * x) AS sxx, sum(x * y) AS sxy, sum(x) AS sx,
+        |         sum(y * y) AS syy, sum(y) AS sy, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(x * value) AS sxz, sum(y * value) AS syz, sum(value) AS sz
+        |  FROM px)
+        |SELECT
+        |  round((sxz * (syy * n - sy * sy) - sxy * (syz * n - sy * sz) + sx * (syz * sy - syy * sz))
+        |      / (sxx * (syy * n - sy * sy) - sxy * (sxy * n - sy * sx) + sx * (sxy * sy - syy * sx)), 6) AS a,
+        |  round((sxx * (syz * n - sy * sz) - sxz * (sxy * n - sy * sx) + sx * (sxy * sz - syz * sx))
+        |      / (sxx * (syy * n - sy * sy) - sxy * (sxy * n - sy * sx) + sx * (sxy * sy - syy * sx)), 6) AS b,
+        |  round((sxx * (syy * sz - syz * sy) - sxy * (sxy * sz - syz * sx) + sxz * (sxy * sy - syy * sx))
+        |      / (sxx * (syy * n - sy * sy) - sxy * (sxy * n - sy * sx) + sx * (sxy * sy - syy * sx)), 6) AS c,
+        |  CAST(n AS BIGINT) AS n_points
+        |FROM s""".stripMargin,
+    "q_extent_union" ->
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |    (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events)
+        |SELECT event_type, min(lon - 0.25) AS minx, min(lat - 0.25) AS miny,
+        |  max(lon + 0.25) AS maxx, max(lat + 0.25) AS maxy,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pts GROUP BY event_type""".stripMargin,
+    "q_sha256" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_digests,
+        |  min(sha256(text)) AS first_digest
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_crs_transform" -> crsOracle,
     "q_sample" ->
       """WITH d AS (

@@ -267,6 +267,22 @@ object GeoQueries {
       )
   }
 
+  /** ◆ Spatial extent aggregate under the oracle — envelope union ≡
+    * min/max fold over envelope columns (`database.cpp:370-389`,
+    * `Stac.collectionExtent`), per event type. */
+  def extentUnionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withLonLat(Tables.eventsRaw(s, dir))
+      .groupBy($"event_type")
+      .agg(
+        min($"lon" - 0.25).as("minx"),
+        min($"lat" - 0.25).as("miny"),
+        max($"lon" + 0.25).as("maxx"),
+        max($"lat" + 0.25).as("maxy"),
+        count(lit(1)).as("n")
+      )
+  }
+
   /** ◆ Haversine track distance — consecutive-fix distance per user
     * (ordered window lag), rolled up by event type. Identical operation
     * sequence on both engines (explicit *π/180, squares via

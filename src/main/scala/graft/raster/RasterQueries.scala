@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -48,6 +48,58 @@ object RasterQueries {
     li.select(Raster.rescaleByte($"value", mn, mx).as("byte"))
       .groupBy($"byte")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** ◆ Least-squares plane fit under the oracle (`volume.cpp:95-126`,
+    * solve at :340-365): normal-equation sums as ONE partial-agg pass,
+    * then the 3×3 solve as branch-free Cramer's-rule column math over
+    * the single sums row — no driver round-trip at all (the scalar
+    * `Raster.fitPlane` keeps the reference's pivoted elimination for
+    * the volume path; this is the fully-distributed form). */
+  def planeFitQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val px = Tables
+      .eventsRaw(s, dir)
+      .select(
+        ($"event_id" % 200).cast("double").as("x"),
+        (expr("event_id div 200") % 200).cast("double").as("y"),
+        $"value"
+      )
+    val sums = px.agg(
+      sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"y").as("sxy"),
+      sum($"x").as("sx"),
+      sum($"y" * $"y").as("syy"),
+      sum($"y").as("sy"),
+      count(lit(1)).cast("double").as("n"),
+      sum($"x" * $"value").as("sxz"),
+      sum($"y" * $"value").as("syz"),
+      sum($"value").as("sz")
+    )
+    def det3(
+        m11: Column, m12: Column, m13: Column,
+        m21: Column, m22: Column, m23: Column,
+        m31: Column, m32: Column, m33: Column
+    ): Column =
+      m11 * (m22 * m33 - m23 * m32) - m12 * (m21 * m33 - m23 * m31) + m13 * (m21 * m32 - m22 * m31)
+    sums.select(
+      round(
+        det3($"sxz", $"sxy", $"sx", $"syz", $"syy", $"sy", $"sz", $"sy", $"n") /
+          det3($"sxx", $"sxy", $"sx", $"sxy", $"syy", $"sy", $"sx", $"sy", $"n"),
+        6
+      ).as("a"),
+      round(
+        det3($"sxx", $"sxz", $"sx", $"sxy", $"syz", $"sy", $"sx", $"sz", $"n") /
+          det3($"sxx", $"sxy", $"sx", $"sxy", $"syy", $"sy", $"sx", $"sy", $"n"),
+        6
+      ).as("b"),
+      round(
+        det3($"sxx", $"sxy", $"sxz", $"sxy", $"syy", $"syz", $"sx", $"sy", $"sz") /
+          det3($"sxx", $"sxy", $"sx", $"sxy", $"syy", $"sy", $"sx", $"sy", $"n"),
+        6
+      ).as("c"),
+      $"n".cast("long").as("n_points")
+    )
   }
 
   /** ◆ Colormap lookup under the oracle (the reference's byte LUTs,

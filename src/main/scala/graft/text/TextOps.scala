@@ -231,6 +231,22 @@ object TextOps {
       )
   }
 
+  /** ◆ SHA-256 content digests under the oracle — the ingest hash
+    * (`hash.cpp` / `sha2(content, 256)` in `Ingest.toEntries`) over
+    * document text, rolled up per language with exact-dup counts. */
+  def contentDigestQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, dir)
+      .select($"lang", sha2($"text".cast("binary"), 256).as("digest"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"digest").as("distinct_digests"),
+        min($"digest").as("first_digest")
+      )
+  }
+
   /** Deterministic per-doc hash in [0, mod): md5 of a salted id. The
     * curation-pipeline replacement for RNG sampling — reproducible
     * across runs, engines and cluster sizes, and stable under
