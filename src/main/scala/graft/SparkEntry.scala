@@ -52,6 +52,7 @@ object SparkEntry {
     "q_plane_fit" -> (graft.raster.RasterQueries.planeFitQuery _),
     "q_extent_union" -> (graft.geo.GeoQueries.extentUnionQuery _),
     "q_sha256" -> (TextOps.contentDigestQuery _),
+    "q_geojson_bbox" -> (Scalars.geojsonBboxQuery _),
     "q_iso_format" -> (Scalars.isoFormatQuery _),
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
@@ -297,6 +298,13 @@ object SparkEntry {
         |  max(lon + 0.25) AS maxx, max(lat + 0.25) AS maxy,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM pts GROUP BY event_type""".stripMargin,
+    "q_geojson_bbox" ->
+      """SELECT event_id AS id,
+        |  CAST((event_id * 7919 % 36000) - 18000 - 5 AS DOUBLE) AS w,
+        |  CAST((event_id * 104729 % 18000) - 9000 - 5 AS DOUBLE) AS s,
+        |  CAST((event_id * 7919 % 36000) - 18000 + 5 AS DOUBLE) AS e,
+        |  CAST((event_id * 104729 % 18000) - 9000 + 5 AS DOUBLE) AS n
+        |FROM events WHERE event_id % 97 = 0""".stripMargin,
     "q_sha256" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_digests,

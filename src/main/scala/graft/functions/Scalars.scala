@@ -203,6 +203,30 @@ object Scalars {
       )
   }
 
+  /** ◆ GeoJSON bbox by recursive coordinate walk (`stac.cpp:205-243`,
+    * `Formats.geojsonBbox`) — Polygon documents synthesized from
+    * integer coords (identical strings on both engines); the oracle
+    * recomputes the envelope ALGEBRAICALLY rather than re-running the
+    * regex walk, so the parse path is checked against ground truth,
+    * not against a mirror of itself. */
+  def geojsonBboxQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsRaw(s, dir).filter($"event_id" % 97 === 0)
+    val xi = ($"event_id" * 7919 % 36000) - 18000
+    val yi = ($"event_id" * 104729 % 18000) - 9000
+    val gj = concat(
+      lit("""{"type":"Polygon","coordinates":[[["""),
+      xi - 5, lit(","), yi - 5, lit("],["),
+      xi + 5, lit(","), yi - 5, lit("],["),
+      xi + 5, lit(","), yi + 5, lit("],["),
+      xi - 5, lit(","), yi + 5, lit("],["),
+      xi - 5, lit(","), yi - 5,
+      lit("]]]}")
+    )
+    ev.select($"event_id".as("id"), graft.functions.Formats.geojsonBbox(gj).as("b"))
+      .select($"id", $"b._1".as("w"), $"b._2".as("s"), $"b._3".as("e"), $"b._4".as("n"))
+  }
+
   /** ◆ path derivation — depth / parent / extension / LIKE scoping
     * (ref `dbops.cpp:1296`, `mio.cpp` path helpers) over synthetic
     * paths built from the documents table. */
