@@ -140,9 +140,22 @@ object Stac {
       .select("feature")
   }
 
-  def featureCollectionJson(entries: DataFrame): String =
-    features(entries).collect().map(_.getString(0))
+  /** Assemble one FeatureCollection document for an API response.
+    * Driver-side by design (mirrors the reference sink, which writes a
+    * single JSON document) but BOUNDED: the input must be pre-paged —
+    * `limit(maxFeatures+1)` proves the bound before anything
+    * materializes, so no unbounded driver collect exists in this path.
+    * For dataset-scale exports use `features(...).write` (sharded). */
+  def featureCollectionJson(entries: DataFrame, maxFeatures: Int = 10000): String = {
+    val rows = features(entries).limit(maxFeatures + 1).collect()
+    require(
+      rows.length <= maxFeatures,
+      s"featureCollectionJson is a paged API sink (> $maxFeatures features); " +
+        "page the input or write features(df) as sharded JSON"
+    )
+    rows.map(_.getString(0))
       .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+  }
 
   /** Collection extent — spatial (envelope union ≡ min/max fold, ref
     * `database.cpp:370-389`) + temporal (`database.cpp:395-458`). */

@@ -102,6 +102,15 @@ class StacSpec extends SparkSuite {
     assert(doc.split("\\{\"type\":\"Feature\"").length - 1 === 2)
   }
 
+  test("featureCollectionJson enforces the paged-sink bound") {
+    val doc = Stac.featureCollectionJson(entries, maxFeatures = 2)
+    assert(doc.split("\\{\"type\":\"Feature\"").length - 1 === 2)
+    val e = intercept[IllegalArgumentException] {
+      Stac.featureCollectionJson(entries, maxFeatures = 1)
+    }
+    assert(e.getMessage.contains("paged"))
+  }
+
   test("collection extent aggregates envelope + time") {
     val r = Stac.collectionExtent(entries).head()
     assert(r.getAs[Double]("west") === -122.3)
