@@ -127,7 +127,9 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
     "q_ann_refine" -> (Similarity.ivfRefineQuery _),
-    "q_ann_batch" -> (Similarity.batchTopKQuery _)
+    "q_ann_batch" -> (Similarity.batchTopKQuery _),
+    // stockpile analytics (stockpile.cpp)
+    "q_stockpile" -> (graft.raster.Stockpile.stockpileQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -1167,6 +1169,75 @@ object SparkEntry {
         |  SELECT v.vec_id, list_cosine_similarity(v.e, q.e) AS cs
         |  FROM asg JOIN probe USING (cell_id) JOIN v ON v.vec_id = asg.vec_id CROSS JOIN q)
         |SELECT vec_id, round(cs, 6) AS cos_sim FROM res ORDER BY round(cs, 6) DESC, vec_id LIMIT 10""".stripMargin,
+    // Stockpile detect-all: identical synthetic DSM (exact dyadic
+    // arithmetic end-to-end), identical binomial smoothing + adaptive
+    // threshold; connected components via recursive reachability
+    // closure with the same min-pixel-id label rule the Spark
+    // fixpoint converges to.
+    "q_stockpile" ->
+      """WITH RECURSIVE
+        |k AS (SELECT * FROM (VALUES (-2, 6.25e-2), (-1, 2.5e-1), (0, 3.75e-1), (1, 2.5e-1), (2, 6.25e-2)) AS t(kk, w)),
+        |g AS (
+        |  SELECT CAST(i % 64 AS INT) AS x, CAST(i // 64 AS INT) AS y,
+        |    1e2
+        |    + 2.5e-1 * greatest(0, 36 - ((i % 64 - 12) * (i % 64 - 12) + (i // 64 - 12) * (i // 64 - 12)))
+        |    + 1.25e-1 * greatest(0, 64 - ((i % 64 - 44) * (i % 64 - 44) + (i // 64 - 14) * (i // 64 - 14)))
+        |    + 2.5e-1 * greatest(0, 25 - ((i % 64 - 14) * (i % 64 - 14) + (i // 64 - 46) * (i // 64 - 46)))
+        |    + 2.5e-1 * greatest(0, 49 - ((i % 64 - 52) * (i % 64 - 52) + (i // 64 - 48) * (i // 64 - 48)))
+        |    + 2.5e-1 * greatest(0, 25 - ((i % 64 - 28) * (i % 64 - 28) + (i // 64 - 34) * (i // 64 - 34)))
+        |    + 2.5e-1 * greatest(0, 25 - ((i % 64 - 33) * (i % 64 - 33) + (i // 64 - 34) * (i // 64 - 34)))
+        |    + 5e-1 * greatest(0, 2 - ((i % 64 - 4) * (i % 64 - 4) + (i // 64 - 58) * (i // 64 - 58))) AS v
+        |  FROM (SELECT unnest(range(4096)) AS i)),
+        |b AS (SELECT avg(v) AS base FROM g WHERE x = 0 OR x = 63 OR y = 0 OR y = 63),
+        |d0 AS (SELECT x, y, v - base AS d FROM g, b),
+        |h AS (
+        |  SELECT o.x, o.y, sum(k.w * s.d) AS d
+        |  FROM d0 o CROSS JOIN k JOIN d0 s
+        |    ON s.x = least(63, greatest(0, o.x + k.kk)) AND s.y = o.y
+        |  GROUP BY o.x, o.y),
+        |sm AS (
+        |  SELECT o.x, o.y, sum(k.w * s.d) AS d
+        |  FROM h o CROSS JOIN k JOIN h s
+        |    ON s.y = least(63, greatest(0, o.y + k.kk)) AND s.x = o.x
+        |  GROUP BY o.x, o.y),
+        |t AS (SELECT avg(d) AS mp FROM sm WHERE d > 0),
+        |fg AS (SELECT x, y, d, y * 64 + x AS id FROM sm, t WHERE d > mp * (1.5e0 - 6e-1)),
+        |reach AS (
+        |  SELECT id, id AS lab FROM fg
+        |  UNION
+        |  SELECT f.id, r.lab FROM reach r JOIN fg f
+        |    ON abs(f.x - (r.id % 64)) + abs(f.y - (r.id // 64)) = 1),
+        |lab AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+        |p AS (SELECT fg.x, fg.y, fg.d, fg.id, lab.lab FROM fg JOIN lab ON lab.id = fg.id),
+        |deg AS (
+        |  SELECT a.id, count(b.id) AS nb
+        |  FROM p a LEFT JOIN p b ON abs(a.x - b.x) + abs(a.y - b.y) = 1
+        |  GROUP BY a.id),
+        |st AS (
+        |  SELECT lab, count(*) AS pc,
+        |    sum(CASE WHEN d > 0 THEN d * 2.5e-1 ELSE 0e0 END) AS vol,
+        |    sum(x) AS sx, sum(y) AS sy, max(d) AS mx
+        |  FROM p GROUP BY lab),
+        |bnd AS (
+        |  SELECT p.lab, count(*) AS bpx FROM p JOIN deg ON deg.id = p.id
+        |  WHERE deg.nb < 4 GROUP BY p.lab),
+        |res AS (
+        |  SELECT st.lab, st.pc, st.vol, st.sx, st.sy, st.mx, bnd.bpx, t.mp
+        |  FROM st JOIN bnd ON bnd.lab = st.lab CROSS JOIN t
+        |  WHERE st.pc >= 4 AND st.pc * 2.5e-1 >= 1e0)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY vol DESC, lab) AS INT) AS id,
+        |    CAST(pc AS BIGINT) AS pixel_count,
+        |    round(pc * 2.5e-1, 4) AS area_m2,
+        |    round(vol, 4) AS est_volume,
+        |    round(CAST(sx AS DOUBLE) / pc, 4) AS centroid_x,
+        |    round(CAST(sy AS DOUBLE) / pc, 4) AS centroid_y,
+        |    round(mx, 4) AS max_diff,
+        |    round(least(1e0, greatest(0e0,
+        |      3e-1 + 4e-1 * least(1e0, (4 * pi()) * pc / (bpx * bpx))
+        |            + 3e-1 * least(1e0, mx / greatest(1e-6, mp * 4)))), 6) AS confidence
+        |  FROM res)
+        |WHERE id <= 10""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

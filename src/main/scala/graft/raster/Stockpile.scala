@@ -1,0 +1,295 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stockpile detection — the Spark re-expression of
+  * `src/library/stockpile.cpp:91-482` / `stockpile.h:41-78`
+  * (`detectStockpileJson`, `detectAllStockpilesJson`): threshold a
+  * DSM-minus-base difference surface, label 4-connected components,
+  * report per-component volume/centroid/area/confidence sorted by
+  * volume.
+  *
+  * Reference pipeline → distributed shape:
+  *  - gaussian smoothing (`stockpile.cpp:50-87`) → `convolveSeparable`,
+  *    a relational separable convolution (gather-join per axis). The
+  *    oracle fixture uses the 5-tap binomial kernel (1,4,6,4,1)/16 —
+  *    exact dyadic weights, so both engines' sums are EXACT and the
+  *    adaptive threshold compare is engine-neutral (a float gaussian
+  *    kernel would differ in the last ulp between libms).
+  *  - border-ring base elevation (`stockpile.cpp:332-353`): mean for
+  *    sensitivity ≥ 0.3, sorted-middle element below.
+  *  - adaptive threshold = mean(positive diff)·(1.5 − sensitivity)
+  *    (`stockpile.cpp:696-711`).
+  *  - flood fill / two-pass union-find labeling
+  *    (`stockpile.cpp:91-121`, `:498-552`) → iterative min-label
+  *    propagation with pointer jumping (label ← label(label)), the
+  *    relational fixpoint whose deterministic label rule — component
+  *    label = MIN pixel id in the component — a SQL engine can
+  *    recompute as a reachability closure. O(log diameter) rounds;
+  *    lineage kept flat with `localCheckpoint` per round (the MLlib
+  *    iterative pattern). At full estate scale the same edge relation
+  *    feeds the alternating large-star/small-star algorithm
+  *    (Kiveris et al., "Connected Components in MapReduce"); the
+  *    min-propagation here is its bounded-diameter special case.
+  *  - per-component stats + confidence (`stockpile.cpp:732-864`):
+  *    one groupBy(label) partial agg. Compactness uses the relational
+  *    boundary-pixel count (pixels with < 4 foreground neighbours)
+  *    instead of the traced Moore chain length — deterministic and
+  *    engine-recomputable where the chain walk is not.
+  */
+object Stockpile {
+
+  /** 5-tap binomial approximation of a σ≈1 gaussian — exact dyadic
+    * weights (sums of products stay exactly representable). */
+  val Binomial5: Seq[Double] = Seq(1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16)
+
+  /** One separable-convolution axis pass with clamp-at-edge semantics
+    * (ref `stockpile.cpp:65-86`): out(x) = Σ_k w_k · in(clamp(x+k)).
+    * Gather formulation: each output pixel joins its (clamped) source
+    * pixels — an equi-join on the shifted coordinate plus one groupBy,
+    * both shuffle-partitioned by pixel key, so the pass scales with
+    * pixels-as-rows regardless of raster size. */
+  private def pass(
+      df: DataFrame,
+      weights: Seq[Double],
+      limit: Int,
+      horizontal: Boolean
+  ): DataFrame = {
+    val half = weights.size / 2
+    val offs = weights.zipWithIndex.map { case (w, i) =>
+      struct(lit(i - half).as("k"), lit(w).as("w"))
+    }
+    val src = df.select(col("x").as("sx"), col("y").as("sy"), col("value").as("sv"))
+    val shifted =
+      if (horizontal) df.select(col("x"), col("y"), explode(array(offs: _*)).as("kw"))
+        .withColumn("sx", greatest(lit(0), least(lit(limit - 1), col("x") + col("kw.k"))))
+        .withColumn("sy", col("y"))
+      else df.select(col("x"), col("y"), explode(array(offs: _*)).as("kw"))
+        .withColumn("sx", col("x"))
+        .withColumn("sy", greatest(lit(0), least(lit(limit - 1), col("y") + col("kw.k"))))
+    shifted
+      .join(src, Seq("sx", "sy"))
+      .groupBy(col("x"), col("y"))
+      .agg(sum(col("kw.w") * col("sv")).as("value"))
+  }
+
+  /** Separable 2-D convolution over a (x, y, value) pixel grid,
+    * clamped edges — the reference's `gaussianFilter` shape
+    * (`stockpile.cpp:50-87`) as two relational axis passes. */
+  def convolveSeparable(pixels: DataFrame, weights: Seq[Double], width: Int, height: Int): DataFrame =
+    pass(pass(pixels, weights, width, horizontal = true), weights, height, horizontal = false)
+
+  /** 4-adjacency edges between foreground pixels, both directions —
+    * two equi-joins on shifted coordinates (Catalyst extracts
+    * (x+1, y) = (nx, ny) as hash-join keys; no theta join). */
+  def adjacencyEdges(fg: DataFrame): DataFrame = {
+    val a = fg.select(col("id"), col("x"), col("y"))
+    val b = fg.select(col("id").as("nid"), col("x").as("nx"), col("y").as("ny"))
+    val right = a.join(b, col("nx") === col("x") + 1 && col("ny") === col("y"))
+    val down = a.join(b, col("nx") === col("x") && col("ny") === col("y") + 1)
+    val pairs = right
+      .select(col("id").as("src"), col("nid").as("dst"))
+      .union(down.select(col("id").as("src"), col("nid").as("dst")))
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Min-label propagation to fixpoint over (id, x, y) foreground
+    * pixels: every pixel ends with the MIN pixel id of its 4-connected
+    * component — the deterministic label rule shared with the oracle.
+    * Each round takes min over {own label, neighbours' labels,
+    * label-of-label} (pointer jumping → O(log diameter) rounds);
+    * convergence detected by the monotonically decreasing Σ label. */
+  def connectedComponents(fg: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = fg.select(col("id"), col("id").as("lab")).localCheckpoint()
+    var prev = Long.MinValue
+    var cur = labels.agg(sum("lab")).head().getLong(0)
+    var iter = 0
+    while (cur != prev && iter < maxIter) {
+      prev = cur
+      val viaEdge = e
+        .join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
+        .select(col("dst").as("id"), col("lab"))
+      val viaJump = labels
+        .select(col("id"), col("lab").as("mid"))
+        .join(labels.select(col("id").as("mid"), col("lab").as("jlab")), Seq("mid"))
+        .select(col("id"), col("jlab").as("lab"))
+      labels = labels
+        .union(viaEdge)
+        .union(viaJump)
+        .groupBy("id")
+        .agg(min("lab").as("lab"))
+        .localCheckpoint()
+      cur = labels.agg(sum("lab")).head().getLong(0)
+      iter += 1
+    }
+    labels
+  }
+
+  /** Border-ring base elevation — ref `stockpile.cpp:332-353`: mean
+    * for sensitivity ≥ 0.3, sorted-middle element (index n/2) below.
+    * Returns a 1-row (base) frame to broadcast onto the pixel plane. */
+  def borderBase(pixels: DataFrame, width: Int, height: Int, sensitivity: Double): DataFrame = {
+    val border = pixels.filter(
+      col("x") === 0 || col("x") === width - 1 || col("y") === 0 || col("y") === height - 1
+    )
+    if (sensitivity >= 0.3) border.agg(avg("value").as("base"))
+    else {
+      // exact element at sorted index n/2 (0-based, ref :348) via the
+      // distinct-value cumulative window — bounded by value cardinality
+      val counts = border.groupBy(col("value")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("value").asc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = counts
+        .withColumn("hi", sum(col("c")).over(w))
+        .withColumn("lo", col("hi") - col("c") + 1L)
+      val total = border.agg(count(lit(1)).as("n"))
+      ranked
+        .crossJoin(broadcast(total))
+        .filter(col("lo") <= expr("n div 2 + 1") && expr("n div 2 + 1") <= col("hi"))
+        .agg(avg("value").as("base"))
+    }
+  }
+
+  /** Full-DSM stockpile scan — ref `detectAllStockpilesJson`
+    * (`stockpile.cpp:566-888`) with the border-ring base plane of the
+    * single-click path (`:332-353`; the reference's low-pass trend is
+    * a big-σ gaussian — same `convolveSeparable` machinery, applied by
+    * callers that want it). Output: one row per detected component,
+    * sorted by estimated volume desc, ids reassigned sequentially.
+    *
+    * Scale: everything before the component loop is column math + one
+    * partial-agg shuffle per stage over pixels-as-rows; labeling is
+    * the iterative fixpoint above; per-component stats are ONE
+    * groupBy(label). No driver materialization of pixels anywhere. */
+  def detectAll(
+      pixels: DataFrame, // (x, y, value)
+      width: Int,
+      height: Int,
+      cellArea: Double,
+      sensitivity: Double = 0.5,
+      minAreaM2: Double = 0.0,
+      maxResults: Int = 50
+  ): DataFrame = {
+    val base = borderBase(pixels, width, height, sensitivity)
+    val diff0 = pixels
+      .crossJoin(broadcast(base))
+      .select(col("x"), col("y"), (col("value") - col("base")).as("value"))
+    val sm = convolveSeparable(diff0, Binomial5, width, height)
+    val mp = sm.filter(col("value") > 0).agg(avg("value").as("mp"))
+    val fg = sm
+      .crossJoin(broadcast(mp))
+      .filter(col("value") > col("mp") * lit(1.5 - sensitivity)) // ref :711 threshold
+      .select(
+        (col("y").cast("long") * width + col("x")).as("id"),
+        col("x"),
+        col("y"),
+        col("value").as("d"),
+        col("mp")
+      )
+    val edges = adjacencyEdges(fg)
+    val labels = connectedComponents(fg, edges)
+    val p = fg.join(labels, Seq("id"))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("nb"))
+    val st = p
+      .groupBy("lab")
+      .agg(
+        count(lit(1)).as("pc"),
+        sum(when(col("d") > 0, col("d") * cellArea).otherwise(lit(0.0))).as("vol"), // ref :752
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        max("d").as("mx"),
+        first("mp").as("mp")
+      )
+    val bnd = p
+      .join(deg, Seq("id"), "left")
+      .filter(coalesce(col("nb"), lit(0L)) < 4)
+      .groupBy("lab")
+      .agg(count(lit(1)).as("bpx"))
+    val w = Window.orderBy(col("vol").desc, col("lab").asc) // bounded: component count
+    st.join(bnd, Seq("lab"))
+      .filter(col("pc") >= 4 && col("pc") * cellArea >= minAreaM2) // ref :798-800
+      .withColumn("compact", least(lit(1.0), lit(4 * math.Pi) * col("pc") / (col("bpx") * col("bpx"))))
+      .withColumn("prom", least(lit(1.0), col("mx") / greatest(lit(1e-6), col("mp") * lit(4)))) // ref :833
+      .withColumn(
+        "confidence",
+        least(lit(1.0), greatest(lit(0.0), lit(0.3) + lit(0.4) * col("compact") + lit(0.3) * col("prom")))
+      )
+      .withColumn("id", row_number().over(w))
+      .filter(col("id") <= maxResults)
+      .select(
+        col("id"),
+        col("pc").as("pixel_count"),
+        round(col("pc") * cellArea, 4).as("area_m2"),
+        round(col("vol"), 4).as("est_volume"),
+        round(col("sx").cast("double") / col("pc"), 4).as("centroid_x"),
+        round(col("sy").cast("double") / col("pc"), 4).as("centroid_y"),
+        round(col("mx"), 4).as("max_diff"),
+        round(col("confidence"), 6).as("confidence")
+      )
+  }
+
+  /** Single-click detection — ref `detectStockpileJson`
+    * (`stockpile.cpp:224-487`): same pipeline, but only the component
+    * containing (seedX, seedY) is reported (the flood-fill-from-click
+    * semantics). Returns 0 rows when the click is not on a detected
+    * pile (the reference throws). */
+  def detectAt(
+      pixels: DataFrame,
+      width: Int,
+      height: Int,
+      cellArea: Double,
+      seedX: Int,
+      seedY: Int,
+      sensitivity: Double = 0.5
+  ): DataFrame = {
+    val base = borderBase(pixels, width, height, sensitivity)
+    val diff0 = pixels
+      .crossJoin(broadcast(base))
+      .select(col("x"), col("y"), (col("value") - col("base")).as("value"))
+    val sm = convolveSeparable(diff0, Binomial5, width, height)
+    val mp = sm.filter(col("value") > 0).agg(avg("value").as("mp"))
+    val fg = sm
+      .crossJoin(broadcast(mp))
+      .filter(col("value") > col("mp") * lit(1.5 - sensitivity))
+      .select((col("y").cast("long") * width + col("x")).as("id"), col("x"), col("y"), col("value").as("d"))
+    val labels = connectedComponents(fg, adjacencyEdges(fg))
+    val seedLab = labels.filter(col("id") === seedY.toLong * width + seedX).select(col("lab"))
+    fg.join(labels, Seq("id"))
+      .join(broadcast(seedLab), Seq("lab"))
+      .groupBy("lab")
+      .agg(
+        count(lit(1)).as("pixel_count"),
+        round(sum(when(col("d") > 0, col("d") * cellArea).otherwise(lit(0.0))), 4).as("est_volume"),
+        round(sum("x").cast("double") / count(lit(1)), 4).as("centroid_x"),
+        round(sum("y").cast("double") / count(lit(1)), 4).as("centroid_y")
+      )
+      .drop("lab")
+  }
+
+  /** ◆ Stockpile detect-all under the oracle: a 64×64 synthetic DSM
+    * (flat 100 m plane + six paraboloid mounds + one sub-threshold
+    * bump, all exact dyadic arithmetic so every sum in both engines is
+    * EXACT), sensitivity 0.6, 0.25 m² cells. Two of the mounds overlap
+    * → ONE merged component, exercising the union step the flood fill
+    * performs; the tiny bump must vanish below the adaptive threshold.
+    * The DuckDB oracle recomputes the identical pipeline with the
+    * labels derived from a recursive reachability closure (min id per
+    * component — the same deterministic label rule). */
+  def stockpileQuery(s: SparkSession, dir: String): DataFrame = {
+    def m(cx: Int, cy: Int, r2: Int, amp: Double)(x: Column, y: Column): Column =
+      lit(amp) * greatest(lit(0), lit(r2) - ((x - cx) * (x - cx) + (y - cy) * (y - cy)))
+    val px = Raster.grid(s, 64, 64)((x, y) =>
+      lit(100.0) +
+        m(12, 12, 36, 0.25)(x, y) +
+        m(44, 14, 64, 0.125)(x, y) +
+        m(14, 46, 25, 0.25)(x, y) +
+        m(52, 48, 49, 0.25)(x, y) +
+        m(28, 34, 25, 0.25)(x, y) +
+        m(33, 34, 25, 0.25)(x, y) +
+        m(4, 58, 2, 0.5)(x, y)
+    )
+    detectAll(px, 64, 64, cellArea = 0.25, sensitivity = 0.6, minAreaM2 = 1.0, maxResults = 10)
+  }
+}
