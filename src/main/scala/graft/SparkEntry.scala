@@ -129,7 +129,9 @@ object SparkEntry {
     "q_ann_refine" -> (Similarity.ivfRefineQuery _),
     "q_ann_batch" -> (Similarity.batchTopKQuery _),
     // stockpile analytics (stockpile.cpp)
-    "q_stockpile" -> (graft.raster.Stockpile.stockpileQuery _)
+    "q_stockpile" -> (graft.raster.Stockpile.stockpileQuery _),
+    // align estimator (align.cpp)
+    "q_align" -> (graft.geo.Align.alignQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -1237,7 +1239,105 @@ object SparkEntry {
         |      3e-1 + 4e-1 * least(1e0, (4 * pi()) * pc / (bpx * bpx))
         |            + 3e-1 * least(1e0, mx / greatest(1e-6, mp * 4)))), 6) AS confidence
         |  FROM res)
-        |WHERE id <= 10""".stripMargin
+        |WHERE id <= 10""".stripMargin,
+    // Align RANSAC+Umeyama: same raw-sum closed form (cos/sin from
+    // a/sqrt(a²+b²), no libm trig), same md5-selected candidate
+    // subset, same (inliers desc, pair asc) tie-break. All fixture
+    // constants dyadic → every aggregation sum exact in both engines.
+    "q_align" ->
+      """WITH raw AS (
+        |  SELECT event_id AS tp_id,
+        |    CAST(event_id % 100 AS DOUBLE) AS px,
+        |    CAST((event_id // 100) % 100 AS DOUBLE) AS py
+        |  FROM events),
+        |pts AS (
+        |  SELECT tp_id, px, py,
+        |    1.25e0 * (6e-1 * px - 8e-1 * py) + 1e1
+        |      + CAST((tp_id * 7919) % 13 - 6 AS DOUBLE) / 64
+        |      + CASE WHEN tp_id % 10 = 3 THEN 4e1 + CAST(tp_id % 5 AS DOUBLE) ELSE 0e0 END AS qx,
+        |    1.25e0 * (8e-1 * px + 6e-1 * py) - 5e0
+        |      + CAST((tp_id * 104729) % 13 - 6 AS DOUBLE) / 64
+        |      + CASE WHEN tp_id % 10 = 3 THEN -2.5e1 ELSE 0e0 END AS qy
+        |  FROM raw),
+        |cand AS (SELECT * FROM pts ORDER BY md5(CAST(tp_id AS VARCHAR)) LIMIT 12),
+        |pairs AS (
+        |  SELECT a.tp_id AS ida, b.tp_id AS idb,
+        |    a.px AS pxa, a.py AS pya, a.qx AS qxa, a.qy AS qya,
+        |    b.px AS pxb, b.py AS pyb, b.qx AS qxb, b.qy AS qyb
+        |  FROM cand a JOIN cand b ON a.tp_id < b.tp_id),
+        |msums AS (
+        |  SELECT ida, idb, 2e0 AS n,
+        |    pxa + pxb AS spx, pya + pyb AS spy, qxa + qxb AS sqx, qya + qyb AS sqy,
+        |    (pxa * pxa + pya * pya) + (pxb * pxb + pyb * pyb) AS spp,
+        |    qxa * pxa + qxb * pxb AS sqxpx,
+        |    qxa * pya + qxb * pyb AS sqxpy,
+        |    qya * pxa + qyb * pxb AS sqypx,
+        |    qya * pya + qyb * pyb AS sqypy
+        |  FROM pairs),
+        |mab AS (
+        |  SELECT ida, idb, n, spx, spy, sqx, sqy,
+        |    spp - (spx * spx + spy * spy) / n AS sigma2p,
+        |    sqxpx + sqypy - (sqx * spx + sqy * spy) / n AS a,
+        |    sqypx - sqxpy - (sqy * spx - sqx * spy) / n AS b
+        |  FROM msums),
+        |mrot AS (
+        |  SELECT ida, idb, n, spx, spy, sqx, sqy,
+        |    CASE WHEN sigma2p > 1e-20 THEN sqrt(a * a + b * b) / sigma2p ELSE 1e0 END AS scale,
+        |    CASE WHEN sqrt(a * a + b * b) > 0 THEN a / sqrt(a * a + b * b) ELSE 1e0 END AS cost,
+        |    CASE WHEN sqrt(a * a + b * b) > 0 THEN b / sqrt(a * a + b * b) ELSE 0e0 END AS sint
+        |  FROM mab),
+        |models AS (
+        |  SELECT ida, idb, scale, cost, sint,
+        |    sqx / n - scale * (cost * (spx / n) - sint * (spy / n)) AS tx,
+        |    sqy / n - scale * (sint * (spx / n) + cost * (spy / n)) AS ty
+        |  FROM mrot),
+        |counts AS (
+        |  SELECT m.ida, m.idb, m.scale, m.cost, m.sint, m.tx, m.ty, count(*) AS inliers
+        |  FROM pts p CROSS JOIN models m
+        |  WHERE (m.scale * (m.cost * p.px - m.sint * p.py) + m.tx - p.qx)
+        |        * (m.scale * (m.cost * p.px - m.sint * p.py) + m.tx - p.qx)
+        |      + (m.scale * (m.sint * p.px + m.cost * p.py) + m.ty - p.qy)
+        |        * (m.scale * (m.sint * p.px + m.cost * p.py) + m.ty - p.qy)
+        |      < 4e0
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        |best AS (SELECT * FROM counts ORDER BY inliers DESC, ida, idb LIMIT 1),
+        |inl AS (
+        |  SELECT p.tp_id, p.px, p.py, p.qx, p.qy
+        |  FROM pts p CROSS JOIN best m
+        |  WHERE (m.scale * (m.cost * p.px - m.sint * p.py) + m.tx - p.qx)
+        |        * (m.scale * (m.cost * p.px - m.sint * p.py) + m.tx - p.qx)
+        |      + (m.scale * (m.sint * p.px + m.cost * p.py) + m.ty - p.qy)
+        |        * (m.scale * (m.sint * p.px + m.cost * p.py) + m.ty - p.qy)
+        |      < 4e0),
+        |fs AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(px) AS spx, sum(py) AS spy, sum(qx) AS sqx, sum(qy) AS sqy,
+        |    sum(px * px + py * py) AS spp,
+        |    sum(qx * px) AS sqxpx, sum(qx * py) AS sqxpy,
+        |    sum(qy * px) AS sqypx, sum(qy * py) AS sqypy
+        |  FROM inl),
+        |fab AS (
+        |  SELECT n, spx, spy, sqx, sqy,
+        |    spp - (spx * spx + spy * spy) / n AS sigma2p,
+        |    sqxpx + sqypy - (sqx * spx + sqy * spy) / n AS a,
+        |    sqypx - sqxpy - (sqy * spx - sqx * spy) / n AS b
+        |  FROM fs),
+        |frot AS (
+        |  SELECT n, spx, spy, sqx, sqy,
+        |    CASE WHEN sigma2p > 1e-20 THEN sqrt(a * a + b * b) / sigma2p ELSE 1e0 END AS scale,
+        |    CASE WHEN sqrt(a * a + b * b) > 0 THEN a / sqrt(a * a + b * b) ELSE 1e0 END AS cost,
+        |    CASE WHEN sqrt(a * a + b * b) > 0 THEN b / sqrt(a * a + b * b) ELSE 0e0 END AS sint
+        |  FROM fab),
+        |tot AS (SELECT count(*) AS n_total FROM pts)
+        |SELECT CAST(n AS BIGINT) AS inlier_count,
+        |  n_total AS n_points,
+        |  round(n / n_total, 6) AS inlier_ratio,
+        |  round(scale, 6) AS scale,
+        |  round(cost, 6) AS cos_theta,
+        |  round(sint, 6) AS sin_theta,
+        |  round(sqx / n - scale * (cost * (spx / n) - sint * (spy / n)), 6) AS tx,
+        |  round(sqy / n - scale * (sint * (spx / n) + cost * (spy / n)), 6) AS ty
+        |FROM frot CROSS JOIN tot""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.
