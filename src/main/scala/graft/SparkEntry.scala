@@ -131,7 +131,10 @@ object SparkEntry {
     // stockpile analytics (stockpile.cpp)
     "q_stockpile" -> (graft.raster.Stockpile.stockpileQuery _),
     // align estimator (align.cpp)
-    "q_align" -> (graft.geo.Align.alignQuery _)
+    "q_align" -> (graft.geo.Align.alignQuery _),
+    // sensor profiles + multispectral band alignment (sensorprofile.cpp, merge_multispectral.cpp)
+    "q_sensor_detect" -> (graft.raster.SensorProfiles.sensorDetectQuery _),
+    "q_band_align" -> (graft.raster.SensorProfiles.bandAlignmentQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -1337,7 +1340,135 @@ object SparkEntry {
         |  round(sint, 6) AS sin_theta,
         |  round(sqx / n - scale * (cost * (spx / n) - sint * (spy / n)), 6) AS tx,
         |  round(sqy / n - scale * (sint * (spx / n) + cost * (spy / n)), 6) AS ty
-        |FROM frot CROSS JOIN tot""".stripMargin
+        |FROM frot CROSS JOIN tot""".stripMargin,
+    // Sensor detection: same registry VALUES, same priority-desc
+    // window, same RGBA/RGB short-circuits + multiband fallback.
+    "q_sensor_detect" ->
+      """WITH rasters AS (
+        |  SELECT event_id AS raster_id,
+        |    CAST(1 + event_id % 6 AS INT) AS band_count,
+        |    CASE event_id % 3 WHEN 0 THEN 'Byte' WHEN 1 THEN 'UInt16' ELSE 'Float32' END AS data_type,
+        |    CASE event_id % 5 WHEN 0 THEN 'Sensor: MicaSense RedEdge-M'
+        |                      WHEN 1 THEN 'DJI Phantom multispectral rig'
+        |                      WHEN 2 THEN 'FLIR thermal imager'
+        |                      ELSE 'generic camera' END AS metadata,
+        |    event_id % 7 = 0 AS last_band_alpha
+        |  FROM events),
+        |profiles AS (
+        |  SELECT * FROM (VALUES
+        |    ('micasense-rededge', 'multispectral', 100, 5, 'UInt16', ['RedEdge', 'MicaSense'], '3-2-1'),
+        |    ('dji-multispectral', 'multispectral', 90, 4, 'UInt16', ['DJI'], '3-2-1'),
+        |    ('flir-thermal', 'thermal', 80, 1, 'Float32', ['FLIR', 'thermal'], '1-1-1'),
+        |    ('generic-5band', 'multispectral', 10, 5, 'UInt16', CAST([] AS VARCHAR[]), '3-2-1'),
+        |    ('generic-4band', 'multispectral', 9, 4, 'UInt16', CAST([] AS VARCHAR[]), '3-2-1')
+        |  ) AS t(sensor_id, category, priority, p_band_count, p_data_type, patterns, mapping)),
+        |m AS (
+        |  SELECT r.raster_id, r.band_count, r.data_type, r.last_band_alpha,
+        |    p.sensor_id, p.category, p.mapping,
+        |    row_number() OVER (PARTITION BY r.raster_id ORDER BY p.priority DESC) AS rn
+        |  FROM rasters r LEFT JOIN profiles p
+        |    ON (p.p_band_count = CASE WHEN r.last_band_alpha THEN r.band_count - 1 ELSE r.band_count END
+        |        OR p.p_band_count = r.band_count)
+        |   AND (p.p_data_type = '' OR p.p_data_type = r.data_type)
+        |   AND (len(p.patterns) = 0 OR len(list_filter(p.patterns, x -> contains(r.metadata, x))) > 0)),
+        |sel AS (
+        |  SELECT raster_id,
+        |    (band_count = 4 AND data_type = 'Byte' AND last_band_alpha)
+        |      OR (band_count = 3 AND data_type = 'Byte') AS sc,
+        |    sensor_id IS NOT NULL AS hit,
+        |    band_count > 3 AND data_type <> 'Byte' AS fb_ok,
+        |    sensor_id, category, mapping
+        |  FROM m WHERE rn = 1)
+        |SELECT
+        |  CASE WHEN sc THEN FALSE WHEN hit THEN TRUE WHEN fb_ok THEN TRUE ELSE FALSE END AS detected,
+        |  CASE WHEN NOT sc AND hit THEN sensor_id ELSE '' END AS sensor_id,
+        |  CASE WHEN NOT sc AND hit THEN category
+        |       WHEN NOT sc AND NOT hit AND fb_ok THEN 'multispectral' ELSE '' END AS category,
+        |  CASE WHEN NOT sc AND hit THEN mapping
+        |       WHEN NOT sc AND NOT hit AND fb_ok THEN '1-2-3' ELSE '' END AS mapping,
+        |  count(*) AS n
+        |FROM sel GROUP BY 1, 2, 3, 4""".stripMargin,
+    // Band alignment: same ref-band window, same shift-source
+    // priority (DJI RelOC > PrincipalPoint gated at 1.5 px), dyadic
+    // offsets so the per-source aggregate sums are exact.
+    "q_band_align" ->
+      """WITH bands AS (
+        |  SELECT event_id // 5 AS capture_id,
+        |    CAST(event_id % 5 AS INT) AS band_idx,
+        |    (event_id // 5) % 3 AS regime
+        |  FROM events),
+        |b2 AS (
+        |  SELECT capture_id, band_idx,
+        |    ['Blue','Green','Red','RedEdge','LWIR'][band_idx + 1] AS band_name,
+        |    [475,560,668,717,10500][band_idx + 1] AS wavelength,
+        |    CAST(band_idx AS DOUBLE) * (CASE WHEN regime = 1 THEN 1.5625e-2 ELSE 9.765625e-4 END) AS pp_x,
+        |    CAST(band_idx AS DOUBLE) * (CASE WHEN regime = 1 THEN -1.5625e-2 ELSE 4.8828125e-4 END) AS pp_y,
+        |    3.90625e-3 AS pitch_x, 3.90625e-3 AS pitch_y,
+        |    TRUE AS has_pp, TRUE AS has_pitch,
+        |    CAST(band_idx AS DOUBLE) / 8 AS roc_x,
+        |    CAST(band_idx AS DOUBLE) / 16 AS roc_y,
+        |    regime = 0 AS has_roc
+        |  FROM bands),
+        |wr AS (
+        |  SELECT *,
+        |    coalesce(
+        |      min(CASE WHEN band_name = 'Green' OR (wavelength >= 540 AND wavelength <= 570)
+        |               THEN band_idx END) OVER (PARTITION BY capture_id),
+        |      min(band_idx) OVER (PARTITION BY capture_id)) AS ref_idx
+        |  FROM b2),
+        |rc AS (
+        |  SELECT capture_id, pp_x AS ref_pp_x, pp_y AS ref_pp_y,
+        |    (has_pp AND has_pitch) AS ref_has_pp,
+        |    roc_x AS ref_roc_x, roc_y AS ref_roc_y, has_roc AS ref_has_roc
+        |  FROM wr WHERE band_idx = ref_idx),
+        |j AS (SELECT wr.*, rc.ref_pp_x, rc.ref_pp_y, rc.ref_has_pp, rc.ref_has_roc
+        |      FROM wr JOIN rc USING (capture_id)),
+        |ann AS (
+        |  SELECT *,
+        |    CASE WHEN has_pp AND has_pitch AND ref_has_pp AND band_idx <> ref_idx
+        |         THEN greatest(abs((pp_x - ref_pp_x) / pitch_x), abs((pp_y - ref_pp_y) / pitch_y))
+        |    END AS pp_shift_abs
+        |  FROM j),
+        |ann2 AS (
+        |  SELECT *,
+        |    coalesce(max(pp_shift_abs) OVER (PARTITION BY capture_id), 0e0) AS max_pp_shift,
+        |    min(CASE WHEN has_pp AND has_pitch THEN 1 ELSE 0 END) OVER (PARTITION BY capture_id) = 1 AS all_have_pp,
+        |    max(CASE WHEN has_roc THEN 1 ELSE 0 END) OVER (PARTITION BY capture_id) = 1 AS any_roc,
+        |    CASE WHEN ref_has_roc THEN ref_idx
+        |         ELSE min(CASE WHEN has_roc THEN band_idx END) OVER (PARTITION BY capture_id)
+        |    END AS dji_ref_idx
+        |  FROM ann),
+        |dr AS (SELECT capture_id, roc_x AS dref_x, roc_y AS dref_y
+        |       FROM ann2 WHERE band_idx = dji_ref_idx),
+        |fin AS (
+        |  SELECT a.*, dr.dref_x, dr.dref_y,
+        |    CASE WHEN any_roc THEN 'DJI_RelativeOpticalCenter'
+        |         WHEN max_pp_shift > 1.5 AND all_have_pp THEN 'PrincipalPoint'
+        |         ELSE 'none' END AS src
+        |  FROM ann2 a LEFT JOIN dr USING (capture_id)),
+        |outp AS (
+        |  SELECT capture_id, band_idx, band_name,
+        |    (band_name = 'LWIR' OR wavelength > 7000) AS is_thermal,
+        |    CASE WHEN src = 'DJI_RelativeOpticalCenter' AND has_roc THEN TRUE
+        |         WHEN src = 'PrincipalPoint' AND has_pp AND has_pitch AND ref_has_pp THEN TRUE
+        |         ELSE FALSE END AS detected,
+        |    CASE WHEN src = 'DJI_RelativeOpticalCenter' AND has_roc THEN roc_x - dref_x
+        |         WHEN src = 'PrincipalPoint' AND has_pp AND has_pitch AND ref_has_pp THEN
+        |           CASE WHEN band_idx = ref_idx THEN 0e0 ELSE (pp_x - ref_pp_x) / pitch_x END
+        |         ELSE 0e0 END AS shift_x,
+        |    CASE WHEN src = 'DJI_RelativeOpticalCenter' AND has_roc THEN roc_y - dref_y
+        |         WHEN src = 'PrincipalPoint' AND has_pp AND has_pitch AND ref_has_pp THEN
+        |           CASE WHEN band_idx = ref_idx THEN 0e0 ELSE (pp_y - ref_pp_y) / pitch_y END
+        |         ELSE 0e0 END AS shift_y,
+        |    CASE WHEN src = 'DJI_RelativeOpticalCenter' AND has_roc THEN src
+        |         WHEN src = 'PrincipalPoint' AND has_pp AND has_pitch AND ref_has_pp THEN src
+        |         ELSE 'none' END AS shift_source
+        |  FROM fin)
+        |SELECT shift_source, is_thermal, detected, count(*) AS n_bands,
+        |  round(avg(shift_x), 6) AS avg_shift_x,
+        |  round(avg(shift_y), 6) AS avg_shift_y,
+        |  round(max(greatest(abs(shift_x), abs(shift_y))), 6) AS max_shift
+        |FROM outp GROUP BY 1, 2, 3""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.
