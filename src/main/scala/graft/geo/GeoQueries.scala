@@ -65,36 +65,91 @@ object GeoQueries {
 
   /** Tile-pyramid core (`gdaltiler.cpp:158-380`): the tiler's
     * warp-once / per-tile-window pipeline as one relational flow.
-    * Input pixels carry (lon, lat, byte); each pixel is assigned its
-    * web-mercator (z, tx, ty) tile id at EVERY pyramid zoom
-    * (explode), then one partial-agg shuffle materializes per-tile
-    * band stats. The groupBy exchange IS the per-tile window read: at
-    * cluster scale pixels hash-partition by tile id, so each task
-    * assembles complete tiles and untouched tiles never exist — the
-    * same access pattern as the reference's per-tile windowed read.
-    * `renderTiles` below adds the PNG byte-encode stage. Tile ids are
-    * XYZ (y-flipped from TMS, `tiler.cpp:219-221`). */
+    * Input pixels carry (lon, lat, byte); raw pixels are scanned
+    * EXACTLY ONCE — assigned their web-mercator tile at the FINEST
+    * requested zoom and partial-agg'd to per-tile stats — and every
+    * coarser level is built by 2×2-reducing the level below (the
+    * `gdaltiler` overview pattern): counts and byte sums add, min/max
+    * fold, so a z0–19 pyramid costs one pixel scan plus per-level
+    * shuffles over ever-shrinking tile sets (the r4-flagged
+    * per-zoom pixel explode scanned the raw data once PER ZOOM).
+    *
+    * The halving is bit-exact, not approximate: `res` doubles per
+    * level by an exact power of two, and IEEE rounding commutes with
+    * power-of-two scaling, so ceil-index(z−1) ≡ ceil-index(z) div 2
+    * for every pixel — the rollup output is hash-identical to direct
+    * per-zoom assignment (same q_tile_pyramid oracle row, and the
+    * byte mean divides the exact integer byte sum by the exact
+    * count). The groupBy exchange IS the per-tile window read: pixels
+    * hash-partition by tile id, each task assembles complete tiles,
+    * untouched tiles never exist. `renderTiles` below adds the PNG
+    * byte-encode stage. Tile ids are XYZ (y-flipped from TMS,
+    * `tiler.cpp:219-221`). */
   def tilePyramid(pixels: DataFrame, zooms: Seq[Int]): DataFrame = {
+    require(zooms.nonEmpty, "at least one zoom level")
+    val zMin = zooms.min
+    val zMax = zooms.max
     val originShift = math.Pi * 6378137.0
-    val zoomed = pixels
+    val res = lit(2 * math.Pi * 6378137.0 / 256.0) / pow(lit(2.0), lit(zMax))
+    def tileIdx(m: Column): Column =
+      greatest(lit(0L), ceil(((m + originShift) / res) / 256.0).cast("long") - 1)
+    val finest = pixels
       .withColumn("mx_m", col("lon") * originShift / 180.0)
       .withColumn(
         "my_m",
         log(tan((lit(90.0) + col("lat")) * math.Pi / 360.0)) / (math.Pi / 180.0) * originShift / 180.0
       )
-      .withColumn("z", explode(array(zooms.map(z => lit(z)): _*)))
-    val res = lit(2 * math.Pi * 6378137.0 / 256.0) / pow(lit(2.0), col("z"))
-    def tileIdx(m: Column): Column =
-      greatest(lit(0L), ceil(((m + originShift) / res) / 256.0).cast("long") - 1)
-    zoomed
       .withColumn("tx", tileIdx(col("mx_m")))
-      .withColumn("ty", pow(lit(2.0), col("z")).cast("long") - 1 - tileIdx(col("my_m")))
-      .groupBy(col("z"), col("tx"), col("ty"))
+      .withColumn("ty", pow(lit(2.0), lit(zMax)).cast("long") - 1 - tileIdx(col("my_m")))
+      .groupBy(col("tx"), col("ty"))
       .agg(
         count(lit(1)).as("n_px"),
+        sum(col("byte")).as("byte_sum"),
         min(col("byte")).as("byte_min"),
-        max(col("byte")).as("byte_max"),
-        round(avg(col("byte")), 4).as("byte_mean")
+        max(col("byte")).as("byte_max")
+      )
+      .select(lit(zMax).as("z"), col("tx"), col("ty"), col("n_px"), col("byte_sum"), col("byte_min"), col("byte_max"))
+      // materialize the base level once (gdaladdo's overviews-over-base
+      // pattern): every coarser level and the final union read these
+      // tile stats, never the raw pixels again — without this, each
+      // union branch would re-derive (and re-scan) the pixel source
+      .localCheckpoint()
+    var levels = List(finest)
+    var cur = finest
+    for (z <- (zMax - 1) to zMin by -1) {
+      // XYZ y runs top-down: halve in TMS space, flip back
+      val tmsChild = lit((1L << (z + 1)) - 1) - col("ty")
+      cur = cur
+        .select(
+          shiftright(col("tx"), 1).as("tx"),
+          (lit((1L << z) - 1) - shiftright(tmsChild, 1)).as("ty"),
+          col("n_px"),
+          col("byte_sum"),
+          col("byte_min"),
+          col("byte_max")
+        )
+        .groupBy(col("tx"), col("ty"))
+        .agg(
+          sum(col("n_px")).as("n_px"),
+          sum(col("byte_sum")).as("byte_sum"),
+          min(col("byte_min")).as("byte_min"),
+          max(col("byte_max")).as("byte_max")
+        )
+        .select(lit(z).as("z"), col("tx"), col("ty"), col("n_px"), col("byte_sum"), col("byte_min"), col("byte_max"))
+        .localCheckpoint() // level z feeds both the union and level z−1
+      levels ::= cur
+    }
+    levels
+      .reduce(_.unionAll(_))
+      .filter(col("z").isin(zooms.map(z => z: Any): _*))
+      .select(
+        col("z"),
+        col("tx"),
+        col("ty"),
+        col("n_px"),
+        col("byte_min"),
+        col("byte_max"),
+        round(col("byte_sum").cast("double") / col("n_px"), 4).as("byte_mean")
       )
   }
 

@@ -71,6 +71,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(raw"PartitionFilters: \[[^\]]".r.findFirstIn(plan).isDefined, s"z filter must prune partitions:\n$plan")
   }
 
+  test("tile pyramid scans raw pixels once regardless of zoom count (overview rollup)") {
+    // the r4 verdict flagged the per-zoom pixel explode (zoom-count ×
+    // data scanned); the rollup builds z−1 from z's tiles, so the
+    // pixel source must appear exactly once in the plan however many
+    // levels are requested — and no Generate/explode remains
+    import org.apache.spark.sql.functions.col
+    def planFor(zooms: Seq[Int]): String = {
+      val px = spark.range(1000).select(
+        (col("id") % 100).cast("double").alias("x"),
+        (col("id") / 100).cast("double").alias("y"))
+        .select(
+          (col("x") * 0.001 - 10.0).alias("lon"),
+          (org.apache.spark.sql.functions.lit(40.0) - col("y") * 0.001).alias("lat"),
+          (col("x").cast("int") % 256).alias("byte"))
+      graft.geo.GeoQueries.tilePyramid(px, zooms)
+        .queryExecution.explainString(FormattedMode)
+    }
+    Seq(Seq(12, 13, 14), Seq(9, 10, 11, 12, 13, 14)).foreach { zooms =>
+      val p = planFor(zooms)
+      def occurrences(hay: String, needle: String): Int = hay.sliding(needle.length).count(_ == needle)
+      // the base level is materialized once at construction; the final
+      // plan must read ONLY checkpointed tile stats — zero re-scans of
+      // the pixel source, however many levels are requested
+      val rangeScans = occurrences(p, "Scan Range") max occurrences(p, "Range (")
+      assert(rangeScans === 0, s"zooms $zooms re-scans the pixel source:\n$p")
+      assert(p.contains("ExistingRDD"), s"zooms $zooms should read materialized level stats")
+      assert(!p.contains("Generate"), s"zooms $zooms must not explode pixels per zoom")
+    }
+  }
+
   test("no query plans an unpartitioned Window over raw (non-aggregated) rows") {
     // Window with an empty partitionSpec funnels EVERY input row
     // through one task — the classic scale-killer. It is tolerable
