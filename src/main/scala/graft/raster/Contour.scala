@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Contour extraction — ref `contour.cpp:95-270` (interval resolve +
@@ -56,7 +56,7 @@ object Contour {
   /** One marching-squares cell at one level → 0, 1 or 2 segments in
     * pixel coordinates. Inside = value >= level; saddle cases (5, 10)
     * resolve by the center mean. */
-  private[raster] def marchCell(
+  private[graft] def marchCell(
       cx: Int,
       cy: Int,
       v00: Double,
@@ -164,6 +164,161 @@ object Contour {
         col("level"),
         (col("e.px") + col("t") * col("e.dx")).as("x"),
         (col("e.py") + col("t") * col("e.dy")).as("y")
+      )
+  }
+
+  // ------------------------------------------------------- assembly
+
+  /** Perpendicular distance from p to segment ab — ref
+    * `stockpile.cpp:170-183` (shared DP helper shape). */
+  private def perpDist(px: Double, py: Double, ax: Double, ay: Double, bx: Double, by: Double): Double = {
+    val vx = bx - ax; val vy = by - ay
+    val len2 = vx * vx + vy * vy
+    if (len2 < 1e-18) math.hypot(px - ax, py - ay)
+    else {
+      val t = ((px - ax) * vx + (py - ay) * vy) / len2
+      math.hypot(px - (ax + t * vx), py - (ay + t * vy))
+    }
+  }
+
+  /** Douglas-Peucker polyline simplification (iterative stack form) —
+    * the simplify step the reference delegates to
+    * `SimplifyPreserveTopology` (`contour.cpp:268-270`); DP is the
+    * standard polyline variant and keeps endpoints fixed. */
+  private[graft] def douglasPeucker(
+      pts: IndexedSeq[(Double, Double)],
+      eps: Double
+  ): IndexedSeq[(Double, Double)] = {
+    val n = pts.length
+    if (n < 3 || eps <= 0) return pts
+    val keep = Array.fill(n)(false)
+    keep(0) = true; keep(n - 1) = true
+    var stack = List((0, n - 1))
+    while (stack.nonEmpty) {
+      val (i, j) = stack.head
+      stack = stack.tail
+      if (j > i + 1) {
+        var maxD = -1.0; var maxK = i
+        var k = i + 1
+        while (k < j) {
+          val d = perpDist(pts(k)._1, pts(k)._2, pts(i)._1, pts(i)._2, pts(j)._1, pts(j)._2)
+          if (d > maxD) { maxD = d; maxK = k }
+          k += 1
+        }
+        if (maxD > eps) {
+          keep(maxK) = true
+          stack = (i, maxK) :: (maxK, j) :: stack
+        }
+      }
+    }
+    (0 until n).collect { case i if keep(i) => pts(i) }.toIndexedSeq
+  }
+
+  /** Stitch one level's segments into ordered polylines. Endpoints
+    * quantized to 1e-9 for adjacency; chains start at degree-1
+    * endpoints (open lines) then the smallest remaining endpoint
+    * (closed rings), walking to the smallest-keyed unvisited
+    * neighbour — fully deterministic. */
+  private[graft] def stitchLevel(
+      segs: Seq[(Double, Double, Double, Double)],
+      eps: Double
+  ): Seq[IndexedSeq[(Double, Double)]] = {
+    def key(x: Double, y: Double): (Long, Long) = (math.rint(x * 1e9).toLong, math.rint(y * 1e9).toLong)
+    case class End(k: (Long, Long), pt: (Double, Double))
+    // degenerate-crossing cleanup: a level passing exactly through a
+    // grid corner makes adjacent cells emit zero-length and coincident
+    // segments (GDAL collapses these inside its tracer) — drop
+    // zero-length, dedupe by unordered endpoint-key pair
+    val cleaned = segs
+      .filter { case (x1, y1, x2, y2) => key(x1, y1) != key(x2, y2) }
+      .groupBy { case (x1, y1, x2, y2) =>
+        val (a, b) = (key(x1, y1), key(x2, y2))
+        if (Ordering[(Long, Long)].lteq(a, b)) (a, b) else (b, a)
+      }
+      .toSeq
+      .sortBy(_._1)
+      .map(_._2.head)
+    val ends = cleaned.zipWithIndex.map { case ((x1, y1, x2, y2), i) =>
+      i -> (End(key(x1, y1), (x1, y1)), End(key(x2, y2), (x2, y2)))
+    }.toMap
+    val adj = scala.collection.mutable.Map.empty[(Long, Long), List[Int]]
+    ends.foreach { case (i, (a, b)) =>
+      adj(a.k) = i :: adj.getOrElse(a.k, Nil)
+      adj(b.k) = i :: adj.getOrElse(b.k, Nil)
+    }
+    val visited = Array.fill(cleaned.length)(false)
+    val chains = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[(Double, Double)]]
+
+    def walk(startKey: (Long, Long)): Unit = {
+      val first = adj(startKey).filter(!visited(_)).minOption.getOrElse(return)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var curKey = startKey
+      val (a0, b0) = ends(first)
+      buf += (if (a0.k == curKey) a0.pt else b0.pt)
+      var cur = first
+      var continue = true
+      while (continue) {
+        visited(cur) = true
+        val (a, b) = ends(cur)
+        val nextEnd = if (a.k == curKey) b else a
+        buf += nextEnd.pt
+        curKey = nextEnd.k
+        adj(curKey).filter(!visited(_)).minOption match {
+          case Some(nxt) => cur = nxt
+          case None => continue = false
+        }
+      }
+      chains += douglasPeucker(buf.toIndexedSeq, eps)
+    }
+
+    // open polylines first: endpoints with odd degree, smallest first
+    adj.toSeq
+      .filter { case (_, is) => is.length % 2 == 1 }
+      .map(_._1)
+      .sorted
+      .foreach(k => if (adj(k).exists(!visited(_))) walk(k))
+    // then closed rings from the smallest remaining endpoint
+    var remaining = true
+    while (remaining) {
+      val unvisitedKeys = ends.collect { case (i, (a, _)) if !visited(i) => a.k }
+      if (unvisitedKeys.isEmpty) remaining = false
+      else walk(unvisitedKeys.min)
+    }
+    chains.toSeq
+  }
+
+  /** Assemble marching-squares segments into per-level line features —
+    * the reference's contour feature output (`contour.cpp:240-290`:
+    * one LineString feature per traced line, elev property, optional
+    * simplify). groupBy(level) + a per-group kernel: a level's segment
+    * set is bounded by the raster's cross-section at that elevation —
+    * the justified-UDF shape (the chain walk doesn't decompose into
+    * column algebra). Output: one row per polyline with point count,
+    * closed flag, and euclidean length. */
+  def polylines(segmentsDf: DataFrame, simplifyEps: Double = 0.0): DataFrame = {
+    val assemble = udf { (segs: Seq[Row]) =>
+      val chains = stitchLevel(
+        segs.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))),
+        simplifyEps
+      )
+      chains.zipWithIndex.map { case (pts, i) =>
+        val closed = pts.length > 2 && pts.head == pts.last
+        val len = pts.sliding(2).map { case Seq((ax, ay), (bx, by)) => math.hypot(bx - ax, by - ay) }.sum
+        (i, pts.length, closed, len, pts.head._1, pts.head._2)
+      }
+    }
+    segmentsDf
+      .groupBy(col("level"))
+      .agg(assemble(collect_list(struct(col("x1"), col("y1"), col("x2"), col("y2")))).as("lines"))
+      .select(col("level"), explode(col("lines")).as("l"))
+      .select(
+        col("level"),
+        col("l._1").as("line_id"),
+        col("l._2").as("n_points"),
+        col("l._3").as("closed"),
+        round(col("l._4"), 6).as("length"),
+        col("l._5").as("start_x"),
+        col("l._6").as("start_y")
       )
   }
 

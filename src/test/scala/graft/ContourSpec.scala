@@ -71,6 +71,55 @@ class ContourSpec extends SparkSuite {
     assert(Raster.contourLevels(5.0, 5.0, None, 10) === Seq.empty)
   }
 
+  test("polyline assembly: one closed ring per level on a cone (contour_test.cpp feature shape)") {
+    val cone = Raster.grid(spark, 30, 30) { (x, y) =>
+      lit(100.0) - sqrt((x - 15.0) * (x - 15.0) + (y - 15.0) * (y - 15.0))
+    }
+    val cells = Contour.cells(cone.select($"x", $"y", $"value"))
+    // non-lattice levels: radii 9.5/7.7/5.9 keep crossings off grid
+    // corners (corner-exact levels degrade to junction topology, which
+    // stitches deterministically but not as a single ring — same as
+    // GDAL's tracer on corner-degenerate input)
+    val segs = Contour.segments(cells, Seq(90.5, 92.3, 94.1))
+    val lines = Contour.polylines(segs).collect()
+    // each level set of a cone is ONE closed ring
+    assert(lines.length === 3)
+    assert(lines.forall(_.getAs[Boolean]("closed")))
+    assert(lines.forall(_.getAs[Int]("n_points") > 4))
+    // ring circumference ≈ 2π·r (r = 100 − level), coarse on a pixel grid
+    lines.foreach { l =>
+      val level = l.getAs[Double]("level")
+      val r = 100.0 - level
+      val len = l.getAs[Double]("length")
+      assert(math.abs(len - 2 * math.Pi * r) / (2 * math.Pi * r) < 0.15, s"level $level len $len r $r")
+    }
+  }
+
+  test("polyline assembly: open lines on a gradient span the grid; simplify collapses collinear points") {
+    val cells = Contour.cells(gradient(20, 10).select($"x", $"y", $"value"))
+    val segs = Contour.segments(cells, Seq(5.0, 10.0))
+    val raw = Contour.polylines(segs).collect()
+    // vertical contours: one open line per level, 9 unit segments → 10 points
+    assert(raw.length === 2)
+    assert(raw.forall(!_.getAs[Boolean]("closed")))
+    assert(raw.forall(_.getAs[Int]("n_points") === 10))
+    assert(raw.forall(r => math.abs(r.getAs[Double]("length") - 9.0) < 1e-9))
+    // all interior points are collinear → DP keeps only the 2 endpoints
+    val simp = Contour.polylines(segs, simplifyEps = 0.01).collect()
+    assert(simp.forall(_.getAs[Int]("n_points") === 2))
+    assert(simp.forall(r => math.abs(r.getAs[Double]("length") - 9.0) < 1e-9))
+  }
+
+  test("polyline assembly is deterministic (same ids and starts on recompute)") {
+    val cone = Raster.grid(spark, 24, 24) { (x, y) =>
+      lit(50.0) - sqrt((x - 12.0) * (x - 12.0) + (y - 12.0) * (y - 12.0))
+    }
+    val segs = Contour.segments(Contour.cells(cone.select($"x", $"y", $"value")), Seq(44.0, 46.0))
+    def snap() = Contour.polylines(segs).orderBy("level", "line_id")
+      .collect().map(_.toSeq).toSeq
+    assert(snap() === snap())
+  }
+
   test("crossings are exactly the segment endpoints (relational core ≡ kernel)") {
     val cells = Contour.cells(gradient(12, 8).select($"x", $"y", $"value"))
     val levels = Seq(4.0, 7.0)
