@@ -102,8 +102,16 @@ object Stockpile {
     * label-of-label} (pointer jumping → O(log diameter) rounds);
     * convergence detected by the monotonically decreasing Σ label. */
   def connectedComponents(fg: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var labels = fg.select(col("id"), col("id").as("lab")).localCheckpoint()
+    // Size the per-round shuffle to the FOREGROUND size, not the
+    // session default: the fixpoint runs O(log diameter) rounds and a
+    // 32-partition shuffle per round over a collar/mound-sized frame
+    // is pure scheduler overhead. ~2M label rows per partition keeps
+    // tasks executor-memory-safe at estate scale while a small raster
+    // runs single-task rounds.
+    val n = fg.count()
+    val parts = math.max(1L, math.min(fg.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L)).toInt
+    val e = edges.select(col("src"), col("dst")).repartition(parts, col("src")).localCheckpoint()
+    var labels = fg.select(col("id"), col("id").as("lab")).repartition(parts, col("id")).localCheckpoint()
     var prev = Long.MinValue
     var cur = labels.agg(sum("lab")).head().getLong(0)
     var iter = 0
@@ -119,6 +127,7 @@ object Stockpile {
       labels = labels
         .union(viaEdge)
         .union(viaJump)
+        .repartition(parts, col("id"))
         .groupBy("id")
         .agg(min("lab").as("lab"))
         .localCheckpoint()
@@ -126,6 +135,88 @@ object Stockpile {
       iter += 1
     }
     labels
+  }
+
+  /** Pixel row for the phase-1 union-find (public: Catalyst's
+    * generated deserializer must be able to instantiate it). */
+  case class Px(id: Long, x: Int, y: Int)
+
+  /** Two-phase connected components — the scale path: phase 1 labels
+    * each PARTITION's pixels with a local union-find (one
+    * `mapPartitions` pass, memory bounded by the tile partitioning —
+    * at estate scale pixels arrive partitioned by (raster_id, tile)
+    * so a partition holds one tile's foreground), phase 2 runs the
+    * min-label fixpoint of [[connectedComponents]] on the CONTRACTED
+    * graph whose nodes are phase-1 labels and whose edges are only the
+    * cross-partition adjacencies — the classic local-CC + boundary-
+    * graph contraction (Kiveris et al.). Label rule is unchanged:
+    * every pixel ends with the MIN pixel id of its component, so the
+    * oracle's reachability closure recomputes identical labels. For a
+    * raster that fits one partition the fixpoint sees zero edges and
+    * converges immediately — the whole CC is one pass.
+    *
+    * Requires `id = y*width + x` (the encoding both callers use). */
+  def connectedComponentsTiled(fg: DataFrame, width: Int, tileRows: Int = 256): DataFrame = {
+    val s = fg.sparkSession
+    import s.implicits._
+    val n = fg.count()
+    val parts = math
+      .max(1L, math.min(s.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L))
+      .toInt
+    val local = fg
+      .select(col("id").cast("long").as("id"), col("x").cast("int").as("x"), col("y").cast("int").as("y"))
+      .repartition(parts, floor(col("y") / tileRows))
+      .as[Px]
+      .mapPartitions { it =>
+        val pix = new java.util.HashMap[Long, Px]()
+        it.foreach(p => pix.put(p.id, p))
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = a
+          while (parent.getOrDefault(c, c) != c) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
+          r
+        }
+        def union(a: Long, b: Long): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        val e = pix.entrySet().iterator()
+        while (e.hasNext) {
+          val p = e.next().getValue
+          if (p.x < width - 1 && pix.containsKey(p.id + 1)) union(p.id, p.id + 1)
+          if (pix.containsKey(p.id + width)) union(p.id, p.id + width)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](pix.size())
+        val i2 = pix.keySet().iterator()
+        while (i2.hasNext) { val id = i2.next(); out += ((id, find(id))) }
+        out.iterator
+      }
+      .toDF("id", "lab")
+      .localCheckpoint()
+    // contracted graph: cross-partition pixel adjacencies mapped to labels
+    val lf = local
+      .withColumn("x", (col("id") % width).cast("int"))
+      .withColumn("y", (col("id") / width).cast("int"))
+    val a = lf.select(col("lab").as("slab"), col("x"), col("y"))
+    val b = lf.select(col("lab").as("dlab"), col("x").as("nx"), col("y").as("ny"))
+    val cross = a
+      .join(b, col("nx") === col("x") + 1 && col("ny") === col("y"))
+      .select(col("slab"), col("dlab"))
+      .union(
+        a.join(b, col("nx") === col("x") && col("ny") === col("y") + 1)
+          .select(col("slab"), col("dlab"))
+      )
+      .filter(col("slab") =!= col("dlab"))
+    val contracted = cross
+      .union(cross.select(col("dlab").as("slab"), col("slab").as("dlab")))
+      .select(col("slab").as("src"), col("dlab").as("dst"))
+      .distinct()
+    val nodes = local.select(col("lab").as("id")).distinct()
+    val fixed = connectedComponents(nodes, contracted)
+      .select(col("id").as("lab"), col("lab").as("glab"))
+    local.join(fixed, Seq("lab")).select(col("id"), col("glab").as("lab"))
   }
 
   /** Border-ring base elevation — ref `stockpile.cpp:332-353`: mean
@@ -188,8 +279,12 @@ object Stockpile {
         col("value").as("d"),
         col("mp")
       )
+      // materialize once: fg feeds the CC seed, both sides of the
+      // adjacency joins, and the stats pass — without this the whole
+      // smoothing pipeline re-runs for every consumer
+      .localCheckpoint()
     val edges = adjacencyEdges(fg)
-    val labels = connectedComponents(fg, edges)
+    val labels = connectedComponentsTiled(fg, width)
     val p = fg.join(labels, Seq("id"))
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("nb"))
     val st = p
@@ -254,7 +349,8 @@ object Stockpile {
       .crossJoin(broadcast(mp))
       .filter(col("value") > col("mp") * lit(1.5 - sensitivity))
       .select((col("y").cast("long") * width + col("x")).as("id"), col("x"), col("y"), col("value").as("d"))
-    val labels = connectedComponents(fg, adjacencyEdges(fg))
+      .localCheckpoint() // same multi-consumer materialization as detectAll
+    val labels = connectedComponentsTiled(fg, width)
     val seedLab = labels.filter(col("id") === seedY.toLong * width + seedX).select(col("lab"))
     fg.join(labels, Seq("id"))
       .join(broadcast(seedLab), Seq("lab"))
