@@ -134,7 +134,9 @@ object SparkEntry {
     "q_align" -> (graft.geo.Align.alignQuery _),
     // sensor profiles + multispectral band alignment (sensorprofile.cpp, merge_multispectral.cpp)
     "q_sensor_detect" -> (graft.raster.SensorProfiles.sensorDetectQuery _),
-    "q_band_align" -> (graft.raster.SensorProfiles.bandAlignmentQuery _)
+    "q_band_align" -> (graft.raster.SensorProfiles.bandAlignmentQuery _),
+    // border mask (mask.cpp nearblack floodfill semantics)
+    "q_mask" -> (graft.raster.Mask.maskQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -1468,7 +1470,43 @@ object SparkEntry {
         |  round(avg(shift_x), 6) AS avg_shift_x,
         |  round(avg(shift_y), 6) AS avg_shift_y,
         |  round(max(greatest(abs(shift_x), abs(shift_y))), 6) AS max_shift
-        |FROM outp GROUP BY 1, 2, 3""".stripMargin
+        |FROM outp GROUP BY 1, 2, 3""".stripMargin,
+    // Border mask: identical synthetic 48×48 ortho (pure integer band
+    // math), near predicate, and border-reachability closure through
+    // the near set — the floodfill semantic, as a recursive CTE.
+    "q_mask" ->
+      """WITH RECURSIVE
+        |g AS (SELECT CAST(i % 48 AS INT) AS x, CAST(i // 48 AS INT) AS y
+        |      FROM (SELECT unnest(range(2304)) AS i)),
+        |px AS (
+        |  SELECT x, y,
+        |    CASE WHEN x < 2 + (y * 7) % 4 OR x >= 46 OR y < 2 OR y >= 46
+        |              OR (x BETWEEN 10 AND 16 AND y < 9) THEN 0
+        |         WHEN x BETWEEN 22 AND 27 AND y BETWEEN 22 AND 27 THEN 8
+        |         ELSE 40 + (x * 4) % 160 END AS r,
+        |    CASE WHEN x < 2 + (y * 7) % 4 OR x >= 46 OR y < 2 OR y >= 46
+        |              OR (x BETWEEN 10 AND 16 AND y < 9) THEN 4
+        |         WHEN x BETWEEN 22 AND 27 AND y BETWEEN 22 AND 27 THEN 12
+        |         ELSE 60 + (y * 3) % 120 END AS gg,
+        |    CASE WHEN x < 2 + (y * 7) % 4 OR x >= 46 OR y < 2 OR y >= 46
+        |              OR (x BETWEEN 10 AND 16 AND y < 9) THEN 2
+        |         WHEN x BETWEEN 22 AND 27 AND y BETWEEN 22 AND 27 THEN 6
+        |         ELSE 50 + ((x + y) * 5) % 180 END AS b
+        |  FROM g),
+        |near AS (SELECT x, y FROM px
+        |         WHERE abs(r) <= 15 AND abs(gg) <= 15 AND abs(b) <= 15),
+        |reach AS (
+        |  SELECT x, y FROM near WHERE x = 0 OR x = 47 OR y = 0 OR y = 47
+        |  UNION
+        |  SELECT n.x, n.y FROM reach rr JOIN near n
+        |    ON abs(n.x - rr.x) + abs(n.y - rr.y) = 1),
+        |m AS (SELECT x, y, 0 AS mask FROM reach)
+        |SELECT px.y,
+        |  CAST(sum(CASE WHEN m.mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(sum(CASE WHEN m.mask = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN m.mask = 0 THEN px.x ELSE 0 END) AS BIGINT) AS masked_x_sum
+        |FROM px LEFT JOIN m ON m.x = px.x AND m.y = px.y
+        |GROUP BY px.y ORDER BY px.y""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.
