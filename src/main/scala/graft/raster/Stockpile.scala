@@ -47,32 +47,32 @@ object Stockpile {
 
   /** One separable-convolution axis pass with clamp-at-edge semantics
     * (ref `stockpile.cpp:65-86`): out(x) = Σ_k w_k · in(clamp(x+k)).
-    * Gather formulation: each output pixel joins its (clamped) source
-    * pixels — an equi-join on the shifted coordinate plus one groupBy,
-    * both shuffle-partitioned by pixel key, so the pass scales with
-    * pixels-as-rows regardless of raster size. */
+    * Window formulation: along the pass axis each tap is a lag/lead
+    * over rows sorted by that axis, partitioned by the other axis — ONE
+    * shuffle per pass (vs explode+join+groupBy's two plus a join).
+    * Clamping falls out of `coalesce`: `lag(v,k)` is null for x<k, and
+    * the first non-null of lag(k), lag(k−1), …, v is exactly
+    * in(max(0, x−k)) = in(clamp(x−k)); symmetrically for lead. Each
+    * partition holds one raster row/column — bounded by raster width,
+    * the same bound the per-tile render kernels rely on. */
   private def pass(
       df: DataFrame,
       weights: Seq[Double],
       limit: Int,
       horizontal: Boolean
   ): DataFrame = {
+    val _ = limit // clamping is positional via coalesce; no index bound needed
     val half = weights.size / 2
-    val offs = weights.zipWithIndex.map { case (w, i) =>
-      struct(lit(i - half).as("k"), lit(w).as("w"))
-    }
-    val src = df.select(col("x").as("sx"), col("y").as("sy"), col("value").as("sv"))
-    val shifted =
-      if (horizontal) df.select(col("x"), col("y"), explode(array(offs: _*)).as("kw"))
-        .withColumn("sx", greatest(lit(0), least(lit(limit - 1), col("x") + col("kw.k"))))
-        .withColumn("sy", col("y"))
-      else df.select(col("x"), col("y"), explode(array(offs: _*)).as("kw"))
-        .withColumn("sx", col("x"))
-        .withColumn("sy", greatest(lit(0), least(lit(limit - 1), col("y") + col("kw.k"))))
-    shifted
-      .join(src, Seq("sx", "sy"))
-      .groupBy(col("x"), col("y"))
-      .agg(sum(col("kw.w") * col("sv")).as("value"))
+    val w =
+      if (horizontal) Window.partitionBy(col("y")).orderBy(col("x"))
+      else Window.partitionBy(col("x")).orderBy(col("y"))
+    val v = col("value")
+    def tap(k: Int): Column =
+      if (k == 0) v
+      else if (k < 0) coalesce((-k to 1 by -1).map(j => lag(v, j).over(w)) :+ v: _*)
+      else coalesce((k to 1 by -1).map(j => lead(v, j).over(w)) :+ v: _*)
+    val out = weights.zipWithIndex.map { case (wt, i) => lit(wt) * tap(i - half) }.reduce(_ + _)
+    df.select(col("x"), col("y"), out.as("value"))
   }
 
   /** Separable 2-D convolution over a (x, y, value) pixel grid,
@@ -111,6 +111,10 @@ object Stockpile {
     val n = fg.count()
     val parts = math.max(1L, math.min(fg.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L)).toInt
     val e = edges.select(col("src"), col("dst")).repartition(parts, col("src")).localCheckpoint()
+    // no edges → every node is its own component; skip the fixpoint
+    // (the ccTiled contraction hits this whenever no component crosses
+    // a tile-partition boundary — the dominant case)
+    if (e.isEmpty) return fg.select(col("id"), col("id").as("lab"))
     var labels = fg.select(col("id"), col("id").as("lab")).repartition(parts, col("id")).localCheckpoint()
     var prev = Long.MinValue
     var cur = labels.agg(sum("lab")).head().getLong(0)
@@ -195,6 +199,9 @@ object Stockpile {
       }
       .toDF("id", "lab")
       .localCheckpoint()
+    // single partition → the union-find saw the whole foreground; its
+    // labels are global and no cross-partition edge can exist
+    if (parts == 1) return local
     // contracted graph: cross-partition pixel adjacencies mapped to labels
     val lf = local
       .withColumn("x", (col("id") % width).cast("int"))
@@ -213,6 +220,10 @@ object Stockpile {
       .union(cross.select(col("dlab").as("slab"), col("slab").as("dlab")))
       .select(col("slab").as("src"), col("dlab").as("dst"))
       .distinct()
+      .localCheckpoint()
+    // no cross-partition adjacency → the local union-find labels ARE
+    // the global min-id labels; skip contraction fixpoint + re-join
+    if (contracted.isEmpty) return local
     val nodes = local.select(col("lab").as("id")).distinct()
     val fixed = connectedComponents(nodes, contracted)
       .select(col("id").as("lab"), col("lab").as("glab"))
