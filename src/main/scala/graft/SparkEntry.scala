@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ann.Similarity
 import graft.functions.Scalars
 import graft.operators.{Relational, Windows}
-import graft.text.{Dedup, TextOps}
+import graft.text.{Curation, Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -136,20 +136,29 @@ object SparkEntry {
     "q_sensor_detect" -> (graft.raster.SensorProfiles.sensorDetectQuery _),
     "q_band_align" -> (graft.raster.SensorProfiles.bandAlignmentQuery _),
     // border mask (mask.cpp nearblack floodfill semantics)
-    "q_mask" -> (graft.raster.Mask.maskQuery _)
+    "q_mask" -> (graft.raster.Mask.maskQuery _),
+    // corpus curation (training-data pipeline: cluster canonicalization,
+    // decontamination, repetition signals, sequence packing)
+    "q_dedup_cluster" -> (Curation.dedupClusterQuery _),
+    "q_decontam" -> (Curation.decontamQuery _),
+    "q_repetition" -> (Curation.repetitionQuery _),
+    "q_pack" -> (Curation.packQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
     * permutations (constants from `Dedup.minhashA/B`), same r=1 banding
     * semantics (pair match-count from the melted signature). */
-  private def minhashOracle: String = {
+  /** Shared CTE chain ending at `pairs` (the ≥-threshold MinHash
+    * candidate pairs) — the base of both the q_minhash oracle and the
+    * q_dedup_cluster closure oracle. */
+  private def minhashCtes: String = {
     val k = 16
     val p = Dedup.MinhashP
     val sigCols = (0 until k)
       .map(i => s"    min((${Dedup.minhashA(i)} * hp + ${Dedup.minhashB(i)}) % $p) AS s$i")
       .mkString(",\n")
     val sigList = (0 until k).map(i => s"s$i").mkString(", ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)
@@ -161,13 +170,35 @@ object SparkEntry {
        |$sigCols
        |  FROM h GROUP BY doc_id),
        |inv AS (
-       |  SELECT doc_id, unnest(range($k)) AS i, unnest([$sigList]) AS v FROM sig)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  round(count(*) / $k.0, 4) AS est_jaccard
-       |FROM inv a JOIN inv b ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2
-       |HAVING count(*) / $k.0 >= 0.5""".stripMargin
+       |  SELECT doc_id, unnest(range($k)) AS i, unnest([$sigList]) AS v FROM sig),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+       |  FROM inv a JOIN inv b ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) / $k.0 >= 0.5)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
+       |SELECT id_a, id_b, round(m / 16.0, 4) AS est_jaccard FROM pairs""".stripMargin
+
+  /** Cluster-canonicalization oracle: the MinHash pair CTEs + a
+    * recursive min-label reachability closure — DuckDB recomputes the
+    * identical component labels (MIN member id) the Spark fixpoint
+    * converges to. */
+  private def clusterOracle: String =
+    s"""WITH $minhashCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |labels AS (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT src AS id, src AS lab FROM edges
+       |    UNION
+       |    SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+       |  SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+       |SELECT lab AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(id) AS BIGINT) AS member_id_sum
+       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Generated simhash oracle: 60 bit-vote sums over the md5-derived
     * token hash, sign → bit, brute-force Hamming verify (the Spark side
@@ -1506,7 +1537,45 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN m.mask = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN m.mask = 0 THEN px.x ELSE 0 END) AS BIGINT) AS masked_x_sum
         |FROM px LEFT JOIN m ON m.x = px.x AND m.y = px.y
-        |GROUP BY px.y ORDER BY px.y""".stripMargin
+        |GROUP BY px.y ORDER BY px.y""".stripMargin,
+    "q_dedup_cluster" -> clusterOracle,
+    "q_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS shingle
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents)
+        |  WHERE len(t) >= 8),
+        |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+        |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id % 10 = 7),
+        |tr AS (SELECT doc_id, h FROM hs WHERE doc_id % 10 <> 7)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac FROM bgc GROUP BY 1),
+        |tg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3)),
+        |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_tri FROM tgc GROUP BY 1)
+        |SELECT b.doc_id, b.top_bigram_frac,
+        |  round(coalesce(t.dup_tri, 0), 4) AS dup_trigram_frac
+        |FROM bstat b LEFT JOIN tstat t USING (doc_id) ORDER BY 1""".stripMargin,
+    "q_pack" ->
+      """WITH toks AS (SELECT doc_id, len(regexp_extract_all(lower(text), '\w+')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS fin FROM toks),
+        |spans AS (SELECT doc_id, n, fin - n AS st, fin FROM c WHERE n > 0),
+        |bins AS (
+        |  SELECT doc_id, st, fin,
+        |    unnest(range(CAST(st // 256 AS BIGINT), CAST((fin - 1) // 256 + 1 AS BIGINT))) AS bin
+        |  FROM spans)
+        |SELECT CAST(bin AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(sum(least(fin, (bin + 1) * 256) - greatest(st, bin * 256)) AS BIGINT) AS n_tokens
+        |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

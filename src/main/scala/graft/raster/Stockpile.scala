@@ -98,48 +98,11 @@ object Stockpile {
   /** Min-label propagation to fixpoint over (id, x, y) foreground
     * pixels: every pixel ends with the MIN pixel id of its 4-connected
     * component — the deterministic label rule shared with the oracle.
-    * Each round takes min over {own label, neighbours' labels,
-    * label-of-label} (pointer jumping → O(log diameter) rounds);
-    * convergence detected by the monotonically decreasing Σ label. */
-  def connectedComponents(fg: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    // Size the per-round shuffle to the FOREGROUND size, not the
-    // session default: the fixpoint runs O(log diameter) rounds and a
-    // 32-partition shuffle per round over a collar/mound-sized frame
-    // is pure scheduler overhead. ~2M label rows per partition keeps
-    // tasks executor-memory-safe at estate scale while a small raster
-    // runs single-task rounds.
-    val n = fg.count()
-    val parts = math.max(1L, math.min(fg.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L)).toInt
-    val e = edges.select(col("src"), col("dst")).repartition(parts, col("src")).localCheckpoint()
-    // no edges → every node is its own component; skip the fixpoint
-    // (the ccTiled contraction hits this whenever no component crosses
-    // a tile-partition boundary — the dominant case)
-    if (e.isEmpty) return fg.select(col("id"), col("id").as("lab"))
-    var labels = fg.select(col("id"), col("id").as("lab")).repartition(parts, col("id")).localCheckpoint()
-    var prev = Long.MinValue
-    var cur = labels.agg(sum("lab")).head().getLong(0)
-    var iter = 0
-    while (cur != prev && iter < maxIter) {
-      prev = cur
-      val viaEdge = e
-        .join(labels.select(col("id").as("src"), col("lab")), Seq("src"))
-        .select(col("dst").as("id"), col("lab"))
-      val viaJump = labels
-        .select(col("id"), col("lab").as("mid"))
-        .join(labels.select(col("id").as("mid"), col("lab").as("jlab")), Seq("mid"))
-        .select(col("id"), col("jlab").as("lab"))
-      labels = labels
-        .union(viaEdge)
-        .union(viaJump)
-        .repartition(parts, col("id"))
-        .groupBy("id")
-        .agg(min("lab").as("lab"))
-        .localCheckpoint()
-      cur = labels.agg(sum("lab")).head().getLong(0)
-      iter += 1
-    }
-    labels
-  }
+    * The fixpoint itself is the generic graph primitive (shared with
+    * the text-curation cluster canonicalizer): see
+    * [[graft.operators.Graph.connectedComponents]]. */
+  def connectedComponents(fg: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame =
+    graft.operators.Graph.connectedComponents(fg, edges, maxIter)
 
   /** Pixel row for the phase-1 union-find (public: Catalyst's
     * generated deserializer must be able to instantiate it). */

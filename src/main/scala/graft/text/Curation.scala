@@ -1,0 +1,198 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators for training-data pipelines — the stages
+  * that sit BETWEEN candidate generation ([[Dedup]]) and the training
+  * job: cluster canonicalization, eval-set decontamination, repetition
+  * quality signals, and sequence packing.
+  *
+  * Scale design notes (the 100 TB shapes):
+  *  - cluster canonicalization: candidate pairs (already bucketed, no
+  *    N² anywhere) feed the generic min-label component fixpoint
+  *    ([[graft.operators.Graph.connectedComponents]]) — the graph is
+  *    PAIR-sized (near-dups only), orders of magnitude smaller than
+  *    the corpus, so the O(log diameter) rounds iterate over a frame
+  *    that is tiny relative to the scan that produced it.
+  *  - decontamination: one distinct-shingle explode per side, one
+  *    hash-join on the 8-byte shingle hash. The eval side is the small
+  *    one; AQE broadcasts it locally and shuffle-joins it at corpus
+  *    scale. Nothing ships full text.
+  *  - packing: the global running offset is a two-phase distributed
+  *    prefix sum (per-block partials → tiny block-offset frame →
+  *    broadcast back), NOT a single-partition window — the classic
+  *    scan-primitive decomposition, so the token ledger never
+  *    serializes through one task.
+  */
+object Curation {
+
+  /** Non-distinct word n-grams (cf. [[Dedup.shingles]], which is
+    * distinct — counts matter here: repetition is about multiplicity). */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\w+"), lit(0))
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))
+      ),
+      x => x.isNotNull
+    )
+  }
+
+  /** ◆ Near-dup cluster canonicalization: MinHash candidate pairs →
+    * connected components → one keeper per cluster (the MIN doc id,
+    * the deterministic label rule the SQL oracle recomputes as a
+    * recursive reachability closure). This is the step that turns a
+    * PAIR list into a DEDUP DECISION — pairs alone can't be acted on
+    * because near-duplication is transitive (A~B, B~C ⟹ drop two of
+    * three, not two of two).
+    *
+    * Returns one row per multi-member cluster: keeper id, member
+    * count, member-id checksum. Docs in no pair are implicitly their
+    * own singleton cluster and are not re-listed (at corpus scale the
+    * interesting output is exactly the drop list).
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup
+      .minhashCandidates(docs, idCol, textCol, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // multi-consumer: nodes + both edge directions
+    val nodes = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.operators.Graph
+      .connectedComponents(nodes, edges)
+      .groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_id_sum"))
+  }
+
+  def dedupClusterQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupClusters(Tables.documents(s, dir), "doc_id", "text").orderBy($"cluster_id")
+  }
+
+  /** ◆ Eval-set decontamination: flag training documents that share at
+    * least one 8-token shingle with any held-out eval document — the
+    * standard n-gram-overlap test-set leakage check (e.g. GPT-3 §C,
+    * PaLM §7 use 8–13-gram collision). The eval split here is the
+    * deterministic id-hash family used by [[TextOps.splitQuery]];
+    * shingles ride the join as 60-bit md5 hashes (8-byte keys, both
+    * engines hash identically).
+    *
+    * Returns one row per CONTAMINATED train doc with the count of
+    * distinct shared 8-grams — the drop/inspect list.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String, n: Int = 8, evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .select(col("doc_id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val isEval = col("doc_id") % evalMod === evalRem
+    val evalSh = sh.filter(isEval).select(col("h")).distinct()
+    sh.filter(!isEval)
+      .join(evalSh, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def decontamQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decontaminate(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
+  /** ◆ Repetition quality signals (the Gopher repetition-removal
+    * family, Rae et al. 2021 §A1.1.3): per document, the fraction of
+    * all bigram occurrences taken by the single most frequent bigram,
+    * and the fraction of trigram occurrences whose trigram occurs more
+    * than once. High values = degenerate boilerplate/loop text. Both
+    * are count ratios — engine-exact.
+    *
+    * Shape: one n-gram explode per signal → per-(doc, gram) partial
+    * agg → per-doc agg. The per-doc gram tables are bounded by doc
+    * length; nothing crosses documents, so the whole signal is
+    * embarrassingly parallel.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def gramCounts(n: Int): DataFrame =
+      docs
+        .select(col(idCol).as("doc_id"), explode(ngramsAll(col(textCol), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    val bi = gramCounts(2)
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bi"))
+    val tri = gramCounts(3)
+      .groupBy("doc_id")
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") / sum(col("c"))).as("dup_tri"))
+    bi.join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("top_bi"), 4).as("top_bigram_frac"),
+        round(coalesce(col("dup_tri"), lit(0.0)), 4).as("dup_trigram_frac")
+      )
+  }
+
+  def repetitionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    repetitionSignals(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
+  /** ◆ Sequence packing (concat-and-chunk): lay the corpus out in
+    * doc-id order as one token stream and cut it into fixed-length
+    * training sequences — the standard LM pretraining batch layout.
+    * Reports, per sequence: how many documents contribute, the first
+    * contributing doc, and the token count (== seqLen except the final
+    * partial sequence) — the stats a packing job needs to audit
+    * cross-doc attention contamination and tail waste.
+    *
+    * The running token offset is a distributed two-phase prefix sum:
+    * per-block within-window cumsum (blocks = contiguous id ranges, so
+    * each window partition is bounded at `blockSize` docs) + a
+    * block-offset table small enough to broadcast — never a
+    * single-partition global window.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, seqLen: Int = 256, blockSize: Int = 4096): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0))).cast("long").as("n")
+    )
+    val blocked = toks.withColumn("blk", floor(col("doc_id") / blockSize).cast("long"))
+    // phase 1: per-block totals → cumulative block offsets (tiny frame:
+    // one row per block; the window over it is bounded-cardinality)
+    val blockOffsets = blocked
+      .groupBy("blk")
+      .agg(sum("n").as("blk_n"))
+      .withColumn("blk_off", coalesce(sum(col("blk_n")).over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    // phase 2: within-block running sum (partitioned window, bounded at
+    // blockSize rows) + broadcast block offset = global prefix sum
+    val win = Window.partitionBy("blk").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val spans = blocked
+      .join(broadcast(blockOffsets), Seq("blk"))
+      .withColumn("fin", col("blk_off") + sum(col("n")).over(win))
+      .filter(col("n") > 0)
+      .withColumn("st", col("fin") - col("n"))
+    spans
+      .select(
+        col("doc_id"),
+        col("st"),
+        col("fin"),
+        explode(sequence(floor(col("st") / seqLen), floor((col("fin") - 1) / seqLen))).as("seq_id")
+      )
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        sum(least(col("fin"), (col("seq_id") + 1) * seqLen) - greatest(col("st"), col("seq_id") * seqLen)).as("n_tokens")
+      )
+  }
+
+  def packQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    packSequences(Tables.documents(s, dir), "doc_id", "text").orderBy($"seq_id")
+  }
+}

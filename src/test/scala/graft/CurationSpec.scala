@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Curation
+
+/** Curation-pipeline behavior tests on controlled inputs: cluster
+  * canonicalization transitivity, decontamination hit/miss, repetition
+  * fractions by hand, and packing conservation laws (the DuckDB oracle
+  * covers the SQL faces at all three scale factors).
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dedupClusters: transitive near-dups collapse into ONE cluster keyed by min id") {
+    // 10 ~ 20 and 20 ~ 30 (chained edits) but 10 !~ 30 directly strongly;
+    // transitivity must still put all three in one cluster.
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (40L, "totally unrelated text about distributed sequence packing audits today")
+    ).toDF("doc_id", "text")
+    val rows = Curation
+      .dedupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 1, s"expected one cluster, got ${rows.toSeq}")
+    assert(rows.head === ((10L, 3L, 60L))) // keeper=min id, 3 members, 10+20+30
+  }
+
+  test("dedupClusters: no candidate pairs -> empty output (singletons are implicit)") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    ).toDF("doc_id", "text")
+    assert(Curation.dedupClusters(docs, "doc_id", "text").isEmpty)
+  }
+
+  test("decontaminate: train doc sharing an 8-gram with an eval doc is flagged; clean doc is not") {
+    val run = "one two three four five six seven eight" // the planted 8-gram
+    val docs = Seq(
+      (7L, s"eval doc prefix $run and some eval suffix text"), // eval: 7 % 10 == 7
+      (3L, s"train doc header $run plus different trailer words"), // contaminated
+      (4L, "entirely fresh training content with no overlapping runs at all here")
+    ).toDF("doc_id", "text")
+    val flagged = Curation
+      .decontaminate(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(flagged.contains(3L) && flagged(3L) >= 1L)
+    assert(!flagged.contains(4L))
+    assert(!flagged.contains(7L)) // eval docs are never self-flagged
+  }
+
+  test("repetitionSignals: hand-computed fractions on a degenerate doc") {
+    // "spam ham spam ham spam": bigrams = [spam ham, ham spam, spam ham, ham spam]
+    // -> top bigram fraction 2/4; trigrams = 3 occurrences of 2 distinct
+    // grams, "spam ham spam" twice -> dup fraction 2/3.
+    val docs = Seq(
+      (1L, "spam ham spam ham spam"),
+      (2L, "all five words differ here") // no repeats: top bigram 1/4, dup 0
+    ).toDF("doc_id", "text")
+    val m = Curation
+      .repetitionSignals(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(m(1L) === ((0.5, 0.6667)))
+    assert(m(2L) === ((0.25, 0.0)))
+  }
+
+  test("packSequences: conservation + fill + block-size invariance of the prefix sum") {
+    // 40 docs x 10 tokens = 400 tokens; seqLen 64 -> 7 sequences
+    // (6 full + one 16-token tail).
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation
+      .packSequences(docs, "doc_id", "text", seqLen = 64, blockSize = 7) // force multi-block prefix sum
+      .orderBy("seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === (0L until 7L))
+    assert(out.map(_._4).sum === 400L) // token conservation
+    assert(out.dropRight(1).forall(_._4 == 64L), s"non-final bins must be full: ${out.toSeq}")
+    assert(out.last._4 === 16L)
+    // 10-token docs at 64-token bins: a bin holds 6 or 7 doc spans
+    assert(out.dropRight(1).forall(b => b._2 == 7L || b._2 == 8L) || out.dropRight(1).forall(b => b._2 >= 6L && b._2 <= 8L))
+    // block size must not change the layout (pure prefix-sum refactor)
+    val big = Curation
+      .packSequences(docs, "doc_id", "text", seqLen = 64, blockSize = 4096)
+      .orderBy("seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(big.toSeq === out.toSeq)
+  }
+}
