@@ -15,6 +15,94 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge row for the phase-1 union-find (public: Catalyst's generated
+    * deserializer must be able to instantiate it). */
+  case class E(src: Long, dst: Long)
+
+  /** Min-label connected components via local-CC + contraction
+    * (Kiveris et al., "Connected Components in MapReduce") — the
+    * preferred entry point: phase 1 runs a union-find over each EDGE
+    * partition in one `mapPartitions` pass (memory bounded by the
+    * per-partition edge budget), phase 2 runs the
+    * [[connectedComponents]] min-label fixpoint only on the CONTRACTED
+    * graph — nodes = phase-1 roots, edges = roots sharing a node — so
+    * the O(log diameter) rounds iterate over boundary-sized data, and
+    * a graph that fits one partition (or whose components never span
+    * two) skips the fixpoint entirely: the whole labeling is one pass
+    * plus one small join. Same deterministic label rule as the
+    * fixpoint (every node ends with the MIN node id of its component),
+    * so oracle closures recompute identical labels.
+    *
+    * `edges` may be directed pair rows; direction is irrelevant to a
+    * union-find and the contraction handles symmetry internally.
+    * `nodes(id)` supplies isolated nodes (labeled with themselves).
+    */
+  def components(nodes: DataFrame, edges: DataFrame, partitions: Option[Int] = None): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    // size the edge partitioning to the graph (~2M edges per union-find
+    // task bounds phase-1 memory); callers can pin it (tests exercise
+    // the contraction path that way)
+    val parts = partitions.getOrElse {
+      val m = edges.count()
+      math
+        .max(1L, math.min(s.conf.get("spark.sql.shuffle.partitions").toLong, m / 2000000L + 1L))
+        .toInt
+    }
+    // phase 1: per-partition union-find over the edges that land there;
+    // emits (node, local root) for every node the partition saw
+    val local = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(parts, col("src"))
+      .as[E]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        val seen = new java.util.HashSet[Long]()
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = a
+          while (parent.getOrDefault(c, c) != c) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
+          r
+        }
+        it.foreach { e =>
+          seen.add(e.src); seen.add(e.dst)
+          val ra = find(e.src); val rb = find(e.dst)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](seen.size())
+        val i2 = seen.iterator()
+        while (i2.hasNext) { val id = i2.next(); out += ((id, find(id))) }
+        out.iterator
+      }
+      .toDF("id", "root")
+      .localCheckpoint()
+    val isolated = nodes
+      .select(col("id"))
+      .join(local.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lab"))
+    if (parts == 1)
+      return local.select(col("id"), col("root").as("lab")).union(isolated)
+    // phase 2: a node seen by several partitions links its roots;
+    // fixpoint over the contracted root graph only
+    val minRoot = local.groupBy("id").agg(min("root").as("mroot"))
+    val cross = local
+      .join(minRoot, Seq("id"))
+      .filter(col("root") =!= col("mroot"))
+      .select(col("mroot").as("src"), col("root").as("dst"))
+      .distinct()
+    if (cross.isEmpty)
+      return local.select(col("id"), col("root").as("lab")).distinct().union(isolated)
+    val rootNodes = local.select(col("root").as("id")).distinct()
+    val fixed = connectedComponents(rootNodes, cross.union(cross.select(col("dst").as("src"), col("src").as("dst"))))
+      .select(col("id").as("root"), col("lab"))
+    local
+      .join(fixed, Seq("root"))
+      .groupBy("id")
+      .agg(min("lab").as("lab"))
+      .union(isolated)
+  }
+
   /** Min-label propagation to fixpoint over `nodes(id)` with
     * `edges(src,dst)` (directed rows; pass both directions for an
     * undirected graph). Each round takes min over {own label,

@@ -60,13 +60,11 @@ object Curation {
     val pairs = Dedup
       .minhashCandidates(docs, idCol, textCol, threshold = threshold)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // multi-consumer: nodes + both edge directions
+      .localCheckpoint() // multi-consumer: node set + edge list
     val nodes = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     graft.operators.Graph
-      .connectedComponents(nodes, edges)
+      .components(nodes, edges)
       .groupBy(col("lab").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_id_sum"))
   }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Generic connected-components tests: the contracted local-union-find
+  * path vs the min-label fixpoint must agree on every graph shape, and
+  * both must produce the deterministic MIN-member-id label the SQL
+  * oracles recompute.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private val chainNodes = (1L to 7L).toDF("id")
+  // two components: {1,2,3,4} (a path) and {6,7}; 5 is isolated
+  private val chainEdges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (6L, 7L)).toDF("src", "dst")
+  private val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L)
+
+  test("components: single-partition local union-find labels a path + isolated node") {
+    assert(labelsOf(Graph.components(chainNodes, chainEdges)) === expected)
+  }
+
+  test("components: forced multi-partition contraction agrees with the single-pass result") {
+    for (p <- Seq(2, 3, 8)) {
+      assert(labelsOf(Graph.components(chainNodes, chainEdges, partitions = Some(p))) === expected, s"parts=$p")
+    }
+  }
+
+  test("components: agrees with the min-label fixpoint on a random-ish graph") {
+    // 60 nodes, edges i -> i+k for a couple of strides: several rings
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L)
+      .flatMap(i => Seq((i, (i + 12) % 60), (i, (i + 30) % 60)))
+      .toDF("src", "dst")
+    val viaContract = labelsOf(Graph.components(nodes, edges, partitions = Some(4)))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val viaFixpoint = labelsOf(Graph.connectedComponents(nodes, sym))
+    assert(viaContract === viaFixpoint)
+    // strides 12 and 30 over Z/60: components = residues mod gcd(12,30,60)=6
+    assert(viaContract.values.toSet === (0L until 6L).toSet)
+  }
+}
