@@ -142,7 +142,8 @@ object SparkEntry {
     "q_dedup_cluster" -> (Curation.dedupClusterQuery _),
     "q_decontam" -> (Curation.decontamQuery _),
     "q_repetition" -> (Curation.repetitionQuery _),
-    "q_pack" -> (Curation.packQuery _)
+    "q_pack" -> (Curation.packQuery _),
+    "q_dup_spans" -> (Curation.dupSpansQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -1575,7 +1576,21 @@ object SparkEntry {
         |SELECT CAST(bin AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(sum(least(fin, (bin + 1) * 256) - greatest(st, bin * 256)) AS BIGINT) AS n_tokens
-        |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i FROM toks WHERE len(t) >= 10)),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+        |per AS (
+        |  SELECT g.doc_id, count(*) AS n_pos,
+        |    sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM g JOIN df USING (h) GROUP BY 1)
+        |SELECT doc_id, CAST(n_pos AS BIGINT) AS n_positions,
+        |  CAST(n_dup AS BIGINT) AS n_dup_positions,
+        |  round(n_dup / n_pos, 4) AS dup_span_frac
+        |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

@@ -138,31 +138,43 @@ object Align {
       col("qya") * col("pxa") + col("qyb") * col("pxb"),
       col("qya") * col("pya") + col("qyb") * col("pyb")
     )
+    // The model table is BOUNDED (nCand·(nCand−1)/2 = 66 rows), so the
+    // trainIvf tiny-collect/rebroadcast pattern applies: materialize the
+    // models on the driver and evaluate ALL of them as conditional
+    // aggregates in ONE scan of the tie table — no 66× crossJoin row
+    // blowup, no wide-key hash agg, and the collected doubles re-enter
+    // the plan as exact literals so results are bit-identical to the
+    // joined form. O(models·N) arithmetic still, but inside whole-stage
+    // codegen over N rows instead of over models·N materialized rows.
     val models = a
       .join(broadcast(b), col("ida") < col("idb"))
       .select(
         col("ida"), col("idb"),
         mScale.as("scale"), mCost.as("cost"), mSint.as("sint"), mTx.as("tx"), mTy.as("ty")
       )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
 
-    // consensus: one broadcast pass over the tie table per ALL models
-    val counts = pts
-      .crossJoin(broadcast(models))
-      .filter(
-        r2(col("px"), col("py"), col("qx"), col("qy"),
-          col("scale"), col("cost"), col("sint"), col("tx"), col("ty")) < thr2
-      )
-      .groupBy("ida", "idb", "scale", "cost", "sint", "tx", "ty")
-      .agg(count(lit(1)).as("inliers"))
-    val best = counts.orderBy(col("inliers").desc, col("ida").asc, col("idb").asc).limit(1)
+    // consensus: one partial-agg pass, one inlier-count column per model
+    val countCols = models.zipWithIndex.map { case ((_, _, sc, ct, st, tx, ty), i) =>
+      sum(
+        when(r2(col("px"), col("py"), col("qx"), col("qy"), lit(sc), lit(ct), lit(st), lit(tx), lit(ty)) < thr2, 1L)
+          .otherwise(0L)
+      ).as(s"c_$i")
+    }
+    val countRow = pts.agg(countCols.head, (countCols.tail :+ count(lit(1)).as("n_total")): _*).head()
+    val nTotal = countRow.getLong(models.length)
+    // best model by (inlier count desc, pair id asc) — same tie-break
+    val bestIdx = models.indices.minBy { i =>
+      val (ida, idb, _, _, _, _, _) = models(i)
+      (-countRow.getLong(i), ida, idb)
+    }
+    val (_, _, bSc, bCt, bSt, bTx, bTy) = models(bestIdx)
 
     // refit on the best model's inliers (align.cpp:489-498)
-    val inl = pts
-      .crossJoin(broadcast(best.select("scale", "cost", "sint", "tx", "ty")))
-      .filter(
-        r2(col("px"), col("py"), col("qx"), col("qy"),
-          col("scale"), col("cost"), col("sint"), col("tx"), col("ty")) < thr2
-      )
+    val inl = pts.filter(
+      r2(col("px"), col("py"), col("qx"), col("qy"), lit(bSc), lit(bCt), lit(bSt), lit(bTx), lit(bTy)) < thr2
+    )
     val sums = inl.agg(
       count(lit(1)).cast("double").as("n"),
       sum("px").as("spx"),
@@ -179,19 +191,16 @@ object Align {
       col("n"), col("spx"), col("spy"), col("sqx"), col("sqy"),
       col("spp"), col("sqxpx"), col("sqxpy"), col("sqypx"), col("sqypy")
     )
-    val total = pts.agg(count(lit(1)).as("n_total"))
-    sums
-      .crossJoin(broadcast(total))
-      .select(
-        col("n").cast("long").as("inlier_count"),
-        col("n_total").as("n_points"),
-        round(col("n") / col("n_total"), 6).as("inlier_ratio"),
-        round(fScale, 6).as("scale"),
-        round(fCost, 6).as("cos_theta"),
-        round(fSint, 6).as("sin_theta"),
-        round(fTx, 6).as("tx"),
-        round(fTy, 6).as("ty")
-      )
+    sums.select(
+      col("n").cast("long").as("inlier_count"),
+      lit(nTotal).as("n_points"),
+      round(col("n") / lit(nTotal.toDouble), 6).as("inlier_ratio"),
+      round(fScale, 6).as("scale"),
+      round(fCost, 6).as("cos_theta"),
+      round(fSint, 6).as("sin_theta"),
+      round(fTx, 6).as("tx"),
+      round(fTy, 6).as("ty")
+    )
   }
 
   /** ◆ Align under the oracle: tie points synthesized from the events

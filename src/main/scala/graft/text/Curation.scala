@@ -86,9 +86,13 @@ object Curation {
     * distinct shared 8-grams — the drop/inspect list.
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String, n: Int = 8, evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
+    // both join sides read the same shingle pipeline — materialize it
+    // once (at corpus scale: a staged table) instead of re-hashing the
+    // corpus per side
     val sh = docs
       .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .select(col("doc_id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isEval = col("doc_id") % evalMod === evalRem
     val evalSh = sh.filter(isEval).select(col("h")).distinct()
     sh.filter(!isEval)
@@ -137,6 +141,45 @@ object Curation {
   def repetitionQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     repetitionSignals(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
+  /** ◆ Cross-document duplicated-span coverage — the span-granular
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", substring dedup): for every
+    * position in a document, is its n-token window shared with another
+    * document? Docs with high coverage are near-verbatim recombinations
+    * that doc-level MinHash can miss (and the per-position counts say
+    * WHICH spans to cut, not just which docs).
+    *
+    * Shape: the inverted-index family again — positions ride as 8-byte
+    * md5 gram hashes, document frequency is one partial agg, coverage
+    * is one join back + per-doc agg. No pair table at all, so this is
+    * strictly cheaper than any pairwise dedup at the same n.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("doc_id"), explode(ngramsAll(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    g.join(dfTab, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_positions"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_positions")
+      )
+      .filter(col("n_dup_positions") > 0)
+      .select(
+        col("doc_id"),
+        col("n_positions"),
+        col("n_dup_positions"),
+        round(col("n_dup_positions").cast("double") / col("n_positions"), 4).as("dup_span_frac")
+      )
+  }
+
+  def dupSpansQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupSpans(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
   /** ◆ Sequence packing (concat-and-chunk): lay the corpus out in

@@ -71,6 +71,23 @@ class CurationSpec extends SparkSuite {
     assert(m(2L) === ((0.25, 0.0)))
   }
 
+  test("dupSpans: shared 10-token run is flagged position-exactly; unique docs are absent") {
+    val run = "a b c d e f g h i j" // 10 shared tokens = 1 shared position each side
+    val docs = Seq(
+      (1L, s"$run unique1 tail1 one"), // 13 tokens -> 4 positions, 1 dup (the run itself)
+      (2L, s"$run unique2 tail2 two"),
+      (3L, "entirely distinct words making up another training document here now")
+    ).toDF("doc_id", "text")
+    val m = Curation
+      .dupSpans(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(m.keySet === Set(1L, 2L))
+    assert(m(1L) === ((4L, 1L, 0.25)))
+    assert(m(2L) === ((4L, 1L, 0.25)))
+  }
+
   test("packSequences: conservation + fill + block-size invariance of the prefix sum") {
     // 40 docs x 10 tokens = 400 tokens; seqLen 64 -> 7 sequences
     // (6 full + one 16-token tail).
