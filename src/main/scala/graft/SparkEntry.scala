@@ -143,7 +143,9 @@ object SparkEntry {
     "q_decontam" -> (Curation.decontamQuery _),
     "q_repetition" -> (Curation.repetitionQuery _),
     "q_pack" -> (Curation.packQuery _),
-    "q_dup_spans" -> (Curation.dupSpansQuery _)
+    "q_dup_spans" -> (Curation.dupSpansQuery _),
+    "q_cluster_sample" -> (Curation.clusterSampleQuery _),
+    "q_weighted_sample" -> (Curation.weightedSampleQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -178,6 +180,23 @@ object SparkEntry {
        |  GROUP BY 1, 2
        |  HAVING count(*) / $k.0 >= 0.5)""".stripMargin
   }
+
+  /** Shared CTE chain ending at `asg` (deterministic IVF cell
+    * assignment: seed centroids = vec_id < 8, nearest cell, tie →
+    * lowest cell) — base of the q_ann_ivf oracle and the
+    * q_cluster_sample oracle. */
+  private def ivfAsgCtes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),
+      |d AS (
+      |  SELECT v.vec_id, cent.cell_id,
+      |    list_sum([(v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i]) for i in range(1, 65)]) AS dist
+      |  FROM v, cent),
+      |asg AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
+      |    FROM d) WHERE rk = 1)""".stripMargin
 
   private def minhashOracle: String =
     s"""WITH $minhashCtes
@@ -1187,17 +1206,7 @@ object SparkEntry {
         |SELECT norms.cell_id, centroid_norm, n_assigned
         |FROM norms JOIN counts ON norms.cell_id = counts.cell_id""".stripMargin,
     "q_ann_ivf" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cent AS (SELECT vec_id AS cell_id, e AS c FROM v WHERE vec_id < 8),
-        |d AS (
-        |  SELECT v.vec_id, cent.cell_id,
-        |    list_sum([(v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i]) for i in range(1, 65)]) AS dist
-        |  FROM v, cent),
-        |asg AS (
-        |  SELECT vec_id, cell_id FROM (
-        |    SELECT vec_id, cell_id,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rk
-        |    FROM d) WHERE rk = 1),
+      s"""WITH $ivfAsgCtes,
         |q AS (SELECT e FROM v WHERE vec_id = 0),
         |cd AS (
         |  SELECT cell_id,
@@ -1590,7 +1599,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_pos AS BIGINT) AS n_positions,
         |  CAST(n_dup AS BIGINT) AS n_dup_positions,
         |  round(n_dup / n_pos, 4) AS dup_span_frac
-        |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin
+        |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin,
+    "q_cluster_sample" ->
+      s"""WITH $ivfAsgCtes
+        |SELECT cell_id, vec_id, rk FROM (
+        |  SELECT cell_id, vec_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY cell_id ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rk
+        |  FROM asg)
+        |WHERE rk <= 3 ORDER BY cell_id, rk""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '\w+')) AS n_tok,
+        |    ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u6
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN u6 * 128 < n_tok * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN u6 * 128 < n_tok * 1000000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM t GROUP BY source ORDER BY source""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

@@ -236,4 +236,74 @@ object Curation {
     import s.implicits._
     packSequences(Tables.documents(s, dir), "doc_id", "text").orderBy($"seq_id")
   }
+
+  /** ◆ Cluster-balanced subsampling: assign every embedding to its IVF
+    * cell (the oracled deterministic quantizer of `Similarity.ivfAssign`)
+    * and keep the `cap` smallest md5-keyed members per cell — the
+    * diversity-preserving subsample a curation pipeline uses so one
+    * over-represented mode can't dominate the training mix
+    * (cluster-then-uniform sampling, the SemDeDup/DCLM shape).
+    *
+    * Scale note: cells are FEW and rows are MANY — a single per-cell
+    * window would funnel the corpus through `nCells` tasks. The
+    * selection therefore runs two-phase top-k: a salted local round
+    * first (bounded window partitions), then the final per-cell rank
+    * over ≤ salts·cap survivors. Per-salt top-cap provably contains the
+    * global top-cap.
+    */
+  def clusterSample(s: SparkSession, dir: String, cap: Int = 3, nCells: Int = 8, salts: Int = 32): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
+    val assigned = graft.ann.Similarity.ivfAssign(emb, centroids).select("vec_id", "cell_id")
+    val key = md5(col("vec_id").cast("string"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id", "salt")
+      .orderBy(key, col("vec_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id")
+      .orderBy(key, col("vec_id"))
+    assigned
+      .withColumn("salt", pmod(col("vec_id"), lit(salts)))
+      .withColumn("lrk", row_number().over(w1))
+      .filter(col("lrk") <= cap)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= cap)
+      .select(col("cell_id"), col("vec_id"), col("rk"))
+  }
+
+  def clusterSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusterSample(s, dir).orderBy($"cell_id", $"rk")
+  }
+
+  /** ◆ Deterministic quality-weighted resampling: keep a document with
+    * probability proportional to a quality weight — here p =
+    * min(1, n_tokens/128), the longer-is-likelier prior of
+    * quality-scored mixes (FineWeb-edu-style score sampling) — decided
+    * by the salted-md5 uniform already used for [[TextOps]] sampling,
+    * so the draw is reproducible under any repartitioning. The accept
+    * test is INTEGER math (u·den < num·10⁶): no float threshold can
+    * round differently across engines.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, num: Column, den: Column): DataFrame = {
+    val u6 = conv(substring(md5(concat(lit("rs:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    docs.withColumn("kept", u6 * den < num * lit(1000000L))
+  }
+
+  def weightedSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = size(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).cast("long")
+    weightedSample(Tables.documents(s, dir).withColumn("n_tok", toks), "doc_id", col("n_tok"), lit(128L))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"doc_id").otherwise(0L)).as("kept_id_sum")
+      )
+      .orderBy($"source")
+  }
 }

@@ -88,6 +88,42 @@ class CurationSpec extends SparkSuite {
     assert(m(2L) === ((4L, 1L, 0.25)))
   }
 
+  test("clusterSample: exactly cap rows per non-empty cell, ranks contiguous, members belong to the cell") {
+    val out = Curation
+      .clusterSample(spark, "/root/testdata/sf0.001", cap = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCell = out.groupBy(_._1)
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.size), s"ranks not contiguous in cell $cell")
+      assert(rows.size <= 3)
+    }
+    // two-phase selection must equal the naive single-window selection
+    val naive = Curation
+      .clusterSample(spark, "/root/testdata/sf0.001", cap = 3, salts = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(out.toSet === naive)
+  }
+
+  test("weightedSample: integer accept test — long docs always kept, acceptance grows with weight") {
+    val docs = Seq(
+      (1L, (1 to 200).map(i => s"w$i").mkString(" "), "a"), // 200 tokens >= 128 -> always kept
+      (2L, "tiny", "a"),
+      (3L, (1 to 150).map(i => s"x$i").mkString(" "), "b")
+    ).toDF("doc_id", "text", "source")
+    import org.apache.spark.sql.functions.{col, lit, lower, regexp_extract_all, size => fsize}
+    val toks = fsize(regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))).cast("long")
+    val kept = Curation
+      .weightedSample(docs.withColumn("n_tok", toks), "doc_id", col("n_tok"), lit(128L))
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("kept")))
+      .toMap
+    assert(kept(1L) && kept(3L)) // p = 1 for >= 128 tokens
+  }
+
   test("packSequences: conservation + fill + block-size invariance of the prefix sum") {
     // 40 docs x 10 tokens = 400 tokens; seqLen 64 -> 7 sequences
     // (6 full + one 16-token tail).
