@@ -145,7 +145,8 @@ object SparkEntry {
     "q_pack" -> (Curation.packQuery _),
     "q_dup_spans" -> (Curation.dupSpansQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
-    "q_weighted_sample" -> (Curation.weightedSampleQuery _)
+    "q_weighted_sample" -> (Curation.weightedSampleQuery _),
+    "q_curate" -> (Curation.curateQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -154,7 +155,7 @@ object SparkEntry {
   /** Shared CTE chain ending at `pairs` (the ≥-threshold MinHash
     * candidate pairs) — the base of both the q_minhash oracle and the
     * q_dedup_cluster closure oracle. */
-  private def minhashCtes: String = {
+  private def minhashCtes(base: String = "documents"): String = {
     val k = 16
     val p = Dedup.MinhashP
     val sigCols = (0 until k)
@@ -164,7 +165,7 @@ object SparkEntry {
     s"""sh AS (
        |  SELECT doc_id,
        |    unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
-       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM $base)
        |  WHERE len(t) >= 3),
        |h AS (
        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hp FROM sh),
@@ -199,15 +200,17 @@ object SparkEntry {
       |    FROM d) WHERE rk = 1)""".stripMargin
 
   private def minhashOracle: String =
-    s"""WITH $minhashCtes
+    s"""WITH ${minhashCtes()}
        |SELECT id_a, id_b, round(m / 16.0, 4) AS est_jaccard FROM pairs""".stripMargin
 
   /** Cluster-canonicalization oracle: the MinHash pair CTEs + a
     * recursive min-label reachability closure — DuckDB recomputes the
     * identical component labels (MIN member id) the Spark fixpoint
     * converges to. */
-  private def clusterOracle: String =
-    s"""WITH $minhashCtes,
+  /** Pair CTEs → min-label closure (`labels`) — shared by the cluster
+    * summary oracle and the end-to-end curation oracle. */
+  private def clusterLabelCtes(base: String = "documents"): String =
+    s"""${minhashCtes(base)},
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
        |labels AS (
@@ -215,10 +218,45 @@ object SparkEntry {
        |    SELECT src AS id, src AS lab FROM edges
        |    UNION
        |    SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-       |  SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+       |  SELECT id, min(lab) AS lab FROM reach GROUP BY id)""".stripMargin
+
+  private def clusterOracle: String =
+    s"""WITH ${clusterLabelCtes()}
        |SELECT lab AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(sum(id) AS BIGINT) AS member_id_sum
        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** End-to-end curation oracle: eval holdout + token gate +
+    * decontamination build the `base` corpus, the shared cluster
+    * closure runs OVER that base, and the final rollup drops cluster
+    * non-keepers — each stage the SQL mirror of the operator it
+    * composes. */
+  private def curateOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, text,
+       |    len(regexp_extract_all(lower(text), '\\w+')) AS n_tok,
+       |    doc_id % 10 = 7 AS is_eval
+       |  FROM documents),
+       |sh8 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS shingle
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)
+       |  WHERE len(t) >= 8),
+       |h8 AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh8),
+       |ev AS (SELECT DISTINCT h FROM h8 JOIN tok USING (doc_id) WHERE tok.is_eval),
+       |contaminated AS (
+       |  SELECT DISTINCT h8.doc_id FROM h8 JOIN ev USING (h) JOIN tok USING (doc_id)
+       |  WHERE NOT tok.is_eval),
+       |base AS (
+       |  SELECT doc_id, source, text, n_tok FROM tok
+       |  WHERE NOT is_eval AND n_tok >= 8
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |${clusterLabelCtes("base")},
+       |drops AS (SELECT id AS doc_id FROM labels WHERE id <> lab)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM base WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Generated simhash oracle: 60 bit-vote sums over the md5-derived
     * token hash, sign → bit, brute-force Hamming verify (the Spark side
@@ -1617,7 +1655,8 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
         |  CAST(sum(CASE WHEN u6 * 128 < n_tok * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN u6 * 128 < n_tok * 1000000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
-        |FROM t GROUP BY source ORDER BY source""".stripMargin
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q_curate" -> curateOracle
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

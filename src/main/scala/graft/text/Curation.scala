@@ -56,18 +56,31 @@ object Curation {
     * own singleton cluster and are not re-listed (at corpus scale the
     * interesting output is exactly the drop list).
     */
-  def dedupClusters(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+  /** Min-id component label per doc that appears in any candidate pair
+    * — the shared core of [[dedupClusters]] (summary view) and
+    * [[dedupDropList]] (actionable view). */
+  def clusterLabels(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
     val pairs = Dedup
       .minhashCandidates(docs, idCol, textCol, threshold = threshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // multi-consumer: node set + edge list
     val nodes = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    graft.operators.Graph
-      .components(nodes, edges)
+    graft.operators.Graph.components(nodes, edges)
+  }
+
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame =
+    clusterLabels(docs, idCol, textCol, threshold)
       .groupBy(col("lab").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_id_sum"))
-  }
+
+  /** The dedup DROP LIST: every clustered doc except its cluster's
+    * keeper (the MIN id). Anti-join this against the corpus to apply
+    * the dedup decision. */
+  def dedupDropList(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame =
+    clusterLabels(docs, idCol, textCol, threshold)
+      .filter(col("id") =!= col("lab"))
+      .select(col("id").as("doc_id"))
 
   def dedupClusterQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -292,6 +305,46 @@ object Curation {
     val u6 = conv(substring(md5(concat(lit("rs:"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long") % 1000000L
     docs.withColumn("kept", u6 * den < num * lit(1000000L))
+  }
+
+  /** ◆ The END-TO-END curation pipeline — documents in, training mix
+    * out, every stage an operator this engine already proves
+    * individually against the oracle:
+    *
+    *  1. hold out the eval split (never trains);
+    *  2. gate: ≥ 8 tokens;
+    *  3. decontaminate: drop train docs sharing any 8-gram with eval;
+    *  4. near-dup dedup: MinHash pairs → components → keep only each
+    *     cluster's keeper;
+    *  5. report the surviving mix per source (doc + token counts).
+    *
+    * One fused plan: the survivors' frame is materialized once and
+    * feeds both the dedup candidate generation and the final rollup.
+    * This is the query a 100 TB corpus actually runs nightly; at that
+    * scale each `persist` becomes a staged table and nothing else
+    * changes.
+    */
+  def curate(docs: DataFrame, minTokens: Int = 8): DataFrame = {
+    val tok = docs.withColumn(
+      "n_tok",
+      size(regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))).cast("long")
+    )
+    val contaminated = decontaminate(docs, "doc_id", "text").select("doc_id")
+    val base = tok
+      .filter(!(col("doc_id") % 10 === 7) && col("n_tok") >= minTokens)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = dedupDropList(base, "doc_id", "text")
+    base
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  def curateQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    curate(Tables.documentsWide(s, dir)).orderBy($"source")
   }
 
   def weightedSampleQuery(s: SparkSession, dir: String): DataFrame = {

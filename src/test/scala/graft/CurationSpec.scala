@@ -124,6 +124,28 @@ class CurationSpec extends SparkSuite {
     assert(kept(1L) && kept(3L)) // p = 1 for >= 128 tokens
   }
 
+  test("curate: eval held out, short docs gated, contaminated dropped, dup keeper kept") {
+    val run8 = "q w e r t y u i" // 8-token run planted in eval + one train doc
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (7L, s"$run8 eval only content here", "s0"), // eval split (7 % 10 == 7): held out
+      (1L, s"$run8 and train filler words x", "s0"), // contaminated -> dropped
+      (2L, "tiny doc", "s0"), // < 8 tokens -> gated
+      (3L, dup, "s1"), // cluster keeper (min id)
+      (4L, dup, "s1"), // exact dup -> dropped
+      (5L, "a clean independent training document with plenty of words inside", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation
+      .curate(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // s0 loses everything: 7 is eval, 1 contaminated, 2 gated
+    assert(!out.contains("s0"), s"unexpected s0 survivors: $out")
+    // s1 keeps doc 3 (12 tokens) + doc 5 (10 tokens); doc 4 deduped
+    assert(out("s1") === ((2L, 22L)))
+  }
+
   test("packSequences: conservation + fill + block-size invariance of the prefix sum") {
     // 40 docs x 10 tokens = 400 tokens; seqLen 64 -> 7 sequences
     // (6 full + one 16-token tail).
