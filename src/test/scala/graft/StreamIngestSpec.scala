@@ -148,6 +148,30 @@ class StreamIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags docs sharing an 8-gram with the static eval set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val run8 = "q w e r t y u i"
+    val evalDocs = Seq((100L, s"$run8 held out eval material")).toDF("doc_id", "text")
+    val evalTable = graft.streaming.CurationStream.evalShingleTable(evalDocs)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    ms.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), s"$run8 leaked into this train doc"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "completely clean training words here today")
+    )
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsStream.runToMemory(
+      spark,
+      graft.streaming.CurationStream.contaminatedIds(docs, evalTable),
+      "contam_test",
+      org.apache.spark.sql.streaming.OutputMode.Append()
+    )
+    try {
+      val flagged = spark.sql("SELECT doc_id FROM contam_test").collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(1L))
+    } finally q.stop()
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val ev = Tables.eventsRaw(spark, sf0001)
     val salted = graft.operators.Skew
