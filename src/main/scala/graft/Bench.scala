@@ -32,8 +32,17 @@ object Bench {
         try math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
         catch { case _: Throwable => -1.0 }
         // drop blocks persisted inside the query plan — cached
-        // intermediates must not accumulate across the 80-query session
-        finally spark.catalog.clearCache()
+        // intermediates must not accumulate across the 100+-query
+        // session. clearCache() only empties the SQL CacheManager;
+        // localCheckpoint blocks (Graph fixpoint rounds, staged curation
+        // tables) live in the block manager as persistent RDDs and must
+        // be dropped explicitly or they evict/GC-pressure later queries.
+        finally {
+          graft.operators.Staged.releaseAll() // staged tables + checkpointed results
+          spark.catalog.clearCache()
+          // backstop: anything persisted outside the Staged contract
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        }
       name -> secs
     }
     val qs = results

@@ -22,8 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop blocks persisted inside the query plan — cached
-      // intermediates must not accumulate across the 80-query session
-      finally spark.catalog.clearCache()
+      // intermediates must not accumulate across the 100+-query session
+      finally {
+        graft.operators.Staged.releaseAll()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

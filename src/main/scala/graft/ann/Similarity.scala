@@ -127,7 +127,7 @@ object Similarity {
     // dedup ride on bare (table, bucket, id) rows; the 64-double arrays
     // only join back in for the final per-pair cosine (once per
     // DISTINCT pair, not once per bucket collision)
-    val embP = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val embP = graft.operators.Staged.persist(emb) // staged: released by Staged.releaseAll
     val bucketed = embP
       .select($"vec_id", posexplode(allBuckets($"v")).as(Seq("table", "bucket")))
     val l = bucketed.select($"table", $"bucket", $"vec_id".as("id_a"))
@@ -315,7 +315,7 @@ object Similarity {
     val centroids = emb
       .filter($"vec_id" < 8)
       .select($"vec_id".as("cell_id"), asDouble($"embedding").as("centroid"))
-    val assigned = ivfAssign(emb, centroids).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.operators.Staged.persist(ivfAssign(emb, centroids)) // released by releaseAll
     val refined = refineCentroids(assigned)
     val counts = assigned.groupBy($"cell_id").agg(count(lit(1)).as("n_assigned"))
     refined

@@ -154,6 +154,22 @@ object Align {
       )
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // degenerate input (empty tie table, or <2 candidates → no pair
+    // model): nothing to fit — empty frame, same schema, instead of
+    // head()/getLong blowing up downstream
+    if (models.isEmpty)
+      return tiePoints.sparkSession
+        .range(0)
+        .select(
+          lit(0L).as("inlier_count"),
+          lit(0L).as("n_points"),
+          lit(0.0).as("inlier_ratio"),
+          lit(0.0).as("scale"),
+          lit(0.0).as("cos_theta"),
+          lit(0.0).as("sin_theta"),
+          lit(0.0).as("tx"),
+          lit(0.0).as("ty")
+        )
 
     // consensus: one partial-agg pass, one inlier-count column per model
     val countCols = models.zipWithIndex.map { case ((_, _, sc, ct, st, tx, ty), i) =>

@@ -113,7 +113,7 @@ object GeoQueries {
       // pattern): every coarser level and the final union read these
       // tile stats, never the raw pixels again — without this, each
       // union branch would re-derive (and re-scan) the pixel source
-      .localCheckpoint()
+      .transform(graft.operators.Staged.checkpoint)
     var levels = List(finest)
     var cur = finest
     for (z <- (zMax - 1) to zMin by -1) {
@@ -136,7 +136,7 @@ object GeoQueries {
           max(col("byte_max")).as("byte_max")
         )
         .select(lit(z).as("z"), col("tx"), col("ty"), col("n_px"), col("byte_sum"), col("byte_min"), col("byte_max"))
-        .localCheckpoint() // level z feeds both the union and level z−1
+        .transform(graft.operators.Staged.checkpoint) // level z feeds both the union and level z−1
       levels ::= cur
     }
     levels

@@ -50,57 +50,71 @@ object Graph {
         .toInt
     }
     // phase 1: per-partition union-find over the edges that land there;
-    // emits (node, local root) for every node the partition saw
-    val local = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(parts, col("src"))
-      .as[E]
-      .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        val seen = new java.util.HashSet[Long]()
-        def find(a: Long): Long = {
-          var r = a
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-          var c = a
-          while (parent.getOrDefault(c, c) != c) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
-          r
+    // emits (node, local root) for every node the partition saw.
+    // checkpointOwned: the blocks are released below, as soon as the
+    // labeling that consumes them has materialized.
+    val (local, localBlocks) = Staged.checkpointOwned(
+      edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .repartition(parts, col("src"))
+        .as[E]
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          val seen = new java.util.HashSet[Long]()
+          def find(a: Long): Long = {
+            var r = a
+            while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+            var c = a
+            while (parent.getOrDefault(c, c) != c) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
+            r
+          }
+          it.foreach { e =>
+            seen.add(e.src); seen.add(e.dst)
+            val ra = find(e.src); val rb = find(e.dst)
+            if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](seen.size())
+          val i2 = seen.iterator()
+          while (i2.hasNext) { val id = i2.next(); out += ((id, find(id))) }
+          out.iterator
         }
-        it.foreach { e =>
-          seen.add(e.src); seen.add(e.dst)
-          val ra = find(e.src); val rb = find(e.dst)
-          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
-        }
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](seen.size())
-        val i2 = seen.iterator()
-        while (i2.hasNext) { val id = i2.next(); out += ((id, find(id))) }
-        out.iterator
-      }
-      .toDF("id", "root")
-      .localCheckpoint()
-    val isolated = nodes
-      .select(col("id"))
-      .join(local.select(col("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("lab"))
-    if (parts == 1)
-      return local.select(col("id"), col("root").as("lab")).union(isolated)
-    // phase 2: a node seen by several partitions links its roots;
-    // fixpoint over the contracted root graph only
-    val minRoot = local.groupBy("id").agg(min("root").as("mroot"))
-    val cross = local
-      .join(minRoot, Seq("id"))
-      .filter(col("root") =!= col("mroot"))
-      .select(col("mroot").as("src"), col("root").as("dst"))
-      .distinct()
-    if (cross.isEmpty)
-      return local.select(col("id"), col("root").as("lab")).distinct().union(isolated)
-    val rootNodes = local.select(col("root").as("id")).distinct()
-    val fixed = connectedComponents(rootNodes, cross.union(cross.select(col("dst").as("src"), col("src").as("dst"))))
-      .select(col("id").as("root"), col("lab"))
-    local
-      .join(fixed, Seq("root"))
-      .groupBy("id")
-      .agg(min("lab").as("lab"))
-      .union(isolated)
+        .toDF("id", "root")
+    )
+    try {
+      val isolated = nodes
+        .select(col("id"))
+        .join(local.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lab"))
+      if (parts == 1)
+        return Staged.checkpoint(local.select(col("id"), col("root").as("lab")).union(isolated))
+      // phase 2: a node seen by several partitions links its roots;
+      // fixpoint over the contracted root graph only
+      val minRoot = local.groupBy("id").agg(min("root").as("mroot"))
+      val cross = local
+        .join(minRoot, Seq("id"))
+        .filter(col("root") =!= col("mroot"))
+        .select(col("mroot").as("src"), col("root").as("dst"))
+        .distinct()
+      if (cross.isEmpty)
+        return Staged.checkpoint(local.select(col("id"), col("root").as("lab")).distinct().union(isolated))
+      val rootNodes = local.select(col("root").as("id")).distinct()
+      val (fixedRaw, fixedBlocks) =
+        connectedComponentsOwned(rootNodes, cross.union(cross.select(col("dst").as("src"), col("src").as("dst"))), 64)
+      val fixed = fixedRaw.select(col("id").as("root"), col("lab"))
+      try
+        Staged.checkpoint(
+          local
+            .join(fixed, Seq("root"))
+            .groupBy("id")
+            .agg(min("lab").as("lab"))
+            .union(isolated)
+        )
+      finally Staged.release(fixedBlocks)
+    } finally Staged.release(localBlocks)
+    // every branch returns an EAGER Staged.checkpoint of the final
+    // labeling, so releasing the phase-1/phase-2 blocks here is safe:
+    // the result no longer has lineage into them. The result's own
+    // blocks are registered with Staged for the caller's releaseAll.
   }
 
   /** Min-label propagation to fixpoint over `nodes(id)` with
@@ -116,6 +130,21 @@ object Graph {
     * is its bounded-diameter special case.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val (labels, blocks) = connectedComponentsOwned(nodes, edges, maxIter)
+    // the result frame IS its checkpoint blocks — register them for the
+    // caller's Staged.releaseAll rather than leaking until GC
+    Staged.register(blocks)
+    labels
+  }
+
+  /** [[connectedComponents]] with the result's checkpoint blocks handed
+    * to the caller (internal: [[components]] releases them as soon as
+    * its contraction join has materialized). */
+  private[graft] def connectedComponentsOwned(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int
+  ): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     // Size the per-round shuffle to the GRAPH size, not the session
     // default: the fixpoint runs O(log diameter) rounds and a
     // 32-partition shuffle per round over a small frame is pure
@@ -126,10 +155,14 @@ object Graph {
     val parts = math
       .max(1L, math.min(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L))
       .toInt
-    val e = edges.select(col("src"), col("dst")).repartition(parts, col("src")).localCheckpoint()
+    val (e, eBlocks) = Staged.checkpointOwned(edges.select(col("src"), col("dst")).repartition(parts, col("src")))
     // no edges → every node is its own component; skip the fixpoint
-    if (e.isEmpty) return nodes.select(col("id"), col("id").as("lab"))
-    var labels = nodes.select(col("id"), col("id").as("lab")).repartition(parts, col("id")).localCheckpoint()
+    if (e.isEmpty) {
+      Staged.release(eBlocks)
+      return (nodes.select(col("id"), col("id").as("lab")), Nil)
+    }
+    var (labels, labelBlocks) =
+      Staged.checkpointOwned(nodes.select(col("id"), col("id").as("lab")).repartition(parts, col("id")))
     var prev = Long.MinValue
     var cur = labels.agg(sum("lab")).head().getLong(0)
     var iter = 0
@@ -142,16 +175,24 @@ object Graph {
         .select(col("id"), col("lab").as("mid"))
         .join(labels.select(col("id").as("mid"), col("lab").as("jlab")), Seq("mid"))
         .select(col("id"), col("jlab").as("lab"))
-      labels = labels
-        .union(viaEdge)
-        .union(viaJump)
-        .repartition(parts, col("id"))
-        .groupBy("id")
-        .agg(min("lab").as("lab"))
-        .localCheckpoint()
+      val (next, nextBlocks) = Staged.checkpointOwned(
+        labels
+          .union(viaEdge)
+          .union(viaJump)
+          .repartition(parts, col("id"))
+          .groupBy("id")
+          .agg(min("lab").as("lab"))
+      )
+      // round n is materialized (checkpointOwned is eager) — round n−1's
+      // blocks are dead; dropping them caps fixpoint storage at two
+      // rounds instead of O(rounds) blocks leaking until GC
+      Staged.release(labelBlocks)
+      labels = next
+      labelBlocks = nextBlocks
       cur = labels.agg(sum("lab")).head().getLong(0)
       iter += 1
     }
-    labels
+    Staged.release(eBlocks)
+    (labels, labelBlocks)
   }
 }

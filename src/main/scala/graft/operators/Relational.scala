@@ -284,24 +284,40 @@ object Relational {
     * across engines in the last ulp, a discrete one is bit-exact. */
   def statsAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // single pass: the rank/count window shuffles once on the group
-    // key; the same sorted partition then feeds ALL the aggregates
-    // (median extracted as a conditional max) — no second scan, no join
-    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".asc)
-    Tables
+    // two partial-agg passes, zero raw-row sorts: min/max/avg/stddev/n
+    // ride the plain agg path (all partial-aggregatable), and the exact
+    // discrete median comes from DISTINCT-VALUE COUNTING (the
+    // `Raster.areaStats` shape) — the cumulative window runs over one
+    // row per (flag, price), bounded by the price DOMAIN at any scale.
+    // The old shape (row_number over a 3-value partition key) funneled
+    // the whole fact table through 3 sort tasks.
+    val basic = Tables
       .lineitem(s, dir)
-      .select($"l_returnflag", $"l_extendedprice")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
       .groupBy($"l_returnflag")
       .agg(
         money(min($"l_extendedprice")).as("min_price"),
         money(max($"l_extendedprice")).as("max_price"),
         money(avg($"l_extendedprice")).as("avg_price"),
         money(stddev_pop($"l_extendedprice")).as("std_price"),
-        money(max(when($"rn" === expr("(cnt + 1) div 2"), $"l_extendedprice"))).as("median_price"),
         count(lit(1)).as("n")
       )
+    val counted = Tables
+      .lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val median = counted
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("cnt", sum($"c").over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag")
+      // k = (n+1) div 2, the 1-based discrete-median position; the
+      // median is the first price whose cumulative count reaches k
+      .agg(money(min(when($"cum" >= floor(($"cnt" + 1) / 2), $"l_extendedprice"))).as("median_price"))
+    basic
+      .join(median, Seq("l_returnflag")) // two 3-row aggregates: AQE broadcasts
       .select($"l_returnflag", $"min_price", $"max_price", $"avg_price", $"std_price", $"median_price", $"n")
   }
 

@@ -74,20 +74,33 @@ object Windows {
   }
 
   /** ◆ Discrete percentiles (p25/p50/p75) — the exact sorted-element
-    * quantile (DuckDB `quantile_disc` picks element ceil(q·n), 1-based);
-    * one per-group sort, conditional-agg extraction (no three joins). */
+    * quantile (DuckDB `quantile_disc` picks element ceil(q·n), 1-based)
+    * via DISTINCT-VALUE COUNTING (the `Raster.areaStats` shape): the
+    * raw scan reduces on the partial-agg path to one row per
+    * (flag, price) — bounded by the price DOMAIN, not the row count, at
+    * any scale — and only those aggregated rows enter the cumulative
+    * window. The element at 1-based position k = ceil(q·n) is the first
+    * price whose cumulative count reaches k. A raw-row window
+    * partitioned by the 3-value flag would funnel the whole fact table
+    * through 3 sort tasks; this never sorts raw rows at all. */
   def percentilesQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".asc)
-    def pick(q: Double) =
-      round(max(when($"rn" === greatest(lit(1L), ceil(lit(q) * $"cnt")), $"l_extendedprice")), 2)
-    Tables
+    val counted = Tables
       .lineitem(s, dir)
-      .select($"l_returnflag", $"l_extendedprice")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+    def pick(q: Double) =
+      round(min(when($"cum" >= greatest(lit(1L), ceil(lit(q) * $"cnt")), $"l_extendedprice")), 2)
+    counted
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("cnt", sum($"c").over(wAll))
       .groupBy($"l_returnflag")
-      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"), count(lit(1)).as("n"))
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"), sum($"c").as("n"))
   }
 
   /** ◆ LAG delta — per-user consecutive-event value difference (the

@@ -60,7 +60,7 @@ object Mask {
     val near = pixels
       .filter(nearColor(bandCols.map(col), target, nearDist))
       .select((col("y").cast("long") * width + col("x")).as("id"), col("x"), col("y"))
-      .localCheckpoint() // multi-consumer: CC seed, adjacency joins, border seed, mask join
+      .transform(graft.operators.Staged.checkpoint) // multi-consumer: CC seed, adjacency joins, border seed, mask join
     val labels = Stockpile.connectedComponentsTiled(near, width)
     val borderLabs = near
       .filter(col("x") === 0 || col("x") === width - 1 || col("y") === 0 || col("y") === height - 1)

@@ -161,7 +161,7 @@ object Stockpile {
         out.iterator
       }
       .toDF("id", "lab")
-      .localCheckpoint()
+      .transform(graft.operators.Staged.checkpoint)
     // single partition → the union-find saw the whole foreground; its
     // labels are global and no cross-partition edge can exist
     if (parts == 1) return local
@@ -183,7 +183,7 @@ object Stockpile {
       .union(cross.select(col("dlab").as("slab"), col("slab").as("dlab")))
       .select(col("slab").as("src"), col("dlab").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.operators.Staged.checkpoint)
     // no cross-partition adjacency → the local union-find labels ARE
     // the global min-id labels; skip contraction fixpoint + re-join
     if (contracted.isEmpty) return local
@@ -256,7 +256,7 @@ object Stockpile {
       // materialize once: fg feeds the CC seed, both sides of the
       // adjacency joins, and the stats pass — without this the whole
       // smoothing pipeline re-runs for every consumer
-      .localCheckpoint()
+      .transform(graft.operators.Staged.checkpoint)
     val edges = adjacencyEdges(fg)
     val labels = connectedComponentsTiled(fg, width)
     val p = fg.join(labels, Seq("id"))
@@ -323,7 +323,7 @@ object Stockpile {
       .crossJoin(broadcast(mp))
       .filter(col("value") > col("mp") * lit(1.5 - sensitivity))
       .select((col("y").cast("long") * width + col("x")).as("id"), col("x"), col("y"), col("value").as("d"))
-      .localCheckpoint() // same multi-consumer materialization as detectAll
+      .transform(graft.operators.Staged.checkpoint) // same multi-consumer materialization as detectAll
     val labels = connectedComponentsTiled(fg, width)
     val seedLab = labels.filter(col("id") === seedY.toLong * width + seedX).select(col("lab"))
     fg.join(labels, Seq("id"))

@@ -60,13 +60,19 @@ object Curation {
     * — the shared core of [[dedupClusters]] (summary view) and
     * [[dedupDropList]] (actionable view). */
   def clusterLabels(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup
-      .minhashCandidates(docs, idCol, textCol, threshold = threshold)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // multi-consumer: node set + edge list
-    val nodes = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    graft.operators.Graph.components(nodes, edges)
+    // multi-consumer (node set + edge list): checkpointOwned so the
+    // pair blocks can be dropped as soon as components() — which
+    // returns an EAGER checkpoint with no lineage into them — is done
+    val (pairs, pairBlocks) = graft.operators.Staged.checkpointOwned(
+      Dedup
+        .minhashCandidates(docs, idCol, textCol, threshold = threshold)
+        .select(col("id_a"), col("id_b"))
+    )
+    try {
+      val nodes = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.Graph.components(nodes, edges)
+    } finally graft.operators.Staged.release(pairBlocks)
   }
 
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame =
@@ -98,6 +104,12 @@ object Curation {
     * Returns one row per CONTAMINATED train doc with the count of
     * distinct shared 8-grams — the drop/inspect list.
     */
+  /** The deterministic eval-holdout predicate — defined ONCE so
+    * [[decontaminate]]'s contamination check and [[curate]]'s holdout
+    * filter can never diverge on what "eval" means. */
+  def isEval(idCol: String, evalMod: Int = 10, evalRem: Int = 7): Column =
+    col(idCol) % evalMod === evalRem
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String, n: Int = 8, evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
     // both join sides read the same shingle pipeline — materialize it
     // once (at corpus scale: a staged table) instead of re-hashing the
@@ -105,10 +117,10 @@ object Curation {
     val sh = docs
       .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
       .select(col("doc_id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val isEval = col("doc_id") % evalMod === evalRem
-    val evalSh = sh.filter(isEval).select(col("h")).distinct()
-    sh.filter(!isEval)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
+    val ev = isEval("doc_id", evalMod, evalRem)
+    val evalSh = sh.filter(ev).select(col("h")).distinct()
+    sh.filter(!ev)
       .join(evalSh, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -173,7 +185,7 @@ object Curation {
     val g = docs
       .select(col(idCol).as("doc_id"), explode(ngramsAll(col(textCol), n)).as("gram"))
       .select(col("doc_id"), conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     g.join(dfTab, Seq("h"))
       .groupBy("doc_id")
@@ -324,17 +336,19 @@ object Curation {
     * scale each `persist` becomes a staged table and nothing else
     * changes.
     */
-  def curate(docs: DataFrame, minTokens: Int = 8): DataFrame = {
+  def curate(docs: DataFrame, minTokens: Int = 8, evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
     val tok = docs.withColumn(
       "n_tok",
       size(regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))).cast("long")
     )
-    val contaminated = decontaminate(docs, "doc_id", "text").select("doc_id")
+    // the SAME (evalMod, evalRem) defines both the holdout filter and
+    // decontaminate's eval side — one split definition, one place
+    val contaminated = decontaminate(docs, "doc_id", "text", evalMod = evalMod, evalRem = evalRem).select("doc_id")
     val base = tok
-      .filter(!(col("doc_id") % 10 === 7) && col("n_tok") >= minTokens)
+      .filter(!isEval("doc_id", evalMod, evalRem) && col("n_tok") >= minTokens)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val drops = dedupDropList(base, "doc_id", "text")
     base
       .join(drops, Seq("doc_id"), "left_anti")

@@ -113,7 +113,7 @@ object Dedup {
     // once (at 100 TB: materialize to a table)
     val inv = sig
       .select(col("id"), posexplode(array((0 until k).map(i => col(s"s$i")): _*)).as(Seq("i", "v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     inv
       .select(col("i"), col("v"), col("id").as("id_a"))
       .join(inv.select(col("i"), col("v"), col("id").as("id_b")), Seq("i", "v"))
@@ -196,7 +196,7 @@ object Dedup {
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
       .withColumn("n2", vd($"v", $"v"))
       .withColumn("bucket", floor(sqrt($"n2") / eps).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val probes = emb.select(
       $"vec_id".as("id_a"),
       $"v".as("va"),
@@ -255,11 +255,11 @@ object Dedup {
     val inv = docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
       .select(col("id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = inv
       .join(dfTab.filter(col("df").between(2, maxDf)).select("shingle"), Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val counts = filtered.groupBy("id").agg(count(lit(1)).as("cnt"))
     val inter = filtered
       .select(col("shingle"), col("id").as("id_a"))

@@ -177,7 +177,7 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     val termRows = docs
       .select($"source", $"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val tf = termRows.groupBy($"source", $"term").agg(count(lit(1)).as("stf"))
     val dfT = termRows.select($"term", $"doc_id").distinct().groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("nd"))
@@ -304,7 +304,7 @@ object TextOps {
     val toks = Tables
       .documents(s, dir)
       .select($"doc_id", $"lang", posexplode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as(Seq("pos", "w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val bigrams = toks
       .withColumn("w2", lead($"w", 1).over(w))

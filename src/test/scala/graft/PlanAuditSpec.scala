@@ -119,4 +119,39 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(bad.isEmpty, s"unpartitioned raw-row window in: ${bad.mkString(", ")}")
   }
+
+  test("no Window over raw rows keyed ONLY by constant-domain columns") {
+    // The unpartitioned gate's blind spot: a window partitioned by a
+    // column whose domain does NOT grow with the data (a 3-value flag,
+    // a language code) funnels the whole input through |domain| sort
+    // tasks — same scale-killer, nonempty partitionSpec. Tolerable only
+    // when the window input is already bounded: an aggregate below
+    // (cardinality = group count, e.g. distinct-value counting) or a
+    // prior finer-keyed window stage (the two-phase top-k pattern,
+    // whose filter bounds rows per coarse key).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val constantDomain = Set(
+      "l_returnflag", "l_linestatus", "lang", "source", "event_type",
+      "label", "r_name", "n_name", "cell_id", "z", "block", "band_name"
+    )
+    val bad = SparkEntry.queries.keys.filter { name =>
+      SparkEntry
+        .queries(name)(spark, sf0001)
+        .queryExecution
+        .sparkPlan
+        .collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
+        .exists { w =>
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
+          val allConstant = keys.nonEmpty && keys.forall(constantDomain.contains)
+          val boundedInput = w.child.exists {
+            case _: BaseAggregateExec => true
+            case _: WindowExec        => true
+            case _                    => false
+          }
+          allConstant && !boundedInput
+        }
+    }
+    assert(bad.isEmpty, s"constant-domain-keyed raw-row window in: ${bad.mkString(", ")}")
+  }
 }
