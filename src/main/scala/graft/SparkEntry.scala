@@ -144,6 +144,7 @@ object SparkEntry {
     "q_repetition" -> (Curation.repetitionQuery _),
     "q_pack" -> (Curation.packQuery _),
     "q_dup_spans" -> (Curation.dupSpansQuery _),
+    "q_cut_spans" -> (Curation.cutSpansQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
     "q_curate" -> (Curation.curateQuery _)
@@ -1638,6 +1639,27 @@ object SparkEntry {
         |  CAST(n_dup AS BIGINT) AS n_dup_positions,
         |  round(n_dup / n_pos, 4) AS dup_span_frac
         |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin,
+    "q_cut_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS p, ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i FROM toks WHERE len(t) >= 10)),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT g.doc_id, unnest(range(g.p, g.p + 10)) AS ti
+        |    FROM g JOIN df USING (h) WHERE df.nd >= 2)),
+        |tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ti FROM toks),
+        |kept AS (
+        |  SELECT tok.doc_id, count(*) AS n_kept,
+        |    string_agg(tok.tok, ' ' ORDER BY tok.ti) AS clean_text
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+        |  WHERE cov.ti IS NULL GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |WHERE len(t.t) - coalesce(k.n_kept, 0) > 0 ORDER BY doc_id""".stripMargin,
     "q_cluster_sample" ->
       s"""WITH $ivfAsgCtes
         |SELECT cell_id, vec_id, rk FROM (

@@ -207,6 +207,62 @@ object Curation {
     dupSpans(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  /** ◆ Substring-dedup span REMOVAL (the cut half of Lee et al. 2022 —
+    * [[dupSpans]] measures coverage; this emits the cleaned text): every
+    * token covered by any cross-document duplicated n-gram window is
+    * cut, adjacent/overlapping dup positions merging naturally through
+    * the covered-token-index set union, and the surviving tokens are
+    * reassembled in order. Output (affected docs only): original and
+    * cut token counts plus the cleaned, whitespace-normalized text.
+    *
+    * Shape: the same inverted index as [[dupSpans]] (positions ride as
+    * 8-byte gram hashes, document frequency is one partial agg), plus
+    * one anti-join of token rows against covered indices and a per-doc
+    * ordered reassembly (collect_list bounded by DOC length — nothing
+    * cross-document ever sits in one task). Token indices are 1-based
+    * to match the SQL oracle's `generate_subscripts`.
+    */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0))
+    val g = docs
+      .select(col(idCol).as("doc_id"), posexplode(ngramsAll(col(textCol), n)).as(Seq("p0", "gram")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).as("p"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h")
+      )
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
+    val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    val covered = g
+      .join(dfTab.filter(col("nd") >= 2).select("h"), Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
+      .distinct()
+    val tokRows = docs
+      .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("ti0", "tok")))
+      .select(col("doc_id"), (col("ti0") + 1).as("ti"), col("tok"))
+    val kept = tokRows
+      .join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(array_sort(collect_list(struct(col("ti"), col("tok")))), x => x.getField("tok"))
+        ).as("clean_text")
+      )
+    docs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("n_cut", col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+      .filter(col("n_cut") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def cutSpansQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cutDupSpans(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
   /** ◆ Sequence packing (concat-and-chunk): lay the corpus out in
     * doc-id order as one token stream and cut it into fixed-length
     * training sequences — the standard LM pretraining batch layout.

@@ -88,6 +88,41 @@ class CurationSpec extends SparkSuite {
     assert(m(2L) === ((4L, 1L, 0.25)))
   }
 
+  test("cutDupSpans: token conservation (kept + cut = original) and exact span removal") {
+    val run = "a b c d e f g h i j" // 10 shared tokens = one dup window in each doc
+    val docs = Seq(
+      (1L, s"$run unique1 tail1 one"),
+      (2L, s"two head2 $run unique2"),
+      (3L, "entirely distinct words making up another training document here now")
+    ).toDF("doc_id", "text")
+    val m = Curation
+      .cutDupSpans(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // only the two affected docs appear; the shared run is cut exactly,
+    // the unique tokens survive in order
+    assert(m.keySet === Set(1L, 2L))
+    assert(m(1L) === ((13L, 10L, "unique1 tail1 one")))
+    assert(m(2L) === ((13L, 10L, "two head2 unique2")))
+    // conservation: cleaned text has exactly n_tokens - n_cut tokens
+    m.values.foreach { case (nTok, nCut, clean) =>
+      val nKept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(nKept + nCut === nTok)
+    }
+    // overlapping dup windows merge: doc pair sharing 12 tokens has 3
+    // dup positions whose windows overlap; exactly 12 tokens are cut
+    val long = "p q r s t u v w x y z0 z1"
+    val docs2 = Seq((1L, s"$long alpha"), (2L, s"beta $long")).toDF("doc_id", "text")
+    val m2 = Curation
+      .cutDupSpans(docs2, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(m2(1L) === ((13L, 12L, "alpha")))
+    assert(m2(2L) === ((13L, 12L, "beta")))
+  }
+
   test("clusterSample: exactly cap rows per non-empty cell, ranks contiguous, members belong to the cell") {
     val out = Curation
       .clusterSample(spark, "/root/testdata/sf0.001", cap = 3)
