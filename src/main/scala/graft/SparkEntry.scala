@@ -98,6 +98,7 @@ object SparkEntry {
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
     "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
+    "q_phash" -> (graft.multimodal.Multimodal.phashQuery _),
     "q_resize" -> (graft.multimodal.Multimodal.resizeQuery _),
     "q_upsert" -> (Relational.upsertQuery _),
     // §2.7 numeric kernels (◇) under the oracle
@@ -1106,6 +1107,76 @@ object SparkEntry {
         |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS total_tokens,
         |  round(avg(stopword_ratio), 6) AS avg_stopword_ratio
         |FROM dedup GROUP BY lang""".stripMargin,
+    "q_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+        |g AS (
+        |  SELECT media_id,
+        |    [ascii(substr(text, (i % length(text)) + 1, 1)) for i in range(0, 66)] AS g
+        |  FROM m)
+        |SELECT media_id,
+        |    (CASE WHEN g[1] < g[2] THEN (1::BIGINT << 0) ELSE 0 END) +
+        |    (CASE WHEN g[2] < g[3] THEN (1::BIGINT << 1) ELSE 0 END) +
+        |    (CASE WHEN g[3] < g[4] THEN (1::BIGINT << 2) ELSE 0 END) +
+        |    (CASE WHEN g[4] < g[5] THEN (1::BIGINT << 3) ELSE 0 END) +
+        |    (CASE WHEN g[5] < g[6] THEN (1::BIGINT << 4) ELSE 0 END) +
+        |    (CASE WHEN g[6] < g[7] THEN (1::BIGINT << 5) ELSE 0 END) +
+        |    (CASE WHEN g[7] < g[8] THEN (1::BIGINT << 6) ELSE 0 END) +
+        |    (CASE WHEN g[8] < g[9] THEN (1::BIGINT << 7) ELSE 0 END) +
+        |    (CASE WHEN g[9] < g[10] THEN (1::BIGINT << 8) ELSE 0 END) +
+        |    (CASE WHEN g[10] < g[11] THEN (1::BIGINT << 9) ELSE 0 END) +
+        |    (CASE WHEN g[12] < g[13] THEN (1::BIGINT << 10) ELSE 0 END) +
+        |    (CASE WHEN g[13] < g[14] THEN (1::BIGINT << 11) ELSE 0 END) +
+        |    (CASE WHEN g[14] < g[15] THEN (1::BIGINT << 12) ELSE 0 END) +
+        |    (CASE WHEN g[15] < g[16] THEN (1::BIGINT << 13) ELSE 0 END) +
+        |    (CASE WHEN g[16] < g[17] THEN (1::BIGINT << 14) ELSE 0 END) +
+        |    (CASE WHEN g[17] < g[18] THEN (1::BIGINT << 15) ELSE 0 END) +
+        |    (CASE WHEN g[18] < g[19] THEN (1::BIGINT << 16) ELSE 0 END) +
+        |    (CASE WHEN g[19] < g[20] THEN (1::BIGINT << 17) ELSE 0 END) +
+        |    (CASE WHEN g[20] < g[21] THEN (1::BIGINT << 18) ELSE 0 END) +
+        |    (CASE WHEN g[21] < g[22] THEN (1::BIGINT << 19) ELSE 0 END) +
+        |    (CASE WHEN g[23] < g[24] THEN (1::BIGINT << 20) ELSE 0 END) +
+        |    (CASE WHEN g[24] < g[25] THEN (1::BIGINT << 21) ELSE 0 END) +
+        |    (CASE WHEN g[25] < g[26] THEN (1::BIGINT << 22) ELSE 0 END) +
+        |    (CASE WHEN g[26] < g[27] THEN (1::BIGINT << 23) ELSE 0 END) +
+        |    (CASE WHEN g[27] < g[28] THEN (1::BIGINT << 24) ELSE 0 END) +
+        |    (CASE WHEN g[28] < g[29] THEN (1::BIGINT << 25) ELSE 0 END) +
+        |    (CASE WHEN g[29] < g[30] THEN (1::BIGINT << 26) ELSE 0 END) +
+        |    (CASE WHEN g[30] < g[31] THEN (1::BIGINT << 27) ELSE 0 END) +
+        |    (CASE WHEN g[31] < g[32] THEN (1::BIGINT << 28) ELSE 0 END) +
+        |    (CASE WHEN g[32] < g[33] THEN (1::BIGINT << 29) ELSE 0 END) +
+        |    (CASE WHEN g[34] < g[35] THEN (1::BIGINT << 30) ELSE 0 END) +
+        |    (CASE WHEN g[35] < g[36] THEN (1::BIGINT << 31) ELSE 0 END) +
+        |    (CASE WHEN g[36] < g[37] THEN (1::BIGINT << 32) ELSE 0 END) +
+        |    (CASE WHEN g[37] < g[38] THEN (1::BIGINT << 33) ELSE 0 END) +
+        |    (CASE WHEN g[38] < g[39] THEN (1::BIGINT << 34) ELSE 0 END) +
+        |    (CASE WHEN g[39] < g[40] THEN (1::BIGINT << 35) ELSE 0 END) +
+        |    (CASE WHEN g[40] < g[41] THEN (1::BIGINT << 36) ELSE 0 END) +
+        |    (CASE WHEN g[41] < g[42] THEN (1::BIGINT << 37) ELSE 0 END) +
+        |    (CASE WHEN g[42] < g[43] THEN (1::BIGINT << 38) ELSE 0 END) +
+        |    (CASE WHEN g[43] < g[44] THEN (1::BIGINT << 39) ELSE 0 END) +
+        |    (CASE WHEN g[45] < g[46] THEN (1::BIGINT << 40) ELSE 0 END) +
+        |    (CASE WHEN g[46] < g[47] THEN (1::BIGINT << 41) ELSE 0 END) +
+        |    (CASE WHEN g[47] < g[48] THEN (1::BIGINT << 42) ELSE 0 END) +
+        |    (CASE WHEN g[48] < g[49] THEN (1::BIGINT << 43) ELSE 0 END) +
+        |    (CASE WHEN g[49] < g[50] THEN (1::BIGINT << 44) ELSE 0 END) +
+        |    (CASE WHEN g[50] < g[51] THEN (1::BIGINT << 45) ELSE 0 END) +
+        |    (CASE WHEN g[51] < g[52] THEN (1::BIGINT << 46) ELSE 0 END) +
+        |    (CASE WHEN g[52] < g[53] THEN (1::BIGINT << 47) ELSE 0 END) +
+        |    (CASE WHEN g[53] < g[54] THEN (1::BIGINT << 48) ELSE 0 END) +
+        |    (CASE WHEN g[54] < g[55] THEN (1::BIGINT << 49) ELSE 0 END) +
+        |    (CASE WHEN g[56] < g[57] THEN (1::BIGINT << 50) ELSE 0 END) +
+        |    (CASE WHEN g[57] < g[58] THEN (1::BIGINT << 51) ELSE 0 END) +
+        |    (CASE WHEN g[58] < g[59] THEN (1::BIGINT << 52) ELSE 0 END) +
+        |    (CASE WHEN g[59] < g[60] THEN (1::BIGINT << 53) ELSE 0 END) +
+        |    (CASE WHEN g[60] < g[61] THEN (1::BIGINT << 54) ELSE 0 END) +
+        |    (CASE WHEN g[61] < g[62] THEN (1::BIGINT << 55) ELSE 0 END) +
+        |    (CASE WHEN g[62] < g[63] THEN (1::BIGINT << 56) ELSE 0 END) +
+        |    (CASE WHEN g[63] < g[64] THEN (1::BIGINT << 57) ELSE 0 END) +
+        |    (CASE WHEN g[64] < g[65] THEN (1::BIGINT << 58) ELSE 0 END) +
+        |    (CASE WHEN g[65] < g[66] THEN (1::BIGINT << 59) ELSE 0 END) AS phash
+        |FROM g ORDER BY media_id""".stripMargin,
     "q_resize" ->
       """SELECT doc_id AS media_id,
         |  md5(substr(repeat(text, 32 // length(text) + 1), 1, 32)) AS resized_md5

@@ -91,6 +91,51 @@ object Multimodal {
     }
   }
 
+  /** 60-bit dHash (difference/gradient perceptual hash): luminance on
+    * a 6×11 grid, one bit per horizontally adjacent cell pair
+    * (6 rows × 10 comparisons = 60 bits — the engine-neutral signature
+    * width shared with SimHash, so the SAME 15-bit Hamming-block
+    * machinery generates near-dup candidates). PNG payloads hash their
+    * REAL decoded pixels (grayscale mean per channel, nearest-neighbour
+    * grid); other payloads hash the deterministic cycled byte plane
+    * ([[StubCodecs.resize]]) the SQL oracle recomputes. Robust to
+    * re-encode/resize/brightness shifts — the standard image near-dup
+    * signature a multimodal curation pipeline blocks on. */
+  def dhash60(payload: Array[Byte]): Long = {
+    val grid: Array[Int] = graft.raster.Png.decode(payload) match {
+      case Some(img) =>
+        val out = new Array[Int](66)
+        var y = 0
+        while (y < 6) {
+          val sy = (y.toLong * img.height / 6).toInt
+          var x = 0
+          while (x < 11) {
+            val sx = (x.toLong * img.width / 11).toInt
+            var sum = 0; var c = 0
+            while (c < img.channels) { sum += img.pixels((sy * img.width + sx) * img.channels + c) & 0xff; c += 1 }
+            out(y * 11 + x) = sum / img.channels
+            x += 1
+          }
+          y += 1
+        }
+        out
+      case None => StubCodecs.resize(payload, 66).map(_ & 0xff)
+    }
+    var h = 0L
+    var y = 0
+    while (y < 6) {
+      var x = 0
+      while (x < 10) {
+        if (grid(y * 11 + x) < grid(y * 11 + x + 1)) h |= 1L << (y * 10 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  private val dhashUdf = udf(dhash60 _)
+
   private val imageStatsUdf = udf { p: Array[Byte] =>
     val (mean, std) = StubCodecs.imageStats(p); Map("mean" -> mean, "std" -> std)
   }
@@ -163,6 +208,29 @@ object Multimodal {
   def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaFromDocuments(s, dir), nFrames = 4, frameLen = 16)
       .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+
+  /** Perceptual hash per media row — the signature table image dedup
+    * blocks on. */
+  def phash(media: DataFrame): DataFrame =
+    media.select(col("media_id"), dhashUdf(col("payload")).as("phash"))
+
+  /** ◆ Perceptual image near-dup candidates — the multimodal × dedup
+    * bridge: dHash signatures feed EXACTLY the SimHash Hamming-block
+    * generator ([[graft.text.Dedup.hammingCandidates]], 15-bit blocks,
+    * pigeonhole-complete for Hamming ≤ 3, no N² compare). */
+  def phashCandidates(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.text.Dedup.hammingCandidates(
+      media.select(col("media_id").as("id"), dhashUdf(col("payload")).as("sig")),
+      maxHamming
+    )
+
+  /** ◆ dHash under the oracle: the deterministic byte-plane path over
+    * the documents-derived media fixture — DuckDB rebuilds the 66-cell
+    * cycled grid from the ASCII codes and re-derives all 60 comparison
+    * bits. */
+  def phashQuery(s: SparkSession, dir: String): DataFrame =
+    phash(mediaFromDocuments(s, dir).filter(length(col("payload")) > 0))
+      .orderBy(col("media_id"))
 
   /** Frame sampling: one row per sampled frame (explode), the shape a
     * video pipeline needs before per-frame inference. */

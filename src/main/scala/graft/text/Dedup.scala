@@ -151,11 +151,15 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup candidates: block on 15-bit signature quarters —
-    * two docs within Hamming distance 3 share at least one of 4 blocks
-    * (pigeonhole). Verification = exact popcount on the pair. */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+  /** Hamming-block candidate generation over 60-bit signatures
+    * (`sig(id, sig)`): block on 15-bit signature quarters — two
+    * signatures within Hamming distance 3 share at least one of 4
+    * blocks (pigeonhole), so the blocked self-join is candidate-
+    * COMPLETE for maxHamming ≤ 3. Verification = exact popcount on the
+    * pair. Shared by [[simhashCandidates]] (text) and
+    * [[graft.multimodal.Multimodal.phashCandidates]] (images) — the
+    * signature changes, the scale shape doesn't. */
+  def hammingCandidates(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocked = sig.select(
       col("id"),
       col("sig"),
@@ -171,6 +175,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** SimHash near-dup candidates over a text column. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    hammingCandidates(docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig")), maxHamming)
 
   /** Embedding-cosine near-dup — the fifth dedup modality: multi-table
     * LSH over the embedding column with exact cosine verification

@@ -54,6 +54,30 @@ class GeoMediaOpsSpec extends SparkSuite {
     }
   }
 
+  test("phash: near-identical PNGs pair within Hamming 3; a different image does not") {
+    import graft.raster.Png
+    // a 32x24 grayscale gradient; B = A with a handful of pixels nudged
+    // by one level (a re-encode-style perturbation); C = inverted ramp
+    val w = 32; val h = 24
+    def px(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => (f(i % w, i / w) & 0xff).toByte)
+    val a = Png.encodeGray(w, h, px((x, y) => x * 7 + y))
+    val b = Png.encodeGray(w, h, px((x, y) => x * 7 + y + (if (x == 5 && y < 3) 1 else 0)))
+    val c = Png.encodeGray(w, h, px((x, y) => 255 - x * 7 - y * 3))
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "payload")
+    // real decode path: identical gradients hash identically
+    assert(Multimodal.dhash60(a) === Multimodal.dhash60(b) || // perturbation below grid resolution…
+      java.lang.Long.bitCount(Multimodal.dhash60(a) ^ Multimodal.dhash60(b)) <= 3) // …or within 3 bits
+    val pairs = Multimodal.phashCandidates(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical images must pair: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), s"distinct image must not pair: $pairs")
+    // non-PNG payloads fall back to the deterministic byte plane the
+    // SQL oracle recomputes (q_phash)
+    assert(Multimodal.dhash60("hello world hello world".getBytes("UTF-8")) ===
+      Multimodal.dhash60("hello world hello world".getBytes("UTF-8")))
+  }
+
   test("frame sample: 4 frames per non-empty doc, frame bytes in (0, 16]") {
     val rows = Multimodal.frameSampleQuery(spark, sf0001).collect()
     val perDoc = rows.groupBy(_.getLong(0))
