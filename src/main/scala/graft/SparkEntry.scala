@@ -126,6 +126,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q_ann_norm" -> (Similarity.normByLabel _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d)),
+    "q_ann_lsh_hi" -> (Similarity.lshNearDupQuery _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
     "q_ann_refine" -> (Similarity.ivfRefineQuery _),
     "q_ann_batch" -> (Similarity.batchTopKQuery _),
@@ -289,13 +290,28 @@ object SparkEntry {
     * any shared (table, bucket), exact-cosine verify at the same
     * threshold. Deterministic planes are what make an LSH result
     * oracle-checkable at all. */
-  private def lshOracle: String = {
-    val (tables, nBits, minCos) = (16, 6, 0.35)
+  private def lshOracle: String = lshOracleAt(tables = 16, nBits = 6, minCos = 0.35, planted = false)
+
+  /** The near-dup regime (big buckets, few tables, θ=0.9) over the
+    * corpus + deterministic planted copies — see
+    * `Similarity.lshNearDupQuery`. */
+  private def lshHiOracle: String = lshOracleAt(tables = 8, nBits = 16, minCos = 0.9, planted = true)
+
+  private def lshOracleAt(tables: Int, nBits: Int, minCos: Double, planted: Boolean): String = {
+    val corpus =
+      if (!planted) "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+      else
+        """SELECT vec_id, e FROM base
+          |  UNION ALL
+          |  SELECT vec_id + 10000, [e[i] + CASE WHEN i = 1 THEN 0.1 ELSE 0 END for i in range(1, 65)]
+          |  FROM base WHERE vec_id % 25 = 0""".stripMargin
+    val baseCte =
+      if (planted) "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n" else ""
     s"""WITH planes AS (
        |  SELECT t, b, j,
        |    (('0x' || substr(md5(t || ':' || b || ':' || j), 1, 15))::BIGINT % 2000001 - 1000000) / 1000000.0 AS w
        |  FROM range($tables) r1(t), range($nBits) r2(b), range(64) r3(j)),
-       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${baseCte}v AS ($corpus),
        |dots AS (
        |  SELECT vec_id, t, b, sum(e[j + 1] * w) AS d
        |  FROM v, planes GROUP BY vec_id, t, b),
@@ -487,6 +503,7 @@ object SparkEntry {
     "q_minhash" -> minhashOracle,
     "q_simhash" -> simhashOracle,
     "q_ann_lsh" -> lshOracle,
+    "q_ann_lsh_hi" -> (lshHiOracle + " ORDER BY 1, 2"),
     "q_tfidf" ->
       """WITH tr AS (
         |  SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term

@@ -114,9 +114,23 @@ object Similarity {
       nBits: Int = 6,
       tables: Int = 16,
       minCos: Double = 0.35
+  ): DataFrame =
+    lshNeighborsOf(s, Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")), nBits, tables, minCos)
+
+  /** [[lshNeighbors]] over an arbitrary `(vec_id, v: array<double>)`
+    * corpus — the knobs are the recall/cost trade: low-threshold mining
+    * wants small buckets and many tables (nBits=6, tables=16); NEAR-DUP
+    * mining (minCos ≥ 0.9, p_bit ≈ 0.97) wants bigger buckets and fewer
+    * tables (nBits=16, tables=8) — both regimes are oracled
+    * (q_ann_lsh / q_ann_lsh_hi). */
+  def lshNeighborsOf(
+      s: SparkSession,
+      emb: DataFrame,
+      nBits: Int,
+      tables: Int,
+      minCos: Double
   ): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir).select($"vec_id", asDouble($"embedding").as("v"))
     val dim = 64
     // one compiled pass computes every table's bucket (tables × nBits
     // plane dots): a single UDF call per row instead of tables×nBits
@@ -140,6 +154,27 @@ object Similarity {
       .withColumn("cos_sim", fastCosine(s)($"va", $"vb"))
       .filter($"cos_sim" >= minCos)
       .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
+  }
+
+  /** ◆ The near-dup LSH regime under the oracle (nBits=16, tables=8,
+    * minCos=0.9): the fixture embeddings have no natural cos ≥ 0.9
+    * pairs, so the corpus is augmented with DETERMINISTIC planted
+    * near-dups — every 25th vector copied with +0.1 on coordinate 0
+    * (cos ≈ 0.995 to its source; both engines build the identical
+    * copies). Recovering exactly the planted pairs proves the
+    * big-bucket/few-tables knob setting does its job at the 0.9
+    * threshold. */
+  def lshNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir).select($"vec_id", asDouble($"embedding").as("v"))
+    val planted = base
+      .filter($"vec_id" % 25 === 0)
+      .select(
+        ($"vec_id" + 10000).as("vec_id"),
+        transform($"v", (x, i) => when(i === 0, x + 0.1).otherwise(x)).as("v")
+      )
+    lshNeighborsOf(s, base.union(planted), nBits = 16, tables = 8, minCos = 0.9)
+      .orderBy($"id_a", $"id_b")
   }
 
   /** All-tables bucket computation in one closure: plane matrix is

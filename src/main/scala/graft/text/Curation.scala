@@ -332,13 +332,27 @@ object Curation {
     * over ≤ salts·cap survivors. Per-salt top-cap provably contains the
     * global top-cap.
     */
-  def clusterSample(s: SparkSession, dir: String, cap: Int = 3, nCells: Int = 8, salts: Int = 32): DataFrame = {
+  def clusterSample(
+      s: SparkSession,
+      dir: String,
+      cap: Int = 3,
+      nCells: Int = 8,
+      salts: Int = 32,
+      centroids: Option[DataFrame] = None
+  ): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb
-      .filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
-    val assigned = graft.ann.Similarity.ivfAssign(emb, centroids).select("vec_id", "cell_id")
+    // default: the oracled deterministic seed quantizer (vec_id < nCells).
+    // At corpus scale pass the Lloyd-trained cells (Similarity.trainIvf):
+    // trained centroids spread the population far more evenly, which is
+    // the whole point of balanced sampling — see CurationSpec's
+    // balance-improvement gate.
+    val cents = centroids.getOrElse(
+      emb
+        .filter($"vec_id" < nCells)
+        .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
+    )
+    val assigned = graft.ann.Similarity.ivfAssign(emb, cents).select("vec_id", "cell_id")
     val key = md5(col("vec_id").cast("string"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy("cell_id", "salt")

@@ -143,6 +143,32 @@ class CurationSpec extends SparkSuite {
     assert(out.toSet === naive)
   }
 
+  test("clusterSample(trained): Lloyd-trained cells balance populations better than seed centroids") {
+    import graft.ann.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val seed = emb
+      .filter($"vec_id" < 8)
+      .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
+    val trained = Similarity.trainIvf(spark, sf0001, nCells = 8, iters = 4)
+    def pops(c: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.ivfAssign(emb, c).groupBy("cell_id").count().collect().map(_.getLong(1)).toSeq
+    def imbalance(x: Seq[Long]): Double = x.max.toDouble / (x.sum.toDouble / x.size) // max/mean load factor
+    val si = imbalance(pops(seed))
+    val ti = imbalance(pops(trained))
+    assert(ti < si, s"trained cells must spread load better: seed max/mean=$si, trained max/mean=$ti")
+    // the trained quantizer drops into the SAME two-phase top-k plan
+    val out = Curation
+      .clusterSample(spark, sf0001, cap = 3, centroids = Some(trained))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCell = out.groupBy(_._1)
+    assert(byCell.values.forall(_.length <= 3))
+    assert(
+      byCell.values.forall(g => g.map(_._3).sorted.toSeq == (1 to g.length)),
+      "ranks contiguous per cell"
+    )
+  }
+
   test("weightedSample: integer accept test — long docs always kept, acceptance grows with weight") {
     val docs = Seq(
       (1L, (1 to 200).map(i => s"w$i").mkString(" "), "a"), // 200 tokens >= 128 -> always kept

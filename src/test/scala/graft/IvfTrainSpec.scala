@@ -23,33 +23,51 @@ class IvfTrainSpec extends SparkSuite {
     assert(c4.filter(size($"centroid") =!= 64).count() === 0)
   }
 
-  test("trained IVF recall@10 >= 0.9 at nProbe=4 vs brute force") {
+  test("trained IVF recall@10 curve: monotone in nProbe, >= 0.9 at nProbe=4") {
+    // nProbe is THE IVF scan-cost/recall knob: each +1 probes one more
+    // coarse cell. The curve must be monotone non-decreasing (more
+    // cells scanned can only add true neighbours) and clear the 0.9
+    // quality gate at the recommended nProbe=4.
     val emb = graft.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.trainIvf(spark, sf0001, nCells = 8, iters = 4)
     val assigned = Similarity.ivfAssign(emb, centroids).persist()
     val queries = (0L until 10L)
-    val recalls = queries.map { q =>
-      val qv = emb
-        .filter($"vec_id" === q)
-        .select(transform($"embedding", x => x.cast("double")))
-        .head()
-        .getSeq[Double](0)
-      val ivf = Similarity
-        .ivfSearch(spark, assigned.filter($"vec_id" =!= q), centroids, qv, k = 10, nProbe = 4)
-        .select("vec_id")
-        .collect()
-        .map(_.getLong(0))
-        .toSet
-      val brute = Similarity
+    val bruteByQ = queries.map { q =>
+      q -> Similarity
         .bruteForceTopK(spark, sf0001, queryId = q, k = 10)
         .select("vec_id")
         .collect()
         .map(_.getLong(0))
         .toSet
-      ivf.intersect(brute).size / 10.0
+    }.toMap
+    val qvByQ = queries.map { q =>
+      q -> emb
+        .filter($"vec_id" === q)
+        .select(transform($"embedding", x => x.cast("double")))
+        .head()
+        .getSeq[Double](0)
+    }.toMap
+    def meanRecall(nProbe: Int): Double = {
+      val rs = queries.map { q =>
+        val ivf = Similarity
+          .ivfSearch(spark, assigned.filter($"vec_id" =!= q), centroids, qvByQ(q), k = 10, nProbe = nProbe)
+          .select("vec_id")
+          .collect()
+          .map(_.getLong(0))
+          .toSet
+        ivf.intersect(bruteByQ(q)).size / 10.0
+      }
+      rs.sum / rs.size
     }
+    val curve = Seq(2, 4, 8).map(p => p -> meanRecall(p))
     assigned.unpersist()
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.9, s"mean recall@10 = $mean (per-query: ${recalls.mkString(", ")})")
+    assert(
+      curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a - 1e-9 },
+      s"recall must not decrease with nProbe: $curve"
+    )
+    val r4 = curve.find(_._1 == 4).get._2
+    assert(r4 >= 0.9, s"recall@10 at nProbe=4 = $r4 (curve: $curve)")
+    // all 8 cells probed = exhaustive scan = exact top-10
+    assert(curve.last._2 >= 0.999, s"nProbe=nCells must be exact: $curve")
   }
 }
