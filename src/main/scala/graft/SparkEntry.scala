@@ -91,6 +91,7 @@ object SparkEntry {
     // §2.2/§2.7 geospatial (◇ as column math)
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
+    "q_mvt" -> (graft.geo.GeoQueries.mvtQuery _),
     "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
     "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
     "q_contour" -> (graft.raster.Contour.contourQuery _),
@@ -961,6 +962,43 @@ object SparkEntry {
         |WHERE NOT (lon + 0.25 < -60.0 OR lon - 0.25 > 60.0
         |           OR lat + 0.25 < -30.0 OR lat - 0.25 > 30.0)
         |GROUP BY event_type""".stripMargin,
+    "q_mvt" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |    (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id,
+        |    lon * (pi() * 6378137.0) / 180.0 AS mx,
+        |    ln(tan((90.0 + lat) * pi() / 360.0)) / (pi() / 180.0) * (pi() * 6378137.0) / 180.0 AS my
+        |  FROM pts WHERE lat > -85.0 AND lat < 85.0),
+        |t AS (
+        |  SELECT event_id, mx, my,
+        |    greatest(0, CAST(ceil(((mx + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / 32)) / 256.0) AS BIGINT) - 1) AS tx,
+        |    greatest(0, CAST(ceil(((my + pi() * 6378137.0) / ((2 * pi() * 6378137.0 / 256.0) / 32)) / 256.0) AS BIGINT) - 1) AS tms
+        |  FROM m),
+        |qn AS (
+        |  SELECT event_id, tx, 31 - tms AS ty,
+        |    least(4095, greatest(0, CAST(floor(round((mx - (tx * (2 * pi() * 6378137.0 / 32.0) - pi() * 6378137.0)) / (2 * pi() * 6378137.0 / 32.0) * 4096.0, 9)) AS BIGINT))) AS px,
+        |    least(4095, greatest(0, CAST(floor(round((((tms + 1) * (2 * pi() * 6378137.0 / 32.0) - pi() * 6378137.0) - my) / (2 * pi() * 6378137.0 / 32.0) * 4096.0, 9)) AS BIGINT))) AS py
+        |  FROM t),
+        |d AS (
+        |  SELECT tx, ty, px, py, event_id,
+        |    px - coalesce(lag(px) OVER w, 0) AS dx,
+        |    py - coalesce(lag(py) OVER w, 0) AS dy
+        |  FROM qn WINDOW w AS (PARTITION BY tx, ty ORDER BY px, py, event_id)),
+        |c AS (
+        |  SELECT tx, ty, count(*) AS n_points,
+        |    string_agg(
+        |      CAST(CASE WHEN dx >= 0 THEN 2*dx ELSE -2*dx-1 END AS VARCHAR) || ',' ||
+        |      CAST(CASE WHEN dy >= 0 THEN 2*dy ELSE -2*dy-1 END AS VARCHAR),
+        |      ',' ORDER BY px, py, event_id) AS body
+        |  FROM d GROUP BY tx, ty)
+        |SELECT tx, ty, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(1 + 2 * n_points AS BIGINT) AS n_cmds,
+        |  md5(CAST(n_points * 8 + 1 AS VARCHAR) || ',' || body) AS cmd_md5
+        |FROM c""".stripMargin,
     "q_tile_math" ->
       """WITH pts AS (
         |  SELECT (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,

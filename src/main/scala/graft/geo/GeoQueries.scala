@@ -63,6 +63,86 @@ object GeoQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-tile MVT point features at zoom `z`: web-mercator tile
+    * assignment (the q_tile_math kernel), 4096-extent tile-local
+    * quantization, and the sorted point set each tile's MULTIPOINT
+    * feature encodes. One scan + one shuffle on the tile key; per-tile
+    * arrays are bounded by tile point count (the renderTiles bound).
+    * The float→int quantization rounds at 1e-9 before floor — the same
+    * quantize-before-discretize guard as the LSH sign test, so a
+    * last-ulp libm difference can't flip a pixel across engines. */
+  def mvtFeatures(s: SparkSession, dir: String, z: Int): DataFrame = {
+    import s.implicits._
+    val originShift = math.Pi * 6378137.0
+    val res = (2 * math.Pi * 6378137.0 / 256.0) / (1 << z)
+    // tile size at z = res · 256 = 2πR / 2^z — power-of-two scaling, so
+    // the two forms are bit-identical doubles in any IEEE engine
+    val ts = 2 * math.Pi * 6378137.0 / (1L << z)
+    def tile(m: Column): Column = greatest(lit(0L), (ceil(((m + originShift) / res) / 256.0)).cast("long") - 1)
+    def quant(raw: Column): Column =
+      least(lit(4095L), greatest(lit(0L), floor(round(raw, 9)).cast("long")))
+    withLonLat(Tables.eventsRaw(s, dir))
+      .filter($"lat" > -85.0 && $"lat" < 85.0)
+      .withColumn("mx", $"lon" * originShift / 180.0)
+      .withColumn("my", log(tan((lit(90.0) + $"lat") * math.Pi / 360.0)) / (math.Pi / 180.0) * originShift / 180.0)
+      .withColumn("tx", tile($"mx"))
+      .withColumn("tms", tile($"my"))
+      .withColumn("tsz", lit(ts))
+      .withColumn("px", quant(($"mx" - ($"tx" * $"tsz" - originShift)) / $"tsz" * 4096.0))
+      .withColumn("py", quant(((($"tms" + 1) * $"tsz" - originShift) - $"my") / $"tsz" * 4096.0))
+      .groupBy($"tx", (lit((1L << z) - 1) - $"tms").as("ty"))
+      .agg(array_sort(collect_list(struct($"px", $"py"))).as("pts"))
+  }
+
+  /** ◆ MVT geometry command stream under the oracle (z=5): per tile,
+    * the MULTIPOINT command integers — MoveTo(n) then per-point zigzag
+    * deltas in (px, py) sort order — exactly the packed varint payload
+    * `Mvt.encodeTile` writes (MvtSpec proves the round-trip). DuckDB
+    * recomputes every integer, so the tile CONTENT is hash-verified;
+    * only the protobuf envelope is spec-side. */
+  def mvtQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def zz(c: Column): Column = when(c >= 0, c * 2).otherwise(-c * 2 - 1)
+    def fld(i: Column, f: String): Column = element_at($"pts", i).getField(f)
+    val deltas = flatten(
+      transform(
+        sequence(lit(1), size($"pts")),
+        i =>
+          array(
+            zz(fld(i, "px") - when(i === 1, lit(0L)).otherwise(fld(i - 1, "px"))),
+            zz(fld(i, "py") - when(i === 1, lit(0L)).otherwise(fld(i - 1, "py")))
+          )
+      )
+    )
+    mvtFeatures(s, dir, z = 5)
+      .withColumn("cmds", concat(array((size($"pts") * 8 + 1).cast("long")), deltas))
+      .select(
+        $"tx",
+        $"ty",
+        size($"pts").cast("long").as("n_points"),
+        size($"cmds").cast("long").as("n_cmds"),
+        md5(concat_ws(",", transform($"cmds", _.cast("string")))).as("cmd_md5")
+      )
+  }
+
+  /** Encode real MVT tile BYTES — one row per tile with the protobuf
+    * payload (layer "events", one MULTIPOINT feature tagged n_points).
+    * The per-tile kernel mirrors `renderTiles`' PNG stage. */
+  def mvtTiles(s: SparkSession, dir: String, z: Int = 5): DataFrame = {
+    val enc = udf { (pts: Seq[Row]) =>
+      val sorted = pts.map(r => (r.getLong(0), r.getLong(1)))
+      Mvt.encodeTile(
+        "events",
+        Seq(Mvt.Feature(0L, 1, Mvt.pointCommands(sorted), tags = Seq(0L, 0L))),
+        keys = Seq("n_points"),
+        intValues = Seq(sorted.length.toLong)
+      )
+    }
+    mvtFeatures(s, dir, z)
+      .withColumn("mvt", enc(col("pts")))
+      .select(col("tx"), col("ty"), col("mvt"), length(col("mvt")).as("mvt_bytes"))
+  }
+
   /** Tile-pyramid core (`gdaltiler.cpp:158-380`): the tiler's
     * warp-once / per-tile-window pipeline as one relational flow.
     * Input pixels carry (lon, lat, byte); raw pixels are scanned
