@@ -101,6 +101,7 @@ object SparkEntry {
     "q_frame_sample" -> (graft.multimodal.Multimodal.frameSampleQuery _),
     "q_phash" -> (graft.multimodal.Multimodal.phashQuery _),
     "q_resize" -> (graft.multimodal.Multimodal.resizeQuery _),
+    "q_thumb" -> (graft.multimodal.Multimodal.thumbQuery _),
     "q_upsert" -> (Relational.upsertQuery _),
     // §2.7 numeric kernels (◇) under the oracle
     "q_vegetation" -> (Scalars.vegetationQuery _),
@@ -1232,6 +1233,22 @@ object SparkEntry {
         |    (CASE WHEN g[64] < g[65] THEN (1::BIGINT << 58) ELSE 0 END) +
         |    (CASE WHEN g[65] < g[66] THEN (1::BIGINT << 59) ELSE 0 END) AS phash
         |FROM g ORDER BY media_id""".stripMargin,
+    "q_thumb" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(100 + doc_id % 900 AS INTEGER) AS w,
+        |    CAST(100 + (doc_id * 7) % 900 AS INTEGER) AS h
+        |  FROM documents WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)),
+        |d AS (
+        |  SELECT media_id, text,
+        |    CASE WHEN w > h THEN 256
+        |         ELSE greatest(1, CAST(trunc(CAST(256 AS DOUBLE) / h * w) AS INTEGER)) END AS ow,
+        |    CASE WHEN w > h THEN greatest(1, CAST(trunc(CAST(256 AS DOUBLE) / w * h) AS INTEGER))
+        |         ELSE 256 END AS oh
+        |  FROM m)
+        |SELECT media_id, CAST(ow AS INTEGER) AS thumb_w, CAST(oh AS INTEGER) AS thumb_h,
+        |  md5(substr(repeat(text, (ow * oh // length(text)) + 1), 1, ow * oh)) AS thumb_md5
+        |FROM d ORDER BY media_id""".stripMargin,
     "q_resize" ->
       """SELECT doc_id AS media_id,
         |  md5(substr(repeat(text, 32 // length(text) + 1), 1, 32)) AS resized_md5

@@ -209,6 +209,53 @@ object Multimodal {
     sampleFrames(mediaFromDocuments(s, dir), nFrames = 4, frameLen = 16)
       .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
 
+  /** Aspect-preserving thumbnail target size — the reference's
+    * `computeThumbTargetSize` (`thumbs.cpp:278-296`): long edge pinned
+    * to `thumbSize`, short edge scaled and TRUNCATED, floor 1 px.
+    * (Double ratio math here — bit-identical across engines — where the
+    * reference uses float32; same truncation semantics.) */
+  def thumbTarget(w: Int, h: Int, thumbSize: Int): (Int, Int) =
+    if (w > h) (thumbSize, math.max(1, (thumbSize.toDouble / w * h).toInt))
+    else (math.max(1, (thumbSize.toDouble / h * w).toInt), thumbSize)
+
+  private val thumbUdf = udf { (p: Array[Byte], mw: Int, mh: Int, tsz: Int) =>
+    graft.raster.Png.decode(p) match {
+      case Some(img) => // real path: decode → aspect-fit nearest resize → PNG
+        val (ow, oh) = thumbTarget(img.width, img.height, tsz)
+        (ow, oh, StubCodecs.resizeImage(p, ow, oh).get)
+      case None => // fallback: deterministic cycled byte plane at the target size
+        val (ow, oh) = thumbTarget(mw, mh, tsz)
+        (ow, oh, StubCodecs.resize(p, ow * oh))
+    }
+  }
+
+  /** ◆ Thumbnail generation (`thumbs.cpp` minus GDAL): PNG payloads get
+    * a REAL decoded, aspect-fit, re-encoded thumbnail; undecodable
+    * payloads get the deterministic byte plane at the same target size,
+    * which is what makes the operator oracle-checkable (q_thumb:
+    * DuckDB recomputes target dims and the cycled plane digest). */
+  def thumbnails(media: DataFrame, thumbSize: Int = 256): DataFrame =
+    media
+      .withColumn("t", thumbUdf(col("payload"), col("width"), col("height"), lit(thumbSize)))
+      .select(
+        col("media_id"),
+        col("t._1").as("thumb_w"),
+        col("t._2").as("thumb_h"),
+        col("t._3").as("thumb")
+      )
+
+  def thumbQuery(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(s, dir)
+      .filter(length(col("payload")) > 0)
+      // per-row source dims derived from the id (the fixture metadata is
+      // constant 64×64 — useless for exercising the aspect math)
+      .withColumn("width", (lit(100) + col("media_id") % 900).cast("int"))
+      .withColumn("height", (lit(100) + (col("media_id") * 7) % 900).cast("int"))
+    thumbnails(media, 256)
+      .select(col("media_id"), col("thumb_w"), col("thumb_h"), md5(col("thumb")).as("thumb_md5"))
+      .orderBy(col("media_id"))
+  }
+
   /** Perceptual hash per media row — the signature table image dedup
     * blocks on. */
   def phash(media: DataFrame): DataFrame =

@@ -78,6 +78,24 @@ class GeoMediaOpsSpec extends SparkSuite {
       Multimodal.dhash60("hello world hello world".getBytes("UTF-8")))
   }
 
+  test("thumbnails: real PNG payloads resize aspect-fit and re-encode; dims match the reference rule") {
+    import graft.raster.Png
+    // 100x40 gradient: landscape → thumb pinned to width
+    val w = 100; val h = 40
+    val src = Png.encodeGray(w, h, Array.tabulate(w * h)(i => ((i % w) * 2).toByte))
+    val media = Seq((1L, src, w, h)).toDF("media_id", "payload", "width", "height")
+    val t = Multimodal.thumbnails(media, thumbSize = 50).collect().head
+    assert((t.getInt(1), t.getInt(2)) === ((50, 20))) // trunc(50/100*40)=20
+    val dec = Png.decode(t.getAs[Array[Byte]](3)).get
+    assert((dec.width, dec.height) === ((50, 20)))
+    // nearest-neighbour: thumb pixel (x,y) samples src (x*100/50, y*40/20)
+    val exp = (10 * 2 * 2).toByte // thumb x=10 → src x=20 → value 40
+    assert(dec.pixels(5 * 50 + 10) === exp)
+    // the scalar rule itself: portrait pins height, floor 1 guards slivers
+    assert(Multimodal.thumbTarget(40, 100, 50) === ((20, 50)))
+    assert(Multimodal.thumbTarget(10000, 10, 256) === ((256, 1)))
+  }
+
   test("frame sample: 4 frames per non-empty doc, frame bytes in (0, 16]") {
     val rows = Multimodal.frameSampleQuery(spark, sf0001).collect()
     val perDoc = rows.groupBy(_.getLong(0))
