@@ -150,6 +150,7 @@ object SparkEntry {
     "q_dup_spans" -> (Curation.dupSpansQuery _),
     "q_cut_spans" -> (Curation.cutSpansQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
+    "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
     "q_curate" -> (Curation.curateQuery _)
   )
@@ -1803,6 +1804,25 @@ object SparkEntry {
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM toks t LEFT JOIN kept k USING (doc_id)
         |WHERE len(t.t) - coalesce(k.n_kept, 0) > 0 ORDER BY doc_id""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH $ivfAsgCtes,
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(va.e, vb.e) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |labels AS (
+        |  WITH RECURSIVE reach AS (
+        |    SELECT src AS id, src AS lab FROM edges
+        |    UNION
+        |    SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |  SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+        |SELECT lab AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(id) AS BIGINT) AS member_id_sum
+        |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cluster_sample" ->
       s"""WITH $ivfAsgCtes
         |SELECT cell_id, vec_id, rk FROM (

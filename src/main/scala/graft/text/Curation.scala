@@ -374,6 +374,45 @@ object Curation {
     clusterSample(s, dir).orderBy($"cell_id", $"rk")
   }
 
+  /** ◆ SemDeDup (Abbas et al. 2023): SEMANTIC near-dup pruning inside
+    * embedding-space clusters — the modality MinHash can't see (same
+    * meaning, different words). Every vector is assigned to its IVF
+    * cell (the oracled deterministic quantizer), pairs form ONLY within
+    * a cell (the per-cell N² is the knob: nCells scales with the corpus
+    * so cells stay bounded — real SemDeDup runs 50k+ clusters), pairs
+    * with cosine ≥ minCos link, and each component keeps its MIN id —
+    * the same transitive-closure decision rule as [[dedupClusters]],
+    * re-using [[graft.operators.Graph.components]] and the codegen'd
+    * cosine. Returns the multi-member cluster summary.
+    */
+  def semDedup(s: SparkSession, dir: String, nCells: Int = 8, minCos: Double = 0.35): DataFrame = {
+    import s.implicits._
+    graft.plans.VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
+    val assigned = graft.ann.Similarity.ivfAssign(emb, centroids)
+    val a = assigned.select($"cell_id", $"vec_id".as("id_a"), $"v".as("va"))
+    val b = assigned.select($"cell_id", $"vec_id".as("id_b"), $"v".as("vb"))
+    val pairs = a
+      .join(b, Seq("cell_id"))
+      .filter($"id_a" < $"id_b")
+      .filter(graft.plans.VectorExpressions.vecCosine($"va", $"vb") >= minCos)
+      .select($"id_a", $"id_b")
+    val nodes = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id"))).distinct()
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+    graft.operators.Graph
+      .components(nodes, edges)
+      .groupBy($"lab".as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum($"id").as("member_id_sum"))
+  }
+
+  def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semDedup(s, dir).orderBy($"cluster_id")
+  }
+
   /** ◆ Deterministic quality-weighted resampling: keep a document with
     * probability proportional to a quality weight — here p =
     * min(1, n_tokens/128), the longer-is-likelier prior of

@@ -169,6 +169,24 @@ class CurationSpec extends SparkSuite {
     )
   }
 
+  test("semDedup: clusters are multi-member, keyed by their min member id, disjoint") {
+    val rows = Curation
+      .semDedup(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every cluster: >= 2 members (singletons are implicit), keeper is
+    // the MIN member id so cluster_id must be strictly below the id sum
+    // of the remaining members
+    rows.foreach { case (cid, n, idSum) =>
+      assert(n >= 2, s"cluster $cid has $n members")
+      // min-id keeper ⟹ sum of n member ids each >= cid
+      assert(idSum >= cid * n, s"cluster $cid cannot contain ids below its label")
+    }
+    // disjoint: cluster ids unique
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
   test("weightedSample: integer accept test — long docs always kept, acceptance grows with weight") {
     val docs = Seq(
       (1L, (1 to 200).map(i => s"w$i").mkString(" "), "a"), // 200 tokens >= 128 -> always kept
