@@ -92,6 +92,7 @@ object SparkEntry {
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_mvt" -> (graft.geo.GeoQueries.mvtQuery _),
+    "q_cog" -> (graft.geo.GeoQueries.cogQuery _),
     "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
     "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
     "q_contour" -> (graft.raster.Contour.contourQuery _),
@@ -964,6 +965,19 @@ object SparkEntry {
         |WHERE NOT (lon + 0.25 < -60.0 OR lon - 0.25 > 60.0
         |           OR lat + 0.25 < -30.0 OR lat - 0.25 > 30.0)
         |GROUP BY event_type""".stripMargin,
+    "q_cog" ->
+      """WITH ev AS (
+        |  SELECT event_id % 400 AS x, (event_id // 400) % 400 AS y, max((event_id * 37) % 256) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT i % 512 AS gx, i // 512 AS gy FROM range(0, 262144) t(i)),
+        |p AS (SELECT gx, gy, gx // 256 AS tx, gy // 256 AS ty,
+        |        (gy % 256) * 256 + (gx % 256) AS idx,
+        |        coalesce(v, 0) AS v
+        |      FROM g LEFT JOIN ev ON ev.x = g.gx AND ev.y = g.gy)
+        |SELECT tx AS tile_x, ty AS tile_y,
+        |  CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+        |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY idx)) AS plane_md5
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q_mvt" ->
       """WITH pts AS (
         |  SELECT event_id,

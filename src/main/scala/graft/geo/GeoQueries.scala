@@ -143,6 +143,73 @@ object GeoQueries {
       .select(col("tx"), col("ty"), col("mvt"), length(col("mvt")).as("mvt_bytes"))
   }
 
+  /** The deterministic sparse byte raster the COG queries share: the
+    * events-derived 400×400 grid (pure integer math on event_id, the
+    * q_tile_pyramid fixture convention), value = (event_id·37) mod 256,
+    * collisions resolved by MAX. */
+  private def cogPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .eventsRaw(s, dir)
+      .select(
+        ($"event_id" % 400).as("x"),
+        expr("(event_id div 400) % 400").as("y"),
+        (($"event_id" * 37) % 256).as("v0")
+      )
+      .groupBy($"x", $"y")
+      .agg(max($"v0").as("v"))
+  }
+
+  /** ◆ COG tile planes under the oracle: the exact zero-padded 256×256
+    * pixel planes `raster/Cog.encode` writes as TIFF tiles — 512×512
+    * canvas (2×2 tile grid over the 400×400 raster), row-major within
+    * each tile, digest-compared. DuckDB rebuilds every plane, so the
+    * tile CONTENT is hash-verified; the TIFF/COG envelope is
+    * round-trip-spec'd (`CogSpec`, JDK TIFF reader). */
+  def cogQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = s
+      .range(512L * 512L)
+      .select(($"id" % 512).as("gx"), ($"id" / 512).cast("long").as("gy"))
+    grid
+      .join(cogPixels(s, dir), $"gx" === $"x" && $"gy" === $"y", "left")
+      .select(
+        ($"gx" / 256).cast("long").as("tile_x"),
+        ($"gy" / 256).cast("long").as("tile_y"),
+        (($"gy" % 256) * 256 + ($"gx" % 256)).as("idx"),
+        coalesce($"v", lit(0L)).as("v")
+      )
+      .groupBy($"tile_x", $"tile_y")
+      .agg(
+        sum(when($"v" =!= 0, 1L).otherwise(0L)).as("n_nonzero"),
+        md5(
+          concat_ws(
+            ",",
+            transform(array_sort(collect_list(struct($"idx", $"v"))), _.getField("v").cast("string"))
+          )
+        ).as("plane_md5")
+      )
+  }
+
+  /** Build the actual COG binary — one row per raster, the per-raster
+    * kernel shape (`renderTiles`' per-tile bound, one group per raster
+    * FILE, so a 100 TB estate encodes its rasters in parallel while no
+    * task ever holds more than one raster). Georeferenced to the
+    * fixture's nominal anchor. */
+  def buildCog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = udf { pts: Seq[Row] =>
+      val plane = new Array[Byte](400 * 400)
+      pts.foreach(r => plane(r.getLong(0).toInt * 400 + r.getLong(1).toInt) = r.getLong(2).toByte)
+      graft.raster.Cog.encode(400, 400, plane, 256, Some(graft.raster.Cog.GeoRef(-180.0, 90.0, 0.05, 4326)))
+    }
+    cogPixels(s, dir)
+      .groupBy(lit(1L).as("raster_id"))
+      .agg(collect_list(struct($"y", $"x", $"v")).as("pts"))
+      .withColumn("cog", enc($"pts"))
+      .select($"raster_id", length($"cog").as("cog_bytes"), $"cog")
+  }
+
   /** Tile-pyramid core (`gdaltiler.cpp:158-380`): the tiler's
     * warp-once / per-tile-window pipeline as one relational flow.
     * Input pixels carry (lon, lat, byte); raw pixels are scanned

@@ -1,0 +1,240 @@
+package graft.raster
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Cloud-Optimized GeoTIFF writer — pure JVM, no GDAL.
+  *
+  * Closes the last derivative-artifact codec alongside `Png` (raster
+  * tiles), `geo/Mvt` (vector tiles) and `Multimodal.thumbnails`: a
+  * single-band 8-bit TILED GeoTIFF with the COG layout — the full IFD
+  * chain (main image + reduced-resolution overviews) at the head of
+  * the file, tile payloads after, smallest overview's data first — so
+  * an HTTP range reader renders low zooms from the file head without
+  * touching full-res tiles (ref `cog.cpp` delegates this layout to
+  * GDAL's COG driver; here the format itself is written).
+  *
+  * Scope bounds (same contract as Png): uncompressed, single band,
+  * 8-bit, nearest-neighbour overviews — the deterministic subset both
+  * a spec and an oracle can pin down. The spec (`CogSpec`) round-trips
+  * the bytes through the JDK's own TIFF ImageReader and a manual IFD
+  * parse; the relational face feeding it (per-tile padded pixel
+  * planes) is DuckDB-oracled (q_cog).
+  */
+object Cog {
+
+  /** Geographic referencing: pixel (0,0) anchored at (originX,
+    * originY), square pixels, EPSG code (geographic by default,
+    * `projected = true` for a projected CRS). */
+  final case class GeoRef(
+      originX: Double,
+      originY: Double,
+      pixelSize: Double,
+      epsg: Int,
+      projected: Boolean = false
+  )
+
+  private final case class Level(w: Int, h: Int, px: Array[Byte])
+
+  private final case class Entry(tag: Int, typ: Int, count: Int, inline: Long = 0L, ext: Array[Byte] = null)
+
+  private val TShort = 3
+  private val TLong = 4
+  private val TDouble = 12
+
+  /** Encode `pixels` (row-major, width×height, one byte per sample)
+    * as a tiled COG. Overviews halve (nearest, top-left sample) until
+    * the level fits one tile. */
+  def encode(
+      width: Int,
+      height: Int,
+      pixels: Array[Byte],
+      tileSize: Int = 256,
+      geo: Option[GeoRef] = None
+  ): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height, "pixels must be width*height")
+    require(tileSize > 0 && tileSize % 16 == 0, "TIFF tile dims must be multiples of 16")
+
+    // level pyramid: full res first, then nearest-sampled halvings
+    val levels = ArrayBuffer(Level(width, height, pixels))
+    while (math.max(levels.last.w, levels.last.h) > tileSize) {
+      val p = levels.last
+      val w2 = math.max(1, (p.w + 1) / 2)
+      val h2 = math.max(1, (p.h + 1) / 2)
+      val out = new Array[Byte](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) { out(y * w2 + x) = p.px(math.min(2 * y, p.h - 1) * p.w + math.min(2 * x, p.w - 1)); x += 1 }
+        y += 1
+      }
+      levels += Level(w2, h2, out)
+    }
+
+    def tileGrid(l: Level): (Int, Int) = ((l.w + tileSize - 1) / tileSize, (l.h + tileSize - 1) / tileSize)
+    val tileBytes = tileSize * tileSize
+
+    // tile DATA order: smallest overview first (COG head-of-file
+    // renderability), main level last; per level row-major
+    val dataOrder: Seq[Int] = levels.indices.reverse
+
+    // ---- layout pass: sizes and offsets -------------------------------
+    def geoExt(g: GeoRef): Seq[Entry] = {
+      val scale = doubleBytes(Seq(g.pixelSize, g.pixelSize, 0.0))
+      val tiepoint = doubleBytes(Seq(0.0, 0.0, 0.0, g.originX, g.originY, 0.0))
+      val modelType = if (g.projected) 1 else 2
+      val epsgKey = if (g.projected) 3072 else 2048
+      val keys = Seq(1, 1, 0, 3, 1024, 0, 1, modelType, 1025, 0, 1, 1, epsgKey, 0, 1, g.epsg)
+      val keyBytes = { val b = new ArrayBuffer[Byte](keys.length * 2); keys.foreach(k => u16(k, b)); b.toArray }
+      Seq(
+        Entry(33550, TDouble, 3, ext = scale),
+        Entry(33922, TDouble, 6, ext = tiepoint),
+        Entry(34735, TShort, keys.length, ext = keyBytes)
+      )
+    }
+
+    def entriesFor(li: Int, tileOffsets: Seq[Long]): Seq[Entry] = {
+      val l = levels(li)
+      val (gx, gy) = tileGrid(l)
+      val n = gx * gy
+      val offsetsEntry =
+        if (n == 1) Entry(324, TLong, 1, inline = tileOffsets.head)
+        else Entry(324, TLong, n, ext = longBytes(tileOffsets))
+      val countsEntry =
+        if (n == 1) Entry(325, TLong, 1, inline = tileBytes.toLong)
+        else Entry(325, TLong, n, ext = longBytes(Seq.fill(n)(tileBytes.toLong)))
+      val base = Seq(
+        Entry(254, TLong, 1, inline = if (li == 0) 0L else 1L), // reduced-resolution flag
+        Entry(256, TLong, 1, inline = l.w.toLong),
+        Entry(257, TLong, 1, inline = l.h.toLong),
+        Entry(258, TShort, 1, inline = 8L),
+        Entry(259, TShort, 1, inline = 1L), // uncompressed
+        Entry(262, TShort, 1, inline = 1L), // BlackIsZero
+        Entry(277, TShort, 1, inline = 1L),
+        Entry(322, TShort, 1, inline = tileSize.toLong),
+        Entry(323, TShort, 1, inline = tileSize.toLong),
+        offsetsEntry,
+        countsEntry,
+        Entry(339, TShort, 1, inline = 1L) // unsigned integer samples
+      )
+      val withGeo = if (li == 0) base ++ geo.map(geoExt).getOrElse(Nil) else base
+      withGeo.sortBy(_.tag) // TIFF requires ascending tag order
+    }
+
+    // entry counts are layout-independent: compute IFD/external sizes
+    // from a dry run with dummy offsets
+    val dummy = levels.indices.map(li => entriesFor(li, Seq.fill(tileGrid(levels(li))._1 * tileGrid(levels(li))._2)(0L)))
+    val ifdSizes = dummy.map(e => 2 + 12 * e.length + 4)
+    val extSizes = dummy.map(_.collect { case e if e.ext != null => e.ext.length + (e.ext.length & 1) }.sum)
+    val ifdStarts = dummy.indices.scanLeft(8L)((pos, i) => pos + ifdSizes(i) + extSizes(i))
+    val tileDataStart = ifdStarts.last
+    // per-level tile data offsets in DATA order
+    val levelDataSize = levels.indices.map { li => val (gx, gy) = tileGrid(levels(li)); gx.toLong * gy * tileBytes }
+    val levelDataStart = {
+      val m = new Array[Long](levels.length)
+      var pos = tileDataStart
+      dataOrder.foreach { li => m(li) = pos; pos += levelDataSize(li) }
+      m
+    }
+
+    // ---- write pass ----------------------------------------------------
+    val out = new ArrayBuffer[Byte]((tileDataStart + levelDataSize.sum).toInt)
+    u16(0x4949, out); u16(42, out); u32(ifdStarts(0), out) // II, magic, IFD0
+    levels.indices.foreach { li =>
+      val (gx, gy) = tileGrid(levels(li))
+      val offsets = (0 until gx * gy).map(t => levelDataStart(li) + t.toLong * tileBytes)
+      val entries = entriesFor(li, offsets)
+      var extPos = ifdStarts(li) + ifdSizes(li)
+      u16(entries.length, out)
+      entries.foreach { e =>
+        u16(e.tag, out); u16(e.typ, out); u32(e.count.toLong, out)
+        if (e.ext == null) inlineValue(e, out)
+        else { u32(extPos, out); extPos += e.ext.length + (e.ext.length & 1) }
+      }
+      u32(if (li + 1 < levels.length) ifdStarts(li + 1) else 0L, out) // next IFD
+      entries.foreach { e =>
+        if (e.ext != null) { out ++= e.ext; if ((e.ext.length & 1) == 1) out += 0 }
+      }
+    }
+    dataOrder.foreach { li =>
+      val l = levels(li)
+      val (gx, gy) = tileGrid(l)
+      var ty = 0
+      while (ty < gy) {
+        var tx = 0
+        while (tx < gx) {
+          // zero-padded tile extract (TIFF tiles are always full-size)
+          val tile = new Array[Byte](tileBytes)
+          val x0 = tx * tileSize; val y0 = ty * tileSize
+          var y = 0
+          while (y < tileSize && y0 + y < l.h) {
+            val n = math.min(tileSize, l.w - x0)
+            if (n > 0) System.arraycopy(l.px, (y0 + y) * l.w + x0, tile, y * tileSize, n)
+            y += 1
+          }
+          out ++= tile
+          tx += 1
+        }
+        ty += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def inlineValue(e: Entry, out: ArrayBuffer[Byte]): Unit = e.typ match {
+    case TShort => u16(e.inline.toInt, out); u16(0, out)
+    case TLong  => u32(e.inline, out)
+    case t      => throw new IllegalArgumentException(s"inline type $t unsupported")
+  }
+
+  private def u16(v: Int, out: ArrayBuffer[Byte]): Unit = {
+    out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte
+  }
+
+  private def u32(v: Long, out: ArrayBuffer[Byte]): Unit = {
+    out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte
+    out += ((v >> 16) & 0xff).toByte; out += ((v >> 24) & 0xff).toByte
+  }
+
+  private def doubleBytes(ds: Seq[Double]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(ds.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ds.foreach(b.putDouble)
+    b.array()
+  }
+
+  private def longBytes(vs: Seq[Long]): Array[Byte] = {
+    val b = new ArrayBuffer[Byte](vs.length * 4)
+    vs.foreach(u32(_, b))
+    b.toArray
+  }
+
+  /** Minimal IFD walk for the spec: (tag → value(s)) per IFD. */
+  def parseIfds(bytes: Array[Byte]): Seq[Map[Int, Seq[Long]]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getShort(0) == 0x4949.toShort && bb.getShort(2) == 42, "not a little-endian classic TIFF")
+    val ifds = new ArrayBuffer[Map[Int, Seq[Long]]]()
+    var pos = bb.getInt(4).toLong & 0xffffffffL
+    while (pos != 0) {
+      val n = bb.getShort(pos.toInt) & 0xffff
+      val entries = (0 until n).map { i =>
+        val e = pos.toInt + 2 + 12 * i
+        val tag = bb.getShort(e) & 0xffff
+        val typ = bb.getShort(e + 2) & 0xffff
+        val count = bb.getInt(e + 4)
+        def read(at: Int, k: Int): Long = typ match {
+          case TShort  => (bb.getShort(at + 2 * k) & 0xffffL)
+          case TLong   => bb.getInt(at + 4 * k).toLong & 0xffffffffL
+          case TDouble => bb.getDouble(at + 8 * k).toLong // spec reads integral geo doubles
+          case _       => 0L
+        }
+        val width = typ match { case TShort => 2; case TLong => 4; case TDouble => 8; case _ => 1 }
+        val vals =
+          if (count * width <= 4) (0 until count).map(read(e + 8, _))
+          else { val off = bb.getInt(e + 8); (0 until count).map(read(off, _)) }
+        tag -> vals
+      }
+      ifds += entries.toMap
+      pos = bb.getInt(pos.toInt + 2 + 12 * n).toLong & 0xffffffffL
+    }
+    ifds.toSeq
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.raster.Cog
+
+/** COG writer verification: the q_cog oracle pins the tile pixel
+  * planes; this spec proves the TIFF/COG envelope — IFD structure,
+  * overview chain, head-of-file data layout — and round-trips the
+  * bytes through the JDK's own TIFF ImageReader (an independent
+  * implementation of the format).
+  */
+class CogSpec extends SparkSuite {
+
+  private def readTiff(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+    rd.setInput(in)
+    val n = rd.getNumImages(true)
+    (0 until n).map(rd.read)
+  }
+
+  test("encode: IFD chain, tile math, geokeys, and COG head-of-file layout") {
+    val w = 400; val h = 300
+    val px = Array.tabulate(w * h)(i => ((i * 31) % 256).toByte)
+    val bytes = Cog.encode(w, h, px, 256, Some(Cog.GeoRef(-180.0, 90.0, 0.05, 4326)))
+    val ifds = Cog.parseIfds(bytes)
+    assert(ifds.length === 2, "400x300 at tile 256 → one overview level (200x150)")
+    val main = ifds.head
+    assert(main(256) === Seq(400L) && main(257) === Seq(300L))
+    assert(main(322) === Seq(256L) && main(323) === Seq(256L))
+    assert(main(254) === Seq(0L))
+    assert(main(324).length === 4 && main(325) === Seq.fill(4)(65536L)) // 2x2 tile grid
+    assert(main(259) === Seq(1L) && main(258) === Seq(8L))
+    // geokeys: version header + 3 keys, EPSG in the geographic slot
+    val keys = main(34735)
+    assert(keys.take(4) === Seq(1L, 1L, 0L, 3L))
+    assert(keys.containsSlice(Seq(2048L, 0L, 1L, 4326L)))
+    val ovr = ifds(1)
+    assert(ovr(256) === Seq(200L) && ovr(257) === Seq(150L))
+    assert(ovr(254) === Seq(1L), "overview must carry the reduced-resolution flag")
+    assert(ovr.get(34735).isEmpty, "geo tags belong to the main IFD only")
+    // COG layout: every IFD sits before any tile payload, and the
+    // overview's payload comes before the main image's (range readers
+    // render low zooms from the file head)
+    assert(ovr(324).head < main(324).min, "overview tile data must precede full-res data")
+    assert(main(324).min > 8L)
+  }
+
+  test("JDK TIFF reader round-trips pixels and the overview chain") {
+    val w = 300; val h = 200
+    val px = Array.tabulate(w * h)(i => (((i % w) + 2 * (i / w)) % 256).toByte)
+    val imgs = readTiff(Cog.encode(w, h, px, 256, None))
+    assert(imgs.length === 2)
+    assert((imgs.head.getWidth, imgs.head.getHeight) === ((300, 200)))
+    assert((imgs(1).getWidth, imgs(1).getHeight) === ((150, 100)))
+    // full-res pixels survive exactly
+    val raster = imgs.head.getRaster
+    for (y <- 0 until h by 17; x <- 0 until w by 13)
+      assert(raster.getSample(x, y, 0) === (px(y * w + x) & 0xff), s"pixel ($x,$y)")
+    // overview = nearest top-left sample
+    val ov = imgs(1).getRaster
+    for (y <- 0 until 100 by 11; x <- 0 until 150 by 7)
+      assert(ov.getSample(x, y, 0) === (px(2 * y * w + 2 * x) & 0xff), s"overview ($x,$y)")
+  }
+
+  test("buildCog bytes decode to EXACTLY the oracle-verified tile planes") {
+    import org.apache.spark.sql.functions._
+    val cog = graft.geo.GeoQueries.buildCog(spark, sf0001).select(col("cog")).head().getAs[Array[Byte]](0)
+    val img = readTiff(cog).head
+    assert((img.getWidth, img.getHeight) === ((400, 400)))
+    // re-tile the DECODED pixels on the 512-canvas and hash like q_cog
+    val oracle = graft.geo.GeoQueries
+      .cogQuery(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
+      .toMap
+    val raster = img.getRaster
+    for (tx <- 0 to 1; ty <- 0 to 1) {
+      val vals = for (iy <- 0 until 256; ix <- 0 until 256) yield {
+        val gx = tx * 256 + ix; val gy = ty * 256 + iy
+        if (gx < 400 && gy < 400) raster.getSample(gx, gy, 0) else 0
+      }
+      val digest = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(vals.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      assert(digest === oracle((tx.toLong, ty.toLong)), s"tile ($tx,$ty) plane diverged from the oracle row")
+    }
+  }
+}
