@@ -114,6 +114,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprintQuery _),
     "q_sample" -> (TextOps.sampleQuery _),
     "q_split" -> (TextOps.splitQuery _),
+    "q_pii" -> (TextOps.piiQuery _),
     "q_lm_score" -> (TextOps.lmScoreQuery _),
     // text analysis (cont.)
     "q_tfidf" -> (TextOps.tfidfQuery _),
@@ -451,6 +452,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS n_tokens
         |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.com or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_email,
+        |    len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS n_phone,
+        |    len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |        '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean
+        |  FROM aug)
+        |SELECT source,
+        |  CAST(sum(n_email) AS BIGINT) AS n_email,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+        |  md5(string_agg(clean, '|' ORDER BY doc_id)) AS clean_md5
+        |FROM red GROUP BY source ORDER BY source""".stripMargin,
     "q_lm_score" ->
       """WITH bg0 AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t FROM documents),

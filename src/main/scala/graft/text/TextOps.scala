@@ -291,6 +291,63 @@ object TextOps {
       )
   }
 
+  /** PII patterns shared by detect and redact — deliberately restricted
+    * to constructs Java regex and RE2 interpret identically (character
+    * classes, bounded repetition; no lookaround, no Unicode classes) so
+    * the SQL oracle reproduces every match. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", "\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("ip", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>")
+  )
+
+  /** ◆ PII detection + redaction — the standard pre-training scrub
+    * (emails, phone numbers, IP addresses): per-pattern match counts
+    * plus the text with every occurrence replaced by its tag, applied
+    * in declaration order. Pure column regex ops — codegen'd, no UDF,
+    * embarrassingly parallel. */
+  def piiRedact(docs: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name", size(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+    }
+    val cleaned = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    counted.withColumn("clean", cleaned)
+  }
+
+  /** ◆ PII scrub under the oracle: the fixture text carries no PII, so
+    * each doc is AUGMENTED with deterministic id-derived email / phone
+    * / IP tokens (both engines build the identical string), then
+    * detect+redact runs and rolls up per source with a digest of every
+    * redacted document. */
+  def piiQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = Tables
+      .documents(s, dir)
+      .withColumn(
+        "t",
+        concat(
+          $"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail"), ($"doc_id" % 7).cast("string"), lit(".example.com or call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((($"doc_id" * 31) % 10000).cast("string"), 4, "0"),
+          lit(" from 192.168."), ($"doc_id" % 256).cast("string"), lit("."), (($"doc_id" * 3) % 256).cast("string")
+        )
+      )
+    piiRedact(aug, "t")
+      .groupBy($"source")
+      .agg(
+        sum($"n_email").cast("long").as("n_email"),
+        sum($"n_phone").cast("long").as("n_phone"),
+        sum($"n_ip").cast("long").as("n_ip"),
+        md5(
+          concat_ws("|", transform(array_sort(collect_list(struct($"doc_id", $"clean"))), _.getField("clean")))
+        ).as("clean_md5")
+      )
+  }
+
   /** ◆ Bigram language-model quality score — train add-one-smoothed
     * bigram stats on the corpus itself, score each document by its
     * mean log2 P(w2|w1), roll up per language. The classic

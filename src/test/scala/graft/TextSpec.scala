@@ -151,4 +151,21 @@ class TextSpec extends SparkSuite {
       .collect().map(_.getLong(0))
     assert(b(0) === b(1))
   }
+
+  test("piiRedact: counts and exact redaction on hand inputs; clean text stays clean") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org or 555-867-5309, host 10.0.0.1"),
+      (2L, "two mails a@b.io c.d@e.f.gov one phone 123-456-7890"),
+      (3L, "nothing sensitive here, just words and numbers like 42 and 3.14")
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .piiRedact(docs, "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_email"), r.getAs[Int]("n_phone"), r.getAs[Int]("n_ip"), r.getAs[String]("clean"))))
+      .toMap
+    assert(out(1L)._1 === 1 && out(1L)._2 === 1 && out(1L)._3 === 1)
+    assert(out(1L)._4 === "mail me at <EMAIL> or <PHONE>, host <IP>")
+    assert(out(2L)._1 === 2 && out(2L)._2 === 1 && out(2L)._3 === 0)
+    assert(out(3L) === ((0, 0, 0, "nothing sensitive here, just words and numbers like 42 and 3.14")))
+  }
 }
