@@ -47,4 +47,77 @@ object CurationStream {
       .join(evalTable, Seq("h"), "left_semi") // stream-static: no state
       .dropDuplicatesWithinWatermark("doc_id") // one row per flagged doc
       .select(col("doc_id"), col("ts"))
+
+  /** Per-row MinHash signature — the SAME hash family and permutation
+    * constants as the batch [[Dedup.minhashCandidates]], computed in
+    * one closure so a STREAM can sign documents without a shuffle or a
+    * streaming aggregation (the batch shape's explode→min-agg needs
+    * update-mode state; a row-local kernel needs none). */
+  private val minhashSigUdf = {
+    val k = 16
+    udf { text: String =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (toks.length < 3) Array.empty[Long]
+        else {
+          val hs = toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+            .map(g => graft.text.TextOps.md5Hash60(g) % Dedup.MinhashP)
+          Array.tabulate(k) { i =>
+            val a = Dedup.minhashA(i); val b = Dedup.minhashB(i)
+            var m = Long.MaxValue
+            hs.foreach { h => val v = (a * h + b) % Dedup.MinhashP; if (v < m) m = v }
+            m
+          }
+        }
+      }
+    }
+  }
+
+  /** One emitted near-dup candidate: the arriving doc against a prior
+    * member of the same LSH bucket. */
+  final case class Candidate(id_a: Long, id_b: Long, band: Int)
+
+  /** ◆ Streaming near-dup candidate detection — dedup AT INGEST instead
+    * of the nightly sweep: each arriving document is MinHash-signed
+    * row-locally, exploded to its r=1 LSH band buckets, and checked
+    * against the bucket's MEMBERSHIP STATE
+    * (`flatMapGroupsWithState` keyed by (band, value) — the custom
+    * stateful operator the batch inverted-index self-join becomes when
+    * the corpus arrives one micro-batch at a time). A new member emits
+    * one candidate pair per prior member, then joins the state.
+    *
+    * State per bucket is CAPPED at `capPerBucket` ids (a hot bucket —
+    * a boilerplate shingle — would otherwise accumulate the corpus;
+    * the batch path bounds the same blowup with its df cap). At
+    * production scale the state store also gets a timeout/TTL; the
+    * cap is the memory bound, the TTL the staleness bound.
+    */
+  def nearDupCandidates(docs: DataFrame, capPerBucket: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("id"), posexplode(minhashSigUdf(col("text"))).as(Seq("band", "v")))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, v) => (band, v) }
+    keyed
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Seq[Long]]) => {
+          val prior = state.getOption.getOrElse(Seq.empty)
+          val arrivals = rows.map(_._1).toSeq.distinct.sorted
+          val out = new scala.collection.mutable.ArrayBuffer[Candidate]()
+          var members = prior
+          arrivals.foreach { id =>
+            if (!members.contains(id)) {
+              members.foreach(m => out += Candidate(math.min(id, m), math.max(id, m), key._1))
+              if (members.length < capPerBucket) members = members :+ id
+            }
+          }
+          if (members != prior) state.update(members)
+          out.iterator
+        }
+      )
+      .toDF()
+  }
 }

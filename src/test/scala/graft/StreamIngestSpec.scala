@@ -172,6 +172,49 @@ class StreamIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection: cross-micro-batch candidates via bucket state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+    // a LONG-RUNNING micro-batch trigger (runToMemory's AvailableNow
+    // trigger stops after the first batch — state must survive into
+    // later batches here)
+    val q = graft.streaming.CurationStream
+      .nearDupCandidates(docs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("neardup_test")
+      .start()
+    try {
+      // batch 1: the original + an unrelated doc → no pairs yet
+      ms.addData((1L, s"$shared tail one"), (9L, "totally different content with other words entirely now"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup_test").count() === 0)
+      // batch 2: a near-identical arrival pairs with the batch-1 original
+      ms.addData((2L, s"$shared tail two"))
+      q.processAllAvailable()
+      val pairs = spark
+        .sql("SELECT DISTINCT id_a, id_b FROM neardup_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(pairs.contains((1L, 2L)), s"cross-batch near-dup must surface: $pairs")
+      assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L), s"unrelated doc must not pair: $pairs")
+      // batch 3: an exact re-send of doc 2 adds no new self-pair
+      ms.addData((2L, s"$shared tail two"))
+      q.processAllAvailable()
+      val again = spark
+        .sql("SELECT DISTINCT id_a, id_b FROM neardup_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(!again.contains((2L, 2L)))
+    } finally q.stop()
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val ev = Tables.eventsRaw(spark, sf0001)
     val salted = graft.operators.Skew
