@@ -81,7 +81,13 @@ object Staged {
 
   /** Drop every staged block operators registered on behalf of returned
     * results. Call after consuming the results of one or more composed
-    * operator calls (the bench/verify harnesses call it per query). */
+    * operator calls (the bench/verify harnesses call it per query).
+    *
+    * Concurrency note: the registry is session-wide — releaseAll drops
+    * blocks staged by EVERY thread, so concurrent query runners should
+    * either serialize releaseAll behind their materializations or let
+    * one coordinator own the call (persist-backed stages recompute
+    * correctly if released early; only throughput is at stake). */
   def releaseAll(): Unit = {
     var f = registry.poll()
     while (f != null) { f(); f = registry.poll() }
