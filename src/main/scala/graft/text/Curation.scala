@@ -233,10 +233,12 @@ object Curation {
       )
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    // NO distinct here: left_anti tolerates duplicate keys on its right
+    // side, so overlapping windows merge for free in the join instead
+    // of paying an extra aggregate+exchange to dedupe covered indices
     val covered = g
       .join(dfTab.filter(col("nd") >= 2).select("h"), Seq("h"))
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
-      .distinct()
     val tokRows = docs
       .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("ti0", "tok")))
       .select(col("doc_id"), (col("ti0") + 1).as("ti"), col("tok"))
