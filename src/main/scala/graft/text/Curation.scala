@@ -397,17 +397,23 @@ object Curation {
     val assigned = graft.ann.Similarity.ivfAssign(emb, centroids)
     val a = assigned.select($"cell_id", $"vec_id".as("id_a"), $"v".as("va"))
     val b = assigned.select($"cell_id", $"vec_id".as("id_b"), $"v".as("vb"))
-    val pairs = a
-      .join(b, Seq("cell_id"))
-      .filter($"id_a" < $"id_b")
-      .filter(graft.plans.VectorExpressions.vecCosine($"va", $"vb") >= minCos)
-      .select($"id_a", $"id_b")
-    val nodes = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id"))).distinct()
-    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-    graft.operators.Graph
-      .components(nodes, edges)
-      .groupBy($"lab".as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), sum($"id").as("member_id_sum"))
+    // multi-consumer (CC sizing count + node set + edge list would each
+    // re-run the within-cell cosine join): materialize the pair list
+    // once, release as soon as components() has checkpointed its result
+    val (pairs, pairBlocks) = graft.operators.Staged.checkpointOwned(
+      a.join(b, Seq("cell_id"))
+        .filter($"id_a" < $"id_b")
+        .filter(graft.plans.VectorExpressions.vecCosine($"va", $"vb") >= minCos)
+        .select($"id_a", $"id_b")
+    )
+    try {
+      val nodes = pairs.select($"id_a".as("id")).union(pairs.select($"id_b".as("id"))).distinct()
+      val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      graft.operators.Graph
+        .components(nodes, edges)
+        .groupBy($"lab".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum($"id").as("member_id_sum"))
+    } finally graft.operators.Staged.release(pairBlocks)
   }
 
   def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
