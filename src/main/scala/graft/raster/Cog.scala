@@ -53,6 +53,10 @@ object Cog {
   ): Array[Byte] = {
     require(width > 0 && height > 0 && pixels.length == width * height, "pixels must be width*height")
     require(tileSize > 0 && tileSize % 16 == 0, "TIFF tile dims must be multiples of 16")
+    // classic TIFF carries 32-bit offsets and this writer assembles in
+    // one array — bound the artifact (a >1 GiB single raster wants
+    // BigTIFF, out of scope with the other large-codec variants)
+    require(width.toLong * height * 2 < Int.MaxValue, s"raster too large for a single classic-TIFF COG: ${width}x$height")
 
     // level pyramid: full res first, then nearest-sampled halvings
     val levels = ArrayBuffer(Level(width, height, pixels))
