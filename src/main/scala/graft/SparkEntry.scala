@@ -51,6 +51,7 @@ object SparkEntry {
     "q_colormap" -> (graft.raster.RasterQueries.colormapQuery _),
     "q_plane_fit" -> (graft.raster.RasterQueries.planeFitQuery _),
     "q_extent_union" -> (graft.geo.GeoQueries.extentUnionQuery _),
+    "q_tag_parse" -> (graft.core.Tags.tagParseQuery _),
     "q_sha256" -> (TextOps.contentDigestQuery _),
     "q_geojson_bbox" -> (Scalars.geojsonBboxQuery _),
     "q_iso_format" -> (Scalars.isoFormatQuery _),
@@ -426,6 +427,48 @@ object SparkEntry {
         |  CAST((event_id * 7919 % 36000) - 18000 + 5 AS DOUBLE) AS e,
         |  CAST((event_id * 104729 % 18000) - 9000 + 5 AS DOUBLE) AS n
         |FROM events WHERE event_id % 97 = 0""".stripMargin,
+    "q_tag_parse" ->
+      """WITH tags AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 5 = 0 THEN 'Org' || doc_id || '/ds-' || doc_id
+        |      WHEN doc_id % 5 = 1 THEN 'reg' || (doc_id % 3) || '.example.com/org_' || doc_id || '/ds' || doc_id
+        |      WHEN doc_id % 5 = 2 THEN 'https://reg.example.com:8443/org' || doc_id || '/ds' || doc_id || '/'
+        |      WHEN doc_id % 5 = 3 THEN 'http://plain.example.com:80/org' || doc_id || '/ds' || doc_id
+        |      ELSE 'BAD!org/' || doc_id
+        |    END AS tag
+        |  FROM documents),
+        |parsed AS (SELECT doc_id, regexp_replace(lower(trim(tag)), '/+$', '') AS t FROM tags),
+        |parts AS (
+        |  SELECT doc_id, t, position('/' IN t) > 0 AS has_slash,
+        |    regexp_extract(t, '([^/]*)$', 1) AS ds
+        |  FROM parsed),
+        |parts2 AS (SELECT *, substr(t, 1, greatest(len(t) - len(ds) - 1, 0)) AS before_ds FROM parts),
+        |parts3 AS (SELECT *, regexp_extract(before_ds, '([^/]*)$', 1) AS org FROM parts2),
+        |parts4 AS (SELECT *, substr(before_ds, 1, greatest(len(before_ds) - len(org) - 1, 0)) AS reg FROM parts3),
+        |ok AS (
+        |  SELECT *,
+        |    has_slash AND regexp_matches(org, '^[a-z0-9][a-z0-9_-]{1,128}$')
+        |      AND regexp_matches(ds, '^[a-z0-9][a-z0-9_-]{1,128}$')
+        |      AND NOT (org LIKE 'http://%' OR org LIKE 'https://%') AS valid,
+        |    CASE WHEN reg LIKE 'https://%' THEN 'https'
+        |         WHEN reg LIKE 'http://%' THEN 'http' ELSE 'https' END AS scheme,
+        |    split_part(regexp_replace(reg, '^https?://', ''), '/', 1) AS host_port
+        |  FROM parts4),
+        |fin AS (
+        |  SELECT doc_id, valid, org, ds,
+        |    CASE WHEN reg = '' THEN 'https://hub.dronedb.app'
+        |         ELSE scheme || '://' ||
+        |           CASE WHEN scheme = 'http' THEN regexp_replace(host_port, ':80$', '')
+        |                ELSE regexp_replace(host_port, ':443$', '') END
+        |    END AS url
+        |  FROM ok)
+        |SELECT doc_id,
+        |  CASE WHEN valid THEN url END AS registry_url,
+        |  CASE WHEN valid THEN org END AS organization,
+        |  CASE WHEN valid THEN ds END AS dataset,
+        |  valid
+        |FROM fin ORDER BY doc_id""".stripMargin,
     "q_sha256" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS distinct_digests,
