@@ -52,6 +52,7 @@ object SparkEntry {
     "q_plane_fit" -> (graft.raster.RasterQueries.planeFitQuery _),
     "q_extent_union" -> (graft.geo.GeoQueries.extentUnionQuery _),
     "q_tag_parse" -> (graft.core.Tags.tagParseQuery _),
+    "q_password" -> (graft.core.Tags.passwordQuery _),
     "q_sha256" -> (TextOps.contentDigestQuery _),
     "q_geojson_bbox" -> (Scalars.geojsonBboxQuery _),
     "q_iso_format" -> (Scalars.isoFormatQuery _),
@@ -427,6 +428,19 @@ object SparkEntry {
         |  CAST((event_id * 7919 % 36000) - 18000 + 5 AS DOUBLE) AS e,
         |  CAST((event_id * 104729 % 18000) - 9000 + 5 AS DOUBLE) AS n
         |FROM events WHERE event_id % 97 = 0""".stripMargin,
+    "q_password" ->
+      """WITH pw AS (
+        |  SELECT substr(md5('salt' || CAST(doc_id AS VARCHAR)), 1, 8) AS salt,
+        |    sha256(substr(md5('salt' || CAST(doc_id AS VARCHAR)), 1, 8) || ('pw' || CAST(doc_id AS VARCHAR))) AS hash
+        |  FROM documents WHERE doc_id < 50),
+        |cand AS (
+        |  SELECT doc_id AS cid,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'pw' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'wrong' || CAST(doc_id AS VARCHAR) END AS pw
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT cid,
+        |  CAST(max(CASE WHEN sha256(p.salt || c.pw) = p.hash THEN 1 ELSE 0 END) AS BIGINT) AS accepted
+        |FROM cand c CROSS JOIN pw p GROUP BY cid ORDER BY cid""".stripMargin,
     "q_tag_parse" ->
       """WITH tags AS (
         |  SELECT doc_id,

@@ -55,6 +55,45 @@ object Tags {
     )
   }
 
+  /** Salted password hash — `passwordmanager.cpp:34-35`
+    * (`Hash::strSHA256(salt + password)`). Salt GENERATION stays with
+    * the CLI (randomness); the engine provides the hash + verify
+    * relational faces. */
+  def saltedHash(salt: Column, password: Column): Column =
+    sha2(concat(salt, password), 256)
+
+  /** ◆ Password verification — `passwordmanager.cpp:53-77`: a
+    * candidate is accepted if ANY stored (salt, hash) row matches
+    * `sha256(salt || candidate)`. The stored table is tiny — the
+    * reference literally loops over every row — so the verify join is
+    * a broadcast nested loop per candidate batch, never a shuffle. */
+  def verifyPasswords(candidates: DataFrame, candCol: String, passwords: DataFrame): DataFrame =
+    candidates
+      .crossJoin(broadcast(passwords.select(col("salt"), col("hash"))))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(max(when(saltedHash(col("salt"), col(candCol)) === col("hash"), 1L).otherwise(0L)).as("accepted"))
+
+  def passwordQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pw = docs
+      .filter($"doc_id" < 50)
+      .select(
+        substring(md5(concat(lit("salt"), $"doc_id".cast("string"))), 1, 8).as("salt"),
+        $"doc_id".as("pid")
+      )
+      .select($"salt", saltedHash($"salt", concat(lit("pw"), $"pid".cast("string"))).as("hash"))
+    val cand = docs
+      .filter($"doc_id" < 100)
+      .select(
+        $"doc_id".as("cid"),
+        when($"doc_id" % 3 === 0, concat(lit("pw"), $"doc_id".cast("string")))
+          .otherwise(concat(lit("wrong"), $"doc_id".cast("string")))
+          .as("pw")
+      )
+    verifyPasswords(cand, "pw", pw).select($"cid", $"accepted").orderBy($"cid")
+  }
+
   /** ◆ Tag parsing under the oracle: deterministic tag strings derived
     * from doc ids cover the default-registry, bare-host, full-URL-with-
     * port, trailing-slash, and invalid-component cases; DuckDB
