@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the query inventory on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Protocol mirrors
-  * BASELINE.md §3: warmup then min-of-2 timed runs per query, single
+  * BASELINE.md §3: warmup, then TWO full end-to-end passes over the
+  * sorted query list with per-query min across passes — minute-scale
+  * background load on a shared box then has to hit the SAME query in
+  * BOTH passes (minutes apart) to poison its number, where min-of-2
+  * back-to-back runs inside one visit shared the load window. Single
   * local session, UTC, UI off.
   */
 object Bench {
@@ -27,9 +31,9 @@ object Bench {
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def pass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs =
-        try math.min(time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
+        try time(fn(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }
         // drop blocks persisted inside the query plan — cached
         // intermediates must not accumulate across the 100+-query
@@ -44,6 +48,12 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         }
       name -> secs
+    }
+    // two full passes, per-query min: -1 (error) never masks a clean run
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      name -> best
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }

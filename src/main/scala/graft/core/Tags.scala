@@ -64,14 +64,26 @@ object Tags {
 
   /** ◆ Password verification — `passwordmanager.cpp:53-77`: a
     * candidate is accepted if ANY stored (salt, hash) row matches
-    * `sha256(salt || candidate)`. The stored table is tiny — the
-    * reference literally loops over every row — so the verify join is
-    * a broadcast nested loop per candidate batch, never a shuffle. */
-  def verifyPasswords(candidates: DataFrame, candCol: String, passwords: DataFrame): DataFrame =
+    * `sha256(salt || candidate)`, with the reference's special case
+    * that an EMPTY candidate is accepted when no passwords are stored
+    * at all (`verify()`'s `noPasswords` branch). The stored table is
+    * tiny — the reference literally loops over every row — so the
+    * verify join is a broadcast left nested loop per candidate batch,
+    * never a shuffle; LEFT so candidates survive an empty password
+    * table with accepted=0 instead of vanishing. */
+  def verifyPasswords(candidates: DataFrame, candCol: String, passwords: DataFrame): DataFrame = {
+    val pw = passwords.select(col("salt"), col("hash"))
+    val noPasswords = pw.isEmpty // driver-side probe of a tiny table
     candidates
-      .crossJoin(broadcast(passwords.select(col("salt"), col("hash"))))
+      .join(broadcast(pw), lit(true), "left")
       .groupBy(candidates.columns.map(col): _*)
-      .agg(max(when(saltedHash(col("salt"), col(candCol)) === col("hash"), 1L).otherwise(0L)).as("accepted"))
+      .agg(
+        greatest(
+          max(when(saltedHash(col("salt"), col(candCol)) === col("hash"), 1L).otherwise(0L)),
+          when(lit(noPasswords) && length(col(candCol)) === 0, 1L).otherwise(0L)
+        ).as("accepted")
+      )
+  }
 
   def passwordQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

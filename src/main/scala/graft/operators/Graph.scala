@@ -122,8 +122,8 @@ object Graph {
     * undirected graph). Each round takes min over {own label,
     * neighbours' labels, label-of-label} — the pointer-jumping step
     * that makes convergence O(log diameter) rounds rather than
-    * O(diameter); convergence is detected by the monotonically
-    * decreasing Σ label. Lineage is kept flat with `localCheckpoint`
+    * O(diameter); convergence is detected by the (Σ label, XOR label)
+    * pair going stationary. Lineage is kept flat with `localCheckpoint`
     * per round (the MLlib iterative pattern). At estate scale the same
     * edge relation feeds alternating large-star/small-star (Kiveris et
     * al., "Connected Components in MapReduce"); this min-propagation
@@ -163,8 +163,21 @@ object Graph {
     }
     var (labels, labelBlocks) =
       Staged.checkpointOwned(nodes.select(col("id"), col("id").as("lab")).repartition(parts, col("id")))
-    var prev = Long.MinValue
-    var cur = labels.agg(sum("lab")).head().getLong(0)
+    // Convergence probe: (Σ lab, XOR lab) over all nodes. The sum alone
+    // is monotonically non-increasing but lives in a wrapped Long — with
+    // 60-bit ids a per-round decrease can exceed 2^64 and alias the
+    // previous total. A spurious exit then needs the XOR (an independent
+    // 64-bit digest of the exact label multiset restricted to odd
+    // multiplicities) to collide in the same round; labels only change
+    // by whole-component relabelings, so the pair colliding while any
+    // label actually moved has no structural cause — it requires two
+    // simultaneous 64-bit accidents.
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(sum("lab"), bit_xor(col("lab"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (Long.MinValue, Long.MinValue)
+    var cur = probe(labels)
     var iter = 0
     while (cur != prev && iter < maxIter) {
       prev = cur
@@ -189,7 +202,7 @@ object Graph {
       Staged.release(labelBlocks)
       labels = next
       labelBlocks = nextBlocks
-      cur = labels.agg(sum("lab")).head().getLong(0)
+      cur = probe(labels)
       iter += 1
     }
     Staged.release(eBlocks)

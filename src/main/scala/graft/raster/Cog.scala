@@ -54,9 +54,26 @@ object Cog {
     require(width > 0 && height > 0 && pixels.length == width * height, "pixels must be width*height")
     require(tileSize > 0 && tileSize % 16 == 0, "TIFF tile dims must be multiples of 16")
     // classic TIFF carries 32-bit offsets and this writer assembles in
-    // one array — bound the artifact (a >1 GiB single raster wants
-    // BigTIFF, out of scope with the other large-codec variants)
-    require(width.toLong * height * 2 < Int.MaxValue, s"raster too large for a single classic-TIFF COG: ${width}x$height")
+    // one array — bound the PADDED artifact: Σ over pyramid levels of
+    // gridX·gridY·tileSize², which is what actually lands in the file
+    // (a raw w·h bound misses tile padding — a 1×500M strip is tiny by
+    // area but explodes to gy·tileSize² padded bytes). A raster past
+    // this wants BigTIFF, out of scope with the other large-codec
+    // variants.
+    val paddedBytes = {
+      val tb = tileSize.toLong * tileSize
+      var lw = width; var lh = height; var total = 0L; var more = true
+      while (more) {
+        total += ((lw + tileSize - 1L) / tileSize) * ((lh + tileSize - 1L) / tileSize) * tb
+        if (math.max(lw, lh) <= tileSize) more = false
+        else { lw = math.max(1, (lw + 1) / 2); lh = math.max(1, (lh + 1) / 2) }
+      }
+      total
+    }
+    require(
+      paddedBytes * 2 < Int.MaxValue,
+      s"raster too large for a single classic-TIFF COG (padded pyramid ${paddedBytes}B): ${width}x$height @tile=$tileSize"
+    )
 
     // level pyramid: full res first, then nearest-sampled halvings
     val levels = ArrayBuffer(Level(width, height, pixels))

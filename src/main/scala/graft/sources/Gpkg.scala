@@ -241,7 +241,21 @@ object Gpkg {
     * sniffed driver-side from the (tiny) sqlite_master page; row
     * decode runs executor-side. */
   def featureTable(s: SparkSession, path: String, table: String): DataFrame = {
-    val sniff = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // Sniff through the Hadoop FileSystem API so the driver-side schema
+    // read accepts the same path semantics (file:/hdfs:/s3a: URIs,
+    // globs) as the executor-side binaryFile scan below.
+    val sniff = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = Option(fs.globStatus(hPath)).filter(_.nonEmpty).map(_.head.getPath).getOrElse(hPath)
+      val len = fs.getFileStatus(st).getLen
+      require(len <= Int.MaxValue, s"gpkg too large for driver-side schema sniff: $len bytes")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(st)
+      try in.readFully(0, buf)
+      finally in.close()
+      buf
+    }
     val t = tables(sniff)(table)
     val attrCols = t.columns.filterNot(c => sparkType(c) == BinaryType && c.declared.startsWith("BLOB"))
     val schema = StructType(

@@ -44,6 +44,22 @@ class TagsSpec extends SparkSuite {
     assert(!m(("a" * 130) + "/ds")._4, "130 chars exceeds the maximum")
   }
 
+  test("verifyPasswords: candidates survive an empty password table; empty candidate accepted iff no passwords stored") {
+    val cand = Seq((1L, "secret"), (2L, "")).toDF("cid", "pw")
+    val noPw = Seq.empty[(String, String)].toDF("salt", "hash")
+    val empty = Tags.verifyPasswords(cand, "pw", noPw)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(empty === Map(1L -> 0L, 2L -> 1L),
+      "reference verify(): empty candidate accepted when zero passwords stored; others rejected, not dropped")
+
+    val pw = Seq(("ab", "x")).toDF("salt", "raw")
+      .select(col("salt"), Tags.saltedHash(col("salt"), col("raw")).as("hash"))
+    val some = Tags.verifyPasswords(Seq((1L, "x"), (2L, "y"), (3L, "")).toDF("cid", "pw"), "pw", pw)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(some === Map(1L -> 1L, 2L -> 0L, 3L -> 0L),
+      "with passwords stored: only the salted-hash match accepted; empty candidate no longer special")
+  }
+
   test("normalization: case folding, trailing slashes, path drop, default-port strip") {
     val m = parse(Seq(
       "HTTPS://Reg.Example.com:443/Org1/DS1///",
