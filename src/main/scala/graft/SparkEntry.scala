@@ -134,6 +134,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshNeighbors(s, d)),
     "q_ann_lsh_hi" -> (Similarity.lshNearDupQuery _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
+    "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqQuery(s, d)),
     "q_ann_refine" -> (Similarity.ivfRefineQuery _),
     "q_ann_batch" -> (Similarity.batchTopKQuery _),
     // stockpile analytics (stockpile.cpp)
@@ -1497,6 +1498,33 @@ object SparkEntry {
         |  SELECT v.vec_id, list_cosine_similarity(v.e, q.e) AS cs
         |  FROM asg JOIN probe USING (cell_id) JOIN v ON v.vec_id = asg.vec_id CROSS JOIN q)
         |SELECT vec_id, round(cs, 6) AS cos_sim FROM res ORDER BY round(cs, 6) DESC, vec_id LIMIT 10""".stripMargin,
+    // PQ-ADC: same seed codebook (sub-vector slices of vec_id < 16),
+    // same quantized-argmin code assignment (round(dist,9) + code
+    // tie-break), same asymmetric-distance table — DuckDB re-derives
+    // the compressed-domain top-k end to end.
+    "q_ann_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, CAST(s AS INT) AS s, e[s*8+1:s*8+8] AS sv
+        |  FROM v, (SELECT unnest(range(8)) AS s)),
+        |cb AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS c FROM sub WHERE vec_id < 16),
+        |d AS (
+        |  SELECT sub.vec_id, sub.s, cb.code,
+        |    list_sum([(sub.sv[i] - cb.c[i]) * (sub.sv[i] - cb.c[i]) for i in range(1, 9)]) AS dist
+        |  FROM sub JOIN cb USING (s)),
+        |asg AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY round(dist, 9), code) AS rk
+        |    FROM d) WHERE rk = 1),
+        |q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT cb.s, cb.code,
+        |    list_sum([(q.qv[i] - cb.c[i]) * (q.qv[i] - cb.c[i]) for i in range(1, 9)]) AS pd
+        |  FROM cb JOIN q USING (s)),
+        |adc AS (SELECT asg.vec_id, sum(lut.pd) AS adist FROM asg JOIN lut USING (s, code) GROUP BY asg.vec_id)
+        |SELECT vec_id, round(adist, 6) AS adc_dist FROM adc WHERE vec_id <> 0
+        |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin,
     // Stockpile detect-all: identical synthetic DSM (exact dyadic
     // arithmetic end-to-end), identical binomial smoothing + adaptive
     // threshold; connected components via recursive reachability

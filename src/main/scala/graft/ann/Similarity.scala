@@ -363,6 +363,292 @@ object Similarity {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search" (TPAMI 2011). Vectors are split into `m`
+  // subvectors of `dsub` dims; each subspace gets its own ksub-centroid
+  // codebook, so a vector compresses to m·log2(ksub) bits (m bytes at
+  // ksub=256). Search is asymmetric distance (ADC): the query stays
+  // full-precision, per-subspace distances to every code are
+  // precomputed into an m×ksub lookup table, and a candidate's
+  // approximate distance is m table lookups + adds — no vector math on
+  // the compressed corpus. This is what makes a 10⁹-vector corpus fit
+  // executor memory: IVF cells hold codes (bytes), not doubles, and
+  // the full-precision vectors are only touched for the final re-rank
+  // of an ADC shortlist.
+  // ---------------------------------------------------------------------
+
+  /** Sub-vector explode of a `(vec_id, v: array<double>)` corpus:
+    * one row per (vec_id, sub_id) with the dsub-dim slice. */
+  private def subVectors(corpus: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus.select(
+      col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), s => slice(col("v"), s * dsub + 1, lit(dsub))))
+        .as(Seq("sub_id", "sv"))
+    )
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic PQ seed codebook: the sub-vectors of the first
+    * `ksub` vectors by id — (sub_id, code, centroid), m·ksub rows,
+    * always driver-sized. Engine-neutral (the SQL oracle slices the
+    * same rows), so it anchors the q_ann_pq oracle; [[trainPq]] refines
+    * it when quantization quality matters more than reproducibility. */
+  def pqSeedCodebook(corpus: DataFrame, m: Int, ksub: Int, dsub: Int): DataFrame =
+    subVectors(corpus.filter(col("vec_id") < ksub), m, dsub)
+      .select(col("sub_id"), col("vec_id").cast("int").as("code"), col("sv").as("centroid"))
+
+  /** Collect a (sub_id, code, centroid) codebook frame into the nested
+    * driver array the compiled kernels close over — m·ksub·dsub doubles,
+    * always driver-sized by construction. */
+  private def collectCodebook(codebook: DataFrame, m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    val cb = Array.fill(m, ksub)(Array.empty[Double])
+    codebook.select(col("sub_id"), col("code"), col("centroid")).collect().foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(cb.forall(_.forall(_.length == dsub)), s"codebook must cover all $m x $ksub codes at dim $dsub")
+    cb
+  }
+
+  /** Compiled per-row PQ encoder: the driver-sized codebook becomes a
+    * closure array and ONE pass computes all m codes — no explode, no
+    * join, no shuffle (the same inline-blowup lesson as
+    * [[lshBucketsUdf]]; encode is a narrow map over the corpus).
+    * Argmin compares the 1e-9-quantized distance with lowest-code ties,
+    * the oracle's exact rule — a last-ulp engine difference can't flip
+    * a code. */
+  private def pqCodesUdf(cb: Array[Array[Array[Double]]], m: Int, dsub: Int) =
+    udf { v: Seq[Double] =>
+      val arr = v.toArray
+      Array.tabulate(m) { s =>
+        val cents = cb(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) { val t = arr(s * dsub + j) - cent(j); d += t * t; j += 1 }
+          val dq = math.rint(d * 1e9) / 1e9 // quantize-before-argmin, engine-neutral
+          if (dq < bestD) { bestD = dq; best = c } // strict <: ties keep the lowest code
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** Nearest-code assignment: returns the compressed corpus
+    * `(vec_id, codes: array<int>)` — m·log2(ksub) bits of payload per
+    * vector — in one narrow pass (no shuffle; see [[pqCodesUdf]]). */
+  def pqAssign(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val ksub = codebook.agg(max(col("code"))).head().getInt(0) + 1
+    val cb = collectCodebook(codebook, m, ksub, dsub)
+    corpus.select(col("vec_id"), pqCodesUdf(cb, m, dsub)(col("v")).as("codes"))
+  }
+
+  /** Train the PQ codebook: seed from the first ksub vectors, then
+    * `iters` Lloyd rounds jointly over all m subspaces (one corpus scan
+    * per round: assign on the partial-agg path, refine = per-(sub_id,
+    * code, dim) mean via posexplode). The codebook is m·ksub·dsub
+    * doubles — always driver-sized — so each round materializes and
+    * rebroadcasts it, the same flat-lineage pattern as [[trainIvf]].
+    * Codes that lose all members keep their previous centroid (standard
+    * Lloyd degeneracy handling: k-means distortion is then monotone
+    * non-increasing per round, which PqSpec gates). */
+  def trainPq(
+      s: SparkSession,
+      corpus: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      dsub: Int = 8,
+      iters: Int = 3
+  ): DataFrame = {
+    import s.implicits._
+    // wholly-internal stage: scanned once per round, fully consumed and
+    // released before return, so it is owned here rather than left to
+    // the session Staged registry
+    val corpusP = corpus
+      .select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = collectCodebook(pqSeedCodebook(corpusP, m, ksub, dsub), m, ksub, dsub)
+    var i = 0
+    while (i < iters) {
+      // assign with the compiled encoder, refine = per-(sub, code, dim)
+      // mean on the partial-agg path; the refined codebook is
+      // m·ksub·dsub rows — driver-sized — so each round materializes it
+      // into the next closure (flat lineage, the trainIvf pattern)
+      val codes = pqCodesUdf(cb, m, dsub)(col("v"))
+      val refined = corpusP
+        .select(
+          posexplode(
+            transform(
+              sequence(lit(0), lit(m - 1)),
+              sb => struct(element_at(codes, sb + 1).as("code"), slice(col("v"), sb * dsub + 1, lit(dsub)).as("sv"))
+            )
+          ).as(Seq("sub_id", "p"))
+        )
+        .select(col("sub_id"), col("p.code").as("code"), posexplode(col("p.sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub_id"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("mval"))
+        .collect()
+      val next = cb.map(_.map(_.clone())) // codes that lose all members keep their centroid
+      refined.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cb = next
+      i += 1
+    }
+    corpusP.unpersist(blocking = false)
+    val rows = for (sb <- 0 until m; c <- 0 until ksub) yield (sb, c, cb(sb)(c).toSeq)
+    s.createDataset(rows).toDF("sub_id", "code", "centroid")
+  }
+
+  /** Mean squared quantization error of a codebook over a corpus — the
+    * k-means objective Lloyd minimizes. Training diagnostics: PqSpec
+    * gates that [[trainPq]] never increases it over the seed codebook. */
+  def pqDistortion(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): Double =
+    subVectors(corpus, m, dsub)
+      .join(broadcast(codebook.select(col("sub_id"), col("code"), col("centroid"))), Seq("sub_id"))
+      .withColumn("dist", sqDist(col("sv"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(col("dist")).as("d"))
+      .agg(avg(col("d")))
+      .head()
+      .getDouble(0)
+
+  /** Squared distance between a raw double array pair — driver-side
+    * LUT construction helper. */
+  private def sq(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < b.length) { val t = a(aOff + j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** ADC scan: per-subspace query→code distances collapse into an
+    * m×ksub lookup table built once on the driver; a candidate's
+    * approximate distance is m array lookups + adds inside one compiled
+    * closure — the compressed corpus is scanned in a single narrow pass
+    * without touching a full-precision vector. */
+  def pqAdcDistances(
+      codes: DataFrame, // (vec_id, codes) from pqAssign
+      codebook: DataFrame,
+      queryVec: Seq[Double],
+      dsub: Int
+  ): DataFrame = {
+    val m = queryVec.length / dsub
+    val ksub = codebook.agg(max(col("code"))).head().getInt(0) + 1
+    val cb = collectCodebook(codebook, m, ksub, dsub)
+    val q = queryVec.toArray
+    val lut = Array.tabulate(m, ksub)((sb, c) => sq(q, sb * dsub, cb(sb)(c)))
+    val adc = udf { cs: Seq[Int] =>
+      var sb = 0
+      var d = 0.0
+      while (sb < m) { d += lut(sb)(cs(sb)); sb += 1 }
+      d
+    }
+    codes.select(col("vec_id"), adc(col("codes")).as("adc_dist"))
+  }
+
+  /** ◆ PQ-ADC search under the oracle: deterministic seed codebook
+    * (m=8 × ksub=16 over dim 64), nearest-code encoding, asymmetric-
+    * distance top-k for the query vector (vec_id 0). DuckDB re-derives
+    * the codebook slices, the argmin code assignment, and every ADC
+    * distance on the same rounded doubles — a compressed-domain ANN
+    * result that is still hash-checkable. */
+  def pqQuery(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir).select($"vec_id", asDouble($"embedding").as("v"))
+    val m = 8; val ksub = 16; val dsub = 8
+    // one driver materialization of the (tiny) codebook feeds both the
+    // encoder closure and the ADC table — encode + ADC + top-k then run
+    // in a single narrow scan ending in TakeOrdered
+    val cb = collectCodebook(pqSeedCodebook(corpus, m, ksub, dsub), m, ksub, dsub)
+    val qv = corpus.filter($"vec_id" === 0).select($"v").head().getSeq[Double](0).toArray
+    val lut = Array.tabulate(m, ksub)((sb, c) => sq(qv, sb * dsub, cb(sb)(c)))
+    val adc = udf { cs: Seq[Int] =>
+      var sb = 0
+      var d = 0.0
+      while (sb < m) { d += lut(sb)(cs(sb)); sb += 1 }
+      d
+    }
+    corpus
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", round(adc(pqCodesUdf(cb, m, dsub)($"v")), 6).as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ search — the composition that carries the 100 TB story:
+    * [[ivfAssign]] prunes to `nProbe` coarse cells, PQ codes (trained on
+    * the RESIDUAL v − centroid, so each cell's codebook error is
+    * centered) give an ADC shortlist inside the probed cells, and only
+    * the `shortlist` survivors touch their full-precision vectors for
+    * the exact-cosine top-k re-rank. Per-cell LUTs (query residual ×
+    * codebook) are nProbe·m·ksub rows — broadcast-sized by
+    * construction. */
+  def ivfPqSearch(
+      s: SparkSession,
+      assigned: DataFrame, // (vec_id, v, cell_id) from ivfAssign
+      centroids: DataFrame, // (cell_id, centroid)
+      pqCodebook: DataFrame, // (sub_id, code, centroid) trained on residuals
+      codes: DataFrame, // (vec_id, cell_id, codes) — residual PQ codes
+      queryVec: Seq[Double],
+      k: Int = 10,
+      nProbe: Int = 2,
+      shortlist: Int = 50,
+      dsub: Int = 8
+  ): DataFrame = {
+    val q = queryVec.toArray
+    val m = q.length / dsub
+    val ksub = pqCodebook.agg(max(col("code"))).head().getInt(0) + 1
+    val cb = collectCodebook(pqCodebook, m, ksub, dsub)
+    // the centroid table is driver-sized by contract (k·dim doubles):
+    // probe selection and the per-cell residual LUTs are driver math
+    val cents = centroids
+      .select(col("cell_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probed = cents
+      .map { case (id, c) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+        (d, id, c)
+      }
+      .sortBy { case (d, id, _) => (d, id) }
+      .take(nProbe)
+    // per probed cell: LUT over the RESIDUAL query (q − cell centroid) —
+    // nProbe·m·ksub doubles, closure-sized
+    val luts: Map[Long, Array[Array[Double]]] = probed.map { case (_, id, c) =>
+      id -> Array.tabulate(m, ksub) { (sb, code) =>
+        val cent = cb(sb)(code)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) { val t = (q(sb * dsub + j) - c(sb * dsub + j)) - cent(j); d += t * t; j += 1 }
+        d
+      }
+    }.toMap
+    val adc = udf { (cell: Long, cs: Seq[Int]) =>
+      val lut = luts(cell)
+      var sb = 0
+      var d = 0.0
+      while (sb < m) { d += lut(sb)(cs(sb)); sb += 1 }
+      d
+    }
+    val probeIds = probed.map(_._2)
+    val short = codes
+      .filter(col("cell_id").isin(probeIds: _*)) // cell prune: untouched cells never scan
+      .select(col("vec_id"), adc(col("cell_id"), col("codes")).as("adc_dist"))
+      .orderBy(round(col("adc_dist"), 9).asc, col("vec_id").asc)
+      .limit(shortlist)
+    // exact re-rank: only the shortlist touches full-precision vectors
+    assigned
+      .join(broadcast(short.select("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), round(fastCosine(s)(col("v"), lit(q)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ◆ Vector-norm rollup by label — array math through the agg path. */
   def normByLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
