@@ -128,6 +128,23 @@ object Windows {
       .agg(round(max($"cum"), 2).as("peak_total"), count(lit(1)).as("n"))
   }
 
+  /** Per-session table under the gap rule (gaps-and-islands): a
+    * silence longer than `gapUs` starts a new session; session id =
+    * running count of session starts in event-time order, 1-based per
+    * user. Shared by the batch q_sessionize rollup and (as the
+    * equivalence oracle) the event-time streaming twin
+    * (`streaming/EventsStream.sessionizeEventTime`). Input needs
+    * `(user_id, ts)` with ts in µs. */
+  def sessionTable(events: DataFrame, gapUs: Long): DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy(col("ts").asc)
+    val prev = lag(col("ts"), 1).over(uw)
+    events
+      .withColumn("new_s", when(prev.isNull || (col("ts") - prev) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_us"), max(col("ts")).as("end_us"))
+  }
+
   /** ◆ Sessionization (gaps-and-islands): a >2h silence starts a new
     * session; session id = running count of session starts. All integer
     * nano math — exact across engines. */
@@ -136,20 +153,13 @@ object Windows {
     // microsecond domain: DuckDB truncates parquet TIMESTAMP(NANOS) to
     // micros on read, so sub-µs digits would never hash-match
     val gapUs = 2L * 3600 * 1000000L
-    val prev = lag($"ts", 1).over(userTime)
-    val sessions = Tables
-      .eventsRaw(s, dir)
-      .withColumn("ts", expr("ts div 1000"))
-      .withColumn("new_s", when(prev.isNull || ($"ts" - prev) > gapUs, 1L).otherwise(0L))
-      .withColumn("sid", sum($"new_s").over(userTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy($"user_id", $"sid")
-      .agg(count(lit(1)).as("n_events"), (max($"ts") - min($"ts")).as("dur_us"))
-    sessions
+    val events = Tables.eventsRaw(s, dir).withColumn("ts", expr("ts div 1000"))
+    sessionTable(events, gapUs)
       .groupBy($"user_id")
       .agg(
         max($"sid").as("n_sessions"),
         round(avg($"n_events"), 4).as("avg_events"),
-        round(avg($"dur_us" / 1e6), 4).as("avg_dur_s")
+        round(avg(($"end_us" - $"start_us") / 1e6), 4).as("avg_dur_s")
       )
   }
 

@@ -215,6 +215,62 @@ class StreamIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time sessionization: multi-batch stream emits the batch session table, same sids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: String) = java.sql.Timestamp.valueOf(m)
+    // two users, three sessions each under the 2h gap rule, events
+    // spread over THREE micro-batches with a cross-batch session (user
+    // 1's session 2 spans batches 1→2) — the case AvailableNow's
+    // single batch can't exercise
+    val b1 = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 08:30:00")), // u1 s1
+      (2L, ts("2024-01-01 09:00:00")), // u2 s1
+      (1L, ts("2024-01-01 12:00:00")) // u1 s2 opens
+    )
+    val b2 = Seq(
+      (1L, ts("2024-01-01 13:30:00")), // u1 s2 continues across the batch boundary
+      (2L, ts("2024-01-01 13:00:00")), // u2 s2
+      (2L, ts("2024-01-01 13:10:00"))
+    )
+    val b3 = Seq(
+      (1L, ts("2024-01-01 17:00:00")), // u1 s3
+      (2L, ts("2024-01-01 18:00:00")) // u2 s3
+    )
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = EventsStream.sessionizeEventTime(
+      spark,
+      ms.toDF().toDF("user_id", "ts"),
+      gapUs = 2L * 3600 * 1000000L,
+      delay = "1 minute"
+    )
+    // plain start(), NOT AvailableNow: state must live across batches
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sess_test").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+      // two sentinel batches: the first advances the watermark past
+      // every real session's end+gap, the second triggers the
+      // event-time timeouts that flush the tail sessions
+      ms.addData(Seq((99L, ts("2024-01-03 00:00:00")))); q.processAllAvailable()
+      ms.addData(Seq((99L, ts("2024-01-03 00:01:00")))); q.processAllAvailable()
+      val got = spark
+        .sql("SELECT user_id, sid, n_events, start_us, end_us FROM sess_test WHERE user_id < 99")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.operators.Windows
+        .sessionTable(
+          (b1 ++ b2 ++ b3).map { case (u, t) => (u, t.getTime * 1000L) }.toDF("user_id", "ts"),
+          gapUs = 2L * 3600 * 1000000L
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got === batch, s"streaming sessions must equal the batch table\n got=$got\n exp=$batch")
+      assert(got.map(x => (x._1, x._2)).toSeq.sorted === Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L)))
+    } finally q.stop()
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val ev = Tables.eventsRaw(spark, sf0001)
     val salted = graft.operators.Skew
