@@ -59,6 +59,7 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -30,5 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("env_intersects"),
+        new ExpressionInfo(classOf[EnvIntersects].getName, "env_intersects"),
+        (exprs: Seq[Expression]) => EnvExpressions.build(exprs)
+      )
+    )
+    // expands env_intersects under Filter into pushable range predicates
+    e.injectOptimizerRule(_ => EnvIntersectsRewrite)
   }
 }

@@ -182,7 +182,15 @@ object Stac {
       offset: Int = 0
   ): (DataFrame, Long) = {
     var f = entries.filter(col("pointGeom").isNotNull || col("polygonGeom").isNotNull)
-    bbox.foreach { case (w, s, e, n) => f = f.filter(Index.bboxIntersects(w, s, e, n)) }
+    bbox.foreach { case (w, s, e, n) =>
+      // native predicate (codegen'd); EnvIntersectsRewrite expands it
+      // under Filter so the parquet scan still min/max-prunes
+      graft.plans.EnvExpressions.register(entries.sparkSession)
+      f = f.filter(
+        graft.plans.EnvExpressions
+          .envIntersects(col("minx"), col("miny"), col("maxx"), col("maxy"), w, s, e, n)
+      )
+    }
     startSec.foreach(t => f = f.filter(Index.temporalInstant >= t))
     endSec.foreach(t => f = f.filter(Index.temporalInstant <= t))
     val matched = f.count()

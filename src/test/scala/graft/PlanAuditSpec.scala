@@ -53,6 +53,48 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bbox envelope predicates reach the parquet scan (min/max file prune) in both forms") {
+    // the spatial filter's 100×-scale story is the parquet min/max
+    // stats standing in for the reference's SpatiaLite MBR index
+    // (stac.cpp:629-636): both the plain column-math form and the
+    // codegen'd env_intersects expression (via EnvIntersectsRewrite)
+    // must land all four envelope bounds in PushedFilters
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("planaudit_env").toString
+    try {
+      spark
+        .range(100)
+        .select(
+          col("id"),
+          (col("id") % 36).cast("double").alias("minx"),
+          (col("id") % 17).cast("double").alias("miny"),
+          (col("id") % 36 + 1).cast("double").alias("maxx"),
+          (col("id") % 17 + 1).cast("double").alias("maxy")
+        )
+        .write
+        .mode("overwrite")
+        .parquet(dir)
+      graft.plans.EnvExpressions.register(spark)
+      val plain = spark.read.parquet(dir).filter(graft.core.Index.bboxIntersects(3.0, 2.0, 9.0, 8.0))
+      val native = spark.read
+        .parquet(dir)
+        .filter(graft.plans.EnvExpressions.envIntersects(col("minx"), col("miny"), col("maxx"), col("maxy"), 3.0, 2.0, 9.0, 8.0))
+      Seq("plain" -> plain, "env_intersects" -> native).foreach { case (label, q) =>
+        val plan = q.queryExecution.explainString(FormattedMode)
+        val pushed = raw"PushedFilters: \[([^\]]+)\]".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+        Seq("minx", "miny", "maxx", "maxy").foreach { c =>
+          assert(pushed.contains(c), s"$label: envelope column $c must reach PushedFilters, got [$pushed]")
+        }
+      }
+      assert(
+        plain.count() === native.count(),
+        "both forms must select the same rows"
+      )
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("materialized tile pyramid serves level reads via partition pruning") {
     // the tiler's derived-artifact store must not scan other zoom
     // levels when one level is requested — the moral equivalent of the
