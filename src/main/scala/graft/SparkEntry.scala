@@ -154,6 +154,7 @@ object SparkEntry {
     "q_pack" -> (Curation.packQuery _),
     "q_dup_spans" -> (Curation.dupSpansQuery _),
     "q_cut_spans" -> (Curation.cutSpansQuery _),
+    "q_cut_runs" -> (Curation.cutRunsQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
@@ -1929,6 +1930,27 @@ object SparkEntry {
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM toks t LEFT JOIN kept k USING (doc_id)
         |WHERE len(t.t) - coalesce(k.n_kept, 0) > 0 ORDER BY doc_id""".stripMargin,
+    // Maximal duplicated runs: same inverted index + covered set as
+    // q_cut_spans, then gaps-and-islands (ti − row_number) per doc —
+    // DuckDB re-derives every run boundary.
+    "q_cut_runs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS p, ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i FROM toks WHERE len(t) >= 10)),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT g.doc_id, unnest(range(g.p, g.p + 10)) AS ti
+        |    FROM g JOIN df USING (h) WHERE df.nd >= 2)),
+        |isl AS (
+        |  SELECT doc_id, ti, ti - row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS grp
+        |  FROM cov)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY min(ti)) AS BIGINT) AS run,
+        |  CAST(min(ti) AS BIGINT) AS run_start, CAST(max(ti) AS BIGINT) AS run_end,
+        |  CAST(count(*) AS BIGINT) AS run_len
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, run""".stripMargin,
     "q_semdedup" ->
       s"""WITH $ivfAsgCtes,
         |pairs AS (

@@ -265,6 +265,51 @@ object Curation {
     cutDupSpans(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  /** ◆ Variable-length duplicated-RUN extraction — the maximal-
+    * substring half of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), distributedly approximated:
+    * adjacent/overlapping duplicated n-gram windows chain into MAXIMAL
+    * runs (gaps-and-islands over the covered token set per doc), so a
+    * 25-token cross-document duplicate reports as ONE [start, end]
+    * span, never 16 fixed windows. [[cutDupSpans]] removes covered
+    * tokens; this reports the span structure a span-level policy needs
+    * (cut, keep-first-occurrence, audit run-length distributions).
+    *
+    * Shape: the same inverted index as [[cutDupSpans]], a partial-agg
+    * distinct of covered positions, then per-doc windows (partition
+    * key = doc_id — corpus cardinality; rows per partition bounded by
+    * document length, never cross-document).
+    */
+  def dupRuns(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("doc_id"), posexplode(ngramsAll(col(textCol), n)).as(Seq("p0", "gram")))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).as("p"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h")
+      )
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
+    val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    val covered = g
+      .join(dfTab.filter(col("nd") >= 2).select("h"), Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
+      .groupBy("doc_id", "ti")
+      .agg(count(lit(1)).as("w")) // distinct on the partial-agg path
+    // gaps-and-islands: contiguous ti share (ti - row_number) per doc
+    val w = Window.partitionBy("doc_id").orderBy("ti")
+    covered
+      .withColumn("grp", col("ti") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("ti").cast("long").as("run_start"), max("ti").cast("long").as("run_end"), count(lit(1)).as("run_len"))
+      .withColumn("run", row_number().over(Window.partitionBy("doc_id").orderBy("run_start")).cast("long"))
+      .select(col("doc_id"), col("run"), col("run_start"), col("run_end"), col("run_len"))
+  }
+
+  def cutRunsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupRuns(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"doc_id", $"run")
+  }
+
   /** ◆ Sequence packing (concat-and-chunk): lay the corpus out in
     * doc-id order as one token stream and cut it into fixed-length
     * training sequences — the standard LM pretraining batch layout.

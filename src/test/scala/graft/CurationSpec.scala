@@ -123,6 +123,44 @@ class CurationSpec extends SparkSuite {
     assert(m2(2L) === ((13L, 12L, "beta")))
   }
 
+  test("dupRuns: a 25-token duplicate chains into ONE maximal run; disjoint duplicates stay separate runs") {
+    // 25 shared tokens = 16 overlapping dup windows — they must merge
+    // into a single [start, end] span, the Lee-et-al maximal-substring
+    // behavior a fixed-window report can't express
+    val dup25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$dup25 tailone tailtwo tailthree"),
+      (2L, s"headone headtwo $dup25"),
+      (3L, "a wholly different document with no shared content of its own here")
+    ).toDF("doc_id", "text")
+    val runs = Curation
+      .dupRuns(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(runs.map(_._1).toSet === Set(1L, 2L))
+    val byDoc = runs.groupBy(_._1)
+    assert(byDoc.values.forall(_.length === 1), s"one maximal run per doc, got $runs")
+    // doc 1: tokens 1..25; doc 2: tokens 3..27
+    assert(byDoc(1L).head === ((1L, 1L, 1L, 25L, 25L)))
+    assert(byDoc(2L).head === ((2L, 1L, 3L, 27L, 25L)))
+
+    // two DISJOINT duplicated regions in one doc -> two runs
+    val dupA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val dupB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"$dupA gapone gaptwo gapthree $dupB"),
+      (2L, s"other1 $dupA other2"),
+      (3L, s"third1 third2 $dupB")
+    ).toDF("doc_id", "text")
+    val r2 = Curation
+      .dupRuns(docs2, "doc_id", "text")
+      .filter($"doc_id" === 1L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(r2.toSeq === Seq((1L, 1L, 10L, 10L), (2L, 14L, 23L, 10L)), s"disjoint regions must not merge: ${r2.toSeq}")
+  }
+
   test("clusterSample: exactly cap rows per non-empty cell, ranks contiguous, members belong to the cell") {
     val out = Curation
       .clusterSample(spark, "/root/testdata/sf0.001", cap = 3)
