@@ -17,13 +17,16 @@ import org.apache.spark.storage.StorageLevel
   * needs a release path. The contract:
   *
   *  - operators stage frames via [[persist]] / [[checkpoint]] — both
-  *    register a release handle in a session-wide registry;
+  *    register a release handle in the ACTIVE registry (the session-wide
+  *    one by default, a scope-local one inside [[scope]]);
   *  - the caller, after MATERIALIZING the returned result (action,
-  *    write, collect), calls [[releaseAll]] — every staged block is
-  *    dropped; the returned frame stays valid (persist-backed stages
-  *    recompute lazily if re-run; checkpoint-backed RESULTS are
-  *    released only via releaseAll, so call it when done, not between
-  *    actions on the same frame).
+  *    write, collect), calls [[releaseAll]] — every staged block in the
+  *    active registry is dropped; the returned frame stays valid
+  *    (persist-backed stages recompute lazily if re-run;
+  *    checkpoint-backed RESULTS are released only via releaseAll, so
+  *    call it when done, not between actions on the same frame);
+  *  - concurrent library callers wrap each logical query in [[scope]]
+  *    so one caller's release never drops another's staged blocks.
   *
   * Iterative operators ([[Graph]]'s component fixpoint) use the
   * unregistered [[checkpointOwned]]/[[release]] pair instead: round
@@ -33,19 +36,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object Staged {
 
-  private val registry = new ConcurrentLinkedQueue[() => Unit]()
+  private val global = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Active registry: the global queue, or the innermost [[scope]]'s
+    * own queue on this thread (DynamicVariable → inheritable
+    * thread-local, so a scope covers threads the body spawns). */
+  private val active = new scala.util.DynamicVariable[ConcurrentLinkedQueue[() => Unit]](global)
 
   /** Eagerly `localCheckpoint` `df`, returning the flattened frame AND
-    * the persistent-RDD blocks the checkpoint created. The caller owns
+    * the persistent blocks backing it. The block set is derived from
+    * the RETURNED plan's own `LogicalRDD` — never from a global
+    * before/after diff of `getPersistentRDDs`, which under concurrent
+    * operator calls could capture (and later release) another thread's
+    * checkpoint blocks; a released local checkpoint is unrecoverable
+    * (lineage truncated), so ownership must be exact. The caller owns
     * the blocks: drop them with [[release]] once every consumer of the
-    * frame has materialized (the blocks are the data — a released
-    * checkpoint frame cannot be recomputed). */
+    * frame has materialized. */
   private[graft] def checkpointOwned(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint() // eager: materializes here
-    val fresh = sc.getPersistentRDDs.collect { case (id, r) if !before.contains(id) => r }.toSeq
-    (out, fresh)
+    val owned = out.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(owned.nonEmpty, "localCheckpoint must plan a LogicalRDD backing the checkpointed frame")
+    (out, owned)
   }
 
   private[graft] def release(blocks: Seq[RDD[_]]): Unit =
@@ -62,9 +75,9 @@ object Staged {
     out
   }
 
-  /** Hand ownership of already-created blocks to the registry. */
+  /** Hand ownership of already-created blocks to the active registry. */
   private[graft] def register(blocks: Seq[RDD[_]]): Unit =
-    if (blocks.nonEmpty) registry.add(() => release(blocks))
+    if (blocks.nonEmpty) active.value.add(() => release(blocks))
 
   /** MEMORY_AND_DISK persist with the frame registered for
     * [[releaseAll]] — for staged tables referenced multiple times by a
@@ -72,24 +85,36 @@ object Staged {
     * (stages recompute), just uncached. */
   def persist[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
-    registry.add { () =>
+    active.value.add { () =>
       try { ds.unpersist(blocking = false); () }
       catch { case _: Throwable => () }
     }
     ds
   }
 
-  /** Drop every staged block operators registered on behalf of returned
-    * results. Call after consuming the results of one or more composed
-    * operator calls (the bench/verify harnesses call it per query).
-    *
-    * Concurrency note: the registry is session-wide — releaseAll drops
-    * blocks staged by EVERY thread, so concurrent query runners should
-    * either serialize releaseAll behind their materializations or let
-    * one coordinator own the call (persist-backed stages recompute
-    * correctly if released early; only throughput is at stake). */
-  def releaseAll(): Unit = {
-    var f = registry.poll()
-    while (f != null) { f(); f = registry.poll() }
+  private def drain(q: ConcurrentLinkedQueue[() => Unit]): Unit = {
+    var f = q.poll()
+    while (f != null) { f(); f = q.poll() }
   }
+
+  /** Run `body` against a PRIVATE registry: staged blocks registered
+    * inside are released when the scope exits — and only those, so
+    * concurrent callers each wrapping their queries in scope never
+    * drop each other's staged blocks (the session-global registry is
+    * untouched). Nests: the innermost scope wins. Returns `body`'s
+    * result; the result must be MATERIALIZED inside the scope
+    * (checkpoint-backed frames do not survive their scope). */
+  def scope[T](body: => T): T = {
+    val local = new ConcurrentLinkedQueue[() => Unit]()
+    try active.withValue(local)(body)
+    finally drain(local)
+  }
+
+  /** Drop every staged block operators registered on behalf of returned
+    * results — in the ACTIVE registry: the session-global one outside
+    * [[scope]] (the bench/verify harnesses call it per query), the
+    * scope's own inside. Single-threaded callers sharing the global
+    * registry should serialize releaseAll behind their
+    * materializations; concurrent callers should use [[scope]]. */
+  def releaseAll(): Unit = drain(active.value)
 }

@@ -39,4 +39,57 @@ class StagedLifecycleSpec extends SparkSuite {
       s"leaked persistent RDDs: ${sc.getPersistentRDDs.values.map(_.toString).mkString("; ")}"
     )
   }
+
+  test("two concurrent scopes: one caller's scope exit never drops the other's staged blocks") {
+    import java.util.concurrent.CountDownLatch
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    Staged.releaseAll()
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+    val aStaged = new CountDownLatch(1)
+    val bStaged = new CountDownLatch(1)
+    val aExited = new CountDownLatch(1)
+    @volatile var bLevelWhileAExited: StorageLevel = null
+    @volatile var bLevelAfterOwnExit: StorageLevel = null
+    @volatile var aLevelAfterExit: StorageLevel = null
+
+    val a = new Thread(() => {
+      Staged.scope {
+        val df = Staged.persist(spark.range(1000).toDF("x"))
+        df.count() // materialize inside the scope
+        val inner = df
+        aStaged.countDown()
+        bStaged.await() // hold the scope open until B has staged too
+        aLevelAfterExit = inner.storageLevel // still cached here
+      }
+      aExited.countDown()
+    })
+    val b = new Thread(() => {
+      val df = Staged.scope {
+        val d = Staged.persist(spark.range(2000).toDF("y"))
+        d.count()
+        bStaged.countDown()
+        aExited.await() // A's scope has exited and released ITS block
+        bLevelWhileAExited = d.storageLevel
+        d
+      }
+      bLevelAfterOwnExit = df.storageLevel
+    })
+    a.start(); b.start(); a.join(30000); b.join(30000)
+
+    assert(aLevelAfterExit.useMemory, "A's block cached while its scope was open")
+    assert(
+      bLevelWhileAExited != null && bLevelWhileAExited.useMemory,
+      "B's staged block must SURVIVE A's scope exit — the r7 session-global registry dropped it"
+    )
+    assert(
+      bLevelAfterOwnExit != null && !bLevelAfterOwnExit.useMemory,
+      "B's own scope exit releases B's block"
+    )
+    assert(sc.getPersistentRDDs.isEmpty, "both scopes closed: no blocks remain")
+    // the session-global registry was never touched by either scope
+    Staged.releaseAll() // must be a no-op, not required for cleanliness above
+  }
 }
