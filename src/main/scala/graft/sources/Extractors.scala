@@ -198,13 +198,23 @@ object Extractors {
                         Extracted(EntryType.Vector, VectorFile.properties(v),
                           center.map(_._1), center.map(_._2), None, ring)
                       case None =>
-                        Mp4.sniff(bytes) match {
-                          case Some(m) =>
-                            // a GPS fix upgrades Video→GeoVideo (entry.cpp:1088-1099)
-                            val tpe = if (m.lat.isDefined && m.lon.isDefined) EntryType.GeoVideo else EntryType.Video
-                            Extracted(tpe, Mp4.properties(m), m.lon, m.lat, None, None)
+                        Kml.meta(bytes) match {
+                          case Some(v) =>
+                            val ring = v.bbox.map { case (w, s, e, n) =>
+                              Seq((w, s), (e, s), (e, n), (w, n), (w, s))
+                            }
+                            val center = v.bbox.map { case (w, s, e, n) => ((w + e) / 2, (s + n) / 2) }
+                            Extracted(EntryType.Vector, VectorFile.properties(v),
+                              center.map(_._1), center.map(_._2), None, ring)
                           case None =>
-                            Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                            Mp4.sniff(bytes) match {
+                              case Some(m) =>
+                                // a GPS fix upgrades Video→GeoVideo (entry.cpp:1088-1099)
+                                val tpe = if (m.lat.isDefined && m.lon.isDefined) EntryType.GeoVideo else EntryType.Video
+                                Extracted(tpe, Mp4.properties(m), m.lon, m.lat, None, None)
+                              case None =>
+                                Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                            }
                         }
                     }
                 }
