@@ -135,6 +135,7 @@ object SparkEntry {
     "q_ann_lsh_hi" -> (Similarity.lshNearDupQuery _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqQuery(s, d)),
+    "q_ann_sq" -> ((s: SparkSession, d: String) => Similarity.sqQuery(s, d)),
     "q_ann_refine" -> (Similarity.ivfRefineQuery _),
     "q_ann_batch" -> (Similarity.batchTopKQuery _),
     // stockpile analytics (stockpile.cpp)
@@ -1525,6 +1526,24 @@ object SparkEntry {
         |  FROM cb JOIN q USING (s)),
         |adc AS (SELECT asg.vec_id, sum(lut.pd) AS adist FROM asg JOIN lut USING (s, code) GROUP BY asg.vec_id)
         |SELECT vec_id, round(adist, 6) AS adc_dist FROM adc WHERE vec_id <> 0
+        |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin,
+    // SQ8: same per-dim min/max bounds, same quantize-before-floor int8
+    // codes, same asymmetric dequantized distances.
+    "q_ann_sq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |vals AS (SELECT vec_id, generate_subscripts(e, 1) AS d, unnest(e) AS x FROM v),
+        |b AS (SELECT d, min(x) AS lo, max(x) AS hi, (max(x) - min(x)) / 255.0 AS step FROM vals GROUP BY d),
+        |c AS (
+        |  SELECT vec_id, vals.d,
+        |    CASE WHEN b.step = 0 THEN 0
+        |         ELSE least(greatest(CAST(floor(round((vals.x - b.lo) / b.step, 9)) AS BIGINT), 0), 255) END AS code
+        |  FROM vals JOIN b USING (d)),
+        |q AS (SELECT d, x AS qx FROM vals WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT c.vec_id,
+        |    sum((q.qx - (b.lo + c.code * b.step)) * (q.qx - (b.lo + c.code * b.step))) AS adist
+        |  FROM c JOIN b USING (d) JOIN q USING (d) GROUP BY c.vec_id)
+        |SELECT vec_id, round(adist, 6) AS sq_dist FROM adc WHERE vec_id <> 0
         |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin,
     // Stockpile detect-all: identical synthetic DSM (exact dyadic
     // arithmetic end-to-end), identical binomial smoothing + adaptive

@@ -43,6 +43,52 @@ class AnnPqSpec extends SparkSuite {
     )
   }
 
+  test("SQ8: codes bounded, reconstruction error under one step, shortlist+rerank recall >= 0.9") {
+    val corpus = Tables
+      .embeddings(spark, sf0001)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val dim = 64
+    val bounds = Similarity.sqTrain(corpus)
+    val codes = Similarity.sqAssign(corpus, bounds, dim)
+    assert(codes.filter(size($"codes") =!= dim).count() === 0)
+    assert(codes.filter(exists($"codes", c => c < 0 || c > 255)).count() === 0, "int8 range")
+
+    // dequantization error is bounded by one quantization step per dim
+    val b = bounds.collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val joined = corpus.join(codes, Seq("vec_id")).select($"v", $"codes").collect()
+    joined.foreach { r =>
+      val v = r.getSeq[Double](0); val cs = r.getSeq[Int](1)
+      (0 until dim).foreach { d =>
+        val (lo, hi) = b(d); val step = (hi - lo) / 255.0
+        val err = math.abs(v(d) - (lo + cs(d) * step))
+        assert(err <= step + 1e-12, s"dim $d reconstruction error $err exceeds step $step")
+      }
+    }
+
+    // SQ approx ordering is near-exact: top-50 shortlist + exact rerank
+    // recovers >= 0.9 of the true top-10
+    val queries = (0L until 10L)
+    val recalls = queries.map { q =>
+      val brute = Similarity
+        .bruteForceTopK(spark, sf0001, queryId = q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val qv = corpus.filter($"vec_id" === q).select($"v").head().getSeq[Double](0)
+      val short = Similarity
+        .sqDistances(codes.filter($"vec_id" =!= q), bounds, qv, dim)
+        .orderBy(round($"sq_dist", 9).asc, $"vec_id".asc)
+        .limit(50)
+      val rr = corpus
+        .join(org.apache.spark.sql.functions.broadcast(short.select("vec_id")), Seq("vec_id"))
+        .select($"vec_id", round(Similarity.cosine($"v", lit(qv.toArray)), 6).as("cs"))
+        .orderBy($"cs".desc, $"vec_id".asc)
+        .limit(10)
+        .collect().map(_.getLong(0)).toSet
+      rr.intersect(brute).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"SQ8 shortlist+rerank recall@10 = $mean ($recalls)")
+  }
+
   test("IVF-PQ recall@10 at nProbe=4: monotone in shortlist, within 0.05 of exact IVF, >= 0.85") {
     val emb = Tables.embeddings(spark, sf0001)
     val corpus = emb.select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
