@@ -156,6 +156,7 @@ object SparkEntry {
     "q_dup_spans" -> (Curation.dupSpansQuery _),
     "q_cut_spans" -> (Curation.cutSpansQuery _),
     "q_cut_runs" -> (Curation.cutRunsQuery _),
+    "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
@@ -1970,6 +1971,39 @@ object SparkEntry {
         |  CAST(min(ti) AS BIGINT) AS run_start, CAST(max(ti) AS BIGINT) AS run_end,
         |  CAST(count(*) AS BIGINT) AS run_len
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, run""".stripMargin,
+    // Bloom membership: same md5 double-hash probe positions, same
+    // 32-bit filter words via bit_or, same all-bits-set decision.
+    "q_bloom" ->
+      """WITH seen AS (
+        |  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id < 400),
+        |probe AS (
+        |  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS key, doc_id < 400 AS truly_seen
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (
+        |  SELECT key,
+        |    ('0x' || substr(md5(key), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5('salt2:' || key), 1, 15))::BIGINT AS h2
+        |  FROM seen),
+        |pos AS (
+        |  SELECT DISTINCT CAST((h1 + i * h2) % 65536 AS BIGINT) AS p
+        |  FROM h, (SELECT unnest(range(4)) AS i)),
+        |filt AS (
+        |  SELECT CAST(p // 32 AS BIGINT) AS bucket, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |ph AS (
+        |  SELECT key, truly_seen,
+        |    ('0x' || substr(md5(key), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5('salt2:' || key), 1, 15))::BIGINT AS h2
+        |  FROM probe),
+        |ppos AS (
+        |  SELECT key, truly_seen, CAST((h1 + i * h2) % 65536 AS BIGINT) AS p
+        |  FROM ph, (SELECT unnest(range(4)) AS i)),
+        |hits AS (
+        |  SELECT ppos.key, ppos.truly_seen,
+        |    min(CASE WHEN filt.bits IS NOT NULL AND (filt.bits >> CAST(ppos.p % 32 AS INT)) & 1 = 1 THEN 1 ELSE 0 END) AS maybe
+        |  FROM ppos LEFT JOIN filt ON filt.bucket = ppos.p // 32
+        |  GROUP BY 1, 2)
+        |SELECT key, truly_seen, CAST(maybe AS BIGINT) AS maybe FROM hits ORDER BY key""".stripMargin,
     "q_semdedup" ->
       s"""WITH $ivfAsgCtes,
         |pairs AS (

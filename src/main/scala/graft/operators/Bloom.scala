@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed Bloom filter — the "have we seen this key" membership
+  * primitive of a 100 TB ingest pipeline (URL dedup, content-hash
+  * dedup, eval-set blocklists) when the exact key set is too large to
+  * join every batch. Classic double hashing (Kirsch–Mitzenmacher: the
+  * k probe positions are h1 + i·h2 mod m), md5-derived 60-bit hashes —
+  * the engine-neutral family used everywhere else — and a relational
+  * layout: the filter IS a (bucket, bits) DataFrame of 32-bit words
+  * (32 keeps every shift engine-safe: a 64-bit word needs 1<<63, which
+  * signed engines reject), built by one `bit_or` partial aggregation
+  * and probed by one join. No driver-side bitset, so m scales to
+  * billions of bits; a small filter broadcasts on its own under AQE.
+  *
+  * Bloom guarantee, preserved exactly: membership says MAYBE (possible
+  * false positives, rate (1−e^{−kn/m})^k) but never misses an inserted
+  * key (zero false negatives) — BloomSpec gates both sides.
+  */
+object Bloom {
+
+  private def h1(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  private def h2(key: Column): Column =
+    conv(substring(md5(concat(lit("salt2:"), key)), 1, 15), 16, 10).cast("long")
+
+  /** The k probe positions of a key in an m-bit filter (array column).
+    * h1 + i·h2 stays under 2^62 for k ≤ 4 60-bit hashes — no overflow
+    * before the mod. */
+  def positions(key: Column, m: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i => (h1(key) + i * h2(key)) % m)
+
+  /** Build the filter over a key column: (bucket, bits) 32-bit words,
+    * one explode + one bit_or partial agg — the map-side combine does
+    * most of the OR-ing before the shuffle. */
+  def build(keys: DataFrame, keyCol: String, m: Int, k: Int): DataFrame =
+    keys
+      .select(explode(positions(col(keyCol), m, k)).as("p"))
+      .select(
+        (col("p") / 32).cast("long").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("b")
+      )
+      .groupBy("bucket")
+      .agg(bit_or(col("b")).as("bits"))
+
+  /** Probe every row of `probes`: adds a `maybe` column (1 = possibly
+    * seen, 0 = definitely not). A probe is a hit iff ALL k bits are
+    * set; the left join makes an absent word an automatic miss. */
+  def contains(filter: DataFrame, probes: DataFrame, keyCol: String, m: Int, k: Int): DataFrame = {
+    val cols = probes.columns
+    val exploded = probes
+      .select(col("*"), explode(positions(col(keyCol), m, k)).as("p"))
+      .select(col("*"), (col("p") / 32).cast("long").as("bucket"))
+    exploded
+      .join(filter, Seq("bucket"), "left")
+      .select(
+        cols.map(col) :+
+          when(col("bits").isNotNull && expr("(bits >> CAST(p % 32 AS INT)) & 1") === 1, 1L)
+            .otherwise(0L)
+            .as("bit_set"): _*
+      )
+      .groupBy(cols.map(col): _*)
+      .agg(min(col("bit_set")).as("maybe"))
+  }
+
+  /** ◆ Bloom membership under the oracle: filter built over the keys
+    * of doc_id < 400, probed with doc_id < 500 — every per-probe
+    * decision (including any false positive the sizing admits) is
+    * re-derived by DuckDB bit for bit. */
+  def bloomQuery(s: SparkSession, dir: String, m: Int = 65536, k: Int = 4): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val seen = docs.filter($"doc_id" < 400).select(concat(lit("doc:"), $"doc_id".cast("string")).as("key"))
+    val probes = docs
+      .filter($"doc_id" < 500)
+      .select(concat(lit("doc:"), $"doc_id".cast("string")).as("key"), ($"doc_id" < 400).as("truly_seen"))
+    val filt = build(seen, "key", m, k)
+    contains(filt, probes, "key", m, k).orderBy($"key")
+  }
+}
