@@ -120,4 +120,35 @@ object CurationStream {
       )
       .toDF()
   }
+
+  /** ◆ Quality gate + PII scrub at ingest — the stateless curation
+    * stages ([[graft.text.TextOps.qualityCols]] thresholds, then
+    * [[graft.text.TextOps.piiRedact]]) are pure column expressions, so
+    * the SAME plan fragment serves the nightly batch sweep and the
+    * ingest stream; only the doc-id dedup keeps state, and that state
+    * is watermark-bounded. Emits survivors as (doc_id, ts, quality
+    * columns, per-pattern PII counts, redacted `clean` text) — the
+    * feed a training-data lake appends, already scrubbed.
+    */
+  def curateAtIngest(
+      docs: DataFrame, // streaming (doc_id, ts, text)
+      watermark: String = "1 hour",
+      minChars: Int = 50,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.05
+  ): DataFrame = {
+    import graft.text.TextOps
+    val scored = docs
+      .withWatermark("ts", watermark)
+      .select(Seq(col("doc_id"), col("ts"), col("text")) ++ TextOps.qualityCols(col("text")): _*)
+      .filter(
+        col("n_chars") >= minChars &&
+          col("punct_ratio") <= maxPunctRatio &&
+          col("stopword_ratio") >= minStopwordRatio
+      )
+    TextOps
+      .piiRedact(scored, "text")
+      .dropDuplicatesWithinWatermark("doc_id") // re-sent docs append once
+      .drop("text")
+  }
 }

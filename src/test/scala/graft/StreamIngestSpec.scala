@@ -215,6 +215,40 @@ class StreamIngestSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate + PII scrub: batch-identical columns, re-sent docs append once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good =
+      "the quick brown fox jumps over the lazy dog and it is a fine day in the park, " +
+        "reach me at alice@mail.example.com or 555-123-4567 from 10.0.0.1 thanks"
+    val lowQuality = "@@@@ #### !!!! ????" // short, punct-heavy, no stopwords
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.CurationStream.curateAtIngest(
+      ms.toDF().toDF("doc_id", "ts", "text")
+    )
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ingest_curate").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      ms.addData((1L, t0, good), (2L, t0, lowQuality))
+      q.processAllAvailable()
+      ms.addData((1L, t0, good)) // re-send within the watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, n_email, n_phone, n_ip, clean FROM ingest_curate").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L), s"only the quality survivor, exactly once: ${rows.toSeq}")
+      val r = rows.head
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((1, 1, 1)))
+      assert(r.getString(4).contains("<EMAIL>") && r.getString(4).contains("<PHONE>") && r.getString(4).contains("<IP>"))
+      assert(!r.getString(4).contains("alice@"), "raw PII must not survive")
+      // stream output == the batch column ops on the same row
+      val batch = graft.text.TextOps
+        .piiRedact(Seq((1L, good)).toDF("doc_id", "text"), "text")
+        .select($"clean")
+        .head()
+        .getString(0)
+      assert(r.getString(4) === batch, "same plan fragment, same result, batch or stream")
+    } finally q.stop()
+  }
+
   test("event-time sessionization: multi-batch stream emits the batch session table, same sids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
