@@ -92,6 +92,7 @@ object SparkEntry {
     "q_bytes_human" -> (Scalars.bytesHumanQuery _),
     // §2.2/§2.7 geospatial (◇ as column math)
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
+    "q_zorder" -> (graft.geo.ZOrder.zorderQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_mvt" -> (graft.geo.GeoQueries.mvtQuery _),
     "q_cog" -> (graft.geo.GeoQueries.cogQuery _),
@@ -1052,6 +1053,30 @@ object SparkEntry {
         |WHERE NOT (lon + 0.25 < -60.0 OR lon - 0.25 > 60.0
         |           OR lat + 0.25 < -30.0 OR lat - 0.25 > 30.0)
         |GROUP BY event_type""".stripMargin,
+    // Z-order (Morton) values: same 16-bit quantize-before-floor cells,
+    // same bit interleave, rolled up per z-cell so every interleaved
+    // bit is hash-checked.
+    "q_zorder" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |    (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events),
+        |q AS (
+        |  SELECT event_id,
+        |    least(CAST(floor(round((lon - -180.0) / 360.0 * 65536, 9)) AS BIGINT), 65535) AS ix,
+        |    least(CAST(floor(round((lat - -90.0) / 180.0 * 65536, 9)) AS BIGINT), 65535) AS iy
+        |  FROM ev),
+        |z AS (
+        |  SELECT event_id,
+        |    -- full parens: DuckDB gives << and | EQUAL precedence
+        |    -- (left-assoc), so a << x | b << y parses as ((a<<x|b)<<y)
+        |    (SELECT sum((((ix >> b) & 1) << (2 * b)) | (((iy >> b) & 1) << (2 * b + 1)))
+        |     FROM (SELECT unnest(range(16)) AS b)) AS zval
+        |  FROM q)
+        |SELECT CAST(zval >> 22 AS BIGINT) AS zcell, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(zval) AS BIGINT) AS zmin, CAST(max(zval) AS BIGINT) AS zmax
+        |FROM z GROUP BY 1""".stripMargin,
     "q_cog" ->
       """WITH ev AS (
         |  SELECT event_id % 400 AS x, (event_id // 400) % 400 AS y, max((event_id * 37) % 256) AS v

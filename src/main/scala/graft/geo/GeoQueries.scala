@@ -23,7 +23,7 @@ object GeoQueries {
 
   /** Deterministic synthetic geotags: lon/lat on a 0.01° grid offset by
     * 0.005° so no point sits on a tile/bbox boundary (FP-safe floor). */
-  private def withLonLat(df: DataFrame): DataFrame =
+  private[graft] def withLonLat(df: DataFrame): DataFrame =
     df.withColumn("lon", (col("event_id") * 7919L % 36000L) / 100.0 - 180.0 + 0.005)
       .withColumn("lat", (col("event_id") * 104729L % 18000L) / 100.0 - 90.0 + 0.005)
 
