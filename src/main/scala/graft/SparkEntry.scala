@@ -158,6 +158,7 @@ object SparkEntry {
     "q_cut_spans" -> (Curation.cutSpansQuery _),
     "q_cut_runs" -> (Curation.cutRunsQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
+    "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
@@ -2029,6 +2030,39 @@ object SparkEntry {
         |  FROM ppos LEFT JOIN filt ON filt.bucket = ppos.p // 32
         |  GROUP BY 1, 2)
         |SELECT key, truly_seen, CAST(maybe AS BIGINT) AS maybe FROM hits ORDER BY key""".stripMargin,
+    // HyperLogLog: same md5-60 hash, register = low 9 bits, rho =
+    // trailing-zero rank of the upper 51 (w & -w integer isolate),
+    // harmonic sum as the exact scaled integer sum(2^(52-M_j)), both
+    // correction branches + the register-wise-max merge row.
+    "q_hll" ->
+      """WITH vals AS (
+        |  SELECT event_type, 'event_ids' AS metric, CAST(event_id AS VARCHAR) AS val FROM events
+        |  UNION ALL
+        |  SELECT event_type, 'users' AS metric, CAST(user_id AS VARCHAR) AS val FROM events),
+        |h AS (
+        |  SELECT event_type, metric, ('0x' || substr(md5(val), 1, 15))::BIGINT AS h FROM vals),
+        |jr AS (
+        |  SELECT event_type, metric, h % 512 AS j,
+        |    CASE WHEN h // 512 = 0 THEN 52
+        |         ELSE CAST(round(log2((h // 512) & -(h // 512))) AS INT) + 1 END AS rho
+        |  FROM h),
+        |regs AS (
+        |  SELECT event_type, metric, j, max(rho) AS reg_max FROM jr GROUP BY 1, 2, 3),
+        |allregs AS (
+        |  SELECT '__all__' AS event_type, metric, j, max(reg_max) AS reg_max FROM regs GROUP BY 2, 3),
+        |u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+        |est AS (
+        |  SELECT event_type, metric, count(*) AS present,
+        |    sum((1::BIGINT << (52 - reg_max))) AS s_present
+        |  FROM u GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT event_type, metric, present, 512 - present AS zeros,
+        |    0.7213 / (1 + 1.079/512.0) * 512 * 512 * (1::BIGINT << 52)
+        |      / (s_present + (512 - present) * (1::BIGINT << 52)) AS raw
+        |  FROM est)
+        |SELECT event_type, metric, CAST(present AS BIGINT) AS present,
+        |  round(CASE WHEN raw <= 1280 AND zeros > 0 THEN 512 * ln(512.0 / zeros) ELSE raw END, 4) AS hll_est
+        |FROM fin""".stripMargin,
     "q_semdedup" ->
       s"""WITH $ivfAsgCtes,
         |pairs AS (
