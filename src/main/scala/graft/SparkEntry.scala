@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ann.Similarity
 import graft.functions.Scalars
 import graft.operators.{Relational, Windows}
-import graft.text.{Curation, Dedup, TextOps}
+import graft.text.{Curation, Dedup, Fuzzy, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +159,7 @@ object SparkEntry {
     "q_cut_runs" -> (Curation.cutRunsQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
+    "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
@@ -2030,6 +2031,25 @@ object SparkEntry {
         |  FROM ppos LEFT JOIN filt ON filt.bucket = ppos.p // 32
         |  GROUP BY 1, 2)
         |SELECT key, truly_seen, CAST(maybe AS BIGINT) AS maybe FROM hits ORDER BY key""".stripMargin,
+    // SymSpell fuzzy join: identical deletion-key blocking, identical
+    // planted typos, DuckDB's own levenshtein as the verify.
+    "q_fuzzy_join" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS w FROM documents),
+        |words AS (SELECT DISTINCT w FROM toks WHERE w <> ''),
+        |typos AS (
+        |  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3) AS w FROM words WHERE length(w) >= 4),
+        |dict AS (SELECT w FROM words UNION SELECT w FROM typos),
+        |keys AS (
+        |  SELECT w, w AS k FROM dict
+        |  UNION
+        |  SELECT w, substr(w, 1, i) || substr(w, i + 2) AS k
+        |  FROM dict, (SELECT unnest(range(0, 64)) AS i) WHERE i < length(w)),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS wa, b.w AS wb
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)
+        |SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(wa, wb) <= 1""".stripMargin,
     // HyperLogLog: same md5-60 hash, register = low 9 bits, rho =
     // trailing-zero rank of the upper 51 (w & -w integer isolate),
     // harmonic sum as the exact scaled integer sum(2^(52-M_j)), both

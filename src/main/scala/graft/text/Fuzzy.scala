@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Blocked fuzzy join (record linkage by edit distance) — the SymSpell
+  * deletion-neighborhood trick: a pair within Levenshtein distance 1
+  * MUST share a key in {word} ∪ {single-char deletions}, so candidate
+  * generation is an equi-join on deletion keys (≤ len+1 keys per word,
+  * linear in corpus) instead of an N² distance matrix; the exact
+  * `levenshtein` (codegen'd built-in) verifies once per DISTINCT
+  * candidate pair. This is the string twin of the MinHash/LSH shape:
+  * block → equi-join → verify — nothing all-pairs, every shuffle keyed.
+  * At 100 TB dictionary scale the key explosion stays linear and the
+  * join shuffles on short string keys, not documents.
+  */
+object Fuzzy {
+
+  /** The word plus all single-deletion variants — the SymSpell key set
+    * for max edit distance 1 (deletion keys of BOTH sides cover
+    * substitution, insertion and deletion; FuzzySpec proves no distance-1
+    * pair is missed). */
+  def deletionKeys(w: Column): Column =
+    array_union(
+      array(w),
+      transform(
+        sequence(lit(0), length(w) - 1),
+        i => concat(w.substr(lit(1), i), w.substr(i + lit(2), length(w)))
+      )
+    )
+
+  /** All pairs of `dict("w")` within Levenshtein distance 1:
+    * key-explode → equi-join → distinct pair → one exact verify.
+    * Returns (wa, wb, dist) with wa < wb. */
+  def fuzzyPairs(dict: DataFrame): DataFrame = {
+    val keyed = dict
+      .select(col("w"), explode(deletionKeys(col("w"))).as("k"))
+      .distinct()
+    keyed
+      .as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("wa"), col("b.w").as("wb"))
+      .distinct() // a pair may share several deletion keys — verify once
+      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** ◆ Fuzzy join under the oracle: the document vocabulary plus a
+    * deterministic planted corruption of every ≥4-char word (2nd char
+    * dropped — both engines derive the identical typo set), linked back
+    * by the deletion-key join. DuckDB rebuilds the same key sets and
+    * verifies with its own `levenshtein`. */
+  def fuzzyJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables
+      .documents(s, dir)
+      .select(explode(split(lower($"text"), "\\W+")).as("w"))
+      .filter($"w" =!= "")
+      .distinct()
+    val typos = words
+      .filter(length($"w") >= 4)
+      .select(concat($"w".substr(1, 1), $"w".substr(lit(3), length($"w"))).as("w"))
+      .distinct()
+    fuzzyPairs(words.union(typos).distinct())
+  }
+}

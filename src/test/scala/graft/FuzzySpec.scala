@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Fuzzy
+
+/** SymSpell blocked fuzzy join: the deletion-key blocking must find
+  * EXACTLY the pairs a brute-force N² distance scan finds (no recall
+  * loss from blocking), while generating only a linear number of keys.
+  */
+class FuzzySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dict = ((0 until 300).map(i => s"word${i % 97}x${i % 13}") ++
+    Seq("cat", "bat", "cats", "at", "a", "b", "", "spark", "spork", "sparks", "park"))
+    .distinct.filter(_.nonEmpty)
+
+  test("blocked pairs == brute-force distance-1 pairs (blocking loses nothing, adds nothing)") {
+    val df = dict.toDF("w")
+    val blocked = Fuzzy
+      .fuzzyPairs(df)
+      .select($"wa", $"wb")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val brute = (for {
+      a <- dict; b <- dict if a < b
+      if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance.apply(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(blocked === brute)
+  }
+
+  test("key generation is linear: <= len+1 keys per word, never pairwise") {
+    val df = dict.toDF("w")
+    val nKeys = df.select(explode(Fuzzy.deletionKeys($"w"))).count()
+    assert(nKeys <= dict.map(_.length + 1).sum)
+  }
+
+  test("single-char words link through the empty-string deletion key") {
+    val pairs = Fuzzy
+      .fuzzyPairs(Seq("a", "b", "xy").toDF("w"))
+      .select($"wa", $"wb", $"dist")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(pairs.contains(("a", "b", 1L)))
+    assert(!pairs.exists(p => p._1 == "xy" || p._2 == "xy"))
+  }
+}
