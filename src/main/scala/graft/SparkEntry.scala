@@ -93,6 +93,7 @@ object SparkEntry {
     // §2.2/§2.7 geospatial (◇ as column math)
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
     "q_zorder" -> (graft.geo.ZOrder.zorderQuery _),
+    "q_spatial_join" -> (graft.geo.SpatialJoin.spatialJoinQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_mvt" -> (graft.geo.GeoQueries.mvtQuery _),
     "q_cog" -> (graft.geo.GeoQueries.cogQuery _),
@@ -1055,6 +1056,36 @@ object SparkEntry {
         |WHERE NOT (lon + 0.25 < -60.0 OR lon - 0.25 > 60.0
         |           OR lat + 0.25 < -30.0 OR lat - 0.25 > 30.0)
         |GROUP BY event_type""".stripMargin,
+    // Grid-partitioned spatial join: same deterministic lon/lat, same
+    // 20 integer-degree regions, same 5-degree cell keys
+    // (quantize-before-floor), exact containment, integer checksums.
+    "q_spatial_join" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    (event_id * 7919 % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+        |    (event_id * 104729 % 18000) / 100.0 - 90.0 + 0.005 AS lat
+        |  FROM events),
+        |regions AS (
+        |  SELECT r AS region_id,
+        |    ((r * 53) % 60) * 5 - 180 AS w, ((r * 53) % 60) * 5 - 180 + 4 + (r % 5) * 3 AS e,
+        |    ((r * 29) % 30) * 5 - 90 AS s, ((r * 29) % 30) * 5 - 90 + 3 + (r % 4) * 4 AS n
+        |  FROM (SELECT unnest(range(20)) AS r)),
+        |rcells AS (
+        |  SELECT region_id, w, e, s, n, cx, cy
+        |  FROM regions,
+        |    LATERAL (SELECT unnest(generate_series(CAST(floor(round(w / 5.0, 9)) AS BIGINT),
+        |                                           CAST(floor(round(e / 5.0, 9)) AS BIGINT))) AS cx),
+        |    LATERAL (SELECT unnest(generate_series(CAST(floor(round(s / 5.0, 9)) AS BIGINT),
+        |                                           CAST(floor(round(n / 5.0, 9)) AS BIGINT))) AS cy)),
+        |pcells AS (
+        |  SELECT event_id, lon, lat,
+        |    CAST(floor(round(lon / 5.0, 9)) AS BIGINT) AS cx,
+        |    CAST(floor(round(lat / 5.0, 9)) AS BIGINT) AS cy
+        |  FROM ev)
+        |SELECT region_id, CAST(count(*) AS BIGINT) AS n_points, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM rcells JOIN pcells USING (cx, cy)
+        |WHERE lon >= w AND lon <= e AND lat >= s AND lat <= n
+        |GROUP BY 1""".stripMargin,
     // Z-order (Morton) values: same 16-bit quantize-before-floor cells,
     // same bit interleave, rolled up per z-cell so every interleaved
     // bit is hash-checked.
