@@ -208,4 +208,82 @@ object Graph {
     Staged.release(eBlocks)
     (labels, labelBlocks)
   }
+
+  /** PageRank (power iteration, damping 0.85) — the classic page-level
+    * quality signal of a web-scale pretraining corpus (CommonCrawl
+    * ranking). Ranks ride as SCALED INTEGERS (units of 10^-12): every
+    * per-edge contribution is floored in integer math, so the
+    * per-node sums are order-independent BIGINT additions — no float
+    * accumulation order to diverge across engines, partitionings or
+    * runs, which is what makes a 10-round iterative result
+    * hash-oracle-able at all. Truncation only ever LOSES mass (≤ 1
+    * unit per edge per round — PageRankSpec bounds the total), it
+    * never reorders ranks materially.
+    *
+    * Per round: one join edges⋈ranks + one partial-agg sum keyed by
+    * dst (shuffle is edge-sized), a left-anti dangling-mass probe
+    * (driver gets ONE long), and a node-sized left join; lineage kept
+    * flat with [[Staged.checkpointOwned]] per round, round n−1 blocks
+    * released as round n materializes — the CC fixpoint pattern.
+    * Dangling mass is redistributed uniformly (standard treatment).
+    */
+  def pageRank(
+      nodes: DataFrame, // (id)
+      edges: DataFrame, // (src, dst) — simple directed edges
+      iters: Int = 10,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one node")
+    val basePart = 15L * scale / (100L * n)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val (e, eBlocks) = Staged.checkpointOwned(
+      edges.join(outdeg, Seq("src")).select(col("src"), col("dst"), col("deg"))
+    )
+    val (nd, ndBlocks) = Staged.checkpointOwned(nodes.select(col("id")))
+    var (r, rBlocks) = Staged.checkpointOwned(nd.select(col("id"), lit(scale / n).as("r")))
+    var i = 0
+    while (i < iters) {
+      // dangling mass: ranks of nodes with no out-edges — ONE long to
+      // the driver per round (node-bounded anti-join, never row data)
+      val dang = r
+        .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)))
+        .head()
+        .getLong(0)
+      val add = basePart + 85L * dang / (100L * n)
+      val contrib = e
+        .join(r, e("src") === r("id"))
+        .select(col("dst").as("id"), expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("c"))
+      val (next, nextBlocks) = Staged.checkpointOwned(
+        nd.join(contrib, Seq("id"), "left")
+          .select(col("id"), (coalesce(col("c"), lit(0L)) + add).as("r"))
+      )
+      Staged.release(rBlocks)
+      r = next
+      rBlocks = nextBlocks
+      i += 1
+    }
+    Staged.release(eBlocks)
+    Staged.release(ndBlocks)
+    Staged.register(rBlocks)
+    r
+  }
+
+  /** ◆ PageRank under the oracle: a deterministic 500-node link graph
+    * from events (src = id mod 500, dst = id·7919 mod 500, self-loops
+    * dropped, distinct), 10 integer-arithmetic rounds — DuckDB replays
+    * the identical rounds as a generated CTE chain and every scaled
+    * rank must match to the unit. */
+  def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsRaw(s, dir)
+    val edges = ev
+      .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = s.range(500).select(col("id"))
+    pageRank(nodes, edges).select(col("id").as("node"), col("r").as("rank_e12"))
+  }
 }
