@@ -59,7 +59,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "protocol" stamps the measurement discipline into the output so
+    // round-over-round series breaks are visible: r7 and earlier ran
+    // min-of-2 back-to-back (2nd run WARM, riding staged persists);
+    // from r8 on each pass releases all staged/cached blocks after
+    // every query, so per-query min across the two passes is a COLD
+    // number. Cold-min values are the comparison series from r8 onward.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v2","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.

@@ -160,6 +160,7 @@ object SparkEntry {
     "q_cut_runs" -> (Curation.cutRunsQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
+    "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -396,6 +397,37 @@ object SparkEntry {
        |ix AS (SELECT least(${n - 1}, greatest(0, CAST(round(v * ${n - 1}) AS INT))) + 1 AS i FROM vals)
        |SELECT $rs[i] AS r, $gs[i] AS g, $bs[i] AS b, CAST(count(*) AS BIGINT) AS n
        |FROM ix GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Generated PageRank oracle: DuckDB replays the identical 10
+    * integer-arithmetic rounds of `Graph.pageRank` as a MATERIALIZED
+    * CTE chain (materialization is semantically a no-op but without it
+    * each round's double reference re-expands the chain — exponential).
+    * All intermediate sums ride DuckDB HUGEINT (exact); the final rank
+    * casts back to BIGINT to match Spark's long. Constants are the
+    * pageRank defaults: scale 10^12, n=500, damping 85/100. */
+  private def pageRankOracle: String = {
+    val rounds = (0 until 10)
+      .map { k =>
+        s"""d$k AS MATERIALIZED (SELECT coalesce(sum(r),0) AS d FROM r$k WHERE id NOT IN (SELECT src FROM srcs)),
+           |r${k + 1} AS MATERIALIZED (
+           |  SELECT n.id, coalesce(c.c, 0) + 300000000 + 85*(SELECT d FROM d$k)//(100*500) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT dst AS id, sum((85*r)//(100*deg)) AS c
+           |    FROM e JOIN r$k ON e.src = r$k.id GROUP BY dst
+           |  ) c ON n.id = c.id)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT range AS id FROM range(0,500)),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT event_id % 500 AS src, (event_id*7919) % 500 AS dst
+       |  FROM events WHERE event_id % 500 <> (event_id*7919) % 500),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |e AS MATERIALIZED (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+       |srcs AS MATERIALIZED (SELECT DISTINCT src FROM edges),
+       |r0 AS MATERIALIZED (SELECT id, CAST(2000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT id AS node, CAST(r AS BIGINT) AS rank_e12 FROM r10""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2114,6 +2146,7 @@ object SparkEntry {
         |SELECT event_type, metric, CAST(present AS BIGINT) AS present,
         |  round(CASE WHEN raw <= 1280 AND zeros > 0 THEN 512 * ln(512.0 / zeros) ELSE raw END, 4) AS hll_est
         |FROM fin""".stripMargin,
+    "q_pagerank" -> pageRankOracle,
     "q_semdedup" ->
       s"""WITH $ivfAsgCtes,
         |pairs AS (

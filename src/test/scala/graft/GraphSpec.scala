@@ -43,4 +43,37 @@ class GraphSpec extends SparkSuite {
     // strides 12 and 30 over Z/60: components = residues mod gcd(12,30,60)=6
     assert(viaContract.values.toSet === (0L until 6L).toSet)
   }
+
+  private val prScale = 1000000000000L
+
+  test("pageRank: mass conserved to within the integer-truncation bound, sinks included") {
+    // 0→1→…→8→9 with 9 a sink (dangling) and a 3→0 back-edge
+    val nodes = (0L until 10L).toDF("id")
+    val edges = ((0L until 9L).map(i => (i, i + 1)) :+ (3L, 0L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(nodes, edges).collect().map(_.getLong(1))
+    val total = ranks.sum
+    // per round each floor-division loses < 1 unit: ≤ m per-edge
+    // contributions + n basePart shares + n dangling shares
+    val bound = 10L * (2 * 10 + 10)
+    assert(total <= prScale && total > prScale - bound, s"total=$total")
+    assert(ranks.forall(_ > 0))
+  }
+
+  test("pageRank: cycle symmetry gives exactly equal ranks; star center outranks leaves") {
+    val cyc = Graph
+      .pageRank((0L until 3L).toDF("id"), Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"))
+      .collect()
+      .map(_.getLong(1))
+    // every node plays the identical role, and the arithmetic is
+    // integer-deterministic — ranks must be EXACTLY equal
+    assert(cyc.toSet.size === 1)
+    assert(math.abs(cyc.head - prScale / 3) < 10)
+    val star = Graph
+      .pageRank((0L until 5L).toDF("id"), (1L to 4L).map(i => (i, 0L)).toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert((1L to 4L).forall(i => star(0L) > star(i)))
+    assert((2L to 4L).forall(i => star(i) === star(1L))) // leaves symmetric
+  }
 }
