@@ -2107,7 +2107,9 @@ object SparkEntry {
         |  SELECT w, w AS k FROM dict
         |  UNION
         |  SELECT w, substr(w, 1, i) || substr(w, i + 2) AS k
-        |  FROM dict, (SELECT unnest(range(0, 64)) AS i) WHERE i < length(w)),
+        |  FROM dict,
+        |    (SELECT unnest(range(0, (SELECT max(length(w)) FROM dict))) AS i)
+        |  WHERE i < length(w)),
         |cand AS (
         |  SELECT DISTINCT a.w AS wa, b.w AS wb
         |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)

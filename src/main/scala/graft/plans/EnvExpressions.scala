@@ -78,18 +78,36 @@ case class EnvIntersects(children: Seq[Expression]) extends Expression {
 /** Expand [[EnvIntersects]] inside `Filter` conditions into the four
   * standard range comparisons so the parquet scan can push them
   * (min/max row-group stats + file pruning — the replacement for the
-  * reference's SpatiaLite MBR index). Safe exactly under filter
-  * semantics: the expression returns FALSE on a null envelope and the
-  * expanded conjunction returns NULL there — `Filter` drops both. */
+  * reference's SpatiaLite MBR index).
+  *
+  * Scope: ONLY occurrences that are themselves a top-level conjunct of
+  * the filter condition (split on `And`). There the swap is exact: the
+  * expression returns FALSE on a null envelope, the expanded
+  * conjunction returns NULL, and `Filter` drops the row either way.
+  * Anywhere null-observing — under NOT, inside OR, CASE, `IS NULL` —
+  * false vs NULL flips row retention (`WHERE NOT env_intersects(...)`
+  * must KEEP null-envelope rows), so those occurrences keep the
+  * non-nullable expression form and its codegen; they were never
+  * parquet-pushable anyway. */
 object EnvIntersectsRewrite extends Rule[LogicalPlan] {
+  private def splitAnd(cond: Expression): Seq[Expression] = cond match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other     => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform { case f: Filter =>
-    f.copy(condition = f.condition.transform { case EnvIntersects(cs) =>
-      val Seq(minx, miny, maxx, maxy, w, s, e, n) = cs
-      And(
-        And(GreaterThanOrEqual(maxx, w), LessThanOrEqual(minx, e)),
-        And(GreaterThanOrEqual(maxy, s), LessThanOrEqual(miny, n))
-      )
-    })
+    var changed = false
+    val conjuncts = splitAnd(f.condition).map {
+      case EnvIntersects(cs) =>
+        changed = true
+        val Seq(minx, miny, maxx, maxy, w, s, e, n) = cs
+        And(
+          And(GreaterThanOrEqual(maxx, w), LessThanOrEqual(minx, e)),
+          And(GreaterThanOrEqual(maxy, s), LessThanOrEqual(miny, n))
+        )
+      case other => other
+    }
+    if (changed) f.copy(condition = conjuncts.reduce(And)) else f
   }
 }
 

@@ -67,4 +67,27 @@ class EnvExprSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("null-observing contexts do NOT rewrite: NOT env_intersects keeps null-envelope rows") {
+    // the expression is non-nullable (null envelope -> false), so NOT of
+    // it is TRUE for row 4; the expanded four-comparison form would be
+    // NULL there and drop the row — the rewrite must leave non-conjunct
+    // occurrences alone
+    val neg = df.filter(!pred).select($"id").collect().map(_.getLong(0)).toSet
+    assert(neg === Set(2L, 4L), "disjoint AND null-envelope rows survive the negated predicate")
+    // same through SQL, and mixed with a top-level conjunct that DOES rewrite
+    df.createOrReplaceTempView("env_fixture_neg")
+    val n = spark
+      .sql("SELECT count(*) FROM env_fixture_neg WHERE NOT env_intersects(minx, miny, maxx, maxy, -2.0, -2.0, 2.0, 2.0)")
+      .head()
+      .getLong(0)
+    assert(n === 2L)
+    val mixed = df
+      .filter(pred && !EnvExpressions.envIntersects($"minx", $"miny", $"maxx", $"maxy", 3.0, -2.0, 5.0, 2.0))
+      .select($"id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(mixed === Set(1L), "conjunct rewrites, negated occurrence keeps expression semantics")
+  }
 }
