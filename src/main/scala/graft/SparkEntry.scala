@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ann.Similarity
 import graft.functions.Scalars
 import graft.operators.{Relational, Windows}
-import graft.text.{Curation, Dedup, Fuzzy, TextOps}
+import graft.text.{Bpe, Curation, Dedup, Fuzzy, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,7 @@ object SparkEntry {
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
+    "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -428,6 +429,46 @@ object SparkEntry {
        |r0 AS MATERIALIZED (SELECT id, CAST(2000000000 AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT id AS node, CAST(r AS BIGINT) AS rank_e12 FROM r10""".stripMargin
+  }
+
+  /** Generated BPE-training oracle: DuckDB replays `Bpe.trainBpe`'s 8
+    * merge rounds. A word's symbol sequence rides as a string with each
+    * symbol wrapped in its own '|' separators ('|l||o||w</w>|'): the
+    * adjacent pair (a,b) appears as '|a||b|' and `replace()`'s
+    * non-overlapping left-to-right scan is then EXACTLY the BPE merge
+    * rule — a shared single separator would eat the next symbol's
+    * boundary and mis-merge odd runs like 'aaaaa'. '|' never collides:
+    * \w+ tokens are [a-z0-9_] and the end-of-word marker adds only
+    * '</w>'. Ties break (count DESC, left, right) — binary string order
+    * in both engines. MATERIALIZED per round (double-referenced CTEs
+    * re-expand exponentially otherwise). */
+  private def bpeOracle: String = {
+    val rounds = (0 until 8)
+      .map { k =>
+        s"""pc$k AS MATERIALIZED (
+           |  SELECT ls[i] AS a, ls[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq, string_split(trim(s, '|'), '||') AS ls FROM v$k),
+           |       (SELECT unnest(range(1, (SELECT max(length(word)) + 1 FROM wf))) AS i)
+           |  WHERE i < len(ls) GROUP BY 1, 2),
+           |top$k AS MATERIALIZED (
+           |  SELECT CAST($k AS INT) AS rk, a, b, n FROM pc$k ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+           |v${k + 1} AS MATERIALIZED (
+           |  SELECT freq, replace(s,
+           |    '|' || (SELECT a FROM top$k) || '||' || (SELECT b FROM top$k) || '|',
+           |    '|' || (SELECT a FROM top$k) || (SELECT b FROM top$k) || '|') AS s
+           |  FROM v$k)""".stripMargin
+      }
+      .mkString(",\n")
+    val union = (0 until 8).map(k => s"SELECT * FROM top$k").mkString(" UNION ALL ")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT freq, '|' || array_to_string(string_split(word, ''), '||') || '</w>|' AS s FROM wf),
+       |$rounds
+       |SELECT rk AS "rank", a AS "left", b AS "right", n AS pair_count
+       |FROM ($union) ORDER BY rk""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2149,6 +2190,7 @@ object SparkEntry {
         |  round(CASE WHEN raw <= 1280 AND zeros > 0 THEN 512 * ln(512.0 / zeros) ELSE raw END, 4) AS hll_est
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
+    "q_bpe" -> bpeOracle,
     "q_semdedup" ->
       s"""WITH $ivfAsgCtes,
         |pairs AS (
