@@ -162,6 +162,7 @@ object SparkEntry {
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
+    "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2191,6 +2192,37 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_bpe" -> bpeOracle,
+    // Bottom-k reservoir: same md5-60 row hash, bottom-64 by (h, id)
+    // per (event_type, metric), the __all__ row re-bottom-k'd from the
+    // per-type sketches, quantile = element at floor(q*(n-1)) of the
+    // value-sorted sample — a selected element, no arithmetic.
+    "q_reservoir" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+        |vals AS (
+        |  SELECT event_type, 'value_all' AS metric, event_id AS id, value AS v FROM ev
+        |  UNION ALL
+        |  SELECT event_type, 'value_97' AS metric, event_id AS id, value AS v FROM ev
+        |  WHERE event_id % 97 = 0),
+        |hv AS (SELECT *,
+        |    ('0x' || substr(md5('rsv:' || metric || ':' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |samp AS (
+        |  SELECT event_type, metric, h, id, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type, metric ORDER BY h, id) AS srk FROM hv)
+        |  WHERE srk <= 64),
+        |mrg AS (
+        |  SELECT '__all__' AS event_type, metric, h, id, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY metric ORDER BY h, id) AS srk FROM samp)
+        |  WHERE srk <= 64),
+        |u AS (SELECT * FROM samp UNION ALL SELECT * FROM mrg),
+        |ranked AS (
+        |  SELECT event_type, metric, h, id, v,
+        |    row_number() OVER (PARTITION BY event_type, metric ORDER BY v, h, id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type, metric) AS n
+        |  FROM u)
+        |SELECT event_type, metric, q, CAST(n AS BIGINT) AS n_sample, v AS est
+        |FROM ranked, (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q) qs
+        |WHERE rk = CAST(floor(q * (n - 1)) AS BIGINT) + 1""".stripMargin,
     "q_semdedup" ->
       s"""WITH $ivfAsgCtes,
         |pairs AS (
