@@ -137,6 +137,7 @@ object SparkEntry {
     "q_ann_lsh_hi" -> (Similarity.lshNearDupQuery _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfQuery(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.pqQuery(s, d)),
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.ivfPqQuery(s, d)),
     "q_ann_sq" -> ((s: SparkSession, d: String) => Similarity.sqQuery(s, d)),
     "q_ann_refine" -> (Similarity.ivfRefineQuery _),
     "q_ann_batch" -> (Similarity.batchTopKQuery _),
@@ -1660,6 +1661,57 @@ object SparkEntry {
         |adc AS (SELECT asg.vec_id, sum(lut.pd) AS adist FROM asg JOIN lut USING (s, code) GROUP BY asg.vec_id)
         |SELECT vec_id, round(adist, 6) AS adc_dist FROM adc WHERE vec_id <> 0
         |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin,
+    // IVF-PQ end to end: coarse assignment (ivfAsgCtes), residual
+    // vectors, residual seed codebook, quantized-argmin codes, 2-cell
+    // probe, per-cell residual LUTs, round-9 ADC shortlist of 50,
+    // exact-cosine re-rank — the q_ann_ivf and q_ann_pq oracles
+    // composed.
+    "q_ann_ivfpq" ->
+      s"""WITH $ivfAsgCtes,
+        |res AS (
+        |  SELECT asg.vec_id, asg.cell_id, [v.e[i] - cent.c[i] for i in range(1, 65)] AS r
+        |  FROM asg JOIN v USING (vec_id) JOIN cent USING (cell_id)),
+        |sub AS (
+        |  SELECT vec_id, cell_id, CAST(s AS INT) AS s, r[s*8+1:s*8+8] AS sv
+        |  FROM res, (SELECT unnest(range(8)) AS s)),
+        |cb AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS c FROM sub WHERE vec_id < 16),
+        |cd2 AS (
+        |  SELECT sub.vec_id, sub.s, cb.code,
+        |    list_sum([(sub.sv[i] - cb.c[i]) * (sub.sv[i] - cb.c[i]) for i in range(1, 9)]) AS dist
+        |  FROM sub JOIN cb USING (s)),
+        |pasg AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY round(dist, 9), code) AS rk
+        |    FROM cd2) WHERE rk = 1),
+        |q AS (SELECT e FROM v WHERE vec_id = 0),
+        |qcd AS (
+        |  SELECT cell_id,
+        |    list_sum([(c[i] - q.e[i]) * (c[i] - q.e[i]) for i in range(1, 65)]) AS dist
+        |  FROM cent, q),
+        |probe AS (SELECT cell_id FROM qcd ORDER BY dist, cell_id LIMIT 2),
+        |qres AS (
+        |  SELECT probe.cell_id, [q.e[i] - cent.c[i] for i in range(1, 65)] AS qr
+        |  FROM probe JOIN cent USING (cell_id), q),
+        |qsub AS (
+        |  SELECT cell_id, CAST(s AS INT) AS s, qr[s*8+1:s*8+8] AS qv
+        |  FROM qres, (SELECT unnest(range(8)) AS s)),
+        |lut AS (
+        |  SELECT qsub.cell_id, cb.s, cb.code,
+        |    list_sum([(qsub.qv[i] - cb.c[i]) * (qsub.qv[i] - cb.c[i]) for i in range(1, 9)]) AS pd
+        |  FROM qsub JOIN cb ON cb.s = qsub.s),
+        |adc AS (
+        |  SELECT pasg.vec_id, sum(lut.pd) AS adist
+        |  FROM pasg
+        |  JOIN (SELECT DISTINCT vec_id, cell_id FROM sub) sc USING (vec_id)
+        |  JOIN lut ON lut.cell_id = sc.cell_id AND lut.s = pasg.s AND lut.code = pasg.code
+        |  GROUP BY 1),
+        |short AS (SELECT vec_id FROM adc ORDER BY round(adist, 9), vec_id LIMIT 50),
+        |rr AS (
+        |  SELECT v.vec_id, list_cosine_similarity(v.e, q.e) AS cs
+        |  FROM short JOIN v USING (vec_id) CROSS JOIN q)
+        |SELECT vec_id, round(cs, 6) AS cos_sim FROM rr
+        |ORDER BY round(cs, 6) DESC, vec_id LIMIT 10""".stripMargin,
     // SQ8: same per-dim min/max bounds, same quantize-before-floor int8
     // codes, same asymmetric dequantized distances.
     "q_ann_sq" ->

@@ -649,6 +649,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** ◆ IVF-PQ end-to-end under the oracle — the deterministic
+    * composition of the q_ann_ivf coarse layer (seed centroids =
+    * vec_id < 8, nearest cell, tie → lowest) with the q_ann_pq code
+    * layer trained on RESIDUALS (seed codebook = residual sub-vectors
+    * of vec_id < 16): probe the 2 cells nearest the query, ADC
+    * shortlist of 50 on the round-9 quantized distance, exact-cosine
+    * re-rank to the top 10. Every stage — assignment, residuals,
+    * argmin codes, per-cell LUTs, shortlist, re-rank — is replayed by
+    * DuckDB on the same IEEE doubles, which makes the full compressed-
+    * domain pipeline hash-checkable, not just recall-gated. */
+  def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 8; val ksub = 16; val dsub = 8
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select($"vec_id", asDouble($"embedding").as("v"))
+    val centroids = corpus.filter($"vec_id" < 8).select($"vec_id".as("cell_id"), $"v".as("centroid"))
+    val assigned = graft.operators.Staged.persist(ivfAssign(emb, centroids))
+    // residual corpus: v − assigned-cell centroid (exact IEEE subtract —
+    // both engines compute the identical residual)
+    val residuals = assigned
+      .join(broadcast(centroids), Seq("cell_id"))
+      .select($"vec_id", zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
+    val codebook = pqSeedCodebook(residuals, m, ksub, dsub)
+    val codes = pqAssign(residuals, codebook, m, dsub)
+      .join(assigned.select($"vec_id", $"cell_id"), Seq("vec_id"))
+    val queryVec = corpus.filter($"vec_id" === 0).select($"v").head().getSeq[Double](0)
+    ivfPqSearch(s, assigned, centroids, codebook, codes, queryVec, k = 10, nProbe = 2, shortlist = 50, dsub = dsub)
+  }
+
   // ---------------------------------------------------------------------
   // Scalar quantization (SQ8) — the FAISS-standard companion to PQ:
   // each dimension is linearly quantized to 8 bits against per-dim
