@@ -95,6 +95,54 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bbox over a z-ordered layout prunes row groups at the scan; hash layout decodes everything") {
+    // the two halves of the spatial-pruning story composed and measured
+    // on the EXECUTED scan node: zorderWrite gives each file a tight
+    // envelope, EnvIntersectsRewrite turns env_intersects into pushed
+    // range predicates, and the parquet reader's row-group stats then
+    // skip the files a 20°×20° bbox cannot touch — the scan's
+    // numOutputRows is the rows it actually DECODED (pushed filters
+    // prune row groups; exact filtering happens above the scan), so
+    // z-order must decode a small fraction while a hash layout decodes
+    // every row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = graft.geo.GeoQueries
+      .withLonLat(Tables.eventsRaw(spark, sf0001))
+      .select(col("event_id"), col("lon"), col("lat"))
+    val zDir = java.nio.file.Files.createTempDirectory("planaudit_zorder").toString
+    val hDir = java.nio.file.Files.createTempDirectory("planaudit_hash").toString
+    try {
+      graft.geo.ZOrder.zorderWrite(ev, "lon", "lat", -180, -90, 180, 90, nFiles = 16, path = zDir)
+      ev.repartition(16).write.mode("overwrite").parquet(hDir)
+      graft.plans.EnvExpressions.register(spark)
+      val total = spark.read.parquet(zDir).count()
+
+      def decodedRows(dir: String): Long = {
+        // a point's envelope is the point itself: after the rewrite the
+        // scan pushes lon/lat range predicates
+        val q = spark.read
+          .parquet(dir)
+          .filter(
+            graft.plans.EnvExpressions
+              .envIntersects(col("lon"), col("lat"), col("lon"), col("lat"), 10.0, 10.0, 30.0, 30.0)
+          )
+        q.collect()
+        val scan = q.queryExecution.executedPlan
+          .collectFirst { case f: FileSourceScanExec => f }
+          .getOrElse(fail("no FileSourceScanExec in executed plan"))
+        scan.metrics("numOutputRows").value
+      }
+
+      val zDecoded = decodedRows(zDir)
+      val hDecoded = decodedRows(hDir)
+      assert(hDecoded === total, s"hash layout has world-spanning row-group stats: nothing prunes ($hDecoded)")
+      assert(zDecoded > 0 && zDecoded <= total / 3, s"z-order must skip most row groups, decoded $zDecoded/$total")
+    } finally {
+      Seq(zDir, hDir).foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("materialized tile pyramid serves level reads via partition pruning") {
     // the tiler's derived-artifact store must not scan other zoom
     // levels when one level is requested — the moral equivalent of the
