@@ -221,8 +221,10 @@ object Graph {
     * never reorders ranks materially.
     *
     * Per round: one join edges⋈ranks + one partial-agg sum keyed by
-    * dst (shuffle is edge-sized), a left-anti dangling-mass probe
-    * (driver gets ONE long), and a node-sized left join; lineage kept
+    * dst (shuffle is edge-sized), a left-anti dangling-mass aggregate
+    * that stays IN the plan (a broadcast 1-row crossJoin — no driver
+    * action; the only action per round is the flat-lineage
+    * materialization itself), and a node-sized left join; lineage kept
     * flat with [[Staged.checkpointOwned]] per round, round n−1 blocks
     * released as round n materializes — the CC fixpoint pattern.
     * Dangling mass is redistributed uniformly (standard treatment).
@@ -242,16 +244,17 @@ object Graph {
     )
     val (nd, ndBlocks) = Staged.checkpointOwned(nodes.select(col("id")))
     var (r, rBlocks) = Staged.checkpointOwned(nd.select(col("id"), lit(scale / n).as("r")))
+    // out-edge endpoints are static across rounds — compute the probe
+    // side of the dangling anti-join once
+    val (srcs, srcBlocks) = Staged.checkpointOwned(e.select(col("src").as("id")).distinct())
     var i = 0
     while (i < iters) {
-      // dangling mass: ranks of nodes with no out-edges — ONE long to
-      // the driver per round (node-bounded anti-join, never row data)
+      // dangling mass: ranks of nodes with no out-edges — a 1-row
+      // aggregate kept IN the plan and broadcast under the per-node add
+      // (node-bounded anti-join, never row data, no driver round-trip)
       val dang = r
-        .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)))
-        .head()
-        .getLong(0)
-      val add = basePart + 85L * dang / (100L * n)
+        .join(srcs, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val contrib = e
         .join(r, e("src") === r("id"))
         .select(col("dst").as("id"), expr("(85 * r) div (100 * deg)").as("c"))
@@ -259,13 +262,19 @@ object Graph {
         .agg(sum(col("c")).as("c"))
       val (next, nextBlocks) = Staged.checkpointOwned(
         nd.join(contrib, Seq("id"), "left")
-          .select(col("id"), (coalesce(col("c"), lit(0L)) + add).as("r"))
+          .crossJoin(broadcast(dang))
+          // `div`, not `/`: Column `/` on longs is DOUBLE division
+          .select(
+            col("id"),
+            expr(s"coalesce(c, ${0L}L) + ${basePart}L + (85L * dang) div ${100L * n}L").as("r")
+          )
       )
       Staged.release(rBlocks)
       r = next
       rBlocks = nextBlocks
       i += 1
     }
+    Staged.release(srcBlocks)
     Staged.release(eBlocks)
     Staged.release(ndBlocks)
     Staged.register(rBlocks)
