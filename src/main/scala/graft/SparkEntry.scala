@@ -164,6 +164,7 @@ object SparkEntry {
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
+    "q_cmsketch" -> ((s: SparkSession, d: String) => graft.operators.CountMin.cmQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2244,6 +2245,35 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_bpe" -> bpeOracle,
+    // Count-Min: same md5-60 salted hashes mod 1024, per-(source,row)
+    // counter table, point query = min over the 4 counters (absent
+    // counter = 0), exact per-source truth beside it.
+    "q_cmsketch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+        |  FROM documents),
+        |sk AS (
+        |  SELECT source, i,
+        |    ('0x' || substr(md5('cm' || i || ':' || tok), 1, 15))::BIGINT % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks, (SELECT unnest(range(4)) AS i)
+        |  GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+        |pb AS (
+        |  SELECT tok, i,
+        |    ('0x' || substr(md5('cm' || i || ':' || tok), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM probes, (SELECT unnest(range(4)) AS i)),
+        |grp AS (SELECT DISTINCT source FROM toks),
+        |est AS (
+        |  SELECT g.source, pb.tok, min(coalesce(sk.cnt, 0)) AS cm_est
+        |  FROM grp g CROSS JOIN pb
+        |  LEFT JOIN sk ON sk.source = g.source AND sk.i = pb.i AND sk.bucket = pb.bucket
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS true_cnt
+        |  FROM toks JOIN probes USING (tok) GROUP BY 1, 2)
+        |SELECT est.source, est.tok, est.cm_est, coalesce(truth.true_cnt, 0) AS true_cnt
+        |FROM est LEFT JOIN truth ON truth.source = est.source AND truth.tok = est.tok""".stripMargin,
     // Bottom-k reservoir: same md5-60 row hash, bottom-64 by (h, id)
     // per (event_type, metric), the __all__ row re-bottom-k'd from the
     // per-type sketches, quantile = element at floor(q*(n-1)) of the
