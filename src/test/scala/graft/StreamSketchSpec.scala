@@ -70,4 +70,30 @@ class StreamSketchSpec extends SparkSuite {
       (550 until 600).foreach(i => assert(answers(s"url:$i") === 1L, s"inserted key url:$i must be MAYBE"))
     } finally q.stop()
   }
+
+  test("streaming bottom-k reservoir == batch sketch after 3 micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Reservoir
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val withHash = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("grp", "id", "v").withColumn("h", Reservoir.rowHash(col("grp"), col("id")))
+    val sk = Reservoir.sample(withHash(ms.toDF()), Seq("grp"), col("h"), col("id"), col("v"))
+    val q = sk.writeStream.outputMode("complete").format("memory").queryName("rsv_stream").start()
+    val data = (0 until 600).map(i => (s"g${i % 2}", i.toLong, (i * 13 % 100).toDouble))
+    try {
+      data.grouped(200).foreach { chunk =>
+        ms.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("grp", "h", "id", "v")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sorted
+      val got = rows(spark.table("rsv_stream"))
+      val want = rows(Reservoir.sample(withHash(data.toDF()), Seq("grp"), col("h"), col("id"), col("v")))
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
+  }
 }
