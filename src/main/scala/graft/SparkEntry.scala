@@ -165,6 +165,7 @@ object SparkEntry {
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
     "q_cmsketch" -> ((s: SparkSession, d: String) => graft.operators.CountMin.cmQuery(s, d)),
+    "q_theta" -> ((s: SparkSession, d: String) => graft.operators.Theta.thetaQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2245,6 +2246,55 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_bpe" -> bpeOracle,
+    // Theta/KMV: same salted md5-60 value hashes, bottom-64 distinct
+    // per set, theta = 64th smallest (domain 2^60 when not full),
+    // exact branch below k, union-merge re-bottom-k, intersections via
+    // common-hash count below min(theta) — identical IEEE estimate
+    // expression.
+    "q_theta" ->
+      """WITH hv AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('th:u:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'small',
+        |    ('0x' || substr(md5('th:u:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |  FROM events WHERE user_id < 40),
+        |dh AS (SELECT DISTINCT event_type, h FROM hv),
+        |sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM dh)
+        |  WHERE rk <= 64),
+        |allsk AS (
+        |  SELECT '__all__' AS event_type, h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |    FROM (SELECT DISTINCT h FROM sk WHERE event_type <> 'small'))
+        |  WHERE rk <= 64),
+        |u AS (SELECT * FROM sk UNION ALL SELECT * FROM allsk),
+        |th AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_retained,
+        |    CASE WHEN count(*) = 64 THEN max(h) ELSE 1152921504606846976 END AS theta
+        |  FROM u GROUP BY 1),
+        |ests AS (
+        |  SELECT event_type AS set_a, '' AS set_b, n_retained AS n,
+        |    CASE WHEN n_retained < 64 THEN CAST(n_retained AS DOUBLE)
+        |         ELSE round(63.0 * 1152921504606846976.0 / theta, 4) END AS est
+        |  FROM th),
+        |inter AS (
+        |  SELECT p.a AS set_a, p.b AS set_b,
+        |    CAST(coalesce(sum(CASE WHEN x.h < t.th THEN 1 ELSE 0 END), 0) AS BIGINT) AS n,
+        |    round(CAST(coalesce(sum(CASE WHEN x.h < t.th THEN 1 ELSE 0 END), 0) AS DOUBLE)
+        |      * 1152921504606846976.0 / t.th, 4) AS est
+        |  FROM (VALUES ('click', 'view'), ('click', 'purchase')) AS p(a, b)
+        |  JOIN LATERAL (
+        |    SELECT least(ta.theta, tb.theta) AS th
+        |    FROM th ta, th tb WHERE ta.event_type = p.a AND tb.event_type = p.b) t ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT sa.h FROM sk sa JOIN sk sb ON sa.h = sb.h
+        |    WHERE sa.event_type = p.a AND sb.event_type = p.b) x ON true
+        |  GROUP BY 1, 2, t.th)
+        |SELECT set_a, set_b, n, est FROM ests
+        |UNION ALL SELECT set_a, set_b, n, est FROM inter""".stripMargin,
     // Count-Min: same md5-60 salted hashes mod 1024, per-(source,row)
     // counter table, point query = min over the 4 counters (absent
     // counter = 0), exact per-source truth beside it.
