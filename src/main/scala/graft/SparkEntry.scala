@@ -166,6 +166,7 @@ object SparkEntry {
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
     "q_cmsketch" -> ((s: SparkSession, d: String) => graft.operators.CountMin.cmQuery(s, d)),
     "q_theta" -> ((s: SparkSession, d: String) => graft.operators.Theta.thetaQuery(s, d)),
+    "q_priority" -> ((s: SparkSession, d: String) => graft.operators.Priority.priorityQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2246,6 +2247,43 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_bpe" -> bpeOracle,
+    // Priority sampling: p = w·2e6/(2·u6+1) — one IEEE multiply + one
+    // divide on exact integers, no transcendentals — top-33 per
+    // source, tau = 33rd priority (0 on the exhaustive branch),
+    // est_w = max(w, tau).
+    "q_priority" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |d2 AS (SELECT * FROM docs WHERE n_tok > 0),
+        |base AS (
+        |  SELECT source, doc_id, n_tok FROM d2
+        |  UNION ALL SELECT 'tiny', doc_id, n_tok FROM d2 WHERE doc_id < 20),
+        |pr AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(n_tok AS DOUBLE) * 2000000.0 /
+        |      CAST((('0x' || substr(md5('ps:tok:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |            % 1000000) * 2 + 1 AS DOUBLE) AS p
+        |  FROM base),
+        |sk AS (
+        |  SELECT source, p, doc_id AS id, n_tok AS w FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id ASC) AS srk FROM pr)
+        |  WHERE srk <= 33),
+        |allsk AS (
+        |  SELECT '__all__' AS source, p, id, w FROM (
+        |    SELECT *, row_number() OVER (ORDER BY p DESC, id ASC) AS srk FROM sk WHERE source <> 'tiny')
+        |  WHERE srk <= 33),
+        |u AS (SELECT * FROM sk UNION ALL SELECT * FROM allsk),
+        |ranked AS (
+        |  SELECT source, p, id, w,
+        |    row_number() OVER (PARTITION BY source ORDER BY p DESC, id ASC) AS rk FROM u),
+        |tau AS (
+        |  SELECT source, coalesce(max(CASE WHEN rk = 33 THEN p END), 0.0) AS tau
+        |  FROM ranked GROUP BY source)
+        |SELECT r.source, CAST(r.rk AS INT) AS rk, r.id AS doc_id, r.w AS n_tok,
+        |  round(greatest(CAST(r.w AS DOUBLE), t.tau), 6) AS est_w
+        |FROM ranked r JOIN tau t USING (source) WHERE r.rk <= 32""".stripMargin,
     // Theta/KMV: same salted md5-60 value hashes, bottom-64 distinct
     // per set, theta = 64th smallest (domain 2^60 when not full),
     // exact branch below k, union-merge re-bottom-k, intersections via
