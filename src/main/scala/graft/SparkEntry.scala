@@ -167,6 +167,7 @@ object SparkEntry {
     "q_cmsketch" -> ((s: SparkSession, d: String) => graft.operators.CountMin.cmQuery(s, d)),
     "q_theta" -> ((s: SparkSession, d: String) => graft.operators.Theta.thetaQuery(s, d)),
     "q_priority" -> ((s: SparkSession, d: String) => graft.operators.Priority.priorityQuery(s, d)),
+    "q_interval_join" -> ((s: SparkSession, d: String) => graft.operators.IntervalJoin.intervalQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2247,6 +2248,24 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_bpe" -> bpeOracle,
+    // Interval-overlap self-join: deterministic integer second
+    // intervals from the raw nano timestamps; DuckDB verifies the
+    // blocked equi-join plan with its own direct range join (IEJoin) —
+    // a genuinely different algorithm.
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS s,
+        |    epoch_ns(ts) // 1000000000 + event_id % 600 + 1 AS e
+        |  FROM events),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.event_id AS ida, b.event_id AS idb
+        |  FROM iv a JOIN iv b
+        |    ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e)
+        |SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(ida + idb) AS BIGINT) AS id_sum
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // Priority sampling: p = w·2e6/(2·u6+1) — one IEEE multiply + one
     // divide on exact integers, no transcendentals — top-33 per
     // source, tau = 33rd priority (0 on the exhaustive branch),
