@@ -162,6 +162,7 @@ object SparkEntry {
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
+    "q_triangles" -> ((s: SparkSession, d: String) => graft.operators.Graph.trianglesQuery(s, d)),
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
     "q_cmsketch" -> ((s: SparkSession, d: String) => graft.operators.CountMin.cmQuery(s, d)),
@@ -2247,6 +2248,36 @@ object SparkEntry {
         |  round(CASE WHEN raw <= 1280 AND zeros > 0 THEN 512 * ln(512.0 / zeros) ELSE raw END, 4) AS hll_est
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
+    // Triangles: same undirected event graph, same (deg, id) edge
+    // orientation, wedge join closed against the canonical a<b edge
+    // set — each triangle counted once at its lowest-rank corner.
+    "q_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT event_id % 500 AS src, (event_id*7919) % 500 AS dst
+        |  FROM events WHERE event_id % 500 <> (event_id*7919) % 500),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |ranked AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |              THEN und.a ELSE und.b END AS u,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |              THEN und.b ELSE und.a END AS w
+        |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+        |wedges AS (
+        |  SELECT x.u, x.w AS w1, y.w AS w2
+        |  FROM ranked x JOIN ranked y ON x.u = y.u AND x.w < y.w),
+        |tri AS (
+        |  SELECT wedges.u, wedges.w1, wedges.w2
+        |  FROM wedges JOIN und ON und.a = wedges.w1 AND und.b = wedges.w2),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT w1 FROM tri
+        |    UNION ALL SELECT w2 FROM tri) GROUP BY node)
+        |SELECT r.range AS node, coalesce(pn.n_tri, 0) AS n_tri
+        |FROM range(0, 500) r LEFT JOIN pn ON pn.node = r.range""".stripMargin,
     "q_bpe" -> bpeOracle,
     // Interval-overlap self-join: deterministic integer second
     // intervals from the raw nano timestamps; DuckDB verifies the

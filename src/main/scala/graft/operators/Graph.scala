@@ -281,6 +281,65 @@ object Graph {
     r
   }
 
+  /** Triangle counting via degree-ordered orientation (Cohen 2009
+    * "Graph twiddling in a MapReduce world"; the Schank–Wagner
+    * forward algorithm relationally): each undirected edge is oriented
+    * toward the higher (degree, id) rank, which caps every node's
+    * out-degree at O(√m), so the wedge self-join — the only quadratic
+    * risk — generates at most m^1.5 candidate wedges instead of
+    * Σ deg². A triangle has exactly ONE vertex whose two edges both
+    * point away (its lowest-rank corner), so closing wedges against
+    * the canonical a<b edge set counts each triangle exactly once —
+    * no distinct over triangles. Returns one row per triangle
+    * (u, w1, w2 with w1 < w2).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(
+          col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w"))
+        ).otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e")
+      )
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    val wedges = ranked
+      .select(col("u"), col("w").as("w1"))
+      .join(ranked.select(col("u"), col("w").as("w2")), Seq("u"))
+      .filter(col("w1") < col("w2"))
+    wedges.join(und.select(col("a").as("w1"), col("b").as("w2")), Seq("w1", "w2"))
+  }
+
+  /** ◆ Triangle counts under the oracle: the deterministic 500-node
+    * event graph (undirected form of the pageRank edges), per-node
+    * triangle participation for every node (0 included) — DuckDB
+    * replays the identical orientation and joins. */
+  def trianglesQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsRaw(s, dir)
+    val edges = ev
+      .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val tri = triangles(edges)
+    val perNode = tri
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+    s.range(500)
+      .select(col("id").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   /** ◆ PageRank under the oracle: a deterministic 500-node link graph
     * from events (src = id mod 500, dst = id·7919 mod 500, self-loops
     * dropped, distinct), 10 integer-arithmetic rounds — DuckDB replays

@@ -76,4 +76,29 @@ class GraphSpec extends SparkSuite {
     assert((1L to 4L).forall(i => star(0L) > star(i)))
     assert((2L to 4L).forall(i => star(i) === star(1L))) // leaves symmetric
   }
+
+  test("triangles: K4 has four, counted once each; C5 has none; brute force agrees on a dense graph") {
+    def triSet(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      Graph
+        .triangles(edges.toDF("src", "dst"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // K4: every 3-subset is a triangle, lowest-rank-corner rule emits each once
+    val k4 = triSet(for (i <- 0L until 4L; j <- i + 1 to 3L) yield (i, j))
+    assert(k4.length === 4 && k4.distinct.length === 4)
+    assert(k4.map { case (a, b, c) => Set(a, b, c) }.toSet === Set(0L, 1L, 2L, 3L).subsets(3).toSet)
+    // odd cycle: no triangles
+    assert(triSet(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))).isEmpty)
+    // dense-ish deterministic graph vs brute force
+    val edges = (for (i <- 0L until 30L; j <- i + 1 until 30L if (i * 31 + j) % 3 == 0) yield (i, j)).toSeq
+    val es = edges.toSet
+    val brute = for {
+      a <- 0L until 30L; b <- a + 1 until 30L; c <- b + 1 until 30L
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield Set(a, b, c)
+    val got = triSet(edges).map { case (a, b, c) => Set(a, b, c) }
+    assert(got.length === got.distinct.length, "each triangle exactly once")
+    assert(got.toSet === brute.toSet)
+  }
 }
