@@ -169,6 +169,7 @@ object SparkEntry {
     "q_theta" -> ((s: SparkSession, d: String) => graft.operators.Theta.thetaQuery(s, d)),
     "q_priority" -> ((s: SparkSession, d: String) => graft.operators.Priority.priorityQuery(s, d)),
     "q_interval_join" -> ((s: SparkSession, d: String) => graft.operators.IntervalJoin.intervalQuery(s, d)),
+    "q_bloom_join" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomJoinQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2279,6 +2280,40 @@ object SparkEntry {
         |SELECT r.range AS node, coalesce(pn.n_tri, 0) AS n_tri
         |FROM range(0, 500) r LEFT JOIN pn ON pn.node = r.range""".stripMargin,
     "q_bpe" -> bpeOracle,
+    // Bloom-pruned aggregation: same double-hash bit math as q_bloom
+    // (m=4096, k=3), filter from the user_id%37 dim keys, every event
+    // row probed (multiplicity preserved via event_id), exact count
+    // beside the pruned count so the FP overhead is visible.
+    "q_bloom_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, 'u:' || CAST(user_id AS VARCHAR) AS key, user_id
+        |  FROM events),
+        |dim AS (SELECT DISTINCT key FROM ev WHERE CAST(substr(key, 3) AS BIGINT) % 37 = 0),
+        |pos AS (
+        |  SELECT key,
+        |    (('0x' || substr(md5(key), 1, 15))::BIGINT
+        |     + i * ('0x' || substr(md5('salt2:' || key), 1, 15))::BIGINT) % 4096 AS p
+        |  FROM dim, (SELECT unnest(range(3)) AS i)),
+        |filt AS (
+        |  SELECT p // 32 AS bucket, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |probe AS (
+        |  SELECT ev.event_id, ev.event_type, ev.key,
+        |    (('0x' || substr(md5(ev.key), 1, 15))::BIGINT
+        |     + i * ('0x' || substr(md5('salt2:' || ev.key), 1, 15))::BIGINT) % 4096 AS p
+        |  FROM ev, (SELECT unnest(range(3)) AS i)),
+        |bits AS (
+        |  SELECT probe.event_id, probe.event_type, probe.key,
+        |    CASE WHEN filt.bits IS NOT NULL
+        |           AND ((filt.bits >> CAST(probe.p % 32 AS INT)) & 1) = 1
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM probe LEFT JOIN filt ON filt.bucket = probe.p // 32),
+        |perrow AS (
+        |  SELECT event_id, event_type, key, min(hit) AS maybe FROM bits GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  CAST(sum(maybe) AS BIGINT) AS n_bloom_pass,
+        |  CAST(sum(CASE WHEN CAST(substr(key, 3) AS BIGINT) % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM perrow GROUP BY 1""".stripMargin,
     // Interval-overlap self-join: deterministic integer second
     // intervals from the raw nano timestamps; DuckDB verifies the
     // blocked equi-join plan with its own direct range join (IEJoin) —

@@ -68,6 +68,58 @@ object Bloom {
       .agg(min(col("bit_set")).as("maybe"))
   }
 
+  /** The md5-60 hash pair evaluated driver/executor-side — EXACTLY the
+    * integer semantics of the [[h1]]/[[h2]] column expressions (hex
+    * md5, first 15 nibbles, base-16 parse), so the closure probe and
+    * the relational probe agree bit for bit. */
+  private def jvmHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Scan-side probe: collect the (bounded, m/32-word) filter into a
+    * closure array and test all k bits per row — NO join, NO shuffle,
+    * the fact scan is pruned in place. This is the 100 TB semi-join
+    * pattern: build the filter from the small side's keys, broadcast
+    * it into the big side's scan, and only survivors (true matches +
+    * the bounded false-positive overhead) reach the exact join's
+    * shuffle. The relational [[contains]] stays the oracle surface;
+    * BloomSpec gates that both paths answer identically. */
+  def probe(filter: DataFrame, m: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val words = new Array[Long](m / 32)
+    filter.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    udf { key: String =>
+      val a = jvmHash60(key)
+      val b = jvmHash60("salt2:" + key)
+      var i = 0
+      var hit = true
+      while (i < k && hit) {
+        val p = (a + i * b) % m
+        hit = ((words((p / 32).toInt) >> (p % 32).toInt) & 1L) == 1L
+        i += 1
+      }
+      if (hit) 1L else 0L
+    }
+  }
+
+  /** ◆ Bloom-pruned aggregation under the oracle: build the filter
+    * from a dim key set (user_id % 37 = 0), prune the events fact
+    * stream scan-side, and report per event type both the pruned
+    * count and the exact count — the false-positive overhead the
+    * sizing admits is visible as their difference, and every bit
+    * decision is re-derived by DuckDB. */
+  def bloomJoinQuery(s: SparkSession, dir: String, m: Int = 4096, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", concat(lit("u:"), $"user_id".cast("string")).as("key"))
+    val dimKeys = ev.select($"key").distinct().filter(expr("CAST(substr(key, 3) AS BIGINT) % 37 = 0"))
+    val pass = probe(build(dimKeys, "key", m, k), m, k)
+    ev.withColumn("maybe", pass($"key"))
+      .withColumn("exact", when(expr("CAST(substr(key, 3) AS BIGINT) % 37 = 0"), 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(sum($"maybe").as("n_bloom_pass"), sum($"exact").as("n_exact"))
+  }
+
   /** ◆ Bloom membership under the oracle: filter built over the keys
     * of doc_id < 400, probed with doc_id < 500 — every per-probe
     * decision (including any false positive the sizing admits) is

@@ -46,4 +46,22 @@ class BloomSpec extends SparkSuite {
     val popcount = filt.map(r => java.lang.Long.bitCount(r.getLong(1))).sum
     assert(popcount > 0 && popcount <= n * k, s"occupancy $popcount exceeds k·n = ${n * k}")
   }
+
+  test("closure probe == relational contains, bit for bit, and plans no join") {
+    val m = 4096; val k = 3
+    val filt = Bloom.build(keysDf(400, "key"), "key", m, k)
+    val probes = keysDf(900, "key") // 400 inserted + 500 unseen
+    val relational = Bloom
+      .contains(filt, probes, "key", m, k)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val viaUdf = probes.withColumn("maybe", Bloom.probe(filt, m, k)(col("key")))
+    val closure = viaUdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(closure === relational, "the scan-side probe must reproduce the relational answers exactly")
+    // the whole point of the closure path: the fact stream is pruned
+    // in place — no join, no shuffle before the filter
+    val plan = viaUdf.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Join"), s"closure probe must not plan a join:\n$plan")
+  }
 }
