@@ -170,6 +170,8 @@ object SparkEntry {
     "q_priority" -> ((s: SparkSession, d: String) => graft.operators.Priority.priorityQuery(s, d)),
     "q_interval_join" -> ((s: SparkSession, d: String) => graft.operators.IntervalJoin.intervalQuery(s, d)),
     "q_bloom_join" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomJoinQuery(s, d)),
+    "q_salted_agg" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedAggQuery(s, d)),
+    "q_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedJoinQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
@@ -2284,6 +2286,18 @@ object SparkEntry {
     // (m=4096, k=3), filter from the user_id%37 dim keys, every event
     // row probed (multiplicity preserved via event_id), exact count
     // beside the pruned count so the FP overhead is visible.
+    // Salting is pure plumbing: both salted queries must equal the
+    // direct GROUP BY / plain join — the oracle IS the unsalted form.
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 ELSE l_orderkey % 25 END AS nk, l_quantity
+        |  FROM lineitem)
+        |SELECT n_name, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM f JOIN nation ON f.nk = nation.n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_bloom_join" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, 'u:' || CAST(user_id AS VARCHAR) AS key, user_id
