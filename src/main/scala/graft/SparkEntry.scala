@@ -173,6 +173,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedAggQuery(s, d)),
     "q_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedJoinQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
+    "q_bm25" -> (TextOps.bm25Query _),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
@@ -2286,6 +2287,29 @@ object SparkEntry {
     // (m=4096, k=3), filter from the user_id%37 dim keys, every event
     // row probed (multiplicity preserved via event_id), exact count
     // beside the pruned count so the FP overhead is visible.
+    // BM25: same \w+ tokenization as q_tfidf, same ln() idf pattern,
+    // rounded before ranking so tie order is engine-independent.
+    "q_bm25" ->
+      """WITH tr AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM tr GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl, count(*) AS nd FROM dl),
+        |qt AS (SELECT unnest(['fast','spark','join']) AS term),
+        |tf AS (
+        |  SELECT tr.doc_id, tr.term, count(*) AS f
+        |  FROM tr JOIN qt ON tr.term = qt.term GROUP BY tr.doc_id, tr.term),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tr JOIN qt USING (term) GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * f * 2.2 /
+        |              (f + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))), 6) AS score
+        |  FROM tf JOIN dfx USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score, rank FROM (
+        |  SELECT doc_id, score,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 20""".stripMargin,
     // Salting is pure plumbing: both salted queries must equal the
     // direct GROUP BY / plain join — the oracle IS the unsalted form.
     "q_salted_agg" ->

@@ -192,6 +192,55 @@ object TextOps {
       .select($"source", $"term", $"tfidf", $"rank")
   }
 
+  /** ◆ q_bm25 — Okapi BM25 relevance search (k1=1.2, b=0.75): the
+    * standard lexical ranking function (Robertson & Zaragoza, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond", 2009) and the
+    * retrieval half of a dedup/decontamination review loop ("show me
+    * the corpus documents most relevant to this probe"). Terms are the
+    * shared `\w+` tokenization (same as TF-IDF). Shape: the inverted
+    * postings side is ONE partial-agg pass filtered to the query's
+    * terms (the `term IN (...)` predicate pushes into the scan of a
+    * real postings table), document length + corpus stats are a second
+    * pass whose output is doc-count-sized, and the final top-k is
+    * TakeOrderedAndProject — a per-partition heap, never a global
+    * sort, so the candidate set (every doc containing ≥1 query term)
+    * streams through without materializing. Rank is computed AFTER the
+    * k-row cut, so the only Window in the plan sees 20 rows. */
+  def bm25Query(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2
+    val b = 0.75
+    val k = 20
+    val terms = Seq("fast", "spark", "join")
+    val docs = Tables.documents(s, dir)
+    val tr = docs
+      .select($"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("term"))
+      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
+    val dl = tr.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(
+      (sum($"dlen").cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("nd")
+    )
+    val hits = tr.filter($"term".isin(terms: _*))
+    val tf = hits.groupBy($"doc_id", $"term").agg(count(lit(1)).as("f"))
+    val dfT = hits.select($"term", $"doc_id").distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "contrib",
+        log(lit(1.0) + ($"nd" - $"df" + 0.5) / ($"df" + 0.5)) * $"f" * lit(k1 + 1.0) /
+          ($"f" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dlen" / $"avgdl"))
+      )
+      .groupBy($"doc_id")
+      .agg(round(sum($"contrib"), 6).as("score"))
+    val top = scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("int"))
+      .select($"doc_id", $"score", $"rank")
+  }
+
   /** ◆ Composed training-data pipeline — the canonical pre-training
     * cleanup chain as ONE declarative plan: quality gate (length,
     * punctuation, stopword evidence) → exact dedup keep-first (window

@@ -48,7 +48,7 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
-    Seq("q_topk", "q_q3_revenue").foreach { q =>
+    Seq("q_topk", "q_q3_revenue", "q_bm25").foreach { q =>
       assert(plans(q).contains("TakeOrderedAndProject"), s"$q should use a per-partition heap")
     }
   }
