@@ -174,6 +174,7 @@ object SparkEntry {
     "q_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedJoinQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
     "q_bm25" -> (TextOps.bm25Query _),
+    "q_compaction" -> ((s: SparkSession, d: String) => graft.operators.Compaction.compactionQuery(s, d)),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
@@ -2287,6 +2288,19 @@ object SparkEntry {
     // (m=4096, k=3), filter from the user_id%37 dim keys, every event
     // row probed (multiplicity preserved via event_id), exact count
     // beside the pruned count so the FP overhead is visible.
+    // Compaction bins are a pure function of the path-ordered listing:
+    // the oracle states the rule with ONE global cumsum; the Spark side
+    // computes the identical prefix sum two-phase (per-dir + offset).
+    "q_compaction" ->
+      """WITH files AS (
+        |  SELECT source || '/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path,
+        |         n_chars AS bytes
+        |  FROM documents),
+        |c AS (SELECT path, bytes, sum(bytes) OVER (ORDER BY path) AS cum FROM files),
+        |b AS (SELECT path, bytes, (cum - bytes) // 16384 AS bin FROM c)
+        |SELECT bin, count(*) AS n_files, sum(bytes) AS bytes,
+        |  min(path) AS first_path, max(path) AS last_path
+        |FROM b GROUP BY bin""".stripMargin,
     // BM25: same \w+ tokenization as q_tfidf, same ln() idf pattern,
     // rounded before ranking so tie order is engine-independent.
     "q_bm25" ->
