@@ -162,6 +162,7 @@ object SparkEntry {
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
+    "q_random_walk" -> ((s: SparkSession, d: String) => graft.operators.Graph.randomWalkQuery(s, d)),
     "q_triangles" -> ((s: SparkSession, d: String) => graft.operators.Graph.trianglesQuery(s, d)),
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
@@ -419,6 +420,34 @@ object SparkEntry {
     * All intermediate sums ride DuckDB HUGEINT (exact); the final rank
     * casts back to BIGINT to match Spark's long. Constants are the
     * pageRank defaults: scale 10^12, n=500, damping 85/100. */
+  /** Generated random-walk oracle: same events graph as pageRank, one
+    * CTE per step — the walk rule (neighbor ranked md5-60 mod degree,
+    * dst order, dangling holds position) is pure integer/string math
+    * both engines share. */
+  private def randomWalkOracle: String = {
+    val steps = (0 until 4)
+      .map { t =>
+        s"""w${t + 1} AS (
+           |  SELECT start, coalesce(re.dst, w$t.v) AS v
+           |  FROM w$t LEFT JOIN re ON re.src = w$t.v
+           |    AND re.rk = ('0x' || substr(md5('rw:' || start || ':$t:' || w$t.v), 1, 15))::BIGINT % re.deg)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT event_id % 500 AS src, (event_id*7919) % 500 AS dst
+       |  FROM events WHERE event_id % 500 <> (event_id*7919) % 500),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |re AS (
+       |  SELECT edges.src, edges.dst, deg.deg,
+       |    row_number() OVER (PARTITION BY edges.src ORDER BY edges.dst) - 1 AS rk
+       |  FROM edges JOIN deg USING (src)),
+       |w0 AS (SELECT range AS start, range AS v FROM range(0, 500)),
+       |$steps
+       |SELECT w0.start AS start, w1.v AS s1, w2.v AS s2, w3.v AS s3, w4.v AS s4
+       |FROM w0 JOIN w1 USING (start) JOIN w2 USING (start)
+       |  JOIN w3 USING (start) JOIN w4 USING (start)""".stripMargin
+  }
+
   private def pageRankOracle: String = {
     val rounds = (0 until 10)
       .map { k =>
@@ -2253,6 +2282,7 @@ object SparkEntry {
         |  round(CASE WHEN raw <= 1280 AND zeros > 0 THEN 512 * ln(512.0 / zeros) ELSE raw END, 4) AS hll_est
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
+    "q_random_walk" -> randomWalkOracle,
     // Triangles: same undirected event graph, same (deg, id) edge
     // orientation, wedge join closed against the canonical a<b edge
     // set — each triangle counted once at its lowest-rank corner.

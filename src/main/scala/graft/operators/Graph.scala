@@ -354,4 +354,65 @@ object Graph {
     val nodes = s.range(500).select(col("id"))
     pageRank(nodes, edges).select(col("id").as("node"), col("r").as("rank_e12"))
   }
+
+  /** Deterministic random walks — the graph-sampling primitive under
+    * DeepWalk/node2vec-style representation learning (Perozzi et al.,
+    * KDD 2014): one fixed-length walk per start node, where step t
+    * from node v picks the neighbor ranked `md5₆₀("rw:start:t:v") mod
+    * deg(v)` in dst order. The hash seeds the walk per (start, step,
+    * node), so walks are decorrelated yet a pure function of the edge
+    * set — any engine replays them bit-for-bit (the property that
+    * makes a walk corpus reproducible across reruns at 100 TB).
+    * Dangling nodes hold position (left join + coalesce).
+    *
+    * Shape: the ranked adjacency (src, dst, deg, rank) is built once —
+    * a partial-agg degree count and a per-src window (bounded by
+    * degree, keyed by a column whose domain grows with the graph) —
+    * and each step is one equi-join on v = src with the rank-match as
+    * the join residual. steps × one shuffle; no driver loop over rows.
+    */
+  def randomWalks(nodes: DataFrame, edges: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ranked = Staged.persist(
+      edges
+        .join(deg, "src")
+        .withColumn("rk", row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+    )
+    var walks = nodes.select(col("id").as("start"), col("id").as("v"))
+    for (t <- 0 until steps) {
+      val r = ranked.select(
+        col("src").as(s"__src$t"),
+        col("dst").as(s"__dst$t"),
+        col("deg").as(s"__deg$t"),
+        col("rk").as(s"__rk$t")
+      )
+      val u = conv(
+        substring(
+          md5(concat(lit("rw:"), col("start").cast("string"), lit(s":$t:"), col("v").cast("string"))),
+          1,
+          15
+        ),
+        16,
+        10
+      ).cast("long")
+      val kept = col("start") +: (1 to t).map(i => col(s"s$i"))
+      walks = walks
+        .join(r, col("v") === col(s"__src$t") && col(s"__rk$t") === pmod(u, col(s"__deg$t")), "left")
+        .select(kept :+ coalesce(col(s"__dst$t"), col("v")).as(s"s${t + 1}"): _*)
+        .withColumn("v", col(s"s${t + 1}"))
+    }
+    walks.drop("v")
+  }
+
+  /** ◆ q_random_walk — 4-step walks from every node of the events
+    * graph (same derivation as q_pagerank). */
+  def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsRaw(s, dir)
+    val edges = ev
+      .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    randomWalks(s.range(500).select(col("id")), edges, steps = 4)
+  }
 }

@@ -101,4 +101,30 @@ class GraphSpec extends SparkSuite {
     assert(got.length === got.distinct.length, "each triangle exactly once")
     assert(got.toSet === brute.toSet)
   }
+
+  test("randomWalks: every step follows a real edge, dangling nodes hold position") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsRaw(spark, sf0001)
+    val edges = ev
+      .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = edges
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).toSet }
+    val walks = graft.operators.Graph.randomWalks(spark.range(500).select(col("id")), edges, 4).collect()
+    assert(walks.length === 500)
+    walks.foreach { r =>
+      val path = (0 to 4).map {
+        case 0 => r.getAs[Long]("start")
+        case i => r.getAs[Long](s"s$i")
+      }
+      path.sliding(2).foreach { case Seq(a, b) =>
+        if (adj.contains(a)) assert(adj(a).contains(b), s"step $a->$b is not an edge")
+        else assert(a === b, s"dangling $a must hold position, moved to $b")
+      }
+    }
+  }
 }
