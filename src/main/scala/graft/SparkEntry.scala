@@ -94,6 +94,7 @@ object SparkEntry {
     "q_bbox_filter" -> (graft.geo.GeoQueries.bboxFilterQuery _),
     "q_zorder" -> (graft.geo.ZOrder.zorderQuery _),
     "q_spatial_join" -> (graft.geo.SpatialJoin.spatialJoinQuery _),
+    "q_dbscan" -> (graft.geo.Dbscan.dbscanQuery _),
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_mvt" -> (graft.geo.GeoQueries.mvtQuery _),
     "q_cog" -> (graft.geo.GeoQueries.cogQuery _),
@@ -447,6 +448,51 @@ object SparkEntry {
        |FROM w0 JOIN w1 USING (start) JOIN w2 USING (start)
        |  JOIN w3 USING (start) JOIN w4 USING (start)""".stripMargin
   }
+
+  /** DBSCAN oracle: md5-uniform points, eps-grid 3×3 block join, core
+    * rule, recursive reachability closure over core-core edges (the
+    * clusterOracle pattern) + self-labeled isolated cores, min-label
+    * border attachment. All integer math except the distance compares,
+    * which both engines evaluate with the identical IEEE expression. */
+  private def dbscanOracle: String =
+    """WITH pts AS (
+      |  SELECT event_id AS id,
+      |    ('0x' || substr(md5('dx:' || event_id), 1, 15))::BIGINT % 36000 / 100.0 - 180.0 AS lon,
+      |    ('0x' || substr(md5('dy:' || event_id), 1, 15))::BIGINT % 18000 / 100.0 - 90.0 AS lat
+      |  FROM events),
+      |cells AS (SELECT id, lon, lat,
+      |  CAST(floor(round(lon / 2.0, 9)) AS BIGINT) AS cx,
+      |  CAST(floor(round(lat / 2.0, 9)) AS BIGINT) AS cy FROM pts),
+      |nine AS (SELECT a.id, a.lon, a.lat, a.cx + dx.d AS cx, a.cy + dy.d AS cy
+      |  FROM cells a, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+      |pairs AS (
+      |  SELECT a.id AS ia, b.id AS ib
+      |  FROM nine a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.id <> b.id
+      |  WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) <= 4.0),
+      |nc AS (SELECT ia AS id, count(*) AS nn FROM pairs GROUP BY ia),
+      |core AS (SELECT id FROM nc WHERE nn >= 4),
+      |ce AS (SELECT ia, ib FROM pairs JOIN core a ON ia = a.id JOIN core b ON ib = b.id),
+      |lab0 AS (
+      |  WITH RECURSIVE reach AS (
+      |    SELECT ia AS id, ia AS lab FROM ce
+      |    UNION
+      |    SELECT e.ib AS id, r.lab FROM reach r JOIN ce e ON e.ia = r.id)
+      |  SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+      |labels AS (SELECT id, lab FROM lab0
+      |  UNION ALL
+      |  SELECT id, id AS lab FROM core WHERE id NOT IN (SELECT id FROM lab0)),
+      |borders AS (
+      |  SELECT p.ia AS id, min(l.lab) AS lab
+      |  FROM pairs p JOIN labels l ON p.ib = l.id
+      |  WHERE p.ia NOT IN (SELECT id FROM core)
+      |  GROUP BY p.ia),
+      |mem AS (
+      |  SELECT id, lab, 1 AS is_core FROM labels
+      |  UNION ALL SELECT id, lab, 0 AS is_core FROM borders)
+      |SELECT lab AS cluster_id, CAST(sum(is_core) AS BIGINT) AS n_core,
+      |  CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+      |  CAST(sum(id) AS BIGINT) AS id_sum
+      |FROM mem GROUP BY lab""".stripMargin
 
   private def pageRankOracle: String = {
     val rounds = (0 until 10)
@@ -2283,6 +2329,7 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_random_walk" -> randomWalkOracle,
+    "q_dbscan" -> dbscanOracle,
     // Triangles: same undirected event graph, same (deg, id) edge
     // orientation, wedge join closed against the canonical a<b edge
     // set — each triangle counted once at its lowest-rank corner.
