@@ -460,15 +460,17 @@ object SparkEntry {
       |    ('0x' || substr(md5('dx:' || event_id), 1, 15))::BIGINT % 36000 / 100.0 - 180.0 AS lon,
       |    ('0x' || substr(md5('dy:' || event_id), 1, 15))::BIGINT % 18000 / 100.0 - 90.0 AS lat
       |  FROM events),
+      |epsv AS (SELECT 2.0 * sqrt(10000.0 / count(*)) AS e FROM pts),
       |cells AS (SELECT id, lon, lat,
-      |  CAST(floor(round(lon / 2.0, 9)) AS BIGINT) AS cx,
-      |  CAST(floor(round(lat / 2.0, 9)) AS BIGINT) AS cy FROM pts),
+      |  CAST(floor(round(lon / (SELECT e FROM epsv), 9)) AS BIGINT) AS cx,
+      |  CAST(floor(round(lat / (SELECT e FROM epsv), 9)) AS BIGINT) AS cy FROM pts),
       |nine AS (SELECT a.id, a.lon, a.lat, a.cx + dx.d AS cx, a.cy + dy.d AS cy
       |  FROM cells a, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
       |pairs AS (
       |  SELECT a.id AS ia, b.id AS ib
       |  FROM nine a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.id <> b.id
-      |  WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) <= 4.0),
+      |  WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)
+      |    <= (SELECT e * e FROM epsv)),
       |nc AS (SELECT ia AS id, count(*) AS nn FROM pairs GROUP BY ia),
       |core AS (SELECT id FROM nc WHERE nn >= 4),
       |ce AS (SELECT ia, ib FROM pairs JOIN core a ON ia = a.id JOIN core b ON ib = b.id),

@@ -105,8 +105,18 @@ object Dbscan {
           .cast("long") % 18000L / 100.0 - 90.0).as("lat")
       )
 
-  /** ◆ q_dbscan — eps = 2°, minPts = 4 over the hashed event points
-    * (~264 clusters at sf0.01, max ~15 members). */
-  def dbscanQuery(s: SparkSession, dir: String): DataFrame =
-    cluster(hashedPoints(s, dir), eps = 2.0, minPts = 4)
+  /** ◆ q_dbscan — minPts = 4 over the hashed event points with eps
+    * scaled to constant EXPECTED DEGREE: eps = 2°·√(10⁴/n). A fixed
+    * eps percolates as density grows (at 10× the points the whole
+    * plane is one giant cluster — degenerate output AND a giant-
+    * component CC); holding mean degree constant keeps the cluster
+    * structure, and the cost, scale-invariant (~260 clusters at
+    * sf0.01, where the formula gives exactly 2.0). Both engines
+    * compute eps with the same IEEE sqrt, so discretization ties
+    * agree. */
+  def dbscanQuery(s: SparkSession, dir: String): DataFrame = {
+    val pts = hashedPoints(s, dir)
+    val eps = 2.0 * math.sqrt(10000.0 / pts.count())
+    cluster(pts, eps, minPts = 4)
+  }
 }

@@ -212,7 +212,7 @@ object TextOps {
     val b = 0.75
     val k = 20
     val terms = Seq("fast", "spark", "join")
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir) // spread the single-row-group scan before the per-row token work
     val tr = docs
       .select($"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("term"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
