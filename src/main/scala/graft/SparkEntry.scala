@@ -80,6 +80,7 @@ object SparkEntry {
     "q_asof_join" -> (Windows.asofJoinQuery _),
     "q_gapfill" -> (Windows.gapfillQuery _),
     "q_trailing_window" -> (Windows.trailingWindowQuery _),
+    "q_anomaly" -> (Windows.anomalyQuery _),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -1094,6 +1095,20 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
         |GROUP BY event_type""".stripMargin,
+    // Anomaly: the 49-PRECEDING frame excludes the current row; the
+    // |z|>3 gate uses the UNROUNDED z in both engines, z rounds to 4dp
+    // only on output.
+    "q_anomaly" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value,
+        |    avg(value) OVER win AS m,
+        |    stddev(value) OVER win AS sd,
+        |    count(*) OVER win AS n
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, round((value - m) / sd, 4) AS z
+        |FROM w WHERE n >= 20 AND sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(value), 4) AS avg_value

@@ -214,6 +214,31 @@ object Windows {
       )
   }
 
+  /** ◆ q_anomaly — trailing-window z-score outlier detection: each
+    * event scored against the PRECEDING 49 events of its own user
+    * (frame excludes the current row, so a spike cannot suppress its
+    * own baseline), flagged when |value − μ| > 3σ after a 20-event
+    * warm-up. The per-key ordered frame is the streaming-compatible
+    * shape — the same rule runs under `flatMapGroupsWithState` with a
+    * 49-deep ring buffer; here the batch form is one partitioned
+    * window, state distributed across users. */
+  def anomalyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = userTime.rowsBetween(-49, -1)
+    Tables
+      .eventsRaw(s, dir)
+      .select(
+        $"user_id",
+        $"event_id",
+        $"value",
+        avg($"value").over(w).as("m"),
+        stddev($"value").over(w).as("sd"),
+        count(lit(1)).over(w).as("n")
+      )
+      .filter($"n" >= 20 && $"sd" > 0 && abs(($"value" - $"m") / $"sd") > 3.0)
+      .select($"user_id", $"event_id", round(($"value" - $"m") / $"sd", 4).as("z"))
+  }
+
   /** ◆ Gap-filled hourly series — dense time spine (sequence/explode) ×
     * dimension values, left join the sparse counts, zero-fill. The spine
     * is generated, never collected. */

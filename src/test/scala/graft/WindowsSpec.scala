@@ -94,4 +94,33 @@ class WindowsSpec extends SparkSuite {
     val users = ev.select($"user_id").distinct().count()
     assert(nDeltas === ev.count() - users)
   }
+
+  test("anomaly: planted spike detected, spike excluded from its own baseline") {
+    import org.apache.spark.sql.functions._
+    // user 1: 60 near-constant values then one spike; user 2: pure
+    // noise-free constant (sd = 0 -> never flagged, no div-by-zero)
+    val base = (0 until 60).map(i => (1L, i.toLong, i.toLong * 1000L, 100.0 + (i % 3) * 0.1)) :+
+      (1L, 60L, 60000L, 500.0)
+    val flat = (0 until 30).map(i => (2L, 100L + i, i.toLong * 1000L, 7.0))
+    val df = spark
+      .createDataFrame(base ++ flat)
+      .toDF("user_id", "event_id", "ts", "value")
+    // same pipeline as anomalyQuery, against the local frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-49, -1)
+    val out = df
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        avg(col("value")).over(w).as("m"),
+        stddev(col("value")).over(w).as("sd"),
+        count(lit(1)).over(w).as("n")
+      )
+      .filter(col("n") >= 20 && col("sd") > 0 && abs((col("value") - col("m")) / col("sd")) > 3.0)
+      .collect()
+    assert(out.map(_.getLong(1)).toSet === Set(60L), s"exactly the spike flags, got ${out.mkString(",")}")
+  }
 }
