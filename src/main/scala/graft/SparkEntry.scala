@@ -81,6 +81,7 @@ object SparkEntry {
     "q_gapfill" -> (Windows.gapfillQuery _),
     "q_trailing_window" -> (Windows.trailingWindowQuery _),
     "q_anomaly" -> (Windows.anomalyQuery _),
+    "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -1109,6 +1110,14 @@ object SparkEntry {
         |                 ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, round((value - m) / sd, 4) AS z
         |FROM w WHERE n >= 20 AND sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin,
+    // Incremental maintenance is pure plumbing: the folded state must
+    // equal the direct aggregate over everything.
+    "q_incr_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(round(sum(value), 4) / count(*), 6) AS avg_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(value), 4) AS avg_value
