@@ -166,6 +166,7 @@ object SparkEntry {
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
     "q_random_walk" -> ((s: SparkSession, d: String) => graft.operators.Graph.randomWalkQuery(s, d)),
+    "q_label_prop" -> ((s: SparkSession, d: String) => graft.operators.Graph.labelPropQuery(s, d)),
     "q_triangles" -> ((s: SparkSession, d: String) => graft.operators.Graph.trianglesQuery(s, d)),
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
@@ -449,6 +450,39 @@ object SparkEntry {
        |SELECT w0.start AS start, w1.v AS s1, w2.v AS s2, w3.v AS s3, w4.v AS s4
        |FROM w0 JOIN w1 USING (start) JOIN w2 USING (start)
        |  JOIN w3 USING (start) JOIN w4 USING (start)""".stripMargin
+  }
+
+  /** Generated LPA oracle: 5 synchronous rounds, each one grouped
+    * neighbor-label count + deterministic top-1 (count desc, label
+    * asc) + left join back — the exact Spark rule. MATERIALIZED CTEs
+    * for the same double-reference reason as pageRank. */
+  private def labelPropOracle: String = {
+    val rounds = (0 until 5)
+      .map { t =>
+        s"""t${t + 1} AS MATERIALIZED (
+           |  SELECT sym.src AS id, l.lab, count(*) AS cnt
+           |  FROM sym JOIN l$t l ON sym.dst = l.id GROUP BY 1, 2),
+           |p${t + 1} AS MATERIALIZED (
+           |  SELECT id, lab FROM (
+           |    SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rk
+           |    FROM t${t + 1}) WHERE rk = 1),
+           |l${t + 1} AS MATERIALIZED (
+           |  SELECT l.id, coalesce(p.lab, l.lab) AS lab
+           |  FROM l$t l LEFT JOIN p${t + 1} p ON p.id = l.id)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT range AS id FROM range(0, 500)),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT event_id % 500 AS src, (event_id*7919) % 500 AS dst
+       |  FROM events WHERE event_id % 500 <> (event_id*7919) % 500),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),
+       |$rounds
+       |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(id) AS BIGINT) AS member_id_sum
+       |FROM l5 GROUP BY lab""".stripMargin
   }
 
   /** DBSCAN oracle: md5-uniform points, eps-grid 3×3 block join, core
@@ -2356,6 +2390,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle,
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,
+    "q_label_prop" -> labelPropOracle,
     // Triangles: same undirected event graph, same (deg, id) edge
     // orientation, wedge join closed against the canonical a<b edge
     // set — each triangle counted once at its lowest-rank corner.

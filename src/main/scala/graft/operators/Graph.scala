@@ -405,6 +405,71 @@ object Graph {
     walks.drop("v")
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the LPA
+    * community-detection baseline) with DETERMINISTIC tie-breaking:
+    * every node starts as its own label; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label,
+    * isolated nodes keep their own. Fixed round count + total tie
+    * order make the result a pure function of the edge set (async LPA
+    * is run-order dependent — useless under an oracle).
+    *
+    * Per round: one keyed count agg over (node, neighbor-label) and a
+    * per-node top-1 window (bounded by a node's distinct neighbor
+    * labels), then a left join back to all nodes — edge-partitioned
+    * shuffles only, labels checkpointed per round so lineage stays
+    * flat (the pageRank discipline). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sym, symBlocks) = Staged.checkpointOwned(
+      edges
+        .select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    )
+    val (nd, ndBlocks) = Staged.checkpointOwned(nodes.select(col("id")))
+    var (labels, labBlocks) = Staged.checkpointOwned(nd.select(col("id"), col("id").as("lab")))
+    var t = 0
+    while (t < rounds) {
+      val top = sym
+        .join(labels.select(col("id").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "rk",
+          row_number().over(Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("lab").asc))
+        )
+        .filter(col("rk") === 1)
+        .select(col("src").as("id"), col("lab").as("newlab"))
+      val (next, nextBlocks) = Staged.checkpointOwned(
+        labels
+          .join(top, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+      )
+      Staged.release(labBlocks)
+      labels = next
+      labBlocks = nextBlocks
+      t += 1
+    }
+    Staged.release(symBlocks)
+    Staged.release(ndBlocks)
+    Staged.register(labBlocks)
+    labels
+  }
+
+  /** ◆ q_label_prop — 5 synchronous LPA rounds on the events graph,
+    * rolled up per community. */
+  def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsRaw(s, dir)
+    val edges = ev
+      .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    labelPropagation(s.range(500).select(col("id")), edges, rounds = 5)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_id_sum"))
+      .select(col("lab").as("community"), col("n_members"), col("member_id_sum"))
+  }
+
   /** ◆ q_random_walk — 4-step walks from every node of the events
     * graph (same derivation as q_pagerank). */
   def randomWalkQuery(s: SparkSession, dir: String): DataFrame = {

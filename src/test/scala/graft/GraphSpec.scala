@@ -102,6 +102,22 @@ class GraphSpec extends SparkSuite {
     assert(got.toSet === brute.toSet)
   }
 
+  test("labelPropagation: two cliques converge to their min ids, isolated node keeps its own") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L)).toDF("src", "dst")
+    val nodes = ((0L to 4L) ++ (10L to 14L) :+ 20L).toDF("id")
+    val labs = graft.operators.Graph
+      .labelPropagation(nodes, edges, rounds = 5)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    (0L to 4L).foreach(i => assert(labs(i) === 0L, s"clique-1 node $i"))
+    (10L to 14L).foreach(i => assert(labs(i) === 10L, s"clique-2 node $i"))
+    assert(labs(20L) === 20L, "isolated node keeps its own label")
+  }
+
   test("randomWalks: every step follows a real edge, dangling nodes hold position") {
     import org.apache.spark.sql.functions._
     val ev = Tables.eventsRaw(spark, sf0001)
