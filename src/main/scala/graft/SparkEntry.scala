@@ -82,6 +82,7 @@ object SparkEntry {
     "q_trailing_window" -> (Windows.trailingWindowQuery _),
     "q_anomaly" -> (Windows.anomalyQuery _),
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
+    "q_funnel" -> (Windows.funnelQuery _),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -1144,6 +1145,22 @@ object SparkEntry {
         |                 ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, round((value - m) / sd, 4) AS z
         |FROM w WHERE n >= 20 AND sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin,
+    // Funnel steps require STRICTLY-after ordering, so a user's depth
+    // is a pure function of their event times.
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS s1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS s2 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.s1
+        |        AND e.ts <= v.s1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS s3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.s2
+        |        AND e.ts <= c.s2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users FROM (
+        |  SELECT v.user_id,
+        |    1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+        |      + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth
+        |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |GROUP BY depth""".stripMargin,
     // Incremental maintenance is pure plumbing: the folded state must
     // equal the direct aggregate over everything.
     "q_incr_agg" ->

@@ -239,6 +239,36 @@ object Windows {
       .select($"user_id", $"event_id", round(($"value" - $"m") / $"sd", 4).as("z"))
   }
 
+  /** ◆ q_funnel — ordered conversion funnel (view → click → purchase)
+    * with a 24 h conversion window per step: step k is each user's
+    * FIRST qualifying event strictly after their step-(k−1) time and
+    * within the window, so out-of-order events cannot fake a
+    * conversion and stale ones do not count. Each step is one
+    * type-filtered scan (predicate pushed to parquet) keyed-joined to
+    * the previous step's user-sized frame — the chain stays
+    * partitioned on user_id throughout, no windows over raw rows.
+    * Output: users reaching each depth. */
+  def funnelQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowNanos = 24L * 3600L * 1000000000L
+    val ev = Tables.eventsRaw(s, dir)
+    def firstAfter(eventType: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
+      ev.filter($"event_type" === eventType)
+        .join(prev, Seq("user_id"))
+        .filter($"ts" > col(prevTs) && $"ts" <= col(prevTs) + lit(windowNanos))
+        .groupBy($"user_id")
+        .agg(min($"ts").as(outTs))
+    val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("s1"))
+    val c = firstAfter("click", v, "s1", "s2")
+    val p = firstAfter("purchase", c.select($"user_id", $"s2"), "s2", "s3")
+    val lvl = v
+      .select($"user_id")
+      .join(c.select($"user_id", lit(1L).as("l2")), Seq("user_id"), "left")
+      .join(p.select($"user_id", lit(1L).as("l3")), Seq("user_id"), "left")
+      .select($"user_id", (lit(1L) + coalesce($"l2", lit(0L)) + coalesce($"l3", lit(0L))).as("depth"))
+    lvl.groupBy($"depth").agg(count(lit(1)).as("n_users"))
+  }
+
   /** ◆ Gap-filled hourly series — dense time spine (sequence/explode) ×
     * dimension values, left join the sparse counts, zero-fill. The spine
     * is generated, never collected. */
