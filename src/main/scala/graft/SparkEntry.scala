@@ -83,6 +83,7 @@ object SparkEntry {
     "q_anomaly" -> (Windows.anomalyQuery _),
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_funnel" -> (Windows.funnelQuery _),
+    "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -451,6 +452,30 @@ object SparkEntry {
        |SELECT w0.start AS start, w1.v AS s1, w2.v AS s2, w3.v AS s3, w4.v AS s4
        |FROM w0 JOIN w1 USING (start) JOIN w2 USING (start)
        |  JOIN w3 USING (start) JOIN w4 USING (start)""".stripMargin
+  }
+
+  /** Generated k-center oracle: Gonzalez greedy unrolled — round t
+    * takes the argmax of the 4dp-rounded min distance (ties to the
+    * smaller vec_id), exactly the Spark rule. */
+  private def kCenterOracle: String = {
+    val k = 8
+    def d2(a: String, b: String) =
+      s"round(list_sum([($a.e[i] - $b.e[i]) * ($a.e[i] - $b.e[i]) for i in range(1, 65)]), 4)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+      "c1 AS (SELECT vec_id, e FROM v WHERE vec_id = (SELECT min(vec_id) FROM v))",
+      s"d1 AS (SELECT v.vec_id, v.e, ${d2("v", "c")} AS md FROM v, c1 c)"
+    )
+    val picks = scala.collection.mutable.ArrayBuffer(
+      "SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(0.0 AS DOUBLE) AS dist FROM c1"
+    )
+    for (t <- 2 to k) {
+      ctes += s"s$t AS (SELECT vec_id, e, md FROM d${t - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+      picks += s"SELECT CAST($t AS BIGINT) AS rank, vec_id, md AS dist FROM s$t"
+      if (t < k)
+        ctes += s"d$t AS (SELECT d.vec_id, d.e, least(d.md, ${d2("d", "c")}) AS md FROM d${t - 1} d, s$t c)"
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" + picks.mkString(" UNION ALL ")
   }
 
   /** Generated LPA oracle: 5 synchronous rounds, each one grouped
@@ -2408,6 +2433,7 @@ object SparkEntry {
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,
     "q_label_prop" -> labelPropOracle,
+    "q_kcenter" -> kCenterOracle,
     // Triangles: same undirected event graph, same (deg, id) edge
     // orientation, wedge join closed against the canonical a<b edge
     // set — each triangle counted once at its lowest-rank corner.
