@@ -105,6 +105,7 @@ object SparkEntry {
     "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
     "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
     "q_contour" -> (graft.raster.Contour.contourQuery _),
+    "q_slope" -> (graft.raster.Slope.slopeQuery _),
     "q_haversine" -> (graft.geo.GeoQueries.haversineQuery _),
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
@@ -1170,6 +1171,43 @@ object SparkEntry {
         |                 ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, round((value - m) / sd, 4) AS z
         |FROM w WHERE n >= 20 AND sd > 0 AND abs((value - m) / sd) > 3.0""".stripMargin,
+    // Horn slope/aspect: 3x3 stencil reassembled via conditional sums,
+    // octant classified by comparisons only (no libm atan2 — engines
+    // can differ in the last ulp there; comparisons cannot).
+    "q_slope" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y, value
+        |  FROM events),
+        |nb AS (
+        |  SELECT px.x + dx.d AS tx, px.y + dy.d AS ty, (1 - dx.d) * 3 + (1 - dy.d) AS pos, value
+        |  FROM px, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+        |k AS (
+        |  SELECT tx AS x, ty AS y, count(*) AS n,
+        |    sum(CASE WHEN pos = 0 THEN value END) AS a, sum(CASE WHEN pos = 3 THEN value END) AS b,
+        |    sum(CASE WHEN pos = 6 THEN value END) AS cc, sum(CASE WHEN pos = 1 THEN value END) AS d,
+        |    sum(CASE WHEN pos = 7 THEN value END) AS f, sum(CASE WHEN pos = 2 THEN value END) AS g,
+        |    sum(CASE WHEN pos = 5 THEN value END) AS h, sum(CASE WHEN pos = 8 THEN value END) AS i
+        |  FROM nb GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT x, y,
+        |    ((cc + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzx,
+        |    ((g + 2*h + i) - (a + 2*b + cc)) / 8.0 AS dzy
+        |  FROM k WHERE n = 9),
+        |cls AS (
+        |  SELECT x, y, sqrt(dzx * dzx + dzy * dzy) AS slope,
+        |    CASE WHEN dzx = 0 AND dzy = 0 THEN -1
+        |         WHEN abs(dzx) >= abs(dzy) AND dzx > 0 AND dzy >= 0 THEN 0
+        |         WHEN abs(dzx) < abs(dzy) AND dzy > 0 AND dzx >= 0 THEN 1
+        |         WHEN abs(dzx) < abs(dzy) AND dzy > 0 AND dzx < 0 THEN 2
+        |         WHEN abs(dzx) >= abs(dzy) AND dzx < 0 AND dzy > 0 THEN 3
+        |         WHEN abs(dzx) >= abs(dzy) AND dzx < 0 AND dzy <= 0 THEN 4
+        |         WHEN abs(dzx) < abs(dzy) AND dzy < 0 AND dzx <= 0 THEN 5
+        |         WHEN abs(dzx) < abs(dzy) AND dzy < 0 AND dzx > 0 THEN 6
+        |         ELSE 7 END AS octant
+        |  FROM sl)
+        |SELECT octant, count(*) AS n_pixels, round(avg(slope), 4) AS avg_slope,
+        |  round(max(slope), 4) AS max_slope
+        |FROM cls GROUP BY octant""".stripMargin,
     // Funnel steps require STRICTLY-after ordering, so a user's depth
     // is a pure function of their event times.
     "q_funnel" ->

@@ -140,4 +140,25 @@ class RasterSpec extends SparkSuite {
     assert(t(1) > t(0))
     assert(t(0) > -100 && t(1) < 300) // physically plausible band
   }
+
+  test("slope: Horn gradients exact on a planted plane z = 2x + 3y") {
+    import graft.raster.Slope
+    val px = (for (x <- 0 until 6; y <- 0 until 6) yield (x, y, 2.0 * x + 3.0 * y)).toDF("x", "y", "value")
+    val g = Slope.gradients(px).collect()
+    // interior = 4x4 pixels; Horn on a perfect plane recovers the exact
+    // coefficients at every interior pixel
+    assert(g.length === 16)
+    g.foreach { r =>
+      assert(r.getDouble(2) === 2.0, s"dzx at (${r.getInt(0)},${r.getInt(1)})")
+      assert(r.getDouble(3) === 3.0, s"dzy at (${r.getInt(0)},${r.getInt(1)})")
+    }
+    // octant: |dzy| > |dzx|, both positive -> octant 1
+    val oct = Slope
+      .gradients(px)
+      .select(Slope.octant($"dzx", $"dzy").as("o"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+    assert(oct.toSeq === Seq(1))
+  }
 }
