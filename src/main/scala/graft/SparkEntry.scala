@@ -106,6 +106,7 @@ object SparkEntry {
     "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
     "q_contour" -> (graft.raster.Contour.contourQuery _),
     "q_slope" -> (graft.raster.Slope.slopeQuery _),
+    "q_hillshade" -> (graft.raster.Slope.hillshadeQuery _),
     "q_haversine" -> (graft.geo.GeoQueries.haversineQuery _),
     // multimodal binary-column plumbing
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
@@ -1208,6 +1209,36 @@ object SparkEntry {
         |SELECT octant, count(*) AS n_pixels, round(avg(slope), 4) AS avg_slope,
         |  round(max(slope), 4) AS max_slope
         |FROM cls GROUP BY octant""".stripMargin,
+    // Hillshade: same stencil CTEs as q_slope; light vector as literal
+    // sqrt(2)/2 doubles; trunc (floor), never round, on the byte value.
+    "q_hillshade" ->
+      """WITH px AS (
+        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y, value
+        |  FROM events),
+        |nb AS (
+        |  SELECT px.x + dx.d AS tx, px.y + dy.d AS ty, (1 - dx.d) * 3 + (1 - dy.d) AS pos, value
+        |  FROM px, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+        |k AS (
+        |  SELECT tx AS x, ty AS y, count(*) AS n,
+        |    sum(CASE WHEN pos = 0 THEN value END) AS a, sum(CASE WHEN pos = 3 THEN value END) AS b,
+        |    sum(CASE WHEN pos = 6 THEN value END) AS cc, sum(CASE WHEN pos = 1 THEN value END) AS d,
+        |    sum(CASE WHEN pos = 7 THEN value END) AS f, sum(CASE WHEN pos = 2 THEN value END) AS g,
+        |    sum(CASE WHEN pos = 5 THEN value END) AS h, sum(CASE WHEN pos = 8 THEN value END) AS i
+        |  FROM nb GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT x, y,
+        |    ((cc + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzx,
+        |    ((g + 2*h + i) - (a + 2*b + cc)) / 8.0 AS dzy
+        |  FROM k WHERE n = 9),
+        |sh AS (
+        |  SELECT CAST(floor(255.0 * greatest(0.0,
+        |    (0.7071067811865476 - 0.7071067811865476 *
+        |      (dzx * 0.7071067811865476 + dzy * (-0.7071067811865476))) /
+        |    sqrt(1.0 + dzx * dzx + dzy * dzy))) AS BIGINT) AS shade
+        |  FROM sl)
+        |SELECT shade // 16 AS bucket, count(*) AS n_pixels,
+        |  min(shade) AS min_shade, max(shade) AS max_shade
+        |FROM sh GROUP BY 1""".stripMargin,
     // Funnel steps require STRICTLY-after ordering, so a user's depth
     // is a pure function of their event times.
     "q_funnel" ->

@@ -66,6 +66,37 @@ object Slope {
       .otherwise(lit(7))
   }
 
+  /** ◆ q_hillshade — Lambertian hillshade from the Horn gradients:
+    * shade = max(0, N·L)·255 with the standard NW light (azimuth 315°,
+    * altitude 45°). The light vector enters as LITERAL doubles (√2/2
+    * written out), so the whole expression is +,·,/,sqrt,greatest,
+    * trunc — every one engine-stable; trunc, not round, because
+    * half-up vs half-even rounding of a *.5 byte value would diverge.
+    * Output: 16-wide byte-histogram of the shade raster. */
+  def hillshadeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r22 = 0.7071067811865476 // √2/2: cos(45°) = sin(45°)
+    val px = graft.Tables
+      .eventsRaw(s, dir)
+      .select(
+        expr("event_id % 200").cast("int").as("x"),
+        expr("(event_id div 200) % 200").cast("int").as("y"),
+        $"value"
+      )
+    gradients(px)
+      .select(
+        floor(
+          lit(255.0) * greatest(
+            lit(0.0),
+            (lit(r22) - lit(r22) * ($"dzx" * lit(r22) + $"dzy" * lit(-r22))) /
+              sqrt(lit(1.0) + $"dzx" * $"dzx" + $"dzy" * $"dzy")
+          )
+        ).cast("long").as("shade")
+      )
+      .groupBy(expr("shade div 16").as("bucket")) // integer div — Column `/` on longs is double division
+      .agg(count(lit(1)).as("n_pixels"), min($"shade").as("min_shade"), max($"shade").as("max_shade"))
+  }
+
   /** ◆ q_slope — the shared events pixel plane (same derivation as
     * q_contour), rolled up per aspect octant. */
   def slopeQuery(s: SparkSession, dir: String): DataFrame = {
