@@ -182,6 +182,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedAggQuery(s, d)),
     "q_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.saltedJoinQuery(s, d)),
     "q_fuzzy_join" -> (Fuzzy.fuzzyJoinQuery _),
+    "q_entity_resolution" -> (Fuzzy.entityResolutionQuery _),
     "q_bm25" -> (TextOps.bm25Query _),
     "q_compaction" -> ((s: SparkSession, d: String) => graft.operators.Compaction.compactionQuery(s, d)),
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
@@ -2465,6 +2466,48 @@ object SparkEntry {
         |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)
         |SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(wa, wb) <= 1""".stripMargin,
+    // Entity resolution: the q_fuzzy_join match graph closed into
+    // clusters (recursive reachability over md5-60 word ids), one
+    // canonical record per cluster (the variant carrying the min id).
+    "q_entity_resolution" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS w FROM documents),
+        |words AS (SELECT DISTINCT w FROM toks WHERE w <> ''),
+        |typos AS (
+        |  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3) AS w FROM words WHERE length(w) >= 4),
+        |dict AS (SELECT w FROM words UNION SELECT w FROM typos),
+        |keys AS (
+        |  SELECT w, w AS k FROM dict
+        |  UNION
+        |  SELECT w, substr(w, 1, i) || substr(w, i + 2) AS k
+        |  FROM dict,
+        |    (SELECT unnest(range(0, (SELECT max(length(w)) FROM dict))) AS i)
+        |  WHERE i < length(w)),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS wa, b.w AS wb
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w),
+        |pairs AS (SELECT wa, wb FROM cand WHERE levenshtein(wa, wb) <= 1),
+        |members AS (SELECT wa AS w FROM pairs UNION SELECT wb FROM pairs),
+        |ids AS (SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS id FROM members),
+        |edges AS (
+        |  SELECT a.id AS src, b.id AS dst
+        |  FROM pairs JOIN ids a ON pairs.wa = a.w JOIN ids b ON pairs.wb = b.w
+        |  UNION
+        |  SELECT b.id, a.id
+        |  FROM pairs JOIN ids a ON pairs.wa = a.w JOIN ids b ON pairs.wb = b.w),
+        |labels AS (
+        |  WITH RECURSIVE reach AS (
+        |    SELECT src AS id, src AS lab FROM edges
+        |    UNION
+        |    SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+        |  SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+        |ww AS (SELECT ids.w, ids.id, labels.lab FROM ids JOIN labels ON ids.id = labels.id),
+        |canon AS (SELECT lab, w AS canonical FROM ww WHERE id = lab),
+        |agg AS (
+        |  SELECT lab, count(*) AS n_variants, min(w) AS first_variant, max(w) AS last_variant
+        |  FROM ww GROUP BY lab)
+        |SELECT canonical, n_variants, first_variant, last_variant
+        |FROM agg JOIN canon USING (lab)""".stripMargin,
     // HyperLogLog: same md5-60 hash, register = low 9 bits, rho =
     // trailing-zero rank of the upper 51 (w & -w integer isolate),
     // harmonic sum as the exact scaled integer sum(2^(52-M_j)), both

@@ -65,4 +65,32 @@ object Fuzzy {
       .distinct()
     fuzzyPairs(words.union(typos).distinct())
   }
+
+  /** ◆ q_entity_resolution — the full record-linkage composition:
+    * blocked fuzzy match ([[fuzzyPairs]]) → connected components over
+    * the match graph ([[graft.operators.Graph.components]], union-find
+    * + contraction) → one canonical record per entity cluster. Words
+    * ride as their md5-60 ids through the LONG-keyed CC machinery and
+    * join back for the canonical spelling (the variant carrying the
+    * min id — deterministic in both engines). Only linked clusters
+    * surface (singletons are their own entity; emitting the whole
+    * dictionary would drown the linkage signal). */
+  def entityResolutionQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def h(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val pairs = graft.operators.Staged.persist(fuzzyJoinQuery(s, dir).select($"wa", $"wb"))
+    val members = pairs.select($"wa".as("w")).union(pairs.select($"wb".as("w"))).distinct()
+    val nodes = members.select(h($"w").as("id"))
+    val edges = pairs.select(h($"wa").as("src"), h($"wb").as("dst"))
+    val labels = graft.operators.Graph.components(nodes, edges) // (id, lab)
+    val withWords = members
+      .select($"w", h($"w").as("id"))
+      .join(labels, Seq("id"))
+    val canon = withWords.filter($"id" === $"lab").select($"lab", $"w".as("canonical"))
+    withWords
+      .groupBy($"lab")
+      .agg(count(lit(1)).as("n_variants"), min($"w").as("first_variant"), max($"w").as("last_variant"))
+      .join(canon, Seq("lab"))
+      .select($"canonical", $"n_variants", $"first_variant", $"last_variant")
+  }
 }

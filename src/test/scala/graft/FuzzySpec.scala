@@ -46,4 +46,26 @@ class FuzzySpec extends SparkSuite {
     assert(pairs.contains(("a", "b", 1L)))
     assert(!pairs.exists(p => p._1 == "xy" || p._2 == "xy"))
   }
+
+  test("entity resolution: distance-2 variants cluster through a distance-1 chain") {
+    import org.apache.spark.sql.functions._
+    // spark ~ spbrk (sub at 2... dist 1 via deletion keys? spark/spbrk:
+    // substitution) ~ spbk: spark-spbrk dist 1, spbrk-spbk dist 1,
+    // spark-spbk dist 2 -> one cluster of 3 via transitivity
+    val dict = Seq("spark", "spbrk", "spbk", "zzzz").toDF("w")
+    val pairs = graft.operators.Staged.persist(Fuzzy.fuzzyPairs(dict).select($"wa", $"wb"))
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val members = pairs.select($"wa".as("w")).union(pairs.select($"wb".as("w"))).distinct()
+    val labels = graft.operators.Graph
+      .components(members.select(h($"w").as("id")), pairs.select(h($"wa").as("src"), h($"wb").as("dst")))
+    val clustered = members
+      .select($"w", h($"w").as("id"))
+      .join(labels, Seq("id"))
+      .collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+      .toMap
+    assert(clustered.keySet === Set("spark", "spbrk", "spbk"), "zzzz stays out")
+    assert(clustered.values.toSet.size === 1, "one entity cluster via the distance-1 chain")
+  }
 }
