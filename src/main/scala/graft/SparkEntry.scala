@@ -1178,8 +1178,9 @@ object SparkEntry {
     // can differ in the last ulp there; comparisons cannot).
     "q_slope" ->
       """WITH px AS (
-        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y, value
-        |  FROM events),
+        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y,
+        |    max(value) AS value
+        |  FROM events GROUP BY 1, 2),
         |nb AS (
         |  SELECT px.x + dx.d AS tx, px.y + dy.d AS ty, (1 - dx.d) * 3 + (1 - dy.d) AS pos, value
         |  FROM px, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
@@ -1214,8 +1215,9 @@ object SparkEntry {
     // sqrt(2)/2 doubles; trunc (floor), never round, on the byte value.
     "q_hillshade" ->
       """WITH px AS (
-        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y, value
-        |  FROM events),
+        |  SELECT CAST(event_id % 200 AS INT) AS x, CAST((event_id // 200) % 200 AS INT) AS y,
+        |    max(value) AS value
+        |  FROM events GROUP BY 1, 2),
         |nb AS (
         |  SELECT px.x + dx.d AS tx, px.y + dy.d AS ty, (1 - dx.d) * 3 + (1 - dy.d) AS pos, value
         |  FROM px, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),

@@ -66,6 +66,23 @@ object Slope {
       .otherwise(lit(7))
   }
 
+  /** Events → dense pixel plane (same derivation as q_contour), ONE
+    * value per pixel: ids wrap past one grid cover at larger scale
+    * factors, so the plane takes the per-pixel MAX (deterministic; a
+    * single partial agg; identity at sf0.01 where the mapping is
+    * 1:1) — duplicate (x, y) rows would corrupt the stencil's
+    * interior test and conditional sums. */
+  def eventsPlane(s: SparkSession, dir: String): DataFrame =
+    graft.Tables
+      .eventsRaw(s, dir)
+      .select(
+        expr("event_id % 200").cast("int").as("x"),
+        expr("(event_id div 200) % 200").cast("int").as("y"),
+        col("value")
+      )
+      .groupBy(col("x"), col("y"))
+      .agg(max(col("value")).as("value"))
+
   /** ◆ q_hillshade — Lambertian hillshade from the Horn gradients:
     * shade = max(0, N·L)·255 with the standard NW light (azimuth 315°,
     * altitude 45°). The light vector enters as LITERAL doubles (√2/2
@@ -76,14 +93,7 @@ object Slope {
   def hillshadeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r22 = 0.7071067811865476 // √2/2: cos(45°) = sin(45°)
-    val px = graft.Tables
-      .eventsRaw(s, dir)
-      .select(
-        expr("event_id % 200").cast("int").as("x"),
-        expr("(event_id div 200) % 200").cast("int").as("y"),
-        $"value"
-      )
-    gradients(px)
+    gradients(eventsPlane(s, dir))
       .select(
         floor(
           lit(255.0) * greatest(
@@ -101,14 +111,7 @@ object Slope {
     * q_contour), rolled up per aspect octant. */
   def slopeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val px = graft.Tables
-      .eventsRaw(s, dir)
-      .select(
-        expr("event_id % 200").cast("int").as("x"),
-        expr("(event_id div 200) % 200").cast("int").as("y"),
-        $"value"
-      )
-    gradients(px)
+    gradients(eventsPlane(s, dir))
       .select(
         octant($"dzx", $"dzy").as("octant"),
         sqrt($"dzx" * $"dzx" + $"dzy" * $"dzy").as("slope")
