@@ -84,6 +84,7 @@ object SparkEntry {
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_funnel" -> (Windows.funnelQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
+    "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -2548,6 +2549,18 @@ object SparkEntry {
     "q_dbscan" -> dbscanOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcenter" -> kCenterOracle,
+    // Covariance from sums (same mergeable algebra as q_incr_agg);
+    // embedding doubles have no finite decimal expansion, so rounded
+    // quotients do not land exactly on 6dp boundaries.
+    "q_covariance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM v),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |pairs AS (SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i),
+        |prods AS (SELECT i, j, sum(e[i] * e[j]) AS sij FROM v, pairs GROUP BY i, j),
+        |sums AS (SELECT i, sum(e[i]) AS si FROM v, dims GROUP BY i)
+        |SELECT p.i, p.j, round((sij - sa.si * sb.si / n.n) / (n.n - 1), 6) + 0.0 AS cov
+        |FROM prods p JOIN sums sa ON p.i = sa.i JOIN sums sb ON p.j = sb.i CROSS JOIN n""".stripMargin,
     // Triangles: same undirected event graph, same (deg, id) edge
     // orientation, wedge join closed against the canonical a<b edge
     // set — each triangle counted once at its lowest-rank corner.
