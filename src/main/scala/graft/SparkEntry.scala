@@ -83,6 +83,7 @@ object SparkEntry {
     "q_anomaly" -> (Windows.anomalyQuery _),
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_funnel" -> (Windows.funnelQuery _),
+    "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
@@ -1243,6 +1244,17 @@ object SparkEntry {
         |SELECT shade // 16 AS bucket, count(*) AS n_pixels,
         |  min(shade) AS min_shade, max(shade) AS max_shade
         |FROM sh GROUP BY 1""".stripMargin,
+    // Transition counts are exact integers; p is one division of
+    // identical integers in either engine.
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |cnt AS (SELECT prev, event_type AS next, count(*) AS n FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, sum(n) AS t FROM cnt GROUP BY 1)
+        |SELECT cnt.prev, next, n, round(CAST(n AS DOUBLE) / t, 6) AS p
+        |FROM cnt JOIN tot ON cnt.prev = tot.prev""".stripMargin,
     // Funnel steps require STRICTLY-after ordering, so a user's depth
     // is a pure function of their event times.
     "q_funnel" ->

@@ -239,6 +239,26 @@ object Windows {
       .select($"user_id", $"event_id", round(($"value" - $"m") / $"sd", 4).as("z"))
   }
 
+  /** ◆ q_transitions — first-order Markov transition matrix of user
+    * behavior: per-user event sequences (lag over the user-partitioned
+    * timeline) → (prev, next) pair counts → row-normalized transition
+    * probabilities. The estimation pass behind session simulation and
+    * next-event prediction features. Counts are exact integers and the
+    * probability is one division of identical integers in either
+    * engine, so the oracle matches bit-for-bit. */
+  def transitionsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq = Tables
+      .eventsRaw(s, dir)
+      .select($"user_id", $"event_type", lag($"event_type", 1).over(userTime).as("prev"))
+      .filter($"prev".isNotNull)
+    val cnt = seq.groupBy($"prev", $"event_type".as("next")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"prev").agg(sum($"n").as("t"))
+    cnt
+      .join(tot, Seq("prev"))
+      .select($"prev", $"next", $"n", round($"n".cast("double") / $"t", 6).as("p"))
+  }
+
   /** ◆ q_funnel — ordered conversion funnel (view → click → purchase)
     * with a 24 h conversion window per step: step k is each user's
     * FIRST qualifying event strictly after their step-(k−1) time and
