@@ -86,6 +86,7 @@ object SparkEntry {
     "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
+    "q_pca" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.pcaQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -481,6 +482,38 @@ object SparkEntry {
         ctes += s"d$t AS (SELECT d.vec_id, d.e, least(d.md, ${d2("d", "c")}) AS md FROM d${t - 1} d, s$t c)"
     }
     "WITH " + ctes.mkString(",\n") + "\n" + picks.mkString(" UNION ALL ")
+  }
+
+  /** Generated PCA oracle: the q_covariance matrix (rounded, mirrored
+    * to full), then 10 power iterations — matvec, norm, normalize,
+    * round to 8dp so both engines carry bit-identical vectors into the
+    * next round (float twin of the pageRank integer trick). */
+  private def pcaOracle: String = {
+    val iters = 10
+    val rounds = (1 to iters)
+      .map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT cov.i, sum(cov.c * v${t - 1}.x) AS w
+           |  FROM cov JOIN v${t - 1} ON cov.j = v${t - 1}.i GROUP BY cov.i),
+           |n$t AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w$t),
+           |v$t AS MATERIALIZED (SELECT i, round(w / (SELECT nrm FROM n$t), 8) AS x FROM w$t)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM v),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |pairs AS (SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i),
+       |prods AS (SELECT i, j, sum(e[i] * e[j]) AS sij FROM v, pairs GROUP BY i, j),
+       |sums AS (SELECT i, sum(e[i]) AS si FROM v, dims GROUP BY i),
+       |ut AS (
+       |  SELECT p.i, p.j, round((sij - sa.si * sb.si / n.n) / (n.n - 1), 6) + 0.0 AS c
+       |  FROM prods p JOIN sums sa ON p.i = sa.i JOIN sums sb ON p.j = sb.i CROSS JOIN n),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, c FROM ut UNION ALL SELECT j AS i, i AS j, c FROM ut WHERE i <> j),
+       |v0 AS (SELECT i, 0.125 AS x FROM dims),
+       |$rounds
+       |SELECT i, round(x, 6) + 0.0 AS loading,
+       |  (SELECT round(nrm, 4) FROM n$iters) AS eigenvalue FROM v$iters""".stripMargin
   }
 
   /** Generated LPA oracle: 5 synchronous rounds, each one grouped
@@ -2561,6 +2594,7 @@ object SparkEntry {
     "q_dbscan" -> dbscanOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcenter" -> kCenterOracle,
+    "q_pca" -> pcaOracle,
     // Covariance from sums (same mergeable algebra as q_incr_agg);
     // embedding doubles have no finite decimal expansion, so rounded
     // quotients do not land exactly on 6dp boundaries.

@@ -54,4 +54,55 @@ object EmbedStats {
       Tables.embeddings(s, dir).select(col("embedding").cast("array<double>").as("e")),
       d = 64
     )
+
+  /** Top eigenvector by power iteration over the DISTRIBUTED
+    * covariance matrix — PCA's first component without ever
+    * materializing the matrix on the driver: each iteration is one
+    * matvec (matrix ⋈ vector on the column index + a keyed sum), one
+    * 1-row norm aggregate, one normalize. The vector is d rows, the
+    * matrix d² — both DataFrames; at 10⁵ dims this is the same code
+    * (the matrix shuffle dominates; the vector side broadcasts).
+    *
+    * ENGINE LOCKSTEP: the iterate re-rounds to 8dp after every
+    * normalize, so both engines carry bit-identical vectors into the
+    * next matvec (the float version of pageRank's integer-arithmetic
+    * trick); power iteration is contractive toward the dominant
+    * eigenvector, so the rounding never accumulates. Sign is pinned by
+    * the all-positive start vector. */
+  def powerIteration(covFull: DataFrame, d: Int, iters: Int): DataFrame = {
+    val s = covFull.sparkSession
+    import s.implicits._
+    require(d == 64, "start value written as an exact double for d = 64")
+    var (v, vBlocks) = graft.operators.Staged.checkpointOwned(
+      s.range(1, d + 1).select($"id".as("i"), lit(0.125).as("x")) // 1/√64, exact
+    )
+    var lastNorm = 0.0
+    for (t <- 1 to iters) {
+      val w = covFull
+        .join(v.select($"i".as("j"), $"x"), Seq("j"))
+        .groupBy($"i")
+        .agg(sum($"c" * $"x").as("w"))
+      val nrm = w.agg(sqrt(sum($"w" * $"w")).as("nrm"))
+      val (nv, nvBlocks) = graft.operators.Staged.checkpointOwned(
+        w.crossJoin(broadcast(nrm)).select($"i", round($"w" / $"nrm", 8).as("x"))
+      )
+      // the norm is materialized (1-row collect, bounded) BEFORE the
+      // previous iterate's blocks are released — its lazy plan reads them
+      if (t == iters) lastNorm = nrm.head().getDouble(0)
+      graft.operators.Staged.release(vBlocks)
+      v = nv
+      vBlocks = nvBlocks
+    }
+    graft.operators.Staged.register(vBlocks)
+    v.select($"i", (round($"x", 6) + 0.0).as("loading"), round(lit(lastNorm), 4).as("eigenvalue"))
+  }
+
+  /** ◆ q_pca — first principal component of the embedding covariance
+    * (10 power iterations on the q_covariance matrix). */
+  def pcaQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ut = covarianceQuery(s, dir).select($"i", $"j", $"cov".as("c"))
+    val full = ut.union(ut.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"c"))
+    powerIteration(full, d = 64, iters = 10)
+  }
 }

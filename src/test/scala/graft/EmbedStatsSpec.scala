@@ -28,4 +28,26 @@ class EmbedStatsSpec extends SparkSuite {
       assert(r.getDouble(2) >= 0.0, s"variance of dim ${r.getLong(0)} negative")
     }
   }
+
+  test("power iteration recovers a planted dominant direction") {
+    import org.apache.spark.sql.functions._
+    // dim 5 carries variance 100; all other dims carry ~1e-4
+    val vecs = spark
+      .range(100)
+      .select(
+        transform(
+          sequence(lit(1), lit(64)),
+          j =>
+            when(j === 5, when(pmod(col("id"), lit(2)) === 0, lit(10.0)).otherwise(lit(-10.0)))
+              .otherwise(pmod(col("id") * j, lit(7)).cast("double") / 1000.0)
+        ).as("e")
+      )
+    val ut = EmbedStats.covariance(vecs, 64).select(col("i"), col("j"), col("cov").as("c"))
+    val full = ut.union(ut.filter(col("i") =!= col("j")).select(col("j").as("i"), col("i").as("j"), col("c")))
+    val pc = EmbedStats.powerIteration(full, 64, 10).collect()
+    val load = pc.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(load(5L)) > 0.999, s"dim 5 must dominate, got ${load(5L)}")
+    val lambda = pc.head.getDouble(2)
+    assert(lambda > 90 && lambda < 110, s"eigenvalue ~ dim-5 variance, got $lambda")
+  }
 }
