@@ -87,6 +87,7 @@ object SparkEntry {
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
     "q_pca" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.pcaQuery(s, d)),
+    "q_kmeans" -> ((s: SparkSession, d: String) => graft.ann.Kmeans.kmeansQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -482,6 +483,46 @@ object SparkEntry {
         ctes += s"d$t AS (SELECT d.vec_id, d.e, least(d.md, ${d2("d", "c")}) AS md FROM d${t - 1} d, s$t c)"
     }
     "WITH " + ctes.mkString(",\n") + "\n" + picks.mkString(" UNION ALL ")
+  }
+
+  /** Generated k-means oracle: DuckDB replays Lloyd's rounds as a
+    * MATERIALIZED CTE chain — per round an n×k distance join (the
+    * Spark side is map-only against literal centroids; same values),
+    * a row_number argmin with ties to the smaller cluster, and
+    * per-dim means derived from the ALREADY-ROUNDED sum
+    * (round(round(sum,4)/n, 8)) so both engines divide bit-identical
+    * inputs. Seeds are the k lowest vec_ids; empty clusters keep
+    * their previous centroid via the left-join coalesce. */
+  private def kmeansOracle: String = {
+    val k = 8
+    val iters = 5
+    val d2 = "round(list_sum([(v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]) for i in range(1, 65)]), 4)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+      "dims AS (SELECT unnest(range(1, 65)) AS i)",
+      s"""c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS ce
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
+    )
+    for (r <- 1 to iters) {
+      ctes += s"d$r AS (SELECT v.vec_id, v.e, c.c, $d2 AS dist FROM v, c${r - 1} c)"
+      ctes += s"""a$r AS MATERIALIZED (
+                 |  SELECT vec_id, e, c, dist FROM (
+                 |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+                 |    FROM d$r) WHERE rn = 1)""".stripMargin
+      if (r < iters) {
+        ctes += s"""m$r AS (
+                   |  SELECT c, dims.i AS i, round(round(sum(e[dims.i]), 4) / count(*), 8) AS x
+                   |  FROM a$r, dims GROUP BY 1, 2)""".stripMargin
+        ctes += s"""c$r AS MATERIALIZED (
+                   |  SELECT p.c, coalesce(g.ce, p.ce) AS ce FROM c${r - 1} p
+                   |  LEFT JOIN (SELECT c, list(x ORDER BY i) AS ce FROM m$r GROUP BY c) g ON g.c = p.c)""".stripMargin
+      }
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT c AS cluster, count(*) AS n_points, round(sum(dist), 4) + 0.0 AS inertia
+         |FROM a$iters GROUP BY c""".stripMargin
   }
 
   /** Generated PCA oracle: the q_covariance matrix (rounded, mirrored
@@ -2595,6 +2636,7 @@ object SparkEntry {
     "q_label_prop" -> labelPropOracle,
     "q_kcenter" -> kCenterOracle,
     "q_pca" -> pcaOracle,
+    "q_kmeans" -> kmeansOracle,
     // Covariance from sums (same mergeable algebra as q_incr_agg);
     // embedding doubles have no finite decimal expansion, so rounded
     // quotients do not land exactly on 6dp boundaries.
