@@ -176,6 +176,7 @@ object SparkEntry {
     "q_random_walk" -> ((s: SparkSession, d: String) => graft.operators.Graph.randomWalkQuery(s, d)),
     "q_label_prop" -> ((s: SparkSession, d: String) => graft.operators.Graph.labelPropQuery(s, d)),
     "q_triangles" -> ((s: SparkSession, d: String) => graft.operators.Graph.trianglesQuery(s, d)),
+    "q_kcore" -> ((s: SparkSession, d: String) => graft.operators.Graph.kCoreQuery(s, d)),
     "q_bpe" -> ((s: SparkSession, d: String) => Bpe.trainBpe(s, Tables.documents(s, d), "text", 8)),
     "q_reservoir" -> ((s: SparkSession, d: String) => graft.operators.Reservoir.reservoirQuery(s, d)),
     "q_cmsketch" -> ((s: SparkSession, d: String) => graft.operators.CountMin.cmQuery(s, d)),
@@ -483,6 +484,32 @@ object SparkEntry {
         ctes += s"d$t AS (SELECT d.vec_id, d.e, least(d.md, ${d2("d", "c")}) AS md FROM d${t - 1} d, s$t c)"
     }
     "WITH " + ctes.mkString(",\n") + "\n" + picks.mkString(" UNION ALL ")
+  }
+
+  /** Generated k-core oracle: the md5-skewed attachment graph, then 8
+    * synchronous peeling rounds as MATERIALIZED CTEs — each round is
+    * two survivor semi-joins + a keyed count, survivors = degree ≥ k;
+    * the final row set is the surviving nodes with their within-core
+    * degree. Pure integer/string math shared by both engines. */
+  private def kCoreOracle: String = {
+    val k = 20
+    val rounds = 8
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS (SELECT ('0x'||substr(md5('ks:'||event_id),1,15))::BIGINT % 500 AS src,
+        |  ('0x'||substr(md5('kd:'||event_id),1,15))::BIGINT AS h2 FROM events)""".stripMargin,
+      "ed AS (SELECT DISTINCT src, h2 % (src + 1) AS dst FROM e0 WHERE src <> h2 % (src + 1))",
+      "sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed)",
+      "s0 AS (SELECT DISTINCT src AS id FROM sym)"
+    )
+    for (t <- 1 to rounds) {
+      ctes += s"""d$t AS (SELECT sym.src, count(*) AS d FROM sym
+                 |  JOIN s${t - 1} a ON sym.src = a.id JOIN s${t - 1} b ON sym.dst = b.id GROUP BY 1)""".stripMargin
+      ctes += s"s$t AS MATERIALIZED (SELECT src AS id FROM d$t WHERE d >= $k)"
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT sym.src AS node, count(*) AS core_deg FROM sym
+         |JOIN s$rounds a ON sym.src = a.id JOIN s$rounds b ON sym.dst = b.id GROUP BY 1""".stripMargin
   }
 
   /** Generated k-means oracle: DuckDB replays Lloyd's rounds as a
@@ -2634,6 +2661,7 @@ object SparkEntry {
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,
     "q_label_prop" -> labelPropOracle,
+    "q_kcore" -> kCoreOracle,
     "q_kcenter" -> kCenterOracle,
     "q_pca" -> pcaOracle,
     "q_kmeans" -> kmeansOracle,

@@ -480,4 +480,66 @@ object Graph {
       .distinct()
     randomWalks(s.range(500).select(col("id")), edges, steps = 4)
   }
+
+  /** k-core decomposition for a fixed k (Seidman 1983; the Batagelj–
+    * Zaveršnik peeling run SYNCHRONOUSLY): each round drops every node
+    * whose degree within the surviving subgraph is < k; after enough
+    * rounds the survivors are exactly the k-core. Synchronous rounds
+    * make the trajectory a pure function of the edge set (sequential
+    * peeling is order-dependent mid-stream even though its fixpoint is
+    * unique), so a fixed round count is oracle-replayable and the
+    * fixpoint, once reached, is stable under further rounds.
+    *
+    * Per round: two semi-join filters of the symmetric edge list
+    * against the survivor set + one keyed count — all shuffles keyed
+    * on node id, survivor frames checkpointed per round (the LPA/
+    * pageRank lineage discipline). At 100 TB the edge list is the big
+    * table and every pass is one edge-partitioned join; nothing
+    * collects.
+    *
+    * Returns the surviving nodes with their within-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val (sym, symBlocks) = Staged.checkpointOwned(
+      edges
+        .select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    )
+    def coreDeg(surv: DataFrame): DataFrame = sym
+      .join(surv.select(col("id").as("src")), Seq("src"))
+      .join(surv.select(col("id").as("dst")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+    var (surv, survBlocks) = Staged.checkpointOwned(sym.select(col("src").as("id")).distinct())
+    for (_ <- 1 to rounds) {
+      val (next, nextBlocks) = Staged.checkpointOwned(
+        coreDeg(surv).filter(col("d") >= k).select(col("src").as("id"))
+      )
+      Staged.release(survBlocks)
+      surv = next
+      survBlocks = nextBlocks
+    }
+    val out = coreDeg(surv).select(col("src").as("node"), col("d").as("core_deg"))
+    Staged.register(symBlocks)
+    Staged.register(survBlocks)
+    out
+  }
+
+  /** ◆ q_kcore — the 20-core of a deterministic md5-skewed attachment
+    * graph over the events (low ids accumulate degree, so peeling
+    * strips the high-id fringe over several rounds: 8 synchronous
+    * rounds reach the fixpoint at sf0.01). */
+  def kCoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.eventsRaw(s, dir)
+    def h60(prefix: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(prefix), col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+    val edges = ev
+      .select((h60("ks:") % 500).as("src"), col("event_id"))
+      .select(col("src"), (h60("kd:") % (col("src") + 1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    kCore(edges, k = 20, rounds = 8)
+  }
 }

@@ -118,6 +118,35 @@ class GraphSpec extends SparkSuite {
     assert(labs(20L) === 20L, "isolated node keeps its own label")
   }
 
+  test("kCore: a 5-clique with a path tail peels to exactly the clique") {
+    // clique 1..5 (degree 4 inside) + tail 5-6-7-8
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((5L, 6L), (6L, 7L), (7L, 8L))).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 3, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 5L), s"core members: ${out.toSeq}")
+    assert(out.forall(_._2 === 4L), "within-core degree is the clique degree")
+  }
+
+  test("kCore: fixpoint stable (8 vs 9 rounds identical) and nested in the lower-k core") {
+    val ev = Tables.eventsRaw(spark, sf001)
+    def h60(prefix: String) =
+      conv(substring(md5(concat(lit(prefix), col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+    val edges = ev
+      .select((h60("ks:") % 500).as("src"), col("event_id"))
+      .select(col("src"), (h60("kd:") % (col("src") + 1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val r8 = Graph.kCore(edges, k = 20, rounds = 8).collect().map(_.toSeq).toSet
+    val r9 = Graph.kCore(edges, k = 20, rounds = 9).collect().map(_.toSeq).toSet
+    assert(r8 === r9, "peeling reached its fixpoint by round 8")
+    val k20 = r8.map(_.head.asInstanceOf[Long])
+    val k16 = Graph.kCore(edges, k = 16, rounds = 8).collect().map(_.getLong(0)).toSet
+    assert(k20.subsetOf(k16), "higher-k core nests inside the lower-k core")
+    assert(k20.nonEmpty && k16.size > k20.size, "peeling actually removed a fringe")
+  }
+
   test("randomWalks: every step follows a real edge, dangling nodes hold position") {
     import org.apache.spark.sql.functions._
     val ev = Tables.eventsRaw(spark, sf0001)
