@@ -83,6 +83,7 @@ object SparkEntry {
     "q_anomaly" -> (Windows.anomalyQuery _),
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_funnel" -> (Windows.funnelQuery _),
+    "q_retention" -> (Windows.retentionQuery _),
     "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
@@ -1372,6 +1373,18 @@ object SparkEntry {
         |      + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth
         |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
         |GROUP BY depth""".stripMargin,
+    // Retention buckets by integer epoch-microsecond weeks so both
+    // engines share the boundary; the rate divides two integers.
+    "q_retention" ->
+      """WITH wk AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1),
+        |c AS (SELECT f.cohort_wk, wk.wk - f.cohort_wk AS week_age,
+        |        count(DISTINCT wk.user_id) AS n_users
+        |      FROM wk JOIN f USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_wk, count(*) AS cohort_n FROM f GROUP BY 1)
+        |SELECT c.cohort_wk, c.week_age, c.n_users,
+        |  round(c.n_users / sz.cohort_n, 6) AS retention
+        |FROM c JOIN sz USING (cohort_wk)""".stripMargin,
     // Incremental maintenance is pure plumbing: the folded state must
     // equal the direct aggregate over everything.
     "q_incr_agg" ->

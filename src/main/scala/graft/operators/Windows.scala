@@ -324,4 +324,41 @@ object Windows {
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("avg_value"))
   }
+
+  /** Cohort retention matrix — the product-analytics staple: users
+    * cohorted by first-seen week, each later active week counted as
+    * (cohort, week_age) distinct users, with the rate normalized by
+    * cohort size. Shapes: the first-seen pass and the activity join
+    * both key on user_id (the join reuses the aggregation's
+    * partitioning), the final matrix is cohort×age-sized, and the
+    * cohort-size dimension broadcasts. Week boundaries are integer
+    * epoch-microsecond division — no calendar/timezone functions, so
+    * both engines bucket identically.
+    *
+    * activity(user_id, wk: long) → (cohort_wk, week_age, n_users,
+    * retention). */
+  def retention(activity: DataFrame): DataFrame = {
+    val first = activity.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val counts = activity
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_age"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = first.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_n"))
+    counts
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(
+        col("cohort_wk"),
+        col("week_age"),
+        col("n_users"),
+        round(col("n_users") / col("cohort_n"), 6).as("retention")
+      )
+  }
+
+  /** ◆ q_retention — weekly cohort retention over the events table. */
+  def retentionQuery(s: SparkSession, dir: String): DataFrame =
+    retention(
+      Tables
+        .eventsRaw(s, dir)
+        .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+    )
 }

@@ -123,4 +123,23 @@ class WindowsSpec extends SparkSuite {
       .collect()
     assert(out.map(_.getLong(1)).toSet === Set(60L), s"exactly the spike flags, got ${out.mkString(",")}")
   }
+
+  test("retention: planted cohorts produce the expected matrix") {
+    // cohort week 100: users 1,2 (u1 returns weeks 101 and 103; u2 never)
+    // cohort week 101: user 3 (returns week 102)
+    val act = Seq(
+      (1L, 100L), (1L, 100L), (1L, 101L), (1L, 103L),
+      (2L, 100L),
+      (3L, 101L), (3L, 102L)
+    ).toDF("user_id", "wk")
+    val out = Windows.retention(act).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((100L, 0L)) === ((2L, 1.0)), "whole cohort active at age 0")
+    assert(out((100L, 1L)) === ((1L, 0.5)))
+    assert(out((100L, 3L)) === ((1L, 0.5)))
+    assert(out((101L, 0L)) === ((1L, 1.0)))
+    assert(out((101L, 1L)) === ((1L, 1.0)))
+    assert(!out.contains((100L, 2L)), "no activity, no row")
+    assert(out.size === 5)
+  }
 }
