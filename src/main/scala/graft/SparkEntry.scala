@@ -84,6 +84,7 @@ object SparkEntry {
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_funnel" -> (Windows.funnelQuery _),
     "q_retention" -> (Windows.retentionQuery _),
+    "q_skyline" -> ((s: SparkSession, d: String) => graft.operators.Skyline.skylineQuery(s, d)),
     "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
@@ -1373,6 +1374,15 @@ object SparkEntry {
         |      + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth
         |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
         |GROUP BY depth""".stripMargin,
+    // Skyline: the oracle states dominance declaratively (NOT EXISTS);
+    // the engine's two-phase sweep must produce the identical frontier.
+    "q_skyline" ->
+      """WITH pts AS (SELECT o_totalprice AS p, epoch_us(o_orderdate) // 86400000000 AS d,
+        |        o_orderkey AS rid FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |dist AS (SELECT p, d, count(*) AS n_rows, min(rid) AS min_rid FROM pts GROUP BY 1, 2)
+        |SELECT p AS price, d AS order_day, n_rows, min_rid AS min_orderkey FROM dist a
+        |WHERE NOT EXISTS (SELECT 1 FROM dist b
+        |  WHERE b.p >= a.p AND b.d >= a.d AND (b.p > a.p OR b.d > a.d))""".stripMargin,
     // Retention buckets by integer epoch-microsecond weeks so both
     // engines share the boundary; the rate divides two integers.
     "q_retention" ->
