@@ -85,6 +85,7 @@ object SparkEntry {
     "q_funnel" -> (Windows.funnelQuery _),
     "q_retention" -> (Windows.retentionQuery _),
     "q_skyline" -> ((s: SparkSession, d: String) => graft.operators.Skyline.skylineQuery(s, d)),
+    "q_col_profile" -> (Relational.colProfileQuery _),
     "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
@@ -1374,6 +1375,24 @@ object SparkEntry {
         |      + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth
         |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
         |GROUP BY depth""".stripMargin,
+    // Profiler: one UNION ALL branch per column; completeness divides
+    // two integers, avg_len averages exact integer lengths.
+    "q_col_profile" -> {
+      def branch(c: String, str: Boolean): String =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  round(count($c) / count(*), 6) AS completeness,
+           |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value,
+           |  ${if (str) s"round(avg(length($c)), 4)" else "CAST(NULL AS DOUBLE)"} AS avg_len
+           |FROM documents""".stripMargin
+      Seq(
+        branch("doc_id", str = false),
+        branch("text", str = true),
+        branch("lang", str = true),
+        branch("source", str = true),
+        branch("n_chars", str = false)
+      ).mkString("\nUNION ALL\n")
+    },
     // Skyline: the oracle states dominance declaratively (NOT EXISTS);
     // the engine's two-phase sweep must produce the identical frontier.
     "q_skyline" ->

@@ -549,4 +549,48 @@ object Relational {
       .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Dataset profiler (the Deequ/Great-Expectations analyzer shape):
+    * per-column row count, null count, exact distinct cardinality,
+    * completeness, min/max (stringified so one schema serves every
+    * type), and mean string length — the data-quality summary a
+    * curation pipeline gates ingest on. ONE scan computes every
+    * statistic: all aggregates ride a single `agg` (the multi-DISTINCT
+    * plan is Catalyst's Expand — a constant ×columns row blow-up that
+    * partial-aggregates map-side; nothing collects), then the 1-row
+    * result unpivots via `stack` into one row per column. Completeness
+    * divides two integers — bit-identical across engines. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val isStr = cols
+      .map(c => c -> (df.schema(c).dataType == org.apache.spark.sql.types.StringType))
+      .toMap
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"),
+        (if (isStr(c)) round(avg(length(col(c))), 4) else lit(null).cast("double"))
+          .as(s"${c}_len")
+      )
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c =>
+        s"'$c', _n, ${c}_nulls, ${c}_dist, round((_n - ${c}_nulls) / _n, 6), ${c}_min, ${c}_max, ${c}_len"
+      )
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, completeness, min_value, max_value, avg_len)"
+    )
+  }
+
+  /** ◆ q_col_profile — every column of the documents table profiled
+    * in one pass. */
+  def colProfileQuery(s: SparkSession, dir: String): DataFrame =
+    profileColumns(
+      Tables.documents(s, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+    )
 }
