@@ -86,6 +86,7 @@ object SparkEntry {
     "q_retention" -> (Windows.retentionQuery _),
     "q_skyline" -> ((s: SparkSession, d: String) => graft.operators.Skyline.skylineQuery(s, d)),
     "q_col_profile" -> (Relational.colProfileQuery _),
+    "q_geofence" -> (graft.geo.Geofence.geofenceQuery _),
     "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
@@ -487,6 +488,29 @@ object SparkEntry {
         ctes += s"d$t AS (SELECT d.vec_id, d.e, least(d.md, ${d2("d", "c")}) AS md FROM d${t - 1} d, s$t c)"
     }
     "WITH " + ctes.mkString(",\n") + "\n" + picks.mkString(" UNION ALL ")
+  }
+
+  /** Generated geofence oracle: the same ring as
+    * `Geofence.TestRing`, each edge's crossing term unrolled with the
+    * x-intersect division cleared by cross-multiplication — pure
+    * integer arithmetic on both engines, exact by construction. */
+  private def geofenceOracle: String = {
+    val ring = graft.geo.Geofence.TestRing
+    val terms = ring.indices.map { i =>
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.size)
+      val c = s"((px - ($x1)) * (${y2 - y1}) - (py - ($y1)) * (${x2 - x1}))"
+      val rightOf = if (y2 > y1) s"$c < 0" else s"$c > 0"
+      s"CASE WHEN (($y1 > py) <> ($y2 > py)) AND ($rightOf) THEN 1 ELSE 0 END"
+    }
+    s"""WITH pts AS (SELECT event_type,
+       |    event_id * 7919 % 36000 - 18000 AS px,
+       |    event_id * 104729 % 18000 - 9000 AS py FROM events),
+       |ins AS (SELECT event_type, (${terms.mkString("\n  + ")}) % 2 = 1 AS inside FROM pts)
+       |SELECT event_type, count(*) AS n_total,
+       |  sum(CASE WHEN inside THEN 1 ELSE 0 END) AS n_inside,
+       |  round(sum(CASE WHEN inside THEN 1 ELSE 0 END) / count(*), 6) AS share_inside
+       |FROM ins GROUP BY 1""".stripMargin
   }
 
   /** Generated k-core oracle: the md5-skewed attachment graph, then 8
@@ -2704,6 +2728,7 @@ object SparkEntry {
     "q_dbscan" -> dbscanOracle,
     "q_label_prop" -> labelPropOracle,
     "q_kcore" -> kCoreOracle,
+    "q_geofence" -> geofenceOracle,
     "q_kcenter" -> kCenterOracle,
     "q_pca" -> pcaOracle,
     "q_kmeans" -> kmeansOracle,
