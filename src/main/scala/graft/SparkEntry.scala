@@ -92,6 +92,7 @@ object SparkEntry {
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
     "q_pca" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.pcaQuery(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => graft.ann.Kmeans.kmeansQuery(s, d)),
+    "q_logreg" -> ((s: SparkSession, d: String) => graft.ann.Logistic.logregQuery(s, d)),
     "q_histogram" -> (Windows.histogramQuery _),
     // §2.7 scalar functions
     "q_slugify" -> (Scalars.slugifyQuery _),
@@ -488,6 +489,42 @@ object SparkEntry {
         ctes += s"d$t AS (SELECT d.vec_id, d.e, least(d.md, ${d2("d", "c")}) AS md FROM d${t - 1} d, s$t c)"
     }
     "WITH " + ctes.mkString(",\n") + "\n" + picks.mkString(" UNION ALL ")
+  }
+
+  /** Generated logistic-regression oracle: 8 GD rounds as MATERIALIZED
+    * CTEs. Only the gradient sums round (6dp — absorbing sum-order and
+    * exp last-ulp noise); the weight updates and the final linear-term
+    * predictions are identical IEEE arithmetic, and the accuracy gate
+    * compares z > 0, never the sigmoid. */
+  private def logregOracle: String = {
+    val iters = 8
+    val rounds = (1 to iters)
+      .map { t =>
+        s"""g$t AS MATERIALIZED (
+           |  SELECT round(sum(p - y), 6) AS ga, round(sum((p - y) * x1), 6) AS gb,
+           |         round(sum((p - y) * x2), 6) AS gc
+           |  FROM (SELECT d.y, d.x1, d.x2,
+           |          1.0 / (1.0 + exp(-(w.a + w.b * d.x1 + w.c * d.x2))) AS p
+           |        FROM d, w${t - 1} w)),
+           |w$t AS MATERIALIZED (
+           |  SELECT w.a - 10.0 * g.ga / n.n AS a, w.b - 10.0 * g.gb / n.n AS b,
+           |         w.c - 10.0 * g.gc / n.n AS c
+           |  FROM w${t - 1} w, g$t g, n)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS y,
+       |         value / 100.0 AS x1, (event_id % 1000) / 1000.0 AS x2
+       |  FROM events),
+       |n AS (SELECT count(*) AS n FROM d),
+       |w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
+       |$rounds
+       |SELECT w.a AS w0, w.b AS w1, w.c AS w2,
+       |  sum(CASE WHEN ((w.a + w.b * d.x1 + w.c * d.x2) > 0) = (d.y = 1.0)
+       |      THEN 1 ELSE 0 END) AS n_correct,
+       |  sum(CASE WHEN ((w.a + w.b * d.x1 + w.c * d.x2) > 0) = (d.y = 1.0)
+       |      THEN 1 ELSE 0 END) / (SELECT n FROM n) AS accuracy
+       |FROM d, w$iters w GROUP BY 1, 2, 3""".stripMargin
   }
 
   /** Generated geofence oracle: the same ring as
@@ -2732,6 +2769,7 @@ object SparkEntry {
     "q_kcenter" -> kCenterOracle,
     "q_pca" -> pcaOracle,
     "q_kmeans" -> kmeansOracle,
+    "q_logreg" -> logregOracle,
     // Covariance from sums (same mergeable algebra as q_incr_agg);
     // embedding doubles have no finite decimal expansion, so rounded
     // quotients do not land exactly on 6dp boundaries.
