@@ -87,6 +87,7 @@ object SparkEntry {
     "q_skyline" -> ((s: SparkSession, d: String) => graft.operators.Skyline.skylineQuery(s, d)),
     "q_col_profile" -> (Relational.colProfileQuery _),
     "q_geofence" -> (graft.geo.Geofence.geofenceQuery _),
+    "q_knn_join" -> (graft.geo.SpatialJoin.knnJoinQuery _),
     "q_transitions" -> (Windows.transitionsQuery _),
     "q_kcenter" -> ((s: SparkSession, d: String) => graft.ann.Coreset.kCenterQuery(s, d)),
     "q_covariance" -> ((s: SparkSession, d: String) => graft.ann.EmbedStats.covarianceQuery(s, d)),
@@ -1436,6 +1437,19 @@ object SparkEntry {
         |      + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth
         |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
         |GROUP BY depth""".stripMargin,
+    // kNN join: the engine's grid-blocked candidate generation must
+    // reproduce brute-force truth — integer d², ties on bid.
+    "q_knn_join" ->
+      """WITH p AS (SELECT event_id AS id, event_id * 7919 % 36000 - 18000 AS px,
+        |        event_id * 104729 % 18000 - 9000 AS py FROM events),
+        |q AS (SELECT * FROM p WHERE id % 10 = 0),
+        |c AS (SELECT q.id AS qid, p.id AS bid,
+        |        (q.px - p.px) * (q.px - p.px) + (q.py - p.py) * (q.py - p.py) AS d2
+        |      FROM q, p WHERE p.id <> q.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, bid, d2 FROM (
+        |  SELECT qid, bid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, bid) AS rank
+        |  FROM c WHERE d2 <= 250000)
+        |WHERE rank <= 5""".stripMargin,
     // Profiler: one UNION ALL branch per column; completeness divides
     // two integers, avg_len averages exact integer lengths.
     "q_col_profile" -> {

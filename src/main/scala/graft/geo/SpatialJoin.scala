@@ -72,4 +72,76 @@ object SpatialJoin {
       .groupBy($"region_id")
       .agg(count(lit(1)).as("n_points"), sum($"event_id").as("id_sum"))
   }
+
+  /** Radius-bounded k-nearest-neighbor join — for every query point
+    * the k closest data points within distance r, EXACT: with the grid
+    * cell sized to r, any point within r of a query lies in the
+    * query's 3×3 cell neighborhood, so queries explode ×9, data maps
+    * to its ONE cell, and the candidate set from the plain equi-join
+    * is provably complete. Integer coordinates make d² exact long
+    * arithmetic (no epsilon); the per-query top-k is a window over the
+    * bounded candidate set (≈ density·9r² rows), never over the data
+    * table. Shuffle volume: 9× queries + 1× data — the kNN twin of the
+    * containment join above.
+    *
+    * queries(qid, px, py) × data(bid, px, py), centi-degree longs. */
+  def knnJoin(queries: DataFrame, data: DataFrame, r: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries
+      .select(
+        col("qid"),
+        col("px"),
+        col("py"),
+        expr(s"(px + 18000) div $r").as("cx0"),
+        expr(s"(py + 9000) div $r").as("cy0")
+      )
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(
+        col("qid"),
+        col("px"),
+        col("py"),
+        (col("cx0") + col("dx")).as("cx"),
+        (col("cy0") + col("dy")).as("cy")
+      )
+    val d = data.select(
+      col("bid"),
+      col("px").as("bx"),
+      col("py").as("by"),
+      expr(s"(px + 18000) div $r").as("cx"),
+      expr(s"(py + 9000) div $r").as("cy")
+    )
+    val cand = q
+      .join(d, Seq("cx", "cy"))
+      .filter(col("bid") =!= col("qid"))
+      .withColumn(
+        "d2",
+        (col("px") - col("bx")) * (col("px") - col("bx")) +
+          (col("py") - col("by")) * (col("py") - col("by"))
+      )
+      .filter(col("d2") <= lit(r * r))
+    cand
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("bid").asc))
+      )
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("bid"), col("d2"))
+  }
+
+  /** ◆ q_knn_join — every 10th event queries its 5 nearest events
+    * within 5° (500 centi-degrees); DuckDB verifies by brute force. */
+  def knnJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables
+      .eventsRaw(s, dir)
+      .select(
+        col("event_id").as("bid"),
+        (col("event_id") * 7919L % 36000L - 18000L).as("px"),
+        (col("event_id") * 104729L % 18000L - 9000L).as("py")
+      )
+    val queries = pts
+      .filter(col("bid") % 10 === 0)
+      .select(col("bid").as("qid"), col("px"), col("py"))
+    knnJoin(queries, pts, r = 500L, k = 5)
+  }
 }
