@@ -84,6 +84,7 @@ object SparkEntry {
     "q_incr_agg" -> ((s: SparkSession, d: String) => graft.operators.Incremental.incrAggQuery(s, d)),
     "q_funnel" -> (Windows.funnelQuery _),
     "q_retention" -> (Windows.retentionQuery _),
+    "q_scd2" -> (Windows.scd2Query _),
     "q_skyline" -> ((s: SparkSession, d: String) => graft.operators.Skyline.skylineQuery(s, d)),
     "q_col_profile" -> (Relational.colProfileQuery _),
     "q_geofence" -> (graft.geo.Geofence.geofenceQuery _),
@@ -1477,6 +1478,19 @@ object SparkEntry {
         |SELECT p AS price, d AS order_day, n_rows, min_rid AS min_orderkey FROM dist a
         |WHERE NOT EXISTS (SELECT 1 FROM dist b
         |  WHERE b.p >= a.p AND b.d >= a.d AND (b.p > a.p OR b.d > a.d))""".stripMargin,
+    // SCD2: version starts where the lagged attribute differs; lead
+    // closes intervals; snapshot tests valid_from <= T < valid_to.
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |v AS (SELECT user_id, tus, event_type,
+        |        lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to
+        |      FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, count(*) AS n_versions,
+        |  max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state,
+        |  max(CASE WHEN tus <= 1705276800000000 AND (valid_to IS NULL OR 1705276800000000 < valid_to)
+        |      THEN event_type END) AS state_at_t
+        |FROM v GROUP BY 1""".stripMargin,
     // Retention buckets by integer epoch-microsecond weeks so both
     // engines share the boundary; the rate divides two integers.
     "q_retention" ->

@@ -361,4 +361,51 @@ object Windows {
         .eventsRaw(s, dir)
         .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
     )
+
+  /** Slowly-changing-dimension type 2 (Kimball): compress each user's
+    * event-type timeline into versioned validity intervals — a new
+    * version opens exactly when the attribute CHANGES (lag filter),
+    * valid_to is the next version's valid_from (lead), the open
+    * version is current — then answer a point-in-time snapshot from
+    * the interval table. Both windows partition on user_id and order
+    * on the raw integer microseconds with event_id as the total
+    * tie-break, so version boundaries are a pure function of the
+    * data. One user-keyed shuffle serves every step.
+    *
+    * events(user_id, tus, event_id, event_type) → one row per user:
+    * (user_id, n_versions, current_state, state_at_t). */
+  def scd2(ev: DataFrame, tUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus").asc, col("event_id").asc)
+    val versions = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("tus"), 1).over(w))
+    versions
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        max(when(col("valid_to").isNull, col("event_type"))).as("current_state"),
+        max(
+          when(
+            col("tus") <= tUs && (col("valid_to").isNull || lit(tUs) < col("valid_to")),
+            col("event_type")
+          )
+        ).as("state_at_t")
+      )
+  }
+
+  /** ◆ q_scd2 — the user event-type dimension versioned SCD2-style,
+    * snapshotted at 2024-01-15T00:00:00Z. */
+  def scd2Query(s: SparkSession, dir: String): DataFrame =
+    scd2(
+      Tables
+        .eventsRaw(s, dir)
+        .select(
+          col("user_id"),
+          expr("ts div 1000").as("tus"),
+          col("event_id"),
+          col("event_type")
+        ),
+      tUs = 1705276800000000L
+    )
 }

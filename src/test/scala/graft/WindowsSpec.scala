@@ -124,6 +124,24 @@ class WindowsSpec extends SparkSuite {
     assert(out.map(_.getLong(1)).toSet === Set(60L), s"exactly the spike flags, got ${out.mkString(",")}")
   }
 
+  test("scd2: planted timeline versions correctly, snapshot lands mid-interval") {
+    // user 1: A(10) A(20) B(30) B(40) A(50) -> versions A[10,30) B[30,50) A[50,∞)
+    // user 2: single C(5) -> one open version
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "B"), (1L, 50L, 5L, "A"),
+      (2L, 5L, 6L, "C")
+    ).toDF("user_id", "tus", "event_id", "event_type")
+    val out = Windows.scd2(ev, tUs = 35L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, "A", "B")), s"got ${out(1L)}")
+    assert(out(2L) === ((1L, "C", "C")))
+    // snapshot before a user's first version -> null state
+    val early = Windows.scd2(ev, tUs = 1L).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(early(1L).isEmpty && early(2L).isEmpty)
+  }
+
   test("retention: planted cohorts produce the expected matrix") {
     // cohort week 100: users 1,2 (u1 returns weeks 101 and 103; u2 never)
     // cohort week 101: user 3 (returns week 102)
