@@ -521,11 +521,11 @@ object SparkEntry {
        |n AS (SELECT count(*) AS n FROM d),
        |w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c),
        |$rounds
-       |SELECT w.a AS w0, w.b AS w1, w.c AS w2,
-       |  sum(CASE WHEN ((w.a + w.b * d.x1 + w.c * d.x2) > 0) = (d.y = 1.0)
-       |      THEN 1 ELSE 0 END) AS n_correct,
-       |  sum(CASE WHEN ((w.a + w.b * d.x1 + w.c * d.x2) > 0) = (d.y = 1.0)
-       |      THEN 1 ELSE 0 END) / (SELECT n FROM n) AS accuracy
+       |SELECT round(w.a, 10) AS w0, round(w.b, 10) AS w1, round(w.c, 10) AS w2,
+       |  CAST(sum(CASE WHEN ((w.a + w.b * d.x1 + w.c * d.x2) > 0) = (d.y = 1.0)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN ((w.a + w.b * d.x1 + w.c * d.x2) > 0) = (d.y = 1.0)
+       |      THEN 1 ELSE 0 END) AS BIGINT) / (SELECT n FROM n) AS accuracy
        |FROM d, w$iters w GROUP BY 1, 2, 3""".stripMargin
   }
 
@@ -547,8 +547,8 @@ object SparkEntry {
        |    event_id * 104729 % 18000 - 9000 AS py FROM events),
        |ins AS (SELECT event_type, (${terms.mkString("\n  + ")}) % 2 = 1 AS inside FROM pts)
        |SELECT event_type, count(*) AS n_total,
-       |  sum(CASE WHEN inside THEN 1 ELSE 0 END) AS n_inside,
-       |  round(sum(CASE WHEN inside THEN 1 ELSE 0 END) / count(*), 6) AS share_inside
+       |  CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       |  CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS share_inside
        |FROM ins GROUP BY 1""".stripMargin
   }
 
@@ -2855,7 +2855,7 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT path, bytes, sum(bytes) OVER (ORDER BY path) AS cum FROM files),
         |b AS (SELECT path, bytes, (cum - bytes) // 16384 AS bin FROM c)
-        |SELECT bin, count(*) AS n_files, sum(bytes) AS bytes,
+        |SELECT bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
         |  min(path) AS first_path, max(path) AS last_path
         |FROM b GROUP BY bin""".stripMargin,
     // BM25: same \w+ tokenization as q_tfidf, same ln() idf pattern,
@@ -2930,8 +2930,8 @@ object SparkEntry {
     "q_interval_join" ->
       """WITH iv AS (
         |  SELECT event_id, event_type,
-        |    epoch_ns(ts) // 1000000000 AS s,
-        |    epoch_ns(ts) // 1000000000 + event_id % 600 + 1 AS e
+        |    epoch_us(ts) // 1000000 AS s,
+        |    epoch_us(ts) // 1000000 + event_id % 600 + 1 AS e
         |  FROM events),
         |p AS (
         |  SELECT a.event_type AS type_a, b.event_type AS type_b,

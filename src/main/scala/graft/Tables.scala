@@ -20,23 +20,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader refuses. Read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp with integer division — a plain projection,
-    * no precision-losing double math on ~1e18 nanos.
-    */
+  /** `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark reads as TIMESTAMP_NTZ. The stored wall-times are UTC
+    * instants, and every session here runs with the UTC session
+    * timezone, so the NTZ→TIMESTAMP cast below is an exact identity on
+    * the underlying microseconds. A schema guard fails loudly (one
+    * named error instead of 20 scattered analysis exceptions) if the
+    * testdata layout ever changes again. */
   def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    eventsNtz(s, d).withColumn(
+      "ts",
+      org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    )
 
-  /** Events with `ts` left as the raw epoch-nanos long. Range filters
-    * belong HERE (compare against nano literals) so they push into the
-    * parquet scan as plain long predicates — a filter on the derived
-    * timestamp column cannot push down. */
+  /** Events with `ts` as the raw epoch-MICROSECONDS long — the exact
+    * integer domain every window/session/interval operator computes in
+    * (and the same domain DuckDB's `epoch_us(ts)` sees). Derived via
+    * `unix_micros`, so a range predicate on this column does NOT push
+    * into the parquet scan; operators that range-filter the timeline
+    * should filter [[eventsNtz]]'s raw `ts` column against timestamp
+    * literals first (scan-pushable) and derive the long afterwards. */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    import org.apache.spark.sql.functions._
+    eventsNtz(s, d)
+      .withColumn("ts", unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+  }
+
+  /** Events exactly as stored: `ts` is the raw TIMESTAMP_NTZ column.
+    * Range filters belong HERE (plain column vs. foldable timestamp
+    * literal → pushed into the scan, pruning row groups via min/max
+    * stats). */
+  def eventsNtz(s: SparkSession, d: String): DataFrame = {
+    require(
+      s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft.Tables.events*: session timezone must be UTC (NTZ wall-times are UTC instants)"
+    )
+    val df = load(s, d, "events")
+    val tsType = df.schema("ts").dataType
+    require(
+      tsType == org.apache.spark.sql.types.TimestampNTZType ||
+        tsType == org.apache.spark.sql.types.TimestampType,
+      s"graft.Tables.events*: events.ts expected TIMESTAMP(_NTZ) micros, got $tsType — " +
+        "the driver testdata layout changed; re-base the loader contract (see Tables.scala)"
+    )
+    df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -102,7 +102,15 @@ object EmbedStats {
   def pcaQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ut = covarianceQuery(s, dir).select($"i", $"j", $"cov".as("c"))
-    val full = ut.union(ut.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"c"))
+    // materialize Σ ONCE before the loop: each power iteration runs an
+    // eager action, and an unstaged covariance plan would re-execute the
+    // full embeddings scan + pair-join ×iters (10 corpus scans where 1
+    // suffices — the scale-killer at 10⁹ vectors). The d² staged matrix
+    // is tiny (4 096 rows); released with the session's staged pool.
+    val (full, fullBlocks) = graft.operators.Staged.checkpointOwned(
+      ut.union(ut.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"c"))
+    )
+    graft.operators.Staged.register(fullBlocks)
     powerIteration(full, d = 64, iters = 10)
   }
 }

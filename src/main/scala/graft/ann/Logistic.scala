@@ -46,9 +46,13 @@ object Logistic {
     data
       .agg(sum(when((z > 0.0) === (col("y") === 1.0), 1L).otherwise(0L)).as("n_correct"))
       .select(
-        lit(wa).as("w0"),
-        lit(wb).as("w1"),
-        lit(wc).as("w2"),
+        // 10dp emit-lock: the weights are bit-identical across engines,
+        // but a driver-side ulp in the 6dp gradient rounding would show
+        // at full precision; 10dp keeps every meaningful digit while
+        // absorbing last-ulp repr noise
+        round(lit(wa), 10).as("w0"),
+        round(lit(wb), 10).as("w1"),
+        round(lit(wc), 10).as("w2"),
         col("n_correct"),
         (col("n_correct") / lit(n)).as("accuracy")
       )

@@ -142,8 +142,8 @@ object Scalars {
   def isoFormatQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.eventsRaw(s, dir)
-    val ctMs = when($"event_id" % 3 === 0, lit(0L)).otherwise(expr("ts div 1000000"))
-    val mtimeS = expr("ts div 1000000000")
+    val ctMs = when($"event_id" % 3 === 0, lit(0L)).otherwise(expr("ts div 1000"))
+    val mtimeS = expr("ts div 1000000")
     val iso = when(ctMs > 0, Stac.isoFromEpochMs(ctMs)).otherwise(Stac.isoFromEpochSec(mtimeS))
     ev.select(iso.as("iso"))
       .groupBy(substring($"iso", 1, 10).as("day"))
@@ -157,7 +157,7 @@ object Scalars {
   def isoParseQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.eventsRaw(s, dir)
-    val local = date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss")
+    val local = date_format(timestamp_seconds(expr("ts div 1000000")), "yyyy-MM-dd'T'HH:mm:ss")
     val oh = ($"user_id" % 25) - 12
     val om = when($"user_id" % 2 === 0, "00").otherwise("30")
     val isoStr = concat(

@@ -79,7 +79,10 @@ object Geofence {
         col("event_type"),
         col("n_total"),
         col("n_inside"),
-        round(col("n_inside") / col("n_total"), 6).as("share_inside")
+        // unrounded: the quotient of identical integers is bit-identical
+        // in both engines, while round()'s half-boundary behavior is a
+        // libm coin-flip the compare must not depend on
+        (col("n_inside") / col("n_total")).as("share_inside")
       )
   }
 }

@@ -53,8 +53,8 @@ object IntervalJoin {
       .select(
         $"event_id".as("id"),
         $"event_type".as("typ"),
-        expr("ts div 1000000000").as("s"),
-        (expr("ts div 1000000000") + $"event_id" % 600 + 1).as("e")
+        expr("ts div 1000000").as("s"),
+        (expr("ts div 1000000") + $"event_id" % 600 + 1).as("e")
       )
     val ivP = Staged.persist(iv) // both sides of the self-join read it
     overlapPairs(ivP, ivP, bucketSize = 1024L, antiReflexive = true)

@@ -180,16 +180,17 @@ object Relational {
 
   /** ◆ Temporal range filter — reference: STAC datetime predicate
     * (`stac.cpp:643-651`). The bounds are compared against the RAW
-    * epoch-nanos long so they push into the parquet scan and prune row
-    * groups via min/max stats; a predicate on the derived timestamp
-    * column would not push down (verified via `.explain("formatted")`:
+    * TIMESTAMP_NTZ column with foldable timestamp literals so they
+    * push into the parquet scan and prune row groups via min/max
+    * stats; a predicate on a derived `unix_micros(ts)` column would
+    * not push down (verified via `.explain("formatted")`:
     * `PushedFilters: [GreaterThanOrEqual(ts,...), LessThan(ts,...)]`). */
   def temporalFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def ns(iso: String): Long = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def ntz(isoLocal: String) = lit(java.time.LocalDateTime.parse(isoLocal))
     Tables
-      .eventsRaw(s, dir)
-      .filter($"ts" >= ns("2024-01-10T00:00:00Z") && $"ts" < ns("2024-01-20T00:00:00Z"))
+      .eventsNtz(s, dir)
+      .filter($"ts" >= ntz("2024-01-10T00:00:00") && $"ts" < ntz("2024-01-20T00:00:00"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), money(sum($"value")).as("sum_value"))
   }
@@ -526,7 +527,7 @@ object Relational {
         lpad($"event_id".cast("string"), 8, "0").as("path"),
         (($"event_id" * 7919) % 36000 / 100.0 - 180.0 + 0.005).as("lon"),
         (($"event_id" * 104729) % 18000 / 100.0 - 90.0 + 0.005).as("lat"),
-        expr("ts div 1000000000").as("instant")
+        expr("ts div 1000000").as("instant")
       )
     val filtered = entries
       .filter($"lon" >= -90.0 && $"lon" <= 90.0 && $"lat" >= -45.0 && $"lat" <= 45.0)

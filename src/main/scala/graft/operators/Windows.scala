@@ -12,15 +12,15 @@ import graft.Tables
   * percentiles, gap-filled time series, histograms.
   *
   * Scale design: every window partitions by a high-cardinality key
-  * (user_id) so state is distributed; ordering keys are the RAW
-  * epoch-nano longs (exact integer compare, pushdown-friendly, no
-  * timestamp conversion in the sort). No driver-side loops: as-of is
+  * (user_id) so state is distributed; ordering keys are the raw
+  * epoch-MICROSECOND longs (exact integer compare, no timestamp
+  * conversion in the sort). No driver-side loops: as-of is
   * the union+last_value trick (one shuffle, one sort per partition),
   * not a per-row lookup.
   */
 object Windows {
 
-  /** user-ordered window over the raw nano timeline; event_id breaks
+  /** user-ordered window over the raw µs timeline; event_id breaks
     * (theoretical) ties deterministically. */
   private def userTime = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
 
@@ -147,13 +147,12 @@ object Windows {
 
   /** ◆ Sessionization (gaps-and-islands): a >2h silence starts a new
     * session; session id = running count of session starts. All integer
-    * nano math — exact across engines. */
+    * µs math — exact across engines (DuckDB computes the same domain
+    * via `epoch_us(ts)`). */
   def sessionizeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // microsecond domain: DuckDB truncates parquet TIMESTAMP(NANOS) to
-    // micros on read, so sub-µs digits would never hash-match
     val gapUs = 2L * 3600 * 1000000L
-    val events = Tables.eventsRaw(s, dir).withColumn("ts", expr("ts div 1000"))
+    val events = Tables.eventsRaw(s, dir)
     sessionTable(events, gapUs)
       .groupBy($"user_id")
       .agg(
@@ -168,10 +167,10 @@ object Windows {
     * nulls) trick: ONE shuffle on user_id + one partition-local sort —
     * never a per-row range probe, never a join blowup; this is the
     * shape that survives a 100 TB event log. Output is all-integer
-    * (nanosecond gap), so the oracle compare is exact. */
+    * (microsecond gap), so the oracle compare is exact. */
   def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.eventsRaw(s, dir).withColumn("ts", expr("ts div 1000")) // µs domain (oracle parity)
+    val ev = Tables.eventsRaw(s, dir) // ts already the µs domain (oracle parity)
     val clicks = ev
       .filter($"event_type" === "click")
       .select($"user_id", $"ts", lit(0).as("kind"), $"event_id", $"ts".as("click_ts"))
@@ -203,7 +202,6 @@ object Windows {
       .rangeBetween(-3600000000L, 0L) // 1 hour in µs
     Tables
       .eventsRaw(s, dir)
-      .withColumn("ts", expr("ts div 1000"))
       .withColumn("trail_n", count(lit(1)).over(w))
       .withColumn("trail_sum", sum($"value").over(w))
       .groupBy($"event_type")
@@ -270,12 +268,12 @@ object Windows {
     * Output: users reaching each depth. */
   def funnelQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val windowNanos = 24L * 3600L * 1000000000L
+    val windowMicros = 24L * 3600L * 1000000L
     val ev = Tables.eventsRaw(s, dir)
     def firstAfter(eventType: String, prev: DataFrame, prevTs: String, outTs: String): DataFrame =
       ev.filter($"event_type" === eventType)
         .join(prev, Seq("user_id"))
-        .filter($"ts" > col(prevTs) && $"ts" <= col(prevTs) + lit(windowNanos))
+        .filter($"ts" > col(prevTs) && $"ts" <= col(prevTs) + lit(windowMicros))
         .groupBy($"user_id")
         .agg(min($"ts").as(outTs))
     val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("s1"))
@@ -359,7 +357,7 @@ object Windows {
     retention(
       Tables
         .eventsRaw(s, dir)
-        .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+        .select(col("user_id"), expr("ts div 604800000000").as("wk"))
     )
 
   /** Slowly-changing-dimension type 2 (Kimball): compress each user's
@@ -402,7 +400,7 @@ object Windows {
         .eventsRaw(s, dir)
         .select(
           col("user_id"),
-          expr("ts div 1000").as("tus"),
+          col("ts").as("tus"),
           col("event_id"),
           col("event_type")
         ),

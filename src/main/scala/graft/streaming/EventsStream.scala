@@ -13,19 +13,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventsStream {
 
   val eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING"
   )
 
-  /** File-source stream of events (ts supplied as epoch-nanos long,
-    * matching the parquet layout read through the nanos-as-long conf). */
-  def readEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** File-source stream of events (ts stored as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ; the UTC session makes the
+    * cast to an event-time TIMESTAMP an exact identity, matching the
+    * batch loader `Tables.events`). */
+  def readEvents(s: SparkSession, dir: String): DataFrame =
     s.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events*.parquet") // dir holds other tables too
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Watermarked tumbling-window counts per event type — late data
     * beyond 10 minutes dropped; state bounded by the watermark. */

@@ -48,7 +48,7 @@ class WindowsSpec extends SparkSuite {
     assert(gaps.nonEmpty)
     gaps.foreach(r => assert(r.getLong(1) >= 0L, "as-of match must not be in the future"))
     // cross-check one row against a brute-force lookup
-    val ev = Tables.eventsRaw(spark, sf0001).withColumn("ts", expr("ts div 1000"))
+    val ev = Tables.eventsRaw(spark, sf0001) // ts already epoch-µs
     val purchases = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts").collect()
     val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
