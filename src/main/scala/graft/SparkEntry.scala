@@ -200,7 +200,8 @@ object SparkEntry {
     "q_cluster_sample" -> (Curation.clusterSampleQuery _),
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
-    "q_curate" -> (Curation.curateQuery _)
+    "q_curate" -> (Curation.curateQuery _),
+    "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d))
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -2788,6 +2789,35 @@ object SparkEntry {
         |SELECT event_type, metric, CAST(present AS BIGINT) AS present,
         |  round(CASE WHEN raw <= 1280 AND zeros > 0 THEN 512 * ln(512.0 / zeros) ELSE raw END, 4) AS hll_est
         |FROM fin""".stripMargin,
+    // Quantile sketch: DDSketch-style integer log-histogram — octave =
+    // binary bit length (exact string-of-bits math in both engines),
+    // top-5-bit mantissa refinement, bucket-wise count-sum merge for
+    // the __all__ row, discrete ceil(q·n) pick over the cumulative
+    // bucket counts. Integer end-to-end.
+    "q_qsketch" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN v = 0 THEN 0
+        |         ELSE length(printf('%b', v)) * 32 + (v >> greatest(length(printf('%b', v)) - 5, 0)) END AS id,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |m AS (SELECT '__all__' AS event_type, id, CAST(sum(cnt) AS BIGINT) AS cnt FROM b GROUP BY id),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM m),
+        |c AS (
+        |  SELECT event_type, id, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CASE WHEN id = 0 THEN 0 ELSE (id % 32) << greatest(id // 32 - 5, 0) END AS low
+        |  FROM u)
+        |SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN low END) AS q50,
+        |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN low END) AS q90,
+        |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN low END) AS q99
+        |FROM c GROUP BY event_type""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,

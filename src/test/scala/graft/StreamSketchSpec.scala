@@ -96,4 +96,25 @@ class StreamSketchSpec extends SparkSuite {
       assert(got.nonEmpty && got === want)
     } finally q.stop()
   }
+
+  test("streaming QSketch bucket counts == batch sketch after 2 micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QSketch
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val sk = QSketch.sketch(ms.toDF().toDF("v").withColumn("grp", lit("g")), Seq("grp"), "v")
+    val q = sk.writeStream.outputMode("complete").format("memory").queryName("qsk_stream").start()
+    val data = (0 until 700).map(i => (i * 37L) % 9999)
+    try {
+      data.grouped(350).foreach { chunk =>
+        ms.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      val got = rows(spark.table("qsk_stream"))
+      val want = rows(QSketch.sketch(data.toDF("v").withColumn("grp", lit("g")), Seq("grp"), "v"))
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
+  }
 }
