@@ -47,6 +47,29 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("r9 wave: blocked/bucketed joins stay equi-joins, never cartesian") {
+    // the r9 operators whose 100 TB story is a blocked pair-join
+    // (grid-kNN, grid-DBSCAN, SymSpell blocking, peeling semi-joins,
+    // rank exchange): each must plan at least one equi-join — the
+    // bucket/block key doing its job — and no CartesianProduct ever
+    // (the global gate also checks this; named here so a regression
+    // points at the operator, not at a 158-query sweep)
+    Seq("q_knn_join", "q_dbscan", "q_entity_resolution", "q_kcore", "q_pagerank").foreach { q =>
+      assert(!plans(q).contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+    // the single-pass pipelines must show the blocking equi-join in the
+    // final plan; the iterative ones (q_kcore, q_pagerank) checkpoint
+    // each round, so their final plan is a scan of the staged result —
+    // their per-round join shape is gated by GraphSpec instead
+    Seq("q_knn_join", "q_dbscan", "q_entity_resolution").foreach { q =>
+      val p = plans(q)
+      assert(
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"$q should plan an equi-join on its blocking key"
+      )
+    }
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     Seq("q_topk", "q_q3_revenue", "q_bm25").foreach { q =>
       assert(plans(q).contains("TakeOrderedAndProject"), s"$q should use a per-partition heap")

@@ -109,5 +109,22 @@ class StockpileSpec extends SparkSuite {
     val top2 = Stockpile.detectAll(px, 64, 64, 0.25, 0.6, minAreaM2 = 1.0, maxResults = 2)
     assert(top2.count() === 2)
     assert(top2.agg(max("id")).head().getInt(0) === 2)
+    // truncation keeps the LARGEST components in volume-desc order with
+    // ids reassigned sequentially (ref detectAllStockpilesJson sort,
+    // stockpile.cpp:566-888) — the survivors must be exactly the full
+    // run's top-2 rows, id included
+    val fullTop2 = full
+      .orderBy(col("est_volume").desc, col("id").asc)
+      .limit(2)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(3)))
+      .toSeq
+    val got = top2
+      .orderBy(col("id").asc)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(3)))
+      .toSeq
+    assert(got === fullTop2, "maxResults must truncate AFTER the volume-desc sort")
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse, "ids must follow volume-desc order")
   }
 }
