@@ -201,7 +201,8 @@ object SparkEntry {
     "q_semdedup" -> (Curation.semDedupQuery _),
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
     "q_curate" -> (Curation.curateQuery _),
-    "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d))
+    "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
+    "q_resample" -> (graft.raster.Resample.resampleQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -2818,6 +2819,36 @@ object SparkEntry {
         |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN low END) AS q90,
         |  min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN low END) AS q99
         |FROM c GROUP BY event_type""".stripMargin,
+    // Bilinear warp: GDAL half-pixel-center mapping, clamped edges,
+    // four taps combined in the same fixed expression order as the
+    // Spark side ((t0+t1)+(t2+t3)) so the blend is bit-identical.
+    "q_resample" ->
+      """WITH g AS (
+        |  SELECT CAST(i % 64 AS INT) AS x, CAST(i // 64 AS INT) AS y,
+        |    1e2 + (i % 64) * (i // 64) * 1e-2
+        |    + 2.5e-1 * greatest(0, 400 - ((i % 64 - 20) * (i % 64 - 20) + (i // 64 - 25) * (i // 64 - 25)))
+        |    + 1.25e-1 * greatest(0, 300 - ((i % 64 - 45) * (i % 64 - 45) + (i // 64 - 40) * (i // 64 - 40))) AS v
+        |  FROM (SELECT unnest(range(4096)) AS i)),
+        |d AS (SELECT CAST(k % 40 AS INT) AS i, CAST(k // 40 AS INT) AS j
+        |      FROM (SELECT unnest(range(2080)) AS k)),
+        |m AS (
+        |  SELECT i, j,
+        |    least(greatest((i + 0.5) * (64.0 / 40.0) - 0.5, 0.0), 63.0) AS sx,
+        |    least(greatest((j + 0.5) * (64.0 / 52.0) - 0.5, 0.0), 63.0) AS sy
+        |  FROM d),
+        |t AS (
+        |  SELECT i, j, CAST(floor(sx) AS INT) AS x0, CAST(floor(sy) AS INT) AS y0,
+        |    least(CAST(floor(sx) AS INT) + 1, 63) AS x1, least(CAST(floor(sy) AS INT) + 1, 63) AS y1,
+        |    sx - floor(sx) AS fx, sy - floor(sy) AS fy
+        |  FROM m)
+        |SELECT t.i, t.j,
+        |  round(((1.0 - fx) * (1.0 - fy) * g00.v + fx * (1.0 - fy) * g10.v)
+        |        + ((1.0 - fx) * fy * g01.v + fx * fy * g11.v), 6) AS v
+        |FROM t
+        |JOIN g g00 ON g00.x = t.x0 AND g00.y = t.y0
+        |JOIN g g10 ON g10.x = t.x1 AND g10.y = t.y0
+        |JOIN g g01 ON g01.x = t.x0 AND g01.y = t.y1
+        |JOIN g g11 ON g11.x = t.x1 AND g11.y = t.y1""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,

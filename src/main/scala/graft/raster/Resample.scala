@@ -1,0 +1,83 @@
+package graft.raster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bilinear grid resampling — the warp kernel the reference delegates
+  * to GDAL (`geoproject.cpp:135` and `raster_region.cpp:414` both pass
+  * `-r bilinear`; `-outsize` scaling in `geoproject.cpp:92-135`),
+  * re-expressed as relational algebra: each output pixel's center maps
+  * into source pixel space (the GDAL half-pixel-center convention
+  * sx = (i+0.5)·srcW/dstW − 0.5, clamped at the edges), contributes
+  * exactly FOUR weighted taps, and the taps resolve through ONE
+  * equi-join against the pixel table + one keyed sum.
+  *
+  * Scale design: the tap table is 4 rows per OUTPUT pixel — join and
+  * aggregation both key on small integer coordinates, so the whole
+  * warp is a single shuffle bounded by the output size, never a
+  * gather of source windows to the driver; at 100 TB the same plan
+  * tiles by raster_id with the join co-partitioned on (raster, tile).
+  * No window functions, no cartesian — the 2×2 neighborhood is
+  * enumerated as an `explode` of four structs (a generator over
+  * already-computed columns, not a join).
+  */
+object Resample {
+
+  /** Bilinear resample of a single-band (x, y, value) grid from
+    * srcW×srcH to dstW×dstH → (i, j, v) with v rounded to 6dp. */
+  def bilinear(src: DataFrame, srcW: Int, srcH: Int, dstW: Int, dstH: Int): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    val sxScale = srcW.toDouble / dstW
+    val syScale = srcH.toDouble / dstH
+    val t = s
+      .range(dstW.toLong * dstH)
+      .select(
+        (col("id") % dstW).cast("int").as("i"),
+        (col("id") / dstW).cast("int").as("j")
+      )
+      .withColumn("sx", least(greatest(($"i" + 0.5) * sxScale - 0.5, lit(0.0)), lit((srcW - 1).toDouble)))
+      .withColumn("sy", least(greatest(($"j" + 0.5) * syScale - 0.5, lit(0.0)), lit((srcH - 1).toDouble)))
+      .withColumn("x0", floor($"sx").cast("int"))
+      .withColumn("y0", floor($"sy").cast("int"))
+      .withColumn("x1", least($"x0" + 1, lit(srcW - 1)))
+      .withColumn("y1", least($"y0" + 1, lit(srcH - 1)))
+      .withColumn("fx", $"sx" - $"x0")
+      .withColumn("fy", $"sy" - $"y0")
+    val taps = t
+      .select(
+        $"i",
+        $"j",
+        explode(
+          array(
+            struct(lit(0).as("k"), $"x0".as("xx"), $"y0".as("yy"), ((lit(1.0) - $"fx") * (lit(1.0) - $"fy")).as("w")),
+            struct(lit(1).as("k"), $"x1".as("xx"), $"y0".as("yy"), ($"fx" * (lit(1.0) - $"fy")).as("w")),
+            struct(lit(2).as("k"), $"x0".as("xx"), $"y1".as("yy"), ((lit(1.0) - $"fx") * $"fy").as("w")),
+            struct(lit(3).as("k"), $"x1".as("xx"), $"y1".as("yy"), ($"fx" * $"fy").as("w"))
+          )
+        ).as("t")
+      )
+      .select($"i", $"j", $"t.k", $"t.xx", $"t.yy", $"t.w")
+    // the four taps combine in a FIXED expression order (t0+t1)+(t2+t3),
+    // not a sum over rows — a 4-row sum's accumulation order is
+    // engine-dependent and the last ulp could straddle the 6dp round
+    def tap(k: Int) = max(when($"k" === k, $"w" * $"value"))
+    taps
+      .join(src.select($"x".as("xx"), $"y".as("yy"), $"value"), Seq("xx", "yy"))
+      .groupBy($"i", $"j")
+      .agg(round((tap(0) + tap(1)) + (tap(2) + tap(3)), 6).as("v"))
+  }
+
+  /** ◆ q_resample — the 64×64 synthetic surface (two mounds on a
+    * tilted plane, pure integer→double math shared with the oracle)
+    * warped to 40×52: non-integer scale on both axes so genuine
+    * four-tap blends dominate, plus clamped edge taps. */
+  def resampleQuery(s: SparkSession, dir: String): DataFrame = {
+    def m(cx: Int, cy: Int, r2: Int, amp: Double)(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      lit(amp) * greatest(lit(0), lit(r2) - ((x - cx) * (x - cx) + (y - cy) * (y - cy)))
+    val px = Raster.grid(s, 64, 64)((x, y) =>
+      lit(100.0) + x * y * 0.01 + m(20, 25, 400, 0.25)(x, y) + m(45, 40, 300, 0.125)(x, y)
+    )
+    bilinear(px, 64, 64, dstW = 40, dstH = 52)
+  }
+}
