@@ -84,7 +84,7 @@ object PointCloud {
     Some(CloudMeta("ply", vertexCount, dims.toSeq, None, isMesh = isMesh, isSplat = isSplat))
   }
 
-  def sniff(b: Array[Byte]): Option[CloudMeta] = sniffLas(b).orElse(sniffPly(b))
+  def sniff(b: Array[Byte]): Option[CloudMeta] = Copc.meta(b).orElse(sniffLas(b)).orElse(sniffPly(b))
 
   /** Properties JSON (reference shape: pointCount, dimensions, bounds). */
   def properties(m: CloudMeta): String = {
