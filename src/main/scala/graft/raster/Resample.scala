@@ -68,6 +68,29 @@ object Resample {
       .agg(round((tap(0) + tap(1)) + (tap(2) + tap(3)), 6).as("v"))
   }
 
+  /** Arbitrary-window region read (the `raster_region.cpp` semantic:
+    * crop a pixel window, warp it to the requested output size with
+    * `-r bilinear`): shift the window to a local origin — the filter
+    * prunes the scan BEFORE any join — then run the same four-tap
+    * kernel against the window-local grid. At estate scale the window
+    * filter rides parquet min/max stats on the (x, y) columns, so a
+    * small region over a huge raster reads only its row groups. */
+  def bilinearWindow(
+      src: DataFrame,
+      x0: Int,
+      y0: Int,
+      x1: Int,
+      y1: Int, // window [x0, x1) × [y0, y1) in source pixels
+      dstW: Int,
+      dstH: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val windowed = src
+      .filter(col("x") >= x0 && col("x") < x1 && col("y") >= y0 && col("y") < y1)
+      .select((col("x") - x0).as("x"), (col("y") - y0).as("y"), col("value"))
+    bilinear(windowed, x1 - x0, y1 - y0, dstW, dstH)
+  }
+
   /** ◆ q_resample — the 64×64 synthetic surface (two mounds on a
     * tilted plane, pure integer→double math shared with the oracle)
     * warped to 40×52: non-integer scale on both axes so genuine

@@ -56,6 +56,24 @@ class ResampleSpec extends SparkSuite {
     }
   }
 
+  test("windowed region read: crop + warp equals resampling the cropped grid directly") {
+    val px = Raster.grid(spark, 32, 32)((x, y) => (x * 3 + y * 11).cast("double"))
+    val viaWindow = Resample
+      .bilinearWindow(px, 8, 4, 24, 20, dstW = 10, dstH = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val direct = Resample
+      .bilinear(
+        Raster.grid(spark, 16, 16)((x, y) => ((x + 8) * 3 + (y + 4) * 11).cast("double")),
+        16, 16, 10, 10
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(viaWindow === direct)
+  }
+
   test("q_resample: full output grid, values inside the source range") {
     val rows = Resample.resampleQuery(spark, sf0001).collect()
     assert(rows.length === 40 * 52)
