@@ -1,0 +1,430 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Pure-JVM LAZ (laszip) container: LAS 1.2 header + "laszip encoded"
+  * VLR + chunked arithmetic-coded point data + compressed chunk table
+  * — the point-cloud derivative codec the reference obtains through
+  * PDAL/untwine (`src/library/pointcloud.cpp:371-434`,
+  * `untwine_runner.cpp`). Point formats 1 (POINT10+GPSTIME11) and 3
+  * (+RGB12), compressor 2 (pointwise-chunked), item version 2.
+  *
+  * The chunk table is the scale story: every chunk is an independent
+  * arithmetic stream seeded by one raw point, so a 100 TB estate
+  * decodes chunk-parallel — [[chunkTable]] surfaces (offset, size,
+  * count) as a DataFrame and [[pointsTable]] range-reads ONLY each
+  * task's chunk bytes (the S3 GET-Range shape; no task ever holds a
+  * whole file). The same table is what a COPC tiler walks
+  * ([[Copc.hierarchyTable]] nodes are exactly such chunks).
+  */
+object Laz {
+
+  /** One LAS point record (format 1 fields + format 3 RGB). */
+  final case class P(
+      x: Int,
+      y: Int,
+      z: Int,
+      intensity: Int,
+      returnByte: Int,
+      classification: Int,
+      scanAngle: Int, // signed i8 as stored
+      userData: Int,
+      pointSource: Int,
+      gpsTime: Double,
+      red: Int = 0,
+      green: Int = 0,
+      blue: Int = 0
+  )
+
+  final case class Header(
+      pointFormat: Int, // 1 or 3 (without the 0x80 compressed flag)
+      pointCount: Long,
+      chunkSize: Int,
+      offsetToPoints: Int,
+      chunkTableOffset: Long,
+      scaleX: Double,
+      scaleY: Double,
+      scaleZ: Double,
+      offX: Double,
+      offY: Double,
+      offZ: Double
+  )
+
+  final case class ChunkRef(index: Int, offset: Long, size: Int, pointCount: Int)
+
+  private val RecordLen = Map(1 -> 28, 3 -> 34)
+  private val HeaderSize = 227
+  private val VlrHeaderSize = 54
+
+  // ---- little-endian helpers ------------------------------------------------
+  private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = { b += v.toByte; b += (v >> 8).toByte }
+  private def putU32(b: ArrayBuffer[Byte], v: Long): Unit = (0 until 4).foreach(k => b += (v >> (8 * k)).toByte)
+  private def putU64(b: ArrayBuffer[Byte], v: Long): Unit = (0 until 8).foreach(k => b += (v >> (8 * k)).toByte)
+  private def putF64(b: ArrayBuffer[Byte], v: Double): Unit = putU64(b, java.lang.Double.doubleToLongBits(v))
+  private def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def leI32(b: Array[Byte], i: Int): Int = leU32(b, i).toInt
+  private def leU64(b: Array[Byte], i: Int): Long = (0 until 8).map(k => (b(i + k) & 0xffL) << (8 * k)).sum
+  private def leF64(b: Array[Byte], i: Int): Double = java.lang.Double.longBitsToDouble(leU64(b, i))
+
+  private def toBuf(p: P, buf: PointBuf): Unit = {
+    buf.x = p.x; buf.y = p.y; buf.z = p.z
+    buf.intensity = p.intensity & 0xFFFF
+    buf.returnByte = p.returnByte & 0xFF
+    buf.classification = p.classification & 0xFF
+    buf.scanAngle = p.scanAngle & 0xFF
+    buf.userData = p.userData & 0xFF
+    buf.pointSource = p.pointSource & 0xFFFF
+    buf.gpsBits = java.lang.Double.doubleToLongBits(p.gpsTime)
+    buf.red = p.red & 0xFFFF; buf.green = p.green & 0xFFFF; buf.blue = p.blue & 0xFFFF
+  }
+
+  private def fromBuf(buf: PointBuf): P =
+    P(
+      buf.x,
+      buf.y,
+      buf.z,
+      buf.intensity,
+      buf.returnByte,
+      buf.classification,
+      buf.scanAngle.toByte.toInt,
+      buf.userData,
+      buf.pointSource,
+      java.lang.Double.longBitsToDouble(buf.gpsBits),
+      buf.red,
+      buf.green,
+      buf.blue
+    )
+
+  // ---- raw (first-of-chunk) point records -----------------------------------
+  private def writeRaw(out: ArrayBuffer[Byte], p: PointBuf, fmt: Int): Unit = {
+    putU32(out, p.x.toLong & 0xFFFFFFFFL)
+    putU32(out, p.y.toLong & 0xFFFFFFFFL)
+    putU32(out, p.z.toLong & 0xFFFFFFFFL)
+    putU16(out, p.intensity)
+    out += p.returnByte.toByte
+    out += p.classification.toByte
+    out += p.scanAngle.toByte
+    out += p.userData.toByte
+    putU16(out, p.pointSource)
+    putU64(out, p.gpsBits)
+    if (fmt == 3) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
+  }
+
+  private def readRaw(b: Array[Byte], off: Int, p: PointBuf, fmt: Int): Unit = {
+    p.x = leI32(b, off); p.y = leI32(b, off + 4); p.z = leI32(b, off + 8)
+    p.intensity = leU16(b, off + 12)
+    p.returnByte = b(off + 14) & 0xFF
+    p.classification = b(off + 15) & 0xFF
+    p.scanAngle = b(off + 16) & 0xFF
+    p.userData = b(off + 17) & 0xFF
+    p.pointSource = leU16(b, off + 18)
+    p.gpsBits = leU64(b, off + 20)
+    if (fmt == 3) { p.red = leU16(b, off + 28); p.green = leU16(b, off + 30); p.blue = leU16(b, off + 32) }
+  }
+
+  // ---- compress -------------------------------------------------------------
+
+  /** Compress `points` into a complete .laz byte stream. */
+  def compress(
+      points: Seq[P],
+      pointFormat: Int = 1,
+      chunkSize: Int = 50000,
+      scale: Double = 0.01,
+      offset: Double = 0.0
+  ): Array[Byte] = {
+    require(pointFormat == 1 || pointFormat == 3, s"unsupported point format $pointFormat")
+    require(chunkSize > 0)
+    val recLen = RecordLen(pointFormat)
+    val numItems = if (pointFormat == 3) 3 else 2
+    val vlrPayload = 34 + 6 * numItems
+    val offsetToPoints = HeaderSize + VlrHeaderSize + vlrPayload
+
+    // per-chunk encode
+    val chunks = points.grouped(chunkSize).toVector
+    val chunkBytes = chunks.map { chunk =>
+      val out = new ArrayBuffer[Byte](chunk.length * 8)
+      val buf = new PointBuf
+      toBuf(chunk.head, buf)
+      writeRaw(out, buf, pointFormat)
+      val enc = new AcEncoder
+      val p10 = new Point10V2(forEncode = true, buf)
+      val gps = new Gps11V2(forEncode = true, buf.gpsBits)
+      val rgb = if (pointFormat == 3) new Rgb12V2(forEncode = true, buf) else null
+      chunk.tail.foreach { p =>
+        toBuf(p, buf)
+        p10.write(enc, buf)
+        gps.write(enc, buf.gpsBits)
+        if (rgb != null) rgb.write(enc, buf)
+      }
+      enc.done()
+      out ++= enc.result()
+      out.toArray
+    }
+
+    val out = new ArrayBuffer[Byte](points.length * 8 + 512)
+    // --- LAS 1.2 public header (227 bytes)
+    out ++= "LASF".getBytes("US-ASCII")
+    putU16(out, 0); putU16(out, 0) // file source id, global encoding
+    (0 until 16).foreach(_ => out += 0) // GUID
+    out += 1; out += 2 // version 1.2
+    val sysId = "graft".getBytes("US-ASCII").padTo(32, 0.toByte); out ++= sysId
+    val genSw = "graft laz writer".getBytes("US-ASCII").padTo(32, 0.toByte); out ++= genSw
+    putU16(out, 1); putU16(out, 2026) // day-of-year, year
+    putU16(out, HeaderSize)
+    putU32(out, offsetToPoints.toLong)
+    putU32(out, 1L) // one VLR
+    out += (pointFormat | 0x80).toByte // compressed-flag bit on the format id
+    putU16(out, recLen)
+    putU32(out, points.length.toLong)
+    (0 until 5).foreach(_ => putU32(out, 0L)) // by-return counts
+    putF64(out, scale); putF64(out, scale); putF64(out, scale)
+    putF64(out, offset); putF64(out, offset); putF64(out, offset)
+    def sOf(f: P => Int): (Double, Double) =
+      if (points.isEmpty) (0.0, 0.0)
+      else (points.map(f).max * scale + offset, points.map(f).min * scale + offset)
+    val (maxX, minX) = sOf(_.x); val (maxY, minY) = sOf(_.y); val (maxZ, minZ) = sOf(_.z)
+    putF64(out, maxX); putF64(out, minX)
+    putF64(out, maxY); putF64(out, minY)
+    putF64(out, maxZ); putF64(out, minZ)
+    require(out.length == HeaderSize)
+
+    // --- laszip VLR
+    putU16(out, 0) // reserved
+    out ++= "laszip encoded".getBytes("US-ASCII").padTo(16, 0.toByte)
+    putU16(out, 22204)
+    putU16(out, vlrPayload)
+    out ++= "graft laz".getBytes("US-ASCII").padTo(32, 0.toByte)
+    putU16(out, 2) // compressor: pointwise chunked
+    putU16(out, 0) // coder: arithmetic
+    out += 2; out += 2 // version 2.2
+    putU16(out, 0) // revision
+    putU32(out, 0L) // options
+    putU32(out, chunkSize.toLong)
+    putU64(out, 0L); putU64(out, 0L) // special EVLRs
+    putU16(out, numItems)
+    putU16(out, 6); putU16(out, 20); putU16(out, 2) // POINT10 v2
+    putU16(out, 7); putU16(out, 8); putU16(out, 2) // GPSTIME11 v2
+    if (pointFormat == 3) { putU16(out, 8); putU16(out, 6); putU16(out, 2) } // RGB12 v2
+    require(out.length == offsetToPoints)
+
+    // --- point data: 8-byte chunk table offset, chunks, chunk table
+    val chunkTableOffset = offsetToPoints.toLong + 8 + chunkBytes.map(_.length.toLong).sum
+    putU64(out, chunkTableOffset)
+    chunkBytes.foreach(out ++= _)
+    putU32(out, 0L) // chunk table version
+    putU32(out, chunkBytes.length.toLong)
+    val tEnc = new AcEncoder
+    val ic = new IntCompressor(2, 32, forEncode = true)
+    var prev = 0
+    chunkBytes.foreach { cb =>
+      ic.compress(tEnc, prev, cb.length, 1)
+      prev = cb.length
+    }
+    tEnc.done()
+    out ++= tEnc.result()
+    out.toArray
+  }
+
+  // ---- decompress -----------------------------------------------------------
+
+  def readHeader(b: Array[Byte]): Header = {
+    require(b.length >= HeaderSize && b(0) == 'L' && b(1) == 'A' && b(2) == 'S' && b(3) == 'F', "not a LAS/LAZ stream")
+    val fmtRaw = b(104) & 0xFF
+    require((fmtRaw & 0x80) != 0, "not compressed (no laszip flag)")
+    val fmt = fmtRaw & 0x7F
+    require(RecordLen.contains(fmt), s"unsupported point format $fmt")
+    val offsetToPoints = leU32(b, 96).toInt
+    val numVlrs = leU32(b, 100).toInt
+    // find the laszip VLR for the chunk size
+    var chunkSize = 50000
+    var vo = leU16(b, 94) // header size
+    var i = 0
+    while (i < numVlrs && vo + VlrHeaderSize <= b.length) {
+      val userId = new String(b, vo + 2, 16, "US-ASCII").takeWhile(_ != 0)
+      val recordId = leU16(b, vo + 18)
+      val len = leU16(b, vo + 20)
+      if (userId == "laszip encoded" && recordId == 22204) chunkSize = leU32(b, vo + VlrHeaderSize + 12).toInt
+      vo += VlrHeaderSize + len
+      i += 1
+    }
+    Header(
+      pointFormat = fmt,
+      pointCount = leU32(b, 107),
+      chunkSize = chunkSize,
+      offsetToPoints = offsetToPoints,
+      chunkTableOffset = leU64(b, offsetToPoints),
+      scaleX = leF64(b, 131),
+      scaleY = leF64(b, 139),
+      scaleZ = leF64(b, 147),
+      offX = leF64(b, 155),
+      offY = leF64(b, 163),
+      offZ = leF64(b, 171)
+    )
+  }
+
+  /** Decode the compressed chunk table into per-chunk byte ranges. */
+  def chunks(b: Array[Byte]): Seq[ChunkRef] = chunks(b, readHeader(b))
+
+  def chunks(b: Array[Byte], h: Header): Seq[ChunkRef] =
+    chunkRefsFromTable(b, h.chunkTableOffset.toInt, h)
+
+  /** `table` holds the chunk table starting at `tStart` (version u32,
+    * count u32, arithmetic-coded delta sizes). */
+  private def chunkRefsFromTable(table: Array[Byte], tStart: Int, h: Header): Seq[ChunkRef] = {
+    val numChunks = leU32(table, tStart + 4).toInt
+    val dec = new AcDecoder(table, tStart + 8, table.length)
+    val ic = new IntCompressor(2, 32, forEncode = false)
+    val sizes = new Array[Int](numChunks)
+    var prev = 0
+    var i = 0
+    while (i < numChunks) {
+      sizes(i) = ic.decompress(dec, prev, 1)
+      prev = sizes(i)
+      i += 1
+    }
+    var off = h.offsetToPoints.toLong + 8
+    var remaining = h.pointCount
+    (0 until numChunks).map { ci =>
+      val n = math.min(h.chunkSize.toLong, remaining).toInt
+      remaining -= n
+      val ref = ChunkRef(ci, off, sizes(ci), n)
+      off += sizes(ci)
+      ref
+    }
+  }
+
+  private def readRange(path: String, off: Long, len: Int): Array[Byte] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val n = math.min(len.toLong, raf.length() - off).toInt
+      val a = new Array[Byte](math.max(0, n))
+      raf.seek(off)
+      raf.readFully(a)
+      a
+    } finally raf.close()
+  }
+
+  /** Driver-side plan read: header (one 64 KB range) + chunk table
+    * (one tail range) — never the point bytes. */
+  def planFile(path: String): (Header, Seq[ChunkRef]) = {
+    val fileLen = new java.io.File(path).length()
+    val head = readRange(path, 0L, 1 << 16)
+    val h = readHeader(head)
+    val refs =
+      if (fileLen <= head.length) chunkRefsFromTable(head, h.chunkTableOffset.toInt, h)
+      else {
+        val tail = readRange(path, h.chunkTableOffset, (fileLen - h.chunkTableOffset).toInt)
+        chunkRefsFromTable(tail, 0, h)
+      }
+    (h, refs)
+  }
+
+  /** Decode one chunk given its byte range (the parallel unit). */
+  def decodeChunk(b: Array[Byte], start: Int, end: Int, pointCount: Int, fmt: Int): Array[P] = {
+    val recLen = RecordLen(fmt)
+    val outPts = new Array[P](pointCount)
+    if (pointCount == 0) return outPts
+    val buf = new PointBuf
+    readRaw(b, start, buf, fmt)
+    outPts(0) = fromBuf(buf)
+    val dec = new AcDecoder(b, start + recLen, end)
+    val p10 = new Point10V2(forEncode = false, buf)
+    val gps = new Gps11V2(forEncode = false, buf.gpsBits)
+    val rgb = if (fmt == 3) new Rgb12V2(forEncode = false, buf) else null
+    var i = 1
+    while (i < pointCount) {
+      p10.read(dec, buf)
+      buf.gpsBits = gps.read(dec)
+      if (rgb != null) rgb.read(dec, buf)
+      outPts(i) = fromBuf(buf)
+      i += 1
+    }
+    outPts
+  }
+
+  /** Serial whole-stream decode (driver-side / test face). */
+  def decompress(b: Array[Byte]): Seq[P] = {
+    val h = readHeader(b)
+    chunks(b, h).flatMap(c => decodeChunk(b, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat))
+  }
+
+  // ---- Spark faces ----------------------------------------------------------
+
+  private val chunkSchema = StructType(
+    Seq(
+      StructField("chunk_id", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", IntegerType, nullable = false),
+      StructField("point_count", IntegerType, nullable = false)
+    )
+  )
+
+  /** The chunk table as a DataFrame — the split index a distributed
+    * reader plans range-reads from. */
+  def chunkTable(spark: SparkSession, path: String): DataFrame = {
+    val (_, refs) = planFile(path)
+    val rows = refs.map(c => Row(c.index, c.offset, c.size, c.pointCount))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, math.min(rows.size, 64))),
+      chunkSchema
+    )
+  }
+
+  private val pointSchema = StructType(
+    Seq(
+      StructField("chunk_id", IntegerType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("z", DoubleType, nullable = false),
+      StructField("intensity", IntegerType, nullable = false),
+      StructField("classification", IntegerType, nullable = false),
+      StructField("gps_time", DoubleType, nullable = false),
+      StructField("red", IntegerType, nullable = false),
+      StructField("green", IntegerType, nullable = false),
+      StructField("blue", IntegerType, nullable = false)
+    )
+  )
+
+  /** Chunk-parallel point decode: the driver reads header + chunk
+    * table (KBs), executors range-read ONLY their chunk's bytes. On a
+    * cluster the `RandomAccessFile` seek is the object-store
+    * GET-Range; no task materializes the file. */
+  def pointsTable(spark: SparkSession, path: String): DataFrame = {
+    val (h, refs) = planFile(path)
+    val fmt = h.pointFormat
+    val (sx, sy, sz) = (h.scaleX, h.scaleY, h.scaleZ)
+    val (ox, oy, oz) = (h.offX, h.offY, h.offZ)
+    val rdd = spark.sparkContext
+      .parallelize(refs, math.max(1, math.min(refs.size, 64)))
+      .flatMap { c =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        val bytes =
+          try {
+            val a = new Array[Byte](c.size)
+            raf.seek(c.offset)
+            raf.readFully(a)
+            a
+          } finally raf.close()
+        decodeChunk(bytes, 0, bytes.length, c.pointCount, fmt).iterator.map { p =>
+          Row(
+            c.index,
+            p.x * sx + ox,
+            p.y * sy + oy,
+            p.z * sz + oz,
+            p.intensity,
+            p.classification,
+            p.gpsTime,
+            p.red,
+            p.green,
+            p.blue
+          )
+        }
+      }
+    spark.createDataFrame(rdd, pointSchema)
+  }
+}

@@ -84,7 +84,17 @@ object PointCloud {
     Some(CloudMeta("ply", vertexCount, dims.toSeq, None, isMesh = isMesh, isSplat = isSplat))
   }
 
-  def sniff(b: Array[Byte]): Option[CloudMeta] = Copc.meta(b).orElse(sniffLas(b)).orElse(sniffPly(b))
+  /** LAZ (laszip-compressed LAS): the LAS header with the compressed
+    * flag set on the point format id — count/bounds parse identically,
+    * the point body is the [[Laz]] chunked arithmetic stream. */
+  def sniffLaz(b: Array[Byte]): Option[CloudMeta] =
+    if (b != null && b.length >= 227 && b(0) == 'L' && b(1) == 'A' && b(2) == 'S' && b(3) == 'F' &&
+      ((b(104) & 0x80) != 0))
+      sniffLas(b).map(_.copy(format = "laz"))
+    else None
+
+  def sniff(b: Array[Byte]): Option[CloudMeta] =
+    Copc.meta(b).orElse(sniffLaz(b)).orElse(sniffLas(b)).orElse(sniffPly(b))
 
   /** Properties JSON (reference shape: pointCount, dimensions, bounds). */
   def properties(m: CloudMeta): String = {
