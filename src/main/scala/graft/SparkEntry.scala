@@ -202,7 +202,8 @@ object SparkEntry {
     "q_weighted_sample" -> (Curation.weightedSampleQuery _),
     "q_curate" -> (Curation.curateQuery _),
     "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
-    "q_resample" -> (graft.raster.Resample.resampleQuery _)
+    "q_resample" -> (graft.raster.Resample.resampleQuery _),
+    "q_laz" -> (graft.sources.Laz.lazQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -2849,6 +2850,25 @@ object SparkEntry {
         |JOIN g g10 ON g10.x = t.x1 AND g10.y = t.y0
         |JOIN g g01 ON g01.x = t.x0 AND g01.y = t.y1
         |JOIN g g11 ON g11.x = t.x1 AND g11.y = t.y1""".stripMargin,
+    // LASzip round-trip proof: the Spark side aggregates points AFTER
+    // a compress→decompress cycle; the oracle aggregates the same
+    // deterministic integers directly — equal iff the codec is
+    // lossless. All-integer output (BIGINT casts beat HUGEINT hash).
+    "q_laz" ->
+      """SELECT event_type,
+        |  count(*) AS n_points,
+        |  CAST(sum(event_id % 1000000) AS BIGINT) AS sum_x,
+        |  CAST(sum((user_id * 7) % 1000000) AS BIGINT) AS sum_y,
+        |  CAST(sum((event_id * 13) % 500000) AS BIGINT) AS sum_z,
+        |  CAST(sum((event_id * 31) % 65536) AS BIGINT) AS sum_intensity,
+        |  CAST(sum(event_id % 32) AS BIGINT) AS sum_class,
+        |  CAST(sum((event_id % 91) - 45) AS BIGINT) AS sum_scan,
+        |  CAST(sum((1 + (event_id % (1 + event_id % 3))) + (1 + event_id % 3) * 8) AS BIGINT) AS sum_ret,
+        |  CAST(sum(epoch_us(ts) % 86400) AS BIGINT) AS sum_gps,
+        |  CAST(sum(event_id % 65536) AS BIGINT) AS sum_red,
+        |  CAST(sum(user_id % 65536) AS BIGINT) AS sum_green,
+        |  CAST(sum((event_id * 3) % 65536) AS BIGINT) AS sum_blue
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_pagerank" -> pageRankOracle,
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,

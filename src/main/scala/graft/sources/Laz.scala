@@ -390,6 +390,81 @@ object Laz {
     )
   )
 
+  /** End-to-end codec proof under the DuckDB oracle: deterministic
+    * integer points derived from `events`, one LAZ file per
+    * event_type (the per-artifact kernel shape — each group
+    * compresses AND decompresses inside its own task, groups run in
+    * parallel), then integer aggregates of the DECODED points. The
+    * oracle computes the same aggregates on the raw rows, so a green
+    * row proves the round trip is lossless on real data volume. */
+  def lazQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val agg = udf { rows: Seq[Row] =>
+      val pts = rows
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val uid = r.getLong(1)
+          val us = r.getLong(2)
+          val nr = (1 + id % 3).toInt
+          val ret = (1 + (id % nr)).toInt
+          P(
+            x = (id % 1000000).toInt,
+            y = ((uid * 7) % 1000000).toInt,
+            z = ((id * 13) % 500000).toInt,
+            intensity = ((id * 31) % 65536).toInt,
+            returnByte = ret | (nr << 3),
+            classification = (id % 32).toInt,
+            scanAngle = (id % 91).toInt - 45,
+            userData = (id % 256).toInt,
+            pointSource = (uid % 65536).toInt,
+            gpsTime = us.toDouble,
+            red = (id % 65536).toInt,
+            green = (uid % 65536).toInt,
+            blue = ((id * 3) % 65536).toInt
+          )
+        }
+      val laz = compress(pts, pointFormat = 3, chunkSize = 1000)
+      val dec = decompress(laz)
+      require(dec.length == pts.length, "laz round-trip lost points")
+      Seq(
+        dec.length.toLong,
+        dec.map(_.x.toLong).sum,
+        dec.map(_.y.toLong).sum,
+        dec.map(_.z.toLong).sum,
+        dec.map(_.intensity.toLong).sum,
+        dec.map(_.classification.toLong).sum,
+        dec.map(_.scanAngle.toLong).sum,
+        dec.map(_.returnByte.toLong).sum,
+        dec.map(p => p.gpsTime.toLong % 86400).sum,
+        dec.map(_.red.toLong).sum,
+        dec.map(_.green.toLong).sum,
+        dec.map(_.blue.toLong).sum
+      )
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list(struct($"event_id", $"user_id", $"ts")).as("rows"))
+      .withColumn("a", agg($"rows"))
+      .select(
+        $"event_type",
+        $"a".getItem(0).as("n_points"),
+        $"a".getItem(1).as("sum_x"),
+        $"a".getItem(2).as("sum_y"),
+        $"a".getItem(3).as("sum_z"),
+        $"a".getItem(4).as("sum_intensity"),
+        $"a".getItem(5).as("sum_class"),
+        $"a".getItem(6).as("sum_scan"),
+        $"a".getItem(7).as("sum_ret"),
+        $"a".getItem(8).as("sum_gps"),
+        $"a".getItem(9).as("sum_red"),
+        $"a".getItem(10).as("sum_green"),
+        $"a".getItem(11).as("sum_blue")
+      )
+  }
+
   /** Chunk-parallel point decode: the driver reads header + chunk
     * table (KBs), executors range-read ONLY their chunk's bytes. On a
     * cluster the `RandomAccessFile` seek is the object-store
