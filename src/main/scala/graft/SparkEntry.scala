@@ -136,6 +136,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprintQuery _),
     "q_sample" -> (TextOps.sampleQuery _),
     "q_split" -> (TextOps.splitQuery _),
+    "q_shuffle" -> (TextOps.shuffleQuery _),
     "q_pii" -> (TextOps.piiQuery _),
     "q_lm_score" -> (TextOps.lmScoreQuery _),
     // text analysis (cont.)
@@ -916,6 +917,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS n_tokens
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // Deterministic training-order shuffle: salted-md5 total order,
+    // hash-routed shards, position within shard. Pure string/int
+    // output; row_number ties impossible (md5 of distinct ids).
+    "q_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('ord:42:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+        |s AS (
+        |  SELECT doc_id, okey,
+        |    CAST(('0x' || substr(okey, 1, 8))::BIGINT % 64 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "q_pii" ->
       """WITH aug AS (
         |  SELECT doc_id, source,

@@ -340,6 +340,43 @@ object TextOps {
       )
   }
 
+  /** ◆ Deterministic global training-order shuffle: every doc gets a
+    * shard and a position within the shard, totally ordered by a
+    * salted md5 of its id — the "shuffle the corpus once, write N
+    * shard files, stream them in order" step every pretraining
+    * pipeline runs after curation. Hash-ordering (not `rand()` or
+    * `orderBy(rand)`) makes the permutation reproducible across runs,
+    * engines, and cluster sizes.
+    *
+    * Scale shape: NO global sort/row_number — rows hash-route to
+    * `numShards` shards and sort only within a shard (window keyed on
+    * shard). `numShards` is the scale dial: at 100 TB you pick
+    * shards ≈ corpus/shard-file-size (10⁵⁺), so the per-shard sort
+    * stays bounded no matter the corpus; (shard, pos) is still a
+    * total order. */
+  def shuffleOrder(docs: DataFrame, idCol: String, salt: String, numShards: Int): DataFrame = {
+    val okey = md5(concat(lit(salt), col(idCol).cast("string")))
+    docs
+      .select(col(idCol).as("doc_id"), okey.as("okey"))
+      .withColumn(
+        "shard",
+        (conv(substring(col("okey"), 1, 8), 16, 10).cast("long") % numShards).cast("int")
+      )
+      .withColumn(
+        "pos",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("shard")).orderBy(col("okey")))
+          .cast("long")
+      )
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def shuffleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shuffleOrder(Tables.documents(s, dir), "doc_id", "ord:42:", numShards = 64)
+      .orderBy($"shard", $"pos")
+  }
+
   /** PII patterns shared by detect and redact — deliberately restricted
     * to constructs Java regex and RE2 interpret identically (character
     * classes, bounded repetition; no lookaround, no Unicode classes) so
