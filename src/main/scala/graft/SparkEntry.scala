@@ -204,7 +204,8 @@ object SparkEntry {
     "q_curate" -> (Curation.curateQuery _),
     "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
     "q_resample" -> (graft.raster.Resample.resampleQuery _),
-    "q_laz" -> (graft.sources.Laz.lazQuery _)
+    "q_laz" -> (graft.sources.Laz.lazQuery _),
+    "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -733,6 +734,58 @@ object SparkEntry {
       |  CAST(sum(1 - is_core) AS BIGINT) AS n_border,
       |  CAST(sum(id) AS BIGINT) AS id_sum
       |FROM mem GROUP BY lab""".stripMargin
+
+  /** Generated octree-tiler oracle: the same deterministic event
+    * cloud, the same md5-ranked cap-and-descend assignment mirrored
+    * level by level (capped levels 0-4, cap-free terminal level 5),
+    * integer voxel math (`//` == Spark's `div`). The Spark side
+    * additionally routes every node through the LAZ encode→decode
+    * cycle before aggregating, so this row gates BOTH the distributed
+    * tiler and the codec. */
+  private def pctilerOracle: String = {
+    val cap = 500
+    val levels = (1 to 5)
+      .map { d =>
+        val p = 1L << d
+        val capClause = if (d < 5) s"WHERE rk <= $cap" else ""
+        s"""d$d AS (
+           |  SELECT id, x, y, z, okey, minx, miny, minz, size, $d AS level,
+           |    least(((x - minx) * $p) // size, ${p - 1}) AS vx,
+           |    least(((y - miny) * $p) // size, ${p - 1}) AS vy,
+           |    least(((z - minz) * $p) // size, ${p - 1}) AS vz
+           |  FROM r${d - 1} WHERE rk > $cap),
+           |r$d AS (
+           |  SELECT d$d.*, row_number() OVER (PARTITION BY vx, vy, vz ORDER BY okey) AS rk FROM d$d),
+           |k$d AS (SELECT level, vx, vy, vz, id, x, y, z FROM r$d $capClause)""".stripMargin
+      }
+      .mkString(",\n")
+    val union = (0 to 5).map(d => s"SELECT * FROM k$d").mkString(" UNION ALL ")
+    s"""WITH p AS (
+       |  SELECT event_id AS id,
+       |    event_id % 1000000 AS x,
+       |    (user_id * 7) % 1000000 AS y,
+       |    (event_id * 13) % 500000 AS z,
+       |    md5('oct:' || CAST(event_id AS VARCHAR)) AS okey
+       |  FROM events),
+       |b AS (
+       |  SELECT min(x) AS minx, min(y) AS miny, min(z) AS minz,
+       |    greatest(max(x) - min(x), max(y) - min(y), max(z) - min(z), 1) AS size FROM p),
+       |r0 AS (
+       |  SELECT p.id, p.x, p.y, p.z, p.okey, b.minx, b.miny, b.minz, b.size,
+       |    0 AS level, CAST(0 AS BIGINT) AS vx, CAST(0 AS BIGINT) AS vy, CAST(0 AS BIGINT) AS vz,
+       |    row_number() OVER (ORDER BY p.okey) AS rk
+       |  FROM p, b),
+       |k0 AS (SELECT level, vx, vy, vz, id, x, y, z FROM r0 WHERE rk <= $cap),
+       |$levels
+       |SELECT level, vx, vy, vz,
+       |  count(*) AS n_points,
+       |  CAST(sum(x) AS BIGINT) AS sum_x,
+       |  CAST(sum(y) AS BIGINT) AS sum_y,
+       |  CAST(sum(z) AS BIGINT) AS sum_z,
+       |  CAST(sum(id) AS BIGINT) AS sum_id
+       |FROM ($union)
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+  }
 
   private def pageRankOracle: String = {
     val rounds = (0 until 10)
@@ -2883,6 +2936,7 @@ object SparkEntry {
         |  CAST(sum(user_id % 65536) AS BIGINT) AS sum_green,
         |  CAST(sum((event_id * 3) % 65536) AS BIGINT) AS sum_blue
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_pctiler" -> pctilerOracle,
     "q_pagerank" -> pageRankOracle,
     "q_random_walk" -> randomWalkOracle,
     "q_dbscan" -> dbscanOracle,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.PcTiler
+import graft.sources.Laz
+
+/** Octree tiler invariants: cap respected on every non-terminal
+  * level, parents of occupied children are full (they overflowed),
+  * the assignment partitions the input exactly, voxel parentage is
+  * the octree halving, determinism across runs, and every node's LAZ
+  * bytes decode back to exactly the node's points (the EPT artifact
+  * face). Plan shape: the rank stage never plans an unpartitioned
+  * window (the root level is the dangerous one). */
+class PcTilerSpec extends SparkSuite {
+
+  private val cap = 40
+
+  private def cloud(n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    (0 until n)
+      .map { i =>
+        val cl = rnd.nextInt(4) // clustered: 4 dense blobs + noise
+        val (bx, by, bz) = (cl * 2500L, cl * 1800L, cl * 900L)
+        (i.toLong, bx + rnd.nextInt(400), by + rnd.nextInt(400), bz + rnd.nextInt(200))
+      }
+      .toDF("id", "x", "y", "z")
+      .withColumn("okey", md5(concat(lit("t:"), col("id").cast("string"))))
+  }
+
+  test("assignment partitions the input; caps hold; parents of occupied children are full") {
+    val pts = cloud(1000)
+    val a = PcTiler.octreeAssign(pts, cap = cap, maxDepth = 5).cache()
+    assert(a.count() == 1000)
+    assert(a.select("id").distinct().count() == 1000)
+
+    val nodes = a
+      .groupBy("level", "vx", "vy", "vz")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4)))
+      .toMap
+    nodes.foreach { case ((level, _, _, _), n) =>
+      if (level < 5) assert(n <= cap, s"node over cap at level $level: $n")
+    }
+    // every occupied node below the root has a FULL parent chain: a
+    // point only descends when its node overflowed
+    nodes.keys.filter(_._1 > 0).foreach { case (level, vx, vy, vz) =>
+      val parent = (level - 1, vx / 2, vy / 2, vz / 2)
+      assert(nodes.get(parent).contains(cap.toLong), s"parent $parent of ($level,$vx,$vy,$vz) not full")
+    }
+    a.unpersist()
+  }
+
+  test("deterministic: two runs assign identically") {
+    val pts = cloud(600)
+    val r1 = PcTiler.octreeAssign(pts, cap, maxDepth = 5).collect().map(_.toSeq).toSet
+    val r2 = PcTiler.octreeAssign(pts, cap, maxDepth = 5).collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+  }
+
+  test("node sample is the hash-minimal subset: the root holds the cap globally-smallest okeys") {
+    import spark.implicits._
+    val pts = cloud(500)
+    val a = PcTiler.octreeAssign(pts, cap, maxDepth = 5)
+    val rootIds = a.filter($"level" === 0).select("id").as[Long].collect().toSet
+    val expect = pts
+      .orderBy("okey")
+      .limit(cap)
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(rootIds == expect)
+  }
+
+  test("eptNodes: every node's LAZ decodes to exactly the node's points") {
+    import spark.implicits._
+    val pts = cloud(700)
+    val a = PcTiler.octreeAssign(pts, cap, maxDepth = 5)
+    val byNode = a
+      .groupBy("level", "vx", "vy", "vz")
+      .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getSeq[org.apache.spark.sql.Row](4).map(p => (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))).sortBy(_._1)))
+      .toMap
+    val nodes = PcTiler.eptNodes(a).collect()
+    assert(nodes.map(_.getLong(4)).sum == 700)
+    nodes.foreach { r =>
+      val key = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val dec = Laz.decompress(r.getAs[Array[Byte]]("laz"))
+      val got = dec.map(p => (p.gpsTime.toLong, p.x.toLong, p.y.toLong, p.z.toLong))
+      assert(got == byNode(key), s"node $key bytes do not round-trip")
+    }
+  }
+
+  test("rank stage plans no unpartitioned window (root level included)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pts = cloud(300)
+    val plan = PcTiler.octreeAssign(pts, cap, maxDepth = 2).queryExecution.sparkPlan
+    val bare = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bare.isEmpty, "octreeAssign planned an unpartitioned window")
+  }
+}
