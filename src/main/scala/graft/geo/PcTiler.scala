@@ -137,6 +137,78 @@ object PcTiler {
       .select(col("level"), col("vx"), col("vy"), col("vz"), col("n_points"), col("laz"))
   }
 
+  /** Per-node bare LAZ chunks (the COPC storage unit): like
+    * [[eptNodes]] but emitting the chunk stream alone, ready for
+    * [[graft.sources.Copc.assemble]]. */
+  def nodeChunks(assigned: DataFrame): DataFrame = {
+    val enc = udf { rows: Seq[Row] =>
+      val ps = rows.sortBy(_.getLong(0)).map { r =>
+        Laz.P(
+          x = r.getLong(1).toInt,
+          y = r.getLong(2).toInt,
+          z = r.getLong(3).toInt,
+          intensity = 0,
+          returnByte = 9,
+          classification = 0,
+          scanAngle = 0,
+          userData = 0,
+          pointSource = 0,
+          gpsTime = r.getLong(0).toDouble
+        )
+      }
+      Laz.encodeChunk(ps, pointFormat = 1)
+    }
+    assigned
+      .groupBy(col("level"), col("vx"), col("vy"), col("vz"))
+      .agg(count(lit(1)).as("n_points"), collect_list(struct(col("id"), col("x"), col("y"), col("z"))).as("pts"))
+      .withColumn("chunk", enc(col("pts")))
+      .select(col("level"), col("vx"), col("vy"), col("vz"), col("n_points"), col("chunk"))
+  }
+
+  /** The whole COPC artifact as a one-row frame — the per-artifact
+    * kernel shape (`buildCog` pattern): node chunks encode in
+    * parallel, then ONE task assembles the container byte layout
+    * (a file is inherently sequential bytes; at estate scale one
+    * task per CLOUD, clouds in parallel). */
+  def copcArtifact(assigned: DataFrame, scale: Double = 0.01): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val b = assigned.agg(
+      min($"x").as("minx"),
+      min($"y").as("miny"),
+      min($"z").as("minz"),
+      greatest(max($"x") - min($"x"), max($"y") - min($"y"), max($"z") - min($"z"), lit(1L)).as("size")
+    )
+    val asm = udf { (rows: Seq[Row], minx: Long, miny: Long, minz: Long, size: Long) =>
+      val nodes = rows.map { r =>
+        graft.sources.Copc.NodeChunk(
+          r.getInt(0),
+          r.getLong(1).toInt,
+          r.getLong(2).toInt,
+          r.getLong(3).toInt,
+          r.getLong(4).toInt,
+          r.getAs[Array[Byte]](5)
+        )
+      }
+      graft.sources.Copc.assemble(
+        nodes,
+        minX = minx * scale,
+        minY = miny * scale,
+        minZ = minz * scale,
+        cubeSize = size * scale,
+        spacing = size * scale / 128,
+        scale = scale
+      )
+    }
+    nodeChunks(assigned)
+      .agg(collect_list(struct($"level", $"vx", $"vy", $"vz", $"n_points", $"chunk")).as("nodes"))
+      .crossJoin(broadcast(b))
+      .select(
+        asm($"nodes", $"minx", $"miny", $"minz", $"size").as("copc"),
+        size($"nodes").as("n_nodes")
+      )
+  }
+
   /** Deterministic event-derived cloud for the tiler. */
   private def eventPoints(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -141,6 +141,141 @@ object Copc {
     )
   )
 
+  /** One octree node ready for assembly: voxel key, point count, and
+    * its standalone LAZ chunk bytes ([[Laz.encodeChunk]]). */
+  final case class NodeChunk(level: Int, x: Int, y: Int, z: Int, pointCount: Int, chunk: Array[Byte])
+
+  /** Assemble a COPC-structured container from octree node chunks —
+    * the WRITE half of this reader (reference `pctiler.cpp` emits the
+    * same structure through untwine). Layout is COPC 1.0: LAS 1.4
+    * header, `copc` info VLR first at 375 (octree cube, spacing, root
+    * hierarchy page), laszip VLR, chunked point data with the
+    * compressed chunk table, then hierarchy pages — the root page
+    * holds levels 0-1 plus a child-page indirection (pointCount −1)
+    * for deeper levels, so readers exercise the page walk.
+    *
+    * Honest boundary: point chunks use this library's POINT10 v2
+    * codec family (declared truthfully in the laszip VLR; header
+    * format id 1|0x80). Conformant COPC stores LAS 1.4 formats 6-9
+    * under the layered v3 codec — that family stays out; every
+    * structural face (header, VLRs, chunk table, hierarchy pages,
+    * cube/offset arithmetic) is COPC-shaped and round-trips through
+    * [[info]]/[[hierarchy]]/[[hierarchyTable]]. */
+  def assemble(
+      nodes: Seq[NodeChunk],
+      minX: Double,
+      minY: Double,
+      minZ: Double,
+      cubeSize: Double,
+      spacing: Double,
+      scale: Double
+  ): Array[Byte] = {
+    val sorted = nodes.sortBy(n => (n.level, n.x, n.y, n.z))
+    val totalPoints = sorted.map(_.pointCount.toLong).sum
+    val headerSize = 375
+    val infoVlrSize = 54 + 160
+    val lazVlrSize = 54 + 46 // 34 + 2 items * 6
+    val offsetToPoints = headerSize + infoVlrSize + lazVlrSize
+
+    // chunk layout
+    val chunkStart = offsetToPoints.toLong + 8
+    val offsets = sorted.scanLeft(chunkStart)((o, n) => o + n.chunk.length)
+    val chunkTableOffset = offsets.last
+    // chunk table stream (delta-predicted sizes, context 1)
+    val tEnc = new AcEncoder
+    val ic = new IntCompressor(2, 32, forEncode = true)
+    var prev = 0
+    sorted.foreach { n => ic.compress(tEnc, prev, n.chunk.length, 1); prev = n.chunk.length }
+    tEnc.done()
+    val tableStream = tEnc.result()
+    val tableBytes = 8 + tableStream.length
+
+    // hierarchy: root page = levels 0-1 (+ child-page entry), child page = rest
+    val (shallow, deep) = sorted.zipWithIndex.partition(_._1.level <= 1)
+    val rootEntries = shallow.size + (if (deep.nonEmpty) 1 else 0)
+    val rootOffset = chunkTableOffset + tableBytes
+    val rootSize = 32L * rootEntries
+    val childOffset = rootOffset + rootSize
+    val childSize = 32L * deep.size
+
+    val out = new ArrayBuffer[Byte]((chunkTableOffset + tableBytes).toInt + 32 * (sorted.size + 2))
+    def pad(n: Int): Unit = (0 until n).foreach(_ => out += 0)
+    def u16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    def u32(v: Long): Unit = (0 until 4).foreach(k => out += (v >> (8 * k)).toByte)
+    def u64(v: Long): Unit = (0 until 8).foreach(k => out += (v >> (8 * k)).toByte)
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def str(s: String, len: Int): Unit = out ++= s.getBytes("US-ASCII").padTo(len, 0.toByte)
+
+    // --- LAS 1.4 header (375)
+    str("LASF", 4)
+    u16(0); u16(0) // source id, global encoding
+    pad(16) // GUID
+    out += 1; out += 4 // 1.4
+    str("graft", 32); str("graft copc writer", 32)
+    u16(1); u16(2026)
+    u16(headerSize)
+    u32(offsetToPoints.toLong)
+    u32(2L) // VLRs
+    out += (1 | 0x80).toByte // point format 1 + compressed bit (v2 codec family, see Scaladoc)
+    u16(28)
+    u32(0L) // legacy point count (1.4: use the u64 field)
+    (0 until 5).foreach(_ => u32(0L))
+    f64(scale); f64(scale); f64(scale)
+    f64(0.0); f64(0.0); f64(0.0)
+    f64(minX + cubeSize); f64(minX) // max/min X
+    f64(minY + cubeSize); f64(minY)
+    f64(minZ + cubeSize); f64(minZ)
+    u64(0L) // waveform
+    u64(0L); u32(0L) // first EVLR, n EVLRs
+    u64(totalPoints)
+    (0 until 15).foreach(_ => u64(0L))
+    require(out.length == headerSize)
+
+    // --- copc info VLR (first VLR, REQUIRED at 375)
+    u16(0); str("copc", 16); u16(1); u16(160); str("copc info", 32)
+    val half = cubeSize / 2
+    f64(minX + half); f64(minY + half); f64(minZ + half)
+    f64(half)
+    f64(spacing)
+    u64(rootOffset); u64(rootSize)
+    f64(0.0); f64(0.0) // gpstime min/max
+    (0 until 11).foreach(_ => u64(0L))
+    require(out.length == headerSize + infoVlrSize)
+
+    // --- laszip VLR (truthful item list: POINT10 + GPSTIME11, v2)
+    u16(0); str("laszip encoded", 16); u16(22204); u16(46); str("graft laz", 32)
+    u16(2); u16(0) // compressor: pointwise chunked; coder: arithmetic
+    out += 2; out += 2
+    u16(0); u32(0L)
+    u32(0xFFFFFFFFL) // variable chunk size: one chunk per octree node
+    u64(0L); u64(0L)
+    u16(2)
+    u16(6); u16(20); u16(2)
+    u16(7); u16(8); u16(2)
+    require(out.length == offsetToPoints)
+
+    // --- point data: chunk table pointer, chunks, chunk table
+    u64(chunkTableOffset)
+    sorted.foreach(out ++= _.chunk)
+    u32(0L); u32(sorted.size.toLong)
+    out ++= tableStream
+    require(out.length == rootOffset)
+
+    // --- hierarchy pages
+    def entry(level: Int, x: Int, y: Int, z: Int, off: Long, size: Int, count: Int): Unit = {
+      u32(level.toLong); u32(x.toLong); u32(y.toLong); u32(z.toLong)
+      u64(off); u32(size.toLong); u32(count.toLong)
+    }
+    shallow.foreach { case (n, i) => entry(n.level, n.x, n.y, n.z, offsets(i), n.chunk.length, n.pointCount) }
+    if (deep.nonEmpty) {
+      val first = deep.head._1
+      entry(first.level, first.x, first.y, first.z, childOffset, childSize.toInt, -1)
+      deep.foreach { case (n, i) => entry(n.level, n.x, n.y, n.z, offsets(i), n.chunk.length, n.pointCount) }
+    }
+    require(out.length == childOffset + childSize)
+    out.toArray
+  }
+
   /** ◆ Octree node table over an estate of .copc.laz assets: one file
     * = one `binaryFile` row = one parse task; node cube bounds are
     * top-level doubles, so a tiler's bbox+resolution node selection is

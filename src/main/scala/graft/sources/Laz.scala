@@ -129,6 +129,29 @@ object Laz {
 
   // ---- compress -------------------------------------------------------------
 
+  /** One standalone LAZ chunk: the raw first point followed by the
+    * arithmetic stream for the rest. This is the unit a chunked .laz
+    * concatenates and the unit a COPC octree node stores. */
+  private[graft] def encodeChunk(chunk: Seq[P], pointFormat: Int): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](chunk.length * 8)
+    val buf = new PointBuf
+    toBuf(chunk.head, buf)
+    writeRaw(out, buf, pointFormat)
+    val enc = new AcEncoder
+    val p10 = new Point10V2(forEncode = true, buf)
+    val gps = new Gps11V2(forEncode = true, buf.gpsBits)
+    val rgb = if (pointFormat == 3) new Rgb12V2(forEncode = true, buf) else null
+    chunk.tail.foreach { p =>
+      toBuf(p, buf)
+      p10.write(enc, buf)
+      gps.write(enc, buf.gpsBits)
+      if (rgb != null) rgb.write(enc, buf)
+    }
+    enc.done()
+    out ++= enc.result()
+    out.toArray
+  }
+
   /** Compress `points` into a complete .laz byte stream. */
   def compress(
       points: Seq[P],
@@ -146,25 +169,7 @@ object Laz {
 
     // per-chunk encode
     val chunks = points.grouped(chunkSize).toVector
-    val chunkBytes = chunks.map { chunk =>
-      val out = new ArrayBuffer[Byte](chunk.length * 8)
-      val buf = new PointBuf
-      toBuf(chunk.head, buf)
-      writeRaw(out, buf, pointFormat)
-      val enc = new AcEncoder
-      val p10 = new Point10V2(forEncode = true, buf)
-      val gps = new Gps11V2(forEncode = true, buf.gpsBits)
-      val rgb = if (pointFormat == 3) new Rgb12V2(forEncode = true, buf) else null
-      chunk.tail.foreach { p =>
-        toBuf(p, buf)
-        p10.write(enc, buf)
-        gps.write(enc, buf.gpsBits)
-        if (rgb != null) rgb.write(enc, buf)
-      }
-      enc.done()
-      out ++= enc.result()
-      out.toArray
-    }
+    val chunkBytes = chunks.map(encodeChunk(_, pointFormat))
 
     val out = new ArrayBuffer[Byte](points.length * 8 + 512)
     // --- LAS 1.2 public header (227 bytes)

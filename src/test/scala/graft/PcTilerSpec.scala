@@ -96,6 +96,49 @@ class PcTilerSpec extends SparkSuite {
     }
   }
 
+  test("copcArtifact round-trips through the Copc reader: info, hierarchy pages, per-node chunk decode") {
+    import spark.implicits._
+    val pts = cloud(900)
+    val a = PcTiler.octreeAssign(pts, cap, maxDepth = 5).cache()
+    val row = PcTiler.copcArtifact(a, scale = 0.01).collect().head
+    val copc = row.getAs[Array[Byte]]("copc")
+    val nNodes = row.getInt(1)
+
+    // reader faces
+    val meta = graft.sources.Copc.meta(copc)
+    assert(meta.exists(_.format == "copc"))
+    assert(meta.get.pointCount == 900L)
+    val hier = graft.sources.Copc.hierarchy(copc)
+    assert(hier.size == nNodes)
+    assert(hier.exists(_.level >= 2), "want enough depth to exercise the child-page walk")
+
+    // every hierarchy node's byte range decodes to exactly its points
+    val byNode = a
+      .groupBy("level", "vx", "vy", "vz")
+      .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt),
+        r.getSeq[org.apache.spark.sql.Row](4).map(p => (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))).sortBy(_._1)))
+      .toMap
+    hier.foreach { n =>
+      val got = Laz
+        .decodeChunk(copc, n.offset.toInt, n.offset.toInt + n.byteSize, n.pointCount, 1)
+        .map(p => (p.gpsTime.toLong, p.x.toLong, p.y.toLong, p.z.toLong))
+        .toSeq
+      assert(got == byNode((n.level, n.x, n.y, n.z)), s"node ${(n.level, n.x, n.y, n.z)}")
+    }
+
+    // the estate-scan face reads the same octree with sane cube nesting
+    val dir = java.nio.file.Files.createTempDirectory("copcspec")
+    java.nio.file.Files.write(dir.resolve("a.copc.laz"), copc)
+    val ht = graft.sources.Copc.hierarchyTable(spark, dir.toString).collect()
+    assert(ht.length == nNodes)
+    ht.foreach { r =>
+      assert(r.getDouble(8) < r.getDouble(11) && r.getDouble(9) < r.getDouble(12) && r.getDouble(10) < r.getDouble(13))
+    }
+    a.unpersist()
+  }
+
   test("rank stage plans no unpartitioned window (root level included)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val pts = cloud(300)
