@@ -282,6 +282,13 @@ object Laz {
     * count u32, arithmetic-coded delta sizes). */
   private def chunkRefsFromTable(table: Array[Byte], tStart: Int, h: Header): Seq[ChunkRef] = {
     val numChunks = leU32(table, tStart + 4).toInt
+    // corrupt-input guards: a truncated or garbage chunk table must
+    // fail with ONE named error, never a negative/huge allocation —
+    // an estate-scale ingest flags the file and scans on
+    require(
+      numChunks >= 0 && numChunks.toLong <= math.max(1L, h.pointCount),
+      s"laz: implausible chunk count $numChunks for ${h.pointCount} points (corrupt chunk table)"
+    )
     val dec = new AcDecoder(table, tStart + 8, table.length)
     val ic = new IntCompressor(2, 32, forEncode = false)
     val sizes = new Array[Int](numChunks)
@@ -289,6 +296,7 @@ object Laz {
     var i = 0
     while (i < numChunks) {
       sizes(i) = ic.decompress(dec, prev, 1)
+      require(sizes(i) >= 0, s"laz: negative chunk size at index $i (corrupt chunk table)")
       prev = sizes(i)
       i += 1
     }

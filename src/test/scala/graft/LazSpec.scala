@@ -102,6 +102,18 @@ class LazSpec extends SparkSuite {
     assert(math.abs(b._1 - minX) < 1e-9 && math.abs(b._4 - maxX) < 1e-9)
   }
 
+  test("corrupt chunk table fails with a named error, not an allocation blow-up") {
+    val pts = mk(100, wild = false, seed = 8)
+    val laz = Laz.compress(pts, pointFormat = 1, chunkSize = 50)
+    val h = Laz.readHeader(laz)
+    // stamp garbage over the chunk count
+    val broken = laz.clone()
+    val t = h.chunkTableOffset.toInt
+    broken(t + 4) = 0xFF.toByte; broken(t + 5) = 0xFF.toByte; broken(t + 6) = 0xFF.toByte; broken(t + 7) = 0x7F.toByte
+    val e = intercept[IllegalArgumentException](Laz.chunks(broken, h))
+    assert(e.getMessage.contains("implausible chunk count"))
+  }
+
   test("Spark faces: chunkTable is the plan, pointsTable chunk-parallel decode equals serial decode") {
     val pts = mk(4321, wild = true, seed = 21)
     val laz = Laz.compress(pts, pointFormat = 3, chunkSize = 500)
