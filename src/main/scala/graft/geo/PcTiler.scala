@@ -71,26 +71,31 @@ object PcTiler {
     var depth = 0
     var drained = false
     while (!drained && depth < maxDepth) {
-      val cp = graft.operators.Staged.checkpoint(cur)
       // Exact per-node top-`cap` in two phases (the two-phase top-k
       // pattern): phase 1 ranks within (node, input-partition) — fully
       // parallel however few nodes exist (the root level has ONE) —
       // and keeps at most `cap` per (node, partition); phase 2 ranks
       // the ≤ cap·P survivors per node. A node's true top-cap always
       // survives phase 1, so the result is exact while no task ever
-      // sorts more than max(partition, cap·P) rows.
+      // sorts more than max(partition, cap·P) rows. The phase-1 frame
+      // is the one checkpoint per level: every consumer (keep set,
+      // overflow, next level) reads it instead of re-running the big
+      // window; overflow is phase-1 losers ∪ phase-2 losers, never an
+      // anti-join back over the full level.
       val nodeKeys = Seq(col("level"), col("vx"), col("vy"), col("vz"))
       val w1 = Window.partitionBy(nodeKeys :+ col("pid"): _*).orderBy(col("okey"))
       val w2 = Window.partitionBy(nodeKeys: _*).orderBy(col("okey"))
-      val keptD = cp
-        .withColumn("pid", spark_partition_id())
-        .withColumn("rk1", row_number().over(w1))
-        .filter(col("rk1") <= cap)
-        .withColumn("rk", row_number().over(w2))
-        .filter(col("rk") <= cap)
-        .drop("pid", "rk1", "rk")
-      kept += keptD
-      val over = cp.join(keptD.select(col("id")), Seq("id"), "left_anti")
+      val staged = graft.operators.Staged.checkpoint(
+        cur
+          .withColumn("pid", spark_partition_id())
+          .withColumn("rk1", row_number().over(w1))
+      )
+      val locals = staged.filter(col("rk1") <= cap).withColumn("rk", row_number().over(w2))
+      kept += locals.filter(col("rk") <= cap).drop("pid", "rk1", "rk")
+      val over = staged
+        .filter(col("rk1") > cap)
+        .drop("pid", "rk1")
+        .unionByName(locals.filter(col("rk") > cap).drop("pid", "rk1", "rk"))
       if (over.head(1).isEmpty) drained = true
       else {
         val p = 1L << (depth + 1)
