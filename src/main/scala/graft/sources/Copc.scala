@@ -276,6 +276,91 @@ object Copc {
     out.toArray
   }
 
+  private val pointsSchema = StructType(
+    Seq(
+      StructField("path", StringType),
+      StructField("level", IntegerType),
+      StructField("vx", IntegerType),
+      StructField("vy", IntegerType),
+      StructField("vz", IntegerType),
+      StructField("x", DoubleType),
+      StructField("y", DoubleType),
+      StructField("z", DoubleType),
+      StructField("gps_time", DoubleType)
+    )
+  )
+
+  /** ◆ The tile-SERVING read: select octree nodes by bbox and/or max
+    * level (LOD cut) on [[hierarchyTable]]'s relational face — pure
+    * metadata — then range-read and decode ONLY the selected nodes'
+    * chunk bytes ([[Laz.decodeChunk]]; each chunk is an independent
+    * stream). This is `pctiler.cpp`'s per-tile node walk as two plan
+    * stages: a filter that touches no point bytes, and a decode whose
+    * I/O is exactly the served nodes (the GET-Range shape — a 100 TB
+    * estate serves a screenful of tiles reading megabytes). Node
+    * selection is cube-INTERSECTS (tile semantics); callers filter
+    * decoded points further if they need exact containment. */
+  def nodePoints(
+      s: SparkSession,
+      path: String,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      maxLevel: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var sel = hierarchyTable(s, path)
+    bbox.foreach { case (x0, y0, x1, y1) =>
+      sel = sel.filter(col("minx") <= x1 && col("maxx") >= x0 && col("miny") <= y1 && col("maxy") >= y0)
+    }
+    maxLevel.foreach(l => sel = sel.filter(col("level") <= l))
+    val rows = sel
+      .select("path", "level", "vx", "vy", "vz", "chunk_offset", "chunk_bytes", "n_points")
+      .rdd
+      .mapPartitions { it =>
+        // one header parse per (file, partition); chunk reads are
+        // per-node ranges
+        val headers = scala.collection.mutable.Map.empty[String, Laz.Header]
+        it.flatMap { r =>
+          val p = r.getString(0)
+          // binaryFile reports URIs; RandomAccessFile wants a path
+          val local =
+            if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString else p
+          val h = headers.getOrElseUpdate(
+            p, {
+              val raf = new java.io.RandomAccessFile(local, "r")
+              try {
+                val n = math.min(raf.length(), 1L << 16).toInt
+                val head = new Array[Byte](n)
+                raf.readFully(head)
+                Laz.readHeader(head)
+              } finally raf.close()
+            }
+          )
+          val raf = new java.io.RandomAccessFile(local, "r")
+          val chunk =
+            try {
+              val a = new Array[Byte](r.getInt(6))
+              raf.seek(r.getLong(5))
+              raf.readFully(a)
+              a
+            } finally raf.close()
+          Laz.decodeChunk(chunk, 0, chunk.length, r.getInt(7), h.pointFormat).iterator.map { pt =>
+            Row(
+              p,
+              r.getInt(1),
+              r.getInt(2),
+              r.getInt(3),
+              r.getInt(4),
+              pt.x * h.scaleX + h.offX,
+              pt.y * h.scaleY + h.offY,
+              pt.z * h.scaleZ + h.offZ,
+              pt.gpsTime
+            )
+          }
+        }
+      }
+    s.createDataFrame(rows, pointsSchema)
+  }
+
   /** ◆ Octree node table over an estate of .copc.laz assets: one file
     * = one `binaryFile` row = one parse task; node cube bounds are
     * top-level doubles, so a tiler's bbox+resolution node selection is

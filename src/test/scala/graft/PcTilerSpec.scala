@@ -139,6 +139,50 @@ class PcTilerSpec extends SparkSuite {
     a.unpersist()
   }
 
+  test("nodePoints serves bbox + LOD cuts: decoded ids equal the selected nodes' assignment") {
+    import spark.implicits._
+    val pts = cloud(900)
+    val a = PcTiler.octreeAssign(pts, cap, maxDepth = 5).cache()
+    val copc = PcTiler.copcArtifact(a, scale = 0.01).collect().head.getAs[Array[Byte]]("copc")
+    val dir = java.nio.file.Files.createTempDirectory("copcserve")
+    java.nio.file.Files.write(dir.resolve("b.copc.laz"), copc)
+
+    // full read = whole cloud
+    val full = graft.sources.Copc.nodePoints(spark, dir.toString)
+    assert(full.count() == 900)
+
+    // bbox around the first blob (ints scaled by 0.01) — node-level
+    // intersects semantics
+    val bbox = (0.0, 0.0, 6.0, 6.0)
+    val ht = graft.sources.Copc.hierarchyTable(spark, dir.toString)
+    val wantNodes = ht
+      .filter($"minx" <= bbox._3 && $"maxx" >= bbox._1 && $"miny" <= bbox._4 && $"maxy" >= bbox._2)
+      .select($"level", $"vx", $"vy", $"vz")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(wantNodes.nonEmpty && wantNodes.size < ht.count(), "bbox should prune some nodes")
+    val wantIds = a
+      .collect()
+      .filter(r => wantNodes.contains((r.getInt(4), r.getLong(5).toInt, r.getLong(6).toInt, r.getLong(7).toInt)))
+      .map(_.getLong(0))
+      .toSet
+    val gotIds = graft.sources.Copc
+      .nodePoints(spark, dir.toString, bbox = Some(bbox))
+      .select($"gps_time")
+      .as[Double]
+      .collect()
+      .map(_.toLong)
+      .toSet
+    assert(gotIds == wantIds)
+
+    // LOD cut: level <= 1 returns exactly the coarse sample
+    val lod = graft.sources.Copc.nodePoints(spark, dir.toString, maxLevel = Some(1))
+    val wantLod = a.filter($"level" <= 1).count()
+    assert(lod.count() == wantLod)
+    a.unpersist()
+  }
+
   test("rank stage plans no unpartitioned window (root level included)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val pts = cloud(300)
