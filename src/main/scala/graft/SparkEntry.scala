@@ -137,6 +137,7 @@ object SparkEntry {
     "q_sample" -> (TextOps.sampleQuery _),
     "q_split" -> (TextOps.splitQuery _),
     "q_shuffle" -> (TextOps.shuffleQuery _),
+    "q_mixture" -> (TextOps.mixtureQuery _),
     "q_pii" -> (TextOps.piiQuery _),
     "q_lm_score" -> (TextOps.lmScoreQuery _),
     // text analysis (cont.)
@@ -983,6 +984,20 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey) AS BIGINT) AS pos
         |FROM s""".stripMargin,
+    // Integer-exact mixture allocation: 60% global token budget split
+    // by per-source weight, capped at availability; `//` == `div`.
+    "q_mixture" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(length(regexp_extract_all(text, '\w+'))) AS BIGINT) AS tokens,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 7 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_total, CAST(sum(w) AS BIGINT) AS w_total FROM t)
+        |SELECT source, tokens, w AS weight,
+        |  (((t_total * 6) // 10) * w) // w_total AS target,
+        |  least(tokens, (((t_total * 6) // 10) * w) // w_total) AS kept_tokens,
+        |  greatest(0, (((t_total * 6) // 10) * w) // w_total - tokens) AS deficit
+        |FROM t, g""".stripMargin,
     "q_pii" ->
       """WITH aug AS (
         |  SELECT doc_id, source,

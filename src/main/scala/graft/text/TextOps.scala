@@ -340,6 +340,35 @@ object TextOps {
       )
   }
 
+  /** ◆ Training-mixture allocation — the "domain mixing" step between
+    * curation and shuffling: each source gets a token budget
+    * proportional to its mixture weight, capped by what the source
+    * actually has (the deficit column is the re-balancing signal an
+    * operator feeds back into the weights). All-integer arithmetic
+    * (weights, `div` budgets), so the allocation is bit-identical on
+    * any engine — no float shares. One scan + one bounded rollup;
+    * the totals row broadcasts. */
+  def mixtureQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables
+      .documents(s, dir)
+      .groupBy($"source")
+      .agg(sum(tokenCols($"text")).cast("long").as("tokens"))
+      .withColumn("w", regexp_extract($"source", "(\\d+)", 1).cast("long") % 7 + 1)
+    val tot = tok.agg(sum($"tokens").as("t_total"), sum($"w").as("w_total"))
+    tok
+      .crossJoin(broadcast(tot))
+      .withColumn("target", expr("(((t_total * 6) div 10) * w) div w_total"))
+      .select(
+        $"source",
+        $"tokens",
+        $"w".as("weight"),
+        $"target",
+        least($"tokens", $"target").as("kept_tokens"),
+        greatest(lit(0L), $"target" - $"tokens").as("deficit")
+      )
+  }
+
   /** ◆ Deterministic global training-order shuffle: every doc gets a
     * shard and a position within the shard, totally ordered by a
     * salted md5 of its id — the "shuffle the corpus once, write N
