@@ -50,7 +50,8 @@ object Laz {
       scaleZ: Double,
       offX: Double,
       offY: Double,
-      offZ: Double
+      offZ: Double,
+      compressor: Int = 2 // 2 = pointwise chunked, 3 = layered chunked
   )
 
   final case class ChunkRef(index: Int, offset: Long, size: Int, pointCount: Int)
@@ -152,13 +153,105 @@ object Laz {
     out.toArray
   }
 
-  /** Compress `points` into a complete .laz byte stream. */
+  /** Layered chunk (the LASzip v3 CONTAINER architecture carried by
+    * this library's v2 item codecs): the raw first point, a per-item
+    * layer-size table, then each item's arithmetic stream SEPARATELY —
+    * POINT10, GPSTIME11, RGB12 each in its own layer. Because the item
+    * codecs share no state, any subset of layers decodes alone:
+    * projection pruning reaches the codec (an XYZ-only scan never
+    * spends a cycle on GPS or RGB models). Wire format is this
+    * library's extension (declared compressor 3 + v2 items in the
+    * VLR); external laszip v3 files carry different item codecs. */
+  private[graft] def encodeChunkLayered(chunk: Seq[P], pointFormat: Int): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](chunk.length * 8)
+    val buf = new PointBuf
+    toBuf(chunk.head, buf)
+    writeRaw(out, buf, pointFormat)
+    val encP = new AcEncoder
+    val encG = new AcEncoder
+    val encR = if (pointFormat == 3) new AcEncoder else null
+    val p10 = new Point10V2(forEncode = true, buf)
+    val gps = new Gps11V2(forEncode = true, buf.gpsBits)
+    val rgb = if (pointFormat == 3) new Rgb12V2(forEncode = true, buf) else null
+    chunk.tail.foreach { p =>
+      toBuf(p, buf)
+      p10.write(encP, buf)
+      gps.write(encG, buf.gpsBits)
+      if (rgb != null) rgb.write(encR, buf)
+    }
+    encP.done(); encG.done(); if (encR != null) encR.done()
+    val bp = encP.result()
+    val bg = encG.result()
+    val br = if (encR != null) encR.result() else Array.empty[Byte]
+    putU32(out, bp.length.toLong)
+    putU32(out, bg.length.toLong)
+    if (pointFormat == 3) putU32(out, br.length.toLong)
+    out ++= bp
+    out ++= bg
+    if (pointFormat == 3) out ++= br
+    out.toArray
+  }
+
+  /** Decode a layered chunk, reading ONLY the requested layers —
+    * skipped layers cost zero decode work and their fields are 0. */
+  def decodeChunkLayered(
+      b: Array[Byte],
+      start: Int,
+      end: Int,
+      pointCount: Int,
+      fmt: Int,
+      wantGps: Boolean = true,
+      wantRgb: Boolean = true
+  ): Array[P] = {
+    val recLen = RecordLen(fmt)
+    val outPts = new Array[P](pointCount)
+    if (pointCount == 0) return outPts
+    val buf = new PointBuf
+    readRaw(b, start, buf, fmt)
+    if (!wantGps) buf.gpsBits = 0L
+    if (!wantRgb || fmt == 1) { buf.red = 0; buf.green = 0; buf.blue = 0 }
+    outPts(0) = fromBuf(buf)
+    val nSizes = if (fmt == 3) 3 else 2
+    val sizesAt = start + recLen
+    val lenP = leU32(b, sizesAt).toInt
+    val lenG = leU32(b, sizesAt + 4).toInt
+    val layersAt = sizesAt + 4 * nSizes
+    val decP = new AcDecoder(b, layersAt, math.min(end, layersAt + lenP))
+    val gpsAt = layersAt + lenP
+    val rgbAt = gpsAt + lenG
+    // seed codecs from the UNMASKED raw first point so prediction
+    // state matches the encoder
+    val seed = new PointBuf
+    readRaw(b, start, seed, fmt)
+    val p10 = new Point10V2(forEncode = false, seed)
+    val gps =
+      if (wantGps) new Gps11V2(forEncode = false, seed.gpsBits) else null
+    val decG = if (wantGps) new AcDecoder(b, gpsAt, math.min(end, gpsAt + lenG)) else null
+    val rgb = if (wantRgb && fmt == 3) new Rgb12V2(forEncode = false, seed) else null
+    val decR = if (rgb != null) new AcDecoder(b, rgbAt, end) else null
+    var i = 1
+    while (i < pointCount) {
+      p10.read(decP, buf)
+      buf.gpsBits = if (gps != null) gps.read(decG) else 0L
+      if (rgb != null) rgb.read(decR, buf)
+      else { buf.red = 0; buf.green = 0; buf.blue = 0 }
+      outPts(i) = fromBuf(buf)
+      i += 1
+    }
+    outPts
+  }
+
+  /** Compress `points` into a complete .laz byte stream. Set
+    * `layered = true` for the layer-per-item chunk layout
+    * ([[encodeChunkLayered]]) that supports projection-pruned
+    * decode. */
   def compress(
       points: Seq[P],
       pointFormat: Int = 1,
       chunkSize: Int = 50000,
       scale: Double = 0.01,
-      offset: Double = 0.0
+      offset: Double = 0.0,
+      layered: Boolean = false
   ): Array[Byte] = {
     require(pointFormat == 1 || pointFormat == 3, s"unsupported point format $pointFormat")
     require(chunkSize > 0)
@@ -169,7 +262,9 @@ object Laz {
 
     // per-chunk encode
     val chunks = points.grouped(chunkSize).toVector
-    val chunkBytes = chunks.map(encodeChunk(_, pointFormat))
+    val chunkBytes =
+      if (layered) chunks.map(encodeChunkLayered(_, pointFormat))
+      else chunks.map(encodeChunk(_, pointFormat))
 
     val out = new ArrayBuffer[Byte](points.length * 8 + 512)
     // --- LAS 1.2 public header (227 bytes)
@@ -204,7 +299,7 @@ object Laz {
     putU16(out, 22204)
     putU16(out, vlrPayload)
     out ++= "graft laz".getBytes("US-ASCII").padTo(32, 0.toByte)
-    putU16(out, 2) // compressor: pointwise chunked
+    putU16(out, if (layered) 3 else 2) // compressor: pointwise vs layered chunked
     putU16(out, 0) // coder: arithmetic
     out += 2; out += 2 // version 2.2
     putU16(out, 0) // revision
@@ -247,13 +342,17 @@ object Laz {
     val numVlrs = leU32(b, 100).toInt
     // find the laszip VLR for the chunk size
     var chunkSize = 50000
+    var compressor = 2
     var vo = leU16(b, 94) // header size
     var i = 0
     while (i < numVlrs && vo + VlrHeaderSize <= b.length) {
       val userId = new String(b, vo + 2, 16, "US-ASCII").takeWhile(_ != 0)
       val recordId = leU16(b, vo + 18)
       val len = leU16(b, vo + 20)
-      if (userId == "laszip encoded" && recordId == 22204) chunkSize = leU32(b, vo + VlrHeaderSize + 12).toInt
+      if (userId == "laszip encoded" && recordId == 22204) {
+        compressor = leU16(b, vo + VlrHeaderSize)
+        chunkSize = leU32(b, vo + VlrHeaderSize + 12).toInt
+      }
       vo += VlrHeaderSize + len
       i += 1
     }
@@ -268,7 +367,8 @@ object Laz {
       scaleZ = leF64(b, 147),
       offX = leF64(b, 155),
       offY = leF64(b, 163),
-      offZ = leF64(b, 171)
+      offZ = leF64(b, 171),
+      compressor = compressor
     )
   }
 
@@ -363,7 +463,11 @@ object Laz {
   /** Serial whole-stream decode (driver-side / test face). */
   def decompress(b: Array[Byte]): Seq[P] = {
     val h = readHeader(b)
-    chunks(b, h).flatMap(c => decodeChunk(b, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat))
+    chunks(b, h).flatMap { c =>
+      if (h.compressor == 3)
+        decodeChunkLayered(b, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat)
+      else decodeChunk(b, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat)
+    }
   }
 
   // ---- Spark faces ----------------------------------------------------------
@@ -388,20 +492,9 @@ object Laz {
     )
   }
 
-  private val pointSchema = StructType(
-    Seq(
-      StructField("chunk_id", IntegerType, nullable = false),
-      StructField("x", DoubleType, nullable = false),
-      StructField("y", DoubleType, nullable = false),
-      StructField("z", DoubleType, nullable = false),
-      StructField("intensity", IntegerType, nullable = false),
-      StructField("classification", IntegerType, nullable = false),
-      StructField("gps_time", DoubleType, nullable = false),
-      StructField("red", IntegerType, nullable = false),
-      StructField("green", IntegerType, nullable = false),
-      StructField("blue", IntegerType, nullable = false)
-    )
-  )
+  /** Canonical point-column order for [[pointsTable]]. */
+  val PointColumns: Seq[String] =
+    Seq("x", "y", "z", "intensity", "classification", "gps_time", "red", "green", "blue")
 
   /** End-to-end codec proof under the DuckDB oracle: deterministic
     * integer points derived from `events`, one LAZ file per
@@ -482,11 +575,32 @@ object Laz {
     * table (KBs), executors range-read ONLY their chunk's bytes. On a
     * cluster the `RandomAccessFile` seek is the object-store
     * GET-Range; no task materializes the file. */
-  def pointsTable(spark: SparkSession, path: String): DataFrame = {
+  def pointsTable(spark: SparkSession, path: String): DataFrame =
+    pointsTable(spark, path, PointColumns)
+
+  /** Projection-aware variant: `cols` selects the point columns (in
+    * [[PointColumns]] order, `chunk_id` always present). On a LAYERED
+    * stream, columns decide which layers decode — an XYZ-only
+    * projection skips the GPS and RGB layers entirely (column pruning
+    * reaching the codec); pointwise streams decode fully and prune
+    * only the output. */
+  def pointsTable(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val sel = PointColumns.filter(cols.contains)
+    require(sel.nonEmpty, s"pointsTable: no valid columns in $cols")
+    val wantGps = sel.contains("gps_time")
+    val wantRgb = sel.exists(Set("red", "green", "blue"))
+    val schema = StructType(
+      StructField("chunk_id", IntegerType, nullable = false) +: sel.map {
+        case n @ ("x" | "y" | "z" | "gps_time") => StructField(n, DoubleType, nullable = false)
+        case n => StructField(n, IntegerType, nullable = false)
+      }
+    )
     val (h, refs) = planFile(path)
     val fmt = h.pointFormat
+    val comp = h.compressor
     val (sx, sy, sz) = (h.scaleX, h.scaleY, h.scaleZ)
     val (ox, oy, oz) = (h.offX, h.offY, h.offZ)
+    val selArr = sel.toArray
     val rdd = spark.sparkContext
       .parallelize(refs, math.max(1, math.min(refs.size, 64)))
       .flatMap { c =>
@@ -498,21 +612,24 @@ object Laz {
             raf.readFully(a)
             a
           } finally raf.close()
-        decodeChunk(bytes, 0, bytes.length, c.pointCount, fmt).iterator.map { p =>
-          Row(
-            c.index,
-            p.x * sx + ox,
-            p.y * sy + oy,
-            p.z * sz + oz,
-            p.intensity,
-            p.classification,
-            p.gpsTime,
-            p.red,
-            p.green,
-            p.blue
-          )
+        val pts =
+          if (comp == 3) decodeChunkLayered(bytes, 0, bytes.length, c.pointCount, fmt, wantGps, wantRgb)
+          else decodeChunk(bytes, 0, bytes.length, c.pointCount, fmt)
+        pts.iterator.map { p =>
+          val vals: Seq[Any] = selArr.toSeq.map {
+            case "x" => p.x * sx + ox
+            case "y" => p.y * sy + oy
+            case "z" => p.z * sz + oz
+            case "intensity" => p.intensity
+            case "classification" => p.classification
+            case "gps_time" => p.gpsTime
+            case "red" => p.red
+            case "green" => p.green
+            case "blue" => p.blue
+          }
+          Row.fromSeq(c.index +: vals)
         }
       }
-    spark.createDataFrame(rdd, pointSchema)
+    spark.createDataFrame(rdd, schema)
   }
 }

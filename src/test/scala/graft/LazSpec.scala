@@ -102,6 +102,44 @@ class LazSpec extends SparkSuite {
     assert(math.abs(b._1 - minX) < 1e-9 && math.abs(b._4 - maxX) < 1e-9)
   }
 
+  test("layered chunks: identical values to pointwise; any layer subset decodes alone") {
+    for (fmt <- Seq(1, 3); wild <- Seq(false, true)) {
+      val pts = mk(2500, wild, seed = 31 + fmt)
+      val expect: Seq[P] = if (fmt == 1) pts.map(_.copy(red = 0, green = 0, blue = 0)) else pts
+      val layered = Laz.compress(pts, pointFormat = fmt, chunkSize = 700, layered = true)
+      assert(Laz.readHeader(layered).compressor == 3)
+      assert(Laz.decompress(layered) == expect, s"layered full decode fmt=$fmt wild=$wild")
+
+      // selective: XYZ+attrs only — GPS and RGB layers never touched
+      val h = Laz.readHeader(layered)
+      val got = Laz
+        .chunks(layered, h)
+        .flatMap(c =>
+          Laz.decodeChunkLayered(
+            layered, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, fmt,
+            wantGps = false, wantRgb = false))
+      assert(got.map(p => (p.x, p.y, p.z, p.intensity, p.classification)) ==
+        expect.map(p => (p.x, p.y, p.z, p.intensity, p.classification)))
+      assert(got.forall(p => p.gpsTime == 0.0 && p.red == 0 && p.green == 0 && p.blue == 0))
+    }
+  }
+
+  test("projected pointsTable on a layered file prunes layers and matches the full read") {
+    import spark.implicits._
+    val pts = mk(3000, wild = true, seed = 77)
+    val laz = Laz.compress(pts, pointFormat = 3, chunkSize = 500, layered = true)
+    val dir = Files.createTempDirectory("lazproj")
+    val path = dir.resolve("p.laz").toString
+    Files.write(java.nio.file.Paths.get(path), laz)
+    val proj = Laz.pointsTable(spark, path, Seq("x", "y", "z"))
+    assert(proj.columns.toSeq == Seq("chunk_id", "x", "y", "z"))
+    val full = Laz.pointsTable(spark, path)
+    assert(
+      proj.select($"x", $"y", $"z").collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        full.select($"x", $"y", $"z").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    )
+  }
+
   test("corrupt chunk table fails with a named error, not an allocation blow-up") {
     val pts = mk(100, wild = false, seed = 8)
     val laz = Laz.compress(pts, pointFormat = 1, chunkSize = 50)
