@@ -381,6 +381,10 @@ object Laz {
   /** `table` holds the chunk table starting at `tStart` (version u32,
     * count u32, arithmetic-coded delta sizes). */
   private def chunkRefsFromTable(table: Array[Byte], tStart: Int, h: Header): Seq[ChunkRef] = {
+    require(
+      h.chunkSize > 0,
+      "laz: variable-chunk stream (COPC; chunk size 0xFFFFFFFF) — plan nodes via Copc.hierarchy, not the fixed chunk table"
+    )
     val numChunks = leU32(table, tStart + 4).toInt
     // corrupt-input guards: a truncated or garbage chunk table must
     // fail with ONE named error, never a negative/huge allocation —

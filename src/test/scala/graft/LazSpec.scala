@@ -140,6 +140,16 @@ class LazSpec extends SparkSuite {
     )
   }
 
+  test("a variable-chunk (COPC) stream is rejected by the fixed chunk-table planner with a pointer to Copc") {
+    val pts = mk(60, wild = false, seed = 12).map(p => (p.gpsTime.toLong, p))
+    val nodes = Seq(
+      graft.sources.Copc.NodeChunk(0, 0, 0, 0, 60, Laz.encodeChunk(pts.map(_._2), 1))
+    )
+    val copc = graft.sources.Copc.assemble(nodes, 0, 0, 0, 100.0, 1.0, 0.01)
+    val e = intercept[IllegalArgumentException](Laz.chunks(copc))
+    assert(e.getMessage.contains("variable-chunk"))
+  }
+
   test("corrupt chunk table fails with a named error, not an allocation blow-up") {
     val pts = mk(100, wild = false, seed = 8)
     val laz = Laz.compress(pts, pointFormat = 1, chunkSize = 50)
