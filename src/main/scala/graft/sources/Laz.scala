@@ -582,6 +582,23 @@ object Laz {
   def pointsTable(spark: SparkSession, path: String): DataFrame =
     pointsTable(spark, path, PointColumns)
 
+  /** Estate scan: every .laz under `dir` planned (header + chunk
+    * table reads only) and decoded as ONE DataFrame, chunk-parallel
+    * across all files — the multi-flight shape: a task owns one
+    * chunk of one file, never a whole file. Adds a `path` column. */
+  def pointsTableDir(spark: SparkSession, dir: String, cols: Seq[String] = PointColumns): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val files = {
+      val d = new java.io.File(dir)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".laz")).map(_.getPath).sorted
+    }
+    require(files.nonEmpty, s"pointsTableDir: no .laz files under $dir")
+    files
+      .map(f => pointsTable(spark, f, cols).withColumn("path", lit(f)))
+      .reduce(_ unionByName _)
+  }
+
   /** Projection-aware variant: `cols` selects the point columns (in
     * [[PointColumns]] order, `chunk_id` always present). On a LAYERED
     * stream, columns decide which layers decode — an XYZ-only

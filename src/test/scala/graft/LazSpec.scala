@@ -140,6 +140,20 @@ class LazSpec extends SparkSuite {
     )
   }
 
+  test("estate scan: pointsTableDir unions per-file chunk-parallel decodes with a path column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lazdir")
+    val a = mk(800, wild = false, seed = 1)
+    val bpts = mk(600, wild = true, seed = 2)
+    Files.write(dir.resolve("a.laz"), Laz.compress(a, pointFormat = 1, chunkSize = 300))
+    Files.write(dir.resolve("b.laz"), Laz.compress(bpts, pointFormat = 1, chunkSize = 250, layered = true))
+    val df = Laz.pointsTableDir(spark, dir.toString, Seq("x", "y", "z", "gps_time"))
+    assert(df.count() == 1400)
+    assert(df.groupBy("path").count().count() == 2)
+    val gotA = df.filter($"path".contains("a.laz")).select("gps_time").as[Double].collect().sorted.toSeq
+    assert(gotA == a.map(_.gpsTime).sorted)
+  }
+
   test("a variable-chunk (COPC) stream is rejected by the fixed chunk-table planner with a pointer to Copc") {
     val pts = mk(60, wild = false, seed = 12).map(p => (p.gpsTime.toLong, p))
     val nodes = Seq(
