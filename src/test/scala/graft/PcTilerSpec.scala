@@ -60,6 +60,20 @@ class PcTilerSpec extends SparkSuite {
     assert(r1 == r2)
   }
 
+  test("partitioning-independent: the two-phase top-k gives the same assignment under any input layout") {
+    // phase 1 ranks within (node, spark_partition_id) — the CLAIM is
+    // that phase 2 erases the layout: a node's true top-cap always
+    // survives phase 1 whatever the partitioning, so the final
+    // assignment is identical on 1 partition, 7 partitions, or a
+    // cluster's thousands.
+    val pts = cloud(600)
+    val base = PcTiler.octreeAssign(pts, cap, maxDepth = 5).collect().map(_.toSeq).toSet
+    Seq(1, 7).foreach { n =>
+      val alt = PcTiler.octreeAssign(pts.repartition(n), cap, maxDepth = 5).collect().map(_.toSeq).toSet
+      assert(alt == base, s"assignment changed under repartition($n)")
+    }
+  }
+
   test("node sample is the hash-minimal subset: the root holds the cap globally-smallest okeys") {
     import spark.implicits._
     val pts = cloud(500)
