@@ -355,6 +355,9 @@ object TextOps {
       .groupBy($"source")
       .agg(sum(tokenCols($"text")).cast("long").as("tokens"))
       .withColumn("w", regexp_extract($"source", "(\\d+)", 1).cast("long") % 7 + 1)
+      // staged: the per-source rollup feeds both the totals row and
+      // the output — without this the corpus scans TWICE
+      .transform(graft.operators.Staged.persist(_))
     val tot = tok.agg(sum($"tokens").as("t_total"), sum($"w").as("w_total"))
     tok
       .crossJoin(broadcast(tot))
