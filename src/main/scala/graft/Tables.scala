@@ -65,8 +65,33 @@ object Tables {
     )
     df
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Same loader-contract guard the events table carries (the r9
+    * lesson: driver-regenerated parquet with a changed layout should
+    * fail as ONE named error here, not as dozens of scattered
+    * per-query analysis exceptions). */
+  private def requireCols(df: DataFrame, table: String, cols: (String, String)*): DataFrame = {
+    val have = df.schema.map(f => f.name -> f.dataType.typeName.takeWhile(_ != '(')).toMap
+    cols.foreach { case (n, t) =>
+      require(
+        have.get(n).exists(_.startsWith(t)),
+        s"graft.Tables.$table: expected column $n:$t*, schema has ${df.schema.simpleString} — " +
+          "the driver testdata layout changed; re-base the loader contract (see Tables.scala)"
+      )
+    }
+    df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    requireCols(
+      load(s, d, "documents"),
+      "documents",
+      "doc_id" -> "long",
+      "source" -> "string",
+      "lang" -> "string",
+      "text" -> "string"
+    )
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    requireCols(load(s, d, "embeddings"), "embeddings", "vec_id" -> "long", "embedding" -> "array")
 
   /** Documents rebalanced across the session's shuffle parallelism.
     * The test files are single-row-group parquet, so the scan is ONE
