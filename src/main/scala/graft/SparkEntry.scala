@@ -206,6 +206,7 @@ object SparkEntry {
     "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
     "q_resample" -> (graft.raster.Resample.resampleQuery _),
     "q_laz" -> (graft.sources.Laz.lazQuery _),
+    "q_laz14" -> (graft.sources.Laz14.laz14Query _),
     "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _)
   )
 
@@ -2950,6 +2951,27 @@ object SparkEntry {
         |  CAST(sum(event_id % 65536) AS BIGINT) AS sum_red,
         |  CAST(sum(user_id % 65536) AS BIGINT) AS sum_green,
         |  CAST(sum((event_id * 3) % 65536) AS BIGINT) AS sum_blue
+        |FROM events GROUP BY event_type""".stripMargin,
+    // LAS 1.4 / LASzip v3 sibling of q_laz: format-8 points exercising
+    // every POINT14 field (4 scanner channels, 15-value return domain,
+    // i16 scan angles, NIR) compress→decompress inside the task; the
+    // oracle aggregates the same deterministic integers directly.
+    "q_laz14" ->
+      """SELECT event_type,
+        |  count(*) AS n_points,
+        |  CAST(sum(event_id % 1000000) AS BIGINT) AS sum_x,
+        |  CAST(sum((user_id * 7) % 1000000) AS BIGINT) AS sum_y,
+        |  CAST(sum((event_id * 13) % 500000) AS BIGINT) AS sum_z,
+        |  CAST(sum((event_id * 31) % 65536) AS BIGINT) AS sum_intensity,
+        |  CAST(sum(1 + (event_id % (1 + event_id % 5))) AS BIGINT) AS sum_ret,
+        |  CAST(sum(1 + event_id % 5) AS BIGINT) AS sum_nret,
+        |  CAST(sum(event_id % 16) AS BIGINT) AS sum_cflags,
+        |  CAST(sum((event_id // 7) % 4) AS BIGINT) AS sum_chan,
+        |  CAST(sum(event_id % 256) AS BIGINT) AS sum_class,
+        |  CAST(sum((event_id % 30001) - 15000) AS BIGINT) AS sum_scan,
+        |  CAST(sum(epoch_us(ts) % 86400) AS BIGINT) AS sum_gps,
+        |  CAST(sum(event_id % 65536) AS BIGINT) AS sum_red,
+        |  CAST(sum((user_id * 11) % 65536) AS BIGINT) AS sum_nir
         |FROM events GROUP BY event_type""".stripMargin,
     "q_pctiler" -> pctilerOracle,
     "q_pagerank" -> pageRankOracle,

@@ -380,7 +380,7 @@ object Laz {
 
   /** `table` holds the chunk table starting at `tStart` (version u32,
     * count u32, arithmetic-coded delta sizes). */
-  private def chunkRefsFromTable(table: Array[Byte], tStart: Int, h: Header): Seq[ChunkRef] = {
+  private[sources] def chunkRefsFromTable(table: Array[Byte], tStart: Int, h: Header): Seq[ChunkRef] = {
     require(
       h.chunkSize > 0,
       "laz: variable-chunk stream (COPC; chunk size 0xFFFFFFFF) — plan nodes via Copc.hierarchy, not the fixed chunk table"
@@ -415,7 +415,7 @@ object Laz {
     }
   }
 
-  private def readRange(path: String, off: Long, len: Int): Array[Byte] = {
+  private[sources] def readRange(path: String, off: Long, len: Int): Array[Byte] = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
       val n = math.min(len.toLong, raf.length() - off).toInt
