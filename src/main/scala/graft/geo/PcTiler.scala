@@ -144,24 +144,51 @@ object PcTiler {
 
   /** Per-node bare LAZ chunks (the COPC storage unit): like
     * [[eptNodes]] but emitting the chunk stream alone, ready for
-    * [[graft.sources.Copc.assemble]]. */
-  def nodeChunks(assigned: DataFrame): DataFrame = {
+    * [[graft.sources.Copc.assemble]]. `pointFormat` 6 emits the
+    * COPC-conformant LAS 1.4 layered POINT14 v3 chunk
+    * ([[graft.sources.Laz14.encodeChunk]]); 1 the POINT10 v2 one. */
+  def nodeChunks(assigned: DataFrame, pointFormat: Int = 1): DataFrame = {
+    require(pointFormat == 1 || pointFormat == 6, s"nodeChunks: unsupported point format $pointFormat")
     val enc = udf { rows: Seq[Row] =>
-      val ps = rows.sortBy(_.getLong(0)).map { r =>
-        Laz.P(
-          x = r.getLong(1).toInt,
-          y = r.getLong(2).toInt,
-          z = r.getLong(3).toInt,
-          intensity = 0,
-          returnByte = 9,
-          classification = 0,
-          scanAngle = 0,
-          userData = 0,
-          pointSource = 0,
-          gpsTime = r.getLong(0).toDouble
-        )
+      val sorted = rows.sortBy(_.getLong(0))
+      if (pointFormat == 6) {
+        val ps = sorted.map { r =>
+          graft.sources.Laz14.P14(
+            x = r.getLong(1).toInt,
+            y = r.getLong(2).toInt,
+            z = r.getLong(3).toInt,
+            intensity = 0,
+            returnNumber = 1,
+            numberOfReturns = 1,
+            classificationFlags = 0,
+            scannerChannel = 0,
+            scanDirection = 0,
+            edgeOfFlight = 0,
+            classification = 0,
+            userData = 0,
+            scanAngle = 0,
+            pointSource = 0,
+            gpsTime = r.getLong(0).toDouble
+          )
+        }
+        graft.sources.Laz14.encodeChunk(ps, fmt = 6)
+      } else {
+        val ps = sorted.map { r =>
+          Laz.P(
+            x = r.getLong(1).toInt,
+            y = r.getLong(2).toInt,
+            z = r.getLong(3).toInt,
+            intensity = 0,
+            returnByte = 9,
+            classification = 0,
+            scanAngle = 0,
+            userData = 0,
+            pointSource = 0,
+            gpsTime = r.getLong(0).toDouble
+          )
+        }
+        Laz.encodeChunk(ps, pointFormat = 1)
       }
-      Laz.encodeChunk(ps, pointFormat = 1)
     }
     assigned
       .groupBy(col("level"), col("vx"), col("vy"), col("vz"))
@@ -175,7 +202,7 @@ object PcTiler {
     * parallel, then ONE task assembles the container byte layout
     * (a file is inherently sequential bytes; at estate scale one
     * task per CLOUD, clouds in parallel). */
-  def copcArtifact(assigned: DataFrame, scale: Double = 0.01): DataFrame = {
+  def copcArtifact(assigned: DataFrame, scale: Double = 0.01, pointFormat: Int = 1): DataFrame = {
     val s = assigned.sparkSession
     import s.implicits._
     val b = assigned.agg(
@@ -202,10 +229,11 @@ object PcTiler {
         minZ = minz * scale,
         cubeSize = size * scale,
         spacing = size * scale / 128,
-        scale = scale
+        scale = scale,
+        pointFormat = pointFormat
       )
     }
-    nodeChunks(assigned)
+    nodeChunks(assigned, pointFormat)
       .agg(collect_list(struct($"level", $"vx", $"vy", $"vz", $"n_points", $"chunk")).as("nodes"))
       .crossJoin(broadcast(b))
       .select(

@@ -16,9 +16,9 @@ import org.apache.spark.sql.types._
   * halfsize, point spacing, root hierarchy page location), and the
   * hierarchy pages — arrays of 32-byte entries (VoxelKey level/x/y/z,
   * chunk offset, byte size, point count; count −1 marks a child
-  * page). This reader walks that structure; the laszip arithmetic
-  * decoder itself stays out of scope with the other codecs
-  * (COVERAGE boundary).
+  * page). This reader walks that structure; point chunks decode
+  * through [[Laz]] (v2 family) or [[Laz14]] (LAS 1.4 layered v3,
+  * the COPC-conformant family).
   *
   * [[hierarchyTable]] exposes the octree as a DataFrame with per-node
   * cube bounds derived from the root cube (node cube = root/2^level
@@ -154,13 +154,11 @@ object Copc {
     * holds levels 0-1 plus a child-page indirection (pointCount −1)
     * for deeper levels, so readers exercise the page walk.
     *
-    * Honest boundary: point chunks use this library's POINT10 v2
-    * codec family (declared truthfully in the laszip VLR; header
-    * format id 1|0x80). Conformant COPC stores LAS 1.4 formats 6-9
-    * under the layered v3 codec — that family stays out; every
-    * structural face (header, VLRs, chunk table, hierarchy pages,
-    * cube/offset arithmetic) is COPC-shaped and round-trips through
-    * [[info]]/[[hierarchy]]/[[hierarchyTable]]. */
+    * `pointFormat` 6 is the CONFORMANT shape (COPC 1.0 requires LAS
+    * 1.4 formats 6-8): node chunks are [[Laz14.encodeChunk]] layered
+    * POINT14 v3 streams, declared as compressor 3 + item (10,30,3).
+    * `pointFormat` 1 keeps the POINT10 v2 family (declared truthfully
+    * as compressor 2 + v2 items) for feeders that still emit it. */
   def assemble(
       nodes: Seq[NodeChunk],
       minX: Double,
@@ -168,13 +166,17 @@ object Copc {
       minZ: Double,
       cubeSize: Double,
       spacing: Double,
-      scale: Double
+      scale: Double,
+      pointFormat: Int = 1
   ): Array[Byte] = {
+    require(pointFormat == 1 || pointFormat == 6, s"copc assemble: unsupported point format $pointFormat")
     val sorted = nodes.sortBy(n => (n.level, n.x, n.y, n.z))
     val totalPoints = sorted.map(_.pointCount.toLong).sum
     val headerSize = 375
     val infoVlrSize = 54 + 160
-    val lazVlrSize = 54 + 46 // 34 + 2 items * 6
+    val numItems = if (pointFormat == 6) 1 else 2
+    val recordLen = if (pointFormat == 6) 30 else 28
+    val lazVlrSize = 54 + 34 + 6 * numItems
     val offsetToPoints = headerSize + infoVlrSize + lazVlrSize
 
     // chunk layout
@@ -216,8 +218,8 @@ object Copc {
     u16(headerSize)
     u32(offsetToPoints.toLong)
     u32(2L) // VLRs
-    out += (1 | 0x80).toByte // point format 1 + compressed bit (v2 codec family, see Scaladoc)
-    u16(28)
+    out += (pointFormat | 0x80).toByte // compressed-flag bit on the format id
+    u16(recordLen)
     u32(0L) // legacy point count (1.4: use the u64 field)
     (0 until 5).foreach(_ => u32(0L))
     f64(scale); f64(scale); f64(scale)
@@ -242,16 +244,19 @@ object Copc {
     (0 until 11).foreach(_ => u64(0L))
     require(out.length == headerSize + infoVlrSize)
 
-    // --- laszip VLR (truthful item list: POINT10 + GPSTIME11, v2)
-    u16(0); str("laszip encoded", 16); u16(22204); u16(46); str("graft laz", 32)
-    u16(2); u16(0) // compressor: pointwise chunked; coder: arithmetic
-    out += 2; out += 2
+    // --- laszip VLR (truthful item list for the stored codec family)
+    u16(0); str("laszip encoded", 16); u16(22204); u16((34 + 6 * numItems)); str("graft laz", 32)
+    u16(if (pointFormat == 6) 3 else 2); u16(0) // compressor: layered vs pointwise chunked
+    if (pointFormat == 6) { out += 3; out += 4 } else { out += 2; out += 2 }
     u16(0); u32(0L)
     u32(0xFFFFFFFFL) // variable chunk size: one chunk per octree node
     u64(0L); u64(0L)
-    u16(2)
-    u16(6); u16(20); u16(2)
-    u16(7); u16(8); u16(2)
+    u16(numItems)
+    if (pointFormat == 6) { u16(10); u16(30); u16(3) } // POINT14 v3
+    else {
+      u16(6); u16(20); u16(2) // POINT10 v2
+      u16(7); u16(8); u16(2) // GPSTIME11 v2
+    }
     require(out.length == offsetToPoints)
 
     // --- point data: chunk table pointer, chunks, chunk table
@@ -331,7 +336,8 @@ object Copc {
                 val n = math.min(raf.length(), 1L << 16).toInt
                 val head = new Array[Byte](n)
                 raf.readFully(head)
-                Laz.readHeader(head)
+                // formats 6-8 are LAS 1.4 + layered v3; 0-5 the v2 family
+                if ((head(104) & 0x7F) >= 6) Laz14.readHeader(head) else Laz.readHeader(head)
               } finally raf.close()
             }
           )
@@ -343,17 +349,28 @@ object Copc {
               raf.readFully(a)
               a
             } finally raf.close()
-          Laz.decodeChunk(chunk, 0, chunk.length, r.getInt(7), h.pointFormat).iterator.map { pt =>
+          val pts =
+            if (h.pointFormat >= 6)
+              Laz14
+                .decodeChunk(chunk, 0, chunk.length, r.getInt(7), h.pointFormat, Seq("x", "y", "z", "gps_time"))
+                .iterator
+                .map(pt => (pt.x, pt.y, pt.z, pt.gpsTime))
+            else
+              Laz
+                .decodeChunk(chunk, 0, chunk.length, r.getInt(7), h.pointFormat)
+                .iterator
+                .map(pt => (pt.x, pt.y, pt.z, pt.gpsTime))
+          pts.map { case (x, y, z, gps) =>
             Row(
               p,
               r.getInt(1),
               r.getInt(2),
               r.getInt(3),
               r.getInt(4),
-              pt.x * h.scaleX + h.offX,
-              pt.y * h.scaleY + h.offY,
-              pt.z * h.scaleZ + h.offZ,
-              pt.gpsTime
+              x * h.scaleX + h.offX,
+              y * h.scaleY + h.offY,
+              z * h.scaleZ + h.offZ,
+              gps
             )
           }
         }

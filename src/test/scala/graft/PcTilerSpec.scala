@@ -204,4 +204,45 @@ class PcTilerSpec extends SparkSuite {
     val bare = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(bare.isEmpty, "octreeAssign planned an unpartitioned window")
   }
+
+  test("format-6 COPC (LAS 1.4 layered POINT14 v3, the conformant shape): assemble, node decode, serving read") {
+    import spark.implicits._
+    val pts = cloud(900)
+    val a = PcTiler.octreeAssign(pts, cap, maxDepth = 5).cache()
+    val copc = PcTiler.copcArtifact(a, scale = 0.01, pointFormat = 6).collect().head.getAs[Array[Byte]]("copc")
+
+    // header declares the conformant family truthfully
+    val h = graft.sources.Laz14.readHeader(copc)
+    assert(h.pointFormat == 6 && h.compressor == 3 && h.pointCount == 900L)
+    assert(graft.sources.Copc.info(copc).exists(_.pointCount == 900L))
+
+    // every hierarchy node's byte range decodes (v3 path) to its points
+    val byNode = a
+      .groupBy("level", "vx", "vy", "vz")
+      .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt),
+        r.getSeq[org.apache.spark.sql.Row](4).map(p => (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))).sortBy(_._1)))
+      .toMap
+    val hier = graft.sources.Copc.hierarchy(copc)
+    assert(hier.map(_.pointCount.toLong).sum == 900L)
+    hier.foreach { n =>
+      val got = graft.sources.Laz14
+        .decodeChunk(copc, n.offset.toInt, n.offset.toInt + n.byteSize, n.pointCount, 6)
+        .map(p => (p.gpsTime.toLong, p.x.toLong, p.y.toLong, p.z.toLong))
+        .toSeq
+      assert(got == byNode((n.level, n.x, n.y, n.z)), s"node ${(n.level, n.x, n.y, n.z)}")
+    }
+
+    // the serving read dispatches on the stored format transparently
+    val dir = java.nio.file.Files.createTempDirectory("copc14")
+    java.nio.file.Files.write(dir.resolve("c.copc.laz"), copc)
+    val full = graft.sources.Copc.nodePoints(spark, dir.toString)
+    assert(full.count() == 900)
+    val ids = full.select($"gps_time").as[Double].collect().map(_.toLong).toSet
+    assert(ids == (0L until 900L).toSet)
+    val lod = graft.sources.Copc.nodePoints(spark, dir.toString, maxLevel = Some(1))
+    assert(lod.count() == a.filter($"level" <= 1).count())
+    a.unpersist()
+  }
 }
