@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
   * VLR + chunked arithmetic-coded point data + compressed chunk table
   * — the point-cloud derivative codec the reference obtains through
   * PDAL/untwine (`src/library/pointcloud.cpp:371-434`,
-  * `untwine_runner.cpp`). Point formats 1 (POINT10+GPSTIME11) and 3
-  * (+RGB12), compressor 2 (pointwise-chunked), item version 2.
+  * `untwine_runner.cpp`). Point formats 0-3 (POINT10, optional
+  * GPSTIME11 / RGB12 items), compressor 2 (pointwise-chunked), item
+  * version 2; the LAS 1.4 formats 6-8 live in [[Laz14]].
   *
   * The chunk table is the scale story: every chunk is an independent
   * arithmetic stream seeded by one raw point, so a 100 TB estate
@@ -56,9 +57,12 @@ object Laz {
 
   final case class ChunkRef(index: Int, offset: Long, size: Int, pointCount: Int)
 
-  private val RecordLen = Map(1 -> 28, 3 -> 34)
+  private val RecordLen = Map(0 -> 20, 1 -> 28, 2 -> 26, 3 -> 34)
   private val HeaderSize = 227
   private val VlrHeaderSize = 54
+  private def hasGps(fmt: Int): Boolean = fmt == 1 || fmt == 3
+  private def hasRgb(fmt: Int): Boolean = fmt == 2 || fmt == 3
+  private def rgbAt(fmt: Int): Int = if (fmt == 2) 20 else 28
 
   // ---- little-endian helpers ------------------------------------------------
   private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = { b += v.toByte; b += (v >> 8).toByte }
@@ -112,8 +116,8 @@ object Laz {
     out += p.scanAngle.toByte
     out += p.userData.toByte
     putU16(out, p.pointSource)
-    putU64(out, p.gpsBits)
-    if (fmt == 3) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
+    if (hasGps(fmt)) putU64(out, p.gpsBits)
+    if (hasRgb(fmt)) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
   }
 
   private def readRaw(b: Array[Byte], off: Int, p: PointBuf, fmt: Int): Unit = {
@@ -124,8 +128,11 @@ object Laz {
     p.scanAngle = b(off + 16) & 0xFF
     p.userData = b(off + 17) & 0xFF
     p.pointSource = leU16(b, off + 18)
-    p.gpsBits = leU64(b, off + 20)
-    if (fmt == 3) { p.red = leU16(b, off + 28); p.green = leU16(b, off + 30); p.blue = leU16(b, off + 32) }
+    p.gpsBits = if (hasGps(fmt)) leU64(b, off + 20) else 0L
+    if (hasRgb(fmt)) {
+      val ro = off + rgbAt(fmt)
+      p.red = leU16(b, ro); p.green = leU16(b, ro + 2); p.blue = leU16(b, ro + 4)
+    }
   }
 
   // ---- compress -------------------------------------------------------------
@@ -140,12 +147,12 @@ object Laz {
     writeRaw(out, buf, pointFormat)
     val enc = new AcEncoder
     val p10 = new Point10V2(forEncode = true, buf)
-    val gps = new Gps11V2(forEncode = true, buf.gpsBits)
-    val rgb = if (pointFormat == 3) new Rgb12V2(forEncode = true, buf) else null
+    val gps = if (hasGps(pointFormat)) new Gps11V2(forEncode = true, buf.gpsBits) else null
+    val rgb = if (hasRgb(pointFormat)) new Rgb12V2(forEncode = true, buf) else null
     chunk.tail.foreach { p =>
       toBuf(p, buf)
       p10.write(enc, buf)
-      gps.write(enc, buf.gpsBits)
+      if (gps != null) gps.write(enc, buf.gpsBits)
       if (rgb != null) rgb.write(enc, buf)
     }
     enc.done()
@@ -168,27 +175,27 @@ object Laz {
     toBuf(chunk.head, buf)
     writeRaw(out, buf, pointFormat)
     val encP = new AcEncoder
-    val encG = new AcEncoder
-    val encR = if (pointFormat == 3) new AcEncoder else null
+    val encG = if (hasGps(pointFormat)) new AcEncoder else null
+    val encR = if (hasRgb(pointFormat)) new AcEncoder else null
     val p10 = new Point10V2(forEncode = true, buf)
-    val gps = new Gps11V2(forEncode = true, buf.gpsBits)
-    val rgb = if (pointFormat == 3) new Rgb12V2(forEncode = true, buf) else null
+    val gps = if (encG != null) new Gps11V2(forEncode = true, buf.gpsBits) else null
+    val rgb = if (encR != null) new Rgb12V2(forEncode = true, buf) else null
     chunk.tail.foreach { p =>
       toBuf(p, buf)
       p10.write(encP, buf)
-      gps.write(encG, buf.gpsBits)
+      if (gps != null) gps.write(encG, buf.gpsBits)
       if (rgb != null) rgb.write(encR, buf)
     }
-    encP.done(); encG.done(); if (encR != null) encR.done()
+    encP.done(); if (encG != null) encG.done(); if (encR != null) encR.done()
     val bp = encP.result()
-    val bg = encG.result()
+    val bg = if (encG != null) encG.result() else Array.empty[Byte]
     val br = if (encR != null) encR.result() else Array.empty[Byte]
     putU32(out, bp.length.toLong)
-    putU32(out, bg.length.toLong)
-    if (pointFormat == 3) putU32(out, br.length.toLong)
+    if (encG != null) putU32(out, bg.length.toLong)
+    if (encR != null) putU32(out, br.length.toLong)
     out ++= bp
     out ++= bg
-    if (pointFormat == 3) out ++= br
+    out ++= br
     out.toArray
   }
 
@@ -206,15 +213,17 @@ object Laz {
     val recLen = RecordLen(fmt)
     val outPts = new Array[P](pointCount)
     if (pointCount == 0) return outPts
+    val g = hasGps(fmt)
+    val rg = hasRgb(fmt)
     val buf = new PointBuf
     readRaw(b, start, buf, fmt)
-    if (!wantGps) buf.gpsBits = 0L
-    if (!wantRgb || fmt == 1) { buf.red = 0; buf.green = 0; buf.blue = 0 }
+    if (!wantGps || !g) buf.gpsBits = 0L
+    if (!wantRgb || !rg) { buf.red = 0; buf.green = 0; buf.blue = 0 }
     outPts(0) = fromBuf(buf)
-    val nSizes = if (fmt == 3) 3 else 2
+    val nSizes = 1 + (if (g) 1 else 0) + (if (rg) 1 else 0)
     val sizesAt = start + recLen
     val lenP = leU32(b, sizesAt).toInt
-    val lenG = leU32(b, sizesAt + 4).toInt
+    val lenG = if (g) leU32(b, sizesAt + 4).toInt else 0
     val layersAt = sizesAt + 4 * nSizes
     val decP = new AcDecoder(b, layersAt, math.min(end, layersAt + lenP))
     val gpsAt = layersAt + lenP
@@ -225,9 +234,9 @@ object Laz {
     readRaw(b, start, seed, fmt)
     val p10 = new Point10V2(forEncode = false, seed)
     val gps =
-      if (wantGps) new Gps11V2(forEncode = false, seed.gpsBits) else null
-    val decG = if (wantGps) new AcDecoder(b, gpsAt, math.min(end, gpsAt + lenG)) else null
-    val rgb = if (wantRgb && fmt == 3) new Rgb12V2(forEncode = false, seed) else null
+      if (wantGps && g) new Gps11V2(forEncode = false, seed.gpsBits) else null
+    val decG = if (gps != null) new AcDecoder(b, gpsAt, math.min(end, gpsAt + lenG)) else null
+    val rgb = if (wantRgb && rg) new Rgb12V2(forEncode = false, seed) else null
     val decR = if (rgb != null) new AcDecoder(b, rgbAt, end) else null
     var i = 1
     while (i < pointCount) {
@@ -253,10 +262,10 @@ object Laz {
       offset: Double = 0.0,
       layered: Boolean = false
   ): Array[Byte] = {
-    require(pointFormat == 1 || pointFormat == 3, s"unsupported point format $pointFormat")
+    require(RecordLen.contains(pointFormat), s"unsupported point format $pointFormat")
     require(chunkSize > 0)
     val recLen = RecordLen(pointFormat)
-    val numItems = if (pointFormat == 3) 3 else 2
+    val numItems = 1 + (if (hasGps(pointFormat)) 1 else 0) + (if (hasRgb(pointFormat)) 1 else 0)
     val vlrPayload = 34 + 6 * numItems
     val offsetToPoints = HeaderSize + VlrHeaderSize + vlrPayload
 
@@ -308,8 +317,8 @@ object Laz {
     putU64(out, 0L); putU64(out, 0L) // special EVLRs
     putU16(out, numItems)
     putU16(out, 6); putU16(out, 20); putU16(out, 2) // POINT10 v2
-    putU16(out, 7); putU16(out, 8); putU16(out, 2) // GPSTIME11 v2
-    if (pointFormat == 3) { putU16(out, 8); putU16(out, 6); putU16(out, 2) } // RGB12 v2
+    if (hasGps(pointFormat)) { putU16(out, 7); putU16(out, 8); putU16(out, 2) } // GPSTIME11 v2
+    if (hasRgb(pointFormat)) { putU16(out, 8); putU16(out, 6); putU16(out, 2) } // RGB12 v2
     require(out.length == offsetToPoints)
 
     // --- point data: 8-byte chunk table offset, chunks, chunk table
@@ -451,12 +460,12 @@ object Laz {
     outPts(0) = fromBuf(buf)
     val dec = new AcDecoder(b, start + recLen, end)
     val p10 = new Point10V2(forEncode = false, buf)
-    val gps = new Gps11V2(forEncode = false, buf.gpsBits)
-    val rgb = if (fmt == 3) new Rgb12V2(forEncode = false, buf) else null
+    val gps = if (hasGps(fmt)) new Gps11V2(forEncode = false, buf.gpsBits) else null
+    val rgb = if (hasRgb(fmt)) new Rgb12V2(forEncode = false, buf) else null
     var i = 1
     while (i < pointCount) {
       p10.read(dec, buf)
-      buf.gpsBits = gps.read(dec)
+      if (gps != null) buf.gpsBits = gps.read(dec)
       if (rgb != null) rgb.read(dec, buf)
       outPts(i) = fromBuf(buf)
       i += 1

@@ -469,6 +469,23 @@ object Laz14 {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Estate scan: every LAS 1.4 .laz under `dir` planned (header +
+    * chunk table reads only) and decoded as ONE DataFrame,
+    * chunk-parallel across files, with layer pruning from `cols`.
+    * Adds a `path` column. */
+  def pointsTableDir(spark: SparkSession, dir: String, cols: Seq[String] = PointColumns): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val files = {
+      val d = new java.io.File(dir)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".laz")).map(_.getPath).sorted
+    }
+    require(files.nonEmpty, s"pointsTableDir: no .laz files under $dir")
+    files
+      .map(f => pointsTable(spark, f, cols).withColumn("path", lit(f)))
+      .reduce(_ unionByName _)
+  }
+
   /** End-to-end LAS 1.4 codec proof under the DuckDB oracle: the
     * format-8 sibling of [[Laz.lazQuery]] — deterministic points
     * exercising every POINT14 field (four scanner channels, 15-value

@@ -184,6 +184,22 @@ class Laz14Spec extends SparkSuite {
     }
   }
 
+  test("estate scan: pointsTableDir unions per-file chunk-parallel decodes with a path column") {
+    val dir = java.nio.file.Files.createTempDirectory("laz14dir").toFile
+    try {
+      val a = mk(1200, wild = false, seed = 1)
+      val b = mk(800, wild = false, channels = 4, seed = 2)
+      java.nio.file.Files.write(new java.io.File(dir, "a.laz").toPath, Laz14.compress(a, pointFormat = 6, chunkSize = 500))
+      java.nio.file.Files.write(new java.io.File(dir, "b.laz").toPath, Laz14.compress(b, pointFormat = 8, chunkSize = 500))
+      val df = Laz14.pointsTableDir(spark, dir.getPath, Seq("x", "y", "z", "classification"))
+      assert(df.count() == 2000)
+      assert(df.select("path").distinct().count() == 2)
+      assert(df.columns.toSeq == Seq("chunk_id", "x", "y", "z", "classification", "path"))
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
+
   test("v2 and v3 containers coexist: readHeader rejects the other family with a named error") {
     val pts14 = mk(100, wild = false, seed = 1)
     val laz14 = Laz14.compress(pts14, pointFormat = 6)

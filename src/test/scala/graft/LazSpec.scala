@@ -61,6 +61,17 @@ class LazSpec extends SparkSuite {
     }
   }
 
+  test("GPS-less formats 0 and 2 round-trip (pointwise and layered) with the item list shrunk to match") {
+    for (fmt <- Seq(0, 2); layered <- Seq(false, true); n <- Seq(1, 999, 2500)) {
+      val pts = mk(n, wild = true, seed = fmt * 100 + n).map(_.copy(gpsTime = 0.0))
+      val expect = if (fmt == 0) pts.map(_.copy(red = 0, green = 0, blue = 0)) else pts
+      val laz = Laz.compress(pts, pointFormat = fmt, chunkSize = 1000, layered = layered)
+      assert(Laz.decompress(laz) == expect, s"fmt=$fmt layered=$layered n=$n")
+      val h = Laz.readHeader(laz)
+      assert(h.pointFormat == fmt && h.compressor == (if (layered) 3 else 2))
+    }
+  }
+
   test("gray RGB points exercise the not-gray bit and still round-trip") {
     val pts = mk(800, wild = false, seed = 9).zipWithIndex.map { case (p, i) => if (i % 3 == 0) gray(p) else p }
     val laz = Laz.compress(pts, pointFormat = 3, chunkSize = 300)
