@@ -205,6 +205,7 @@ object SparkEntry {
     "q_curate" -> (Curation.curateQuery _),
     "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
     "q_resample" -> (graft.raster.Resample.resampleQuery _),
+    "q_resample_cubic" -> (graft.raster.Resample.resampleCubicQuery _),
     "q_laz" -> (graft.sources.Laz.lazQuery _),
     "q_laz14" -> (graft.sources.Laz14.laz14Query _),
     "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _)
@@ -2933,6 +2934,65 @@ object SparkEntry {
         |JOIN g g10 ON g10.x = t.x1 AND g10.y = t.y0
         |JOIN g g01 ON g01.x = t.x0 AND g01.y = t.y1
         |JOIN g g11 ON g11.x = t.x1 AND g11.y = t.y1""".stripMargin,
+    // Cubic convolution (Catmull-Rom a=-0.5): 16 clamped taps, the
+    // separable weights and the balanced blend tree written with the
+    // IDENTICAL association as the Spark side so doubles match bitwise.
+    "q_resample_cubic" ->
+      """WITH g AS (
+        |  SELECT CAST(i % 64 AS INT) AS x, CAST(i // 64 AS INT) AS y,
+        |    1e2 + (i % 64) * (i // 64) * 1e-2
+        |    + 2.5e-1 * greatest(0, 400 - ((i % 64 - 20) * (i % 64 - 20) + (i // 64 - 25) * (i // 64 - 25)))
+        |    + 1.25e-1 * greatest(0, 300 - ((i % 64 - 45) * (i % 64 - 45) + (i // 64 - 40) * (i // 64 - 40))) AS v
+        |  FROM (SELECT unnest(range(4096)) AS i)),
+        |d AS (SELECT CAST(k % 40 AS INT) AS i, CAST(k // 40 AS INT) AS j
+        |      FROM (SELECT unnest(range(2080)) AS k)),
+        |m AS (
+        |  SELECT i, j,
+        |    (i + 0.5) * (64.0 / 40.0) - 0.5 AS sx,
+        |    (j + 0.5) * (64.0 / 52.0) - 0.5 AS sy
+        |  FROM d),
+        |t AS (
+        |  SELECT i, j, CAST(floor(sx) AS INT) AS xb, CAST(floor(sy) AS INT) AS yb,
+        |    sx - floor(sx) AS fx, sy - floor(sy) AS fy
+        |  FROM m),
+        |w AS (
+        |  SELECT i, j,
+        |    least(greatest(xb - 1, 0), 63) AS x0, least(greatest(xb, 0), 63) AS x1,
+        |    least(greatest(xb + 1, 0), 63) AS x2, least(greatest(xb + 2, 0), 63) AS x3,
+        |    least(greatest(yb - 1, 0), 63) AS y0, least(greatest(yb, 0), 63) AS y1,
+        |    least(greatest(yb + 1, 0), 63) AS y2, least(greatest(yb + 2, 0), 63) AS y3,
+        |    ((-0.5 * (fx + 1.0) + 2.5) * (fx + 1.0) - 4.0) * (fx + 1.0) + 2.0 AS wx0,
+        |    (1.5 * fx - 2.5) * fx * fx + 1.0 AS wx1,
+        |    (1.5 * (1.0 - fx) - 2.5) * (1.0 - fx) * (1.0 - fx) + 1.0 AS wx2,
+        |    ((-0.5 * (2.0 - fx) + 2.5) * (2.0 - fx) - 4.0) * (2.0 - fx) + 2.0 AS wx3,
+        |    ((-0.5 * (fy + 1.0) + 2.5) * (fy + 1.0) - 4.0) * (fy + 1.0) + 2.0 AS wy0,
+        |    (1.5 * fy - 2.5) * fy * fy + 1.0 AS wy1,
+        |    (1.5 * (1.0 - fy) - 2.5) * (1.0 - fy) * (1.0 - fy) + 1.0 AS wy2,
+        |    ((-0.5 * (2.0 - fy) + 2.5) * (2.0 - fy) - 4.0) * (2.0 - fy) + 2.0 AS wy3
+        |  FROM t)
+        |SELECT w.i, w.j,
+        |  round(
+        |    ((((wx0 * wy0) * g00.v + (wx1 * wy0) * g10.v) + ((wx2 * wy0) * g20.v + (wx3 * wy0) * g30.v))
+        |     + (((wx0 * wy1) * g01.v + (wx1 * wy1) * g11.v) + ((wx2 * wy1) * g21.v + (wx3 * wy1) * g31.v)))
+        |    + ((((wx0 * wy2) * g02.v + (wx1 * wy2) * g12.v) + ((wx2 * wy2) * g22.v + (wx3 * wy2) * g32.v))
+        |     + (((wx0 * wy3) * g03.v + (wx1 * wy3) * g13.v) + ((wx2 * wy3) * g23.v + (wx3 * wy3) * g33.v))), 6) AS v
+        |FROM w
+        |JOIN g g00 ON g00.x = w.x0 AND g00.y = w.y0
+        |JOIN g g10 ON g10.x = w.x1 AND g10.y = w.y0
+        |JOIN g g20 ON g20.x = w.x2 AND g20.y = w.y0
+        |JOIN g g30 ON g30.x = w.x3 AND g30.y = w.y0
+        |JOIN g g01 ON g01.x = w.x0 AND g01.y = w.y1
+        |JOIN g g11 ON g11.x = w.x1 AND g11.y = w.y1
+        |JOIN g g21 ON g21.x = w.x2 AND g21.y = w.y1
+        |JOIN g g31 ON g31.x = w.x3 AND g31.y = w.y1
+        |JOIN g g02 ON g02.x = w.x0 AND g02.y = w.y2
+        |JOIN g g12 ON g12.x = w.x1 AND g12.y = w.y2
+        |JOIN g g22 ON g22.x = w.x2 AND g22.y = w.y2
+        |JOIN g g32 ON g32.x = w.x3 AND g32.y = w.y2
+        |JOIN g g03 ON g03.x = w.x0 AND g03.y = w.y3
+        |JOIN g g13 ON g13.x = w.x1 AND g13.y = w.y3
+        |JOIN g g23 ON g23.x = w.x2 AND g23.y = w.y3
+        |JOIN g g33 ON g33.x = w.x3 AND g33.y = w.y3""".stripMargin,
     // LASzip round-trip proof: the Spark side aggregates points AFTER
     // a compress→decompress cycle; the oracle aggregates the same
     // deterministic integers directly — equal iff the codec is

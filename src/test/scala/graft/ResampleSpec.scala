@@ -74,6 +74,40 @@ class ResampleSpec extends SparkSuite {
     assert(viaWindow === direct)
   }
 
+  test("cubic: constant surface stays constant (kernel weights sum to 1, edges clamp-replicated)") {
+    val px = Raster.grid(spark, 10, 10)((_, _) => lit(42.5))
+    val out = Resample.cubic(px, 10, 10, 7, 13).collect()
+    assert(out.length === 7 * 13)
+    out.foreach(r => assert(math.abs(r.getDouble(2) - 42.5) < 1e-6, s"pixel (${r.getInt(0)},${r.getInt(1)})"))
+  }
+
+  test("cubic: interpolating kernel reproduces source samples at integer alignment") {
+    // same-size warp puts every output center on a source center:
+    // fx=fy=0 → the Catmull-Rom weights collapse to (0,1,0,0)
+    val px = Raster.grid(spark, 16, 16)((x, y) => (x * 7 + y * 3).cast("double"))
+    val out = Resample
+      .cubic(px, 16, 16, 16, 16)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val src = px.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out === src)
+  }
+
+  test("cubic: 2x upsample of a linear ramp is linear in the interior (Catmull-Rom reproduces degree-1)") {
+    val px = Raster.grid(spark, 8, 4)((x, _) => x.cast("double"))
+    val out = Resample
+      .cubic(px, 8, 4, 16, 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    // interior columns: taps never clamp for i in [3, 12]
+    (3 to 12).foreach { i =>
+      val expect = (i + 0.5) * 0.5 - 0.5
+      assert(math.abs(out((i, 1)) - expect) < 1e-6, s"col $i")
+    }
+  }
+
   test("q_resample: full output grid, values inside the source range") {
     val rows = Resample.resampleQuery(spark, sf0001).collect()
     assert(rows.length === 40 * 52)
