@@ -52,7 +52,8 @@ object Laz {
       offX: Double,
       offY: Double,
       offZ: Double,
-      compressor: Int = 2 // 2 = pointwise chunked, 3 = layered chunked
+      compressor: Int = 2, // 2 = pointwise chunked, 3 = layered chunked
+      extraBytes: Int = 0 // BYTE14 item size (LAS 1.4 extra bytes)
   )
 
   final case class ChunkRef(index: Int, offset: Long, size: Int, pointCount: Int)

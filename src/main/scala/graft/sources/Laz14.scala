@@ -46,15 +46,16 @@ object Laz14 {
       red: Int = 0,
       green: Int = 0,
       blue: Int = 0,
-      nir: Int = 0
+      nir: Int = 0,
+      extra: Seq[Int] = Nil
   )
 
   private[sources] val RecordLen = Map(6 -> 30, 7 -> 36, 8 -> 38)
   private val HeaderSize = 375
   private val VlrHeaderSize = 54
 
-  private def numLayers(fmt: Int): Int =
-    Point14V3.NumPointLayers + (if (fmt >= 7) 1 else 0) + (if (fmt == 8) 1 else 0)
+  private def numLayers(fmt: Int, extraBytes: Int): Int =
+    Point14V3.NumPointLayers + (if (fmt >= 7) 1 else 0) + (if (fmt == 8) 1 else 0) + extraBytes
 
   // ---- little-endian helpers ------------------------------------------------
   private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = { b += v.toByte; b += (v >> 8).toByte }
@@ -84,6 +85,7 @@ object Laz14 {
     buf.gpsBits = java.lang.Double.doubleToLongBits(p.gpsTime)
     buf.red = p.red & 0xFFFF; buf.green = p.green & 0xFFFF; buf.blue = p.blue & 0xFFFF
     buf.nir = p.nir & 0xFFFF
+    buf.extra = if (p.extra.isEmpty) null else p.extra.map(_ & 0xFF).toArray
   }
 
   private def fromBuf(buf: Point14): P14 =
@@ -106,7 +108,8 @@ object Laz14 {
       buf.red,
       buf.green,
       buf.blue,
-      buf.nir
+      buf.nir,
+      if (buf.extra == null) Nil else buf.extra.toVector
     )
 
   // ---- raw (seed) point records ---------------------------------------------
@@ -124,9 +127,10 @@ object Laz14 {
     putU64(out, p.gpsBits)
     if (fmt >= 7) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
     if (fmt == 8) putU16(out, p.nir)
+    if (p.extra != null) p.extra.foreach(v => out += v.toByte)
   }
 
-  private def readRaw(b: Array[Byte], off: Int, p: Point14, fmt: Int): Unit = {
+  private def readRaw(b: Array[Byte], off: Int, p: Point14, fmt: Int, extraBytes: Int = 0): Unit = {
     p.x = leI32(b, off); p.y = leI32(b, off + 4); p.z = leI32(b, off + 8)
     p.intensity = leU16(b, off + 12)
     val rb = b(off + 14) & 0xFF
@@ -144,6 +148,9 @@ object Laz14 {
     p.gpsBits = leU64(b, off + 22)
     if (fmt >= 7) { p.red = leU16(b, off + 30); p.green = leU16(b, off + 32); p.blue = leU16(b, off + 34) }
     if (fmt == 8) p.nir = leU16(b, off + 36)
+    p.extra =
+      if (extraBytes == 0) null
+      else Array.tabulate(extraBytes)(i => b(off + RecordLen(fmt) + i) & 0xFF)
     p.gpsTimeChange = false
   }
 
@@ -152,7 +159,8 @@ object Laz14 {
   /** One standalone layered chunk: raw seed record, per-layer u32
     * size table, then the layer streams. The unit a chunked LAS 1.4
     * .laz concatenates and a COPC octree node stores. */
-  private[graft] def encodeChunk(chunk: Seq[P14], fmt: Int): Array[Byte] = {
+  private[graft] def encodeChunk(chunk: Seq[P14], fmt: Int, extraBytes: Int = 0): Array[Byte] = {
+    require(chunk.forall(_.extra.length == extraBytes), s"encodeChunk: every point needs $extraBytes extra bytes")
     val out = new ArrayBuffer[Byte](chunk.length * 8)
     val buf = new Point14
     toBuf(chunk.head, buf)
@@ -160,19 +168,26 @@ object Laz14 {
     val enc = new Point14V3Enc(buf)
     val rgb = if (fmt >= 7) new Rgb14V3(forEncode = true, buf) else null
     val nir = if (fmt == 8) new Nir14V3(forEncode = true, buf) else null
+    val ext =
+      if (extraBytes > 0) new Byte14V3(forEncode = true, buf.extra, buf.scannerChannel) else null
     val encRgb = if (fmt >= 7) new AcEncoder else null
     val encNir = if (fmt == 8) new AcEncoder else null
+    val encExt = if (extraBytes > 0) Array.fill(extraBytes)(new AcEncoder) else null
     chunk.tail.foreach { p =>
       toBuf(p, buf)
       enc.write(buf)
       val ctx = enc.currentContext
       if (rgb != null) rgb.write(encRgb, buf, ctx)
       if (nir != null) nir.write(encNir, buf, ctx)
+      if (ext != null) ext.write(encExt, buf.extra, ctx)
     }
     val layers = ArrayBuffer.empty[Array[Byte]]
     layers ++= enc.layers()
     if (rgb != null) layers += (if (rgb.changed) { encRgb.done(); encRgb.result() } else Array.empty[Byte])
     if (nir != null) layers += (if (nir.changed) { encNir.done(); encNir.result() } else Array.empty[Byte])
+    if (ext != null) (0 until extraBytes).foreach { i =>
+      layers += (if (ext.changed(i)) { encExt(i).done(); encExt(i).result() } else Array.empty[Byte])
+    }
     layers.foreach(l => putU32(out, l.length.toLong))
     layers.foreach(out ++= _)
     out.toArray
@@ -182,7 +197,7 @@ object Laz14 {
   val PointColumns: Seq[String] = Seq(
     "x", "y", "z", "intensity", "return_number", "number_of_returns", "class_flags",
     "scanner_channel", "scan_direction", "edge_of_flight", "classification", "user_data",
-    "scan_angle", "point_source", "gps_time", "red", "green", "blue", "nir"
+    "scan_angle", "point_source", "gps_time", "red", "green", "blue", "nir", "extra"
   )
 
   /** Decode a layered chunk reading ONLY the layers `cols` needs;
@@ -194,17 +209,18 @@ object Laz14 {
       end: Int,
       pointCount: Int,
       fmt: Int,
-      cols: Seq[String] = PointColumns
+      cols: Seq[String] = PointColumns,
+      extraBytes: Int = 0
   ): Array[P14] = {
     import Point14V3._
-    val recLen = RecordLen(fmt)
+    val recLen = RecordLen(fmt) + extraBytes
     val outPts = new Array[P14](pointCount)
     if (pointCount == 0) return outPts
     val seed = new Point14
-    readRaw(b, start, seed, fmt)
+    readRaw(b, start, seed, fmt, extraBytes)
     outPts(0) = fromBuf(seed)
     if (pointCount == 1) return outPts
-    val nl = numLayers(fmt)
+    val nl = numLayers(fmt, extraBytes)
     val sizesAt = start + recLen
     val layerStart = new Array[Int](nl)
     val layerEnd = new Array[Int](nl)
@@ -246,6 +262,18 @@ object Laz14 {
       if (wantNir && layerEnd(nirLayer) > layerStart(nirLayer))
         new AcDecoder(b, layerStart(nirLayer), layerEnd(nirLayer))
       else null
+    val extBase = Point14V3.NumPointLayers + (if (fmt >= 7) 1 else 0) + (if (fmt == 8) 1 else 0)
+    val wantExt = extraBytes > 0 && want("extra")
+    val ext = if (extraBytes > 0) new Byte14V3(forEncode = false, seed.extra, seed.scannerChannel) else null
+    val decExt =
+      if (ext != null)
+        Array.tabulate(extraBytes) { i =>
+          if (wantExt && layerEnd(extBase + i) > layerStart(extBase + i))
+            new AcDecoder(b, layerStart(extBase + i), layerEnd(extBase + i))
+          else null
+        }
+      else null
+    val extOut = if (ext != null) new Array[Int](extraBytes) else null
     val buf = new Point14
     var k = 1
     while (k < pointCount) {
@@ -253,6 +281,7 @@ object Laz14 {
       val ctx = dec.currentContext
       if (rgb != null) rgb.read(decRgb, buf, ctx) else { buf.red = 0; buf.green = 0; buf.blue = 0 }
       if (nir != null) nir.read(decNir, buf, ctx) else buf.nir = 0
+      if (ext != null) { ext.read(decExt, extOut, ctx); buf.extra = extOut } else buf.extra = null
       outPts(k) = fromBuf(buf)
       k += 1
     }
@@ -268,16 +297,17 @@ object Laz14 {
       pointFormat: Int = 6,
       chunkSize: Int = 50000,
       scale: Double = 0.01,
-      offset: Double = 0.0
+      offset: Double = 0.0,
+      extraBytes: Int = 0
   ): Array[Byte] = {
     require(RecordLen.contains(pointFormat), s"unsupported LAS 1.4 point format $pointFormat")
-    require(chunkSize > 0)
-    val recLen = RecordLen(pointFormat)
-    val numItems = if (pointFormat == 6) 1 else 2
+    require(chunkSize > 0 && extraBytes >= 0)
+    val recLen = RecordLen(pointFormat) + extraBytes
+    val numItems = (if (pointFormat == 6) 1 else 2) + (if (extraBytes > 0) 1 else 0)
     val vlrPayload = 34 + 6 * numItems
     val offsetToPoints = HeaderSize + VlrHeaderSize + vlrPayload
 
-    val chunkBytes = points.grouped(chunkSize).toVector.map(encodeChunk(_, pointFormat))
+    val chunkBytes = points.grouped(chunkSize).toVector.map(encodeChunk(_, pointFormat, extraBytes))
 
     val out = new ArrayBuffer[Byte](points.length * 8 + 512)
     // --- LAS 1.4 public header (375 bytes)
@@ -326,6 +356,7 @@ object Laz14 {
     putU16(out, 10); putU16(out, 30); putU16(out, 3) // POINT14 v3
     if (pointFormat == 7) { putU16(out, 11); putU16(out, 6); putU16(out, 3) } // RGB14 v3
     if (pointFormat == 8) { putU16(out, 12); putU16(out, 8); putU16(out, 3) } // RGBNIR14 v3
+    if (extraBytes > 0) { putU16(out, 14); putU16(out, extraBytes); putU16(out, 3) } // BYTE14 v3
     require(out.length == offsetToPoints)
 
     // --- point data: chunk table pointer, chunks, chunk table
@@ -361,6 +392,7 @@ object Laz14 {
     val count = leU64(b, 247)
     var chunkSize = 50000
     var compressor = 3
+    var extraBytes = 0
     var vo = leU16(b, 94)
     var i = 0
     while (i < numVlrs && vo + VlrHeaderSize <= b.length) {
@@ -370,6 +402,11 @@ object Laz14 {
       if (userId == "laszip encoded" && recordId == 22204) {
         compressor = leU16(b, vo + VlrHeaderSize)
         chunkSize = leU32(b, vo + VlrHeaderSize + 12).toInt
+        val nItems = leU16(b, vo + VlrHeaderSize + 32)
+        (0 until nItems).foreach { k =>
+          val at = vo + VlrHeaderSize + 34 + 6 * k
+          if (leU16(b, at) == 14) extraBytes = leU16(b, at + 2) // BYTE14
+        }
       }
       vo += VlrHeaderSize + len
       i += 1
@@ -386,7 +423,8 @@ object Laz14 {
       offX = leF64(b, 155),
       offY = leF64(b, 163),
       offZ = leF64(b, 171),
-      compressor = compressor
+      compressor = compressor,
+      extraBytes = extraBytes
     )
   }
 
@@ -400,7 +438,7 @@ object Laz14 {
   def decompress(b: Array[Byte], cols: Seq[String] = PointColumns): Seq[P14] = {
     val h = readHeader(b)
     Laz.chunkRefsFromTable(b, h.chunkTableOffset.toInt, h).flatMap { c =>
-      decodeChunk(b, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat, cols)
+      decodeChunk(b, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat, cols, h.extraBytes)
     }
   }
 
@@ -423,16 +461,18 @@ object Laz14 {
     * format-8 cloud skips nine streams); executors range-read ONLY
     * their chunk's bytes. */
   def pointsTable(spark: SparkSession, path: String, cols: Seq[String] = PointColumns): DataFrame = {
-    val sel = PointColumns.filter(cols.contains)
+    val (h, refs) = planFile(path)
+    val sel = PointColumns.filter(cols.contains).filterNot(c => c == "extra" && h.extraBytes == 0)
     require(sel.nonEmpty, s"pointsTable: no valid columns in $cols")
     val schema = StructType(
       StructField("chunk_id", IntegerType, nullable = false) +: sel.map {
         case n @ ("x" | "y" | "z" | "gps_time") => StructField(n, DoubleType, nullable = false)
+        case n @ "extra" => StructField(n, ArrayType(IntegerType, containsNull = false), nullable = false)
         case n => StructField(n, IntegerType, nullable = false)
       }
     )
-    val (h, refs) = planFile(path)
     val fmt = h.pointFormat
+    val extraBytes = h.extraBytes
     val (sx, sy, sz) = (h.scaleX, h.scaleY, h.scaleZ)
     val (ox, oy, oz) = (h.offX, h.offY, h.offZ)
     val selArr = sel.toArray
@@ -440,7 +480,7 @@ object Laz14 {
       .parallelize(refs, math.max(1, math.min(refs.size, 64)))
       .flatMap { c =>
         val bytes = Laz.readRange(path, c.offset, c.size)
-        val pts = decodeChunk(bytes, 0, bytes.length, c.pointCount, fmt, selArr.toSeq)
+        val pts = decodeChunk(bytes, 0, bytes.length, c.pointCount, fmt, selArr.toSeq, extraBytes)
         pts.iterator.map { p =>
           val vals: Seq[Any] = selArr.toSeq.map {
             case "x" => p.x * sx + ox
@@ -462,6 +502,7 @@ object Laz14 {
             case "green" => p.green
             case "blue" => p.blue
             case "nir" => p.nir
+            case "extra" => p.extra
           }
           Row.fromSeq(c.index +: vals)
         }

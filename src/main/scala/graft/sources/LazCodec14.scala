@@ -54,6 +54,7 @@ private[sources] final class Point14 {
   var pointSource = 0 // u16
   var gpsBits = 0L // f64 raw bits
   var red = 0; var green = 0; var blue = 0; var nir = 0 // u16 each
+  var extra: Array[Int] = null // LAS extra bytes (u8 each), BYTE14 item
   /** Whether GPS time changed on the transition INTO this point —
     * model context for the NEXT point's change symbol. */
   var gpsTimeChange = false
@@ -68,6 +69,7 @@ private[sources] final class Point14 {
     scanAngle = o.scanAngle; pointSource = o.pointSource
     gpsBits = o.gpsBits
     red = o.red; green = o.green; blue = o.blue; nir = o.nir
+    extra = if (o.extra == null) null else o.extra.clone()
     gpsTimeChange = o.gpsTimeChange
   }
 }
@@ -718,6 +720,67 @@ private[sources] final class Rgb14V3(forEncode: Boolean, seed: Point14) {
     } else { g = r; b = r }
     c.lastR = r; c.lastG = g; c.lastB = b
     p.red = r; p.green = g; p.blue = b
+  }
+}
+
+/** BYTE14 v3 (LAS extra bytes): ONE layer per byte index — an
+  * attribute subset decodes only its own streams — each byte coded as
+  * a folded difference against its per-context last value, with a
+  * 256-symbol model per (context, byte index). Constant bytes
+  * collapse to zero-byte layers like every other v3 field. */
+private[sources] final class Byte14V3(forEncode: Boolean, seed: Array[Int], channel: Int) {
+  import LazTables._
+  val num: Int = seed.length
+  private final class ByteCtx {
+    var unused = true
+    var lastB: Array[Int] = null
+    var models: Array[AcModel] = null
+    def init(from: Array[Int]): Unit = {
+      lastB = java.util.Arrays.copyOf(from, num)
+      models = new Array[AcModel](num)
+      unused = false
+    }
+    def model(i: Int): AcModel = {
+      if (models(i) == null) models(i) = new AcModel(256, forEncode)
+      models(i)
+    }
+  }
+  private val ctxs = Array.fill(4)(new ByteCtx)
+  private var cur = channel & 3
+  ctxs(cur).init(seed)
+  val changed = new Array[Boolean](num)
+
+  private def switchTo(context: Int): ByteCtx = {
+    if (context != cur) {
+      val old = ctxs(cur)
+      if (ctxs(context).unused) ctxs(context).init(old.lastB)
+      cur = context
+    }
+    ctxs(cur)
+  }
+
+  def write(encs: Array[AcEncoder], bytes: Array[Int], context: Int): Unit = {
+    val c = switchTo(context)
+    var i = 0
+    while (i < num) {
+      val v = bytes(i) & 0xFF
+      if (v != c.lastB(i)) changed(i) = true
+      encs(i).encodeSymbol(c.model(i), u8Fold(v - c.lastB(i)))
+      c.lastB(i) = v
+      i += 1
+    }
+  }
+
+  /** `decs(i)` null ⇒ layer i skipped (pruned or constant): the byte
+    * holds its per-context last value. */
+  def read(decs: Array[AcDecoder], out: Array[Int], context: Int): Unit = {
+    val c = switchTo(context)
+    var i = 0
+    while (i < num) {
+      if (decs(i) != null) c.lastB(i) = u8Fold(decs(i).decodeSymbol(c.model(i)) + c.lastB(i))
+      out(i) = c.lastB(i)
+      i += 1
+    }
   }
 }
 

@@ -184,6 +184,40 @@ class Laz14Spec extends SparkSuite {
     }
   }
 
+  test("BYTE14 extra bytes: round-trip, per-byte layers prune, constant bytes cost zero bytes") {
+    val rnd = new scala.util.Random(17)
+    // byte 0 constant, byte 1 slowly varying, byte 2 random, byte 3 id-derived
+    val pts = mk(2500, wild = true, channels = 4, seed = 23).zipWithIndex.map { case (p, i) =>
+      p.copy(extra = Seq(42, (i / 100) % 256, rnd.nextInt(256), i % 256))
+    }
+    val laz = Laz14.compress(pts, pointFormat = 8, chunkSize = 1000, extraBytes = 4)
+    val h = Laz14.readHeader(laz)
+    assert(h.extraBytes == 4)
+    assert(Laz14.decompress(laz) == pts)
+    // pruned decode: no "extra" requested → the byte layers are never
+    // touched (fields hold chunk-seed values); XYZ still exact
+    val noExt = Laz14.decompress(laz, Seq("x", "y", "z"))
+    assert(noExt.map(p => (p.x, p.y, p.z)) == pts.map(p => (p.x, p.y, p.z)))
+    assert(noExt.forall(_.extra.head == 42)) // byte 0 is constant everywhere
+    // a constant extra byte contributes zero layer bytes: the same
+    // stream with all four bytes constant is much smaller
+    val flat = pts.map(_.copy(extra = Seq(1, 2, 3, 4)))
+    val lazFlat = Laz14.compress(flat, pointFormat = 8, chunkSize = 1000, extraBytes = 4)
+    assert(Laz14.decompress(lazFlat) == flat)
+    assert(lazFlat.length + 1500 < laz.length, s"flat=${lazFlat.length} varying=${laz.length}")
+    // Spark face: the extra column is an int array
+    val dir = java.nio.file.Files.createTempDirectory("laz14ext").toFile
+    val f = new java.io.File(dir, "e.laz")
+    java.nio.file.Files.write(f.toPath, laz)
+    try {
+      val df = Laz14.pointsTable(spark, f.getPath, Seq("x", "extra")).orderBy("chunk_id")
+      assert(df.columns.toSeq == Seq("chunk_id", "x", "extra"))
+      val got = df.collect().map(r => r.getSeq[Int](r.fieldIndex("extra")))
+      assert(got.length == 2500 && got.forall(_.length == 4))
+      assert(got.map(_.head).forall(_ == 42))
+    } finally { f.delete(); dir.delete() }
+  }
+
   test("estate scan: pointsTableDir unions per-file chunk-parallel decodes with a path column") {
     val dir = java.nio.file.Files.createTempDirectory("laz14dir").toFile
     try {
