@@ -206,6 +206,8 @@ object SparkEntry {
     "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
     "q_resample" -> (graft.raster.Resample.resampleQuery _),
     "q_resample_cubic" -> (graft.raster.Resample.resampleCubicQuery _),
+    "q_chunk" -> (graft.text.Chunking.chunkQuery _),
+    "q_cdc" -> (graft.text.Chunking.cdcQuery _),
     "q_laz" -> (graft.sources.Laz.lazQuery _),
     "q_laz14" -> (graft.sources.Laz14.laz14Query _),
     "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _)
@@ -2993,6 +2995,59 @@ object SparkEntry {
         |JOIN g g13 ON g13.x = w.x1 AND g13.y = w.y3
         |JOIN g g23 ON g23.x = w.x2 AND g23.y = w.y3
         |JOIN g g33 ON g33.x = w.x3 AND g33.y = w.y3""".stripMargin,
+    // Sliding token-window chunker: window 32, stride 24, last window
+    // clamped; per-chunk md5 digests make every chunk hash-checked.
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, length(toks) AS n FROM d WHERE length(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(range(greatest(CAST(ceil((n - 32) / 24.0) AS BIGINT), 0) + 1)) AS cid
+        |      FROM n)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |  CAST(length(toks[CAST(cid * 24 AS INT) + 1 : CAST(cid * 24 AS INT) + 32]) AS INT) AS n_tok,
+        |  md5(array_to_string(toks[CAST(cid * 24 AS INT) + 1 : CAST(cid * 24 AS INT) + 32], ' ')) AS digest
+        |FROM c""".stripMargin,
+    // Gear content-defined chunking: the rolling hash evaluated mod 64
+    // (the boundary mask) collapses to six lagged gear values; chunks
+    // re-materialize by substring(start, len); the digest join counts
+    // cross-document duplicate chunks.
+    "q_cdc" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text, unnest(range(length(text))) AS pos
+        |  FROM documents WHERE length(text) > 0),
+        |g AS (
+        |  SELECT doc_id, text, pos,
+        |    ('0x' || substr(md5('g:' || substr(text, pos + 1, 1)), 1, 15))::BIGINT % 64 AS gv
+        |  FROM ch),
+        |b AS (
+        |  SELECT doc_id, text, pos,
+        |    CASE WHEN (gv
+        |      + 2 * coalesce(lag(gv, 1) OVER w, 0)
+        |      + 4 * coalesce(lag(gv, 2) OVER w, 0)
+        |      + 8 * coalesce(lag(gv, 3) OVER w, 0)
+        |      + 16 * coalesce(lag(gv, 4) OVER w, 0)
+        |      + 32 * coalesce(lag(gv, 5) OVER w, 0)) % 64 = 0 THEN 1 ELSE 0 END AS cut
+        |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |cid AS (
+        |  SELECT doc_id, text, pos,
+        |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, chunk, min(pos) AS start, count(*) AS len, min(text) AS text
+        |  FROM cid GROUP BY doc_id, chunk),
+        |dg AS (
+        |  SELECT doc_id, chunk, len,
+        |    md5(substr(text, CAST(start AS INT) + 1, CAST(len AS INT))) AS digest
+        |  FROM chunks),
+        |freq AS (SELECT digest, count(DISTINCT doc_id) AS ndocs FROM dg GROUP BY digest)
+        |SELECT dg.doc_id,
+        |  CAST(count(*) AS INT) AS n_chunks,
+        |  CAST(count(DISTINCT dg.digest) AS INT) AS n_distinct,
+        |  CAST(sum(CASE WHEN freq.ndocs > 1 THEN 1 ELSE 0 END) AS INT) AS n_shared,
+        |  CAST(sum(dg.len) AS BIGINT) AS len_sum
+        |FROM dg JOIN freq ON dg.digest = freq.digest
+        |GROUP BY dg.doc_id""".stripMargin,
     // LASzip round-trip proof: the Spark side aggregates points AFTER
     // a compress→decompress cycle; the oracle aggregates the same
     // deterministic integers directly — equal iff the codec is

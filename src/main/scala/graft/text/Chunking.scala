@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document chunking for training/RAG ingestion — the two standard
+  * strategies a large-scale corpus pipeline splits text with:
+  *
+  *  - [[chunkQuery]] — fixed sliding token windows with overlap (the
+  *    retrieval-ingestion default): window `Win` tokens, stride
+  *    `Step`, last window clamped. One generator over computed
+  *    columns — no join, no shuffle beyond the source scan;
+  *    per-chunk digests make the output hash-checkable.
+  *  - [[cdcQuery]] — content-defined chunking (Gear rolling hash):
+  *    boundaries where the rolling hash's low bits vanish, so chunk
+  *    edges are CONTENT-anchored — insertions shift a boundary only
+  *    locally, which is what makes CDC the byte-level dedup
+  *    primitive (FastCDC/LBFS lineage). The rolling hash
+  *    h_p = 2·h_{p−1} + gear(c_p) is evaluated mod 2^6 (the boundary
+  *    mask), which collapses the infinite recurrence to the last six
+  *    characters — six window lags, no per-row state, fully
+  *    relational. Chunks re-materialize by (start, length) substring
+  *    against the document, never by reassembling characters, and
+  *    cross-document duplicate chunks surface through one digest
+  *    join.
+  *
+  * Scale: both are one pass over the corpus; CDC adds one windowed
+  * shuffle keyed by doc and one digest-keyed aggregation whose
+  * cardinality is the chunk count. At 100 TB the digest join is the
+  * classic dedup shuffle — partitioned by digest, no driver state.
+  */
+object Chunking {
+
+  val Win = 32
+  val Step = 24
+
+  /** ◆ q_chunk — overlapping token windows, one row per chunk with
+    * its token count and content digest. */
+  def chunkQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables
+      .documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+      .filter($"n" > 0)
+      .withColumn("k", greatest(ceil(($"n" - Win) / lit(Step.toDouble)).cast("int"), lit(0)))
+      .select($"doc_id", explode(sequence(lit(0), $"k")).as("chunk_id"), $"toks")
+      .select(
+        $"doc_id",
+        $"chunk_id",
+        size(slice($"toks", $"chunk_id" * Step + 1, lit(Win))).as("n_tok"),
+        md5(concat_ws(" ", slice($"toks", $"chunk_id" * Step + 1, lit(Win))).cast("binary")).as("digest")
+      )
+  }
+
+  /** ◆ q_cdc — Gear content-defined chunks per document: chunk count,
+    * in-document distinct digests, chunks shared with OTHER documents
+    * (the dedup signal), and total length (= document length, the
+    * partition invariant). */
+  def cdcQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = gearChunks(graft.Tables.documents(s, dir).select($"doc_id", $"text"))
+    val freq = chunks.groupBy($"digest").agg(countDistinct($"doc_id").as("ndocs"))
+    chunks
+      .join(freq, "digest")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        countDistinct($"digest").cast("int").as("n_distinct"),
+        sum(when($"ndocs" > 1, 1).otherwise(0)).cast("int").as("n_shared"),
+        sum($"len").cast("long").as("len_sum")
+      )
+  }
+
+  /** Gear CDC chunk table over (doc_id, text): one row per chunk with
+    * its start offset, length and content digest. */
+  def gearChunks(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chars = docs
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"text", explode(sequence(lit(0), length($"text") - 1)).as("pos"))
+      .withColumn(
+        "gv",
+        conv(substring(md5(concat(lit("g:"), $"text".substr($"pos" + 1, lit(1)))), 1, 15), 16, 10)
+          .cast("long") % 64
+      )
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val cut = (($"gv"
+      + lag($"gv", 1, 0).over(w) * 2
+      + lag($"gv", 2, 0).over(w) * 4
+      + lag($"gv", 3, 0).over(w) * 8
+      + lag($"gv", 4, 0).over(w) * 16
+      + lag($"gv", 5, 0).over(w) * 32) % 64 === 0).cast("int")
+    val cid = chars
+      .withColumn("cut", cut)
+      .withColumn(
+        "chunk",
+        coalesce(sum($"cut").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      )
+    cid
+      .groupBy($"doc_id", $"chunk")
+      .agg(min($"pos").as("start"), count(lit(1)).as("len"), min($"text").as("text"))
+      .select(
+        $"doc_id",
+        $"chunk",
+        $"start",
+        $"len",
+        md5($"text".substr(($"start" + 1).cast("int"), $"len".cast("int")).cast("binary")).as("digest")
+      )
+  }
+}
