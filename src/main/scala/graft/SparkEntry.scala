@@ -113,6 +113,7 @@ object SparkEntry {
     "q_tile_math" -> (graft.geo.GeoQueries.tileMathQuery _),
     "q_mvt" -> (graft.geo.GeoQueries.mvtQuery _),
     "q_cog" -> (graft.geo.GeoQueries.cogQuery _),
+    "q_cog_read" -> (graft.geo.GeoQueries.cogReadQuery _),
     "q_tile_pyramid" -> (graft.geo.GeoQueries.tilePyramidQuery _),
     "q_crs_transform" -> (graft.geo.GeoQueries.crsTransformQuery _),
     "q_contour" -> (graft.raster.Contour.contourQuery _),
@@ -1791,6 +1792,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
         |  md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY idx)) AS plane_md5
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // COG READ loop: Spark decodes a level-0 window and the level-1
+    // overview back out of the encoded TIFF; the oracle recomputes
+    // both from the raw grid (overview = nearest top-left sample).
+    "q_cog_read" ->
+      """WITH ev AS (
+        |  SELECT event_id % 400 AS x, (event_id // 400) % 400 AS y, max((event_id * 37) % 256) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT i % 400 AS x, i // 400 AS y FROM range(0, 160000) t(i)),
+        |f0 AS (SELECT g.x, g.y, coalesce(ev.v, 0) AS v
+        |       FROM g LEFT JOIN ev ON ev.x = g.x AND ev.y = g.y),
+        |b0 AS (SELECT 0 AS level, CAST(y // 32 AS INT) AS band,
+        |         sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS n_nonzero, sum(v) AS sum_v
+        |       FROM f0 WHERE x >= 37 AND x < 341 AND y >= 50 AND y < 300 GROUP BY 2),
+        |g1 AS (SELECT i % 200 AS x, i // 200 AS y FROM range(0, 40000) t(i)),
+        |f1 AS (SELECT g1.x, g1.y, f0.v AS v
+        |       FROM g1 JOIN f0 ON f0.x = 2 * g1.x AND f0.y = 2 * g1.y),
+        |b1 AS (SELECT 1 AS level, CAST(y // 32 AS INT) AS band,
+        |         sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS n_nonzero, sum(v) AS sum_v
+        |       FROM f1 GROUP BY 2)
+        |SELECT level, band, CAST(n_nonzero AS BIGINT) AS n_nonzero, CAST(sum_v AS BIGINT) AS sum_v
+        |FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)""".stripMargin,
     "q_mvt" ->
       """WITH pts AS (
         |  SELECT event_id,

@@ -210,6 +210,45 @@ object GeoQueries {
       .select($"raster_id", length($"cog").as("cog_bytes"), $"cog")
   }
 
+  /** ◆ The COG READ loop under the oracle (`raster_region.cpp`
+    * semantics — crop a window, read an overview): encode the 400×400
+    * fixture raster to a real COG inside the task, then decode a
+    * level-0 window AND the level-1 overview back out of the TIFF
+    * bytes and aggregate per y-band. The oracle recomputes both from
+    * the raw grid (overview = the writer's nearest top-left sample),
+    * so a green row proves encode∘decode is the identity on windows
+    * and the pyramid sampling is exactly as specified. */
+  def cogReadQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kernel = udf { pts: Seq[Row] =>
+      val plane = new Array[Byte](400 * 400)
+      pts.foreach(r => plane(r.getLong(0).toInt * 400 + r.getLong(1).toInt) = r.getLong(2).toByte)
+      val cog = graft.raster.Cog.encode(400, 400, plane, 256, Some(graft.raster.Cog.GeoRef(-180.0, 90.0, 0.05, 4326)))
+      val (w0, h0, l0) = graft.raster.Cog.decodeLevel(cog, 0)
+      val (w1, h1, l1) = graft.raster.Cog.decodeLevel(cog, 1)
+      require(w0 == 400 && h0 == 400 && w1 == 200 && h1 == 200, s"cog pyramid dims $w0 x $h0 / $w1 x $h1")
+      val acc = scala.collection.mutable.Map.empty[(Int, Int), (Long, Long)]
+      def add(level: Int, y: Int, v: Int): Unit = {
+        val k = (level, y / 32)
+        val (n, sv) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = (n + (if (v != 0) 1 else 0), sv + v)
+      }
+      for (y <- 50 until 300; x <- 37 until 341) add(0, y, l0(y * 400 + x))
+      for (y <- 0 until 200; x <- 0 until 200) add(1, y, l1(y * 200 + x))
+      acc.toSeq.sortBy(_._1).map { case ((l, b), (n, sv)) => (l, b, n, sv) }
+    }
+    cogPixels(s, dir)
+      .groupBy(lit(1L).as("raster_id"))
+      .agg(collect_list(struct($"y", $"x", $"v")).as("pts"))
+      .select(explode(kernel($"pts")).as("t"))
+      .select(
+        $"t._1".as("level"),
+        $"t._2".as("band"),
+        $"t._3".as("n_nonzero"),
+        $"t._4".as("sum_v")
+      )
+  }
+
   /** Tile-pyramid core (`gdaltiler.cpp:158-380`): the tiler's
     * warp-once / per-tile-window pipeline as one relational flow.
     * Input pixels carry (lon, lat, byte); raw pixels are scanned

@@ -228,6 +228,84 @@ object Cog {
     b.toArray
   }
 
+  /** One tile of one pyramid level: its byte range in the file plus
+    * its pixel placement — the plan row a windowed read selects. */
+  final case class TileRef(level: Int, tx: Int, ty: Int, offset: Long, size: Int)
+
+  /** Per-level tile plan from the IFD chain ALONE (the COG
+    * head-of-file contract: IFDs precede pixel data, so planning
+    * needs only a small head range, never the tiles). */
+  def tilePlan(head: Array[Byte]): Seq[(Int, Int, Int, Int, Seq[TileRef])] = {
+    parseIfds(head).zipWithIndex.map { case (ifd, li) =>
+      val w = ifd(256).head.toInt
+      val h = ifd(257).head.toInt
+      val tw = ifd(322).head.toInt
+      val th = ifd(323).head.toInt
+      val gx = (w + tw - 1) / tw
+      val offs = ifd(324)
+      val sizes = ifd(325)
+      val refs = offs.indices.map(i => TileRef(li, i % gx, i / gx, offs(i), sizes(i).toInt))
+      (w, h, tw, th, refs)
+    }
+  }
+
+  /** ◆ Windowed pixel read — the `raster_region.cpp` READ semantic on
+    * the COG this library writes: the driver plans from the IFD head
+    * range, executors range-read ONLY the tiles intersecting the
+    * window (the GET-Range shape that makes a COG cloud-optimized;
+    * a small window over a huge raster reads kilobytes). Returns
+    * (x, y, value) in level coordinates, clipped to the window and
+    * the level bounds (tile padding never leaks out). */
+  def pixelsTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      level: Int = 0,
+      window: Option[(Int, Int, Int, Int)] = None // [x0, x1) × [y0, y1)
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val head = graft.sources.Laz.readRange(path, 0L, 1 << 16)
+    val plan = tilePlan(head)
+    require(level >= 0 && level < plan.size, s"cog: no pyramid level $level (have ${plan.size})")
+    val (w, h, tw, th, refs) = plan(level)
+    val (x0, y0, x1, y1) = window.getOrElse((0, 0, w, h))
+    val hit = refs.filter(t => t.tx * tw < x1 && (t.tx + 1) * tw > x0 && t.ty * th < y1 && (t.ty + 1) * th > y0)
+    val schema = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("value", IntegerType, nullable = false)
+    ))
+    val rdd = spark.sparkContext
+      .parallelize(hit, math.max(1, math.min(hit.size, 64)))
+      .flatMap { t =>
+        val bytes = graft.sources.Laz.readRange(path, t.offset, t.size)
+        for {
+          py <- 0 until th
+          y = t.ty * th + py
+          if y >= y0 && y < math.min(y1, h)
+          px <- 0 until tw
+          x = t.tx * tw + px
+          if x >= x0 && x < math.min(x1, w)
+        } yield org.apache.spark.sql.Row(x, y, bytes(py * tw + px) & 0xFF)
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Serial in-memory decode of one level (test/driver face). */
+  def decodeLevel(bytes: Array[Byte], level: Int): (Int, Int, Array[Int]) = {
+    val plan = tilePlan(bytes)
+    require(level >= 0 && level < plan.size, s"cog: no pyramid level $level")
+    val (w, h, tw, th, refs) = plan(level)
+    val out = new Array[Int](w * h)
+    refs.foreach { t =>
+      for (py <- 0 until th; px <- 0 until tw) {
+        val x = t.tx * tw + px
+        val y = t.ty * th + py
+        if (x < w && y < h) out(y * w + x) = bytes(t.offset.toInt + py * tw + px) & 0xFF
+      }
+    }
+    (w, h, out)
+  }
+
   /** Minimal IFD walk for the spec: (tag → value(s)) per IFD. */
   def parseIfds(bytes: Array[Byte]): Seq[Map[Int, Seq[Long]]] = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -425,7 +425,7 @@ object Laz {
     }
   }
 
-  private[sources] def readRange(path: String, off: Long, len: Int): Array[Byte] = {
+  private[graft] def readRange(path: String, off: Long, len: Int): Array[Byte] = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
       val n = math.min(len.toLong, raf.length() - off).toInt

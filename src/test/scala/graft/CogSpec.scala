@@ -62,6 +62,40 @@ class CogSpec extends SparkSuite {
       assert(ov.getSample(x, y, 0) === (px(2 * y * w + 2 * x) & 0xff), s"overview ($x,$y)")
   }
 
+  test("native read face: decodeLevel + windowed pixelsTable return exactly the source (and the overview)") {
+    val w = 300; val h = 180
+    val px = Array.tabulate(w * h)(i => ((i * 31 + (i / w) * 7) % 251).toByte)
+    val cog = Cog.encode(w, h, px, 256)
+    // level 0: identity
+    val (w0, h0, l0) = Cog.decodeLevel(cog, 0)
+    assert(w0 == w && h0 == h)
+    assert(l0.toSeq == px.map(_ & 0xFF).toSeq)
+    // level 1: the writer's nearest top-left sample
+    val (w1, h1, l1) = Cog.decodeLevel(cog, 1)
+    assert(w1 == 150 && h1 == 90)
+    for (y <- 0 until h1; x <- 0 until w1)
+      assert(l1(y * w1 + x) == (px(math.min(2 * y, h - 1) * w + math.min(2 * x, w - 1)) & 0xFF), s"l1($x,$y)")
+    // Spark windowed read: plans from the head, reads only hit tiles
+    val dir = java.nio.file.Files.createTempDirectory("cogread").toFile
+    val f = new java.io.File(dir, "r.tif")
+    java.nio.file.Files.write(f.toPath, cog)
+    try {
+      val win = (37, 20, 290, 170)
+      val rows = Cog.pixelsTable(spark, f.getPath, 0, Some(win)).collect()
+      assert(rows.length == (win._3 - win._1) * (win._4 - win._2))
+      rows.foreach { r =>
+        val (x, y, v) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        assert(x >= win._1 && x < win._3 && y >= win._2 && y < win._4)
+        assert(v == (px(y * w + x) & 0xFF), s"pixel ($x,$y)")
+      }
+      // a small window hits ONE tile of the 2x1 grid
+      val plan = Cog.tilePlan(cog)
+      assert(plan.head._5.size == 2, "300x180 @256 is a 2x1 tile grid")
+      val one = Cog.pixelsTable(spark, f.getPath, 0, Some((0, 0, 10, 10))).collect()
+      assert(one.length == 100 && one.forall(r => r.getInt(2) == (px(r.getInt(1) * w + r.getInt(0)) & 0xFF)))
+    } finally { f.delete(); dir.delete() }
+  }
+
   test("buildCog bytes decode to EXACTLY the oracle-verified tile planes") {
     import org.apache.spark.sql.functions._
     val cog = graft.geo.GeoQueries.buildCog(spark, sf0001).select(col("cog")).head().getAs[Array[Byte]](0)
