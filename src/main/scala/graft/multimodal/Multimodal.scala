@@ -28,18 +28,25 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)
   ))
 
-  /** Decode kernels. PNG payloads decode for REAL through the pure-JVM
-    * codec (`graft.raster.Png`) — stats/resize then operate on actual
-    * pixel planes. Non-PNG payloads (e.g. the text-derived fixture
-    * bytes, or formats whose codecs aren't in this container: JPEG,
-    * audio, video) fall back to a deterministic byte-plane fake, kept
-    * clearly separated here (builder contract: stub only what the
-    * container can't decode, keep the plumbing real).
+  /** Decode kernels. PNG and baseline JPEG payloads decode for REAL
+    * through the pure-JVM codecs (`graft.raster.Png`,
+    * `graft.raster.Jpeg`) — stats/resize/hash then operate on actual
+    * pixel planes. Remaining payloads (the text-derived fixture bytes,
+    * or formats whose codecs aren't built: audio, video) fall back to
+    * a deterministic byte-plane fake, kept clearly separated here
+    * (builder contract: stub only what can't be decoded, keep the
+    * plumbing real).
     */
+  /** Unified still-image decode: PNG (pure-JVM codec) then baseline
+    * JPEG (`graft.raster.Jpeg`, ImageIO-conformance-proven). Anything
+    * else → None and the deterministic byte-plane fallback. */
+  def decodeImage(payload: Array[Byte]): Option[graft.raster.Png.Image] =
+    graft.raster.Png.decode(payload).orElse(graft.raster.Jpeg.decode(payload))
+
   object StubCodecs {
-    /** Pixel mean/std: real decode for PNG, byte-plane stats otherwise. */
+    /** Pixel mean/std: real decode for PNG/JPEG, byte-plane stats otherwise. */
     def imageStats(payload: Array[Byte]): (Double, Double) = {
-      val plane = graft.raster.Png.decode(payload).map(_.pixels).getOrElse(payload)
+      val plane = decodeImage(payload).map(_.pixels).getOrElse(payload)
       if (plane == null || plane.isEmpty) (0.0, 0.0)
       else {
         var sum = 0.0; var sq = 0.0
@@ -49,9 +56,9 @@ object Multimodal {
       }
     }
 
-    /** Real nearest-neighbour image resize for PNG payloads → PNG out. */
+    /** Real nearest-neighbour image resize for PNG/JPEG payloads → PNG out. */
     def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
-      graft.raster.Png.decode(payload).map { img =>
+      decodeImage(payload).map { img =>
         val out = new Array[Byte](outW * outH * img.channels)
         var y = 0
         while (y < outH) {
@@ -102,7 +109,7 @@ object Multimodal {
     * re-encode/resize/brightness shifts — the standard image near-dup
     * signature a multimodal curation pipeline blocks on. */
   def dhash60(payload: Array[Byte]): Long = {
-    val grid: Array[Int] = graft.raster.Png.decode(payload) match {
+    val grid: Array[Int] = decodeImage(payload) match {
       case Some(img) =>
         val out = new Array[Int](66)
         var y = 0
@@ -219,7 +226,7 @@ object Multimodal {
     else (math.max(1, (thumbSize.toDouble / h * w).toInt), thumbSize)
 
   private val thumbUdf = udf { (p: Array[Byte], mw: Int, mh: Int, tsz: Int) =>
-    graft.raster.Png.decode(p) match {
+    decodeImage(p) match {
       case Some(img) => // real path: decode → aspect-fit nearest resize → PNG
         val (ow, oh) = thumbTarget(img.width, img.height, tsz)
         (ow, oh, StubCodecs.resizeImage(p, ow, oh).get)

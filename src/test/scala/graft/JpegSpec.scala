@@ -1,0 +1,157 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.raster.Jpeg
+
+/** JPEG codec conformance. Unlike the LAZ entropy codecs, REAL
+  * independent fixtures exist here: the JDK's ImageIO JPEG plugin.
+  * The triangle proven:
+  *
+  *  1. encode∘decode (ours) ≈ source (PSNR bound — lossy codec);
+  *  2. ImageIO decodes OUR files to the same pixels our decoder
+  *     produces (± small IDCT/rounding differences) — our bitstream
+  *     is valid JPEG and our IDCT agrees with an independent one;
+  *  3. our decoder reads ImageIO-WRITTEN files: gray exactly
+  *     (±rounding), default-subsampled color within the resampling
+  *     tolerance (T.81 leaves the chroma upsampling filter
+  *     implementation-defined).
+  *
+  * Restart markers are validated both ways: our DRI/RSTn stream
+  * decodes identically through ImageIO and through our own reader.
+  */
+class JpegSpec extends SparkSuite {
+
+  private def gradient(w: Int, h: Int, channels: Int, seed: Int = 3): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val px = new Array[Byte](w * h * channels)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until channels) {
+      val base = c match {
+        case 0 => (x * 255) / math.max(1, w - 1)
+        case 1 => (y * 255) / math.max(1, h - 1)
+        case _ => ((x + y) * 255) / math.max(1, w + h - 2)
+      }
+      // smooth ramp + mild texture: realistic compressibility
+      val v = math.max(0, math.min(255, base + rnd.nextInt(9) - 4))
+      px((y * w + x) * channels + c) = v.toByte
+    }
+    px
+  }
+
+  private def imageIoDecode(bytes: Array[Byte]): BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  private def imageIoEncode(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  private def psnr(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length)
+    val mse = a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum / a.length
+    if (mse == 0) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  test("encode then decode is near-identity (PSNR): gray and color, non-multiple-of-8 sizes") {
+    for ((w, h, ch) <- Seq((64, 64, 1), (100, 70, 1), (64, 64, 3), (130, 50, 3))) {
+      val src = gradient(w, h, ch, seed = w + ch)
+      val jpg = Jpeg.encode(w, h, ch, src, quality = 92)
+      val dec = Jpeg.decode(jpg).getOrElse(fail(s"decode failed $w x $h ch=$ch"))
+      assert(dec.width == w && dec.height == h && dec.channels == ch)
+      val p = psnr(src.map(_ & 0xFF), dec.pixels.map(_ & 0xFF))
+      assert(p > 35.0, s"psnr $p for $w x $h ch=$ch")
+    }
+  }
+
+  test("ImageIO decodes our bitstream to our own decoder's pixels (independent IDCT agreement)") {
+    for (ch <- Seq(1, 3)) {
+      val (w, h) = (96, 80)
+      val src = gradient(w, h, ch, seed = 11 + ch)
+      val jpg = Jpeg.encode(w, h, ch, src, quality = 85)
+      val ours = Jpeg.decode(jpg).get
+      val theirs = imageIoDecode(jpg)
+      assert(theirs.getWidth == w && theirs.getHeight == h)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        // raw raster samples — getRGB would run gray through an sRGB
+        // gamma conversion and compare the wrong thing
+        val t =
+          if (ch == 1) Seq(theirs.getRaster.getSample(x, y, 0))
+          else { val rgb = theirs.getRGB(x, y); Seq((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF) }
+        val o = (0 until ch).map(c => ours.pixels((y * w + x) * ch + c) & 0xFF)
+        t.zip(o).foreach { case (a, b) => maxDiff = math.max(maxDiff, math.abs(a - b)) }
+      }
+      assert(maxDiff <= 3, s"ch=$ch max per-sample diff $maxDiff vs ImageIO")
+    }
+  }
+
+  test("our decoder reads ImageIO-written JPEGs: gray within rounding, default color within resampling tolerance") {
+    val (w, h) = (120, 90)
+    // gray: no chroma path, strict agreement
+    val gSrc = gradient(w, h, 1, seed = 5)
+    val gImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) gImg.getRaster.setSample(x, y, 0, gSrc(y * w + x) & 0xFF)
+    val gJpg = imageIoEncode(gImg)
+    val gOurs = Jpeg.decode(gJpg).getOrElse(fail("gray decode failed"))
+    assert(gOurs.channels == 1 && gOurs.width == w)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = gOurs.pixels(y * w + x) & 0xFF
+      val b = imageIoDecode(gJpg).getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    assert(maxDiff <= 2, s"gray max diff $maxDiff")
+
+    // color: ImageIO's default writer subsamples chroma; upsampling
+    // filters differ, so the bound is PSNR + mean, not per-sample
+    val cSrc = gradient(w, h, 3, seed = 7)
+    val cImg = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      cImg.setRGB(x, y, ((cSrc(o) & 0xFF) << 16) | ((cSrc(o + 1) & 0xFF) << 8) | (cSrc(o + 2) & 0xFF))
+    }
+    val cJpg = imageIoEncode(cImg)
+    val cOurs = Jpeg.decode(cJpg).getOrElse(fail("color decode failed"))
+    val cTheirs = imageIoDecode(cJpg)
+    val a = new Array[Int](w * h * 3)
+    val b = new Array[Int](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = cTheirs.getRGB(x, y)
+      val o = (y * w + x) * 3
+      a(o) = (rgb >> 16) & 0xFF; a(o + 1) = (rgb >> 8) & 0xFF; a(o + 2) = rgb & 0xFF
+      b(o) = cOurs.pixels(o) & 0xFF; b(o + 1) = cOurs.pixels(o + 1) & 0xFF; b(o + 2) = cOurs.pixels(o + 2) & 0xFF
+    }
+    val p = psnr(a, b)
+    assert(p > 30.0, s"color psnr vs ImageIO $p")
+  }
+
+  test("restart markers: our DRI/RSTn stream decodes identically through ImageIO and our reader") {
+    val (w, h) = (128, 64) // 16x8 = 128 MCUs at 4:4:4
+    val src = gradient(w, h, 3, seed = 13)
+    val jpg = Jpeg.encode(w, h, 3, src, quality = 88, restartInterval = 5)
+    // DRI segment present
+    assert(jpg.sliding(2).exists(s => (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xDD))
+    val ours = Jpeg.decode(jpg).getOrElse(fail("restart decode failed"))
+    val plain = Jpeg.decode(Jpeg.encode(w, h, 3, src, quality = 88)).get
+    assert(ours.pixels.toSeq == plain.pixels.toSeq, "restarts must not change decoded pixels")
+    val theirs = imageIoDecode(jpg)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = theirs.getRGB(x, y)
+      val o = (y * w + x) * 3
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xFF) - (ours.pixels(o) & 0xFF)))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xFF) - (ours.pixels(o + 1) & 0xFF)))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xFF) - (ours.pixels(o + 2) & 0xFF)))
+    }
+    assert(maxDiff <= 3, s"restart stream max diff vs ImageIO $maxDiff")
+  }
+
+  test("non-JPEG and progressive payloads are refused with None, not an exception") {
+    assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
+    // a PNG payload is refused
+    val png = graft.raster.Png.encodeGray(4, 4, new Array[Byte](16))
+    assert(Jpeg.decode(png).isEmpty)
+  }
+}
