@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus the decode / feature-extract plumbing a
   * 100 TB training-data pipeline needs.
   *
-  * The decode kernels themselves (JPEG/audio codecs) are STUBBED with
-  * deterministic fakes — the image/audio libraries are not in this
-  * container — but the Spark-side plumbing is real and tested: schema,
-  * batch shape, partitioning, and the mapPartitions boundary where a
-  * JNI/pandas decode would run. Swap `StubCodecs` for a real codec and
-  * nothing else changes.
+  * The still-image and PCM-audio decode kernels are REAL pure-JVM
+  * codecs — PNG + baseline JPEG ([[decodeImage]] over
+  * `graft.raster.Png`/`graft.raster.Jpeg`) and WAV ([[Wav]]) — so
+  * stats/resize/pHash/thumbnails/duration operate on actual pixels
+  * and samples. Only payloads no built codec covers (video
+  * containers, compressed audio, the text-derived fixture bytes)
+  * fall back to a deterministic byte-plane fake in `StubCodecs`,
+  * which is also what keeps the oracle rows SQL-recomputable.
   */
 object Multimodal {
 
@@ -146,6 +148,10 @@ object Multimodal {
   private val imageStatsUdf = udf { p: Array[Byte] =>
     val (mean, std) = StubCodecs.imageStats(p); Map("mean" -> mean, "std" -> std)
   }
+  /** Real audio features for WAV/PCM payloads (null otherwise). */
+  private val audioStatsUdf = udf { p: Array[Byte] =>
+    Wav.decode(p).map(a => (a.durationMs, a.rms, a.sampleRate, a.channels))
+  }
   private val resizeUdf = udf((p: Array[Byte], n: Int) => StubCodecs.resize(p, n))
   private val frameSampleUdf = udf((p: Array[Byte], n: Int, len: Int) => StubCodecs.frameSample(p, n, len))
 
@@ -176,12 +182,17 @@ object Multimodal {
   def extractFeatures(media: DataFrame): DataFrame =
     media
       .withColumn("features", imageStatsUdf(col("payload")))
+      .withColumn("audio", audioStatsUdf(col("payload")))
       .select(
         col("media_id"),
         col("kind"),
         col("features")("mean").as("pixel_mean"),
         col("features")("std").as("pixel_std"),
-        length(col("payload")).as("payload_bytes")
+        length(col("payload")).as("payload_bytes"),
+        col("audio._1").as("duration_ms"),
+        col("audio._2").as("audio_rms"),
+        col("audio._3").as("sample_rate"),
+        col("audio._4").as("audio_channels")
       )
 
   /** Batch resize — binary in/binary out, partition-parallel. */
