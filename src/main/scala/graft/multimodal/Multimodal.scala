@@ -100,6 +100,50 @@ object Multimodal {
     }
   }
 
+  /** Split an MJPEG stream (concatenated baseline JPEG frames — the
+    * payload an MJPEG AVI/RTP carries) into decoded frames. Frame
+    * boundaries are SOI..EOI marker pairs; inside entropy data a
+    * 0xFF is always stuffed or a RSTn, so EOI is unambiguous
+    * (boundary: streams whose APPn segments embed whole JPEGs, e.g.
+    * EXIF thumbnails, are out — the frame writers that produce MJPEG
+    * do not embed them). */
+  def mjpegFrames(payload: Array[Byte]): Seq[graft.raster.Png.Image] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[graft.raster.Png.Image]
+    var i = 0
+    while (i + 1 < payload.length) {
+      if ((payload(i) & 0xFF) == 0xFF && (payload(i + 1) & 0xFF) == 0xD8) {
+        var j = i + 2
+        var end = -1
+        while (j + 1 < payload.length && end < 0) {
+          if ((payload(j) & 0xFF) == 0xFF && (payload(j + 1) & 0xFF) == 0xD9) end = j + 2
+          j += 1
+        }
+        if (end < 0) i = payload.length
+        else {
+          graft.raster.Jpeg.decode(java.util.Arrays.copyOfRange(payload, i, end)).foreach(out += _)
+          i = end
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Real frame sampling for MJPEG payloads: decode the frame index
+    * set `len·i/n` (the same integer slice math the byte-plane
+    * fallback and the q_frame_sample oracle use) and return per-frame
+    * (frame_idx, width, height, pixel_mean). */
+  def sampleMjpegFrames(payload: Array[Byte], n: Int): Seq[(Int, Int, Int, Double)] = {
+    val frames = mjpegFrames(payload)
+    if (frames.isEmpty || n <= 0) Seq.empty
+    else
+      (0 until n).map { i =>
+        val f = frames((frames.size.toLong * i / n).toInt)
+        var sum = 0.0
+        f.pixels.foreach(b => sum += (b & 0xff))
+        (i, f.width, f.height, sum / f.pixels.length)
+      }
+  }
+
   /** 60-bit dHash (difference/gradient perceptual hash): luminance on
     * a 6×11 grid, one bit per horizontally adjacent cell pair
     * (6 rows × 10 comparisons = 60 bits — the engine-neutral signature

@@ -147,6 +147,32 @@ class JpegSpec extends SparkSuite {
     assert(maxDiff <= 3, s"restart stream max diff vs ImageIO $maxDiff")
   }
 
+  test("MJPEG: concatenated frames split and decode; sampling picks the slice-math frame set") {
+    val (w, h) = (48, 32)
+    val frames = (0 until 7).map { i =>
+      val px = Array.tabulate(w * h)(p => ((p + i * 40) % 256).toByte)
+      Jpeg.encode(w, h, 1, px, quality = 90)
+    }
+    val stream = frames.reduce(_ ++ _)
+    val decoded = graft.multimodal.Multimodal.mjpegFrames(stream)
+    assert(decoded.size == 7)
+    decoded.zipWithIndex.foreach { case (f, i) =>
+      assert(f.width == w && f.height == h && f.channels == 1)
+      // brightness tracks the frame index (mean of (p + 40i) mod 256 drifts)
+      val direct = Jpeg.decode(frames(i)).get
+      assert(f.pixels.toSeq == direct.pixels.toSeq, s"frame $i differs from standalone decode")
+    }
+    val sampled = graft.multimodal.Multimodal.sampleMjpegFrames(stream, 3)
+    assert(sampled.map(_._1) == Seq(0, 1, 2))
+    assert(sampled.map(t => (t._2, t._3)).forall(_ == ((w, h))))
+    // slice math: frames 7*0/3=0, 7*1/3=2, 7*2/3=4
+    val means = Seq(0, 2, 4).map { i =>
+      val d = Jpeg.decode(frames(i)).get
+      d.pixels.map(_ & 0xff).sum.toDouble / d.pixels.length
+    }
+    sampled.map(_._4).zip(means).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("non-JPEG and progressive payloads are refused with None, not an exception") {
     assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
