@@ -104,7 +104,7 @@ object Jpeg {
 
   /** Canonical Huffman decode table: minCode/maxCode/valPtr per length
     * (T.81 F.2.2.3 DECODE procedure). */
-  private final class HuffDec(bits: Array[Int], vals: Array[Int]) {
+  private[raster] final class HuffDec(bits: Array[Int], vals: Array[Int]) {
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17)
     val valPtr = new Array[Int](17)
@@ -216,15 +216,31 @@ object Jpeg {
 
   // ---- decoder ---------------------------------------------------------------
 
-  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+  private[raster] final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
     var td = 0
     var ta = 0
   }
 
+  /** Everything the entropy scan needs, parsed from the headers —
+    * the unit a segment-parallel decode shares across tasks. */
+  private[raster] final case class Parsed(
+      comps: Array[Comp],
+      qt: Array[Array[Int]],
+      dcTabs: Array[HuffDec],
+      acTabs: Array[HuffDec],
+      w: Int,
+      h: Int,
+      restartInterval: Int,
+      scanStart: Int
+  )
+
   /** Decode a baseline/extended-sequential JPEG. Returns channels 1
     * (gray) or 3 (RGB). None for anything this codec does not cover
     * (progressive, arithmetic, 12-bit, 4-component). */
-  def decode(bytes: Array[Byte]): Option[Png.Image] = {
+  def decode(bytes: Array[Byte]): Option[Png.Image] =
+    parse(bytes).flatMap(p => decodeScan(bytes, p))
+
+  private[raster] def parse(bytes: Array[Byte]): Option[Parsed] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
     val qt = Array.ofDim[Int](4, 64)
     val dcTabs = new Array[HuffDec](4)
@@ -296,7 +312,7 @@ object Jpeg {
             c.ta = bytes(p + 1) & 0x0F
             p += 2
           }
-          return decodeScan(bytes, p + 3, comps, qt, dcTabs, acTabs, w, h, restartInterval)
+          return Some(Parsed(comps, qt, dcTabs, acTabs, w, h, restartInterval, p + 3))
         case _ => // APPn / COM / others: skip
       }
       pos = seg + len - 2
@@ -304,17 +320,8 @@ object Jpeg {
     None
   }
 
-  private def decodeScan(
-      bytes: Array[Byte],
-      start: Int,
-      comps: Array[Comp],
-      qt: Array[Array[Int]],
-      dcTabs: Array[HuffDec],
-      acTabs: Array[HuffDec],
-      w: Int,
-      h: Int,
-      restartInterval: Int
-  ): Option[Png.Image] = {
+  private def decodeScan(bytes: Array[Byte], p: Parsed): Option[Png.Image] = {
+    import p._
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
@@ -323,16 +330,85 @@ object Jpeg {
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
     val planes = comps.indices.map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+    if (!decodeMcus(bytes, p, planes, planeW, mcusX, scanStart, 0, mcusX * mcusY, checkRestarts = true))
+      return None
+    Some(finish(p, planes, planeW, hMax, vMax))
+  }
+
+  /** Entropy-segment table of a DRI stream: (byte position, first
+    * MCU index) of every independently-decodable segment. Segment
+    * boundaries are RSTn marker pairs — unambiguous in entropy data
+    * (a data 0xFF is always stuffed as FF00). */
+  def segmentTable(bytes: Array[Byte]): Seq[(Int, Int)] =
+    parse(bytes) match {
+      case Some(p) if p.restartInterval > 0 =>
+        val segs = ArrayBuffer((p.scanStart, 0))
+        var i = p.scanStart
+        var done = false
+        while (i + 1 < bytes.length && !done) {
+          if ((bytes(i) & 0xFF) == 0xFF) {
+            val m = bytes(i + 1) & 0xFF
+            if (m >= 0xD0 && m <= 0xD7) { segs += ((i + 2, segs.size * p.restartInterval)); i += 2 }
+            else if (m == 0xD9) done = true
+            else i += 1
+          } else i += 1
+        }
+        segs.toSeq
+      case Some(p) => Seq((p.scanStart, 0))
+      case None => Seq.empty
+    }
+
+  /** Segment-parallel decode of a DRI stream: every segment decodes
+    * from its OWN byte range with a fresh bit reader and zeroed DC
+    * predictors (what RSTn guarantees) — the shape that shards a
+    * giant aerial JPEG across tasks; here the segments run in one
+    * JVM but share no state (JpegSpec proves independence by
+    * corrupting one segment and watching only its MCUs change). */
+  def decodeSegmentwise(bytes: Array[Byte]): Option[Png.Image] = {
+    val p = parse(bytes).getOrElse(return None)
+    if (p.restartInterval == 0) return decodeScan(bytes, p)
+    import p._
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+    val total = mcusX * mcusY
+    segmentTable(bytes).foreach { case (at, mcuFrom) =>
+      val mcuTo = math.min(mcuFrom + restartInterval, total)
+      if (mcuFrom < total)
+        decodeMcus(bytes, p, planes, planeW, mcusX, at, mcuFrom, mcuTo, checkRestarts = false)
+    }
+    Some(finish(p, planes, planeW, hMax, vMax))
+  }
+
+  /** Decode MCUs [mcuFrom, mcuTo) with the bit reader starting at
+    * `readerPos`, into the shared component planes. `checkRestarts`
+    * verifies/consumes in-stream RSTn markers (serial full-scan
+    * mode); segment decodes pass false — their range contains none. */
+  private def decodeMcus(
+      bytes: Array[Byte],
+      p: Parsed,
+      planes: Array[Array[Byte]],
+      planeW: Array[Int],
+      mcusX: Int,
+      readerPos: Int,
+      mcuFrom: Int,
+      mcuTo: Int,
+      checkRestarts: Boolean
+  ): Boolean = {
+    import p._
     val preds = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
-    val r = new BitReader(bytes, start)
+    val r = new BitReader(bytes, readerPos)
     var rstCycle = 0
 
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+    var mcu = mcuFrom
+    while (mcu < mcuTo) {
+      if (checkRestarts && restartInterval > 0 && mcu > mcuFrom && mcu % restartInterval == 0) {
         // byte-align and consume the RST marker, reset DC predictions
         r.align()
         if (r.marker == 0) {
@@ -340,7 +416,7 @@ object Jpeg {
           while (r.pos + 1 < bytes.length && (bytes(r.pos) & 0xFF) != 0xFF) r.pos += 1
           if (r.pos + 1 < bytes.length) { r.marker = bytes(r.pos + 1) & 0xFF; r.pos += 2 }
         }
-        if (r.marker != 0xD0 + rstCycle) return None // desynchronized stream
+        if (r.marker != 0xD0 + rstCycle) return false // desynchronized stream
         r.clearMarker()
         rstCycle = (rstCycle + 1) & 7
         java.util.Arrays.fill(preds, 0)
@@ -421,8 +497,20 @@ object Jpeg {
       }
       mcu += 1
     }
+    true
+  }
 
-    // upsample + color convert
+  /** Upsample the component planes and color-convert to the output
+    * image (replicated chroma upsampling; T.81 leaves the filter
+    * implementation-defined). */
+  private def finish(
+      p: Parsed,
+      planes: Array[Array[Byte]],
+      planeW: Array[Int],
+      hMax: Int,
+      vMax: Int
+  ): Png.Image = {
+    import p._
     if (comps.length == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
@@ -430,7 +518,7 @@ object Jpeg {
         System.arraycopy(planes(0), y * planeW(0), out, y * w, w)
         y += 1
       }
-      Some(Png.Image(w, h, 1, out))
+      Png.Image(w, h, 1, out)
     } else {
       val out = new Array[Byte](w * h * 3)
       var y = 0
@@ -457,7 +545,7 @@ object Jpeg {
         }
         y += 1
       }
-      Some(Png.Image(w, h, 3, out))
+      Png.Image(w, h, 3, out)
     }
   }
 

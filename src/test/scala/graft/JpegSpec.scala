@@ -147,6 +147,38 @@ class JpegSpec extends SparkSuite {
     assert(maxDiff <= 3, s"restart stream max diff vs ImageIO $maxDiff")
   }
 
+  test("DRI segments decode independently: segmentwise == serial, and corrupting one segment disturbs only its MCUs") {
+    val (w, h) = (160, 48) // 20x6 = 120 MCUs at 4:4:4
+    val src = gradient(w, h, 1, seed = 29)
+    val dri = 10
+    val jpg = Jpeg.encode(w, h, 1, src, quality = 90, restartInterval = dri)
+    val segs = Jpeg.segmentTable(jpg)
+    assert(segs.size == 12 && segs.map(_._2) == (0 until 12).map(_ * dri))
+    val serial = Jpeg.decode(jpg).get
+    val segwise = Jpeg.decodeSegmentwise(jpg).get
+    assert(segwise.pixels.toSeq == serial.pixels.toSeq, "segmentwise decode must equal the serial decode")
+    // corrupt the bytes of segment 5 only: every MCU outside segment 5
+    // must still decode byte-identically — the independence a
+    // partition-parallel decoder relies on
+    val bad = jpg.clone()
+    val (s5, _) = segs(5)
+    val (s6, _) = segs(6)
+    var i = s5
+    while (i < s6 - 2) { bad(i) = (bad(i) ^ 0x2A).toByte; if ((bad(i) & 0xFF) == 0xFF) bad(i) = 0x55.toByte; i += 1 }
+    val corrupted = Jpeg.decodeSegmentwise(bad).get
+    // segment k covers MCU columns [k*dri % 20 ...]; at 20 MCUs per row,
+    // segment 5 is MCUs 50..59 → row 2 (y 16..23), columns 80..159
+    for (y <- 0 until h; x <- 0 until w) {
+      val inSeg5 = y >= 16 && y < 24 && x >= 80
+      if (!inSeg5)
+        assert(corrupted.pixels(y * w + x) == serial.pixels(y * w + x), s"pixel ($x,$y) outside segment 5 changed")
+    }
+    // and the corruption did land somewhere inside segment 5
+    assert((0 until h).exists(y => (0 until w).exists(x =>
+      y >= 16 && y < 24 && x >= 80 && corrupted.pixels(y * w + x) != serial.pixels(y * w + x)
+    )))
+  }
+
   test("MJPEG: concatenated frames split and decode; sampling picks the slice-math frame set") {
     val (w, h) = (48, 32)
     val frames = (0 until 7).map { i =>
