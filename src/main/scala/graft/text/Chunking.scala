@@ -74,34 +74,72 @@ object Chunking {
   }
 
   /** Gear CDC chunk table over (doc_id, text): one row per chunk with
-    * its start offset, length and content digest. */
-  def gearChunks(docs: DataFrame): DataFrame = {
+    * its start offset, length and content digest.
+    *
+    * 100 TB shape: the rolling hash has a SIX-character horizon, so
+    * cut decisions are computed in per-(doc, block) windows of
+    * `blockSize` characters with a 5-character overlap copied from
+    * the previous block — EXACT (spec-gated block-size invariance)
+    * while no task ever holds more than one block, however large a
+    * document gets. Chunk ids are the packSequences two-phase prefix
+    * sum: within-block running cut count + per-block offsets (one
+    * tiny window over block summaries). Char rows carry (doc, pos,
+    * gear) ONLY — the document text re-enters by a join at CHUNK
+    * granularity, never on the per-character path. */
+  def gearChunks(docs: DataFrame, blockSize: Int = 4096): DataFrame = {
+    require(blockSize >= 8, s"gearChunks: blockSize $blockSize too small for the 6-char hash horizon")
     val s = docs.sparkSession
     import s.implicits._
     val chars = docs
       .filter(length($"text") > 0)
       .select($"doc_id", $"text", explode(sequence(lit(0), length($"text") - 1)).as("pos"))
-      .withColumn(
-        "gv",
-        conv(substring(md5(concat(lit("g:"), $"text".substr($"pos" + 1, lit(1)))), 1, 15), 16, 10)
-          .cast("long") % 64
+      .select(
+        $"doc_id",
+        $"pos",
+        ($"pos" / blockSize).cast("long").as("block"),
+        (conv(substring(md5(concat(lit("g:"), $"text".substr($"pos" + 1, lit(1)))), 1, 15), 16, 10)
+          .cast("long") % 64).as("gv")
       )
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    // 5-char left context duplicated into the NEXT block (ctx rows
+    // feed lags only; their own cut flag is computed in their home block)
+    val ctx = chars
+      .filter($"pos" % blockSize >= blockSize - 5)
+      .withColumn("block", $"block" + 1)
+      .withColumn("is_ctx", lit(true))
+    val all = chars.withColumn("is_ctx", lit(false)).unionByName(ctx)
+    val w = Window.partitionBy($"doc_id", $"block").orderBy($"pos")
     val cut = (($"gv"
       + lag($"gv", 1, 0).over(w) * 2
       + lag($"gv", 2, 0).over(w) * 4
       + lag($"gv", 3, 0).over(w) * 8
       + lag($"gv", 4, 0).over(w) * 16
-      + lag($"gv", 5, 0).over(w) * 32) % 64 === 0).cast("int")
-    val cid = chars
+      + lag($"gv", 5, 0).over(w) * 32) % 64 === 0).cast("long")
+    val cuts = all
       .withColumn("cut", cut)
+      .withColumn("run", coalesce(sum($"cut").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(!$"is_ctx")
+    // per-block offsets: cuts in all PRIOR blocks of the doc (block
+    // summaries are tiny — chars/blockSize rows per doc)
+    val wb = Window.partitionBy($"doc_id").orderBy($"block")
+    val offsets = cuts
+      .groupBy($"doc_id", $"block")
+      .agg(sum($"cut").as("bc"), min($"run").as("ctx_run"))
       .withColumn(
-        "chunk",
-        coalesce(sum($"cut").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        "off",
+        coalesce(sum($"bc").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
       )
-    cid
+      .select($"doc_id", $"block", $"off", $"ctx_run")
+    val cid = cuts
+      .join(offsets, Seq("doc_id", "block"))
+      // run counts cut flags within the block INCLUDING the copied
+      // context rows' flags; subtract the context prefix (ctx_run =
+      // run at the block's first real row) so chunk ids chain exactly
+      .select($"doc_id", $"pos", ($"off" + $"run" - $"ctx_run").as("chunk"))
+    val chunks = cid
       .groupBy($"doc_id", $"chunk")
-      .agg(min($"pos").as("start"), count(lit(1)).as("len"), min($"text").as("text"))
+      .agg(min($"pos").as("start"), count(lit(1)).as("len"))
+    chunks
+      .join(docs.select($"doc_id", $"text"), "doc_id")
       .select(
         $"doc_id",
         $"chunk",

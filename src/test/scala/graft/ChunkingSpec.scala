@@ -82,6 +82,21 @@ class ChunkingSpec extends SparkSuite {
     assert(a.size - common <= 3, s"edit disturbed ${a.size - common} of ${a.size} chunks")
   }
 
+  test("blocked windows are exact: any blockSize gives identical chunks (the 100 TB shape)") {
+    val rnd = new scala.util.Random(23)
+    val docs = Seq(
+      (1L, (0 until 1500).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString),
+      (2L, "xyz"), // shorter than any block
+      (3L, (0 until 256).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString) // exact block multiple at B=32
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getString(4))
+    val base = Chunking.gearChunks(docs, blockSize = 4096).collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+    for (b <- Seq(8, 31, 32, 100)) {
+      val got = Chunking.gearChunks(docs, blockSize = b).collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+      assert(got == base, s"blockSize $b diverges")
+    }
+  }
+
   test("cross-document duplicate passages surface as shared chunks (q_cdc columns)") {
     val out = Chunking.cdcQuery(spark, sf0001).collect()
     assert(out.length == 500)
