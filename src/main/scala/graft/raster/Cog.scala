@@ -43,16 +43,20 @@ object Cog {
 
   /** Encode `pixels` (row-major, width×height, one byte per sample)
     * as a tiled COG. Overviews halve (nearest, top-left sample) until
-    * the level fits one tile. */
+    * the level fits one tile. `compression` 1 = none, 8 = DEFLATE
+    * (zlib per tile — what real COGs ship; the JDK Inflater/ImageIO
+    * read it back). */
   def encode(
       width: Int,
       height: Int,
       pixels: Array[Byte],
       tileSize: Int = 256,
-      geo: Option[GeoRef] = None
+      geo: Option[GeoRef] = None,
+      compression: Int = 1
   ): Array[Byte] = {
     require(width > 0 && height > 0 && pixels.length == width * height, "pixels must be width*height")
     require(tileSize > 0 && tileSize % 16 == 0, "TIFF tile dims must be multiples of 16")
+    require(compression == 1 || compression == 8, s"unsupported TIFF compression $compression")
     // classic TIFF carries 32-bit offsets and this writer assembles in
     // one array — bound the PADDED artifact: Σ over pyramid levels of
     // gridX·gridY·tileSize², which is what actually lands in the file
@@ -94,6 +98,36 @@ object Cog {
     def tileGrid(l: Level): (Int, Int) = ((l.w + tileSize - 1) / tileSize, (l.h + tileSize - 1) / tileSize)
     val tileBytes = tileSize * tileSize
 
+    // materialize every tile's STORED bytes up front (deflate makes
+    // sizes variable, so the layout pass needs them)
+    def rawTile(l: Level, tx: Int, ty: Int): Array[Byte] = {
+      val tile = new Array[Byte](tileBytes)
+      val x0 = tx * tileSize; val y0 = ty * tileSize
+      var y = 0
+      while (y < tileSize && y0 + y < l.h) {
+        val n = math.min(tileSize, l.w - x0)
+        if (n > 0) System.arraycopy(l.px, (y0 + y) * l.w + x0, tile, y * tileSize, n)
+        y += 1
+      }
+      tile
+    }
+    def stored(tile: Array[Byte]): Array[Byte] =
+      if (compression == 1) tile
+      else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+        d.setInput(tile); d.finish()
+        val buf = new Array[Byte](tileBytes + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    val storedTiles: IndexedSeq[IndexedSeq[Array[Byte]]] = levels.indices.map { li =>
+      val l = levels(li)
+      val (gx, gy) = tileGrid(l)
+      (0 until gx * gy).map(t => stored(rawTile(l, t % gx, t / gx)))
+    }
+
     // tile DATA order: smallest overview first (COG head-of-file
     // renderability), main level last; per level row-major
     val dataOrder: Seq[Int] = levels.indices.reverse
@@ -117,18 +151,19 @@ object Cog {
       val l = levels(li)
       val (gx, gy) = tileGrid(l)
       val n = gx * gy
+      val counts = storedTiles(li).map(_.length.toLong)
       val offsetsEntry =
         if (n == 1) Entry(324, TLong, 1, inline = tileOffsets.head)
         else Entry(324, TLong, n, ext = longBytes(tileOffsets))
       val countsEntry =
-        if (n == 1) Entry(325, TLong, 1, inline = tileBytes.toLong)
-        else Entry(325, TLong, n, ext = longBytes(Seq.fill(n)(tileBytes.toLong)))
+        if (n == 1) Entry(325, TLong, 1, inline = counts.head)
+        else Entry(325, TLong, n, ext = longBytes(counts))
       val base = Seq(
         Entry(254, TLong, 1, inline = if (li == 0) 0L else 1L), // reduced-resolution flag
         Entry(256, TLong, 1, inline = l.w.toLong),
         Entry(257, TLong, 1, inline = l.h.toLong),
         Entry(258, TShort, 1, inline = 8L),
-        Entry(259, TShort, 1, inline = 1L), // uncompressed
+        Entry(259, TShort, 1, inline = compression.toLong), // 1 = none, 8 = DEFLATE
         Entry(262, TShort, 1, inline = 1L), // BlackIsZero
         Entry(277, TShort, 1, inline = 1L),
         Entry(322, TShort, 1, inline = tileSize.toLong),
@@ -148,8 +183,8 @@ object Cog {
     val extSizes = dummy.map(_.collect { case e if e.ext != null => e.ext.length + (e.ext.length & 1) }.sum)
     val ifdStarts = dummy.indices.scanLeft(8L)((pos, i) => pos + ifdSizes(i) + extSizes(i))
     val tileDataStart = ifdStarts.last
-    // per-level tile data offsets in DATA order
-    val levelDataSize = levels.indices.map { li => val (gx, gy) = tileGrid(levels(li)); gx.toLong * gy * tileBytes }
+    // per-level tile data offsets in DATA order (variable tile sizes)
+    val levelDataSize = levels.indices.map(li => storedTiles(li).map(_.length.toLong).sum)
     val levelDataStart = {
       val m = new Array[Long](levels.length)
       var pos = tileDataStart
@@ -161,8 +196,7 @@ object Cog {
     val out = new ArrayBuffer[Byte]((tileDataStart + levelDataSize.sum).toInt)
     u16(0x4949, out); u16(42, out); u32(ifdStarts(0), out) // II, magic, IFD0
     levels.indices.foreach { li =>
-      val (gx, gy) = tileGrid(levels(li))
-      val offsets = (0 until gx * gy).map(t => levelDataStart(li) + t.toLong * tileBytes)
+      val offsets = storedTiles(li).scanLeft(levelDataStart(li))((p, t) => p + t.length).dropRight(1)
       val entries = entriesFor(li, offsets)
       var extPos = ifdStarts(li) + ifdSizes(li)
       u16(entries.length, out)
@@ -176,28 +210,7 @@ object Cog {
         if (e.ext != null) { out ++= e.ext; if ((e.ext.length & 1) == 1) out += 0 }
       }
     }
-    dataOrder.foreach { li =>
-      val l = levels(li)
-      val (gx, gy) = tileGrid(l)
-      var ty = 0
-      while (ty < gy) {
-        var tx = 0
-        while (tx < gx) {
-          // zero-padded tile extract (TIFF tiles are always full-size)
-          val tile = new Array[Byte](tileBytes)
-          val x0 = tx * tileSize; val y0 = ty * tileSize
-          var y = 0
-          while (y < tileSize && y0 + y < l.h) {
-            val n = math.min(tileSize, l.w - x0)
-            if (n > 0) System.arraycopy(l.px, (y0 + y) * l.w + x0, tile, y * tileSize, n)
-            y += 1
-          }
-          out ++= tile
-          tx += 1
-        }
-        ty += 1
-      }
-    }
+    dataOrder.foreach(li => storedTiles(li).foreach(out ++= _))
     out.toArray
   }
 
@@ -232,22 +245,44 @@ object Cog {
     * its pixel placement — the plan row a windowed read selects. */
   final case class TileRef(level: Int, tx: Int, ty: Int, offset: Long, size: Int)
 
+  /** One pyramid level's read plan: dims, tile grid, compression and
+    * per-tile byte ranges. */
+  final case class LevelPlan(w: Int, h: Int, tileW: Int, tileH: Int, compression: Int, tiles: Seq[TileRef])
+
   /** Per-level tile plan from the IFD chain ALONE (the COG
     * head-of-file contract: IFDs precede pixel data, so planning
     * needs only a small head range, never the tiles). */
-  def tilePlan(head: Array[Byte]): Seq[(Int, Int, Int, Int, Seq[TileRef])] = {
+  def tilePlan(head: Array[Byte]): Seq[LevelPlan] = {
     parseIfds(head).zipWithIndex.map { case (ifd, li) =>
       val w = ifd(256).head.toInt
       val h = ifd(257).head.toInt
       val tw = ifd(322).head.toInt
       val th = ifd(323).head.toInt
+      val comp = ifd.get(259).map(_.head.toInt).getOrElse(1)
       val gx = (w + tw - 1) / tw
       val offs = ifd(324)
       val sizes = ifd(325)
       val refs = offs.indices.map(i => TileRef(li, i % gx, i / gx, offs(i), sizes(i).toInt))
-      (w, h, tw, th, refs)
+      LevelPlan(w, h, tw, th, comp, refs)
     }
   }
+
+  /** Un-store one tile's bytes (identity or per-tile zlib DEFLATE). */
+  private def unstore(b: Array[Byte], off: Int, len: Int, compression: Int, outLen: Int): Array[Byte] =
+    if (compression == 1) java.util.Arrays.copyOfRange(b, off, off + len)
+    else {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b, off, len)
+      val out = new Array[Byte](outLen)
+      var at = 0
+      while (!inf.finished() && at < outLen) {
+        val n = inf.inflate(out, at, outLen - at)
+        if (n == 0 && inf.needsInput()) return out // truncated stream: stop, don't spin
+        at += n
+      }
+      inf.end()
+      out
+    }
 
   /** ◆ Windowed pixel read — the `raster_region.cpp` READ semantic on
     * the COG this library writes: the driver plans from the IFD head
@@ -266,7 +301,7 @@ object Cog {
     val head = graft.sources.Laz.readRange(path, 0L, 1 << 16)
     val plan = tilePlan(head)
     require(level >= 0 && level < plan.size, s"cog: no pyramid level $level (have ${plan.size})")
-    val (w, h, tw, th, refs) = plan(level)
+    val LevelPlan(w, h, tw, th, comp, refs) = plan(level)
     val (x0, y0, x1, y1) = window.getOrElse((0, 0, w, h))
     val hit = refs.filter(t => t.tx * tw < x1 && (t.tx + 1) * tw > x0 && t.ty * th < y1 && (t.ty + 1) * th > y0)
     val schema = StructType(Seq(
@@ -277,7 +312,8 @@ object Cog {
     val rdd = spark.sparkContext
       .parallelize(hit, math.max(1, math.min(hit.size, 64)))
       .flatMap { t =>
-        val bytes = graft.sources.Laz.readRange(path, t.offset, t.size)
+        val stored = graft.sources.Laz.readRange(path, t.offset, t.size)
+        val bytes = unstore(stored, 0, stored.length, comp, tw * th)
         for {
           py <- 0 until th
           y = t.ty * th + py
@@ -294,13 +330,14 @@ object Cog {
   def decodeLevel(bytes: Array[Byte], level: Int): (Int, Int, Array[Int]) = {
     val plan = tilePlan(bytes)
     require(level >= 0 && level < plan.size, s"cog: no pyramid level $level")
-    val (w, h, tw, th, refs) = plan(level)
+    val LevelPlan(w, h, tw, th, comp, refs) = plan(level)
     val out = new Array[Int](w * h)
     refs.foreach { t =>
+      val tile = unstore(bytes, t.offset.toInt, t.size, comp, tw * th)
       for (py <- 0 until th; px <- 0 until tw) {
         val x = t.tx * tw + px
         val y = t.ty * th + py
-        if (x < w && y < h) out(y * w + x) = bytes(t.offset.toInt + py * tw + px) & 0xFF
+        if (x < w && y < h) out(y * w + x) = tile(py * tw + px) & 0xFF
       }
     }
     (w, h, out)

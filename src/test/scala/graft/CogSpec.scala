@@ -90,9 +90,39 @@ class CogSpec extends SparkSuite {
       }
       // a small window hits ONE tile of the 2x1 grid
       val plan = Cog.tilePlan(cog)
-      assert(plan.head._5.size == 2, "300x180 @256 is a 2x1 tile grid")
+      assert(plan.head.tiles.size == 2, "300x180 @256 is a 2x1 tile grid")
       val one = Cog.pixelsTable(spark, f.getPath, 0, Some((0, 0, 10, 10))).collect()
       assert(one.length == 100 && one.forall(r => r.getInt(2) == (px(r.getInt(1) * w + r.getInt(0)) & 0xFF)))
+    } finally { f.delete(); dir.delete() }
+  }
+
+  test("DEFLATE tiles (compression 8): smaller artifact, exact decode, and the JDK TIFF reader agrees") {
+    val w = 300; val h = 180
+    // compressible content: smooth ramp
+    val px = Array.tabulate(w * h)(i => (((i % w) / 4 + (i / w) / 4) % 256).toByte)
+    val plain = Cog.encode(w, h, px, 256)
+    val packed = Cog.encode(w, h, px, 256, compression = 8)
+    assert(packed.length * 3 < plain.length, s"deflate ${packed.length} vs plain ${plain.length}")
+    assert(Cog.tilePlan(packed).forall(_.compression == 8))
+    val (w0, h0, l0) = Cog.decodeLevel(packed, 0)
+    assert(w0 == w && h0 == h && l0.toSeq == px.map(_ & 0xFF).toSeq)
+    val (w1, h1, l1) = Cog.decodeLevel(packed, 1)
+    assert(w1 == 150 && h1 == 90)
+    for (y <- 0 until h1; x <- 0 until w1)
+      assert(l1(y * w1 + x) == (px(math.min(2 * y, h - 1) * w + math.min(2 * x, w - 1)) & 0xFF))
+    // independent implementation: the JDK TIFF reader inflates it too
+    val imgs = readTiff(packed)
+    assert(imgs.head.getWidth == w && imgs.head.getHeight == h)
+    for (y <- 0 until h by 7; x <- 0 until w by 7)
+      assert(imgs.head.getRaster.getSample(x, y, 0) == (px(y * w + x) & 0xFF), s"jdk pixel ($x,$y)")
+    // windowed Spark read path inflates per hit tile
+    val dir = java.nio.file.Files.createTempDirectory("cogdef").toFile
+    val f = new java.io.File(dir, "d.tif")
+    java.nio.file.Files.write(f.toPath, packed)
+    try {
+      val rows = Cog.pixelsTable(spark, f.getPath, 0, Some((40, 20, 80, 50))).collect()
+      assert(rows.length == 40 * 30)
+      rows.foreach(r => assert(r.getInt(2) == (px(r.getInt(1) * w + r.getInt(0)) & 0xFF)))
     } finally { f.delete(); dir.delete() }
   }
 
