@@ -595,7 +595,11 @@ object Laz {
   /** Estate scan: every .laz under `dir` planned (header + chunk
     * table reads only) and decoded as ONE DataFrame, chunk-parallel
     * across all files — the multi-flight shape: a task owns one
-    * chunk of one file, never a whole file. Adds a `path` column. */
+    * chunk of one file, never a whole file. Adds a `path` column.
+    * MIXED estates dispatch per file: LAS 1.2 formats 0-3 through
+    * this reader, LAS 1.4 formats 6-8 through [[Laz14]] (the point
+    * column names coincide, so any `cols` ⊆ [[PointColumns]] unions
+    * cleanly across both families). */
   def pointsTableDir(spark: SparkSession, dir: String, cols: Seq[String] = PointColumns): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val files = {
@@ -605,7 +609,14 @@ object Laz {
     }
     require(files.nonEmpty, s"pointsTableDir: no .laz files under $dir")
     files
-      .map(f => pointsTable(spark, f, cols).withColumn("path", lit(f)))
+      .map { f =>
+        val head = readRange(f, 0L, 110)
+        val is14 = head.length > 104 && (head(25) & 0xFF) == 4 && (head(104) & 0x7F) >= 6
+        val df =
+          if (is14) Laz14.pointsTable(spark, f, cols)
+          else pointsTable(spark, f, cols)
+        df.withColumn("path", lit(f))
+      }
       .reduce(_ unionByName _)
   }
 

@@ -234,6 +234,27 @@ class Laz14Spec extends SparkSuite {
     }
   }
 
+  test("mixed estate: Laz.pointsTableDir dispatches LAS 1.2 and LAS 1.4 files per family") {
+    val dir = java.nio.file.Files.createTempDirectory("lazmix").toFile
+    try {
+      val v2 = Seq.tabulate(500)(i => Laz.P(i, 2 * i, 3 * i, i % 100, 0x09, i % 3, 0, 0, 0, i.toDouble))
+      java.nio.file.Files.write(new java.io.File(dir, "a.laz").toPath, Laz.compress(v2, pointFormat = 1, chunkSize = 200))
+      val v3 = mk(700, wild = false, channels = 2, seed = 3)
+      java.nio.file.Files.write(new java.io.File(dir, "b.laz").toPath, Laz14.compress(v3, pointFormat = 6, chunkSize = 300))
+      val df = Laz.pointsTableDir(spark, dir.getPath, Seq("x", "y", "z", "classification", "gps_time"))
+      assert(df.count() == 1200)
+      assert(df.columns.toSeq == Seq("chunk_id", "x", "y", "z", "classification", "gps_time", "path"))
+      assert(df.select("path").distinct().count() == 2)
+      // the sniff chain reports both truthfully as laz with true counts
+      val sniffA = graft.sources.PointCloud.sniff(java.nio.file.Files.readAllBytes(new java.io.File(dir, "a.laz").toPath))
+      val sniffB = graft.sources.PointCloud.sniff(java.nio.file.Files.readAllBytes(new java.io.File(dir, "b.laz").toPath))
+      assert(sniffA.exists(m => m.format == "laz" && m.pointCount == 500L))
+      assert(sniffB.exists(m => m.format == "laz" && m.pointCount == 700L))
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
+
   test("v2 and v3 containers coexist: readHeader rejects the other family with a named error") {
     val pts14 = mk(100, wild = false, seed = 1)
     val laz14 = Laz14.compress(pts14, pointFormat = 6)
