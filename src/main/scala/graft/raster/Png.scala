@@ -9,10 +9,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * bytes are deterministic across JVMs: fixed Deflater level, no
   * ancillary chunks, filter type 0 on every scanline.
   *
-  * Supports 8-bit greyscale (tiler band output) and 8-bit RGB
-  * (colormapped output). Decode supports what encode emits — enough
-  * for roundtrip verification and real multimodal decode of
-  * self-produced tiles.
+  * Encode supports 8-bit greyscale (tiler band output) and 8-bit RGB
+  * (colormapped output). Decode covers the full 8-bit baseline —
+  * colour types 0/2/3/4/6, all five row filters including Paeth —
+  * so EXTERNAL PNGs (ImageIO output, real corpora) decode too;
+  * PngSpec proves exact agreement against ImageIO both directions
+  * (PNG is lossless, so equality is bitwise).
   */
 object Png {
 
@@ -79,13 +81,18 @@ object Png {
   def isPng(b: Array[Byte]): Boolean =
     b != null && b.length > 8 && (0 until 8).forall(i => b(i) == Signature(i))
 
-  /** Decode the subset encode produces (8-bit grey/RGB, filter 0 or
-    * the common per-row filters 1/2, no interlace, no palette). */
+  /** Decode the full 8-bit baseline: colour types 0 (grey), 2 (RGB),
+    * 3 (palette, expanded to RGB), 4/6 (alpha stripped), all five
+    * per-row filters including Paeth. 16-bit and Adam7 interlace
+    * return None (flag, don't abort). */
   def decode(bytes: Array[Byte]): Option[Image] = {
     if (!isPng(bytes)) return None
     try {
       var i = 8
-      var width = 0; var height = 0; var channels = 0
+      var width = 0; var height = 0
+      var rawCh = 0 // channels in the filtered stream (incl. alpha / palette index)
+      var outCh = 0
+      var palette: Array[Byte] = null
       val idat = new ByteArrayOutputStream()
       def be32(at: Int): Int =
         ((bytes(at) & 0xff) << 24) | ((bytes(at + 1) & 0xff) << 16) | ((bytes(at + 2) & 0xff) << 8) | (bytes(at + 3) & 0xff)
@@ -101,22 +108,33 @@ object Png {
             val colour = bytes(data + 9) & 0xff
             val interlace = bytes(data + 12) & 0xff
             if (bitDepth != 8 || interlace != 0) return None
-            channels = colour match { case 0 => 1; case 2 => 3; case _ => return None }
+            colour match {
+              case 0 => rawCh = 1; outCh = 1
+              case 2 => rawCh = 3; outCh = 3
+              case 3 => rawCh = 1; outCh = 3 // palette indices
+              case 4 => rawCh = 2; outCh = 1 // grey + alpha (alpha stripped)
+              case 6 => rawCh = 4; outCh = 3 // RGBA (alpha stripped)
+              case _ => return None
+            }
+            if (colour != 3) palette = null
+          case "PLTE" => palette = java.util.Arrays.copyOfRange(bytes, data, data + len)
           case "IDAT" => idat.write(bytes, data, len)
           case "IEND" => done = true
           case _ => () // ancillary chunks skipped
         }
         i = data + len + 4
       }
-      if (width <= 0 || height <= 0 || channels == 0) return None
+      if (width <= 0 || height <= 0 || rawCh == 0) return None
+      if (outCh == 3 && rawCh == 1 && palette == null) return None // type 3 needs PLTE
       val inf = new Inflater()
       inf.setInput(idat.toByteArray)
-      val stride = width * channels
+      val stride = width * rawCh
       val raw = new Array[Byte](height * (stride + 1))
       var off = 0
       while (!inf.finished() && off < raw.length) off += inf.inflate(raw, off, raw.length - off)
       inf.end()
       if (off < raw.length) return None
+      // defilter in place over the raw channel stream
       val px = new Array[Byte](height * stride)
       var y = 0
       while (y < height) {
@@ -125,21 +143,45 @@ object Png {
         var x = 0
         while (x < stride) {
           val cur = raw(row + x) & 0xff
-          val left = if (x >= channels) px(y * stride + x - channels) & 0xff else 0
+          val left = if (x >= rawCh) px(y * stride + x - rawCh) & 0xff else 0
           val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= rawCh) px((y - 1) * stride + x - rawCh) & 0xff else 0
           val v = f match {
             case 0 => cur
             case 1 => (cur + left) & 0xff // Sub
             case 2 => (cur + up) & 0xff // Up
             case 3 => (cur + (left + up) / 2) & 0xff // Average
-            case _ => return None // Paeth not emitted by encode
+            case 4 => // Paeth
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              (cur + pred) & 0xff
+            case _ => return None
           }
           px(y * stride + x) = v.toByte
           x += 1
         }
         y += 1
       }
-      Some(Image(width, height, channels, px))
+      // project the raw stream to the output channels
+      val out =
+        if (rawCh == outCh) px
+        else {
+          val o = new Array[Byte](width * height * outCh)
+          var p = 0
+          while (p < width * height) {
+            if (palette != null) { // palette index → RGB
+              val idx = (px(p) & 0xff) * 3
+              o(3 * p) = palette(idx); o(3 * p + 1) = palette(idx + 1); o(3 * p + 2) = palette(idx + 2)
+            } else {
+              var c = 0
+              while (c < outCh) { o(p * outCh + c) = px(p * rawCh + c); c += 1 }
+            }
+            p += 1
+          }
+          o
+        }
+      Some(Image(width, height, outCh, out))
     } catch { case _: Exception => None }
   }
 }

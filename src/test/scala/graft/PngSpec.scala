@@ -1,0 +1,102 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.raster.Png
+
+/** PNG decode conformance against ImageIO (real independent fixtures,
+  * the JpegSpec/WavSpec pattern). PNG is lossless, so every
+  * comparison is EXACT equality: ImageIO-written files (which use
+  * Sub/Up/Average/Paeth row filters) decode to the same samples, RGBA
+  * and grey+alpha strip their alpha, palette images expand through
+  * PLTE, and our own encoder's output reads back through ImageIO.
+  */
+class PngSpec extends SparkSuite {
+
+  private def texture(w: Int, h: Int, ch: Int, seed: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(w * h * ch) { i =>
+      // ramps + noise: makes ImageIO pick varied row filters
+      ((i / ch % w) / 2 + rnd.nextInt(32)).toByte
+    }
+  }
+
+  private def imageIoBytes(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIO-written RGB and gray PNGs (filtered rows incl. Paeth) decode sample-exact") {
+    val (w, h) = (120, 90)
+    val rgb = texture(w, h, 3, 3)
+    val cImg = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      cImg.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) | (rgb(o + 2) & 0xFF))
+    }
+    val c = Png.decode(imageIoBytes(cImg)).getOrElse(fail("rgb decode failed"))
+    assert(c.width == w && c.height == h && c.channels == 3)
+    assert(c.pixels.toSeq == rgb.toSeq)
+
+    val gray = texture(w, h, 1, 5)
+    val gImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) gImg.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xFF)
+    val g = Png.decode(imageIoBytes(gImg)).getOrElse(fail("gray decode failed"))
+    assert(g.channels == 1 && g.pixels.toSeq == gray.toSeq)
+  }
+
+  test("RGBA strips alpha; palette (indexed) expands through PLTE") {
+    val (w, h) = (64, 48)
+    val rgb = texture(w, h, 3, 7)
+    val aImg = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val alpha = 0xFF // opaque: RGB must survive exactly
+      aImg.setRGB(x, y, (alpha << 24) | ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) | (rgb(o + 2) & 0xFF))
+    }
+    val a = Png.decode(imageIoBytes(aImg)).getOrElse(fail("rgba decode failed"))
+    assert(a.channels == 3 && a.pixels.toSeq == rgb.toSeq)
+
+    // palette: indexed BufferedImage with a small colormap
+    val cmSize = 16
+    val reds = Array.tabulate(cmSize)(i => (i * 16).toByte)
+    val greens = Array.tabulate(cmSize)(i => (255 - i * 16).toByte)
+    val blues = Array.tabulate(cmSize)(i => (i * 7).toByte)
+    val icm = new java.awt.image.IndexColorModel(8, cmSize, reds, greens, blues)
+    val pImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) pImg.getRaster.setSample(x, y, 0, (x + y) % cmSize)
+    val p = Png.decode(imageIoBytes(pImg)).getOrElse(fail("palette decode failed"))
+    assert(p.channels == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = (x + y) % cmSize
+      val o = (y * w + x) * 3
+      assert(p.pixels(o) == reds(idx) && p.pixels(o + 1) == greens(idx) && p.pixels(o + 2) == blues(idx), s"($x,$y)")
+    }
+  }
+
+  test("our encoder's output reads back through ImageIO sample-exact") {
+    val (w, h) = (100, 60)
+    val rgb = texture(w, h, 3, 11)
+    val ours = Png.encode(w, h, 3, rgb)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((v >> 16) & 0xFF) == (rgb(o) & 0xFF) && ((v >> 8) & 0xFF) == (rgb(o + 1) & 0xFF)
+        && (v & 0xFF) == (rgb(o + 2) & 0xFF), s"($x,$y)")
+    }
+  }
+
+  test("16-bit and interlaced payloads are refused with None") {
+    // hand-flip the bit depth byte of a valid file → refused
+    val ok = Png.encodeGray(8, 8, new Array[Byte](64))
+    val deep = ok.clone()
+    deep(24) = 16 // IHDR bit depth
+    assert(Png.decode(deep).isEmpty)
+    val laced = ok.clone()
+    laced(28) = 1 // IHDR interlace
+    assert(Png.decode(laced).isEmpty)
+  }
+}
