@@ -37,10 +37,14 @@ object Chunking {
 
   /** ◆ q_chunk — overlapping token windows, one row per chunk with
     * its token count and content digest. */
-  def chunkQuery(s: SparkSession, dir: String): DataFrame = {
+  def chunkQuery(s: SparkSession, dir: String): DataFrame =
+    tokenChunks(graft.Tables.documents(s, dir))
+
+  /** Token-window chunk table over (doc_id, text). */
+  def tokenChunks(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    graft.Tables
-      .documents(s, dir)
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n", size($"toks"))
       .filter($"n" > 0)
