@@ -245,44 +245,159 @@ object Cog {
     * its pixel placement — the plan row a windowed read selects. */
   final case class TileRef(level: Int, tx: Int, ty: Int, offset: Long, size: Int)
 
-  /** One pyramid level's read plan: dims, tile grid, compression and
-    * per-tile byte ranges. */
-  final case class LevelPlan(w: Int, h: Int, tileW: Int, tileH: Int, compression: Int, tiles: Seq[TileRef])
+  /** One pyramid level's read plan: dims, tile/strip grid,
+    * compression, predictor and per-block byte ranges. Strip-organized
+    * TIFFs (the common non-COG layout) surface as full-width tiles of
+    * RowsPerStrip height, so every consumer reads both layouts. */
+  final case class LevelPlan(
+      w: Int,
+      h: Int,
+      tileW: Int,
+      tileH: Int,
+      compression: Int,
+      predictor: Int,
+      tiles: Seq[TileRef]
+  )
 
   /** Per-level tile plan from the IFD chain ALONE (the COG
     * head-of-file contract: IFDs precede pixel data, so planning
-    * needs only a small head range, never the tiles). */
+    * needs only a small head range, never the tiles). Reads tiled
+    * AND stripped layouts; single-sample 8-bit only (the raster
+    * model this library computes on). */
   def tilePlan(head: Array[Byte]): Seq[LevelPlan] = {
     parseIfds(head).zipWithIndex.map { case (ifd, li) =>
       val w = ifd(256).head.toInt
       val h = ifd(257).head.toInt
-      val tw = ifd(322).head.toInt
-      val th = ifd(323).head.toInt
-      val comp = ifd.get(259).map(_.head.toInt).getOrElse(1)
-      val gx = (w + tw - 1) / tw
-      val offs = ifd(324)
-      val sizes = ifd(325)
-      val refs = offs.indices.map(i => TileRef(li, i % gx, i / gx, offs(i), sizes(i).toInt))
-      LevelPlan(w, h, tw, th, comp, refs)
+      require(ifd.get(277).forall(_.head == 1L), "tiff: multi-sample rasters unsupported (single-band 8-bit model)")
+      require(ifd.get(258).forall(_.head == 8L), "tiff: only 8-bit samples supported")
+      val comp = ifd.get(259).map(_.head.toInt).getOrElse(1) match {
+        case 32946 => 8 // legacy "Deflate" code: same zlib stream as 8
+        case c => c
+      }
+      require(comp == 1 || comp == 5 || comp == 8, s"tiff: unsupported compression $comp")
+      val pred = ifd.get(317).map(_.head.toInt).getOrElse(1)
+      if (ifd.contains(322)) {
+        val tw = ifd(322).head.toInt
+        val th = ifd(323).head.toInt
+        val gx = (w + tw - 1) / tw
+        val offs = ifd(324)
+        val sizes = ifd(325)
+        val refs = offs.indices.map(i => TileRef(li, i % gx, i / gx, offs(i), sizes(i).toInt))
+        LevelPlan(w, h, tw, th, comp, pred, refs)
+      } else {
+        // strip layout: full-width "tiles" of RowsPerStrip height
+        val rps = math.min(h.toLong, ifd.get(278).map(_.head).getOrElse(h.toLong)).toInt
+        val offs = ifd(273)
+        val sizes = ifd(279)
+        val refs = offs.indices.map(i => TileRef(li, 0, i, offs(i), sizes(i).toInt))
+        LevelPlan(w, h, w, rps, comp, pred, refs)
+      }
     }
   }
 
-  /** Un-store one tile's bytes (identity or per-tile zlib DEFLATE). */
-  private def unstore(b: Array[Byte], off: Int, len: Int, compression: Int, outLen: Int): Array[Byte] =
-    if (compression == 1) java.util.Arrays.copyOfRange(b, off, off + len)
-    else {
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(b, off, len)
-      val out = new Array[Byte](outLen)
-      var at = 0
-      while (!inf.finished() && at < outLen) {
-        val n = inf.inflate(out, at, outLen - at)
-        if (n == 0 && inf.needsInput()) return out // truncated stream: stop, don't spin
-        at += n
+  /** TIFF-variant LZW decode (MSB-first codes, 9→12 bits with EARLY
+    * code-width change, ClearCode 256 / EOI 257) — T.4/TIFF6 §13. */
+  private def lzwDecode(b: Array[Byte], off: Int, len: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var outAt = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val first = new Array[Byte](4096)
+    val seqLen = new Array[Int](4096)
+    var i = 0
+    while (i < 256) { prefix(i) = -1; suffix(i) = i.toByte; first(i) = i.toByte; seqLen(i) = 1; i += 1 }
+    var nextCode = 258
+    var width = 9
+    var bitPos = 0L
+    val totalBits = len.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) return 257
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val at = off + ((bitPos + k) >> 3).toInt
+        v = (v << 1) | ((b(at) >> (7 - ((bitPos + k) & 7).toInt)) & 1)
+        k += 1
       }
-      inf.end()
-      out
+      bitPos += width
+      v
     }
+    def emit(code: Int): Unit = {
+      val l = seqLen(code)
+      var c = code
+      var at = outAt + l - 1
+      while (c >= 0) { // the chain is exactly l links, rooted at prefix −1
+        if (at >= 0 && at < outLen) out(at) = suffix(c)
+        c = prefix(c)
+        at -= 1
+      }
+      outAt += l
+    }
+    var prev = -1
+    var done = false
+    while (!done && outAt < outLen) {
+      val code = read()
+      if (code == 257) done = true
+      else if (code == 256) { nextCode = 258; width = 9; prev = -1 }
+      else {
+        if (prev >= 0 && nextCode < 4096) {
+          val f = if (code < nextCode) first(code) else first(prev)
+          prefix(nextCode) = prev
+          suffix(nextCode) = f
+          first(nextCode) = first(prev)
+          seqLen(nextCode) = seqLen(prev) + 1
+          nextCode += 1
+        }
+        if (code >= nextCode) done = true // corrupt stream: stop
+        else { emit(code); prev = code }
+        if (nextCode == (1 << width) - 1 && width < 12) width += 1 // TIFF early change
+      }
+    }
+    out
+  }
+
+  /** Un-store one tile/strip: decompress (none / LZW / DEFLATE) then
+    * undo the horizontal-differencing predictor if declared. */
+  private def unstore(
+      b: Array[Byte],
+      off: Int,
+      len: Int,
+      compression: Int,
+      predictor: Int,
+      rowWidth: Int,
+      rows: Int
+  ): Array[Byte] = {
+    val outLen = rowWidth * rows
+    val out = compression match {
+      case 1 => java.util.Arrays.copyOf(java.util.Arrays.copyOfRange(b, off, off + len), outLen)
+      case 5 => lzwDecode(b, off, len, outLen)
+      case _ =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(b, off, len)
+        val o = new Array[Byte](outLen)
+        var at = 0
+        var stuck = false
+        while (!inf.finished() && at < outLen && !stuck) {
+          val n = inf.inflate(o, at, outLen - at)
+          if (n == 0 && inf.needsInput()) stuck = true // truncated stream: stop, don't spin
+          at += n
+        }
+        inf.end()
+        o
+    }
+    if (predictor == 2) {
+      var r = 0
+      while (r < rows) {
+        var x = 1
+        while (x < rowWidth) {
+          out(r * rowWidth + x) = (out(r * rowWidth + x) + out(r * rowWidth + x - 1)).toByte
+          x += 1
+        }
+        r += 1
+      }
+    }
+    out
+  }
 
   /** ◆ Windowed pixel read — the `raster_region.cpp` READ semantic on
     * the COG this library writes: the driver plans from the IFD head
@@ -301,7 +416,7 @@ object Cog {
     val head = graft.sources.Laz.readRange(path, 0L, 1 << 16)
     val plan = tilePlan(head)
     require(level >= 0 && level < plan.size, s"cog: no pyramid level $level (have ${plan.size})")
-    val LevelPlan(w, h, tw, th, comp, refs) = plan(level)
+    val LevelPlan(w, h, tw, th, comp, pred, refs) = plan(level)
     val (x0, y0, x1, y1) = window.getOrElse((0, 0, w, h))
     val hit = refs.filter(t => t.tx * tw < x1 && (t.tx + 1) * tw > x0 && t.ty * th < y1 && (t.ty + 1) * th > y0)
     val schema = StructType(Seq(
@@ -312,10 +427,11 @@ object Cog {
     val rdd = spark.sparkContext
       .parallelize(hit, math.max(1, math.min(hit.size, 64)))
       .flatMap { t =>
+        val rows = math.min(th, h - t.ty * th) // strips: the last one is short
         val stored = graft.sources.Laz.readRange(path, t.offset, t.size)
-        val bytes = unstore(stored, 0, stored.length, comp, tw * th)
+        val bytes = unstore(stored, 0, stored.length, comp, pred, tw, rows)
         for {
-          py <- 0 until th
+          py <- 0 until rows
           y = t.ty * th + py
           if y >= y0 && y < math.min(y1, h)
           px <- 0 until tw
@@ -330,11 +446,12 @@ object Cog {
   def decodeLevel(bytes: Array[Byte], level: Int): (Int, Int, Array[Int]) = {
     val plan = tilePlan(bytes)
     require(level >= 0 && level < plan.size, s"cog: no pyramid level $level")
-    val LevelPlan(w, h, tw, th, comp, refs) = plan(level)
+    val LevelPlan(w, h, tw, th, comp, pred, refs) = plan(level)
     val out = new Array[Int](w * h)
     refs.foreach { t =>
-      val tile = unstore(bytes, t.offset.toInt, t.size, comp, tw * th)
-      for (py <- 0 until th; px <- 0 until tw) {
+      val rows = math.min(th, h - t.ty * th)
+      val tile = unstore(bytes, t.offset.toInt, t.size, comp, pred, tw, rows)
+      for (py <- 0 until rows; px <- 0 until tw) {
         val x = t.tx * tw + px
         val y = t.ty * th + py
         if (x < w && y < h) out(y * w + x) = tile(py * tw + px) & 0xFF
@@ -343,10 +460,17 @@ object Cog {
     (w, h, out)
   }
 
-  /** Minimal IFD walk for the spec: (tag → value(s)) per IFD. */
+  /** Minimal IFD walk: (tag → value(s)) per IFD. Both byte orders —
+    * this writer emits II, the JDK's TIFF plugin (and many external
+    * files) MM. */
   def parseIfds(bytes: Array[Byte]): Seq[Map[Int, Seq[Long]]] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(bb.getShort(0) == 0x4949.toShort && bb.getShort(2) == 42, "not a little-endian classic TIFF")
+    require(bytes.length >= 8, "not a TIFF")
+    val order =
+      if (bytes(0) == 'I' && bytes(1) == 'I') java.nio.ByteOrder.LITTLE_ENDIAN
+      else if (bytes(0) == 'M' && bytes(1) == 'M') java.nio.ByteOrder.BIG_ENDIAN
+      else throw new IllegalArgumentException("not a TIFF (no II/MM byte-order mark)")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+    require(bb.getShort(2) == 42, "not a classic TIFF (bad magic; BigTIFF unsupported)")
     val ifds = new ArrayBuffer[Map[Int, Seq[Long]]]()
     var pos = bb.getInt(4).toLong & 0xffffffffL
     while (pos != 0) {

@@ -126,6 +126,91 @@ class CogSpec extends SparkSuite {
     } finally { f.delete(); dir.delete() }
   }
 
+  test("EXTERNAL TIFFs read: JDK-written strip layouts, LZW and Deflate, hand-built predictor-2") {
+    val (w, h) = (200, 300)
+    val px = Array.tabulate(w * h)(i => (((i % w) / 3 + (i / w) / 5) % 251).toByte)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xFF)
+    def jdkTiff(compression: Option[String]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      compression.foreach { c =>
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush(); writer.dispose()
+      bos.toByteArray
+    }
+    for (c <- Seq(None, Some("LZW"), Some("Deflate"))) {
+      val tiff = jdkTiff(c)
+      val plan = Cog.tilePlan(tiff)
+      assert(plan.head.tiles.size > 1, s"$c: want a multi-strip fixture (got ${plan.head.tiles.size})")
+      assert(plan.head.tileW == w, s"$c: strips are full-width tiles")
+      val (w0, h0, l0) = Cog.decodeLevel(tiff, 0)
+      assert(w0 == w && h0 == h, s"$c dims")
+      assert(l0.toSeq == px.map(_ & 0xFF).toSeq, s"$c: decode differs from source")
+    }
+    // predictor 2 (horizontal differencing) + deflate, hand-assembled
+    // strip TIFF — the combination real GeoTIFF writers emit
+    {
+      val rps = 64
+      val strips = (0 until (h + rps - 1) / rps).map { s =>
+        val rows = math.min(rps, h - s * rps)
+        val diff = new Array[Byte](rows * w)
+        for (r <- 0 until rows; x <- 0 until w) {
+          val v = px((s * rps + r) * w + x) & 0xFF
+          val left = if (x == 0) 0 else px((s * rps + r) * w + x - 1) & 0xFF
+          diff(r * w + x) = (v - left).toByte
+        }
+        val d = new java.util.zip.Deflater(); d.setInput(diff); d.finish()
+        val buf = new Array[Byte](diff.length + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def u16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+      def u32(v: Long): Unit = (0 until 4).foreach(k => out += (v >> (8 * k)).toByte)
+      u16(0x4949); u16(42); u32(8L)
+      val nStrips = strips.size
+      val entries = 10
+      val ifdSize = 2 + entries * 12 + 4
+      val extStart = 8 + ifdSize
+      val stripOffsetsAt = extStart
+      val stripCountsAt = extStart + 4 * nStrips
+      val dataStart = stripCountsAt + 4 * nStrips
+      u16(entries)
+      def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+        u16(tag); u16(typ); u32(count.toLong)
+        if (typ == 3) { u16(value.toInt); u16(0) } else u32(value)
+      }
+      entry(256, 4, 1, w.toLong)
+      entry(257, 4, 1, h.toLong)
+      entry(258, 3, 1, 8L)
+      entry(259, 3, 1, 8L) // deflate
+      entry(262, 3, 1, 1L)
+      entry(273, 4, nStrips, stripOffsetsAt.toLong) // strip offsets (ext)
+      entry(277, 3, 1, 1L)
+      entry(278, 4, 1, rps.toLong)
+      entry(279, 4, nStrips, stripCountsAt.toLong) // strip byte counts (ext)
+      entry(317, 3, 1, 2L) // predictor: horizontal differencing
+      u32(0L) // next IFD
+      val offsets = strips.scanLeft(dataStart.toLong)((p, s) => p + s.length).dropRight(1)
+      offsets.foreach(u32)
+      strips.foreach(s => u32(s.length.toLong))
+      strips.foreach(out ++= _)
+      val tiff = out.toArray
+      assert(Cog.tilePlan(tiff).head.predictor == 2)
+      val (w0, h0, l0) = Cog.decodeLevel(tiff, 0)
+      assert(w0 == w && h0 == h && l0.toSeq == px.map(_ & 0xFF).toSeq, "predictor-2 decode differs")
+    }
+  }
+
   test("buildCog bytes decode to EXACTLY the oracle-verified tile planes") {
     import org.apache.spark.sql.functions._
     val cog = graft.geo.GeoQueries.buildCog(spark, sf0001).select(col("cog")).head().getAs[Array[Byte]](0)
