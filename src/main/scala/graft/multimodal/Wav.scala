@@ -35,8 +35,13 @@ object Wav {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   /** Decode a RIFF/WAVE integer-PCM stream. None for anything else
-    * (compressed formats, float PCM, malformed containers). */
-  def decode(bytes: Array[Byte]): Option[Audio] = {
+    * (compressed formats, float PCM, malformed or truncated
+    * containers — flag, don't abort the scan). */
+  def decode(bytes: Array[Byte]): Option[Audio] =
+    try decode0(bytes)
+    catch { case _: Exception => None }
+
+  private def decode0(bytes: Array[Byte]): Option[Audio] = {
     if (bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return None
     if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None

@@ -367,6 +367,10 @@ object Cog {
       rowWidth: Int,
       rows: Int
   ): Array[Byte] = {
+    require(
+      off >= 0 && len >= 0 && off.toLong + len <= b.length,
+      s"tiff: tile byte range [$off, ${off.toLong + len}) outside the ${b.length}-byte buffer (corrupt offsets)"
+    )
     val outLen = rowWidth * rows
     val out = compression match {
       case 1 => java.util.Arrays.copyOf(java.util.Arrays.copyOfRange(b, off, off + len), outLen)
@@ -377,12 +381,16 @@ object Cog {
         val o = new Array[Byte](outLen)
         var at = 0
         var stuck = false
-        while (!inf.finished() && at < outLen && !stuck) {
-          val n = inf.inflate(o, at, outLen - at)
-          if (n == 0 && inf.needsInput()) stuck = true // truncated stream: stop, don't spin
-          at += n
-        }
-        inf.end()
+        try {
+          while (!inf.finished() && at < outLen && !stuck) {
+            val n = inf.inflate(o, at, outLen - at)
+            if (n == 0 && inf.needsInput()) stuck = true // truncated stream: stop, don't spin
+            at += n
+          }
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(s"tiff: corrupt DEFLATE tile (${e.getMessage})")
+        } finally inf.end()
         o
     }
     if (predictor == 2) {
@@ -471,6 +479,14 @@ object Cog {
       else throw new IllegalArgumentException("not a TIFF (no II/MM byte-order mark)")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
     require(bb.getShort(2) == 42, "not a classic TIFF (bad magic; BigTIFF unsupported)")
+    try parseIfds0(bb)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(s"tiff: truncated or corrupt IFD chain (${e.getMessage})")
+    }
+  }
+
+  private def parseIfds0(bb: java.nio.ByteBuffer): Seq[Map[Int, Seq[Long]]] = {
     val ifds = new ArrayBuffer[Map[Int, Seq[Long]]]()
     var pos = bb.getInt(4).toLong & 0xffffffffL
     while (pos != 0) {

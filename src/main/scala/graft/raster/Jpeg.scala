@@ -236,9 +236,12 @@ object Jpeg {
 
   /** Decode a baseline/extended-sequential JPEG. Returns channels 1
     * (gray) or 3 (RGB). None for anything this codec does not cover
-    * (progressive, arithmetic, 12-bit, 4-component). */
+    * (progressive, arithmetic, 12-bit, 4-component) AND for
+    * truncated/corrupt streams — an estate scan flags bad files and
+    * scans on, it never crashes or hangs on one. */
   def decode(bytes: Array[Byte]): Option[Png.Image] =
-    parse(bytes).flatMap(p => decodeScan(bytes, p))
+    try parse(bytes).flatMap(p => decodeScan(bytes, p))
+    catch { case _: Exception => None }
 
   private[raster] def parse(bytes: Array[Byte]): Option[Parsed] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
@@ -340,7 +343,8 @@ object Jpeg {
     * boundaries are RSTn marker pairs — unambiguous in entropy data
     * (a data 0xFF is always stuffed as FF00). */
   def segmentTable(bytes: Array[Byte]): Seq[(Int, Int)] =
-    parse(bytes) match {
+    (try parse(bytes)
+    catch { case _: Exception => None }) match {
       case Some(p) if p.restartInterval > 0 =>
         val segs = ArrayBuffer((p.scanStart, 0))
         var i = p.scanStart
@@ -364,7 +368,11 @@ object Jpeg {
     * giant aerial JPEG across tasks; here the segments run in one
     * JVM but share no state (JpegSpec proves independence by
     * corrupting one segment and watching only its MCUs change). */
-  def decodeSegmentwise(bytes: Array[Byte]): Option[Png.Image] = {
+  def decodeSegmentwise(bytes: Array[Byte]): Option[Png.Image] =
+    try decodeSegmentwise0(bytes)
+    catch { case _: Exception => None }
+
+  private def decodeSegmentwise0(bytes: Array[Byte]): Option[Png.Image] = {
     val p = parse(bytes).getOrElse(return None)
     if (p.restartInterval == 0) return decodeScan(bytes, p)
     import p._

@@ -129,9 +129,17 @@ object Png {
       val inf = new Inflater()
       inf.setInput(idat.toByteArray)
       val stride = width * rawCh
+      if (height.toLong * (stride + 1) > Int.MaxValue - 8) return None // implausible dims: refuse, don't allocate
       val raw = new Array[Byte](height * (stride + 1))
       var off = 0
-      while (!inf.finished() && off < raw.length) off += inf.inflate(raw, off, raw.length - off)
+      var stuck = false
+      while (!inf.finished() && off < raw.length && !stuck) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        // truncated/garbled stream: inflate yields nothing and wants
+        // more input that doesn't exist — flag, don't spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        off += n
+      }
       inf.end()
       if (off < raw.length) return None
       // defilter in place over the raw channel stream

@@ -216,20 +216,29 @@ object Laz14 {
     val recLen = RecordLen(fmt) + extraBytes
     val outPts = new Array[P14](pointCount)
     if (pointCount == 0) return outPts
+    require(
+      start >= 0 && start.toLong + recLen <= b.length,
+      s"laz14: chunk seed record out of range at $start (corrupt chunk table)"
+    )
     val seed = new Point14
     readRaw(b, start, seed, fmt, extraBytes)
     outPts(0) = fromBuf(seed)
     if (pointCount == 1) return outPts
     val nl = numLayers(fmt, extraBytes)
     val sizesAt = start + recLen
+    require(sizesAt.toLong + 4 * nl <= end, s"laz14: truncated layer-size table (corrupt chunk)")
     val layerStart = new Array[Int](nl)
     val layerEnd = new Array[Int](nl)
     var at = sizesAt + 4 * nl
     var i = 0
     while (i < nl) {
       val len = leU32(b, sizesAt + 4 * i).toInt
+      require(
+        len >= 0 && at.toLong + len <= end,
+        s"laz14: layer $i size $len exceeds the chunk byte range (corrupt layer table)"
+      )
       layerStart(i) = at
-      layerEnd(i) = math.min(end, at + len)
+      layerEnd(i) = at + len
       at += len
       i += 1
     }
