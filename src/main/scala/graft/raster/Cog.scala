@@ -478,15 +478,33 @@ object Cog {
       else if (bytes(0) == 'M' && bytes(1) == 'M') java.nio.ByteOrder.BIG_ENDIAN
       else throw new IllegalArgumentException("not a TIFF (no II/MM byte-order mark)")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
-    require(bb.getShort(2) == 42, "not a classic TIFF (bad magic; BigTIFF unsupported)")
-    try parseIfds0(bb)
-    catch {
+    val magic = bb.getShort(2).toInt
+    try magic match {
+      case 42 => parseClassic(bb)
+      case 43 => // BigTIFF: u16 offset size (8), u16 pad (0), u64 first IFD
+        require(bb.getShort(4) == 8 && bb.getShort(6) == 0, "bigtiff: unsupported offset layout")
+        parseBig(bb)
+      case m => throw new IllegalArgumentException(s"not a TIFF (bad magic $m)")
+    } catch {
       case e: IndexOutOfBoundsException =>
         throw new IllegalArgumentException(s"tiff: truncated or corrupt IFD chain (${e.getMessage})")
     }
   }
 
-  private def parseIfds0(bb: java.nio.ByteBuffer): Seq[Map[Int, Seq[Long]]] = {
+  private val TLong8 = 16 // BigTIFF 64-bit unsigned
+
+  private def typeWidth(typ: Int): Int =
+    typ match { case TShort => 2; case TLong => 4; case TDouble => 8; case TLong8 => 8; case _ => 1 }
+
+  private def readVal(bb: java.nio.ByteBuffer, typ: Int, at: Int, k: Int): Long = typ match {
+    case TShort => (bb.getShort(at + 2 * k) & 0xffffL)
+    case TLong => bb.getInt(at + 4 * k).toLong & 0xffffffffL
+    case TDouble => bb.getDouble(at + 8 * k).toLong // spec reads integral geo doubles
+    case TLong8 => bb.getLong(at + 8 * k)
+    case _ => 0L
+  }
+
+  private def parseClassic(bb: java.nio.ByteBuffer): Seq[Map[Int, Seq[Long]]] = {
     val ifds = new ArrayBuffer[Map[Int, Seq[Long]]]()
     var pos = bb.getInt(4).toLong & 0xffffffffL
     while (pos != 0) {
@@ -496,20 +514,34 @@ object Cog {
         val tag = bb.getShort(e) & 0xffff
         val typ = bb.getShort(e + 2) & 0xffff
         val count = bb.getInt(e + 4)
-        def read(at: Int, k: Int): Long = typ match {
-          case TShort  => (bb.getShort(at + 2 * k) & 0xffffL)
-          case TLong   => bb.getInt(at + 4 * k).toLong & 0xffffffffL
-          case TDouble => bb.getDouble(at + 8 * k).toLong // spec reads integral geo doubles
-          case _       => 0L
-        }
-        val width = typ match { case TShort => 2; case TLong => 4; case TDouble => 8; case _ => 1 }
         val vals =
-          if (count * width <= 4) (0 until count).map(read(e + 8, _))
-          else { val off = bb.getInt(e + 8); (0 until count).map(read(off, _)) }
+          if (count * typeWidth(typ) <= 4) (0 until count).map(readVal(bb, typ, e + 8, _))
+          else { val off = bb.getInt(e + 8); (0 until count).map(readVal(bb, typ, off, _)) }
         tag -> vals
       }
       ifds += entries.toMap
       pos = bb.getInt(pos.toInt + 2 + 12 * n).toLong & 0xffffffffL
+    }
+    ifds.toSeq
+  }
+
+  private def parseBig(bb: java.nio.ByteBuffer): Seq[Map[Int, Seq[Long]]] = {
+    val ifds = new ArrayBuffer[Map[Int, Seq[Long]]]()
+    var pos = bb.getLong(8)
+    while (pos != 0) {
+      val n = bb.getLong(pos.toInt).toInt // entry count is u64; sane files are small
+      val entries = (0 until n).map { i =>
+        val e = pos.toInt + 8 + 20 * i
+        val tag = bb.getShort(e) & 0xffff
+        val typ = bb.getShort(e + 2) & 0xffff
+        val count = bb.getLong(e + 4).toInt
+        val vals =
+          if (count.toLong * typeWidth(typ) <= 8) (0 until count).map(readVal(bb, typ, e + 12, _))
+          else { val off = bb.getLong(e + 12).toInt; (0 until count).map(readVal(bb, typ, off, _)) }
+        tag -> vals
+      }
+      ifds += entries.toMap
+      pos = bb.getLong(pos.toInt + 8 + 20 * n)
     }
     ifds.toSeq
   }

@@ -211,6 +211,51 @@ class CogSpec extends SparkSuite {
     }
   }
 
+  test("BigTIFF (version 43, 8-byte offsets) strip layout reads sample-exact") {
+    val (w, h) = (96, 70)
+    val rps = 32
+    val px = Array.tabulate(w * h)(i => ((i * 7) % 253).toByte)
+    val strips = (0 until (h + rps - 1) / rps).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      java.util.Arrays.copyOfRange(px, s * rps * w, s * rps * w + rows * w)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    def u64(v: Long): Unit = (0 until 8).foreach(k => out += (v >> (8 * k)).toByte)
+    u16(0x4949); u16(43); u16(8); u16(0); u64(16L) // BigTIFF header
+    val nStrips = strips.size
+    val entries = 9
+    val ifdSize = 8 + entries * 20 + 8
+    val extStart = 16 + ifdSize
+    val offsAt = extStart
+    val countsAt = extStart + 8 * nStrips
+    val dataStart = countsAt + 8 * nStrips
+    u64(entries.toLong)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      u16(tag); u16(typ); u64(count)
+      if (typ == 3) { u16(value.toInt); u16(0); (0 until 4).foreach(_ => out += 0) } else u64(value)
+    }
+    entry(256, 16, 1, w.toLong)
+    entry(257, 16, 1, h.toLong)
+    entry(258, 3, 1, 8L)
+    entry(259, 3, 1, 1L)
+    entry(262, 3, 1, 1L)
+    entry(273, 16, nStrips.toLong, offsAt.toLong)
+    entry(277, 3, 1, 1L)
+    entry(278, 16, 1, rps.toLong)
+    entry(279, 16, nStrips.toLong, countsAt.toLong)
+    u64(0L) // next IFD
+    val offsets = strips.scanLeft(dataStart.toLong)((p, s) => p + s.length).dropRight(1)
+    offsets.foreach(u64)
+    strips.foreach(s => u64(s.length.toLong))
+    strips.foreach(out ++= _)
+    val tiff = out.toArray
+    val plan = Cog.tilePlan(tiff)
+    assert(plan.head.tiles.size == nStrips && plan.head.tileW == w && plan.head.tileH == rps)
+    val (w0, h0, l0) = Cog.decodeLevel(tiff, 0)
+    assert(w0 == w && h0 == h && l0.toSeq == px.map(_ & 0xFF).toSeq, "bigtiff decode differs")
+  }
+
   test("buildCog bytes decode to EXACTLY the oracle-verified tile planes") {
     import org.apache.spark.sql.functions._
     val cog = graft.geo.GeoQueries.buildCog(spark, sf0001).select(col("cog")).head().getAs[Array[Byte]](0)
