@@ -395,7 +395,9 @@ object Jpeg {
   /** Decode MCUs [mcuFrom, mcuTo) with the bit reader starting at
     * `readerPos`, into the shared component planes. `checkRestarts`
     * verifies/consumes in-stream RSTn markers (serial full-scan
-    * mode); segment decodes pass false — their range contains none. */
+    * mode); segment decodes pass false — their range contains none.
+    * `myBase` shifts plane placement down by that many MCU rows, so
+    * a segment can decode into a plane covering only ITS rows. */
   private def decodeMcus(
       bytes: Array[Byte],
       p: Parsed,
@@ -405,7 +407,8 @@ object Jpeg {
       readerPos: Int,
       mcuFrom: Int,
       mcuTo: Int,
-      checkRestarts: Boolean
+      checkRestarts: Boolean,
+      myBase: Int = 0
   ): Boolean = {
     import p._
     val preds = new Array[Int](comps.length)
@@ -429,7 +432,7 @@ object Jpeg {
         rstCycle = (rstCycle + 1) & 7
         java.util.Arrays.fill(preds, 0)
       }
-      val my = mcu / mcusX
+      val my = mcu / mcusX - myBase
       val mx = mcu % mcusX
       var ci = 0
       while (ci < comps.length) {
@@ -555,6 +558,91 @@ object Jpeg {
       }
       Png.Image(w, h, 3, out)
     }
+  }
+
+  /** ◆ Segment-parallel Spark face: the driver parses the header and
+    * scans the RSTn segment table (a plain byte scan, no decode);
+    * each TASK range-reads only its segment's bytes and decodes its
+    * MCU rows into a mini-plane sized to the segment — the shape that
+    * shards one giant aerial JPEG across executors. A stream without
+    * restart markers decodes as a single task. Emits (x, y, v) for
+    * gray, (x, y, r, g, b) for color. */
+  def pixelsTable(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val parsed = parse(all).getOrElse(throw new IllegalArgumentException(s"jpeg: cannot decode $path"))
+    val header = java.util.Arrays.copyOfRange(all, 0, parsed.scanStart)
+    val hMax = parsed.comps.map(_.h).max
+    val vMax = parsed.comps.map(_.v).max
+    val mcusX = (parsed.w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (parsed.h + 8 * vMax - 1) / (8 * vMax)
+    val total = mcusX * mcusY
+    val table = segmentTable(all)
+    val segs = table.zipWithIndex.map { case ((at, mcuFrom), i) =>
+      val end = if (i + 1 < table.size) table(i + 1)._1 else all.length
+      val mcuTo = if (i + 1 < table.size) table(i + 1)._2 else total
+      (at, end, mcuFrom, math.min(mcuTo, total))
+    }
+    val gray = parsed.comps.length == 1
+    val schema = StructType(
+      if (gray)
+        Seq(StructField("x", IntegerType, false), StructField("y", IntegerType, false), StructField("v", IntegerType, false))
+      else
+        Seq(
+          StructField("x", IntegerType, false), StructField("y", IntegerType, false),
+          StructField("r", IntegerType, false), StructField("g", IntegerType, false), StructField("b", IntegerType, false)
+        )
+    )
+    val w = parsed.w
+    val h = parsed.h
+    val rdd = spark.sparkContext
+      .parallelize(segs, math.max(1, math.min(segs.size, 64)))
+      .flatMap { case (at, end, mcuFrom, mcuTo) =>
+        if (mcuFrom >= mcuTo) Iterator.empty
+        else {
+          // per-task: cheap header re-parse (entropy models are task-local)
+          val p = parse(header).get
+          val seg = graft.sources.Laz.readRange(path, at, end - at)
+          val ry0 = mcuFrom / mcusX
+          val mcuRows = (mcuTo - 1) / mcusX - ry0 + 1
+          val planeW = p.comps.map(c => mcusX * c.h * 8)
+          val planes = p.comps.map(c => new Array[Byte](mcusX * c.h * 8 * mcuRows * c.v * 8))
+          decodeMcus(seg, p, planes, planeW, mcusX, 0, mcuFrom, mcuTo, checkRestarts = false, myBase = ry0)
+          (mcuFrom until mcuTo).iterator.flatMap { mcu =>
+            val mx = mcu % mcusX
+            val myAbs = mcu / mcusX
+            val x0 = mx * 8 * hMax
+            val y0 = myAbs * 8 * vMax
+            for {
+              y <- (y0 until math.min(y0 + 8 * vMax, h)).iterator
+              x <- (x0 until math.min(x0 + 8 * hMax, w)).iterator
+            } yield {
+              def sample(i: Int): Int = {
+                val sx = x * p.comps(i).h / hMax
+                val ly = y * p.comps(i).v / vMax - ry0 * 8 * p.comps(i).v
+                planes(i)(ly * planeW(i) + sx) & 0xFF
+              }
+              if (gray) org.apache.spark.sql.Row(x, y, sample(0))
+              else {
+                val yy = sample(0).toDouble
+                val cb = sample(1) - 128.0
+                val cr = sample(2) - 128.0
+                def clamp(d: Double): Int = {
+                  val v = math.round(d).toInt
+                  if (v < 0) 0 else if (v > 255) 255 else v
+                }
+                org.apache.spark.sql.Row(
+                  x, y,
+                  clamp(yy + 1.402 * cr),
+                  clamp(yy - 0.344136 * cb - 0.714136 * cr),
+                  clamp(yy + 1.772 * cb)
+                )
+              }
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   // ---- encoder ---------------------------------------------------------------

@@ -179,6 +179,35 @@ class JpegSpec extends SparkSuite {
     )))
   }
 
+  test("Spark pixelsTable: segment-parallel decode equals the serial decode (color DRI, gray DRI, no-DRI)") {
+    val dir = java.nio.file.Files.createTempDirectory("jpegpt").toFile
+    try {
+      for ((name, ch, dri) <- Seq(("c.jpg", 3, 7), ("g.jpg", 1, 5), ("p.jpg", 3, 0))) {
+        val (w, h) = (112, 80)
+        val src = gradient(w, h, ch, seed = ch * 10 + dri)
+        val jpg = Jpeg.encode(w, h, ch, src, quality = 88, restartInterval = dri)
+        val f = new java.io.File(dir, name)
+        java.nio.file.Files.write(f.toPath, jpg)
+        val serial = Jpeg.decode(jpg).get
+        val rows = Jpeg.pixelsTable(spark, f.getPath).collect()
+        assert(rows.length == w * h, s"$name row count")
+        rows.foreach { r =>
+          val (x, y) = (r.getInt(0), r.getInt(1))
+          val o = (y * w + x) * ch
+          if (ch == 1) assert(r.getInt(2) == (serial.pixels(o) & 0xFF), s"$name ($x,$y)")
+          else
+            assert(
+              r.getInt(2) == (serial.pixels(o) & 0xFF) && r.getInt(3) == (serial.pixels(o + 1) & 0xFF) &&
+                r.getInt(4) == (serial.pixels(o + 2) & 0xFF),
+              s"$name ($x,$y)"
+            )
+        }
+      }
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
+
   test("MJPEG: concatenated frames split and decode; sampling picks the slice-math frame set") {
     val (w, h) = (48, 32)
     val frames = (0 until 7).map { i =>
