@@ -92,6 +92,7 @@ object Png {
       var width = 0; var height = 0
       var rawCh = 0 // channels in the filtered stream (incl. alpha / palette index)
       var outCh = 0
+      var interlace = 0
       var palette: Array[Byte] = null
       val idat = new ByteArrayOutputStream()
       def be32(at: Int): Int =
@@ -106,8 +107,8 @@ object Png {
             width = be32(data); height = be32(data + 4)
             val bitDepth = bytes(data + 8) & 0xff
             val colour = bytes(data + 9) & 0xff
-            val interlace = bytes(data + 12) & 0xff
-            if (bitDepth != 8 || interlace != 0) return None
+            interlace = bytes(data + 12) & 0xff
+            if (bitDepth != 8 || interlace > 1) return None
             colour match {
               case 0 => rawCh = 1; outCh = 1
               case 2 => rawCh = 3; outCh = 3
@@ -126,11 +127,21 @@ object Png {
       }
       if (width <= 0 || height <= 0 || rawCh == 0) return None
       if (outCh == 3 && rawCh == 1 && palette == null) return None // type 3 needs PLTE
+      val stride = width * rawCh
+      // pass layout: one full pass, or the seven Adam7 sub-images
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 0, 1, 1))
+        else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        (pw, ph)
+      }
+      val rawLen = passDims.map { case (pw, ph) => if (pw == 0 || ph == 0) 0L else ph.toLong * (pw * rawCh + 1) }.sum
+      if (rawLen <= 0 || rawLen > Int.MaxValue - 8) return None // implausible dims: refuse, don't allocate
       val inf = new Inflater()
       inf.setInput(idat.toByteArray)
-      val stride = width * rawCh
-      if (height.toLong * (stride + 1) > Int.MaxValue - 8) return None // implausible dims: refuse, don't allocate
-      val raw = new Array[Byte](height * (stride + 1))
+      val raw = new Array[Byte](rawLen.toInt)
       var off = 0
       var stuck = false
       while (!inf.finished() && off < raw.length && !stuck) {
@@ -142,34 +153,28 @@ object Png {
       }
       inf.end()
       if (off < raw.length) return None
-      // defilter in place over the raw channel stream
+      // defilter each pass, then scatter its samples to final positions
       val px = new Array[Byte](height * stride)
-      var y = 0
-      while (y < height) {
-        val f = raw(y * (stride + 1)) & 0xff
-        val row = y * (stride + 1) + 1
-        var x = 0
-        while (x < stride) {
-          val cur = raw(row + x) & 0xff
-          val left = if (x >= rawCh) px(y * stride + x - rawCh) & 0xff else 0
-          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-          val ul = if (y > 0 && x >= rawCh) px((y - 1) * stride + x - rawCh) & 0xff else 0
-          val v = f match {
-            case 0 => cur
-            case 1 => (cur + left) & 0xff // Sub
-            case 2 => (cur + up) & 0xff // Up
-            case 3 => (cur + (left + up) / 2) & 0xff // Average
-            case 4 => // Paeth
-              val p = left + up - ul
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-              (cur + pred) & 0xff
-            case _ => return None
+      var rawOff = 0
+      passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+        if (pw > 0 && ph > 0) {
+          val sub = defilter(raw, rawOff, pw, ph, rawCh)
+          if (sub == null) return None
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              var c = 0
+              while (c < rawCh) {
+                px((y0 + j * dy) * stride + (x0 + i * dx) * rawCh + c) = sub((j * pw + i) * rawCh + c)
+                c += 1
+              }
+              i += 1
+            }
+            j += 1
           }
-          px(y * stride + x) = v.toByte
-          x += 1
+          rawOff += ph * (pw * rawCh + 1)
         }
-        y += 1
       }
       // project the raw stream to the output channels
       val out =
@@ -191,5 +196,41 @@ object Png {
         }
       Some(Image(width, height, outCh, out))
     } catch { case _: Exception => None }
+  }
+
+  /** Defilter one (sub-)image of `pw`×`ph` pixels at `off` in the
+    * inflated stream (1 filter byte + pw·ch samples per row). Null on
+    * an unknown filter type (caller refuses the file). */
+  private def defilter(raw: Array[Byte], off: Int, pw: Int, ph: Int, ch: Int): Array[Byte] = {
+    val stride = pw * ch
+    val out = new Array[Byte](ph * stride)
+    var y = 0
+    while (y < ph) {
+      val f = raw(off + y * (stride + 1)) & 0xff
+      val row = off + y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = raw(row + x) & 0xff
+        val left = if (x >= ch) out(y * stride + x - ch) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= ch) out((y - 1) * stride + x - ch) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => (cur + left) & 0xff // Sub
+          case 2 => (cur + up) & 0xff // Up
+          case 3 => (cur + (left + up) / 2) & 0xff // Average
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            (cur + pred) & 0xff
+          case _ => return null
+        }
+        out(y * stride + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }

