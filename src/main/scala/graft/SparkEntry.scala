@@ -207,6 +207,7 @@ object SparkEntry {
     "q_qsketch" -> ((s: SparkSession, d: String) => graft.operators.QSketch.qsketchQuery(s, d)),
     "q_resample" -> (graft.raster.Resample.resampleQuery _),
     "q_resample_cubic" -> (graft.raster.Resample.resampleCubicQuery _),
+    "q_split_strat" -> (TextOps.stratifiedSplitQuery _),
     "q_chunk" -> (graft.text.Chunking.chunkQuery _),
     "q_cdc" -> (graft.text.Chunking.cdcQuery _),
     "q_laz" -> (graft.sources.Laz.lazQuery _),
@@ -3017,6 +3018,37 @@ object SparkEntry {
         |JOIN g g13 ON g13.x = w.x1 AND g13.y = w.y3
         |JOIN g g23 ON g23.x = w.x2 AND g23.y = w.y3
         |JOIN g g33 ON g33.x = w.x3 AND g33.y = w.y3""".stripMargin,
+    // Stratified split: exact floor targets per lang via the
+    // quantile-cut (hash-prefix buckets + boundary-bucket rank) —
+    // identical integer arithmetic and md5 ordering in both engines.
+    "q_split_strat" ->
+      """WITH d AS (
+        |  SELECT lang, text, md5('strat:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+        |b AS (SELECT lang, text, okey, substr(okey, 1, 2) AS bucket FROM d),
+        |c AS (SELECT lang, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        |cm AS (SELECT lang, bucket, c,
+        |        coalesce(sum(c) OVER (PARTITION BY lang ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM c),
+        |t AS (SELECT lang, sum(c) AS n, (sum(c) * 80) // 100 AS t80, (sum(c) * 90) // 100 AS t90
+        |      FROM c GROUP BY 1),
+        |j AS (SELECT b.lang, b.text, b.okey, b.bucket, cm.cum AS bstart, cm.cum + cm.c AS bend, t.t80, t.t90
+        |      FROM b JOIN cm ON b.lang = cm.lang AND b.bucket = cm.bucket
+        |      JOIN t ON b.lang = t.lang),
+        |clear AS (SELECT lang, text,
+        |           CASE WHEN bend <= t80 THEN 'train' WHEN bstart >= t90 THEN 'test' ELSE 'val' END AS split
+        |          FROM j WHERE bend <= t80 OR bstart >= t90 OR (bstart >= t80 AND bend <= t90)),
+        |strad AS (SELECT lang, text, t80, t90,
+        |           bstart + row_number() OVER (PARTITION BY lang, bucket ORDER BY okey) - 1 AS posn
+        |          FROM j WHERE NOT (bend <= t80 OR bstart >= t90 OR (bstart >= t80 AND bend <= t90))),
+        |u AS (SELECT lang, text, split FROM clear
+        |      UNION ALL
+        |      SELECT lang, text,
+        |        CASE WHEN posn < t80 THEN 'train' WHEN posn < t90 THEN 'val' ELSE 'test' END AS split
+        |      FROM strad)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM u GROUP BY 1, 2""".stripMargin,
     // Sliding token-window chunker: window 32, stride 24, last window
     // clamped; per-chunk md5 digests make every chunk hash-checked.
     "q_chunk" ->

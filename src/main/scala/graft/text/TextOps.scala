@@ -340,6 +340,58 @@ object TextOps {
       )
   }
 
+  /** ◆ Stratified train/val/test split — EXACT floor-target
+    * proportions per language group (q_split's hash split is only
+    * proportional in expectation). The scale shape is the
+    * quantile-cut pattern, NOT a per-group sort: hash-prefix buckets
+    * are counted, the cumulative bucket table (a bounded summary)
+    * locates the 80/90% cut, whole buckets on either side classify
+    * with no ordering at all, and only the ≤2 BOUNDARY buckets per
+    * group are ranked — a window over a filtered sliver, never the
+    * constant-domain-keyed funnel the plan gate forbids. */
+  def stratifiedSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables
+      .documents(s, dir)
+      .select(
+        $"lang",
+        $"text",
+        md5(concat(lit("strat:"), $"doc_id".cast("string")).cast("binary")).as("okey")
+      )
+      .withColumn("bucket", substring($"okey", 1, 2))
+    val counts = docs.groupBy($"lang", $"bucket").agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy($"lang").orderBy($"bucket")
+    val cums = counts
+      .withColumn("cum", coalesce(sum($"c").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = counts
+      .groupBy($"lang")
+      .agg(sum($"c").as("n"))
+      .withColumn("t80", expr("(n * 80) div 100"))
+      .withColumn("t90", expr("(n * 90) div 100"))
+    val tagged = docs
+      .join(cums, Seq("lang", "bucket"))
+      .join(broadcast(totals), "lang")
+      .withColumn("bstart", $"cum")
+      .withColumn("bend", $"cum" + $"c")
+    val isClear = $"bend" <= $"t80" || $"bstart" >= $"t90" || ($"bstart" >= $"t80" && $"bend" <= $"t90")
+    val clear = tagged
+      .filter(isClear)
+      .withColumn("split", when($"bend" <= $"t80", "train").when($"bstart" >= $"t90", "test").otherwise("val"))
+    val ws = Window.partitionBy($"lang", $"bucket").orderBy($"okey")
+    val straddle = tagged
+      .filter(!isClear)
+      .withColumn("posn", $"bstart" + row_number().over(ws) - 1)
+      .withColumn("split", when($"posn" < $"t80", "train").when($"posn" < $"t90", "val").otherwise("test"))
+    clear
+      .select($"lang", $"split", $"text")
+      .unionByName(straddle.select($"lang", $"split", $"text"))
+      .groupBy($"lang", $"split")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("n_tokens")
+      )
+  }
+
   /** ◆ Training-mixture allocation — the "domain mixing" step between
     * curation and shuffling: each source gets a token budget
     * proportional to its mixture weight, capped by what the source

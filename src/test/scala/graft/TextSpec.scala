@@ -168,4 +168,44 @@ class TextSpec extends SparkSuite {
     assert(out(2L)._1 === 2 && out(2L)._2 === 1 && out(2L)._3 === 0)
     assert(out(3L) === ((0, 0, 0, "nothing sensitive here, just words and numbers like 42 and 3.14")))
   }
+
+  test("stratified split: EXACT floor proportions per language (the quantile-cut shape, no per-group sort)") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps
+      .stratifiedSplitQuery(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val perLang = Tables
+      .documents(spark, sf0001)
+      .groupBy(col("lang"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    perLang.foreach { case (lang, n) =>
+      val train = out.getOrElse((lang, "train"), 0L)
+      val vl = out.getOrElse((lang, "val"), 0L)
+      val test = out.getOrElse((lang, "test"), 0L)
+      assert(train == n * 80 / 100, s"$lang train $train of $n")
+      assert(train + vl == n * 90 / 100, s"$lang train+val of $n")
+      assert(train + vl + test == n, s"$lang total")
+    }
+    // plan shape: any (lang)-only-keyed window must sit over an
+    // AGGREGATE (the 256-row bucket summary), never raw rows — the
+    // finer (lang, bucket) window only ever sees the boundary sliver
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = TextOps.stratifiedSplitQuery(spark, sf0001).queryExecution.sparkPlan
+    val langOnly = plan.collect {
+      case w: WindowExec if w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase)).toSet == Set("lang") => w
+    }
+    assert(langOnly.nonEmpty, "expected the cumulative-bucket window")
+    langOnly.foreach { w =>
+      assert(
+        w.child.exists { case _: BaseAggregateExec => true; case _ => false },
+        "(lang)-keyed window must run over the bucket summary, not raw rows"
+      )
+    }
+  }
 }
