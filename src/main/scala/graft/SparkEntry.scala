@@ -212,7 +212,8 @@ object SparkEntry {
     "q_cdc" -> (graft.text.Chunking.cdcQuery _),
     "q_laz" -> (graft.sources.Laz.lazQuery _),
     "q_laz14" -> (graft.sources.Laz14.laz14Query _),
-    "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _)
+    "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _),
+    "q_ddb" -> (graft.sources.Ddb.ddbQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3479,7 +3480,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN u6 * 128 < n_tok * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN u6 * 128 < n_tok * 1000000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
-    "q_curate" -> curateOracle
+    "q_curate" -> curateOracle,
+    // .ddb database round-trip proof: the Spark side aggregates entries
+    // AFTER writing+reading a real SQLite database file (schema,
+    // indexes, spatialite geometry blobs, migration-ladder pass) inside
+    // each task; the oracle aggregates the same deterministic values
+    // straight from orders — equal iff the file cycle is lossless.
+    "q_ddb" ->
+      """SELECT o_custkey % 16 AS ds,
+        |  count(*) AS n_entries,
+        |  CAST(sum((o_orderkey * 37) % 1000000) AS BIGINT) AS size_sum,
+        |  CAST(sum(o_custkey % 7) AS BIGINT) AS type_sum,
+        |  min('orders/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS path_min,
+        |  max('orders/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS path_max,
+        |  CAST(count(DISTINCT o_orderkey % 1000) AS BIGINT) AS hash_distinct,
+        |  CAST(sum(o_orderkey % 360 - 180) AS BIGINT) AS lon_sum,
+        |  CAST(sum(o_orderkey % 170 - 85) AS BIGINT) AS lat_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.
