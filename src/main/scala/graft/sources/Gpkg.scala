@@ -23,177 +23,16 @@ import org.apache.spark.sql.types._
   */
 object Gpkg {
 
-  final case class Column(name: String, declared: String, isIpk: Boolean)
-  final case class Table(name: String, rootPage: Int, columns: Seq[Column])
+  // The SQLite container walk lives in [[Sqlite]] (shared with the
+  // .ddb face and the write half); these aliases keep the original
+  // GPKG reader API.
+  type Column = Sqlite.Column
+  type Table = Sqlite.Table
 
-  // ---- SQLite primitives ----------------------------------------------
+  def tables(bytes: Array[Byte]): Map[String, Table] = Sqlite.tables(bytes)
 
-  private def u16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-  private def u32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-
-  /** SQLite varint: 1–9 bytes big-endian 7-bit groups, 9th byte carries
-    * a full 8 bits. Returns (value, bytesConsumed). */
-  private def varint(b: Array[Byte], i: Int): (Long, Int) = {
-    var v = 0L
-    var k = 0
-    while (k < 8) {
-      val x = b(i + k) & 0xff
-      if ((x & 0x80) == 0) return ((v << 7) | x, k + 1)
-      v = (v << 7) | (x & 0x7f)
-      k += 1
-    }
-    (((v << 8) | (b(i + 8) & 0xffL)), 9)
-  }
-
-  private final class Db(val bytes: Array[Byte]) {
-    require(bytes.length > 100 && new String(bytes, 0, 15, "US-ASCII") == "SQLite format 3", "not a SQLite db")
-    val pageSize: Int = { val p = u16(bytes, 16); if (p == 1) 65536 else p }
-    val reserved: Int = bytes(20) & 0xff
-    val usable: Int = pageSize - reserved
-    def pageStart(p: Int): Int = (p - 1) * pageSize
-
-    /** Full cell payload, following the overflow chain if spilled. */
-    def payload(at: Int, total: Long): (Array[Byte], Int) = {
-      val maxLeaf = usable - 35
-      if (total <= maxLeaf) return (java.util.Arrays.copyOfRange(bytes, at, at + total.toInt), total.toInt)
-      val minLeaf = (usable - 12) * 32 / 255 - 23
-      val k = minLeaf + ((total - minLeaf) % (usable - 4)).toInt
-      val local = if (k <= maxLeaf) k else minLeaf
-      val out = new ArrayBuffer[Byte](total.toInt)
-      out ++= java.util.Arrays.copyOfRange(bytes, at, at + local)
-      var page = u32(bytes, at + local)
-      while (page != 0 && out.length < total) {
-        val ps = pageStart(page.toInt)
-        val take = math.min(usable - 4, total.toInt - out.length)
-        out ++= java.util.Arrays.copyOfRange(bytes, ps + 4, ps + 4 + take)
-        page = u32(bytes, ps)
-      }
-      (out.toArray, local + 4)
-    }
-
-    /** Walk a table b-tree rooted at `page`, invoking f(rowid, record). */
-    def scan(page: Int)(f: (Long, Array[Byte]) => Unit): Unit = {
-      val ps = pageStart(page)
-      val hdr = if (page == 1) ps + 100 else ps
-      val ptype = bytes(hdr) & 0xff
-      val nCells = u16(bytes, hdr + 3)
-      ptype match {
-        case 0x0d => // leaf table
-          var c = 0
-          while (c < nCells) {
-            var at = ps + u16(bytes, hdr + 8 + 2 * c)
-            val (plen, n1) = varint(bytes, at); at += n1
-            val (rowid, n2) = varint(bytes, at); at += n2
-            val (rec, _) = payload(at, plen)
-            f(rowid, rec)
-            c += 1
-          }
-        case 0x05 => // interior table
-          var c = 0
-          while (c < nCells) {
-            val at = ps + u16(bytes, hdr + 12 + 2 * c)
-            scan(u32(bytes, at).toInt)(f)
-            c += 1
-          }
-          scan(u32(bytes, hdr + 8).toInt)(f)
-        case t => throw new IllegalArgumentException(s"unexpected b-tree page type 0x${t.toHexString}")
-      }
-    }
-  }
-
-  /** Decode one record (header varints → serial types → values).
-    * Values: null / Long / Double / String / Array[Byte]. */
-  private def record(rec: Array[Byte]): Seq[Any] = {
-    val (hlen, n0) = varint(rec, 0)
-    val types = new ArrayBuffer[Long]()
-    var i = n0
-    while (i < hlen) { val (t, n) = varint(rec, i); types += t; i += n }
-    var at = hlen.toInt
-    types.toSeq.map { t =>
-      def intN(n: Int): Long = {
-        var v = if ((rec(at) & 0x80) != 0) -1L else 0L
-        var k = 0
-        while (k < n) { v = (v << 8) | (rec(at + k) & 0xffL); k += 1 }
-        at += n
-        v
-      }
-      t match {
-        case 0 => null
-        case 1 => intN(1)
-        case 2 => intN(2)
-        case 3 => intN(3)
-        case 4 => intN(4)
-        case 5 => intN(6)
-        case 6 => intN(8)
-        case 7 =>
-          val v = java.lang.Double.longBitsToDouble(intN(8)); v
-        case 8 => 0L
-        case 9 => 1L
-        case n if n >= 13 && n % 2 == 1 =>
-          val len = ((n - 13) / 2).toInt; val s = new String(rec, at, len, "UTF-8"); at += len; s
-        case n if n >= 12 =>
-          val len = ((n - 12) / 2).toInt; val b = java.util.Arrays.copyOfRange(rec, at, at + len); at += len; b
-      }
-    }
-  }
-
-  /** Crude-but-sufficient DDL column extraction: top-level
-    * comma-separated items inside the outer parens; items starting with
-    * a constraint keyword are dropped. */
-  private def ddlColumns(sql: String): Seq[Column] = {
-    val inner = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
-    val items = new ArrayBuffer[String]()
-    var depth = 0; var start = 0
-    inner.zipWithIndex.foreach {
-      case ('(', _) => depth += 1
-      case (')', _) => depth -= 1
-      case (',', i) if depth == 0 => items += inner.substring(start, i); start = i + 1
-      case _ => ()
-    }
-    items += inner.substring(start)
-    val constraintKw = Set("PRIMARY", "UNIQUE", "FOREIGN", "CHECK", "CONSTRAINT")
-    items.toSeq
-      .map(_.trim)
-      .filter(it => it.nonEmpty && !constraintKw.contains(it.split("\\s+").head.toUpperCase))
-      .map { it =>
-        val parts = it.split("\\s+")
-        val name = parts.head.stripPrefix("\"").stripSuffix("\"")
-        val declared = if (parts.length > 1) parts(1).toUpperCase else ""
-        val isIpk = it.toUpperCase.contains("INTEGER PRIMARY KEY")
-        Column(name, declared, isIpk)
-      }
-  }
-
-  /** Parse sqlite_master for table name → (rootpage, columns). */
-  def tables(bytes: Array[Byte]): Map[String, Table] = {
-    val db = new Db(bytes)
-    val out = Map.newBuilder[String, Table]
-    db.scan(1) { (_, rec) =>
-      record(rec) match {
-        case Seq("table", name: String, _, root: Long, sql: String) =>
-          out += name -> Table(name, root.toInt, ddlColumns(sql))
-        case _ => ()
-      }
-    }
-    out.result()
-  }
-
-  /** Scan one table into raw rows (IPK columns materialize the rowid —
-    * SQLite stores them as NULL in the record). */
-  def readTable(bytes: Array[Byte], table: String): (Table, Seq[Seq[Any]]) = {
-    val t = tables(bytes).getOrElse(table, throw new NoSuchElementException(s"table $table"))
-    val db = new Db(bytes)
-    val rows = new ArrayBuffer[Seq[Any]]()
-    db.scan(t.rootPage) { (rowid, rec) =>
-      val vals = record(rec)
-      rows += t.columns.zipWithIndex.map { case (c, i) =>
-        val v = if (i < vals.length) vals(i) else null
-        if (c.isIpk && v == null) rowid else v
-      }
-    }
-    (t, rows.toSeq)
-  }
+  def readTable(bytes: Array[Byte], table: String): (Table, Seq[Seq[Any]]) =
+    Sqlite.readTable(bytes, table)
 
   /** GeoPackage geometry blob → (x, y) for POINT geometries
     * (gpkg spec §2.1.3: "GP" magic, flags byte with envelope size +
@@ -215,10 +54,101 @@ object Gpkg {
     Some((bb.getDouble(), bb.getDouble()))
   }
 
+  // ---- write face -------------------------------------------------------
+
+  /** Geometry type names a GPKG feature table declares its geometry
+    * column as (spec §2.1.6 requirement 25). */
+  private val GeomTypeNames =
+    Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRY")
+
+  /** GeoPackage geometry blob for a 2D point: "GP" magic, version 0,
+    * flags = LE header + envelope indicator 1 ([minx,maxx,miny,maxy]),
+    * srs id, envelope, standard little-endian WKB. */
+  def pointBlob(lon: Double, lat: Double, srid: Int = 4326): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 32 + 21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    bb.put(((1 << 1) | 1).toByte) // envelope indicator 1, little-endian header
+    bb.putInt(srid)
+    bb.putDouble(lon).putDouble(lon).putDouble(lat).putDouble(lat)
+    bb.put(1.toByte) // WKB little-endian
+    bb.putInt(1) // POINT
+    bb.putDouble(lon).putDouble(lat)
+    bb.array()
+  }
+
+  /** Write a complete GeoPackage: the three required metadata tables
+    * (gpkg_spatial_ref_sys with the two mandatory undefined systems +
+    * the data SRS, gpkg_contents, gpkg_geometry_columns), the "GPKG"
+    * application id, and one point-feature table `fid INTEGER PRIMARY
+    * KEY, <attrs>, geom POINT`. Round-trips through [[featureTable]];
+    * stock sqlite3 verifies the container (integrity_check ok).
+    *
+    * `attrCols` are (name, declaredType) pairs; each row is (attribute
+    * values in that order, optional lon/lat). The OGR write half of
+    * `vector_query.cpp`'s driver matrix — the read half landed in r7-r10. */
+  def write(
+      table: String,
+      attrCols: Seq[(String, String)],
+      rows: Seq[(Seq[Any], Option[(Double, Double)])],
+      srid: Int = 4326,
+      lastChange: String = "2026-01-01T00:00:00.000Z"
+  ): Array[Byte] = {
+    val lons = rows.flatMap(_._2.map(_._1))
+    val lats = rows.flatMap(_._2.map(_._2))
+    val featureDdl =
+      s"CREATE TABLE $table (fid INTEGER PRIMARY KEY, " +
+        attrCols.map { case (n, t) => s"$n $t" }.mkString(", ") + ", geom POINT)"
+    val featureRows = rows.zipWithIndex.map { case ((attrs, pt), i) =>
+      require(attrs.length == attrCols.length, s"gpkg row $i: ${attrs.length} values for ${attrCols.length} columns")
+      (Seq[Any]((i + 1).toLong) ++ attrs) :+ pt.map { case (x, y) => pointBlob(x, y, srid) }.orNull
+    }
+    Sqlite.build(
+      Seq(
+        Sqlite.TableSpec(
+          "gpkg_spatial_ref_sys",
+          """CREATE TABLE gpkg_spatial_ref_sys (
+            |  srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+            |  organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+            |  definition TEXT NOT NULL, description TEXT)""".stripMargin,
+          Seq(
+            Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null),
+            Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null),
+            Seq[Any](s"EPSG:$srid", srid.toLong, "EPSG", srid.toLong,
+              "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]", null)
+          )
+        ),
+        Sqlite.TableSpec(
+          "gpkg_contents",
+          """CREATE TABLE gpkg_contents (
+            |  table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+            |  identifier TEXT, description TEXT, last_change TEXT,
+            |  min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""".stripMargin,
+          Seq(Seq[Any](table, "features", table, "", lastChange,
+            if (lons.isEmpty) null else lons.min, if (lats.isEmpty) null else lats.min,
+            if (lons.isEmpty) null else lons.max, if (lats.isEmpty) null else lats.max,
+            srid.toLong)),
+          withAutoIndex = Some(Seq(0))
+        ),
+        Sqlite.TableSpec(
+          "gpkg_geometry_columns",
+          """CREATE TABLE gpkg_geometry_columns (
+            |  table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+            |  geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+            |  z TINYINT NOT NULL, m TINYINT NOT NULL)""".stripMargin,
+          Seq(Seq[Any](table, "geom", "POINT", srid.toLong, 0L, 0L))
+        ),
+        Sqlite.TableSpec(table, featureDdl, featureRows)
+      ),
+      userVersion = 10300, // GeoPackage 1.3
+      applicationId = 0x47504b47 // "GPKG"
+    )
+  }
+
   // ---- Spark face -------------------------------------------------------
 
   private def sparkType(c: Column): DataType =
-    if (c.declared.contains("INT")) LongType
+    if (GeomTypeNames.contains(c.declared)) BinaryType
+    else if (c.declared.contains("INT")) LongType
     else if (c.declared.startsWith("REAL") || c.declared.startsWith("DOUB") || c.declared.startsWith("FLOA")) DoubleType
     else if (c.declared.startsWith("BLOB") || c.declared.isEmpty) BinaryType
     else StringType
@@ -257,12 +187,13 @@ object Gpkg {
       buf
     }
     val t = tables(sniff)(table)
-    val attrCols = t.columns.filterNot(c => sparkType(c) == BinaryType && c.declared.startsWith("BLOB"))
+    def isGeomCol(c: Column): Boolean = c.declared.startsWith("BLOB") || GeomTypeNames.contains(c.declared)
+    val attrCols = t.columns.filterNot(isGeomCol)
     val schema = StructType(
       attrCols.map(c => StructField(c.name, sparkType(c), nullable = true)) ++
         Seq(StructField("lon", DoubleType), StructField("lat", DoubleType))
     )
-    val geomIdx = t.columns.indexWhere(c => c.declared.startsWith("BLOB"))
+    val geomIdx = t.columns.indexWhere(isGeomCol)
     val attrIdx = attrCols.map(c => t.columns.indexWhere(_.name == c.name))
     val types = attrCols.map(sparkType)
     val rows = s.read

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Gpkg
+import graft.sources.{Gpkg, Sqlite}
 
 /** GPKG reader over a self-built fixture (src/test/resources/sites.gpkg:
   * 30 point features + the GeoPackage metadata tables, written by
@@ -85,5 +85,38 @@ class GpkgSpec extends SparkSuite {
     // kind rollup matches the fixture construction (i % 3)
     val byKind = df.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byKind === Map("well" -> 10L, "tower" -> 10L, "pad" -> 10L))
+  }
+
+  test("write face: a written GeoPackage round-trips through the reader, metadata intact") {
+    val rows = (0 until 200).map { i =>
+      (Seq[Any](s"f$i", (i % 4).toLong, i * 0.5), Some((-120.0 + i * 0.1, 30.0 + (i % 50) * 0.2)))
+    } :+ ((Seq[Any]("nogeom", 9L, -1.0), Option.empty[(Double, Double)]))
+    val bytes = Gpkg.write("obs", Seq("name" -> "TEXT", "kind" -> "INTEGER", "score" -> "REAL"), rows)
+
+    // container metadata (application id "GPKG", required tables)
+    assert(new Sqlite.Db(bytes).applicationId == 0x47504b47)
+    assert(Sqlite.userVersion(bytes) == 10300)
+    val ts = Gpkg.tables(bytes)
+    assert(Set("gpkg_contents", "gpkg_spatial_ref_sys", "gpkg_geometry_columns", "obs").subsetOf(ts.keySet))
+    val (_, contents) = Gpkg.readTable(bytes, "gpkg_contents")
+    assert(contents.head(0) == "obs" && contents.head(1) == "features")
+    val (_, srs) = Gpkg.readTable(bytes, "gpkg_spatial_ref_sys")
+    assert(srs.exists(r => r(1) == 4326L && r(2) == "EPSG"))
+    assert(srs.exists(_(1) == -1L) && srs.exists(_(1) == 0L))
+
+    // feature round-trip through the Spark face (geometry declared
+    // POINT per spec, not BLOB — the reader recognizes both)
+    val tmp = java.nio.file.Files.createTempFile("graft-gpkg", ".gpkg")
+    java.nio.file.Files.write(tmp, bytes)
+    try {
+      val df = Gpkg.featureTable(spark, tmp.toString, "obs")
+      assert(df.count() === 201)
+      val r42 = df.filter(org.apache.spark.sql.functions.col("name") === "f42").collect().head
+      assert(r42.getAs[Long]("kind") == 2L && r42.getAs[Double]("score") == 21.0)
+      assert(math.abs(r42.getAs[Double]("lon") - (-120.0 + 4.2)) < 1e-9)
+      assert(math.abs(r42.getAs[Double]("lat") - (30.0 + 42 % 50 * 0.2)) < 1e-9)
+      val ng = df.filter(org.apache.spark.sql.functions.col("name") === "nogeom").collect().head
+      assert(ng.isNullAt(ng.fieldIndex("lon")))
+    } finally java.nio.file.Files.delete(tmp)
   }
 }
