@@ -213,7 +213,8 @@ object SparkEntry {
     "q_laz" -> (graft.sources.Laz.lazQuery _),
     "q_laz14" -> (graft.sources.Laz14.laz14Query _),
     "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _),
-    "q_ddb" -> (graft.sources.Ddb.ddbQuery _)
+    "q_ddb" -> (graft.sources.Ddb.ddbQuery _),
+    "q_tiepoints" -> (graft.geo.TiePoints.tiepointsQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3496,7 +3497,23 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderkey % 1000) AS BIGINT) AS hash_distinct,
         |  CAST(sum(o_orderkey % 360 - 180) AS BIGINT) AS lon_sum,
         |  CAST(sum(o_orderkey % 170 - 85) AS BIGINT) AS lat_sum
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Tie-point extraction proof: the Spark side recovers a known
+    // md5-derived circular shift through the FULL signal chain (FFT
+    // phase correlation seed -> per-patch NCC -> sub-pixel parabola)
+    // on a grid built from the group's own events; the oracle states
+    // the expected shift and the constant patch-grid size directly.
+    // On an exact circular copy every parabolic correction is strictly
+    // inside (-0.5, 0.5), so the rounded emissions are float-safe.
+    "q_tiepoints" ->
+      """SELECT event_type,
+        |  CAST(('0x' || substr(md5('tp:' || event_type), 1, 2))::INT % 7 - 3 AS BIGINT) AS seed_dr,
+        |  CAST(('0x' || substr(md5('tp:' || event_type), 3, 2))::INT % 5 - 2 AS BIGINT) AS seed_dc,
+        |  CAST(('0x' || substr(md5('tp:' || event_type), 1, 2))::INT % 7 - 3 AS BIGINT) AS ncc_dr,
+        |  CAST(('0x' || substr(md5('tp:' || event_type), 3, 2))::INT % 5 - 2 AS BIGINT) AS ncc_dc,
+        |  CAST(16 AS BIGINT) AS n_good,
+        |  CAST(1 AS BIGINT) AS sharp_peak
+        |FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.
