@@ -214,7 +214,8 @@ object SparkEntry {
     "q_laz14" -> (graft.sources.Laz14.laz14Query _),
     "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _),
     "q_ddb" -> (graft.sources.Ddb.ddbQuery _),
-    "q_tiepoints" -> (graft.geo.TiePoints.tiepointsQuery _)
+    "q_tiepoints" -> (graft.geo.TiePoints.tiepointsQuery _),
+    "q_geoproject" -> (graft.raster.Warp.geoprojectQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3513,7 +3514,80 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5('tp:' || event_type), 3, 2))::INT % 5 - 2 AS BIGINT) AS ncc_dc,
         |  CAST(16 AS BIGINT) AS n_good,
         |  CAST(1 AS BIGINT) AS sharp_peak
-        |FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type""".stripMargin
+        |FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type""".stripMargin,
+    // GCP warp (geoproject): the oracle replays the identical
+    // arithmetic — 4-GCP least-squares affine (all normal-equation
+    // sums/determinants integer-exact; only the Cramer divisions
+    // round, identically in both engines), analytic inverse, nearest
+    // floor sampling, inside mask — relationally over the same
+    // data-derived source grid. Bit-exact by construction.
+    "q_geoproject" ->
+      """WITH et AS (SELECT DISTINCT event_type FROM events),
+        |par AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5('gp:' || event_type), 1, 2))::INT % 200 - 100 AS DOUBLE) AS x0,
+        |    CAST(('0x' || substr(md5('gp:' || event_type), 3, 2))::INT % 200 - 100 AS DOUBLE) AS y0,
+        |    CAST(('0x' || substr(md5('gp:' || event_type), 5, 2))::INT % 5 - 2 AS DOUBLE) AS e1,
+        |    CAST(('0x' || substr(md5('gp:' || event_type), 7, 2))::INT % 5 - 2 AS DOUBLE) AS e2,
+        |    CAST(('0x' || substr(md5('gp:' || event_type), 9, 2))::INT % 5 - 2 AS DOUBLE) AS dpx,
+        |    CAST(('0x' || substr(md5('gp:' || event_type), 11, 2))::INT % 5 - 2 AS DOUBLE) AS dpy
+        |  FROM et),
+        |gcp AS (
+        |  SELECT event_type, x0, y0, e1, e2,
+        |    x0 AS x1, y0 AS y1,
+        |    x0 + e1 * 32 AS x2, y0 + 3.0 * 32 AS y2,
+        |    x0 + 2.0 * 32 + e1 * 32 + dpx AS x3, y0 + e2 * 32 + 3.0 * 32 + dpy AS y3,
+        |    x0 + 2.0 * 32 AS x4, y0 + e2 * 32 AS y4
+        |  FROM par),
+        |fit AS (
+        |  SELECT event_type, x1, y1, x2, y2, x3, y3, x4, y4,
+        |    -- pixel-coordinate sums for GCPs (0,0),(0,32),(32,32),(32,0)
+        |    -- n=4 sx=64 sy=64 sxx=2048 syy=2048 sxy=1024, det3=4194304
+        |    (x1 + x2 + x3 + x4) AS sX, (x3 * 32 + x4 * 32) AS sXx, (x2 * 32 + x3 * 32) AS sXy,
+        |    (y1 + y2 + y3 + y4) AS sY, (y3 * 32 + y4 * 32) AS sYx, (y2 * 32 + y3 * 32) AS sYy
+        |  FROM gcp),
+        |aff AS (
+        |  SELECT event_type, x1, y1, x2, y2, x3, y3, x4, y4,
+        |    (sX * (2048*2048 - 1024*1024) - 64 * (sXx * 2048 - 1024 * sXy) + 64 * (sXx * 1024 - 2048 * sXy)) / 4194304.0 AS a,
+        |    (4 * (sXx * 2048 - 1024 * sXy) - sX * (64*2048 - 1024*64) + 64 * (64 * sXy - sXx * 64)) / 4194304.0 AS b,
+        |    (4 * (2048 * sXy - sXx * 1024) - 64 * (64 * sXy - sXx * 64) + sX * (64*1024 - 2048*64)) / 4194304.0 AS c,
+        |    (sY * (2048*2048 - 1024*1024) - 64 * (sYx * 2048 - 1024 * sYy) + 64 * (sYx * 1024 - 2048 * sYy)) / 4194304.0 AS d,
+        |    (4 * (sYx * 2048 - 1024 * sYy) - sY * (64*2048 - 1024*64) + 64 * (64 * sYy - sYx * 64)) / 4194304.0 AS e,
+        |    (4 * (2048 * sYy - sYx * 1024) - 64 * (64 * sYy - sYx * 64) + sY * (64*1024 - 2048*64)) / 4194304.0 AS f
+        |  FROM fit),
+        |box AS (
+        |  SELECT *,
+        |    least(x1, x2, x3, x4) AS minx, greatest(x1, x2, x3, x4) AS maxx,
+        |    least(y1, y2, y3, y4) AS miny, greatest(y1, y2, y3, y4) AS maxy
+        |  FROM aff),
+        |px AS (
+        |  SELECT b.event_type, r.r, cc.c, b.a, b.b, b.c AS cf, b.d, b.e, b.f,
+        |    b.minx + (cc.c + 0.5) * ((b.maxx - b.minx) / 40) AS gx,
+        |    b.maxy - (r.r + 0.5) * ((b.maxy - b.miny) / 40) AS gy
+        |  FROM box b, (SELECT unnest(range(40)) AS r) r, (SELECT unnest(range(40)) AS c) cc),
+        |smp AS (
+        |  SELECT event_type, r, c,
+        |    CAST(floor((f * (gx - a) - cf * (gy - d)) / (b * f - cf * e)) AS INT) AS fx,
+        |    CAST(floor((b * (gy - d) - e * (gx - a)) / (b * f - cf * e)) AS INT) AS fy
+        |  FROM px),
+        |density AS (
+        |  SELECT event_type, (event_id * 2654435761) % 1024 AS cell,
+        |    CAST(sum(event_id % 97 + 1) AS BIGINT) AS dv
+        |  FROM events GROUP BY 1, 2),
+        |gridval AS (
+        |  SELECT eg.event_type, eg.i AS cell,
+        |    coalesce(d.dv, 0) + (eg.i * 1103515245 + 12345) % 251 AS v
+        |  FROM (SELECT et.event_type, g.i
+        |        FROM et CROSS JOIN (SELECT unnest(range(1024)) AS i) g) eg
+        |  LEFT JOIN density d ON d.event_type = eg.event_type AND d.cell = eg.i)
+        |SELECT s.event_type,
+        |  CAST(sum(CASE WHEN s.fx >= 0 AND s.fx < 32 AND s.fy >= 0 AND s.fy < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+        |  CAST(sum(CASE WHEN s.fx >= 0 AND s.fx < 32 AND s.fy >= 0 AND s.fy < 32 THEN g.v ELSE 0 END) AS BIGINT) AS val_sum,
+        |  CAST(sum(CASE WHEN s.fx >= 0 AND s.fx < 32 AND s.fy >= 0 AND s.fy < 32 THEN s.fy * 32 + s.fx ELSE 0 END) AS BIGINT) AS pos_sum,
+        |  CAST(sum(CASE WHEN s.fx >= 0 AND s.fx < 32 AND s.fy >= 0 AND s.fy < 32 THEN 0 ELSE 1 END) AS BIGINT) AS n_outside
+        |FROM smp s
+        |LEFT JOIN gridval g ON g.event_type = s.event_type AND g.cell = s.fy * 32 + s.fx
+        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.
