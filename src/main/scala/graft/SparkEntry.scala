@@ -215,7 +215,8 @@ object SparkEntry {
     "q_pctiler" -> (graft.geo.PcTiler.pctilerQuery _),
     "q_ddb" -> (graft.sources.Ddb.ddbQuery _),
     "q_tiepoints" -> (graft.geo.TiePoints.tiepointsQuery _),
-    "q_geoproject" -> (graft.raster.Warp.geoprojectQuery _)
+    "q_geoproject" -> (graft.raster.Warp.geoprojectQuery _),
+    "q_ply" -> (graft.sources.Ply.plyQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3587,7 +3588,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN s.fx >= 0 AND s.fx < 32 AND s.fy >= 0 AND s.fy < 32 THEN 0 ELSE 1 END) AS BIGINT) AS n_outside
         |FROM smp s
         |LEFT JOIN gridval g ON g.event_type = s.event_type AND g.cell = s.fy * 32 + s.fx
-        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin
+        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin,
+    // PLY round-trip + splat dispatch proof: the Spark side writes a
+    // binary 3DGS PLY from each group's events, parses it back through
+    // the full header+data reader, and emits the dispatch (type 15 =
+    // GaussianSplat, SH degree 1 from the 9 f_rest_* properties) plus
+    // integer aggregates of the decoded float32 vertices (all values
+    // integer-valued, so the f32 cycle is exact). The oracle aggregates
+    // the same deterministic integers directly.
+    "q_ply" ->
+      """SELECT event_type,
+        |  CAST(15 AS BIGINT) AS entry_type,
+        |  CAST(1 AS BIGINT) AS sh_degree,
+        |  count(*) AS n_vertices,
+        |  CAST(sum(event_id % 1000) AS BIGINT) AS x_sum,
+        |  CAST(sum((user_id * 3) % 1000) AS BIGINT) AS y_sum,
+        |  CAST(sum((event_id * 7) % 500) AS BIGINT) AS z_sum,
+        |  CAST(sum(event_id % 17) AS BIGINT) AS dc_sum,
+        |  CAST(sum(event_id % 11) AS BIGINT) AS opacity_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

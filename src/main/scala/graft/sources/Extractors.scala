@@ -164,6 +164,11 @@ object Extractors {
             Extracted(EntryType.Image, GeoTiff.properties(t), None, None, None, None)
           case None =>
             PointCloud.sniff(bytes) match {
+              case Some(m) if m.format == "ply" =>
+                // full identifyPly dispatch (textured mesh → Generic,
+                // splat signatures, SH degree) via the Ply module
+                Extracted(Ply.identify(bytes),
+                  Ply.meta(bytes).getOrElse(PointCloud.properties(m)), None, None, None, None)
               case Some(m) =>
                 val tpe =
                   if (m.isSplat) EntryType.GaussianSplat

@@ -77,10 +77,15 @@ object PointCloud {
         case _ => ()
       }
     }
-    // gaussian-splat PLYs carry spherical-harmonics/opacity properties;
-    // meshes have faces (entry.cpp:1018-1022 dispatch)
-    val isSplat = dims.exists(d => d.startsWith("f_dc_") || d.startsWith("f_rest_") || d == "opacity")
-    val isMesh = faceCount > 0 && !isSplat
+    // reference dispatch semantics (ply.cpp computePlySplatInfo): a
+    // face element makes a mesh; a splat is a vertex-only PLY with the
+    // f_dc_0 primary signature or the scale/rot/opacity fallback —
+    // [[Ply.info]] is the full version (SH degree, texture flag)
+    val isMesh = faceCount > 0
+    val has = dims.toSet
+    val isSplat = !isMesh && (has("f_dc_0") ||
+      (has("scale_0") && has("scale_1") && has("scale_2") &&
+        has("rot_0") && has("rot_1") && has("rot_2") && has("rot_3") && has("opacity")))
     Some(CloudMeta("ply", vertexCount, dims.toSeq, None, isMesh = isMesh, isSplat = isSplat))
   }
 
