@@ -216,7 +216,9 @@ object SparkEntry {
     "q_ddb" -> (graft.sources.Ddb.ddbQuery _),
     "q_tiepoints" -> (graft.geo.TiePoints.tiepointsQuery _),
     "q_geoproject" -> (graft.raster.Warp.geoprojectQuery _),
-    "q_ply" -> (graft.sources.Ply.plyQuery _)
+    "q_ply" -> (graft.sources.Ply.plyQuery _),
+    "q_kn_lm" -> (graft.text.Importance.knLmQuery _),
+    "q_dsir" -> (graft.text.Importance.dsirQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3606,7 +3608,13 @@ object SparkEntry {
         |  CAST(sum((event_id * 7) % 500) AS BIGINT) AS z_sum,
         |  CAST(sum(event_id % 17) AS BIGINT) AS dc_sum,
         |  CAST(sum(event_id % 11) AS BIGINT) AS opacity_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Kneser-Ney bigram training (continuation counts + discount
+    // redistribution as EXACT integer rationals) and DSIR hashed-ngram
+    // importance weights (integer-quantized Laplace ratios) — both
+    // all-integer emissions, oracles in text/Importance.
+    "q_kn_lm" -> graft.text.Importance.KnLmOracle,
+    "q_dsir" -> graft.text.Importance.DsirOracle
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

@@ -227,8 +227,12 @@ object Ddb {
     )
 
   /** Write a pre-versioning (v0) database: `meta` column instead of
-    * `properties`, an `attributes` table, no entries_meta indexes —
-    * the input [[ensureSchemaConsistency]]'s legacy branch migrates. */
+    * `properties`, an `attributes` table, and the redundant
+    * single-column `ix_entries_meta_path` index the migration must
+    * DROP in favor of the (path, key) composite
+    * (`schema_migration_test.cpp` redundantPathIndexIsRemoved /
+    * oldDatabaseWithPathIndexGetsMigrated) — the input
+    * [[ensureSchemaConsistency]]'s legacy branch migrates. */
   def writeLegacyV0(
       entries: Seq[Entry],
       attributes: Seq[(String, Long)],
@@ -241,6 +245,10 @@ object Ddb {
         metaSpec(meta),
         Sqlite.TableSpec("attributes", attributesDdl, attributes.map(a => Seq[Any](a._1, a._2)),
           withAutoIndex = Some(Seq(0)))
+      ),
+      indexSpecs = Seq(
+        Sqlite.IndexSpec("ix_entries_meta_path", "entries_meta",
+          "CREATE INDEX ix_entries_meta_path ON entries_meta (path)", Seq(1))
       ),
       userVersion = 0
     )

@@ -66,9 +66,16 @@ class DdbSpec extends AnyFunSuite {
     assert(Sqlite.tables(legacy).contains("attributes"))
     assert(Sqlite.tables(legacy)("entries").columns.exists(_.name == "meta"))
 
+    // the legacy DB carries the redundant single-column path index the
+    // migration must drop (schema_migration_test.cpp semantics)
+    assert(Sqlite.master(legacy).exists(m => m.typ == "index" && m.name == "ix_entries_meta_path"))
+
     val migrated = Ddb.ensureSchemaConsistency(legacy, nowMtime = 1700009999L)
     assert(Sqlite.userVersion(migrated) == Ddb.SchemaVersion)
     assert(!Sqlite.tables(migrated).contains("attributes"))
+    val idxNames = Sqlite.master(migrated).collect { case Sqlite.Master("index", n, _, _, _) => n }.toSet
+    assert(!idxNames.contains("ix_entries_meta_path"), "redundant path index must be dropped")
+    assert(idxNames.contains("ix_entries_meta_path_key") && idxNames.contains("ix_entries_meta_key"))
     val cols = Sqlite.tables(migrated)("entries").columns.map(_.name)
     assert(cols.contains("properties") && !cols.contains("meta"))
     // entries preserved, properties carried over from the old meta column
