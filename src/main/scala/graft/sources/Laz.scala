@@ -37,7 +37,14 @@ object Laz {
       gpsTime: Double,
       red: Int = 0,
       green: Int = 0,
-      blue: Int = 0
+      blue: Int = 0,
+      wpIndex: Int = 0,
+      wpOffset: Long = 0L,
+      wpSize: Int = 0,
+      wpReturn: Float = 0f,
+      wpXt: Float = 0f,
+      wpYt: Float = 0f,
+      wpZt: Float = 0f
   )
 
   final case class Header(
@@ -58,12 +65,14 @@ object Laz {
 
   final case class ChunkRef(index: Int, offset: Long, size: Int, pointCount: Int)
 
-  private val RecordLen = Map(0 -> 20, 1 -> 28, 2 -> 26, 3 -> 34)
+  private val RecordLen = Map(0 -> 20, 1 -> 28, 2 -> 26, 3 -> 34, 4 -> 57, 5 -> 63)
   private val HeaderSize = 227
   private val VlrHeaderSize = 54
-  private def hasGps(fmt: Int): Boolean = fmt == 1 || fmt == 3
-  private def hasRgb(fmt: Int): Boolean = fmt == 2 || fmt == 3
+  private def hasGps(fmt: Int): Boolean = fmt == 1 || fmt == 3 || fmt == 4 || fmt == 5
+  private def hasRgb(fmt: Int): Boolean = fmt == 2 || fmt == 3 || fmt == 5
+  private def hasWp(fmt: Int): Boolean = fmt == 4 || fmt == 5
   private def rgbAt(fmt: Int): Int = if (fmt == 2) 20 else 28
+  private def wpAt(fmt: Int): Int = if (fmt == 4) 28 else 34
 
   // ---- little-endian helpers ------------------------------------------------
   private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = { b += v.toByte; b += (v >> 8).toByte }
@@ -87,6 +96,13 @@ object Laz {
     buf.pointSource = p.pointSource & 0xFFFF
     buf.gpsBits = java.lang.Double.doubleToLongBits(p.gpsTime)
     buf.red = p.red & 0xFFFF; buf.green = p.green & 0xFFFF; buf.blue = p.blue & 0xFFFF
+    buf.wpIndex = p.wpIndex & 0xFF
+    buf.wpOffset = p.wpOffset
+    buf.wpSize = p.wpSize
+    buf.wpRetBits = java.lang.Float.floatToIntBits(p.wpReturn)
+    buf.wpXtBits = java.lang.Float.floatToIntBits(p.wpXt)
+    buf.wpYtBits = java.lang.Float.floatToIntBits(p.wpYt)
+    buf.wpZtBits = java.lang.Float.floatToIntBits(p.wpZt)
   }
 
   private def fromBuf(buf: PointBuf): P =
@@ -103,7 +119,14 @@ object Laz {
       java.lang.Double.longBitsToDouble(buf.gpsBits),
       buf.red,
       buf.green,
-      buf.blue
+      buf.blue,
+      buf.wpIndex,
+      buf.wpOffset,
+      buf.wpSize,
+      java.lang.Float.intBitsToFloat(buf.wpRetBits),
+      java.lang.Float.intBitsToFloat(buf.wpXtBits),
+      java.lang.Float.intBitsToFloat(buf.wpYtBits),
+      java.lang.Float.intBitsToFloat(buf.wpZtBits)
     )
 
   // ---- raw (first-of-chunk) point records -----------------------------------
@@ -119,6 +142,15 @@ object Laz {
     putU16(out, p.pointSource)
     if (hasGps(fmt)) putU64(out, p.gpsBits)
     if (hasRgb(fmt)) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
+    if (hasWp(fmt)) {
+      out += p.wpIndex.toByte
+      putU64(out, p.wpOffset)
+      putU32(out, p.wpSize.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpRetBits.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpXtBits.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpYtBits.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpZtBits.toLong & 0xFFFFFFFFL)
+    }
   }
 
   private def readRaw(b: Array[Byte], off: Int, p: PointBuf, fmt: Int): Unit = {
@@ -133,6 +165,16 @@ object Laz {
     if (hasRgb(fmt)) {
       val ro = off + rgbAt(fmt)
       p.red = leU16(b, ro); p.green = leU16(b, ro + 2); p.blue = leU16(b, ro + 4)
+    }
+    if (hasWp(fmt)) {
+      val wo = off + wpAt(fmt)
+      p.wpIndex = b(wo) & 0xFF
+      p.wpOffset = leU64(b, wo + 1)
+      p.wpSize = leU32(b, wo + 9).toInt
+      p.wpRetBits = leU32(b, wo + 13).toInt
+      p.wpXtBits = leU32(b, wo + 17).toInt
+      p.wpYtBits = leU32(b, wo + 21).toInt
+      p.wpZtBits = leU32(b, wo + 25).toInt
     }
   }
 
@@ -150,11 +192,13 @@ object Laz {
     val p10 = new Point10V2(forEncode = true, buf)
     val gps = if (hasGps(pointFormat)) new Gps11V2(forEncode = true, buf.gpsBits) else null
     val rgb = if (hasRgb(pointFormat)) new Rgb12V2(forEncode = true, buf) else null
+    val wp = if (hasWp(pointFormat)) new Wavepacket13V2(forEncode = true, buf) else null
     chunk.tail.foreach { p =>
       toBuf(p, buf)
       p10.write(enc, buf)
       if (gps != null) gps.write(enc, buf.gpsBits)
       if (rgb != null) rgb.write(enc, buf)
+      if (wp != null) wp.write(enc, buf)
     }
     enc.done()
     out ++= enc.result()
@@ -178,25 +222,32 @@ object Laz {
     val encP = new AcEncoder
     val encG = if (hasGps(pointFormat)) new AcEncoder else null
     val encR = if (hasRgb(pointFormat)) new AcEncoder else null
+    val encW = if (hasWp(pointFormat)) new AcEncoder else null
     val p10 = new Point10V2(forEncode = true, buf)
     val gps = if (encG != null) new Gps11V2(forEncode = true, buf.gpsBits) else null
     val rgb = if (encR != null) new Rgb12V2(forEncode = true, buf) else null
+    val wp = if (encW != null) new Wavepacket13V2(forEncode = true, buf) else null
     chunk.tail.foreach { p =>
       toBuf(p, buf)
       p10.write(encP, buf)
       if (gps != null) gps.write(encG, buf.gpsBits)
       if (rgb != null) rgb.write(encR, buf)
+      if (wp != null) wp.write(encW, buf)
     }
     encP.done(); if (encG != null) encG.done(); if (encR != null) encR.done()
+    if (encW != null) encW.done()
     val bp = encP.result()
     val bg = if (encG != null) encG.result() else Array.empty[Byte]
     val br = if (encR != null) encR.result() else Array.empty[Byte]
+    val bw = if (encW != null) encW.result() else Array.empty[Byte]
     putU32(out, bp.length.toLong)
     if (encG != null) putU32(out, bg.length.toLong)
     if (encR != null) putU32(out, br.length.toLong)
+    if (encW != null) putU32(out, bw.length.toLong)
     out ++= bp
     out ++= bg
     out ++= br
+    out ++= bw
     out.toArray
   }
 
@@ -209,26 +260,34 @@ object Laz {
       pointCount: Int,
       fmt: Int,
       wantGps: Boolean = true,
-      wantRgb: Boolean = true
+      wantRgb: Boolean = true,
+      wantWp: Boolean = true
   ): Array[P] = {
     val recLen = RecordLen(fmt)
     val outPts = new Array[P](pointCount)
     if (pointCount == 0) return outPts
     val g = hasGps(fmt)
     val rg = hasRgb(fmt)
+    val wpf = hasWp(fmt)
     val buf = new PointBuf
     readRaw(b, start, buf, fmt)
     if (!wantGps || !g) buf.gpsBits = 0L
     if (!wantRgb || !rg) { buf.red = 0; buf.green = 0; buf.blue = 0 }
+    if (!wantWp || !wpf) {
+      buf.wpIndex = 0; buf.wpOffset = 0L; buf.wpSize = 0
+      buf.wpRetBits = 0; buf.wpXtBits = 0; buf.wpYtBits = 0; buf.wpZtBits = 0
+    }
     outPts(0) = fromBuf(buf)
-    val nSizes = 1 + (if (g) 1 else 0) + (if (rg) 1 else 0)
+    val nSizes = 1 + (if (g) 1 else 0) + (if (rg) 1 else 0) + (if (wpf) 1 else 0)
     val sizesAt = start + recLen
     val lenP = leU32(b, sizesAt).toInt
     val lenG = if (g) leU32(b, sizesAt + 4).toInt else 0
+    val lenR = if (rg) leU32(b, sizesAt + 4 * (1 + (if (g) 1 else 0))).toInt else 0
     val layersAt = sizesAt + 4 * nSizes
     val decP = new AcDecoder(b, layersAt, math.min(end, layersAt + lenP))
     val gpsAt = layersAt + lenP
     val rgbAt = gpsAt + lenG
+    val wpAt0 = rgbAt + lenR
     // seed codecs from the UNMASKED raw first point so prediction
     // state matches the encoder
     val seed = new PointBuf
@@ -238,13 +297,20 @@ object Laz {
       if (wantGps && g) new Gps11V2(forEncode = false, seed.gpsBits) else null
     val decG = if (gps != null) new AcDecoder(b, gpsAt, math.min(end, gpsAt + lenG)) else null
     val rgb = if (wantRgb && rg) new Rgb12V2(forEncode = false, seed) else null
-    val decR = if (rgb != null) new AcDecoder(b, rgbAt, end) else null
+    val decR = if (rgb != null) new AcDecoder(b, rgbAt, math.min(end, rgbAt + lenR)) else null
+    val wp = if (wantWp && wpf) new Wavepacket13V2(forEncode = false, seed) else null
+    val decW = if (wp != null) new AcDecoder(b, wpAt0, end) else null
     var i = 1
     while (i < pointCount) {
       p10.read(decP, buf)
       buf.gpsBits = if (gps != null) gps.read(decG) else 0L
       if (rgb != null) rgb.read(decR, buf)
       else { buf.red = 0; buf.green = 0; buf.blue = 0 }
+      if (wp != null) wp.read(decW, buf)
+      else {
+        buf.wpIndex = 0; buf.wpOffset = 0L; buf.wpSize = 0
+        buf.wpRetBits = 0; buf.wpXtBits = 0; buf.wpYtBits = 0; buf.wpZtBits = 0
+      }
       outPts(i) = fromBuf(buf)
       i += 1
     }
@@ -266,7 +332,8 @@ object Laz {
     require(RecordLen.contains(pointFormat), s"unsupported point format $pointFormat")
     require(chunkSize > 0)
     val recLen = RecordLen(pointFormat)
-    val numItems = 1 + (if (hasGps(pointFormat)) 1 else 0) + (if (hasRgb(pointFormat)) 1 else 0)
+    val numItems = 1 + (if (hasGps(pointFormat)) 1 else 0) + (if (hasRgb(pointFormat)) 1 else 0) +
+      (if (hasWp(pointFormat)) 1 else 0)
     val vlrPayload = 34 + 6 * numItems
     val offsetToPoints = HeaderSize + VlrHeaderSize + vlrPayload
 
@@ -320,6 +387,7 @@ object Laz {
     putU16(out, 6); putU16(out, 20); putU16(out, 2) // POINT10 v2
     if (hasGps(pointFormat)) { putU16(out, 7); putU16(out, 8); putU16(out, 2) } // GPSTIME11 v2
     if (hasRgb(pointFormat)) { putU16(out, 8); putU16(out, 6); putU16(out, 2) } // RGB12 v2
+    if (hasWp(pointFormat)) { putU16(out, 9); putU16(out, 29); putU16(out, 2) } // WAVEPACKET13 v2
     require(out.length == offsetToPoints)
 
     // --- point data: 8-byte chunk table offset, chunks, chunk table
@@ -464,11 +532,13 @@ object Laz {
     val p10 = new Point10V2(forEncode = false, buf)
     val gps = if (hasGps(fmt)) new Gps11V2(forEncode = false, buf.gpsBits) else null
     val rgb = if (hasRgb(fmt)) new Rgb12V2(forEncode = false, buf) else null
+    val wp = if (hasWp(fmt)) new Wavepacket13V2(forEncode = false, buf) else null
     var i = 1
     while (i < pointCount) {
       p10.read(dec, buf)
       if (gps != null) buf.gpsBits = gps.read(dec)
       if (rgb != null) rgb.read(dec, buf)
+      if (wp != null) wp.read(dec, buf)
       outPts(i) = fromBuf(buf)
       i += 1
     }

@@ -47,15 +47,27 @@ object Laz14 {
       green: Int = 0,
       blue: Int = 0,
       nir: Int = 0,
-      extra: Seq[Int] = Nil
+      extra: Seq[Int] = Nil,
+      wpIndex: Int = 0,
+      wpOffset: Long = 0L,
+      wpSize: Int = 0,
+      wpReturn: Float = 0f,
+      wpXt: Float = 0f,
+      wpYt: Float = 0f,
+      wpZt: Float = 0f
   )
 
-  private[sources] val RecordLen = Map(6 -> 30, 7 -> 36, 8 -> 38)
+  private[sources] val RecordLen = Map(6 -> 30, 7 -> 36, 8 -> 38, 9 -> 59, 10 -> 67)
   private val HeaderSize = 375
   private val VlrHeaderSize = 54
 
+  private def hasRgb14(fmt: Int): Boolean = fmt == 7 || fmt == 8 || fmt == 10
+  private def hasNir14(fmt: Int): Boolean = fmt == 8 || fmt == 10
+  private def hasWp14(fmt: Int): Boolean = fmt == 9 || fmt == 10
+
   private def numLayers(fmt: Int, extraBytes: Int): Int =
-    Point14V3.NumPointLayers + (if (fmt >= 7) 1 else 0) + (if (fmt == 8) 1 else 0) + extraBytes
+    Point14V3.NumPointLayers + (if (hasRgb14(fmt)) 1 else 0) + (if (hasNir14(fmt)) 1 else 0) +
+      (if (hasWp14(fmt)) 1 else 0) + extraBytes
 
   // ---- little-endian helpers ------------------------------------------------
   private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = { b += v.toByte; b += (v >> 8).toByte }
@@ -86,6 +98,13 @@ object Laz14 {
     buf.red = p.red & 0xFFFF; buf.green = p.green & 0xFFFF; buf.blue = p.blue & 0xFFFF
     buf.nir = p.nir & 0xFFFF
     buf.extra = if (p.extra.isEmpty) null else p.extra.map(_ & 0xFF).toArray
+    buf.wpIndex = p.wpIndex & 0xFF
+    buf.wpOffset = p.wpOffset
+    buf.wpSize = p.wpSize
+    buf.wpRetBits = java.lang.Float.floatToIntBits(p.wpReturn)
+    buf.wpXtBits = java.lang.Float.floatToIntBits(p.wpXt)
+    buf.wpYtBits = java.lang.Float.floatToIntBits(p.wpYt)
+    buf.wpZtBits = java.lang.Float.floatToIntBits(p.wpZt)
   }
 
   private def fromBuf(buf: Point14): P14 =
@@ -109,7 +128,14 @@ object Laz14 {
       buf.green,
       buf.blue,
       buf.nir,
-      if (buf.extra == null) Nil else buf.extra.toVector
+      if (buf.extra == null) Nil else buf.extra.toVector,
+      buf.wpIndex,
+      buf.wpOffset,
+      buf.wpSize,
+      java.lang.Float.intBitsToFloat(buf.wpRetBits),
+      java.lang.Float.intBitsToFloat(buf.wpXtBits),
+      java.lang.Float.intBitsToFloat(buf.wpYtBits),
+      java.lang.Float.intBitsToFloat(buf.wpZtBits)
     )
 
   // ---- raw (seed) point records ---------------------------------------------
@@ -125,8 +151,17 @@ object Laz14 {
     putU16(out, p.scanAngle)
     putU16(out, p.pointSource)
     putU64(out, p.gpsBits)
-    if (fmt >= 7) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
-    if (fmt == 8) putU16(out, p.nir)
+    if (hasRgb14(fmt)) { putU16(out, p.red); putU16(out, p.green); putU16(out, p.blue) }
+    if (hasNir14(fmt)) putU16(out, p.nir)
+    if (hasWp14(fmt)) {
+      out += p.wpIndex.toByte
+      putU64(out, p.wpOffset)
+      putU32(out, p.wpSize.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpRetBits.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpXtBits.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpYtBits.toLong & 0xFFFFFFFFL)
+      putU32(out, p.wpZtBits.toLong & 0xFFFFFFFFL)
+    }
     if (p.extra != null) p.extra.foreach(v => out += v.toByte)
   }
 
@@ -146,8 +181,18 @@ object Laz14 {
     p.scanAngle = leU16(b, off + 18)
     p.pointSource = leU16(b, off + 20)
     p.gpsBits = leU64(b, off + 22)
-    if (fmt >= 7) { p.red = leU16(b, off + 30); p.green = leU16(b, off + 32); p.blue = leU16(b, off + 34) }
-    if (fmt == 8) p.nir = leU16(b, off + 36)
+    if (hasRgb14(fmt)) { p.red = leU16(b, off + 30); p.green = leU16(b, off + 32); p.blue = leU16(b, off + 34) }
+    if (hasNir14(fmt)) p.nir = leU16(b, off + 36)
+    if (hasWp14(fmt)) {
+      val wo = off + (if (fmt == 9) 30 else 38)
+      p.wpIndex = b(wo) & 0xFF
+      p.wpOffset = leU64(b, wo + 1)
+      p.wpSize = leU32(b, wo + 9).toInt
+      p.wpRetBits = leU32(b, wo + 13).toInt
+      p.wpXtBits = leU32(b, wo + 17).toInt
+      p.wpYtBits = leU32(b, wo + 21).toInt
+      p.wpZtBits = leU32(b, wo + 25).toInt
+    }
     p.extra =
       if (extraBytes == 0) null
       else Array.tabulate(extraBytes)(i => b(off + RecordLen(fmt) + i) & 0xFF)
@@ -166,12 +211,14 @@ object Laz14 {
     toBuf(chunk.head, buf)
     writeRaw(out, buf, fmt)
     val enc = new Point14V3Enc(buf)
-    val rgb = if (fmt >= 7) new Rgb14V3(forEncode = true, buf) else null
-    val nir = if (fmt == 8) new Nir14V3(forEncode = true, buf) else null
+    val rgb = if (hasRgb14(fmt)) new Rgb14V3(forEncode = true, buf) else null
+    val nir = if (hasNir14(fmt)) new Nir14V3(forEncode = true, buf) else null
+    val wp = if (hasWp14(fmt)) new Wavepacket14V3(forEncode = true, buf) else null
     val ext =
       if (extraBytes > 0) new Byte14V3(forEncode = true, buf.extra, buf.scannerChannel) else null
-    val encRgb = if (fmt >= 7) new AcEncoder else null
-    val encNir = if (fmt == 8) new AcEncoder else null
+    val encRgb = if (rgb != null) new AcEncoder else null
+    val encNir = if (nir != null) new AcEncoder else null
+    val encWp = if (wp != null) new AcEncoder else null
     val encExt = if (extraBytes > 0) Array.fill(extraBytes)(new AcEncoder) else null
     chunk.tail.foreach { p =>
       toBuf(p, buf)
@@ -179,12 +226,14 @@ object Laz14 {
       val ctx = enc.currentContext
       if (rgb != null) rgb.write(encRgb, buf, ctx)
       if (nir != null) nir.write(encNir, buf, ctx)
+      if (wp != null) wp.write(encWp, buf, ctx)
       if (ext != null) ext.write(encExt, buf.extra, ctx)
     }
     val layers = ArrayBuffer.empty[Array[Byte]]
     layers ++= enc.layers()
     if (rgb != null) layers += (if (rgb.changed) { encRgb.done(); encRgb.result() } else Array.empty[Byte])
     if (nir != null) layers += (if (nir.changed) { encNir.done(); encNir.result() } else Array.empty[Byte])
+    if (wp != null) layers += (if (wp.changed) { encWp.done(); encWp.result() } else Array.empty[Byte])
     if (ext != null) (0 until extraBytes).foreach { i =>
       layers += (if (ext.changed(i)) { encExt(i).done(); encExt(i).result() } else Array.empty[Byte])
     }
@@ -197,7 +246,8 @@ object Laz14 {
   val PointColumns: Seq[String] = Seq(
     "x", "y", "z", "intensity", "return_number", "number_of_returns", "class_flags",
     "scanner_channel", "scan_direction", "edge_of_flight", "classification", "user_data",
-    "scan_angle", "point_source", "gps_time", "red", "green", "blue", "nir", "extra"
+    "scan_angle", "point_source", "gps_time", "red", "green", "blue", "nir",
+    "wp_index", "wp_offset", "wp_size", "wp_return", "wp_xt", "wp_yt", "wp_zt", "extra"
   )
 
   /** Decode a layered chunk reading ONLY the layers `cols` needs;
@@ -257,21 +307,30 @@ object Laz14 {
       wantPsr = want("point_source"),
       wantGps = want("gps_time")
     )
-    val wantRgb = fmt >= 7 && (want("red") || want("green") || want("blue"))
-    val wantNir = fmt == 8 && want("nir")
+    val wantRgb = hasRgb14(fmt) && (want("red") || want("green") || want("blue"))
+    val wantNir = hasNir14(fmt) && want("nir")
+    val wantWp = hasWp14(fmt) &&
+      (want("wp_index") || want("wp_offset") || want("wp_size") || want("wp_return") ||
+        want("wp_xt") || want("wp_yt") || want("wp_zt"))
     val rgbLayer = Point14V3.NumPointLayers
-    val nirLayer = Point14V3.NumPointLayers + 1
-    val rgb = if (fmt >= 7) new Rgb14V3(forEncode = false, seed) else null
+    val nirLayer = rgbLayer + (if (hasRgb14(fmt)) 1 else 0)
+    val wpLayer = nirLayer + (if (hasNir14(fmt)) 1 else 0)
+    val rgb = if (hasRgb14(fmt)) new Rgb14V3(forEncode = false, seed) else null
     val decRgb =
       if (wantRgb && layerEnd(rgbLayer) > layerStart(rgbLayer))
         new AcDecoder(b, layerStart(rgbLayer), layerEnd(rgbLayer))
       else null
-    val nir = if (fmt == 8) new Nir14V3(forEncode = false, seed) else null
+    val nir = if (hasNir14(fmt)) new Nir14V3(forEncode = false, seed) else null
     val decNir =
       if (wantNir && layerEnd(nirLayer) > layerStart(nirLayer))
         new AcDecoder(b, layerStart(nirLayer), layerEnd(nirLayer))
       else null
-    val extBase = Point14V3.NumPointLayers + (if (fmt >= 7) 1 else 0) + (if (fmt == 8) 1 else 0)
+    val wp = if (hasWp14(fmt)) new Wavepacket14V3(forEncode = false, seed) else null
+    val decWp =
+      if (wantWp && layerEnd(wpLayer) > layerStart(wpLayer))
+        new AcDecoder(b, layerStart(wpLayer), layerEnd(wpLayer))
+      else null
+    val extBase = wpLayer + (if (hasWp14(fmt)) 1 else 0)
     val wantExt = extraBytes > 0 && want("extra")
     val ext = if (extraBytes > 0) new Byte14V3(forEncode = false, seed.extra, seed.scannerChannel) else null
     val decExt =
@@ -290,6 +349,11 @@ object Laz14 {
       val ctx = dec.currentContext
       if (rgb != null) rgb.read(decRgb, buf, ctx) else { buf.red = 0; buf.green = 0; buf.blue = 0 }
       if (nir != null) nir.read(decNir, buf, ctx) else buf.nir = 0
+      if (wp != null) wp.read(decWp, buf, ctx)
+      else {
+        buf.wpIndex = 0; buf.wpOffset = 0L; buf.wpSize = 0
+        buf.wpRetBits = 0; buf.wpXtBits = 0; buf.wpYtBits = 0; buf.wpZtBits = 0
+      }
       if (ext != null) { ext.read(decExt, extOut, ctx); buf.extra = extOut } else buf.extra = null
       outPts(k) = fromBuf(buf)
       k += 1
@@ -312,7 +376,8 @@ object Laz14 {
     require(RecordLen.contains(pointFormat), s"unsupported LAS 1.4 point format $pointFormat")
     require(chunkSize > 0 && extraBytes >= 0)
     val recLen = RecordLen(pointFormat) + extraBytes
-    val numItems = (if (pointFormat == 6) 1 else 2) + (if (extraBytes > 0) 1 else 0)
+    val numItems = 1 + (if (pointFormat == 7) 1 else 0) + (if (hasNir14(pointFormat)) 1 else 0) +
+      (if (hasWp14(pointFormat)) 1 else 0) + (if (extraBytes > 0) 1 else 0)
     val vlrPayload = 34 + 6 * numItems
     val offsetToPoints = HeaderSize + VlrHeaderSize + vlrPayload
 
@@ -364,7 +429,8 @@ object Laz14 {
     putU16(out, numItems)
     putU16(out, 10); putU16(out, 30); putU16(out, 3) // POINT14 v3
     if (pointFormat == 7) { putU16(out, 11); putU16(out, 6); putU16(out, 3) } // RGB14 v3
-    if (pointFormat == 8) { putU16(out, 12); putU16(out, 8); putU16(out, 3) } // RGBNIR14 v3
+    if (hasNir14(pointFormat)) { putU16(out, 12); putU16(out, 8); putU16(out, 3) } // RGBNIR14 v3
+    if (hasWp14(pointFormat)) { putU16(out, 13); putU16(out, 29); putU16(out, 3) } // WAVEPACKET14 v3
     if (extraBytes > 0) { putU16(out, 14); putU16(out, extraBytes); putU16(out, 3) } // BYTE14 v3
     require(out.length == offsetToPoints)
 
@@ -471,12 +537,17 @@ object Laz14 {
     * their chunk's bytes. */
   def pointsTable(spark: SparkSession, path: String, cols: Seq[String] = PointColumns): DataFrame = {
     val (h, refs) = planFile(path)
-    val sel = PointColumns.filter(cols.contains).filterNot(c => c == "extra" && h.extraBytes == 0)
+    val sel = PointColumns
+      .filter(cols.contains)
+      .filterNot(c => c == "extra" && h.extraBytes == 0)
+      .filterNot(c => c.startsWith("wp_") && !(h.pointFormat == 9 || h.pointFormat == 10))
     require(sel.nonEmpty, s"pointsTable: no valid columns in $cols")
     val schema = StructType(
       StructField("chunk_id", IntegerType, nullable = false) +: sel.map {
         case n @ ("x" | "y" | "z" | "gps_time") => StructField(n, DoubleType, nullable = false)
         case n @ "extra" => StructField(n, ArrayType(IntegerType, containsNull = false), nullable = false)
+        case n @ "wp_offset" => StructField(n, LongType, nullable = false)
+        case n @ ("wp_return" | "wp_xt" | "wp_yt" | "wp_zt") => StructField(n, FloatType, nullable = false)
         case n => StructField(n, IntegerType, nullable = false)
       }
     )
@@ -511,6 +582,13 @@ object Laz14 {
             case "green" => p.green
             case "blue" => p.blue
             case "nir" => p.nir
+            case "wp_index" => p.wpIndex
+            case "wp_offset" => p.wpOffset
+            case "wp_size" => p.wpSize
+            case "wp_return" => p.wpReturn
+            case "wp_xt" => p.wpXt
+            case "wp_yt" => p.wpYt
+            case "wp_zt" => p.wpZt
             case "extra" => p.extra
           }
           Row.fromSeq(c.index +: vals)

@@ -392,6 +392,13 @@ private[sources] final class PointBuf {
   var pointSource = 0 // u16
   var gpsBits = 0L // f64 raw bits
   var red = 0; var green = 0; var blue = 0 // u16 each
+  // wave packet (formats 4/5/9/10): descriptor index, byte offset to
+  // the waveform, packet size, and the four f32s as raw bit patterns
+  var wpIndex = 0 // u8
+  var wpOffset = 0L // u64
+  var wpSize = 0 // u32
+  var wpRetBits = 0 // f32 bits (return point waveform location)
+  var wpXtBits = 0; var wpYtBits = 0; var wpZtBits = 0 // f32 bits
 }
 
 private[sources] object LazTables {
@@ -835,5 +842,92 @@ private[sources] final class Rgb12V2(forEncode: Boolean, first: PointBuf) {
     } else { g = r; b = r }
     lastR = r; lastG = g; lastB = b
     p.red = r; p.green = g; p.blue = b
+  }
+}
+
+/** WAVEPACKET13 v2 item codec (LAS formats 4/5/9/10's 29-byte wave
+  * packet record): descriptor index through a 256-symbol model; the
+  * u64 waveform offset through a 4-symbol "how does it relate to the
+  * previous packet" alphabet (same offset / contiguous after the
+  * previous packet / i32 delta through the integer corrector seeded
+  * by the previous delta / raw 64-bit), conditioned on the PREVIOUS
+  * offset symbol; packet size, return-point location and the x/y/z_t
+  * direction f32 bit patterns each through their own 32-bit integer
+  * corrector predicted by the previous value. Published LASzip v2
+  * wavepacket scheme; conformance to external waveform .laz files is
+  * round-trip-proven only (no waveform fixtures exist in-sandbox),
+  * the same documented boundary as the rest of the codec family. */
+private[sources] final class Wavepacket13V2(forEncode: Boolean, first: PointBuf) {
+  private var lastIndex = first.wpIndex & 0xFF
+  private var lastOffset = first.wpOffset
+  private var lastSize = first.wpSize
+  private var lastRet = first.wpRetBits
+  private var lastXt = first.wpXtBits
+  private var lastYt = first.wpYtBits
+  private var lastZt = first.wpZtBits
+  private var symLast = 0
+  private var lastDiff32 = 0
+  private val mIndex = new AcModel(256, forEncode)
+  private val mOffsetSym = Array.fill(4)(new AcModel(4, forEncode))
+  private val icOffsetDiff = new IntCompressor(1, 32, forEncode)
+  private val icPacketSize = new IntCompressor(1, 32, forEncode)
+  private val icReturnPoint = new IntCompressor(1, 32, forEncode)
+  private val icXyz = new IntCompressor(3, 32, forEncode)
+
+  def write(enc: AcEncoder, p: PointBuf): Unit = {
+    enc.encodeSymbol(mIndex, p.wpIndex & 0xFF)
+    val diff = p.wpOffset - lastOffset
+    val sym =
+      if (p.wpOffset == lastOffset) 0
+      else if (p.wpOffset == lastOffset + (lastSize.toLong & 0xFFFFFFFFL)) 1
+      else if (diff >= Int.MinValue.toLong && diff <= Int.MaxValue.toLong) 2
+      else 3
+    enc.encodeSymbol(mOffsetSym(symLast), sym)
+    symLast = sym
+    if (sym == 2) {
+      icOffsetDiff.compress(enc, lastDiff32, diff.toInt, 0)
+      lastDiff32 = diff.toInt
+    } else if (sym == 3) {
+      enc.writeBits(32, (p.wpOffset >>> 32) & 0xFFFFFFFFL)
+      enc.writeBits(32, p.wpOffset & 0xFFFFFFFFL)
+    }
+    icPacketSize.compress(enc, lastSize, p.wpSize, 0)
+    icReturnPoint.compress(enc, lastRet, p.wpRetBits, 0)
+    icXyz.compress(enc, lastXt, p.wpXtBits, 0)
+    icXyz.compress(enc, lastYt, p.wpYtBits, 1)
+    icXyz.compress(enc, lastZt, p.wpZtBits, 2)
+    lastIndex = p.wpIndex & 0xFF
+    lastOffset = p.wpOffset
+    lastSize = p.wpSize
+    lastRet = p.wpRetBits
+    lastXt = p.wpXtBits; lastYt = p.wpYtBits; lastZt = p.wpZtBits
+  }
+
+  def read(dec: AcDecoder, p: PointBuf): Unit = {
+    p.wpIndex = dec.decodeSymbol(mIndex)
+    val sym = dec.decodeSymbol(mOffsetSym(symLast))
+    symLast = sym
+    p.wpOffset = sym match {
+      case 0 => lastOffset
+      case 1 => lastOffset + (lastSize.toLong & 0xFFFFFFFFL)
+      case 2 =>
+        val d = icOffsetDiff.decompress(dec, lastDiff32, 0)
+        lastDiff32 = d
+        lastOffset + d.toLong
+      case _ =>
+        val hi = dec.readBits(32) & 0xFFFFFFFFL
+        val lo = dec.readBits(32) & 0xFFFFFFFFL
+        (hi << 32) | lo
+    }
+    p.wpSize = icPacketSize.decompress(dec, lastSize, 0)
+    p.wpRetBits = icReturnPoint.decompress(dec, lastRet, 0)
+    p.wpXtBits = icXyz.decompress(dec, lastXt, 0)
+    p.wpYtBits = icXyz.decompress(dec, lastYt, 1)
+    p.wpZtBits = icXyz.decompress(dec, lastZt, 2)
+    lastIndex = p.wpIndex
+    lastOffset = p.wpOffset
+    lastSize = p.wpSize
+    lastRet = p.wpRetBits
+    lastXt = p.wpXtBits; lastYt = p.wpYtBits; lastZt = p.wpZtBits
   }
 }

@@ -55,6 +55,12 @@ private[sources] final class Point14 {
   var gpsBits = 0L // f64 raw bits
   var red = 0; var green = 0; var blue = 0; var nir = 0 // u16 each
   var extra: Array[Int] = null // LAS extra bytes (u8 each), BYTE14 item
+  // wave packet (formats 9/10): WAVEPACKET14 item fields
+  var wpIndex = 0 // u8
+  var wpOffset = 0L // u64
+  var wpSize = 0 // u32
+  var wpRetBits = 0 // f32 bits
+  var wpXtBits = 0; var wpYtBits = 0; var wpZtBits = 0 // f32 bits
   /** Whether GPS time changed on the transition INTO this point —
     * model context for the NEXT point's change symbol. */
   var gpsTimeChange = false
@@ -70,6 +76,8 @@ private[sources] final class Point14 {
     gpsBits = o.gpsBits
     red = o.red; green = o.green; blue = o.blue; nir = o.nir
     extra = if (o.extra == null) null else o.extra.clone()
+    wpIndex = o.wpIndex; wpOffset = o.wpOffset; wpSize = o.wpSize
+    wpRetBits = o.wpRetBits; wpXtBits = o.wpXtBits; wpYtBits = o.wpYtBits; wpZtBits = o.wpZtBits
     gpsTimeChange = o.gpsTimeChange
   }
 }
@@ -842,5 +850,129 @@ private[sources] final class Nir14V3(forEncode: Boolean, seed: Point14) {
        else c.lastNir & 0xFF00)
     c.lastNir = v
     p.nir = v
+  }
+}
+
+/** WAVEPACKET14 v3 item codec — the [[Wavepacket13V2]] scheme behind
+  * the four scanner-channel contexts the other v3 items use: each
+  * context keeps its own last packet + models, a fresh context seeds
+  * from the channel it switched away from, and the whole layer
+  * collapses to zero bytes when no packet field ever changes. */
+private[sources] final class Wavepacket14V3(forEncode: Boolean, seed: Point14) {
+  private final class WpCtx {
+    var unused = true
+    var lastIndex = 0
+    var lastOffset = 0L
+    var lastSize = 0
+    var lastRet = 0
+    var lastXt = 0; var lastYt = 0; var lastZt = 0
+    var symLast = 0
+    var lastDiff32 = 0
+    var mIndex: AcModel = null
+    var mOffsetSym: Array[AcModel] = null
+    var icOffsetDiff: IntCompressor = null
+    var icPacketSize: IntCompressor = null
+    var icReturnPoint: IntCompressor = null
+    var icXyz: IntCompressor = null
+    def init(o: WpCtx): Unit = {
+      lastIndex = o.lastIndex; lastOffset = o.lastOffset; lastSize = o.lastSize
+      lastRet = o.lastRet; lastXt = o.lastXt; lastYt = o.lastYt; lastZt = o.lastZt
+      initModels()
+    }
+    def initFrom(p: Point14): Unit = {
+      lastIndex = p.wpIndex & 0xFF; lastOffset = p.wpOffset; lastSize = p.wpSize
+      lastRet = p.wpRetBits; lastXt = p.wpXtBits; lastYt = p.wpYtBits; lastZt = p.wpZtBits
+      initModels()
+    }
+    private def initModels(): Unit = {
+      symLast = 0; lastDiff32 = 0
+      mIndex = new AcModel(256, forEncode)
+      mOffsetSym = Array.fill(4)(new AcModel(4, forEncode))
+      icOffsetDiff = new IntCompressor(1, 32, forEncode)
+      icPacketSize = new IntCompressor(1, 32, forEncode)
+      icReturnPoint = new IntCompressor(1, 32, forEncode)
+      icXyz = new IntCompressor(3, 32, forEncode)
+      unused = false
+    }
+  }
+  private val ctxs = Array.fill(4)(new WpCtx)
+  private var cur = seed.scannerChannel & 3
+  ctxs(cur).initFrom(seed)
+  var changed = false
+
+  private def switchTo(context: Int): WpCtx = {
+    if (context != cur) {
+      val old = ctxs(cur)
+      if (ctxs(context).unused) ctxs(context).init(old)
+      cur = context
+    }
+    ctxs(cur)
+  }
+
+  def write(enc: AcEncoder, p: Point14, context: Int): Unit = {
+    val c = switchTo(context)
+    if ((p.wpIndex & 0xFF) != c.lastIndex || p.wpOffset != c.lastOffset || p.wpSize != c.lastSize ||
+      p.wpRetBits != c.lastRet || p.wpXtBits != c.lastXt || p.wpYtBits != c.lastYt || p.wpZtBits != c.lastZt)
+      changed = true
+    enc.encodeSymbol(c.mIndex, p.wpIndex & 0xFF)
+    val diff = p.wpOffset - c.lastOffset
+    val sym =
+      if (p.wpOffset == c.lastOffset) 0
+      else if (p.wpOffset == c.lastOffset + (c.lastSize.toLong & 0xFFFFFFFFL)) 1
+      else if (diff >= Int.MinValue.toLong && diff <= Int.MaxValue.toLong) 2
+      else 3
+    enc.encodeSymbol(c.mOffsetSym(c.symLast), sym)
+    c.symLast = sym
+    if (sym == 2) {
+      c.icOffsetDiff.compress(enc, c.lastDiff32, diff.toInt, 0)
+      c.lastDiff32 = diff.toInt
+    } else if (sym == 3) {
+      enc.writeBits(32, (p.wpOffset >>> 32) & 0xFFFFFFFFL)
+      enc.writeBits(32, p.wpOffset & 0xFFFFFFFFL)
+    }
+    c.icPacketSize.compress(enc, c.lastSize, p.wpSize, 0)
+    c.icReturnPoint.compress(enc, c.lastRet, p.wpRetBits, 0)
+    c.icXyz.compress(enc, c.lastXt, p.wpXtBits, 0)
+    c.icXyz.compress(enc, c.lastYt, p.wpYtBits, 1)
+    c.icXyz.compress(enc, c.lastZt, p.wpZtBits, 2)
+    c.lastIndex = p.wpIndex & 0xFF
+    c.lastOffset = p.wpOffset
+    c.lastSize = p.wpSize
+    c.lastRet = p.wpRetBits
+    c.lastXt = p.wpXtBits; c.lastYt = p.wpYtBits; c.lastZt = p.wpZtBits
+  }
+
+  def read(dec: AcDecoder, p: Point14, context: Int): Unit = {
+    val c = switchTo(context)
+    if (dec == null) {
+      p.wpIndex = c.lastIndex; p.wpOffset = c.lastOffset; p.wpSize = c.lastSize
+      p.wpRetBits = c.lastRet; p.wpXtBits = c.lastXt; p.wpYtBits = c.lastYt; p.wpZtBits = c.lastZt
+      return
+    }
+    p.wpIndex = dec.decodeSymbol(c.mIndex)
+    val sym = dec.decodeSymbol(c.mOffsetSym(c.symLast))
+    c.symLast = sym
+    p.wpOffset = sym match {
+      case 0 => c.lastOffset
+      case 1 => c.lastOffset + (c.lastSize.toLong & 0xFFFFFFFFL)
+      case 2 =>
+        val d = c.icOffsetDiff.decompress(dec, c.lastDiff32, 0)
+        c.lastDiff32 = d
+        c.lastOffset + d.toLong
+      case _ =>
+        val hi = dec.readBits(32) & 0xFFFFFFFFL
+        val lo = dec.readBits(32) & 0xFFFFFFFFL
+        (hi << 32) | lo
+    }
+    p.wpSize = c.icPacketSize.decompress(dec, c.lastSize, 0)
+    p.wpRetBits = c.icReturnPoint.decompress(dec, c.lastRet, 0)
+    p.wpXtBits = c.icXyz.decompress(dec, c.lastXt, 0)
+    p.wpYtBits = c.icXyz.decompress(dec, c.lastYt, 1)
+    p.wpZtBits = c.icXyz.decompress(dec, c.lastZt, 2)
+    c.lastIndex = p.wpIndex
+    c.lastOffset = p.wpOffset
+    c.lastSize = p.wpSize
+    c.lastRet = p.wpRetBits
+    c.lastXt = p.wpXtBits; c.lastYt = p.wpYtBits; c.lastZt = p.wpZtBits
   }
 }

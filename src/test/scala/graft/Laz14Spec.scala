@@ -54,7 +54,73 @@ class Laz14Spec extends SparkSuite {
   private def strip(p: P14, fmt: Int): P14 =
     if (fmt == 6) p.copy(red = 0, green = 0, blue = 0, nir = 0)
     else if (fmt == 7) p.copy(nir = 0)
+    else if (fmt == 9) p.copy(red = 0, green = 0, blue = 0, nir = 0)
     else p
+
+  /** Wave packets for formats 9/10, exercising every offset symbol
+    * (repeat / contiguous / i32 delta / raw 64-bit jump). */
+  private def addWp(pts: Seq[P14], seed: Int): Seq[P14] = {
+    val rnd = new scala.util.Random(seed)
+    var off = 6000000000L
+    var size = 1500
+    pts.map { p =>
+      rnd.nextInt(8) match {
+        case 0 => ()
+        case 1 | 2 | 3 => off += size
+        case 4 | 5 => off += rnd.nextInt(1 << 20) - (1 << 19)
+        case _ => off += 11000000000L + rnd.nextInt(997)
+      }
+      if (rnd.nextInt(4) == 0) size = 400 + rnd.nextInt(5000)
+      p.copy(
+        wpIndex = rnd.nextInt(3),
+        wpOffset = off,
+        wpSize = size,
+        wpReturn = rnd.nextFloat() * 80f,
+        wpXt = if (rnd.nextInt(10) == 0) rnd.nextFloat() else 0.2f,
+        wpYt = if (rnd.nextInt(10) == 0) rnd.nextFloat() else -0.1f,
+        wpZt = if (rnd.nextInt(10) == 0) rnd.nextFloat() else 0.95f
+      )
+    }
+  }
+
+  test("wave-packet formats 9 and 10 round-trip across scanner-channel switches and chunk boundaries") {
+    for (fmt <- Seq(9, 10); channels <- Seq(1, 4); n <- Seq(1, 2, 999, 1000, 2500)) {
+      val pts = addWp(mk(n, wild = true, channels = channels, seed = fmt * 500 + n + channels), seed = n + fmt)
+      val expect = pts.map(strip(_, fmt))
+      val laz = Laz14.compress(pts, pointFormat = fmt, chunkSize = 1000)
+      assert(Laz14.decompress(laz) == expect, s"fmt=$fmt channels=$channels n=$n")
+      val h = Laz14.readHeader(laz)
+      assert(h.pointFormat == fmt && h.compressor == 3)
+    }
+  }
+
+  test("wave-packet layer prunes independently and collapses to zero bytes when constant") {
+    val pts = addWp(mk(1500, wild = false, channels = 2, seed = 77), seed = 5)
+    val laz = Laz14.compress(pts, pointFormat = 10, chunkSize = 1500)
+    val h = Laz14.readHeader(laz)
+    val c = Laz14.chunks(laz).head
+    val bytes = laz.slice(c.offset.toInt, (c.offset + c.size).toInt)
+    val noWp = Laz14.decodeChunk(bytes, 0, bytes.length, c.pointCount, 10,
+      cols = Seq("x", "y", "z", "red", "nir"))
+    val full = Laz14.decodeChunk(bytes, 0, bytes.length, c.pointCount, 10)
+    assert(full.toSeq == pts)
+    // pruned decode: projected fields match; packet fields not decoded
+    noWp.zip(pts).foreach { case (a, b) =>
+      assert(a.x == b.x && a.y == b.y && a.z == b.z && a.red == b.red && a.nir == b.nir)
+    }
+    // constant wave packet -> zero-byte layer (same size as the
+    // packet-free format-8 encoding of the same points, minus nothing)
+    val const = pts.map(_.copy(wpIndex = 1, wpOffset = 42L, wpSize = 9, wpReturn = 1f,
+      wpXt = 0f, wpYt = 0f, wpZt = 1f))
+    val lazConst = Laz14.compress(const, pointFormat = 10, chunkSize = 1500)
+    val lazNoWpFmt = Laz14.compress(const.map(_.copy(wpIndex = 0, wpOffset = 0L, wpSize = 0,
+      wpReturn = 0f, wpXt = 0f, wpYt = 0f, wpZt = 1f)), pointFormat = 8, chunkSize = 1500)
+    // only the 29-byte seed record delta + the empty layer's 4-byte
+    // size slot separate the two streams
+    assert(lazConst.length - lazNoWpFmt.length <= 29 + 4 + 8,
+      s"constant wave packets must cost ~0 bytes: ${lazConst.length} vs ${lazNoWpFmt.length}")
+    assert(Laz14.decompress(lazConst) == const)
+  }
 
   test("round-trip is the identity: formats 6/7/8, sizes across chunk boundaries, tame and wild streams") {
     for (fmt <- Seq(6, 7, 8); n <- Seq(1, 2, 999, 1000, 1001, 5000); wild <- Seq(false, true)) {

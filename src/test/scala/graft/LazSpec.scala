@@ -72,6 +72,58 @@ class LazSpec extends SparkSuite {
     }
   }
 
+  /** Wave packets exercising all four offset symbols: repeated offset
+    * (shared waveform), contiguous offset+size, i32 deltas through the
+    * corrector, and >i32 jumps through the raw 64-bit path. */
+  private def mkWp(n: Int, seed: Int): Seq[P] = {
+    val rnd = new scala.util.Random(seed)
+    var off = 5000000000L // beyond u32 from the start
+    var size = 2000
+    mk(n, wild = true, seed = seed).map { p =>
+      rnd.nextInt(8) match {
+        case 0 => () // same offset as previous packet
+        case 1 | 2 | 3 => off += size // contiguous
+        case 4 | 5 => off += rnd.nextInt(1 << 20) - (1 << 19) // small i32 delta
+        case _ => off += 10000000000L + rnd.nextInt(1000) // raw 64-bit jump
+      }
+      if (rnd.nextInt(4) == 0) size = 500 + rnd.nextInt(4000)
+      p.copy(
+        wpIndex = rnd.nextInt(4),
+        wpOffset = off,
+        wpSize = size,
+        wpReturn = rnd.nextFloat() * 100f,
+        wpXt = if (rnd.nextInt(10) == 0) rnd.nextFloat() else 0.1f,
+        wpYt = if (rnd.nextInt(10) == 0) rnd.nextFloat() else -0.2f,
+        wpZt = if (rnd.nextInt(10) == 0) rnd.nextFloat() else 0.97f
+      )
+    }
+  }
+
+  test("wave-packet formats 4 and 5 round-trip (pointwise and layered), all offset symbols exercised") {
+    for (fmt <- Seq(4, 5); layered <- Seq(false, true); n <- Seq(1, 2, 999, 1000, 2500)) {
+      val pts = mkWp(n, seed = fmt * 1000 + n + (if (layered) 7 else 0))
+      val expect = if (fmt == 4) pts.map(_.copy(red = 0, green = 0, blue = 0)) else pts
+      val laz = Laz.compress(pts, pointFormat = fmt, chunkSize = 1000, layered = layered)
+      assert(Laz.decompress(laz) == expect, s"fmt=$fmt layered=$layered n=$n")
+      val h = Laz.readHeader(laz)
+      assert(h.pointFormat == fmt && h.compressor == (if (layered) 3 else 2))
+    }
+  }
+
+  test("wave-packet layer prunes independently: an XYZ+RGB read skips the packet stream") {
+    val pts = mkWp(1200, seed = 31)
+    val laz = Laz.compress(pts, pointFormat = 5, chunkSize = 1200, layered = true)
+    val h = Laz.readHeader(laz)
+    val c = Laz.chunks(laz, h).head
+    val noWp = Laz.decodeChunkLayered(
+      laz, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat, wantWp = false)
+    val full = Laz.decodeChunkLayered(
+      laz, c.offset.toInt, (c.offset + c.size).toInt, c.pointCount, h.pointFormat)
+    assert(full.toSeq == pts)
+    assert(noWp.toSeq == pts.map(_.copy(wpIndex = 0, wpOffset = 0L, wpSize = 0,
+      wpReturn = 0f, wpXt = 0f, wpYt = 0f, wpZt = 0f)))
+  }
+
   test("gray RGB points exercise the not-gray bit and still round-trip") {
     val pts = mk(800, wild = false, seed = 9).zipWithIndex.map { case (p, i) => if (i % 3 == 0) gray(p) else p }
     val laz = Laz.compress(pts, pointFormat = 3, chunkSize = 300)
