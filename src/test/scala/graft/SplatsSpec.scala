@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.EntryType
+import graft.multimodal.Splats
+import graft.multimodal.Splats.Splat
+import graft.sources.Ply
+
+/** Gaussian-splat containers (gsplat.cpp conversion tier): .splat
+  * 32-byte records, the SPZ gzip container, and the 3DGS PLY bridge. */
+class SplatsSpec extends AnyFunSuite {
+
+  private def mk(n: Int, shDeg: Int, seed: Int): Seq[Splat] = {
+    val rnd = new scala.util.Random(seed)
+    val nsh = (shDeg match { case 0 => 0; case 1 => 3; case 2 => 8; case 3 => 15 }) * 3
+    (0 until n).map { _ =>
+      // unit quaternion with w > 0
+      val q = Array.fill(4)(rnd.nextGaussian())
+      val norm = math.sqrt(q.map(v => v * v).sum)
+      val sgn = if (q(3) < 0) -1.0 else 1.0
+      Splat(
+        x = (rnd.nextFloat() - 0.5f) * 100f,
+        y = (rnd.nextFloat() - 0.5f) * 100f,
+        z = (rnd.nextFloat() - 0.5f) * 100f,
+        scaleX = rnd.nextFloat() * 6f - 8f,
+        scaleY = rnd.nextFloat() * 6f - 8f,
+        scaleZ = rnd.nextFloat() * 6f - 8f,
+        r = (rnd.nextFloat() - 0.5f) * 2f,
+        g = (rnd.nextFloat() - 0.5f) * 2f,
+        b = (rnd.nextFloat() - 0.5f) * 2f,
+        alpha = rnd.nextFloat() * 8f - 4f,
+        rotX = (sgn * q(0) / norm).toFloat,
+        rotY = (sgn * q(1) / norm).toFloat,
+        rotZ = (sgn * q(2) / norm).toFloat,
+        rotW = (sgn * q(3) / norm).toFloat,
+        sh = Seq.fill(nsh)((rnd.nextFloat() - 0.5f) * 0.5f)
+      )
+    }
+  }
+
+  test(".splat 32-byte records round-trip within quantization error") {
+    val splats = mk(500, 0, 1)
+    val bytes = Splats.writeSplat(splats)
+    assert(bytes.length == 500 * 32)
+    val back = Splats.readSplat(bytes)
+    assert(back.length == 500)
+    splats.zip(back).foreach { case (a, b) =>
+      assert(a.x == b.x && a.y == b.y && a.z == b.z, "positions are exact f32")
+      assert(math.abs(a.scaleX - b.scaleX) < 1e-5, "scales survive the exp/log cycle")
+      assert(math.abs(a.r - b.r) < 0.01, "color within one u8 step")
+      assert(math.abs(1.0 / (1 + math.exp(-a.alpha)) - 1.0 / (1 + math.exp(-b.alpha))) < 0.005,
+        "opacity within one u8 step in sigmoid space")
+      assert(math.abs(a.rotW - b.rotW) < 0.01 && math.abs(a.rotX - b.rotX) < 0.01)
+    }
+    assertThrows[IllegalArgumentException](Splats.readSplat(new Array[Byte](33)))
+  }
+
+  test("SPZ: gzip container with the NGSP header; round-trip within quantization error") {
+    for (shDeg <- Seq(0, 1, 2)) {
+      val splats = mk(300, shDeg, 10 + shDeg)
+      val spz = Splats.writeSpz(splats)
+      // it IS a gzip stream
+      assert((spz(0) & 0xff) == 0x1f && (spz(1) & 0xff) == 0x8b)
+      val (info, back) = Splats.readSpz(spz)
+      assert(info.numPoints == 300 && info.shDegree == shDeg && info.fractionalBits == 12)
+      splats.zip(back).foreach { case (a, b) =>
+        assert(math.abs(a.x - b.x) <= 1f / 4096 && math.abs(a.z - b.z) <= 1f / 4096,
+          "positions within the 24-bit fixed-point step")
+        assert(math.abs(a.scaleX - b.scaleX) <= 1f / 16 + 1e-4, "log scales within one u8 step")
+        assert(math.abs(a.r - b.r) < 0.01)
+        // quaternion: the STORED xyz components are within one u8 step
+        // unconditionally; the rotation-distance bound applies only
+        // when |w| isn't tiny (w is recovered from the unit norm, so
+        // its error is amplified near w = 0 — inherent to any
+        // 8-bit xyz-only storage, including the real SPZ)
+        assert(math.abs(a.rotX - b.rotX) <= 1f / 127.5f + 1e-4)
+        assert(math.abs(a.rotY - b.rotY) <= 1f / 127.5f + 1e-4)
+        assert(math.abs(a.rotZ - b.rotZ) <= 1f / 127.5f + 1e-4)
+        if (math.abs(a.rotW) > 0.2f) {
+          val dot = a.rotX * b.rotX + a.rotY * b.rotY + a.rotZ * b.rotZ + a.rotW * b.rotW
+          assert(math.abs(dot) > 0.999, s"quaternion drifted: dot=$dot (w=${a.rotW})")
+        }
+        if (shDeg > 0) a.sh.zip(b.sh).foreach { case (u, v) => assert(math.abs(u - v) <= 1f / 128 + 1e-4) }
+      }
+    }
+  }
+
+  test("SPZ guards: bad magic, truncated payloads, unsupported version are named errors") {
+    val good = Splats.writeSpz(mk(5, 0, 3))
+    val raw = {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(good))
+      try in.readAllBytes() finally in.close()
+    }
+    def regzip(r: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r); gz.close(); bos.toByteArray
+    }
+    val badMagic = raw.clone(); badMagic(0) = 'X'
+    assert(intercept[IllegalArgumentException](Splats.readSpz(regzip(badMagic))).getMessage.contains("magic"))
+    val badVer = raw.clone(); badVer(4) = 9
+    assert(intercept[IllegalArgumentException](Splats.readSpz(regzip(badVer))).getMessage.contains("version"))
+    assert(intercept[IllegalArgumentException](Splats.readSpz(regzip(raw.take(20)))).getMessage.contains("need"))
+  }
+
+  test("PLY 3DGS bridge: fromPly(toPly) is exact; the written PLY dispatches as a splat") {
+    val splats = mk(120, 1, 42)
+    val ply = Splats.toPly(splats)
+    assert(Ply.identify(ply) == EntryType.GaussianSplat)
+    assert(Ply.info(ply).get.shDegree == 1)
+    val back = Splats.fromPly(ply)
+    assert(back == splats, "f32-exact through the PLY float32 cycle")
+    // full conversion chain: PLY -> SPZ -> model stays within quantization
+    val (info, viaSpz) = Splats.readSpz(Splats.writeSpz(back))
+    assert(info.shDegree == 1)
+    splats.zip(viaSpz).foreach { case (a, b) => assert(math.abs(a.x - b.x) <= 1f / 4096) }
+  }
+}
