@@ -1,0 +1,151 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal recursive-descent JSON parser (objects, arrays, strings
+  * with escapes, numbers, booleans, null) for container metadata
+  * blocks (RAD headers, chunk metas). Values decode to
+  * Map[String, Any] / Vector[Any] / String / Double / Boolean / null.
+  * Strict enough for well-formed metadata; malformed input is a named
+  * error (the codecs' corrupt-input contract), never a crash. */
+object MiniJson {
+
+  def parse(s: String): Any = {
+    val p = new P(s)
+    val v = p.value()
+    p.ws()
+    require(p.at >= s.length, s"json: trailing garbage at ${p.at}")
+    v
+  }
+
+  def obj(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case other => throw new IllegalArgumentException(s"json: expected object, got $other")
+  }
+
+  def arr(v: Any): Vector[Any] = v match {
+    case a: Vector[_] => a.asInstanceOf[Vector[Any]]
+    case other => throw new IllegalArgumentException(s"json: expected array, got $other")
+  }
+
+  def num(v: Any): Double = v match {
+    case d: Double => d
+    case other => throw new IllegalArgumentException(s"json: expected number, got $other")
+  }
+
+  def str(v: Any): String = v match {
+    case s: String => s
+    case other => throw new IllegalArgumentException(s"json: expected string, got $other")
+  }
+
+  /** JSON-escape + quote a string. */
+  def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private final class P(s: String) {
+    var at = 0
+    def ws(): Unit = while (at < s.length && (s(at) == ' ' || s(at) == '\n' || s(at) == '\t' || s(at) == '\r')) at += 1
+    private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"json: $msg at offset $at")
+    private def expect(c: Char): Unit = {
+      if (at >= s.length || s(at) != c) fail(s"expected '$c'")
+      at += 1
+    }
+
+    def value(): Any = {
+      ws()
+      if (at >= s.length) fail("unexpected end")
+      s(at) match {
+        case '{' => obj0()
+        case '[' => arr0()
+        case '"' => string()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _ => number()
+      }
+    }
+
+    private def lit(word: String, v: Any): Any = {
+      if (!s.startsWith(word, at)) fail(s"bad literal")
+      at += word.length
+      v
+    }
+
+    private def obj0(): Map[String, Any] = {
+      expect('{'); ws()
+      if (at < s.length && s(at) == '}') { at += 1; return Map.empty }
+      val m = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        ws()
+        val k = string()
+        ws(); expect(':')
+        m += k -> value()
+        ws()
+        if (at < s.length && s(at) == ',') at += 1
+        else { expect('}'); done = true }
+      }
+      m.result()
+    }
+
+    private def arr0(): Vector[Any] = {
+      expect('['); ws()
+      if (at < s.length && s(at) == ']') { at += 1; return Vector.empty }
+      val a = new ArrayBuffer[Any]()
+      var done = false
+      while (!done) {
+        a += value()
+        ws()
+        if (at < s.length && s(at) == ',') at += 1
+        else { expect(']'); done = true }
+      }
+      a.toVector
+    }
+
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (at < s.length && s(at) != '"') {
+        if (s(at) == '\\') {
+          at += 1
+          if (at >= s.length) fail("bad escape")
+          s(at) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' =>
+              if (at + 4 >= s.length) fail("bad unicode escape")
+              sb += Integer.parseInt(s.substring(at + 1, at + 5), 16).toChar
+              at += 4
+            case c => fail(s"bad escape '\\$c'")
+          }
+        } else sb += s(at)
+        at += 1
+      }
+      expect('"')
+      sb.toString
+    }
+
+    private def number(): Double = {
+      val start = at
+      if (at < s.length && (s(at) == '-' || s(at) == '+')) at += 1
+      while (at < s.length && (s(at).isDigit || s(at) == '.' || s(at) == 'e' || s(at) == 'E' || s(at) == '-' || s(at) == '+')) at += 1
+      if (at == start) fail("expected number")
+      try s.substring(start, at).toDouble
+      catch { case _: NumberFormatException => fail("malformed number") }
+    }
+  }
+}
