@@ -218,7 +218,8 @@ object SparkEntry {
     "q_geoproject" -> (graft.raster.Warp.geoprojectQuery _),
     "q_ply" -> (graft.sources.Ply.plyQuery _),
     "q_kn_lm" -> (graft.text.Importance.knLmQuery _),
-    "q_dsir" -> (graft.text.Importance.dsirQuery _)
+    "q_dsir" -> (graft.text.Importance.dsirQuery _),
+    "q_splat" -> (graft.multimodal.Splats.splatQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3614,7 +3615,19 @@ object SparkEntry {
     // importance weights (integer-quantized Laplace ratios) — both
     // all-integer emissions, oracles in text/Importance.
     "q_kn_lm" -> graft.text.Importance.KnLmOracle,
-    "q_dsir" -> graft.text.Importance.DsirOracle
+    "q_dsir" -> graft.text.Importance.DsirOracle,
+    // Splat container proof: integer-position splats cycle through
+    // 3DGS PLY, .splat, SPZ (12-bit fixed point — exact on integers)
+    // AND a RAD preview chunk inside the task; the decoded position
+    // sums from all four containers must agree with each other (a
+    // require in the query) and with the oracle's direct aggregates.
+    "q_splat" ->
+      """SELECT event_type,
+        |  count(*) AS n_splats,
+        |  CAST(sum(event_id % 1000) AS BIGINT) AS x_sum,
+        |  CAST(sum((event_id * 3) % 1000) AS BIGINT) AS y_sum,
+        |  CAST(sum((event_id * 7) % 500) AS BIGINT) AS z_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

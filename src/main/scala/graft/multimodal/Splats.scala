@@ -239,4 +239,58 @@ object Splats {
         Array(s.alpha, s.scaleX, s.scaleY, s.scaleZ, s.rotW, s.rotX, s.rotY, s.rotZ))
     })
   }
+
+  /** q_splat: per event_type, splats with INTEGER positions built
+    * from the group's own events cycle through all four containers —
+    * 3DGS PLY (f32-exact), .splat (f32-exact positions), SPZ (12-bit
+    * fixed point, exact on integers |x| < 2048), and a RAD preview
+    * chunk (f32 encoding, exact) — and the position sums decoded from
+    * EACH container must agree; the oracle computes them once from
+    * the raw rows. One group = one task-local artifact cycle. */
+  def splatQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val splats = ids.sorted.map { id =>
+        Splat(
+          x = (id % 1000).toFloat,
+          y = ((id * 3) % 1000).toFloat,
+          z = ((id * 7) % 500).toFloat,
+          scaleX = -4f, scaleY = -4f, scaleZ = -4f,
+          r = 0.5f, g = -0.25f, b = 0.125f,
+          alpha = 2f,
+          rotX = 0f, rotY = 0f, rotZ = 0f, rotW = 1f,
+          sh = Nil
+        )
+      }
+      def sums(dec: Seq[Splat]): (Long, Long, Long) =
+        (dec.map(_.x.toLong).sum, dec.map(_.y.toLong).sum, dec.map(_.z.toLong).sum)
+      val viaPly = Splats.fromPly(Splats.toPly(splats))
+      val viaSplat = Splats.readSplat(Splats.writeSplat(splats))
+      val (_, viaSpz) = Splats.readSpz(Splats.writeSpz(splats))
+      val viaRad = {
+        val pos = splats.flatMap(sp => Seq(sp.x, sp.y, sp.z)).toArray
+        val rad = Rad.write(Seq(Rad.Chunk(splats.length, Seq(Rad.Property("center", "f32_lebytes", pos, 3)))))
+        val c = Rad.coarseSplats(rad)
+        (0 until c.count).map(i => splats.head.copy(
+          x = c.positions(3 * i), y = c.positions(3 * i + 1), z = c.positions(3 * i + 2)))
+      }
+      val all = Seq(sums(viaPly), sums(viaSplat), sums(viaSpz), sums(viaRad))
+      require(all.distinct.length == 1, s"splat container cycles disagree: $all")
+      Seq(splats.length.toLong, all.head._1, all.head._2, all.head._3)
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select(
+        $"event_type",
+        $"a".getItem(0).as("n_splats"),
+        $"a".getItem(1).as("x_sum"),
+        $"a".getItem(2).as("y_sum"),
+        $"a".getItem(3).as("z_sum")
+      )
+      .orderBy($"event_type")
+  }
 }
