@@ -46,13 +46,16 @@ object EntryType {
     else ext match {
       case "jpg" | "jpeg" | "png" | "gif" | "bmp" | "webp" => Image
       case "tif" | "tiff" => GeoRaster // content sniff decides Image vs GeoRaster in the full path
-      case "las" | "laz" | "copc" => PointCloud
+      case "las" | "laz" | "copc" | "e57" | "pts" | "xyz" => PointCloud // entry.cpp:1001
       case "ply" => PointCloud // content dispatch mesh/splat in full path (entry.cpp:1018-1022)
       case "md" => Markdown
       case "mp4" | "mov" | "avi" | "mkv" | "webm" => Video
       case "obj" | "gltf" | "glb" | "fbx" | "stl" => Model
       case "geojson" | "shp" | "gpkg" | "fgb" | "kml" | "kmz" | "dxf" => Vector
-      case "splat" => GaussianSplat
+      // the extension is an explicit splat signal; content checks only
+      // warn, never reclassify (entry.cpp:1006-1016)
+      case "splat" | "spz" | "ksplat" => GaussianSplat
+      case "3tz" => Tiles3D // OGC 3D Tiles archive (entry.cpp:1028-1031)
       case "json" => Generic
       case _ => Generic
     }

@@ -200,6 +200,36 @@ object Splats {
     (SpzInfo(n, shDeg, fracBits, flags), out)
   }
 
+  // ---- lightweight sniffs (gsplat.cpp:274-345) ------------------------
+
+  /** `looksLikeSpz`: NGSP (v4) magic or gzip (legacy v1-3) magic. */
+  def looksLikeSpz(bytes: Array[Byte]): Boolean =
+    if (bytes == null || bytes.length < 2) false
+    else {
+      val ngsp = bytes.length >= 4 && bytes(0) == 'N' && bytes(1) == 'G' && bytes(2) == 'S' && bytes(3) == 'P'
+      val gz = (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+      ngsp || gz
+    }
+
+  /** `looksLikeSplatBinary`: non-empty and a multiple of 32 bytes. */
+  def looksLikeSplatBinary(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 0 && bytes.length % 32 == 0
+
+  final case class SplatInfo(splatCount: Long, shDegree: Int)
+
+  /** `getGaussianSplatInfo` for the binary formats: .splat records
+    * (count = size/32, SH degree 0) and gzip SPZ (header fields);
+    * .ply goes through [[graft.sources.Ply.info]] instead. */
+  def binaryInfo(ext: String, bytes: Array[Byte]): Option[SplatInfo] = ext match {
+    case "splat" if looksLikeSplatBinary(bytes) => Some(SplatInfo(bytes.length / 32L, 0))
+    case "spz" if looksLikeSpz(bytes) =>
+      try {
+        val (info, _) = readSpz(bytes)
+        Some(SplatInfo(info.numPoints.toLong, info.shDegree))
+      } catch { case _: Exception => None }
+    case _ => None
+  }
+
   // ---- PLY 3DGS bridge ------------------------------------------------
 
   private def plyNames(shDeg: Int): Seq[String] =

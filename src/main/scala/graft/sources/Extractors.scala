@@ -218,7 +218,23 @@ object Extractors {
                                 val tpe = if (m.lat.isDefined && m.lon.isDefined) EntryType.GeoVideo else EntryType.Video
                                 Extracted(tpe, Mp4.properties(m), m.lon, m.lat, None, None)
                               case None =>
-                                Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                                // Gaussian-splat BINARY formats: the
+                                // extension is the signal (entry.cpp:
+                                // 1006-1016); carry count/SH degree
+                                // when the bytes parse
+                                val ext = path.toLowerCase.substring(path.lastIndexOf('.') + 1)
+                                val splatProps =
+                                  if (Seq("splat", "spz", "ksplat").contains(ext))
+                                    graft.multimodal.Splats.binaryInfo(ext, bytes)
+                                      .map(i => s"""{"splatCount":${i.splatCount},"shDegree":${i.shDegree}}""")
+                                      .orElse(Some("{}"))
+                                  else None
+                                splatProps match {
+                                  case Some(props) =>
+                                    Extracted(EntryType.GaussianSplat, props, None, None, None, None)
+                                  case None =>
+                                    Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                                }
                             }
                         }
                     }

@@ -104,6 +104,34 @@ class SplatsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](Splats.readSpz(regzip(raw.take(20)))).getMessage.contains("need"))
   }
 
+  test("extension dispatch + looksLike helpers mirror gsplat_test") {
+    import graft.sources.Extractors
+    // .splat content fingerprints by extension (gsplat_test detectByExtension)
+    val splatBytes = Splats.writeSplat(mk(4, 0, 8))
+    assert(Extractors.fingerprint("a.splat", splatBytes) == EntryType.GaussianSplat)
+    // .spz with bare NGSP magic
+    assert(Extractors.fingerprint("a.spz", "NGSP".getBytes) == EntryType.GaussianSplat)
+    // .ksplat with arbitrary bytes — extension is the explicit signal
+    assert(Extractors.fingerprint("a.ksplat", "anything".getBytes) == EntryType.GaussianSplat)
+    // looksLikeSpz: NGSP or gzip magic, junk rejected
+    assert(Splats.looksLikeSpz("NGSP".getBytes))
+    assert(Splats.looksLikeSpz(Splats.writeSpz(mk(3, 0, 9)))) // gzip (legacy v1-3)
+    assert(!Splats.looksLikeSpz("junk".getBytes))
+    assert(!Splats.looksLikeSpz(Array[Byte](1)))
+    // looksLikeSplatBinary: multiple of 32
+    assert(Splats.looksLikeSplatBinary(splatBytes))
+    assert(!Splats.looksLikeSplatBinary("12345".getBytes))
+    assert(!Splats.looksLikeSplatBinary(Array.emptyByteArray))
+    // getGaussianSplatInfo: count + SH degree (gsplat_test getInfoPlyAndSplat)
+    assert(Splats.binaryInfo("splat", Splats.writeSplat(mk(7, 0, 10))) ==
+      Some(Splats.SplatInfo(7L, 0)))
+    assert(Splats.binaryInfo("spz", Splats.writeSpz(mk(42, 2, 11))) ==
+      Some(Splats.SplatInfo(42L, 2)))
+    // extractor carries the metadata as properties
+    val ex = Extractors.extract("scene.splat", splatBytes)
+    assert(ex.entryType == EntryType.GaussianSplat && ex.properties.contains("\"splatCount\":4"))
+  }
+
   test("PLY 3DGS bridge: fromPly(toPly) is exact; the written PLY dispatches as a splat") {
     val splats = mk(120, 1, 42)
     val ply = Splats.toPly(splats)
