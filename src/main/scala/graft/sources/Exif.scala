@@ -22,7 +22,16 @@ object Exif {
       orientation: Option[Int],
       make: Option[String],
       model: Option[String],
-      focalLength: Option[Double]
+      focalLength: Option[Double],
+      // GPS speed / direction / accuracy tags (exif.cpp:710-830)
+      gpsSpeed: Option[Double] = None, // raw value in gpsSpeedRef units
+      gpsSpeedRef: Option[String] = None, // K / M / N
+      gpsImgDirection: Option[Double] = None,
+      gpsImgDirectionRef: Option[String] = None, // T / M
+      gpsTrack: Option[Double] = None,
+      gpsTrackRef: Option[String] = None,
+      gpsDop: Option[Double] = None,
+      gpsHPositioningError: Option[Double] = None
   )
 
   val empty: ExifData = ExifData(None, None, None, None, None, None, None, None)
@@ -177,7 +186,15 @@ object Exif {
         orientation = find(ifd0, 0x0112).flatMap(shortVal),
         make = find(ifd0, 0x010f).flatMap(ascii),
         model = find(ifd0, 0x0110).flatMap(ascii),
-        focalLength = find(exifIfd, 0x920a).flatMap(rational(_, 0))
+        focalLength = find(exifIfd, 0x920a).flatMap(rational(_, 0)),
+        gpsSpeed = find(gpsIfd, 0x000d).flatMap(rational(_, 0)),
+        gpsSpeedRef = find(gpsIfd, 0x000c).flatMap(ascii),
+        gpsImgDirection = find(gpsIfd, 0x0011).flatMap(rational(_, 0)),
+        gpsImgDirectionRef = find(gpsIfd, 0x0010).flatMap(ascii),
+        gpsTrack = find(gpsIfd, 0x000f).flatMap(rational(_, 0)),
+        gpsTrackRef = find(gpsIfd, 0x000e).flatMap(ascii),
+        gpsDop = find(gpsIfd, 0x000b).flatMap(rational(_, 0)),
+        gpsHPositioningError = find(gpsIfd, 0x001f).flatMap(rational(_, 0))
       )
     } catch { case _: Exception => empty }
   }

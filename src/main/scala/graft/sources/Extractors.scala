@@ -142,7 +142,10 @@ object Extractors {
           xmp.relativeAltitude.map(v => s""""relAltitude":$v"""),
           xmp.gimbalYaw.map(v => s""""cameraYaw":$v"""),
           xmp.gimbalPitch.map(v => s""""cameraPitch":$v""")
-        ).flatten
+        ).flatten ++
+          // flight telemetry cascade (entry.cpp:182-227): roll +
+          // orientation flag, flight speed, GPS accuracy/direction
+          FlightMeta.propertyFields(xmp, exif)
         Extracted(tpe, fields.mkString("{", ",", "}"), exif.lon, exif.lat, exif.altitude, footprint)
       case None =>
         GeoTiff.sniff(bytes) match {

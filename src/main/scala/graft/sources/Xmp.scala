@@ -13,7 +13,18 @@ object Xmp {
       relativeAltitude: Option[Double],
       gimbalYaw: Option[Double],
       gimbalPitch: Option[Double],
-      gimbalRoll: Option[Double]
+      gimbalRoll: Option[Double],
+      // DJI flight-speed vector (exif.cpp:696-708, priority 1)
+      flightXSpeed: Option[Double] = None,
+      flightYSpeed: Option[Double] = None,
+      flightZSpeed: Option[Double] = None,
+      // Camera-namespace GPS accuracy (senseFly/Parrot/MicaSense) +
+      // DJI RTK standard deviations (exif.cpp:745-780)
+      gpsXYAccuracy: Option[Double] = None,
+      gpsZAccuracy: Option[Double] = None,
+      rtkStdLon: Option[Double] = None,
+      rtkStdLat: Option[Double] = None,
+      rtkStdHgt: Option[Double] = None
   )
 
   val empty: XmpData = XmpData(None, None, None, None)
@@ -59,9 +70,20 @@ object Xmp {
     if (xml == null || xml.isEmpty) empty
     else XmpData(
       relativeAltitude = grab(xml, "RelativeAltitude"),
-      gimbalYaw = grab(xml, "GimbalYawDegree").orElse(grab(xml, "FlightYawDegree")),
-      gimbalPitch = grab(xml, "GimbalPitchDegree"),
-      gimbalRoll = grab(xml, "GimbalRollDegree")
+      // fallback order per exif.cpp:669-671: drone-dji gimbal tags,
+      // then FlightYawDegree (yaw only), then the Camera namespace
+      gimbalYaw = grab(xml, "GimbalYawDegree").orElse(grab(xml, "FlightYawDegree"))
+        .orElse(grab(xml, "Camera:Yaw")),
+      gimbalPitch = grab(xml, "GimbalPitchDegree").orElse(grab(xml, "Camera:Pitch")),
+      gimbalRoll = grab(xml, "GimbalRollDegree").orElse(grab(xml, "Camera:Roll")),
+      flightXSpeed = grab(xml, "FlightXSpeed"),
+      flightYSpeed = grab(xml, "FlightYSpeed"),
+      flightZSpeed = grab(xml, "FlightZSpeed"),
+      gpsXYAccuracy = grab(xml, "GPSXYAccuracy"),
+      gpsZAccuracy = grab(xml, "GPSZAccuracy"),
+      rtkStdLon = grab(xml, "RtkStdLon"),
+      rtkStdLat = grab(xml, "RtkStdLat"),
+      rtkStdHgt = grab(xml, "RtkStdHgt")
     )
 
   def fromJpeg(bytes: Array[Byte]): XmpData =
