@@ -48,6 +48,26 @@ object Mask {
     *                 `mask.cpp:40-53`)
     * @return pixels + `mask` column: 0 = collar, 255 = keep
     */
+  /** The reference's supported-domain gate (`mask.cpp:40-92`): only
+    * 1-band (grey/DEM/thermal), 3-band RGB or 4-band RGBA rasters; the
+    * 3-/4-band paths require 8-bit samples; a 4-band input must carry
+    * an ALPHA band 4 — RGB+NIR multispectral must go through the
+    * multispectral pipeline instead. Named errors, mirroring
+    * mask_cog_test rejectsFourBandNonAlpha / acceptsFourBandWithAlpha. */
+  def validateBands(srcBands: Int, bytesPerSample: Int, band4IsAlpha: Boolean = false): Unit = {
+    if (srcBands != 1 && srcBands != 3 && srcBands != 4)
+      throw new IllegalArgumentException(
+        "Mask borders supports only 1-band (DEM/thermal/greyscale), 3-band RGB " +
+          s"or 4-band RGBA rasters; input has $srcBands bands")
+    if ((srcBands == 3 || srcBands == 4) && bytesPerSample != 1)
+      throw new IllegalArgumentException(
+        "3- and 4-band masking require 8-bit Byte input (RGB/RGBA orthophoto)")
+    if (srcBands == 4 && !band4IsAlpha)
+      throw new IllegalArgumentException(
+        "4-band input must be RGBA (band 4 must be an alpha channel); " +
+          "for multispectral rasters (e.g. RGB+NIR) use the multispectral pipeline")
+  }
+
   def maskBorders(
       pixels: DataFrame,
       width: Int,

@@ -108,4 +108,16 @@ class MaskSpec extends SparkSuite {
     // same ragged-collar width ((y*7)%4 equal for 24 and 28)
     assert(byY(24) == byY(28))
   }
+
+  test("band-domain gate mirrors mask_cog_test: 4-band needs alpha, 3/4-band needs Byte") {
+    import graft.raster.Mask
+    Mask.validateBands(1, 4) // DEM float is fine single-band
+    Mask.validateBands(3, 1)
+    Mask.validateBands(4, 1, band4IsAlpha = true)
+    assert(intercept[IllegalArgumentException](Mask.validateBands(4, 1, band4IsAlpha = false))
+      .getMessage.contains("alpha"))
+    assert(intercept[IllegalArgumentException](Mask.validateBands(2, 1)).getMessage.contains("2 bands"))
+    assert(intercept[IllegalArgumentException](Mask.validateBands(5, 1)).getMessage.contains("5 bands"))
+    assert(intercept[IllegalArgumentException](Mask.validateBands(3, 2)).getMessage.contains("8-bit"))
+  }
 }
