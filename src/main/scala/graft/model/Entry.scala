@@ -37,6 +37,16 @@ object EntryType {
     GaussianSplat -> "gaussiansplat", Tiles3D -> "tiles3d"
   )
 
+  /** Case-insensitive human name -> type, Undefined on no match
+    * (`entry_types.cpp` typeFromHuman; rescan_test matrix). */
+  def fromHuman(name: String): Int =
+    names.collectFirst { case (t, n) if name != null && n == name.toLowerCase => t }.getOrElse(Undefined)
+
+  /** All selectable type names (lowercase), excluding directory and
+    * undefined (`getEntryTypeNames`). */
+  def humanNames: Seq[String] =
+    names.toSeq.sortBy(_._1).collect { case (t, n) if t != Directory && t != Undefined => n }
+
   /** Extension-based fingerprint (content-sniffing subset of
     * `entry.cpp:982-1118` — the pure-function core used for tests). */
   def fromExtension(path: String): Int = {

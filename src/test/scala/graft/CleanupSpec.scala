@@ -101,4 +101,23 @@ class CleanupSpec extends SparkSuite {
     assert(first == ((Seq("gone.jpg"), Seq(hashB))))
     assert(second == ((Seq.empty, Seq.empty)))
   }
+
+  test("typeFromHuman + entry type names (rescan_test matrix)") {
+    assert(EntryType.fromHuman("image") == EntryType.Image)
+    assert(EntryType.fromHuman("Image") == EntryType.Image)
+    assert(EntryType.fromHuman("IMAGE") == EntryType.Image)
+    assert(EntryType.fromHuman("GeoImage") == EntryType.GeoImage)
+    assert(EntryType.fromHuman("PointCloud") == EntryType.PointCloud)
+    assert(EntryType.fromHuman("georaster") == EntryType.GeoRaster)
+    assert(EntryType.fromHuman("geovideo") == EntryType.GeoVideo)
+    assert(EntryType.fromHuman("dronedb") == EntryType.DroneDB)
+    assert(EntryType.fromHuman("unknown") == EntryType.Undefined)
+    assert(EntryType.fromHuman("") == EntryType.Undefined)
+    assert(EntryType.fromHuman("xyz123") == EntryType.Undefined)
+    assert(EntryType.fromHuman(null) == EntryType.Undefined)
+    val names = EntryType.humanNames
+    assert(names.nonEmpty)
+    assert(Seq("image", "geoimage", "pointcloud", "georaster").forall(names.contains))
+    assert(!names.contains("directory") && !names.contains("undefined"))
+  }
 }
