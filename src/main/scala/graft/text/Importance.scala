@@ -44,17 +44,27 @@ object Importance {
       .select($"doc_id", $"source", posexplode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as(Seq("pos", "w")))
   }
 
+  /** Per-document bigram expansion with NO window: adjacent token
+    * pairs come straight out of the token array (each document row is
+    * self-contained), so the extraction is a stateless per-row map —
+    * shuffle-free before the count aggregations AND streamable (the
+    * StreamImportance twin runs the identical frame under Structured
+    * Streaming). */
+  def bigrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("t", regexp_extract_all(lower($"text"), lit("\\w+"), lit(0)))
+      .filter(size($"t") >= 2)
+      .select(explode(expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+  }
+
   /** q_kn_lm: interpolated Kneser-Ney bigram statistics, top 15 bigram
     * types by count (deterministic tiebreak), emitted as exact integer
     * components + the exact rational probability. */
   def knLmQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens(s, dir).transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val bigrams = toks
-      .withColumn("w2", lead($"w", 1).over(w))
-      .filter($"w2".isNotNull)
-      .select($"w".as("w1"), $"w2")
+    val bigrams = this.bigrams(Tables.documents(s, dir))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
