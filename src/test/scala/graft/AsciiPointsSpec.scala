@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.AsciiPoints
+
+/** ASCII .xyz / .pts point readers (the PointCloud extensions
+  * entry.cpp:1001 types; read natively here). */
+class AsciiPointsSpec extends SparkSuite {
+
+  private val xyzText =
+    """# a comment
+      |1.0 2.0 3.0
+      |4.5 -5.25 6.0 100
+      |
+      |7.0 8.0 9.0 50 255 128 0
+      |// another comment
+      |not a point line
+      |""".stripMargin
+
+  test("xyz parse: comments/blank/garbage skipped, optional intensity and rgb") {
+    val pts = AsciiPoints.parse(xyzText)
+    assert(pts.length == 3)
+    assert(pts(0) == AsciiPoints.Pt(1.0, 2.0, 3.0, None, None))
+    assert(pts(1) == AsciiPoints.Pt(4.5, -5.25, 6.0, Some(100.0), None))
+    assert(pts(2) == AsciiPoints.Pt(7.0, 8.0, 9.0, Some(50.0), Some((255, 128, 0))))
+  }
+
+  test("pts: count header verified; mismatch and missing header are named errors") {
+    val pts = AsciiPoints.parse("2\n1 2 3\n4 5 6 77\n", pts = true)
+    assert(pts.length == 2 && pts(1).intensity.contains(77.0))
+    assert(intercept[IllegalArgumentException](AsciiPoints.parse("3\n1 2 3\n", pts = true))
+      .getMessage.contains("declares 3"))
+    assert(intercept[IllegalArgumentException](AsciiPoints.parse("1 2 3\n4 5 6\n", pts = true))
+      .getMessage.contains("point count"))
+  }
+
+  test("meta face: count + bounds like the LAS sniff") {
+    val m = AsciiPoints.meta(xyzText).get
+    assert(m.format == "xyz" && m.pointCount == 3)
+    assert(m.bounds.contains((1.0, -5.25, 3.0, 7.0, 8.0, 9.0)))
+    assert(AsciiPoints.meta("# only comments\n") == None)
+  }
+
+  test("Spark face: splittable text scan parses in parallel; pts headers drop out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xyz")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.xyz"),
+        (0 until 500).map(i => s"$i ${i * 2} ${i * 3} ${i % 7}").mkString("\n").getBytes)
+      java.nio.file.Files.write(dir.resolve("b.pts"),
+        ("3\n" + (0 until 3).map(i => s"${i + 1000} 0 0").mkString("\n")).getBytes)
+      val df = AsciiPoints.pointsTable(spark, dir.toString + "/*")
+      assert(df.count() == 503)
+      import org.apache.spark.sql.functions._
+      assert(df.agg(sum(col("x"))).collect().head.getDouble(0) ==
+        (0 until 500).sum.toDouble + 1000 + 1001 + 1002)
+      assert(df.filter(col("intensity").isNotNull).count() == 500)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
+    }
+  }
+}
