@@ -1,82 +1,94 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.functions._
 
-import graft.core.{Index, Meta, Mutations, Sync}
-import graft.model.{EntryType, MetaRow}
-import graft.sources.Ingest
-import graft.stac.Stac
+import graft.model.EntryType
+import graft.sources.{Ddb, Gpkg, Ingest, Laz, Ply, Sqlite}
 
-/** The reference's whole lifecycle on one fixture tree:
-  * init → add → search/list → meta → STAC → stamp/delta → move/delete.
-  * Mirrors SURVEY §3 traces end-to-end with real extracted geotags.
-  */
+/** The full reference-user walk as ONE integration test: a mixed
+  * asset directory (EXIF JPEG, .laz point cloud, 3DGS splat PLY,
+  * GeoPackage, markdown, generic) → recursive ingest scan →
+  * content-sniffed typed index with hashes and properties → a REAL
+  * SQLite .ddb (reference schema + migration pass) → read-back +
+  * path search. Every stage is spec- or oracle-gated on its own; this
+  * proves they compose. */
 class EndToEndSpec extends SparkSuite {
-  import spark.implicits._
-  implicit private def s = spark
 
-  private def jpegWithGps(latRef: String, lonRef: String): Array[Byte] =
-    ExifFixtures.buildJpegWithExif(ExifFixtures.buildTiff(latRef = latRef, lonRef = lonRef))
-
-  test("full lifecycle over a fixture tree") {
-    val dir = Files.createTempDirectory("graft_e2e").toFile
+  test("mixed directory -> ingest -> typed entries -> .ddb round-trip -> search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
     try {
-      Files.createDirectories(Paths.get(dir.getPath, "photos"))
-      Files.write(Paths.get(dir.getPath, "photos", "IMG_0001.JPG"), jpegWithGps("N", "W"))
-      Files.write(Paths.get(dir.getPath, "photos", "IMG_0002.JPG"), jpegWithGps("S", "E"))
-      Files.writeString(Paths.get(dir.getPath, "README.md"), "# dataset")
+      // --- assets ---
+      val tiff = ExifFixtures.buildTiff()
+      put("images/shot.jpg", ExifFixtures.buildJpegWithExifXmp(tiff, Some(ExifFixtures.xmpPacket())))
+      val lazPts = (0 until 500).map(i => Laz.P(i * 10, i * 20, i * 3, i % 100,
+        returnByte = 1 | (1 << 3), classification = 2, scanAngle = 0, userData = 0,
+        pointSource = 1, gpsTime = 1000.0 + i))
+      put("clouds/scan.laz", Laz.compress(lazPts, pointFormat = 1, chunkSize = 200))
+      put("splats/scene.ply", Ply.write(
+        Seq("x", "y", "z", "f_dc_0", "opacity"),
+        (0 until 40).map(i => Array(i.toFloat, 0f, 0f, 0.5f, 1f))))
+      put("vectors/sites.gpkg", Gpkg.write("sites", Seq("name" -> "TEXT"),
+        (0 until 10).map(i => (Seq[Any](s"s$i"), Some((10.0 + i, 45.0))))))
+      put("README.md", "# dataset".getBytes)
+      put("misc/blob.bin", Array.tabulate[Byte](64)(_.toByte))
+      put(".ddb/ignored.txt", "index internals are skipped".getBytes) // dbops.cpp getPathList skip
 
-      // ---- add (SURVEY §3.1)
-      val entries = Ingest.toEntries(Ingest.listFiles(spark, dir.getPath), dir.getPath)
-        .persist()
-      assert(entries.count() === 3)
-      val img1 = entries.filter($"path" === "photos/IMG_0001.JPG").head()
-      assert(img1.getAs[Int]("entryType") === EntryType.GeoImage)
-      assert(img1.getAs[String]("properties").contains("\"make\":\"DJI\""))
+      // --- ingest scan -> typed entries ---
+      val files = Ingest.listFiles(spark, dir.toString)
+      val entries = Ingest.toEntries(files, dir.toString).cache()
+      val byPath = entries.collect().map(r => r.getAs[String]("path") -> r).toMap
+      assert(!byPath.keySet.exists(_.contains(".ddb")), "index internals must be skipped")
+      assert(byPath("images/shot.jpg").getAs[Int]("entryType") == EntryType.GeoImage)
+      assert(byPath("clouds/scan.laz").getAs[Int]("entryType") == EntryType.PointCloud)
+      assert(byPath("splats/scene.ply").getAs[Int]("entryType") == EntryType.GaussianSplat)
+      assert(byPath("vectors/sites.gpkg").getAs[Int]("entryType") == EntryType.Vector)
+      assert(byPath("README.md").getAs[Int]("entryType") == EntryType.Markdown)
+      assert(byPath("misc/blob.bin").getAs[Int]("entryType") == EntryType.Generic)
+      // content-derived properties made it through
+      assert(byPath("clouds/scan.laz").getAs[String]("properties").contains("\"pointCount\":500"))
+      assert(byPath("splats/scene.ply").getAs[String]("properties").contains("\"kind\":\"splat\""))
+      val jpgProps = byPath("images/shot.jpg").getAs[String]("properties")
+      assert(jpgProps.contains("\"width\"") && jpgProps.contains("hasCameraOrientation"))
+      // sha256 + depth filled
+      assert(byPath("images/shot.jpg").getAs[String]("hash").length == 64)
+      assert(byPath("clouds/scan.laz").getAs[Int]("depth") == 1)
 
-      // ---- search (SURVEY §3.2)
-      val meta0 = Seq.empty[MetaRow].toDF()
-      val found = Index.search(entries, meta0, "*.JPG").select("path").collect().map(_.getString(0))
-      assert(found.toSeq === Seq("photos/IMG_0001.JPG", "photos/IMG_0002.JPG"))
+      // --- materialize a REAL .ddb, run the migration pass, read back ---
+      val ddbEntries = entries.collect().map { r =>
+        Ddb.Entry(
+          r.getAs[String]("path"), r.getAs[String]("hash"),
+          r.getAs[Int]("entryType").toLong, r.getAs[String]("properties"),
+          r.getAs[Long]("mtime"), r.getAs[Long]("size"), r.getAs[Int]("depth").toLong,
+          pointGeom = Option(r.getAs[Any]("pointGeom")).map { _ =>
+            val g = r.getAs[org.apache.spark.sql.Row]("pointGeom")
+            (g.getDouble(0), g.getDouble(1), g.getDouble(2))
+          }
+        )
+      }.toSeq
+      val db = Ddb.ensureSchemaConsistency(Ddb.write(ddbEntries))
+      assert(Sqlite.userVersion(db) == Ddb.SchemaVersion)
+      val back = Ddb.readEntries(db)
+      assert(back.map(_.path).toSet == byPath.keySet)
+      assert(back.find(_.path == "images/shot.jpg").get.typ == EntryType.GeoImage.toLong)
+      // the path auto-index serves sorted lookups
+      assert(Sqlite.readIndex(db, "sqlite_autoindex_entries_1").map(_.head.asInstanceOf[String]) ==
+        back.map(_.path))
 
-      // ---- meta attach + per-path JSON in the search join
-      val meta1 = Meta.add(meta0, Meta.metaRow("photos/IMG_0001.JPG", "annotations", "{\"kind\":\"tree\"}", 100))
-      val joined = Index.search(entries, meta1, "photos/IMG_0001.JPG")
-      val metaJson = joined.select("meta").head().getString(0)
-      assert(metaJson != null && metaJson.contains("annotations"))
-
-      // ---- STAC ItemCollection over the real geotags (SURVEY §3.3)
-      val (page, matched) = Stac.itemCollection(
-        entries, bbox = Some((-180.0, 0.0, 0.0, 90.0)), startSec = None, endSec = None)
-      assert(matched === 1) // only the N/W image is in the NW quadrant
-      val item = page.head()
-      assert(item.getAs[String]("id") === "photos-img-0001-jpg")
-      assert(item.getAs[String]("datetime") === "2016-06-23T21:32:27Z") // geo-TZ corrected (America/Chicago CDT)
-
-      // ---- stamp / delta roundtrip (push-pull shape)
-      val checksum1 = Sync.stampChecksum(entries, meta1)
-      assert(Sync.stampChecksum(entries, meta1) === checksum1) // deterministic
-      val (moved, metaMoved) = Mutations.moveEntry(entries, meta1, "photos/IMG_0002.JPG", "archived.jpg")
-      val delta = Sync.delta(moved, metaMoved, entries, meta1)
-      assert(delta.adds.select("path").collect().map(_.getString(0)).toSet === Set("archived.jpg"))
-      assert(delta.removes.select("path").collect().map(_.getString(0)).toSet === Set("photos/IMG_0002.JPG"))
-      assert(Sync.stampChecksum(moved, metaMoved) !== checksum1)
-
-      // ---- applyDelta brings the old index up to date
-      val applied = Sync.applyDelta(
-        entries.select("path", "hash"), delta.adds, delta.removes, Sync.KeepTheirs)
-      assert(applied.select("path").collect().map(_.getString(0)).toSet ===
-        moved.select("path").collect().map(_.getString(0)).toSet)
-
-      // ---- delete cascade ends the story
-      val (e3, m3, removed) = Mutations.removeEntries(moved, metaMoved, "photos")
-      assert(removed.count() === 1) // only IMG_0001 remains under photos/ (no dir rows from file listing)
-      assert(e3.filter($"path".startsWith("photos")).count() === 0)
+      // --- index queries over the entries frame (the LIKE-scan face) ---
+      import graft.core.Index
+      val clouds = entries.filter(Index.pathMatches("clouds/*")).collect()
+      assert(clouds.length == 1 && clouds.head.getAs[String]("path") == "clouds/scan.laz")
+      assert(entries.filter(col("entryType") === EntryType.GaussianSplat).count() == 1)
     } finally {
-      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-      rm(dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
     }
   }
 }
