@@ -23,6 +23,17 @@ object AsciiPoints {
 
   final case class Pt(x: Double, y: Double, z: Double, intensity: Option[Double], rgb: Option[(Int, Int, Int)])
 
+  /** CloudCompare-style dimension header: a leading `//X Y Z R G B ...`
+    * comment names the columns (pointcloud_test xyzWithCloudCompareHeaders). */
+  def headerDimensions(text: String): Option[Seq[String]] =
+    text.linesIterator
+      .map(_.trim)
+      .find(_.nonEmpty)
+      .filter(l => l.startsWith("//") && l.drop(2).trim.split("\\s+").length >= 3)
+      .map(_.drop(2).trim.split("\\s+").toSeq)
+
+  /** Column conventions: 3 = XYZ; 6 = XYZ RGB (the CloudCompare
+    * export shape); 4 = XYZ intensity; 7+ = XYZ intensity RGB. */
   private def parseLine(line: String): Option[Pt] = {
     val t = line.trim
     if (t.isEmpty || t.startsWith("#") || t.startsWith("//")) return None
@@ -30,9 +41,12 @@ object AsciiPoints {
     if (f.length < 3) return None
     try {
       val x = f(0).toDouble; val y = f(1).toDouble; val z = f(2).toDouble
-      val intensity = if (f.length >= 4) Some(f(3).toDouble) else None
-      val rgb = if (f.length >= 7) Some((f(4).toInt, f(5).toInt, f(6).toInt)) else None
-      Some(Pt(x, y, z, intensity, rgb))
+      f.length match {
+        case 3 | 5 => Some(Pt(x, y, z, None, None))
+        case 4 => Some(Pt(x, y, z, Some(f(3).toDouble), None))
+        case 6 => Some(Pt(x, y, z, None, Some((f(3).toDouble.toInt, f(4).toDouble.toInt, f(5).toDouble.toInt))))
+        case _ => Some(Pt(x, y, z, Some(f(3).toDouble), Some((f(4).toDouble.toInt, f(5).toDouble.toInt, f(6).toDouble.toInt))))
+      }
     } catch { case _: NumberFormatException => None }
   }
 
@@ -80,7 +94,8 @@ object AsciiPoints {
     val pts = text.linesIterator.flatMap(parseLine).toSeq
     if (pts.isEmpty) None
     else Some(PointCloud.CloudMeta(
-      "xyz", pts.length.toLong, Seq("X", "Y", "Z"),
+      "xyz", pts.length.toLong,
+      headerDimensions(text).getOrElse(Seq("X", "Y", "Z")),
       Some((pts.map(_.x).min, pts.map(_.y).min, pts.map(_.z).min,
         pts.map(_.x).max, pts.map(_.y).max, pts.map(_.z).max))
     ))
