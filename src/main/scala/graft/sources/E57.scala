@@ -1,0 +1,437 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** ASTM E57 point-cloud container — the `.e57` extension the
+  * reference types as PointCloud and converts through PDAL
+  * (`pointcloud_test.cpp` e57Info / copcFromE57); here the format
+  * reads and writes natively from the public E57 specification
+  * (ASTM E2807):
+  *
+  *  - **Paged CRC layer**: the physical file is 1024-byte pages, each
+  *    1020 payload bytes + a CRC-32C (Castagnoli) checksum; every
+  *    logical structure lives in the concatenated payload stream. A
+  *    corrupted page is ONE named error.
+  *  - **48-byte header**: "ASTM-E57" signature, version, physical
+  *    length, XML physical offset + logical length, page size.
+  *  - **XML section** (JDK DOM, the [[Kml]] approach): E57Root →
+  *    data3D vector → per-scan `points` CompressedVector with a
+  *    prototype of Float (IEEE bits) and ScaledInteger
+  *    (min/max/scale/offset, bit-packed to ceil(log2(max−min+1))
+  *    bits) fields.
+  *  - **CompressedVector binary sections**: section header, then data
+  *    packets (≤ 64 KiB logical) carrying one bit-packed bytestream
+  *    per prototype field.
+  *
+  * Conformance: no external .e57 fixture exists in-sandbox, so the
+  * codec is proven round-trip + corrupt-input-guarded, the same
+  * documented boundary as the LAZ family. Scale shape: one .e57 is
+  * one artifact; scans within a file and files within an estate
+  * decode in parallel.
+  */
+object E57 {
+
+  // ---- CRC-32C (Castagnoli, reflected 0x1EDC6F41) ---------------------
+
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0x82f63b78 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  def crc32c(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0xffffffff
+    var i = 0
+    while (i < len) {
+      crc = CrcTable((crc ^ b(off + i)) & 0xff) ^ (crc >>> 8)
+      i += 1
+    }
+    ~crc
+  }
+
+  // ---- paged physical <-> logical layer -------------------------------
+
+  private val PageSize = 1024
+  private val PagePayload = 1020
+
+  /** Strip + VERIFY the per-page checksums → the logical stream. */
+  def toLogical(physical: Array[Byte]): Array[Byte] = {
+    require(physical.length % PageSize == 0, s"e57: physical length ${physical.length} not page-aligned")
+    val nPages = physical.length / PageSize
+    val out = new Array[Byte](nPages * PagePayload)
+    var p = 0
+    while (p < nPages) {
+      val at = p * PageSize
+      val stored = ((physical(at + 1020) & 0xff)) | ((physical(at + 1021) & 0xff) << 8) |
+        ((physical(at + 1022) & 0xff) << 16) | ((physical(at + 1023) & 0xff) << 24)
+      val computed = crc32c(physical, at, PagePayload)
+      require(stored == computed, s"e57: page $p checksum mismatch (corrupt page)")
+      System.arraycopy(physical, at, out, p * PagePayload, PagePayload)
+      p += 1
+    }
+    out
+  }
+
+  /** Add per-page checksums → the physical image (zero-padded tail). */
+  def toPhysical(logical: Array[Byte]): Array[Byte] = {
+    val nPages = (logical.length + PagePayload - 1) / PagePayload
+    val out = new Array[Byte](nPages * PageSize)
+    var p = 0
+    while (p < nPages) {
+      val n = math.min(PagePayload, logical.length - p * PagePayload)
+      System.arraycopy(logical, p * PagePayload, out, p * PageSize, n)
+      val crc = crc32c(out, p * PageSize, PagePayload)
+      out(p * PageSize + 1020) = crc.toByte
+      out(p * PageSize + 1021) = (crc >> 8).toByte
+      out(p * PageSize + 1022) = (crc >> 16).toByte
+      out(p * PageSize + 1023) = (crc >> 24).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** physical byte offset → logical offset (both CRC-page aware). */
+  def physicalToLogical(off: Long): Long = (off / PageSize) * PagePayload + (off % PageSize)
+  def logicalToPhysical(off: Long): Long = (off / PagePayload) * PageSize + (off % PagePayload)
+
+  // ---- data model -----------------------------------------------------
+
+  /** A prototype field: ScaledInteger (bit-packed) or Float. */
+  sealed trait Field { def name: String }
+  final case class ScaledInt(name: String, min: Long, max: Long, scale: Double, offset: Double) extends Field {
+    def bits: Int = {
+      val range = max - min
+      if (range <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    }
+  }
+  final case class Flt(name: String, double: Boolean) extends Field
+
+  final case class Scan(fields: Seq[Field], records: Seq[Array[Double]], name: String = "scan")
+
+  // ---- little-endian + bit IO ----------------------------------------
+
+  private def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU64(b: Array[Byte], i: Int): Long = (0 until 8).map(k => (b(i + k) & 0xffL) << (8 * k)).sum
+  private def putU16(o: ArrayBuffer[Byte], v: Int): Unit = { o += v.toByte; o += (v >> 8).toByte }
+  private def putU64(o: ArrayBuffer[Byte], v: Long): Unit = (0 until 8).foreach(k => o += (v >> (8 * k)).toByte)
+
+  private final class BitWriter {
+    private val buf = new ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def write(v: Long, bits: Int): Unit = {
+      var i = 0
+      while (i < bits) {
+        if (((v >>> i) & 1L) != 0L) cur |= (1 << nbits)
+        nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    def result(): Array[Byte] = {
+      if (nbits > 0) { buf += cur.toByte; cur = 0; nbits = 0 }
+      buf.toArray
+    }
+  }
+
+  private final class BitReader(b: Array[Byte]) {
+    private var at = 0
+    def read(bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) {
+        if (((b(at >> 3) >> (at & 7)) & 1) != 0) v |= (1L << i)
+        at += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  // ---- writer ---------------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def fieldXml(f: Field): String = f match {
+    case si: ScaledInt =>
+      s"""<${si.name} type="ScaledInteger" minimum="${si.min}" maximum="${si.max}" scale="${si.scale}" offset="${si.offset}"/>"""
+    case fl: Flt =>
+      s"""<${fl.name} type="Float"${if (fl.double) "" else " precision=\"single\""}/>"""
+  }
+
+  /** Encode one scan's CompressedVector binary section (logical
+    * bytes): section header + data packets with one bit-packed
+    * bytestream per field. */
+  private def encodeSection(scan: Scan): Array[Byte] = {
+    // raw per-field value → stored integer bits
+    def rawOf(f: Field, v: Double): Long = f match {
+      case si: ScaledInt =>
+        val q = math.round((v - si.offset) / si.scale)
+        require(q >= si.min && q <= si.max, s"e57: ${f.name} value $v outside [${si.min},${si.max}] after scaling")
+        q - si.min
+      case Flt(_, true) => java.lang.Double.doubleToLongBits(v)
+      case Flt(_, false) => java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL
+    }
+    def bitsOf(f: Field): Int = f match {
+      case si: ScaledInt => si.bits
+      case Flt(_, true) => 64
+      case Flt(_, false) => 32
+    }
+    // pack in per-packet record groups so each packet stays < 64 KiB
+    val bitsPerRecord = scan.fields.map(bitsOf).sum
+    val maxRecordsPerPacket = math.max(1, (60000 * 8) / math.max(1, bitsPerRecord))
+    val out = new ArrayBuffer[Byte]()
+    // section header (logical): id=1, 7 reserved, sectionLogicalLength,
+    // dataPhysicalOffset, indexPhysicalOffset — offsets are fixed up by
+    // the container assembler, so zeros here
+    out += 1
+    (0 until 7).foreach(_ => out += 0)
+    val lenAt = out.length
+    putU64(out, 0L) // sectionLogicalLength, fixed below
+    putU64(out, 0L) // dataPhysicalOffset (assembler)
+    putU64(out, 0L) // indexPhysicalOffset (unused)
+    scan.records.grouped(maxRecordsPerPacket).foreach { group =>
+      val streams = scan.fields.map { f =>
+        val bw = new BitWriter
+        group.foreach(r => bw.write(rawOf(f, r(scan.fields.indexOf(f))), bitsOf(f)))
+        bw.result()
+      }
+      val bsCount = streams.length
+      val headerLen = 6 + 2 * bsCount
+      val logicalLen0 = headerLen + streams.map(_.length).sum
+      val pad = (4 - (logicalLen0 % 4)) % 4
+      val logicalLen = logicalLen0 + pad
+      require(logicalLen <= 0x10000, "e57: data packet exceeds 64 KiB")
+      out += 1 // packet type: data
+      out += 0 // flags
+      putU16(out, logicalLen - 1)
+      putU16(out, bsCount)
+      streams.foreach(st => putU16(out, st.length))
+      streams.foreach(out ++= _)
+      (0 until pad).foreach(_ => out += 0)
+    }
+    val total = out.length.toLong
+    // fix sectionLogicalLength
+    (0 until 8).foreach(k => out(lenAt + k) = (total >> (8 * k)).toByte)
+    out.toArray
+  }
+
+  /** Write a complete .e57 (physical image with page checksums). */
+  def write(scans: Seq[Scan]): Array[Byte] = {
+    val logical = new ArrayBuffer[Byte]()
+    // 48-byte header placeholder
+    (0 until 48).foreach(_ => logical += 0)
+    val sectionOffsets = scans.map { scan =>
+      val at = logical.length.toLong
+      logical ++= encodeSection(scan)
+      at
+    }
+    val xmlLogicalOffset = logical.length.toLong
+    val xml = {
+      val sb = new StringBuilder
+      sb ++= """<?xml version="1.0" encoding="UTF-8"?>"""
+      sb ++= """<e57Root type="Structure" xmlns="http://www.astm.org/COMMIT/E57/2010-e57-v1.0">"""
+      sb ++= """<formatName type="String">ASTM E57 3D Imaging Data File</formatName>"""
+      sb ++= """<versionMajor type="Integer">1</versionMajor><versionMinor type="Integer">0</versionMinor>"""
+      sb ++= """<data3D type="Vector" allowHeterogeneousChildren="1">"""
+      scans.zip(sectionOffsets).foreach { case (scan, off) =>
+        val physOff = logicalToPhysical(off)
+        sb ++= s"""<vectorChild type="Structure"><name type="String">${xmlEscape(scan.name)}</name>"""
+        sb ++= s"""<points type="CompressedVector" fileOffset="$physOff" recordCount="${scan.records.length}">"""
+        sb ++= """<prototype type="Structure">"""
+        scan.fields.foreach(f => sb ++= fieldXml(f))
+        sb ++= """</prototype><codecs type="Vector" allowHeterogeneousChildren="1"/>"""
+        sb ++= """</points></vectorChild>"""
+      }
+      sb ++= """</data3D></e57Root>"""
+      sb.toString.getBytes("UTF-8")
+    }
+    logical ++= xml
+    val arr = logical.toArray
+    // header: signature, version 1.0, lengths, XML PHYSICAL offset + logical length, page size
+    System.arraycopy("ASTM-E57".getBytes("US-ASCII"), 0, arr, 0, 8)
+    def put32(at: Int, v: Long): Unit = (0 until 4).foreach(k => arr(at + k) = (v >> (8 * k)).toByte)
+    def put64(at: Int, v: Long): Unit = (0 until 8).foreach(k => arr(at + k) = (v >> (8 * k)).toByte)
+    put32(8, 1L); put32(12, 0L)
+    val nPages = (arr.length + PagePayload - 1) / PagePayload
+    put64(16, nPages.toLong * PageSize) // filePhysicalLength
+    put64(24, logicalToPhysical(xmlLogicalOffset)) // xmlPhysicalOffset
+    put64(32, xml.length.toLong) // xmlLogicalLength
+    put64(40, PageSize.toLong)
+    toPhysical(arr)
+  }
+
+  // ---- reader ---------------------------------------------------------
+
+  final case class Info(scanCount: Int, pointCount: Long, dimensions: Seq[String])
+
+  private def parseXml(xmlText: String): Seq[(Long, Long, Seq[Field], String)] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    val doc = dbf.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xmlText.getBytes("UTF-8")))
+    val pts = doc.getElementsByTagName("points")
+    (0 until pts.getLength).map { i =>
+      val el = pts.item(i).asInstanceOf[org.w3c.dom.Element]
+      val fileOffset = el.getAttribute("fileOffset").toLong
+      val recordCount = el.getAttribute("recordCount").toLong
+      val protoNode = el.getElementsByTagName("prototype").item(0).asInstanceOf[org.w3c.dom.Element]
+      val kids = protoNode.getChildNodes
+      val fields = (0 until kids.getLength).flatMap { k =>
+        kids.item(k) match {
+          case e: org.w3c.dom.Element =>
+            e.getAttribute("type") match {
+              case "ScaledInteger" =>
+                Some(ScaledInt(e.getTagName,
+                  Option(e.getAttribute("minimum")).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
+                  Option(e.getAttribute("maximum")).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
+                  Option(e.getAttribute("scale")).filter(_.nonEmpty).map(_.toDouble).getOrElse(1.0),
+                  Option(e.getAttribute("offset")).filter(_.nonEmpty).map(_.toDouble).getOrElse(0.0)))
+              case "Float" =>
+                Some(Flt(e.getTagName, e.getAttribute("precision") != "single"))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      val name = {
+        val parent = el.getParentNode.asInstanceOf[org.w3c.dom.Element]
+        val nn = parent.getElementsByTagName("name")
+        if (nn.getLength > 0) nn.item(0).getTextContent else s"scan$i"
+      }
+      (fileOffset, recordCount, fields, name)
+    }
+  }
+
+  private def header(physical: Array[Byte]): (Long, Long) = {
+    require(physical.length >= PageSize, "e57: truncated file")
+    require(new String(physical, 0, 8, "US-ASCII") == "ASTM-E57", "e57: bad signature (not an ASTM-E57 payload)")
+    val xmlPhysOff = leU64(physical, 24)
+    val xmlLogicalLen = leU64(physical, 32)
+    require(leU64(physical, 40) == PageSize, s"e57: unsupported page size ${leU64(physical, 40)}")
+    (xmlPhysOff, xmlLogicalLen)
+  }
+
+  /** Parse the full file → scans with decoded records. */
+  def read(physical: Array[Byte]): Seq[Scan] = {
+    val (xmlPhysOff, xmlLen) = header(physical)
+    val logical = toLogical(physical)
+    val xmlAt = physicalToLogical(xmlPhysOff).toInt
+    require(xmlAt + xmlLen <= logical.length, "e57: XML section out of range")
+    val xmlText = new String(logical, xmlAt, xmlLen.toInt, "UTF-8")
+    parseXml(xmlText).map { case (fileOffset, recordCount, fields, name) =>
+      val at0 = physicalToLogical(fileOffset).toInt
+      // section header: skip id + reserved + 3 u64s
+      var at = at0 + 8 + 24
+      def bitsOf(f: Field): Int = f match {
+        case si: ScaledInt => si.bits
+        case Flt(_, true) => 64
+        case Flt(_, false) => 32
+      }
+      val records = new ArrayBuffer[Array[Double]](recordCount.toInt)
+      var remaining = recordCount
+      while (remaining > 0) {
+        require(at + 6 <= logical.length, "e57: truncated data packet")
+        require(logical(at) == 1, s"e57: unexpected packet type ${logical(at)}")
+        val logicalLen = leU16(logical, at + 2) + 1
+        val bsCount = leU16(logical, at + 4)
+        require(bsCount == fields.length, s"e57: packet has $bsCount bytestreams for ${fields.length} fields")
+        val lens = (0 until bsCount).map(k => leU16(logical, at + 6 + 2 * k))
+        var bufAt = at + 6 + 2 * bsCount
+        val readers = fields.zipWithIndex.map { case (f, k) =>
+          val r = new BitReader(java.util.Arrays.copyOfRange(logical, bufAt, bufAt + lens(k)))
+          bufAt += lens(k)
+          (f, r)
+        }
+        // records in this packet = the shortest stream's whole-value
+        // capacity (constant zero-bit fields impose no limit)
+        val capacity = fields.zipWithIndex.map { case (f, k) =>
+          val b = bitsOf(f)
+          if (b == 0) Long.MaxValue else lens(k).toLong * 8 / b
+        }.min
+        val n = math.min(remaining, capacity).toInt
+        require(n > 0, "e57: data packet carries no complete record")
+        var i = 0
+        while (i < n) {
+          records += fields.map { f =>
+            val raw = readers.find(_._1 eq f).get._2.read(bitsOf(f))
+            f match {
+              case si: ScaledInt => (si.min + raw) * si.scale + si.offset
+              case Flt(_, true) => java.lang.Double.longBitsToDouble(raw)
+              case Flt(_, false) => java.lang.Float.intBitsToFloat(raw.toInt).toDouble
+            }
+          }.toArray
+          i += 1
+        }
+        remaining -= n
+        at += logicalLen
+      }
+      Scan(fields, records.toSeq, name)
+    }
+  }
+
+  /** Meta face for the extractor chain: scan + point counts and the
+    * prototype dimension names (pointcloud_test e57Info shape). */
+  def info(physical: Array[Byte]): Option[Info] =
+    try {
+      val (xmlPhysOff, xmlLen) = header(physical)
+      val logical = toLogical(physical)
+      val xmlText = new String(logical, physicalToLogical(xmlPhysOff).toInt, xmlLen.toInt, "UTF-8")
+      val scans = parseXml(xmlText)
+      Some(Info(scans.length, scans.map(_._2).sum, scans.headOption.map(_._3.map(_.name)).getOrElse(Seq.empty)))
+    } catch { case _: Exception => None }
+
+  // ---- Spark face -----------------------------------------------------
+
+  /** Every scan of every .e57 under `pathGlob` as one DataFrame (file,
+    * scan name, then the first scan's prototype columns as doubles).
+    * One file = one binaryFile split = one parse task. */
+  def pointsTable(s: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sniff = {
+      val hPath = new org.apache.hadoop.fs.Path(pathGlob)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = Option(fs.globStatus(hPath)).filter(_.nonEmpty).map(_.head.getPath).getOrElse(hPath)
+      val in = fs.open(st)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(st).getLen.toInt)
+        in.readFully(0, buf); buf
+      } finally in.close()
+    }
+    val dims = info(sniff).map(_.dimensions)
+      .getOrElse(throw new IllegalArgumentException("e57: cannot sniff prototype"))
+    val schema = StructType(
+      Seq(StructField("file", StringType), StructField("scan", StringType)) ++
+        dims.map(d => StructField(d, DoubleType))
+    )
+    val rows = s.read
+      .format("binaryFile")
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .rdd
+      .flatMap { r =>
+        val fname = r.getAs[String]("path").split('/').last
+        read(r.getAs[Array[Byte]]("content")).flatMap { scan =>
+          val idx = dims.map(d => scan.fields.indexWhere(_.name == d))
+          scan.records.map { rec =>
+            Row.fromSeq(fname +: scan.name +: idx.map(i => if (i >= 0) rec(i) else null))
+          }
+        }
+      }
+    s.createDataFrame(rows, schema)
+  }
+}

@@ -98,8 +98,14 @@ object PointCloud {
       sniffLas(b).map(_.copy(format = "laz"))
     else None
 
+  /** ASTM E57: signature + paged-CRC header walk (counts + prototype
+    * dimensions from the XML section — [[E57.info]]). */
+  def sniffE57(b: Array[Byte]): Option[CloudMeta] =
+    if (b == null || b.length < 48 || new String(b, 0, 8, "US-ASCII") != "ASTM-E57") None
+    else E57.info(b).map(i => CloudMeta("e57", i.pointCount, i.dimensions, None))
+
   def sniff(b: Array[Byte]): Option[CloudMeta] =
-    Copc.meta(b).orElse(sniffLaz(b)).orElse(sniffLas(b)).orElse(sniffPly(b))
+    Copc.meta(b).orElse(sniffLaz(b)).orElse(sniffLas(b)).orElse(sniffE57(b)).orElse(sniffPly(b))
 
   /** Properties JSON (reference shape: pointCount, dimensions, bounds). */
   def properties(m: CloudMeta): String = {
