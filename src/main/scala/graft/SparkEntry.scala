@@ -219,7 +219,8 @@ object SparkEntry {
     "q_ply" -> (graft.sources.Ply.plyQuery _),
     "q_kn_lm" -> (graft.text.Importance.knLmQuery _),
     "q_dsir" -> (graft.text.Importance.dsirQuery _),
-    "q_splat" -> (graft.multimodal.Splats.splatQuery _)
+    "q_splat" -> (graft.multimodal.Splats.splatQuery _),
+    "q_e57" -> (graft.sources.E57.e57Query _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3627,6 +3628,17 @@ object SparkEntry {
         |  CAST(sum(event_id % 1000) AS BIGINT) AS x_sum,
         |  CAST(sum((event_id * 3) % 1000) AS BIGINT) AS y_sum,
         |  CAST(sum((event_id * 7) % 500) AS BIGINT) AS z_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ASTM E57 round-trip proof (the q_laz pattern): integer-lattice
+    // ScaledInteger points write+read a real paged-CRC .e57 in-task;
+    // the oracle aggregates the same deterministic integers directly.
+    "q_e57" ->
+      """SELECT event_type,
+        |  count(*) AS n_points,
+        |  CAST(sum(event_id % 1000000) AS BIGINT) AS x_sum,
+        |  CAST(sum((event_id * 3) % 1000000) AS BIGINT) AS y_sum,
+        |  CAST(sum((event_id * 7) % 500000) AS BIGINT) AS z_sum,
+        |  CAST(sum((event_id * 31) % 65536) AS BIGINT) AS i_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived

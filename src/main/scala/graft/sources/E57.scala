@@ -395,6 +395,56 @@ object E57 {
       Some(Info(scans.length, scans.map(_._2).sum, scans.headOption.map(_._3.map(_.name)).getOrElse(Seq.empty)))
     } catch { case _: Exception => None }
 
+  /** q_e57: the q_laz pattern for this container — per event_type,
+    * deterministic integer-lattice points (ScaledInteger XYZ +
+    * intensity, scale 0.001/1) write a REAL .e57 and read back inside
+    * the task; integer aggregates of the decoded values must match
+    * the oracle aggregating the raw rows. Green iff the paged-CRC +
+    * bit-packed cycle is lossless. */
+  def e57Query(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val fields = Seq(
+        ScaledInt("cartesianX", 0, 999999, 0.001, 0.0),
+        ScaledInt("cartesianY", 0, 999999, 0.001, 0.0),
+        ScaledInt("cartesianZ", 0, 499999, 0.001, 0.0),
+        ScaledInt("intensity", 0, 65535, 1.0, 0.0)
+      )
+      val recs = ids.sorted.map { id =>
+        Array(
+          (id % 1000000) * 0.001,
+          ((id * 3) % 1000000) * 0.001,
+          ((id * 7) % 500000) * 0.001,
+          ((id * 31) % 65536).toDouble
+        )
+      }
+      val dec = read(write(Seq(Scan(fields, recs)))).head
+      require(dec.records.length == recs.length, "e57 round-trip lost records")
+      Seq(
+        dec.records.length.toLong,
+        dec.records.map(r => math.round(r(0) * 1000)).sum,
+        dec.records.map(r => math.round(r(1) * 1000)).sum,
+        dec.records.map(r => math.round(r(2) * 1000)).sum,
+        dec.records.map(_(3).toLong).sum
+      )
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select(
+        $"event_type",
+        $"a".getItem(0).as("n_points"),
+        $"a".getItem(1).as("x_sum"),
+        $"a".getItem(2).as("y_sum"),
+        $"a".getItem(3).as("z_sum"),
+        $"a".getItem(4).as("i_sum")
+      )
+      .orderBy($"event_type")
+  }
+
   // ---- Spark face -----------------------------------------------------
 
   /** Every scan of every .e57 under `pathGlob` as one DataFrame (file,
