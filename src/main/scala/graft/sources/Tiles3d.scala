@@ -42,6 +42,32 @@ object Tiles3d {
 
   private val noBounds = (false, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
 
+  /** WRITE face (r11): a minimal OGC 3D Tiles archive — tileset.json
+    * at the root (region boundingVolume in WGS84 radians, root
+    * geometricError, child content URIs) + the tile payloads, packed
+    * with the deterministic [[Mzip]] zip (so identical tilesets hash
+    * identically). Round-trips through [[from3tz]] / the extractor's
+    * Tiles3D dispatch. */
+  def tilesetJson(
+      west: Double, south: Double, east: Double, north: Double,
+      minHeight: Double, maxHeight: Double,
+      geometricError: Double,
+      contents: Seq[String]
+  ): String = {
+    def rad(d: Double): Double = d * math.Pi / 180.0
+    val region = s"[${rad(west)},${rad(south)},${rad(east)},${rad(north)},$minHeight,$maxHeight]"
+    val children = contents.map { uri =>
+      s"""{"boundingVolume":{"region":$region},"geometricError":0,"content":{"uri":"$uri"}}"""
+    }.mkString(",")
+    s"""{"asset":{"version":"1.0"},"geometricError":$geometricError,""" +
+      s""""root":{"boundingVolume":{"region":$region},"geometricError":$geometricError,""" +
+      s""""refine":"ADD","children":[$children]}}"""
+  }
+
+  /** Assemble a .3tz: tileset.json at the archive root + payloads. */
+  def write3tz(tileset: String, tiles: Seq[(String, Array[Byte])]): Array[Byte] =
+    Mzip.pack(("tileset.json" -> tileset.getBytes("UTF-8")) +: tiles)
+
   /** First matching entry from a zip archive held in memory. */
   def readZipEntry(bytes: Array[Byte], name: String): Option[Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))

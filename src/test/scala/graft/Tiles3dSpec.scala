@@ -77,4 +77,31 @@ class Tiles3dSpec extends SparkSuite {
     assert(i.georeferenced)
     assert(Tiles3d.from3tz(zip("other.json" -> ts)) === None)
   }
+
+  test("write3tz round-trips: tileset.json region + contents through from3tz and the extractor") {
+    import graft.sources.{Mzip, Tiles3d}
+    val ts = Tiles3d.tilesetJson(
+      west = -92.0, south = 46.8, east = -91.9, north = 46.9,
+      minHeight = 180.0, maxHeight = 220.0,
+      geometricError = 64.0,
+      contents = Seq("tiles/0.b3dm", "tiles/1.b3dm"))
+    val tz = Tiles3d.write3tz(ts, Seq(
+      "tiles/0.b3dm" -> Array[Byte](1, 2, 3),
+      "tiles/1.b3dm" -> Array[Byte](4, 5)))
+    // deterministic packaging: same input, same bytes
+    assert(java.util.Arrays.equals(tz, Tiles3d.write3tz(ts, Seq(
+      "tiles/0.b3dm" -> Array[Byte](1, 2, 3),
+      "tiles/1.b3dm" -> Array[Byte](4, 5)))))
+    val info = Tiles3d.from3tz(tz).get
+    assert(info.assetVersion.contains("1.0"))
+    assert(info.geometricError.contains(64.0))
+    assert(info.georeferenced && info.hasBounds)
+    assert(math.abs(info.west - -92.0) < 1e-9 && math.abs(info.north - 46.9) < 1e-9)
+    assert(math.abs(info.centerLon - -91.95) < 1e-9)
+    // payloads intact through the archive
+    val back = Mzip.unpack(tz).toMap
+    assert(back("tiles/0.b3dm").toSeq == Seq[Byte](1, 2, 3))
+    // extractor chain: a .3tz payload fingerprints as Tiles3D
+    assert(graft.sources.Extractors.fingerprint("model.3tz", tz) == graft.model.EntryType.Tiles3D)
+  }
 }
