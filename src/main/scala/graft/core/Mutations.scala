@@ -118,6 +118,18 @@ object Builds {
       Seq("hash"),
       "left_semi"
     )
+
+  /** `getPendingBuildInfo` (`build.cpp:592-622`): every `.pending`
+    * marker joined back to its indexed entry — unindexed hashes drop
+    * out (they are garbage the [[Cleanup]] pass collects). `pending`
+    * columns: hash, missing_deps, last_attempt. Emits (hash, path,
+    * missing_deps, last_attempt). */
+  def pendingBuildInfo(
+      pending: org.apache.spark.sql.DataFrame,
+      entries: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame =
+    pending.join(entries.select("hash", "path"), Seq("hash"))
+      .select("hash", "path", "missing_deps", "last_attempt")
 }
 
 /** Password rows — salt + SHA256(salt ++ password), mirroring the

@@ -120,4 +120,17 @@ class CleanupSpec extends SparkSuite {
     assert(Seq("image", "geoimage", "pointcloud", "georaster").forall(names.contains))
     assert(!names.contains("directory") && !names.contains("undefined"))
   }
+
+  test("getPendingBuildInfo: .pending markers join back to indexed entries; unindexed drop out") {
+    import spark.implicits._
+    val entries = Seq((hashA, "a.laz"), (hashB, "b.obj")).toDF("hash", "path")
+    val pending = Seq(
+      (hashA, "dep1.mtl,dep2.jpg", 1700000000L),
+      (hashC, "x.bin", 1700000100L) // hash not indexed -> garbage, dropped
+    ).toDF("hash", "missing_deps", "last_attempt")
+    val got = graft.core.Builds.pendingBuildInfo(pending, entries).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("path") == "a.laz")
+    assert(got.head.getAs[String]("missing_deps") == "dep1.mtl,dep2.jpg")
+  }
 }
