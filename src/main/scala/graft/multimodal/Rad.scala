@@ -223,7 +223,7 @@ object Rad {
     require(b.length >= 8, "RAD: cannot read header")
     require(u32(b, 0) == FileMagic, "RAD: bad magic (not a .rad payload)")
     val metaLen = u32(b, 4).toInt
-    require(8 + metaLen <= b.length, "RAD: truncated header")
+    require(metaLen >= 0 && 8 + metaLen <= b.length, "RAD: truncated header")
     val meta = MiniJson.obj(MiniJson.parse(new String(b, 8, metaLen, "UTF-8")))
     val chunksStart = 8 + roundUp8(metaLen)
     val chunks = meta.get("chunks").map(MiniJson.arr)
@@ -232,10 +232,12 @@ object Rad {
       val m = MiniJson.obj(c)
       if (m.get("filename").exists(_ != null))
         throw new IllegalArgumentException("RAD: chunked (.radc) files are not supported by this reader")
-      ChunkRef(
+      val ref = ChunkRef(
         chunksStart + m.get("offset").map(MiniJson.num(_).toInt).getOrElse(0),
         m.get("bytes").map(MiniJson.num(_).toInt).getOrElse(0)
       )
+      require(ref.fileOffset >= 0 && ref.bytes >= 0, "RAD: negative chunk range (corrupt header)")
+      ref
     }
   }
 
@@ -246,9 +248,10 @@ object Rad {
     val at = ref.fileOffset
     require(u32(b, at) == ChunkMagic, "RAD: bad chunk magic")
     val cmetaLen = u32(b, at + 4).toInt
-    require(8 + cmetaLen <= ref.bytes, "RAD: chunk meta out of range")
+    require(cmetaLen >= 0 && 8 + cmetaLen <= ref.bytes, "RAD: chunk meta out of range")
     val cmeta = MiniJson.obj(MiniJson.parse(new String(b, at + 8, cmetaLen, "UTF-8")))
     val count = cmeta.get("count").map(MiniJson.num(_).toInt).getOrElse(0)
+    require(count >= 0 && count <= ref.bytes * 8, s"RAD: implausible chunk count $count (corrupt chunk meta)")
     if (count == 0) return Chunk(0, Seq.empty)
     val payloadStart = 8 + roundUp8(cmetaLen) + 8 // + u64 payloadBytes field
     val props = cmeta.get("properties").map(MiniJson.arr)
@@ -264,6 +267,7 @@ object Rad {
         val encoding = p.get("encoding").map(MiniJson.str).getOrElse("")
         val offset = p.get("offset").map(MiniJson.num(_).toInt).getOrElse(0)
         val bytes = p.get("bytes").map(MiniJson.num(_).toInt).getOrElse(0)
+        require(offset >= 0 && bytes >= 0, s"RAD: negative property range for '$name' (corrupt chunk meta)")
         val mn = p.get("min").map(MiniJson.num(_).toFloat).getOrElse(0f)
         val mx = p.get("max").map(MiniJson.num(_).toFloat).getOrElse(1f)
         val gz = p.get("compression").map(MiniJson.str).contains("gz")

@@ -91,11 +91,18 @@ object Splats {
     bos.toByteArray
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes()
-    finally in.close()
-  }
+  private def gunzip(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes()
+      finally in.close()
+    } catch {
+      // corrupt container → the codecs' named-refusal contract
+      case e: java.util.zip.ZipException =>
+        throw new IllegalArgumentException(s"spz: corrupt gzip container (${e.getMessage})")
+      case e: java.io.EOFException =>
+        throw new IllegalArgumentException(s"spz: truncated gzip container (${e.getMessage})")
+    }
 
   private def shDegreeOf(shLen: Int): Int = shLen / 3 match {
     case 0 => 0

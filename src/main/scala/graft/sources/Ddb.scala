@@ -255,8 +255,19 @@ object Ddb {
 
   // --- read -----------------------------------------------------------
 
-  private def str(v: Any): String = v.asInstanceOf[String]
-  private def lng(v: Any): Long = v match { case null => 0L; case l: Long => l; case d: Double => d.toLong }
+  private def str(v: Any): String = v match {
+    case null => null
+    case s: String => s
+    case other =>
+      throw new IllegalArgumentException(s"ddb: expected TEXT value, got ${other.getClass.getSimpleName} (corrupt database)")
+  }
+  private def lng(v: Any): Long = v match {
+    case null => 0L
+    case l: Long => l
+    case d: Double => d.toLong
+    case other =>
+      throw new IllegalArgumentException(s"ddb: expected INTEGER value, got ${other.getClass.getSimpleName} (corrupt database)")
+  }
 
   def readEntries(bytes: Array[Byte]): Seq[Entry] = {
     val (t, rows) = Sqlite.readTable(bytes, "entries")
@@ -271,8 +282,8 @@ object Ddb {
         lng(r(ci("mtime"))),
         lng(r(ci("size"))),
         lng(r(ci("depth"))),
-        ci.get("point_geom").flatMap(i => parsePointZ(r(i).asInstanceOf[Array[Byte]])),
-        ci.get("polygon_geom").flatMap(i => parsePolygonZ(r(i).asInstanceOf[Array[Byte]]))
+        ci.get("point_geom").flatMap(i => r(i) match { case b: Array[Byte] => parsePointZ(b); case _ => None }),
+        ci.get("polygon_geom").flatMap(i => r(i) match { case b: Array[Byte] => parsePolygonZ(b); case _ => None })
       )
     }
   }

@@ -85,13 +85,16 @@ object Sqlite {
   /** Decode one record (header varints → serial types → values).
     * Values: null / Long / Double / String / Array[Byte]. */
   def record(rec: Array[Byte]): Seq[Any] = {
+    require(rec.nonEmpty, "sqlite: empty record")
     val (hlen, n0) = varint(rec, 0)
+    require(hlen >= n0 && hlen <= rec.length, s"sqlite: record header length $hlen out of range (corrupt record)")
     val types = new ArrayBuffer[Long]()
     var i = n0
     while (i < hlen) { val (t, n) = varint(rec, i); types += t; i += n }
     var at = hlen.toInt
     types.toSeq.map { t =>
       def intN(n: Int): Long = {
+        require(at + n <= rec.length, "sqlite: truncated integer value (corrupt record)")
         var v = if ((rec(at) & 0x80) != 0) -1L else 0L
         var k = 0
         while (k < n) { v = (v << 8) | (rec(at + k) & 0xffL); k += 1 }
@@ -110,9 +113,15 @@ object Sqlite {
         case 8 => 0L
         case 9 => 1L
         case n if n >= 13 && n % 2 == 1 =>
-          val len = ((n - 13) / 2).toInt; val s = new String(rec, at, len, "UTF-8"); at += len; s
+          val len = ((n - 13) / 2).toInt
+          require(len >= 0 && at + len <= rec.length, "sqlite: truncated text value (corrupt record)")
+          val s = new String(rec, at, len, "UTF-8"); at += len; s
         case n if n >= 12 =>
-          val len = ((n - 12) / 2).toInt; val b = java.util.Arrays.copyOfRange(rec, at, at + len); at += len; b
+          val len = ((n - 12) / 2).toInt
+          require(len >= 0 && at + len <= rec.length, "sqlite: truncated blob value (corrupt record)")
+          val b = java.util.Arrays.copyOfRange(rec, at, at + len); at += len; b
+        case n =>
+          throw new IllegalArgumentException(s"sqlite: invalid serial type $n (corrupt record)")
       }
     }
   }
@@ -179,30 +188,45 @@ object Sqlite {
     val usable: Int = pageSize - reserved
     def userVersion: Int = u32(bytes, 60).toInt
     def applicationId: Int = u32(bytes, 68).toInt
-    def pageStart(p: Int): Int = (p - 1) * pageSize
+    def pageStart(p: Int): Int = {
+      require(p >= 1 && (p.toLong - 1) * pageSize < bytes.length, s"sqlite: page $p out of range (corrupt pointer)")
+      (p - 1) * pageSize
+    }
 
     /** Full cell payload, following the overflow chain if spilled.
       * The local threshold differs between table-leaf and index pages. */
     def payload(at: Int, total: Long, index: Boolean): (Array[Byte], Int) = {
+      require(total >= 0 && total <= bytes.length.toLong, s"sqlite: payload length $total out of range (corrupt cell)")
       val maxLocal = if (index) (usable - 12) * 64 / 255 - 23 else usable - 35
-      if (total <= maxLocal) return (java.util.Arrays.copyOfRange(bytes, at, at + total.toInt), total.toInt)
+      if (total <= maxLocal) {
+        require(at >= 0 && at + total.toInt <= bytes.length, "sqlite: cell payload out of range (corrupt cell)")
+        return (java.util.Arrays.copyOfRange(bytes, at, at + total.toInt), total.toInt)
+      }
       val minLocal = (usable - 12) * 32 / 255 - 23
       val k = minLocal + ((total - minLocal) % (usable - 4)).toInt
       val local = if (k <= maxLocal) k else minLocal
+      require(at >= 0 && at + local + 4 <= bytes.length, "sqlite: spilled cell out of range (corrupt cell)")
       val out = new ArrayBuffer[Byte](total.toInt)
       out ++= java.util.Arrays.copyOfRange(bytes, at, at + local)
       var page = u32(bytes, at + local)
+      var hops = 0
       while (page != 0 && out.length < total) {
+        require(hops < bytes.length / (usable - 4) + 2, "sqlite: overflow chain cycle (corrupt database)")
         val ps = pageStart(page.toInt)
         val take = math.min(usable - 4, total.toInt - out.length)
+        require(ps + 4 + take <= bytes.length, "sqlite: overflow page out of range (corrupt database)")
         out ++= java.util.Arrays.copyOfRange(bytes, ps + 4, ps + 4 + take)
         page = u32(bytes, ps)
+        hops += 1
       }
       (out.toArray, local + 4)
     }
 
     /** Walk a table b-tree rooted at `page`, invoking f(rowid, record). */
-    def scan(page: Int)(f: (Long, Array[Byte]) => Unit): Unit = {
+    def scan(page: Int)(f: (Long, Array[Byte]) => Unit): Unit = scan(page, 0)(f)
+
+    private def scan(page: Int, depth: Int)(f: (Long, Array[Byte]) => Unit): Unit = {
+      require(depth < 64, "sqlite: b-tree recursion too deep (corrupt page cycle)")
       val ps = pageStart(page)
       val hdr = if (page == 1) ps + 100 else ps
       val ptype = bytes(hdr) & 0xff
@@ -222,10 +246,11 @@ object Sqlite {
           var c = 0
           while (c < nCells) {
             val at = ps + u16(bytes, hdr + 12 + 2 * c)
-            scan(u32(bytes, at).toInt)(f)
+            require(at + 4 <= bytes.length, "sqlite: interior cell out of range (corrupt page)")
+            scan(u32(bytes, at).toInt, depth + 1)(f)
             c += 1
           }
-          scan(u32(bytes, hdr + 8).toInt)(f)
+          scan(u32(bytes, hdr + 8).toInt, depth + 1)(f)
         case t => throw new IllegalArgumentException(s"unexpected table b-tree page type 0x${t.toHexString}")
       }
     }
@@ -233,7 +258,10 @@ object Sqlite {
     /** Walk an index b-tree in key order, invoking f(keyRecord).
       * Interior divider entries ARE index entries (SQLite stores each
       * key exactly once), so the in-order walk interleaves them. */
-    def scanIndex(page: Int)(f: Array[Byte] => Unit): Unit = {
+    def scanIndex(page: Int)(f: Array[Byte] => Unit): Unit = scanIndex(page, 0)(f)
+
+    private def scanIndex(page: Int, depth: Int)(f: Array[Byte] => Unit): Unit = {
+      require(depth < 64, "sqlite: index b-tree recursion too deep (corrupt page cycle)")
       val ps = pageStart(page)
       val hdr = if (page == 1) ps + 100 else ps
       val ptype = bytes(hdr) & 0xff
@@ -253,13 +281,13 @@ object Sqlite {
           while (c < nCells) {
             var at = ps + u16(bytes, hdr + 12 + 2 * c)
             val child = u32(bytes, at).toInt; at += 4
-            scanIndex(child)(f)
+            scanIndex(child, depth + 1)(f)
             val (plen, n1) = varint(bytes, at); at += n1
             val (rec, _) = payload(at, plen, index = true)
             f(rec)
             c += 1
           }
-          scanIndex(u32(bytes, hdr + 8).toInt)(f)
+          scanIndex(u32(bytes, hdr + 8).toInt, depth + 1)(f)
         case t => throw new IllegalArgumentException(s"unexpected index b-tree page type 0x${t.toHexString}")
       }
     }
@@ -269,6 +297,8 @@ object Sqlite {
     * comma-separated items inside the outer parens; items starting with
     * a constraint keyword are dropped. */
   def ddlColumns(sql: String): Seq[Column] = {
+    require(sql != null && sql.indexOf('(') >= 0 && sql.lastIndexOf(')') > sql.indexOf('('),
+      "sqlite: DDL has no column list (corrupt schema row)")
     val inner = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
     val items = new ArrayBuffer[String]()
     var depth = 0; var start = 0
