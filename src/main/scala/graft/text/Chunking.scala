@@ -58,13 +58,81 @@ object Chunking {
       )
   }
 
+  /** Per-character gear value: the engine-neutral md5-derived hash
+    * (identical to the relational column and the DuckDB oracle).
+    * A character alphabet is tiny, so values memoize per executor —
+    * the md5 count drops from chars to DISTINCT chars. */
+  private val gearCache = new java.util.concurrent.ConcurrentHashMap[Char, java.lang.Long]()
+  private def gearOf(c: Char): Long = {
+    val cached = gearCache.get(c)
+    if (cached != null) cached.longValue()
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("g:" + c).getBytes("UTF-8"))
+      val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16) % 64
+      gearCache.put(c, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
+  /** One serial pass over a document: chunk START offsets. Position p
+    * opens a new chunk iff the 6-lag weighted gear sum at p−1 hits
+    * the mask — exactly the relational cut rule below, spec-proven
+    * equal. O(n) with O(1) state (the 6-value lag ring). */
+  private[text] def gearStartsSerial(text: String): Array[Int] = {
+    if (text.isEmpty) return Array.empty
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    starts += 0
+    val lags = new Array[Long](6)
+    var p = 0
+    while (p < text.length) {
+      var k = 5
+      while (k > 0) { lags(k) = lags(k - 1); k -= 1 }
+      lags(0) = gearOf(text.charAt(p))
+      val h = lags(0) + lags(1) * 2 + lags(2) * 4 + lags(3) * 8 + lags(4) * 16 + lags(5) * 32
+      if (h % 64 == 0 && p + 1 < text.length) starts += p + 1
+      p += 1
+    }
+    starts.toArray
+  }
+
+  /** Native single-pass variant of [[gearChunks]]: same rows, same
+    * digests, no per-character explode / window shuffles — ONE
+    * projection computes every (start, len) span, then the digest
+    * join proceeds at chunk granularity exactly as before. The
+    * relational construction stays as the documented alternative and
+    * the cross-check (ChunkingSpec proves them identical). */
+  def gearChunksNative(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val spans = udf { text: String =>
+      val st = gearStartsSerial(text)
+      st.zipWithIndex.map { case (b, i) =>
+        val end = if (i + 1 < st.length) st(i + 1) else text.length
+        (i.toLong, b.toLong, (end - b).toLong)
+      }
+    }
+    docs
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"text", explode(spans($"text")).as("c"))
+      .select(
+        $"doc_id",
+        $"c._1".as("chunk"),
+        $"c._2".as("start"),
+        $"c._3".as("len"),
+        md5($"text".substr(($"c._2" + 1).cast("int"), $"c._3".cast("int")).cast("binary")).as("digest")
+      )
+  }
+
   /** ◆ q_cdc — Gear content-defined chunks per document: chunk count,
     * in-document distinct digests, chunks shared with OTHER documents
     * (the dedup signal), and total length (= document length, the
-    * partition invariant). */
+    * partition invariant). Runs on the single-pass native span
+    * kernel; [[gearChunks]] is the relational equivalent (spec-equal). */
   def cdcQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = gearChunks(graft.Tables.documents(s, dir).select($"doc_id", $"text"))
+    val chunks = gearChunksNative(graft.Tables.documents(s, dir).select($"doc_id", $"text"))
     val freq = chunks.groupBy($"digest").agg(countDistinct($"doc_id").as("ndocs"))
     chunks
       .join(freq, "digest")

@@ -109,4 +109,24 @@ class ChunkingSpec extends SparkSuite {
     // digests must recur across documents
     assert(out.map(_.getInt(3)).sum > 0, "no shared chunks found across 500 docs")
   }
+
+  test("native single-pass gear spans equal the relational construction, row for row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long"), col("chunk").cast("long"),
+        col("start").cast("long"), col("len").cast("long"), col("digest"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val native = rows(graft.text.Chunking.gearChunksNative(docs))
+    val relational = rows(graft.text.Chunking.gearChunks(docs))
+    assert(native.nonEmpty && native.toSeq == relational.toSeq)
+    // synthetic edges: 1-char, cut-at-last-position, long uniform runs
+    import spark.implicits._
+    val edge = Seq((1L, "x"), (2L, "a" * 5000), (3L, "mixed content with spaces and 123 numbers \u00e9\u4e16"))
+      .toDF("doc_id", "text")
+    assert(rows(graft.text.Chunking.gearChunksNative(edge)).toSeq ==
+      rows(graft.text.Chunking.gearChunks(edge)).toSeq)
+  }
 }
