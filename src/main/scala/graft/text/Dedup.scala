@@ -91,6 +91,43 @@ object Dedup {
     * hashes each shingle once and rides the partial-agg path — the
     * shape that survives 100 TB.
     */
+  /** One-pass k-min signature per document: tokens → sliding shingles
+    * → md5-folded GF(p) hash → k running minima, all inside one
+    * projection. Value-identical to the explode+groupBy construction
+    * (DedupSpec) but with NO per-shingle rows and NO signature
+    * shuffle — the k×shingle multiply-min loop runs in place. Docs
+    * with fewer than nGram tokens drop out, exactly like the explode
+    * path. */
+  private[text] def minhashSigSerial(text: String, nGram: Int, k: Int): Array[Long] = {
+    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase)
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) toks += m.group()
+    if (toks.length < nGram) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i + nGram <= toks.length) {
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < nGram) { sb += ' '; sb ++= toks(i + j); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var hv = 0L
+      var b = 0
+      while (b < 7) { hv = (hv << 8) | (d(b) & 0xffL); b += 1 }
+      hv = (hv << 4) | ((d(7) & 0xf0L) >> 4) // first 15 hex chars = 60 bits
+      val hp = hv % MinhashP
+      var q = 0
+      while (q < k) {
+        val v = (minhashA(q) * hp + minhashB(q)) % MinhashP
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
   def minhashCandidates(
       docs: DataFrame,
       idCol: String,
@@ -99,15 +136,11 @@ object Dedup {
       k: Int = 16,
       threshold: Double = 0.5
   ): DataFrame = {
-    val hp = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
+    val sigUdf = udf((t: String) => minhashSigSerial(t, nGram, k))
     val sig = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), nGram)).as("shingle"))
-      .withColumn("hp", hp)
-      .groupBy(col("id"))
-      .agg(
-        min((lit(minhashA(0)) * col("hp") + lit(minhashB(0))) % MinhashP).as("s0"),
-        (1 until k).map(i => min((lit(minhashA(i)) * col("hp") + lit(minhashB(i))) % MinhashP).as(s"s$i")): _*
-      )
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id") +: (0 until k).map(i => col("sig").getItem(i).as(s"s$i")): _*)
     // melt to (id, position, value) — the inverted index feeds both
     // sides of the self-join; persist so the shingle+hash pipeline runs
     // once (at 100 TB: materialize to a table)
