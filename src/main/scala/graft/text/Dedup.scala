@@ -282,8 +282,11 @@ object Dedup {
     // so even a (astronomically rare) collision merges the same way in
     // both engines.
     //
-    // Measured notes (full Bench harness at sf0.1 — this exact shape
-    // is the winner at 1.6 s; every "obvious" attack lost):
+    // Measured notes (full Bench harness at sf0.1):
+    //  - r11 winner (1.98 s official): the one-pass Long-hash kernel
+    //    below replacing the HOF shingle tree + per-row md5 exprs —
+    //    an earlier STRING-array UDF attempt lost (boxing/UTF8String
+    //    cost), the Long-array form wins because nothing re-boxes.
     //  - collect_list-per-shingle + in-memory pair expansion (no
     //    self-join): 3.2 s — object-hash aggregation of ~1M small
     //    lists loses to the codegen'd sort-merge self-join.
@@ -293,9 +296,39 @@ object Dedup {
     //  - round-robin pre-repartition of the document scan: 2.6 s.
     // No salting is needed: the df cap bounds every join key at
     // maxDf² pairs, so there is no hot bucket to split.
+    // Shingle-hash derivation is the minhashSigSerial one-pass kernel
+    // (r11): tokens → sliding shingles → 60-bit md5 hash → per-doc
+    // DISTINCT hash array, one projection, no HOF tree and no
+    // per-shingle md5 expression rows. The exploded postings and
+    // everything downstream are unchanged (hash-identical to the
+    // oracle's SQL derivation).
+    val hashesUdf = udf { text: String =>
+      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase)
+      val toks = new scala.collection.mutable.ArrayBuffer[String]()
+      while (m.find()) toks += m.group()
+      if (toks.length < n) null
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb += ' '; sb ++= toks(i + j); j += 1 }
+          md.reset()
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          var hv = 0L
+          var b = 0
+          while (b < 7) { hv = (hv << 8) | (d(b) & 0xffL); b += 1 }
+          hv = (hv << 4) | ((d(7) & 0xf0L) >> 4)
+          seen.add(hv)
+          i += 1
+        }
+        seen.toArray(new Array[java.lang.Long](0)).map(_.longValue())
+      }
+    }
     val inv = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
+      .select(col(idCol).as("id"), explode(hashesUdf(col(textCol))).as("shingle"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = inv
