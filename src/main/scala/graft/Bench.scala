@@ -49,6 +49,23 @@ object Bench {
         }
       name -> secs
     }
+    // machine-state preamble: same-build totals have spread ±15%
+    // session-to-session (NOTES_r11) — recording load/mem at start
+    // lets later rounds tell machine drift from real regression
+    // without a re-run.
+    val machine = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val rt = Runtime.getRuntime
+      val load = os.getSystemLoadAverage
+      val freeMb =
+        try {
+          val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/meminfo"))
+          lines.toArray.map(_.toString).find(_.startsWith("MemAvailable"))
+            .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+        } catch { case _: Throwable => -1L }
+      s""""machine":{"load_avg":$load,"mem_available_mb":$freeMb,"cpus":${rt.availableProcessors}}"""
+    }
+
     // two full passes, per-query min: -1 (error) never masks a clean run
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
@@ -66,7 +83,7 @@ object Bench {
     // every query, so per-query min across the two passes is a COLD
     // number. Cold-min values are the comparison series from r8 onward.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v2","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v2",$machine,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.

@@ -59,6 +59,7 @@ object SparkEntry {
     "q_stamp_checksum" -> (Relational.stampChecksumQuery _),
     "q_meta_json" -> (Relational.metaJsonQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
+    "q_sensor_focal" -> (graft.sources.SensorData.sensorFocalQuery _),
     // §2.5 sorts / paging / top-k
     "q_paging" -> (Relational.paging _),
     "q_topk" -> (Relational.topK _),
@@ -1231,6 +1232,35 @@ object SparkEntry {
         |  FROM events WHERE event_id % 7 <> 0)
         |SELECT path, hash FROM src
         |WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.path = src.path AND dst.hash = src.hash)""".stripMargin,
+    // Sensor-width dim join: the (id, width) pairs are the REAL values
+    // from the reference's shipped data/sensor_data.sqlite — the Spark
+    // side reads that file with the pure-JVM SQLite reader, so a
+    // parse divergence hash-fails here. ::DOUBLE casts keep DuckDB
+    // from inferring DECIMAL for the literals.
+    "q_sensor_focal" ->
+      """WITH dim(sensor_id, width_mm) AS (VALUES
+        |  ('dji fc220', 6.17::DOUBLE), ('dji fc300x', 6.2::DOUBLE),
+        |  ('dji fc330', 6.25::DOUBLE), ('dji fc6310', 13.2::DOUBLE),
+        |  ('dji fc7303', 6.16::DOUBLE), ('hasselblad l1d-20c', 13.2::DOUBLE),
+        |  ('gopro hero4 silver', 6.17::DOUBLE), ('parrot anafi', 5.9::DOUBLE),
+        |  ('sony ilce-7rm2', 35.9::DOUBLE), ('canon eos 5d mark iii', 36.0::DOUBLE),
+        |  ('nikon d750', 35.9::DOUBLE), ('phantom vision fc200', 6.17::DOUBLE)),
+        |fleet AS (
+        |  SELECT c_custkey,
+        |    list_extract(['dji fc220','dji fc300x','dji fc330','dji fc6310',
+        |                  'dji fc7303','hasselblad l1d-20c','gopro hero4 silver',
+        |                  'parrot anafi','sony ilce-7rm2','canon eos 5d mark iii',
+        |                  'nikon d750','phantom vision fc200'],
+        |                 CAST(c_custkey % 12 AS INT) + 1) AS sensor_id,
+        |    24.0 + CAST(c_custkey % 40 AS DOUBLE) AS focal35
+        |  FROM customer WHERE c_custkey <= 600),
+        |j AS (
+        |  SELECT f.sensor_id, d.width_mm,
+        |    round(f.focal35 / 36.0 * d.width_mm, 6) AS focal_mm
+        |  FROM fleet f JOIN dim d USING (sensor_id))
+        |SELECT sensor_id, width_mm, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(focal_mm), 6) AS focal_mm_sum
+        |FROM j GROUP BY sensor_id, width_mm""".stripMargin,
     "q_dim_rollup" ->
       """SELECT r_name, n_name, count(*) AS suppliers,
         |  round(avg(s_acctbal), 2) AS avg_acctbal
@@ -3217,7 +3247,7 @@ object SparkEntry {
         |         n_chars AS bytes
         |  FROM documents),
         |c AS (SELECT path, bytes, sum(bytes) OVER (ORDER BY path) AS cum FROM files),
-        |b AS (SELECT path, bytes, (cum - bytes) // 16384 AS bin FROM c)
+        |b AS (SELECT path, bytes, CAST((cum - bytes) // 16384 AS BIGINT) AS bin FROM c)
         |SELECT bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
         |  min(path) AS first_path, max(path) AS last_path
         |FROM b GROUP BY bin""".stripMargin,

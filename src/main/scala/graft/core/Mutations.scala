@@ -54,7 +54,7 @@ object Mutations {
       .otherwise(concat(lit(dest), expr(s"substring(path, ${source.length + 1})")))
 
     def extOf(p: String): String = {
-      val i = p.lastIndexOf('.'); if (i < 0) "" else p.substring(i + 1).toLowerCase
+      val i = p.lastIndexOf('.'); if (i < 0) "" else p.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
     }
     val extChanged = extOf(source) != extOf(dest)
     val refingerprint = udf((p: String) => EntryType.fromExtension(p))

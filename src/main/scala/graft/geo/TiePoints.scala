@@ -225,6 +225,11 @@ object TiePoints {
     val pMean = pSum / n
     val pStd = math.sqrt(math.max(0.0, pSum2 / n - pMean * pMean))
     if (pStd < 1e-6) return TiePoint(srcRow, srcCol, 0.0, 0.0, -1.0)
+    // reference smaller than the patch: the clamp below would pin a
+    // negative hi bound to 0 and boxSum would read out of bounds —
+    // refuse (score -1) instead
+    if (ref.height < patchSize || ref.width < patchSize)
+      return TiePoint(srcRow, srcCol, 0.0, 0.0, -1.0)
 
     def clamp(v: Int, lo: Int, hi: Int): Int = math.max(lo, math.min(hi, v))
     var rr0 = clamp(math.round(srcRow + seedDr).toInt - searchRadius, 0, ref.height - patchSize)

@@ -40,7 +40,7 @@ object EntryType {
   /** Case-insensitive human name -> type, Undefined on no match
     * (`entry_types.cpp` typeFromHuman; rescan_test matrix). */
   def fromHuman(name: String): Int =
-    names.collectFirst { case (t, n) if name != null && n == name.toLowerCase => t }.getOrElse(Undefined)
+    names.collectFirst { case (t, n) if name != null && n == name.toLowerCase(java.util.Locale.ROOT) => t }.getOrElse(Undefined)
 
   /** All selectable type names (lowercase), excluding directory and
     * undefined (`getEntryTypeNames`). */
@@ -50,7 +50,7 @@ object EntryType {
   /** Extension-based fingerprint (content-sniffing subset of
     * `entry.cpp:982-1118` — the pure-function core used for tests). */
   def fromExtension(path: String): Int = {
-    val lower = path.toLowerCase
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
     val ext = lower.substring(lower.lastIndexOf('.') + 1)
     if (!lower.contains('.')) Generic
     else ext match {

@@ -93,6 +93,73 @@ object SensorProfiles {
     )
   )
 
+  /** Parse the reference's `sensor-profiles.json` registry format —
+    * `sensorprofile.cpp` from_json (:50-129, field-for-field) +
+    * ensureLoaded's priority-desc sort (:168-170) + detectSensor's
+    * default-preset selection (:391-408: first isDefault preset's
+    * bandMapping, else the first bands-type preset's). Unknown keys
+    * (descriptions, presets' colormaps/formulas) are render concerns
+    * and are skipped. */
+  def fromJson(text: String): Seq[Profile] = {
+    import graft.core.MiniJson
+    val root = MiniJson.obj(MiniJson.parse(text))
+    val raw = root.get("profiles").map(MiniJson.arr).getOrElse(Vector.empty)
+    raw.map { pv =>
+      val p = MiniJson.obj(pv)
+      val det = MiniJson.obj(p("detection"))
+      val bands = p.get("bands").map(MiniJson.arr).getOrElse(Vector.empty).map { bv =>
+        val b = MiniJson.obj(bv)
+        BandInfo(
+          MiniJson.num(b("index")).toInt,
+          MiniJson.str(b("name")),
+          b.get("wavelength").map(MiniJson.num(_).toInt).getOrElse(0),
+          b.get("domain").map(MiniJson.str).getOrElse("optical")
+        )
+      }
+      val presets = p.get("presets").map(MiniJson.arr).getOrElse(Vector.empty).map(MiniJson.obj)
+      def mappingOf(pr: Map[String, Any]): BandMapping =
+        pr.get("bandMapping").map(MiniJson.obj).map { m =>
+          BandMapping(
+            MiniJson.num(m("r")).toInt,
+            MiniJson.num(m("g")).toInt,
+            MiniJson.num(m("b")).toInt
+          )
+        }.getOrElse(BandMapping())
+      val defaultMapping = presets.find(_.get("isDefault").contains(true)).map(mappingOf)
+        .orElse(
+          presets.find(pr =>
+            pr.get("type").forall(t => MiniJson.str(t) == "bands")
+          ).map(mappingOf)
+        )
+        .getOrElse(BandMapping())
+      Profile(
+        id = MiniJson.str(p("id")),
+        name = MiniJson.str(p("name")),
+        category = MiniJson.str(p("sensorCategory")),
+        priority = det.get("priority").map(MiniJson.num(_).toInt).getOrElse(0),
+        bandCount = MiniJson.num(det("bandCount")).toInt,
+        dataType = det.get("dataType").map(MiniJson.str).getOrElse(""),
+        patterns = det.get("metadataPatterns").map(MiniJson.arr).getOrElse(Vector.empty).map(MiniJson.str),
+        mapping = defaultMapping,
+        bands = bands
+      )
+    }.sortBy(-_.priority)
+  }
+
+  /** In-sandbox read-only copy of the shipped registry; env override
+    * first, like [[graft.sources.SensorData.defaultPath]]. */
+  def shippedJsonPath: String =
+    sys.env.getOrElse("GRAFT_SENSOR_PROFILES", "/root/reference/data/sensor-profiles.json")
+
+  /** The shipped registry when deployed, else [[defaultProfiles]]. */
+  lazy val shippedProfiles: Seq[Profile] = {
+    val p = java.nio.file.Paths.get(shippedJsonPath)
+    if (java.nio.file.Files.isReadable(p))
+      try fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      catch { case _: Exception => defaultProfiles }
+    else defaultProfiles
+  }
+
   /** Scalar detection for one raster — the reference's exact decision
     * cascade (`detectSensor` :287-449): RGBA/RGB short-circuits,
     * priority-ordered profile match (band count vs alpha-effective
@@ -134,8 +201,8 @@ object SensorProfiles {
     * names into its index presets). Case-insensitive; returns the
     * 1-based band index per required name when ALL are present. */
   def resolveBands(profile: Profile, required: Set[String]): Option[Map[String, Int]] = {
-    val byName = profile.bands.map(b => b.name.toLowerCase -> b.index).toMap
-    val hits = required.map(n => n -> byName.get(n.toLowerCase)).toMap
+    val byName = profile.bands.map(b => b.name.toLowerCase(java.util.Locale.ROOT) -> b.index).toMap
+    val hits = required.map(n => n -> byName.get(n.toLowerCase(java.util.Locale.ROOT))).toMap
     if (hits.values.forall(_.isDefined)) Some(hits.map { case (k, v) => k -> v.get }) else None
   }
 

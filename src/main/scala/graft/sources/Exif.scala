@@ -31,7 +31,12 @@ object Exif {
       gpsTrack: Option[Double] = None,
       gpsTrackRef: Option[String] = None,
       gpsDop: Option[Double] = None,
-      gpsHPositioningError: Option[Double] = None
+      gpsHPositioningError: Option[Double] = None,
+      // sensor-size cascade inputs (exif.cpp:195-232 extractSensorSize)
+      focalLength35: Option[Double] = None, // FocalLengthIn35mmFilm
+      focalPlaneResolutionUnit: Option[Int] = None,
+      focalPlaneXResolution: Option[Double] = None,
+      focalPlaneYResolution: Option[Double] = None
   )
 
   val empty: ExifData = ExifData(None, None, None, None, None, None, None, None)
@@ -194,7 +199,11 @@ object Exif {
         gpsTrack = find(gpsIfd, 0x000f).flatMap(rational(_, 0)),
         gpsTrackRef = find(gpsIfd, 0x000e).flatMap(ascii),
         gpsDop = find(gpsIfd, 0x000b).flatMap(rational(_, 0)),
-        gpsHPositioningError = find(gpsIfd, 0x001f).flatMap(rational(_, 0))
+        gpsHPositioningError = find(gpsIfd, 0x001f).flatMap(rational(_, 0)),
+        focalLength35 = find(exifIfd, 0xa405).flatMap(shortVal).map(_.toDouble),
+        focalPlaneResolutionUnit = find(exifIfd, 0xa210).flatMap(shortVal),
+        focalPlaneXResolution = find(exifIfd, 0xa20e).flatMap(rational(_, 0)),
+        focalPlaneYResolution = find(exifIfd, 0xa20f).flatMap(rational(_, 0))
       )
     } catch { case _: Exception => empty }
   }

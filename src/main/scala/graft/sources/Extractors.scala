@@ -109,15 +109,23 @@ object Extractors {
           else if (pano) EntryType.Panorama
           else if (hasGps) EntryType.GeoImage
           else EntryType.Image
+        // sensor-size cascade (exif.cpp:195-232): focal-plane tags →
+        // sensor database keyed by make/model → fixed defaults; focal
+        // mm recovered from the 35mm-equivalent tag when the direct
+        // tag is absent (computeFocal, exif.cpp:167-191)
+        val (sensorW, sensorH) = SensorData.sensorSizeMm(exif, m.width, m.height)
+          .getOrElse((DefaultSensorWidthMm, DefaultSensorHeightMm))
+        val focalMm = exif.focalLength35.filter(_ > 0).map(f35 => f35 / 36.0 * sensorW)
+          .orElse(exif.focalLength.filter(_ > 0))
         val footprint = for {
           lat <- exif.lat
           lon <- exif.lon
           relAlt <- xmp.relativeAltitude
-          focal <- exif.focalLength
+          focal <- focalMm
           ring <- Option(
             graft.geo.Geo.cameraFootprint(
               lon, lat, relAlt, focal,
-              DefaultSensorWidthMm, DefaultSensorHeightMm,
+              sensorW, sensorH,
               yawDeg = xmp.gimbalYaw.getOrElse(0.0),
               pitchDeg = xmp.gimbalPitch.getOrElse(-90.0)
             )
@@ -126,7 +134,7 @@ object Extractors {
         def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
         // thermal-sensor heuristic — ref entry.cpp:160-168: make/model
         // strings identify radiometric cameras
-        val thermal = Seq(exif.make, exif.model).flatten.map(_.toLowerCase).exists(s =>
+        val thermal = Seq(exif.make, exif.model).flatten.map(_.toLowerCase(java.util.Locale.ROOT)).exists(s =>
           s.contains("flir") || s.contains("thermal") || s.contains("xt2") || s.contains("vue pro") ||
             s.contains("wiris") || s.contains("duo pro") || s.contains("xt s"))
         val fields = Seq(
@@ -225,7 +233,7 @@ object Extractors {
                                 // extension is the signal (entry.cpp:
                                 // 1006-1016); carry count/SH degree
                                 // when the bytes parse
-                                val ext = path.toLowerCase.substring(path.lastIndexOf('.') + 1)
+                                val ext = path.toLowerCase(java.util.Locale.ROOT).substring(path.lastIndexOf('.') + 1)
                                 val splatProps =
                                   if (Seq("splat", "spz", "ksplat").contains(ext))
                                     graft.multimodal.Splats.binaryInfo(ext, bytes)

@@ -49,7 +49,7 @@ object Kml {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory && e.getName.toLowerCase.endsWith(".kml")) {
+        if (!e.isDirectory && e.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".kml")) {
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)

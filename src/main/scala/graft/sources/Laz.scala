@@ -387,7 +387,9 @@ object Laz {
     putU16(out, 6); putU16(out, 20); putU16(out, 2) // POINT10 v2
     if (hasGps(pointFormat)) { putU16(out, 7); putU16(out, 8); putU16(out, 2) } // GPSTIME11 v2
     if (hasRgb(pointFormat)) { putU16(out, 8); putU16(out, 6); putU16(out, 2) } // RGB12 v2
-    if (hasWp(pointFormat)) { putU16(out, 9); putU16(out, 29); putU16(out, 2) } // WAVEPACKET13 v2
+    // LASzip defines only version 1 for the WAVEPACKET13 item (the
+    // scheme here IS the v1 scheme); external readers reject v2.
+    if (hasWp(pointFormat)) { putU16(out, 9); putU16(out, 29); putU16(out, 1) } // WAVEPACKET13 v1
     require(out.length == offsetToPoints)
 
     // --- point data: 8-byte chunk table offset, chunks, chunk table
@@ -676,7 +678,7 @@ object Laz {
     val files = {
       val d = new java.io.File(dir)
       val fs = Option(d.listFiles()).getOrElse(Array.empty)
-      fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".laz")).map(_.getPath).sorted
+      fs.filter(f => f.isFile && f.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".laz")).map(_.getPath).sorted
     }
     require(files.nonEmpty, s"pointsTableDir: no .laz files under $dir")
     files

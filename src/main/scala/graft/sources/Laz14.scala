@@ -606,7 +606,7 @@ object Laz14 {
     val files = {
       val d = new java.io.File(dir)
       val fs = Option(d.listFiles()).getOrElse(Array.empty)
-      fs.filter(f => f.isFile && f.getName.toLowerCase.endsWith(".laz")).map(_.getPath).sorted
+      fs.filter(f => f.isFile && f.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".laz")).map(_.getPath).sorted
     }
     require(files.nonEmpty, s"pointsTableDir: no .laz files under $dir")
     files

@@ -888,8 +888,9 @@ private[sources] final class Wavepacket13V2(forEncode: Boolean, first: PointBuf)
       icOffsetDiff.compress(enc, lastDiff32, diff.toInt, 0)
       lastDiff32 = diff.toInt
     } else if (sym == 3) {
-      enc.writeBits(32, (p.wpOffset >>> 32) & 0xFFFFFFFFL)
+      // laszip writeInt64 order: LOW word first, then high
       enc.writeBits(32, p.wpOffset & 0xFFFFFFFFL)
+      enc.writeBits(32, (p.wpOffset >>> 32) & 0xFFFFFFFFL)
     }
     icPacketSize.compress(enc, lastSize, p.wpSize, 0)
     icReturnPoint.compress(enc, lastRet, p.wpRetBits, 0)
@@ -915,8 +916,9 @@ private[sources] final class Wavepacket13V2(forEncode: Boolean, first: PointBuf)
         lastDiff32 = d
         lastOffset + d.toLong
       case _ =>
-        val hi = dec.readBits(32) & 0xFFFFFFFFL
+        // laszip readInt64 order: LOW word first, then high
         val lo = dec.readBits(32) & 0xFFFFFFFFL
+        val hi = dec.readBits(32) & 0xFFFFFFFFL
         (hi << 32) | lo
     }
     p.wpSize = icPacketSize.decompress(dec, lastSize, 0)

@@ -927,8 +927,9 @@ private[sources] final class Wavepacket14V3(forEncode: Boolean, seed: Point14) {
       c.icOffsetDiff.compress(enc, c.lastDiff32, diff.toInt, 0)
       c.lastDiff32 = diff.toInt
     } else if (sym == 3) {
-      enc.writeBits(32, (p.wpOffset >>> 32) & 0xFFFFFFFFL)
+      // laszip writeInt64 order: LOW word first, then high
       enc.writeBits(32, p.wpOffset & 0xFFFFFFFFL)
+      enc.writeBits(32, (p.wpOffset >>> 32) & 0xFFFFFFFFL)
     }
     c.icPacketSize.compress(enc, c.lastSize, p.wpSize, 0)
     c.icReturnPoint.compress(enc, c.lastRet, p.wpRetBits, 0)
@@ -960,8 +961,9 @@ private[sources] final class Wavepacket14V3(forEncode: Boolean, seed: Point14) {
         c.lastDiff32 = d
         c.lastOffset + d.toLong
       case _ =>
-        val hi = dec.readBits(32) & 0xFFFFFFFFL
+        // laszip readInt64 order: LOW word first, then high
         val lo = dec.readBits(32) & 0xFFFFFFFFL
+        val hi = dec.readBits(32) & 0xFFFFFFFFL
         (hi << 32) | lo
     }
     p.wpSize = c.icPacketSize.decompress(dec, c.lastSize, 0)

@@ -113,7 +113,7 @@ object Mesh3d {
     * JSON, .glb = binary container; GLB buffers are embedded so only
     * its image/buffer URIs — usually none — surface). */
   def dependencies(name: String, bytes: Array[Byte]): Seq[String] = {
-    val lower = name.toLowerCase
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
     if (lower.endsWith(".glb")) gltfDependencies(glbJson(bytes))
     else if (lower.endsWith(".gltf")) gltfDependencies(new String(bytes, "UTF-8"))
     else throw new IllegalArgumentException(s"File is not a GLTF or GLB: $name")

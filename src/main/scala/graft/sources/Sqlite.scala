@@ -475,6 +475,21 @@ object Sqlite {
   /** Split a payload per the spec's spill formula; allocates the
     * overflow chain and returns localBytes ++ u32(firstOverflowPage)
     * (or the payload unchanged if it fits). */
+  /** Length the cell body will occupy in-page after [[spill]] — local
+    * prefix + 4-byte overflow pointer when spilled — WITHOUT
+    * allocating overflow pages. Lets the index builder size pages
+    * first and spill only cells that are actually placed (a divider
+    * promoted off a leaf must not leave an orphaned overflow chain). */
+  private def spilledLen(payloadLen: Int, index: Boolean): Int = {
+    val x = maxLocal(index)
+    if (payloadLen <= x) payloadLen
+    else {
+      val m = minLocal
+      val k = m + (payloadLen - m) % (Usable - 4)
+      (if (k <= x) k else m) + 4
+    }
+  }
+
   private def spill(st: Store, payload: Array[Byte], index: Boolean): Array[Byte] = {
     val x = maxLocal(index)
     if (payload.length <= x) return payload
@@ -596,29 +611,35 @@ object Sqlite {
     * real entries promoted between leaves, as SQLite stores them. */
   private def buildIndexTree(st: Store, entries: Seq[Array[Byte]]): Int = {
     if (entries.isEmpty) return st.alloc(makePage(0x0a, Seq.empty, 0, 0))
-    val cells = entries.map(rec => varintBytes(rec.length.toLong) ++ spill(st, rec, index = true))
-    if (pageFits(cells.length, cells.map(_.length).sum, 8, 0))
-      return st.alloc(makePage(0x0a, cells, 0, 0))
+    // Spill LAZILY, at placement: an entry promoted to an interior
+    // divider never becomes a leaf cell, and pre-spilling it would
+    // orphan its overflow chain ('page never used' in integrity_check).
+    def cellOf(rec: Array[Byte]): Array[Byte] =
+      varintBytes(rec.length.toLong) ++ spill(st, rec, index = true)
+    def cellLenOf(rec: Array[Byte]): Int =
+      varintBytes(rec.length.toLong).length + spilledLen(rec.length, index = true)
+    if (pageFits(entries.length, entries.map(cellLenOf).sum, 8, 0))
+      return st.alloc(makePage(0x0a, entries.map(cellOf), 0, 0))
     // leaves with promoted dividers
     var pagesL = Vector.empty[Int]
     var dividers = Vector.empty[Array[Byte]] // raw cell payload records between page i and i+1
     var cur = new ArrayBuffer[Array[Byte]]()
     var curBytes = 0
     var i = 0
-    while (i < cells.length) {
-      val cell = cells(i)
-      if (cur.nonEmpty && !pageFits(cur.length + 1, curBytes + cell.length, 8, 0)) {
+    while (i < entries.length) {
+      val cellLen = cellLenOf(entries(i))
+      if (cur.nonEmpty && !pageFits(cur.length + 1, curBytes + cellLen, 8, 0)) {
         pagesL :+= st.alloc(makePage(0x0a, cur.toSeq, 0, 0))
         dividers :+= entries(i) // this entry moves up a level
         cur = new ArrayBuffer[Array[Byte]](); curBytes = 0
         i += 1
-        if (i >= cells.length) {
+        if (i >= entries.length) {
           // divider was the final entry; demote it back into a last leaf
-          val c = cells(i - 1)
-          pagesL :+= st.alloc(makePage(0x0a, Seq(c), 0, 0))
+          pagesL :+= st.alloc(makePage(0x0a, Seq(cellOf(entries(i - 1))), 0, 0))
           dividers = dividers.init
         }
       } else {
+        val cell = cellOf(entries(i))
         cur += cell; curBytes += cell.length
         i += 1
       }
@@ -636,16 +657,18 @@ object Sqlite {
       // Each interior cell = u32(child_k) ++ varint(len) ++ payload(div_k)
       while (childIdx < level.length - 1) {
         val rec = divs(childIdx)
-        val body = spill(st, rec, index = true)
-        val cell = { val b = new Array[Byte](4); putU32(b, 0, level(childIdx).toLong); b } ++
-          varintBytes(rec.length.toLong) ++ body
-        if (groupCells.length >= 2 && !pageFits(groupCells.length + 1, groupBytes + cell.length, 12, 0)) {
+        // size first, spill only if the cell is placed — a re-promoted
+        // divider must not allocate (then abandon) an overflow chain
+        val cellLen = 4 + varintBytes(rec.length.toLong).length + spilledLen(rec.length, index = true)
+        if (groupCells.length >= 2 && !pageFits(groupCells.length + 1, groupBytes + cellLen, 12, 0)) {
           // close page: rightmost = current child, promote its divider
           nextPages += st.alloc(makePage(0x02, groupCells.toSeq, level(childIdx), 0))
           nextDivs += rec
           groupCells = new ArrayBuffer[Array[Byte]](); groupBytes = 0
           childIdx += 1
         } else {
+          val cell = { val b = new Array[Byte](4); putU32(b, 0, level(childIdx).toLong); b } ++
+            varintBytes(rec.length.toLong) ++ spill(st, rec, index = true)
           groupCells += cell; groupBytes += cell.length
           childIdx += 1
         }

@@ -58,7 +58,7 @@ object CurationStream {
     udf { text: String =>
       if (text == null) Array.empty[Long]
       else {
-        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
         if (toks.length < 3) Array.empty[Long]
         else {
           val hs = toks.sliding(3).map(_.mkString(" ")).toArray.distinct

@@ -104,7 +104,7 @@ object Bpe {
     val count = udf { text: String =>
       if (text == null) 0L
       else {
-        val words = "\\w+".r.findAllIn(text.toLowerCase).toArray
+        val words = "\\w+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
         var total = 0L
         words.foreach { w =>
           var syms = initSymbols(w)

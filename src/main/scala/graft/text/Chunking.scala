@@ -62,36 +62,44 @@ object Chunking {
     * (identical to the relational column and the DuckDB oracle).
     * A character alphabet is tiny, so values memoize per executor —
     * the md5 count drops from chars to DISTINCT chars. */
-  private val gearCache = new java.util.concurrent.ConcurrentHashMap[Char, java.lang.Long]()
-  private def gearOf(c: Char): Long = {
-    val cached = gearCache.get(c)
+  private val gearCache = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private def gearOf(cp: Int): Long = {
+    val cached = gearCache.get(cp)
     if (cached != null) cached.longValue()
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(("g:" + c).getBytes("UTF-8"))
+        .digest(("g:" + new String(Character.toChars(cp))).getBytes("UTF-8"))
       val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
       val v = java.lang.Long.parseLong(hex, 16) % 64
-      gearCache.put(c, java.lang.Long.valueOf(v))
+      gearCache.put(cp, java.lang.Long.valueOf(v))
       v
     }
   }
 
-  /** One serial pass over a document: chunk START offsets. Position p
-    * opens a new chunk iff the 6-lag weighted gear sum at p−1 hits
-    * the mask — exactly the relational cut rule below, spec-proven
-    * equal. O(n) with O(1) state (the 6-value lag ring). */
+  /** One serial pass over a document: chunk START offsets, in CODE
+    * POINT units — the relational path indexes with Spark
+    * `length`/`substr`, which count code points, so the serial kernel
+    * must too or non-BMP documents (emoji, supplementary CJK)
+    * mis-slice. Position p opens a new chunk iff the 6-lag weighted
+    * gear sum at p−1 hits the mask — exactly the relational cut rule
+    * below, spec-proven equal. O(n) with O(1) state (the 6-value lag
+    * ring). */
   private[text] def gearStartsSerial(text: String): Array[Int] = {
     if (text.isEmpty) return Array.empty
     val starts = new scala.collection.mutable.ArrayBuffer[Int]()
     starts += 0
     val lags = new Array[Long](6)
-    var p = 0
-    while (p < text.length) {
+    val nCp = text.codePointCount(0, text.length)
+    var ci = 0 // UTF-16 char cursor
+    var p = 0 // code-point index
+    while (p < nCp) {
       var k = 5
       while (k > 0) { lags(k) = lags(k - 1); k -= 1 }
-      lags(0) = gearOf(text.charAt(p))
+      val cp = text.codePointAt(ci)
+      lags(0) = gearOf(cp)
       val h = lags(0) + lags(1) * 2 + lags(2) * 4 + lags(3) * 8 + lags(4) * 16 + lags(5) * 32
-      if (h % 64 == 0 && p + 1 < text.length) starts += p + 1
+      if (h % 64 == 0 && p + 1 < nCp) starts += p + 1
+      ci += Character.charCount(cp)
       p += 1
     }
     starts.toArray
@@ -108,8 +116,10 @@ object Chunking {
     import s.implicits._
     val spans = udf { text: String =>
       val st = gearStartsSerial(text)
+      // spans are in code points (matching Spark substr semantics)
+      val n = text.codePointCount(0, text.length)
       st.zipWithIndex.map { case (b, i) =>
-        val end = if (i + 1 < st.length) st(i + 1) else text.length
+        val end = if (i + 1 < st.length) st(i + 1) else n
         (i.toLong, b.toLong, (end - b).toLong)
       }
     }

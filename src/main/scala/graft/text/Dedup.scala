@@ -98,7 +98,7 @@ object Dedup {
     * with fewer than nGram tokens drop out, exactly like the explode
     * path. */
   private[text] def minhashSigSerial(text: String, nGram: Int, k: Int): Array[Long] = {
-    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase)
+    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     while (m.find()) toks += m.group()
     if (toks.length < nGram) return null
@@ -172,7 +172,7 @@ object Dedup {
   val simhashUdf = udf { text: String =>
     if (text == null) 0L
     else {
-      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
       val votes = new Array[Int](60)
       toks.foreach { t =>
         val h = TextOps.md5Hash60(t)
@@ -302,7 +302,7 @@ object Dedup {
     // everything downstream are unchanged (hash-identical to the
     // oracle's SQL derivation).
     val hashesUdf = udf { text: String =>
-      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase)
+      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
       val toks = new scala.collection.mutable.ArrayBuffer[String]()
       while (m.find()) toks += m.group()
       if (toks.length < n) null

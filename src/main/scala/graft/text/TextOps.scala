@@ -80,7 +80,7 @@ object TextOps {
   val langIdUdf = udf { text: String =>
     if (text == null || text.isEmpty) "und"
     else {
-      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
       if (toks.isEmpty) "und"
       else {
         val scores = langProfiles.map { case (lang, stops) =>
@@ -154,7 +154,7 @@ object TextOps {
   val fingerprintUdf = udf { text: String =>
     if (text == null) Array.empty[Long]
     else {
-      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
       if (toks.length < 3) Array.empty[Long]
       else {
         val grams = toks.sliding(3).map(_.mkString(" ")).toArray

@@ -103,4 +103,61 @@ class SensorProfilesSpec extends SparkSuite {
     assert(lwir.getAs[Double]("shift_x") === 0.25) // roc delta vs Green ref, NOT the PP shift
     assert(out.count(_.getAs[Boolean]("is_thermal")) === 1)
   }
+
+  // --- shipped registry: the reference's real data/sensor-profiles.json ---
+
+  private def shipped: Option[Seq[Profile]] = {
+    val p = java.nio.file.Paths.get(SensorProfiles.shippedJsonPath)
+    if (java.nio.file.Files.isReadable(p))
+      Some(SensorProfiles.fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+    else None
+  }
+
+  test("fromJson parses the shipped registry: 17 profiles, priority-desc") {
+    shipped match {
+      case None => cancel("sensor-profiles.json asset not deployed")
+      case Some(ps) =>
+        assert(ps.size === 17)
+        assert(ps.map(_.priority) === ps.map(_.priority).sorted.reverse)
+        val s2 = ps.find(_.id === "sentinel-2").get
+        assert(s2.category === "multispectral")
+        assert(s2.bandCount === 13 && s2.dataType === "UInt16" && s2.priority === 10)
+        assert(s2.patterns.contains("S2A_") && s2.patterns.contains("SENTINEL2"))
+        assert(s2.mapping === BandMapping(4, 3, 2)) // true-color default preset
+        assert(s2.bands.size === 13)
+        val nir = s2.bands.find(_.name === "NIR").get
+        assert(nir.index === 8 && nir.wavelength === 842)
+        // dataType absent in JSON → "" (any) — landsat-5-tm
+        assert(ps.find(_.id === "landsat-5-tm").get.dataType === "")
+        // patterns absent → always-match generic
+        assert(ps.find(_.id === "generic-4band").get.patterns.isEmpty)
+        assert(ps.find(_.id === "dji-mavic-3m").get.mapping === BandMapping(4, 1, 2))
+    }
+  }
+
+  test("detection cascade over the shipped registry matches its entries") {
+    shipped match {
+      case None => cancel("sensor-profiles.json asset not deployed")
+      case Some(ps) =>
+        val (d1, id1, _, bm1) =
+          SensorProfiles.detectSensor(13, "UInt16", Seq("S2A_MSIL2A_20240101"), lastBandIsAlpha = false, ps)
+        assert(d1 && id1 === "sentinel-2" && bm1 === BandMapping(4, 3, 2))
+        // RedEdge-P (priority 12) outranks plain micasense-rededge (10)
+        val (d2, id2, _, _) =
+          SensorProfiles.detectSensor(5, "UInt16", Seq("MicaSense RedEdge-P"), lastBandIsAlpha = false, ps)
+        assert(d2 && id2 === "micasense-rededge-p")
+        // pattern-free generic-4band catches unknown 4-band UInt16 rigs
+        val (d3, id3, _, _) =
+          SensorProfiles.detectSensor(4, "UInt16", Seq("no patterns here"), lastBandIsAlpha = false, ps)
+        assert(d3 && id3 === "generic-4band")
+        // thermal: dataType-free profile matches Float32 radiometric tiffs
+        val (d4, id4, cat4, _) =
+          SensorProfiles.detectSensor(1, "Float32", Seq("FLIR Vue Pro R"), lastBandIsAlpha = false, ps)
+        assert(d4 && id4 === "flir-vue-pro-r" && cat4 === "thermal")
+        // landsat-5: dataType "" accepts Byte at 7 bands (no RGB short-circuit)
+        val (d5, id5, _, _) =
+          SensorProfiles.detectSensor(7, "Byte", Seq("LT05_L1TP"), lastBandIsAlpha = false, ps)
+        assert(d5 && id5 === "landsat-5-tm")
+    }
+  }
 }

@@ -60,6 +60,21 @@ def main():
             rows_only += 1
             print(f"  [rows-only] {name}: {len(grows)} rows")
             continue
+        # Type gate first: the driver hashes values WITH their DuckDB
+        # type, so a HUGEINT/DECIMAL oracle column hash-mismatches a
+        # Spark BIGINT/DOUBLE even when every value is identical.
+        # Python ints canonicalize that difference away, so check the
+        # declared types explicitly before comparing values.
+        rel = con.sql(oracle[name])
+        badtypes = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")
+        ]
+        if badtypes:
+            fail += 1
+            print(f"  [FAIL-type] {name}: oracle emits {badtypes} — cast to BIGINT/DOUBLE")
+            continue
         exp = con.execute(oracle[name])
         ecols = [d[0] for d in exp.description]
         erows = exp.fetchall()
