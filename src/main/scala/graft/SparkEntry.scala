@@ -60,6 +60,7 @@ object SparkEntry {
     "q_meta_json" -> (Relational.metaJsonQuery _),
     "q_dim_rollup" -> (Relational.dimRollup _),
     "q_sensor_focal" -> (graft.sources.SensorData.sensorFocalQuery _),
+    "q_timezone" -> (graft.sources.Timezone.timezoneQuery _),
     // §2.5 sorts / paging / top-k
     "q_paging" -> (Relational.paging _),
     "q_topk" -> (Relational.topK _),
@@ -1232,6 +1233,25 @@ object SparkEntry {
         |  FROM events WHERE event_id % 7 <> 0)
         |SELECT path, hash FROM src
         |WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.path = src.path AND dst.hash = src.hash)""".stripMargin,
+    // Geo-timezone conformance: the zone literals are what the pure-JVM
+    // ZoneDetect reader returns for each city from the shipped
+    // timezone21 polygon db (verified battery) — a reader divergence
+    // changes the Spark-side strings and hash-fails here.
+    "q_timezone" ->
+      """WITH z(city_idx, zone) AS (VALUES
+        |  (0,'America/Chicago'), (1,'Europe/London'), (2,'Asia/Tokyo'),
+        |  (3,'Australia/Sydney'), (4,'Asia/Kathmandu'), (5,'Europe/Rome'),
+        |  (6,'Pacific/Auckland'), (7,'America/Phoenix'), (8,'Asia/Kolkata'),
+        |  (9,'Asia/Shanghai'), (10,'Europe/Berlin'), (11,'Europe/Moscow'),
+        |  (12,'America/Los_Angeles'), (13,'America/Denver'), (14,'America/Sao_Paulo'),
+        |  (15,'Africa/Cairo'), (16,'Africa/Johannesburg'), (17,'Australia/Perth'),
+        |  (18,'Pacific/Honolulu'), (19,'Atlantic/Reykjavik'), (20,'America/Anchorage'),
+        |  (21,'Australia/Adelaide'), (22,'Asia/Tehran'), (23,'America/St_Johns')),
+        |e AS (SELECT event_id, CAST(event_id % 24 AS INT) AS city_idx FROM events)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM e JOIN z USING (city_idx) GROUP BY zone""".stripMargin,
     // Sensor-width dim join: the (id, width) pairs are the REAL values
     // from the reference's shipped data/sensor_data.sqlite — the Spark
     // side reads that file with the pure-JVM SQLite reader, so a
