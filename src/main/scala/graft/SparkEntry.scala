@@ -222,7 +222,8 @@ object SparkEntry {
     "q_kn_lm" -> (graft.text.Importance.knLmQuery _),
     "q_dsir" -> (graft.text.Importance.dsirQuery _),
     "q_splat" -> (graft.multimodal.Splats.splatQuery _),
-    "q_e57" -> (graft.sources.E57.e57Query _)
+    "q_e57" -> (graft.sources.E57.e57Query _),
+    "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3689,6 +3690,19 @@ object SparkEntry {
         |  CAST(sum((event_id * 3) % 1000000) AS BIGINT) AS y_sum,
         |  CAST(sum((event_id * 7) % 500000) AS BIGINT) AS z_sum,
         |  CAST(sum((event_id * 31) % 65536) AS BIGINT) AS i_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // GLB + b3dm round-trip proof (same pattern): integer-lattice
+    // vertices write a real binary glTF wrapped in a real b3dm tile
+    // in-task and decode back; the oracle aggregates the raw rows.
+    // idx_sum is the closed form over the consecutive triangle fan.
+    "q_tiles3d" ->
+      """SELECT event_type,
+        |  count(*) AS n_vertices,
+        |  CAST(count(*) // 3 AS BIGINT) AS n_triangles,
+        |  CAST(sum(event_id % 1000) AS BIGINT) AS x_sum,
+        |  CAST(sum((event_id * 3) % 1000) AS BIGINT) AS y_sum,
+        |  CAST(sum((event_id * 7) % 500) AS BIGINT) AS z_sum,
+        |  CAST((3 * (count(*) // 3)) * (3 * (count(*) // 3) - 1) // 2 AS BIGINT) AS idx_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived

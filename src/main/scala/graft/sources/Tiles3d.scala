@@ -68,6 +68,107 @@ object Tiles3d {
   def write3tz(tileset: String, tiles: Seq[(String, Array[Byte])]): Array[Byte] =
     Mzip.pack(("tileset.json" -> tileset.getBytes("UTF-8")) +: tiles)
 
+  /** Wrap a binary glTF in a Batched 3D Model tile: 28-byte header
+    * (magic/version/byteLength + the four table lengths), feature
+    * table JSON padded with 0x20 so the GLB starts 8-byte aligned,
+    * GLB padded with 0x00 to keep byteLength 8-aligned (the 3D Tiles
+    * 1.0 b3dm layout — the payload `buildlod`/`obj2tiles` runners
+    * hand to tileset writers). */
+  def writeB3dm(glb: Array[Byte], batchLength: Int = 0): Array[Byte] = {
+    val ft0 = s"""{"BATCH_LENGTH":$batchLength}""".getBytes("UTF-8")
+    val ftPad = (8 - (28 + ft0.length) % 8) % 8
+    val ft = ft0 ++ Array.fill(ftPad)(' '.toByte)
+    val glbPad = (8 - glb.length % 8) % 8
+    val body = glb ++ new Array[Byte](glbPad)
+    val total = 28 + ft.length + body.length
+    val out = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("b3dm".getBytes("US-ASCII"))
+    out.putInt(1) // version
+    out.putInt(total)
+    out.putInt(ft.length) // featureTableJSONByteLength
+    out.putInt(0) // featureTableBinaryByteLength
+    out.putInt(0) // batchTableJSONByteLength
+    out.putInt(0) // batchTableBinaryByteLength
+    out.put(ft)
+    out.put(body)
+    out.array()
+  }
+
+  /** b3dm → (feature table JSON, embedded GLB). The GLB slice is
+    * trimmed to its own declared length (b3dm pads to 8). */
+  def readB3dm(bytes: Array[Byte]): (String, Array[Byte]) = {
+    require(bytes.length >= 28 && new String(bytes, 0, 4, "US-ASCII") == "b3dm", "not a b3dm tile")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(4)
+    val version = bb.getInt
+    require(version == 1, s"unsupported b3dm version $version")
+    val byteLength = bb.getInt
+    val ftJsonLen = bb.getInt
+    val ftBinLen = bb.getInt
+    val btJsonLen = bb.getInt
+    val btBinLen = bb.getInt
+    require(byteLength <= bytes.length, "b3dm byteLength overruns buffer")
+    val ftJson = new String(bytes, 28, ftJsonLen, "UTF-8").trim
+    val glbStart = 28 + ftJsonLen + ftBinLen + btJsonLen + btBinLen
+    require(glbStart + 12 <= byteLength, "b3dm has no GLB payload")
+    val declared = ((bytes(glbStart + 8) & 0xff) | ((bytes(glbStart + 9) & 0xff) << 8) |
+      ((bytes(glbStart + 10) & 0xff) << 16) | ((bytes(glbStart + 11) & 0xff) << 24))
+    val glbLen = math.min(declared, byteLength - glbStart)
+    (ftJson, java.util.Arrays.copyOfRange(bytes, glbStart, glbStart + glbLen))
+  }
+
+  /** ◆ q_tiles3d — the q_e57 pattern for the 3D-tiles payload chain:
+    * per event_type, deterministic integer-lattice vertices (x=id%1000,
+    * y=id*3%1000, z=id*7%500 — exact in float32) and a consecutive
+    * triangle fan write a REAL GLB, wrap in a REAL b3dm, then decode
+    * back through readB3dm/readMeshGlb inside the task; integer
+    * aggregates of the decoded mesh must match the oracle aggregating
+    * the raw rows. Green iff the GLB+b3dm cycle is bit-lossless. */
+  def tiles3dQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val sorted = ids.sorted
+      val pos = new Array[Float](sorted.length * 3)
+      sorted.zipWithIndex.foreach { case (id, k) =>
+        pos(3 * k) = (id % 1000).toFloat
+        pos(3 * k + 1) = ((id * 3) % 1000).toFloat
+        pos(3 * k + 2) = ((id * 7) % 500).toFloat
+      }
+      val nTri = sorted.length / 3
+      val idx = Array.tabulate(nTri * 3)(identity)
+      val b3dm = writeB3dm(Mesh3d.writeMeshGlb(pos, idx))
+      val (ftJson, glb) = readB3dm(b3dm)
+      require(ftJson.contains("\"BATCH_LENGTH\":0"), "b3dm feature table lost")
+      val (pos2, idx2) = Mesh3d.readMeshGlb(glb)
+      require(java.util.Arrays.equals(pos, pos2), "b3dm/GLB cycle changed positions")
+      require(java.util.Arrays.equals(idx, idx2), "b3dm/GLB cycle changed indices")
+      Seq(
+        pos2.length.toLong / 3,
+        idx2.length.toLong / 3,
+        (0 until pos2.length / 3).map(k => math.round(pos2(3 * k).toDouble)).sum,
+        (0 until pos2.length / 3).map(k => math.round(pos2(3 * k + 1).toDouble)).sum,
+        (0 until pos2.length / 3).map(k => math.round(pos2(3 * k + 2).toDouble)).sum,
+        idx2.map(_.toLong).sum
+      )
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select(
+        $"event_type",
+        $"a".getItem(0).as("n_vertices"),
+        $"a".getItem(1).as("n_triangles"),
+        $"a".getItem(2).as("x_sum"),
+        $"a".getItem(3).as("y_sum"),
+        $"a".getItem(4).as("z_sum"),
+        $"a".getItem(5).as("idx_sum")
+      )
+      .orderBy($"event_type")
+  }
+
   /** First matching entry from a zip archive held in memory. */
   def readZipEntry(bytes: Array[Byte], name: String): Option[Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))

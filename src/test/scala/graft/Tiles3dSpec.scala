@@ -104,4 +104,73 @@ class Tiles3dSpec extends SparkSuite {
     // extractor chain: a .3tz payload fingerprints as Tiles3D
     assert(graft.sources.Extractors.fingerprint("model.3tz", tz) == graft.model.EntryType.Tiles3D)
   }
+
+  test("b3dm: header layout, 8-byte GLB alignment, feature table round-trip") {
+    import graft.sources.{Mesh3d, Tiles3d}
+    val glb = Mesh3d.writeMeshGlb(Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f), Array(0, 1, 2))
+    val b3dm = Tiles3d.writeB3dm(glb, batchLength = 0)
+    assert(new String(b3dm, 0, 4, "US-ASCII") === "b3dm")
+    assert(b3dm.length % 8 === 0)
+    val bb = java.nio.ByteBuffer.wrap(b3dm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(4)
+    assert(bb.getInt === 1) // version
+    assert(bb.getInt === b3dm.length) // byteLength
+    val ftLen = bb.getInt
+    assert((28 + ftLen) % 8 === 0) // GLB starts 8-aligned
+    val (ftJson, glbBack) = Tiles3d.readB3dm(b3dm)
+    assert(ftJson === """{"BATCH_LENGTH":0}""")
+    assert(java.util.Arrays.equals(glbBack, glb))
+    // corrupt: wrong magic and truncation are named errors
+    intercept[IllegalArgumentException](Tiles3d.readB3dm("i3dm".getBytes ++ new Array[Byte](32)))
+    intercept[IllegalArgumentException](Tiles3d.readB3dm(b3dm.take(20)))
+  }
+
+  test("GLB mesh write/read: bit-exact positions and indices; json chunk valid") {
+    import graft.sources.Mesh3d
+    val pos = Array.tabulate(30)(i => (i * 7 % 23).toFloat)
+    val idx = Array.tabulate(9)(i => i % 10)
+    val glb = Mesh3d.writeMeshGlb(pos, idx)
+    assert(glb.length % 4 === 0)
+    // our own GLB parses through the existing reader faces
+    val json = Mesh3d.glbJson(glb)
+    assert(json.contains("\"POSITION\":1"))
+    assert(Mesh3d.gltfDependencies(json).isEmpty) // embedded buffer, no URIs
+    val (pos2, idx2) = Mesh3d.readMeshGlb(glb)
+    assert(pos2.toSeq === pos.toSeq)
+    assert(idx2.toSeq === idx.toSeq)
+    // uint16-indexed GLBs from other producers read too
+    val json16 = json.replace("\"componentType\":5125", "\"componentType\":5123")
+    val ib = java.nio.ByteBuffer.allocate(idx.length * 2 + pos.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idx.foreach(i => ib.putShort(i.toShort))
+    pos.foreach(ib.putFloat)
+    // rebuild views for 2-byte indices
+    val json16v = json16
+      .replace(s""""byteLength":${idx.length * 4},"target":34963""", s""""byteLength":${idx.length * 2},"target":34963""")
+      .replace(s""""byteOffset":${idx.length * 4}""", s""""byteOffset":${idx.length * 2}""")
+      .replace(s""""buffers":[{"byteLength":${idx.length * 4 + pos.length * 4}}]""", s""""buffers":[{"byteLength":${idx.length * 2 + pos.length * 4}}]""")
+    val glb16 = Mesh3d.writeGlb(json16v, ib.array())
+    val (p16, i16) = Mesh3d.readMeshGlb(glb16)
+    assert(p16.toSeq === pos.toSeq && i16.toSeq === idx.toSeq)
+  }
+
+  test("complete self-produced 3D-tiles archive: b3dm payloads survive the .3tz cycle") {
+    import graft.sources.{Mesh3d, Tiles3d}
+    val tiles = (0 until 3).map { t =>
+      val pos = Array.tabulate(12)(i => (i + t * 100).toFloat)
+      val idx = Array(0, 1, 2, 1, 2, 3)
+      s"tiles/$t.b3dm" -> Tiles3d.writeB3dm(Mesh3d.writeMeshGlb(pos, idx))
+    }
+    val ts = Tiles3d.tilesetJson(-92.0, 46.8, -91.9, 46.9, 180.0, 220.0, 64.0, tiles.map(_._1))
+    val tz = Tiles3d.write3tz(ts, tiles)
+    assert(Tiles3d.from3tz(tz).exists(_.georeferenced))
+    tiles.foreach { case (name, payload) =>
+      val back = Tiles3d.readZipEntry(tz, name).get
+      assert(java.util.Arrays.equals(back, payload), name)
+      val (_, glb) = Tiles3d.readB3dm(back)
+      val (pos2, _) = Mesh3d.readMeshGlb(glb)
+      val t = name.stripPrefix("tiles/").stripSuffix(".b3dm").toInt
+      assert(pos2(0) === (t * 100).toFloat)
+    }
+  }
 }
