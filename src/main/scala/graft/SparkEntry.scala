@@ -223,7 +223,8 @@ object SparkEntry {
     "q_dsir" -> (graft.text.Importance.dsirQuery _),
     "q_splat" -> (graft.multimodal.Splats.splatQuery _),
     "q_e57" -> (graft.sources.E57.e57Query _),
-    "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _)
+    "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _),
+    "q_lod" -> (graft.sources.MeshLod.lodQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3703,7 +3704,49 @@ object SparkEntry {
         |  CAST(sum((event_id * 3) % 1000) AS BIGINT) AS y_sum,
         |  CAST(sum((event_id * 7) % 500) AS BIGINT) AS z_sum,
         |  CAST((3 * (count(*) // 3)) * (3 * (count(*) // 3) - 1) // 2 AS BIGINT) AS idx_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Mesh LOD by vertex clustering: min-vid representative per grid
+    // cell, triangle corner remap, degenerate drop — the oracle
+    // states the identical relational rules over the lattice mesh.
+    "q_lod" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id AS vid,
+        |    CAST(event_id % 100 AS DOUBLE) AS x,
+        |    CAST((event_id * 3) % 100 AS DOUBLE) AS y,
+        |    CAST((event_id * 7) % 50 AS DOUBLE) AS z
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vid) - 1 AS rn FROM v),
+        |t AS (
+        |  SELECT event_type, rn // 3 AS tri, count(*) AS nc,
+        |    max(CASE WHEN rn % 3 = 0 THEN vid END) AS a,
+        |    max(CASE WHEN rn % 3 = 1 THEN vid END) AS b,
+        |    max(CASE WHEN rn % 3 = 2 THEN vid END) AS c
+        |  FROM r GROUP BY 1, 2),
+        |t3 AS (SELECT event_type, a, b, c FROM t WHERE nc = 3),
+        |cellv AS (SELECT *, floor(x/4) AS cx, floor(y/4) AS cy, floor(z/4) AS cz FROM v),
+        |reps AS (SELECT event_type, cx, cy, cz, min(vid) AS rep FROM cellv GROUP BY 1,2,3,4),
+        |remap AS (SELECT c.event_type, c.vid, r.rep FROM cellv c JOIN reps r USING (event_type, cx, cy, cz)),
+        |keptv AS (SELECT v.* FROM v JOIN remap m ON v.event_type = m.event_type AND v.vid = m.vid AND m.vid = m.rep),
+        |keptt AS (
+        |  SELECT t3.event_type, ma.rep AS ra, mb.rep AS rb, mc.rep AS rc
+        |  FROM t3
+        |  JOIN remap ma ON ma.event_type = t3.event_type AND ma.vid = t3.a
+        |  JOIN remap mb ON mb.event_type = t3.event_type AND mb.vid = t3.b
+        |  JOIN remap mc ON mc.event_type = t3.event_type AND mc.vid = t3.c
+        |  WHERE ma.rep <> mb.rep AND mb.rep <> mc.rep AND ma.rep <> mc.rep),
+        |va AS (
+        |  SELECT event_type, count(*) AS n_cells,
+        |    CAST(sum(x) AS BIGINT) AS x_sum, CAST(sum(y) AS BIGINT) AS y_sum,
+        |    CAST(sum(z) AS BIGINT) AS z_sum
+        |  FROM keptv GROUP BY 1),
+        |ta AS (
+        |  SELECT event_type, count(*) AS n_tris,
+        |    CAST(sum(ra + rb + rc) AS BIGINT) AS corner_sum
+        |  FROM keptt GROUP BY 1)
+        |SELECT va.event_type, n_cells, x_sum, y_sum, z_sum,
+        |  coalesce(n_tris, 0) AS n_tris, coalesce(corner_sum, 0) AS corner_sum
+        |FROM va LEFT JOIN ta ON va.event_type = ta.event_type
+        |ORDER BY va.event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

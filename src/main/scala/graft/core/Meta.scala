@@ -39,15 +39,16 @@ object Meta {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    if (t.isEmpty) quote(data)
-    else {
-      val looksJson = (t.startsWith("{") && t.endsWith("}")) ||
-        (t.startsWith("[") && t.endsWith("]")) ||
-        (t.startsWith("\"") && t.endsWith("\"")) ||
-        t == "true" || t == "false" || t == "null" ||
-        t.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")
-      if (looksJson) t else quote(data)
-    }
+    // the reference PARSES (validateData, metamanager.cpp:80-98): raw
+    // json is kept; a parse failure retries with the input wrapped in
+    // bare quotes (no escaping), and a second failure is an error —
+    // so `{"ciao":}` throws instead of slipping through on shape
+    def parses(s: String): Boolean =
+      try { graft.core.MiniJson.parse(s); true }
+      catch { case _: Exception => false }
+    if (t.nonEmpty && parses(t)) t
+    else if (parses("\"" + data + "\"")) quote(data)
+    else throw new IllegalArgumentException(s"Invalid JSON: $data")
   }
 
   def deterministicId(path: String, key: String, data: String, mtime: Long): String =
@@ -83,6 +84,25 @@ object Meta {
 
   def unset(meta: DataFrame, path: String, key: String): DataFrame =
     meta.filter(!(col("path") === path && col("key") === key))
+
+  /** `getString` — the (path, key) singular value as a bare string
+    * with a default (ref `MetaManager::getString`, used for the STAC
+    * collection license): the stored data is JSON, so a JSON string
+    * unquotes and any other value renders as its JSON text. */
+  def getString(meta: DataFrame, path: String, key: String, default: String): String = {
+    val rows = meta
+      .filter(col("path") === path && col("key") === key)
+      .orderBy(col("mtime").desc)
+      .select("data")
+      .limit(1)
+      .collect()
+    rows.headOption.map(_.getString(0)).map { data =>
+      try MiniJson.parse(data) match {
+        case s: String => s
+        case other => String.valueOf(other)
+      } catch { case _: Exception => data }
+    }.getOrElse(default)
+  }
 
   /** `list` — GROUP BY path, key with counts — ref
     * `metamanager.cpp:198-218`. */

@@ -196,4 +196,71 @@ object Stac {
     val matched = f.count()
     (Index.page(items(f).orderBy("path"), limit, offset), matched)
   }
+
+  /** ISO datetime string → epoch seconds. Open ends ("", "..") are
+    * None; explicit UTC offsets normalize to the same instant
+    * (stac_test.cpp:558-564: `+02:00` ≡ `Z` shifted); a bare local
+    * datetime reads as UTC. Junk is a named error (C-API contract). */
+  def parseDatetime(s: String): Option[Long] = {
+    if (s == null || s.isEmpty || s == "..") return None
+    val t = s.trim
+    try Some(java.time.OffsetDateTime.parse(t).toEpochSecond)
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try Some(java.time.LocalDateTime.parse(t).toEpochSecond(java.time.ZoneOffset.UTC))
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(s"Invalid datetime: $s")
+        }
+    }
+  }
+
+  /** "w,s,e,n" → bbox; the C API's validation (stacCApi
+    * invalidArgsBadBbox): exactly four numeric tokens or a named
+    * error; empty/null = no filter. */
+  def parseBbox(s: String): Option[(Double, Double, Double, Double)] = {
+    if (s == null || s.isEmpty) return None
+    val parts = s.split(",", -1).map(_.trim)
+    require(parts.length == 4, s"bbox must have exactly 4 values: $s")
+    val d = parts.map { p =>
+      p.toDoubleOption.getOrElse(throw new IllegalArgumentException(s"bbox: non-numeric value '$p'"))
+    }
+    Some((d(0), d(1), d(2), d(3)))
+  }
+
+  /** README.md content when the path is indexed and the file reads —
+    * `Database::getReadme` (database.cpp:348-368): only the exact
+    * root-level `README.md` entry qualifies. */
+  def readme(entries: DataFrame, rootDir: String): Option[String] = {
+    val indexed = entries.filter(col("path") === "README.md").limit(1).count() > 0
+    if (!indexed) None
+    else {
+      val p = java.nio.file.Paths.get(rootDir, "README.md")
+      if (java.nio.file.Files.isReadable(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else None
+    }
+  }
+
+  /** Collection description rule — `stac.cpp:535-536`: README content
+    * when present and non-empty, else the title. */
+  def collectionDescription(entries: DataFrame, rootDir: String, title: String): String =
+    readme(entries, rootDir).filter(_.nonEmpty).getOrElse(title)
+
+  /** Collection license — `stac.cpp:538`: the dataset-level singular
+    * `license` meta string, default "proprietary". */
+  def collectionLicense(meta: DataFrame): String =
+    graft.core.Meta.getString(meta, "", "license", "proprietary")
+
+  /** String-parameter face of [[itemCollection]] — the
+    * DDBStacItemCollection argument contract. */
+  def itemCollectionApi(
+      entries: DataFrame,
+      bbox: String,
+      startDatetime: String,
+      endDatetime: String,
+      limit: Int = 10,
+      offset: Int = 0
+  ): (DataFrame, Long) =
+    itemCollection(entries, parseBbox(bbox), parseDatetime(startDatetime), parseDatetime(endDatetime), limit, offset)
 }

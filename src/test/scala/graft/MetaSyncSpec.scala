@@ -27,6 +27,14 @@ class MetaSyncSpec extends SparkSuite {
     assert(Meta.normalizeJson("42") === "42")
     assert(Meta.normalizeJson("true") === "true")
     assert(Meta.normalizeJson("3.14") === "3.14")
+    // malformed structures throw like validateData (meta_test.cpp:188)
+    intercept[IllegalArgumentException](Meta.normalizeJson("{\"ciao\":}"))
+    // quote-wrap rescue: "[1," re-parses as the JSON string "[1,"
+    // (nlohmann does the same — only the second parse failing throws)
+    assert(Meta.normalizeJson("[1,") === "\"[1,\"")
+    // a bare string with an unescapable quote also throws (the
+    // reference wraps WITHOUT escaping and reparses)
+    intercept[IllegalArgumentException](Meta.normalizeJson("he\"y"))
   }
 
   test("plural add appends, singular set replaces") {

@@ -79,6 +79,53 @@ class StacSpec extends SparkSuite {
     assert(matched === 1) // only b.jpg (mtime 1700000000); a.jpg captureTime 1690000000
   }
 
+  test("string API: datetime offsets, open intervals, bbox validation (stac_test.cpp:540-589)") {
+    // timezone offsets: the same instant in Z and +02:00 matches identically
+    val (_, mUtc) = Stac.itemCollectionApi(entries, "", "1970-01-01T00:00:00Z", "2099-01-01T00:00:00+00:00")
+    val (_, mOff) = Stac.itemCollectionApi(entries, "", "1970-01-01T00:00:00Z", "2099-01-01T02:00:00+02:00")
+    assert(mUtc === mOff && mUtc >= 1)
+    // far-future interval → 0 features
+    val (_, mFut) = Stac.itemCollectionApi(entries, "", "2099-01-01T00:00:00Z", "2099-12-31T23:59:59Z")
+    assert(mFut === 0)
+    // open-ended forms: "", ".." both mean unbounded
+    val (_, mOpenStart) = Stac.itemCollectionApi(entries, "", "", "2099-12-31T23:59:59Z")
+    val (_, mOpenEnd) = Stac.itemCollectionApi(entries, "", "1970-01-01T00:00:00Z", "..")
+    assert(mOpenStart >= 1 && mOpenEnd >= 1)
+    // parse faces directly
+    assert(Stac.parseDatetime("") === None)
+    assert(Stac.parseDatetime("..") === None)
+    assert(Stac.parseDatetime("1970-01-01T00:00:00Z") === Some(0L))
+    assert(Stac.parseDatetime("1970-01-01T02:00:00+02:00") === Some(0L))
+    intercept[IllegalArgumentException](Stac.parseDatetime("yesterday-ish"))
+    // bbox validation: non-numeric token and wrong arity are named errors
+    assert(Stac.parseBbox("") === None)
+    assert(Stac.parseBbox("1.0,2.0,3.0,4.0") === Some((1.0, 2.0, 3.0, 4.0)))
+    intercept[IllegalArgumentException](Stac.parseBbox("abc,2,3,4"))
+    intercept[IllegalArgumentException](Stac.parseBbox("1.0,2.0,3.0"))
+  }
+
+  test("collection description + license: README rule and meta default (stac.cpp:529-538)") {
+    val dir = java.nio.file.Files.createTempDirectory("stacreadme").toFile
+    try {
+      java.nio.file.Files.writeString(new java.io.File(dir, "README.md").toPath, "# My dataset\nhello")
+      // README.md not indexed → title wins even though the file exists
+      assert(Stac.collectionDescription(entries, dir.getPath, "fallback-title") === "fallback-title")
+      val withReadme = entries.unionByName(Seq(entryRow("README.md", withPoint = false, None)).toDF()
+        .withColumn("minx", lit(null).cast("double")).withColumn("miny", lit(null).cast("double"))
+        .withColumn("maxx", lit(null).cast("double")).withColumn("maxy", lit(null).cast("double")))
+      assert(Stac.collectionDescription(withReadme, dir.getPath, "t") === "# My dataset\nhello")
+      // license: singular meta at dataset level, default proprietary
+      import graft.core.Meta
+      val empty = Seq.empty[graft.model.MetaRow].toDF()
+      assert(Stac.collectionLicense(empty) === "proprietary")
+      implicit val s = spark
+      val withLic = Meta.set(empty, Meta.metaRow("", "license", "CC-BY-4.0", 100))
+      assert(Stac.collectionLicense(withLic) === "CC-BY-4.0")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("geojson feature collection: polygon wins over point, valid doc") {
     val withPoly = entries.withColumn(
       "polygonGeom",
