@@ -41,7 +41,11 @@ object Ingest {
     while (i < glob.length) {
       glob.charAt(i) match {
         case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
-          sb.append(".*"); i += 1
+          // `**/` spans ZERO or more directories (so `**/*.jpg`
+          // matches a top-level a.jpg — glob_test RecursiveDoubleStar);
+          // a bare `**` greedily crosses separators
+          if (i + 2 < glob.length && glob.charAt(i + 2) == '/') { sb.append("(.*/)?"); i += 2 }
+          else { sb.append(".*"); i += 1 }
         case '*' => sb.append("[^/]*")
         case '?' => sb.append("[^/]")
         case '[' => sb.append('[')
@@ -52,6 +56,45 @@ object Ingest {
       i += 1
     }
     sb.append("$").toString
+  }
+
+  /** CLI-side glob expansion — the `expandGlobPatterns` contract
+    * (glob_test.cpp:78-186): literal files pass through (missing
+    * literal throws), bare directories walk recursively, patterns
+    * match with [[globToRegex]] semantics, `.ddb` entries are always
+    * skipped, results deduplicate across patterns and come back
+    * absolute; an empty pattern throws and zero total matches throw.
+    * This is the driver-side utility twin of the distributed
+    * [[listFiles]]+rlike face (same regex, same .ddb rule). */
+  def expandGlobPatterns(root: String, patterns: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val rootPath = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    def isDdb(p: java.nio.file.Path): Boolean =
+      rootPath.relativize(p).iterator().asScala.exists(_.toString == ".ddb")
+    def walk(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.toList.filter(p => java.nio.file.Files.isRegularFile(p) && !isDdb(p))
+      finally s.close()
+    }
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    patterns.foreach { pat =>
+      require(pat != null && pat.nonEmpty, "empty glob pattern")
+      val hasMeta = pat.exists("*?[".contains(_))
+      if (!hasMeta) {
+        val p = rootPath.resolve(pat).normalize
+        if (java.nio.file.Files.isRegularFile(p)) out += p.toString
+        else if (java.nio.file.Files.isDirectory(p)) walk(p).foreach(out += _.toString)
+        else throw new java.io.FileNotFoundException(s"no such file or directory: $pat")
+      } else {
+        val re = globToRegex(pat).r
+        walk(rootPath).foreach { p =>
+          val rel = rootPath.relativize(p).toString.replace('\\', '/')
+          if (re.matches(rel)) out += p.toString
+        }
+      }
+    }
+    if (out.isEmpty) throw new java.io.FileNotFoundException(s"no files matched: ${patterns.mkString(", ")}")
+    out.toSeq
   }
 
   /** Entry assembly from a file listing rooted at `root`: relative
