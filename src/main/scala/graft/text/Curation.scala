@@ -43,6 +43,47 @@ object Curation {
     )
   }
 
+  /** One-pass per-document gram-hash kernel: position i (0-based) →
+    * the 60-bit md5 prefix of the i-th n-gram — value-identical to
+    * `conv(substring(md5(ngramsAll(text, n)[i]), 1, 15), 16, 10)`
+    * (CurationSpec proves row-for-row equality) but with no gram
+    * STRING column materialized through the plan: only 8-byte longs
+    * leave the projection. Same shape win as the r11 minhash/CDC
+    * kernels — the inverted-index joins downstream are unchanged. */
+  private[graft] def gramHashesSerial(text: String, n: Int): Array[Long] = {
+    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) toks += m.group()
+    if (toks.length < n) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      // first 15 hex chars = top 60 bits, exactly conv(substring(md5,1,15),16,10)
+      var hv = 0L
+      var b = 0
+      while (b < 7) { hv = (hv << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = (hv << 4) | ((d(7) & 0xf0L) >> 4)
+      i += 1
+    }
+    out
+  }
+
+  /** `(doc_id, p [1-based], h)` gram-hash rows via the serial kernel. */
+  private def gramHashRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val hashesUdf = udf((t: String) => gramHashesSerial(if (t == null) "" else t, n))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(hashesUdf(col(textCol))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+  }
+
   /** ◆ Near-dup cluster canonicalization: MinHash candidate pairs →
     * connected components → one keeper per cluster (the MIN doc id,
     * the deterministic label rule the SQL oracle recomputes as a
@@ -113,10 +154,11 @@ object Curation {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String, n: Int = 8, evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
     // both join sides read the same shingle pipeline — materialize it
     // once (at corpus scale: a staged table) instead of re-hashing the
-    // corpus per side
+    // corpus per side. Hashes come from the one-pass distinct kernel
+    // (value-identical to explode(shingles)+md5 — DedupSpec)
+    val hashesUdf = udf { t: String => if (t == null) null else Dedup.shingleHashesSerial(t, n) }
     val sh = docs
-      .select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-      .select(col("doc_id"), conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col(idCol).as("doc_id"), explode(hashesUdf(col(textCol))).as("h"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val ev = isEval("doc_id", evalMod, evalRem)
     val evalSh = sh.filter(ev).select(col("h")).distinct()
@@ -182,9 +224,8 @@ object Curation {
     * strictly cheaper than any pairwise dedup at the same n.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
-    val g = docs
-      .select(col(idCol).as("doc_id"), explode(ngramsAll(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val g = gramHashRows(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("h"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     g.join(dfTab, Seq("h"))
@@ -224,13 +265,7 @@ object Curation {
     */
   def cutDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
     val toks = regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0))
-    val g = docs
-      .select(col(idCol).as("doc_id"), posexplode(ngramsAll(col(textCol), n)).as(Seq("p0", "gram")))
-      .select(
-        col("doc_id"),
-        (col("p0") + 1).as("p"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h")
-      )
+    val g = gramHashRows(docs, idCol, textCol, n)
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     // NO distinct here: left_anti tolerates duplicate keys on its right
@@ -281,13 +316,7 @@ object Curation {
     * document length, never cross-document).
     */
   def dupRuns(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
-    val g = docs
-      .select(col(idCol).as("doc_id"), posexplode(ngramsAll(col(textCol), n)).as(Seq("p0", "gram")))
-      .select(
-        col("doc_id"),
-        (col("p0") + 1).as("p"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h")
-      )
+    val g = gramHashRows(docs, idCol, textCol, n)
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     val covered = g

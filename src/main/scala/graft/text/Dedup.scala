@@ -28,6 +28,37 @@ object Dedup {
     * conversion + array boxing on every row, while the HOF pipeline
     * stays on unsafe arrays. Used ONCE per pipeline (immediately
     * exploded), so the round-1 inline-blowup hazard doesn't apply. */
+  /** One-pass DISTINCT shingle-hash kernel (first-occurrence order):
+    * tokens → sliding n-grams → 60-bit md5 prefix, deduped — value-
+    * identical to `conv(substring(md5(explode(shingles(text, n))),
+    * 1, 15), 16, 10)` (DedupSpec), with no gram strings or HOF tree
+    * in the plan. null when the document has fewer than n tokens
+    * (like the relational path, which then emits no grams). Shared by
+    * [[ngramJaccard]] and [[Curation.decontaminate]]. */
+  private[graft] def shingleHashesSerial(text: String, n: Int): Array[Long] = {
+    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) toks += m.group()
+    if (toks.length < n) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb += ' '; sb ++= toks(i + j); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var hv = 0L
+      var b = 0
+      while (b < 7) { hv = (hv << 8) | (d(b) & 0xffL); b += 1 }
+      hv = (hv << 4) | ((d(7) & 0xf0L) >> 4)
+      seen.add(hv)
+      i += 1
+    }
+    seen.toArray(new Array[java.lang.Long](0)).map(_.longValue())
+  }
+
   def shingles(text: Column, n: Int): Column = {
     val toks = regexp_extract_all(lower(text), lit("\\w+"), lit(0))
     // sliding n-grams via transform over start indices
@@ -302,29 +333,7 @@ object Dedup {
     // everything downstream are unchanged (hash-identical to the
     // oracle's SQL derivation).
     val hashesUdf = udf { text: String =>
-      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
-      val toks = new scala.collection.mutable.ArrayBuffer[String]()
-      while (m.find()) toks += m.group()
-      if (toks.length < n) null
-      else {
-        val seen = new java.util.LinkedHashSet[java.lang.Long]()
-        val md = java.security.MessageDigest.getInstance("MD5")
-        var i = 0
-        while (i + n <= toks.length) {
-          val sb = new StringBuilder(toks(i))
-          var j = 1
-          while (j < n) { sb += ' '; sb ++= toks(i + j); j += 1 }
-          md.reset()
-          val d = md.digest(sb.toString.getBytes("UTF-8"))
-          var hv = 0L
-          var b = 0
-          while (b < 7) { hv = (hv << 8) | (d(b) & 0xffL); b += 1 }
-          hv = (hv << 4) | ((d(7) & 0xf0L) >> 4)
-          seen.add(hv)
-          i += 1
-        }
-        seen.toArray(new Array[java.lang.Long](0)).map(_.longValue())
-      }
+      if (text == null) null else shingleHashesSerial(text, n)
     }
     val inv = docs
       .select(col(idCol).as("id"), explode(hashesUdf(col(textCol))).as("shingle"))

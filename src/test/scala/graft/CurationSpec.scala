@@ -71,6 +71,32 @@ class CurationSpec extends SparkSuite {
     assert(m(2L) === ((0.25, 0.0)))
   }
 
+  test("gramHashesSerial equals the relational md5-gram construction, row for row") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near a riverbank at dawn today"),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, "Punctuation, CASE and   runs--of symbols; should tokenize identically 1 2 3 4 5 6 7")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 8, 10)) {
+      val relational = docs
+        .select(col("doc_id"), posexplode(Curation.ngramsAll(col("text"), n)).as(Seq("p0", "gram")))
+        .select(col("doc_id"), col("p0"), conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+        .as[(Long, Int, Long)]
+        .collect()
+        .sortBy(r => (r._1, r._2))
+      val kernel = docs
+        .as[(Long, String)]
+        .collect()
+        .flatMap { case (id, t) =>
+          Curation.gramHashesSerial(t, n).zipWithIndex.map { case (h, p) => (id, p, h) }
+        }
+        .sortBy(r => (r._1, r._2))
+      assert(kernel.toSeq === relational.toSeq, s"n=$n")
+    }
+  }
+
   test("dupSpans: shared 10-token run is flagged position-exactly; unique docs are absent") {
     val run = "a b c d e f g h i j" // 10 shared tokens = 1 shared position each side
     val docs = Seq(

@@ -29,6 +29,27 @@ class TextSpec extends SparkSuite {
     assert(m(1L).distinct.size === m(1L).size)
   }
 
+  test("shingleHashesSerial equals the relational explode+md5 derivation, per doc") {
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(3, 8)) {
+      val relational = docs
+        .select($"doc_id", explode(Dedup.shingles($"text", n)).as("shingle"))
+        .select($"doc_id", conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("h"))
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq).toMap
+      val kernel = docs
+        .as[(Long, String)]
+        .collect()
+        .map { case (id, t) => id -> Option(Dedup.shingleHashesSerial(t, n)).map(_.toSeq).getOrElse(Seq.empty) }
+        .toMap
+      kernel.foreach { case (id, hs) =>
+        assert(hs === relational.getOrElse(id, Seq.empty), s"doc $id n=$n")
+      }
+    }
+  }
+
   test("minhash finds the near-dup and exact-dup pairs, not the unrelated doc") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
