@@ -224,7 +224,8 @@ object SparkEntry {
     "q_splat" -> (graft.multimodal.Splats.splatQuery _),
     "q_e57" -> (graft.sources.E57.e57Query _),
     "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _),
-    "q_lod" -> (graft.sources.MeshLod.lodQuery _)
+    "q_lod" -> (graft.sources.MeshLod.lodQuery _),
+    "q_flac" -> (graft.multimodal.Flac.audioCodecQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3746,7 +3747,17 @@ object SparkEntry {
         |SELECT va.event_type, n_cells, x_sum, y_sum, z_sum,
         |  coalesce(n_tris, 0) AS n_tris, coalesce(corner_sum, 0) AS corner_sum
         |FROM va LEFT JOIN ta ON va.event_type = ta.event_type
-        |ORDER BY va.event_type""".stripMargin
+        |ORDER BY va.event_type""".stripMargin,
+    // FLAC round-trip proof (the q_splat/q_e57 pattern): per-group
+    // deterministic 16-bit PCM cycles through the FLAC codec in-task
+    // (lossless + MD5-verified, so the decoded sum equals the direct
+    // aggregate below); G.711 µ-law/A-law and IMA-ADPCM containers
+    // cycle too with bounded-error requires inside the query.
+    "q_flac" ->
+      """SELECT event_type,
+        |  count(*) AS n_samples,
+        |  CAST(sum(((event_id * 37) % 1024) * 16 - 8192) AS BIGINT) AS pcm_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

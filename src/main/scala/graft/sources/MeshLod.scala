@@ -110,9 +110,22 @@ object MeshLod {
         (($"event_id" * 3) % 100).cast("double").as("y"),
         (($"event_id" * 7) % 50).cast("double").as("z")
       )
-    // triangles: consecutive id-ranked triples within each event_type
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type").orderBy($"vid")
-    val ranked = verts.withColumn("rn", row_number().over(w) - 1)
+    // triangles: consecutive id-ranked triples within each event_type.
+    // Ranking is the scalable two-phase shape: per-(type, vid-bucket)
+    // counts, prefix-sum over that AGGREGATE (bounded input), then an
+    // intra-bucket row_number keyed by the growing bucket column — no
+    // window ever sees raw rows keyed only by the constant domain.
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy($"event_type").orderBy($"bk")
+    val bucketed = verts.withColumn("bk", ($"vid" / 1024).cast("long"))
+    val offsets = bucketed
+      .groupBy($"event_type", $"bk")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum($"bn").over(wb) - $"bn")
+      .select($"event_type", $"bk", $"off")
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy($"event_type", $"bk").orderBy($"vid")
+    val ranked = bucketed
+      .join(offsets, Seq("event_type", "bk"))
+      .withColumn("rn", $"off" + row_number().over(wf) - 1)
     val tris = ranked
       .withColumn("tri", floor($"rn" / 3))
       .groupBy($"event_type", $"tri")

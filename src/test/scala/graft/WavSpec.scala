@@ -76,6 +76,89 @@ class WavSpec extends SparkSuite {
     assert(rows(2L).isNullAt(5) && rows(2L).isNullAt(6))
   }
 
+  test("G.711: encode∘decode is the identity on all 256 A-law codes and 255 µ-law codes") {
+    (0 until 256).foreach { c =>
+      // µ-law has two zero codes (0x7F = −0, 0xFF = +0); encode canonically emits 0xFF
+      val expectU = if (c == 0x7f) 0xff else c
+      assert((Wav.muLawEncode(Wav.muLawDecode(c.toByte)) & 0xff) == expectU, s"ulaw code $c")
+      assert((Wav.aLawEncode(Wav.aLawDecode(c.toByte)) & 0xff) == c, s"alaw code $c")
+    }
+  }
+
+  test("G.711 decode matches the JDK's own ULAW/ALAW converters code-for-code") {
+    import javax.sound.sampled.AudioFormat.Encoding
+    def jdkDecode(enc: Encoding, codes: Array[Byte]): Array[Int] = {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(codes), src, codes.length)
+      val pcm = AudioSystem.getAudioInputStream(dst, ais).readAllBytes()
+      Array.tabulate(codes.length)(i => (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+    }
+    val codes = Array.tabulate(256)(_.toByte)
+    val ju = jdkDecode(Encoding.ULAW, codes)
+    val ja = jdkDecode(Encoding.ALAW, codes)
+    (0 until 256).foreach { c =>
+      assert(ju(c) == Wav.muLawDecode(codes(c)), s"ulaw $c: jdk ${ju(c)} vs ${Wav.muLawDecode(codes(c))}")
+      assert(ja(c) == Wav.aLawDecode(codes(c)), s"alaw $c: jdk ${ja(c)} vs ${Wav.aLawDecode(codes(c))}")
+    }
+  }
+
+  test("G.711 WAV container: µ-law and A-law files decode with bounded quantization error") {
+    val samples = tone(8000, 250, 0.7, 440.0)
+    Seq(true, false).foreach { aLaw =>
+      val wav = Wav.encodeG711(8000, 1, samples, aLaw)
+      val a = Wav.decode(wav).getOrElse(fail(s"G.711 decode failed (aLaw=$aLaw)"))
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 16)
+      assert(a.samples.length == samples.length)
+      val maxErr = samples.indices.map(i => math.abs(a.samples(i) - samples(i))).max
+      assert(maxErr <= 1024, s"quantization error $maxErr (aLaw=$aLaw)") // half of the top-segment step
+    }
+  }
+
+  test("IMA ADPCM: known-answer nibbles from the published step/index tables") {
+    // predictor 0, step index 0 (step 7); nibbles 4,4,8+4,0 hand-walked:
+    //  n=4: delta=7>>3+7=7 → pred 7,  idx 0+2=2 (step 9)
+    //  n=4: delta=9>>3+9=10 → pred 17, idx 4 (step 11)
+    //  n=12: delta=-(11>>3+11)=-12 → pred 5, idx 4+2=6 (step 13)
+    //  n=0: delta=13>>3=1 → pred 6, idx 5
+    val block = Array[Byte](0, 0, 0, 0, (4 | (4 << 4)).toByte, (12 | (0 << 4)).toByte, 0, 0)
+    val wav = {
+      // hand-assembled mono fmt 0x11 container around one 8-byte block
+      val out = collection.mutable.ArrayBuffer.empty[Byte]
+      def str(s: String) = out ++= s.getBytes("US-ASCII")
+      def u16(v: Int) = { out += v.toByte; out += (v >> 8).toByte }
+      def u32(v: Int) = (0 until 4).foreach(k => out += (v >> (8 * k)).toByte)
+      str("RIFF"); u32(4 + 28 + 8 + block.length); str("WAVE")
+      str("fmt "); u32(20); u16(0x11); u16(1); u32(8000); u32(4000); u16(8); u16(4); u16(2); u16(9)
+      str("data"); u32(block.length)
+      out ++= block
+      out.toArray
+    }
+    val a = Wav.decode(wav).getOrElse(fail("ADPCM decode failed"))
+    assert(a.samples.take(5).toSeq == Seq(0, 7, 17, 5, 6), a.samples.take(9).toSeq.toString)
+  }
+
+  test("IMA ADPCM round-trip: block-leading samples exact, overall SNR high, stereo interleave kept") {
+    val mono = tone(8000, 1000, 0.6, 440.0)
+    val a = Wav.decode(Wav.encodeImaAdpcm(8000, 1, mono)).getOrElse(fail("adpcm decode"))
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 16)
+    assert(a.samples.length >= mono.length) // last block may carry padding
+    // block headers carry sample 0 of each block verbatim
+    assert(a.samples(0) == mono(0) && a.samples(505) == mono(505))
+    val err = mono.indices.map(i => { val d = (a.samples(i) - mono(i)).toDouble; d * d }).sum / mono.length
+    val sig = mono.map(s => s.toDouble * s).sum / mono.length
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 20, s"ADPCM SNR $snr dB")
+
+    val stereo = mono.flatMap(s => Seq(s, -s))
+    val b = Wav.decode(Wav.encodeImaAdpcm(8000, 2, stereo)).getOrElse(fail("stereo adpcm"))
+    assert(b.channels == 2)
+    // channel 1 is the negation of channel 0 at matching quality
+    val n = mono.length
+    val errLR = (0 until n).map(i => math.abs(b.samples(2 * i) + b.samples(2 * i + 1))).max
+    assert(errLR <= 2, s"stereo channels drifted: $errLR") // ±1 from independent rounding
+  }
+
   test("features: duration and RMS match closed forms; refusal on non-WAV") {
     val samples = tone(8000, 500, 0.5, 440.0)
     val a = Wav.decode(Wav.encode(8000, 1, samples)).get
