@@ -225,7 +225,8 @@ object SparkEntry {
     "q_e57" -> (graft.sources.E57.e57Query _),
     "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _),
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
-    "q_flac" -> (graft.multimodal.Flac.audioCodecQuery _)
+    "q_flac" -> (graft.multimodal.Flac.audioCodecQuery _),
+    "q_jp2" -> (graft.raster.Jp2.jp2Query _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3757,6 +3758,16 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_samples,
         |  CAST(sum(((event_id * 37) % 1024) * 16 - 8192) AS BIGINT) AS pcm_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // JPEG 2000 round-trip proof: per-group 8-bit planes cycle through
+    // the JP2 container (gray) and the raw J2K codestream (RGB via
+    // RCT) in-task, losslessly; zero padding to the 64-wide raster
+    // keeps the decoded sums equal to these direct aggregates.
+    "q_jp2" ->
+      """SELECT event_type,
+        |  count(*) AS n_px,
+        |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum,
+        |  CAST(sum((event_id * 11) % 256 + (event_id * 29) % 256 + (event_id * 53) % 256) AS BIGINT) AS rgb_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived

@@ -1,0 +1,558 @@
+package graft.raster
+
+import scala.collection.mutable.ArrayBuffer
+
+import Jp2Codec._
+
+/** JPEG 2000 Part-1 codestream + JP2 container (ISO/IEC 15444-1 /
+  * ITU-T T.800) — the lossless profile the reference's GeoRaster path
+  * consumes via GDAL/OpenJPEG (entry.cpp routes .jp2 rasters through
+  * GDAL; we decode natively like Png/Jpeg/Tiff).
+  *
+  * Encoder subset (a valid Part-1 codestream): single tile at the
+  * origin, reversible 5/3 transform, RCT when 3 components, one
+  * quality layer, LRCP progression, maximal precincts, 64×64
+  * code-blocks, no coder bypass/termination options, lossless (all
+  * bitplanes, all passes). Decoder accepts that subset generally
+  * (any decomposition count, code-block size, depth ≤ 16, any
+  * component count) and fails with named errors on features outside
+  * it (multiple tiles, tiled origins, irreversible 9/7, multiple
+  * layers).
+  *
+  * Layout references: markers A.5–A.6, packet headers B.10, tag
+  * trees B.10.2, code-block passes Annex D, 5/3 lifting Annex F,
+  * RCT G.2; JP2 boxes I.4–I.5.
+  */
+object Jp2 {
+
+  final case class Image(width: Int, height: Int, depth: Int, comps: Array[Array[Int]]) {
+    def channels: Int = comps.length
+  }
+
+  private val GuardBits = 3
+  private val CbExp = 6 // 64×64 code-blocks
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** (orientCode, level) pairs for resolution r of an N-level tile;
+    * orientCode: 0=LL, 1=HL, 2=LH, 3=HH. */
+  private def bandsOf(r: Int, levels: Int): Seq[Int] =
+    if (r == 0) Seq(0) else Seq(1, 2, 3)
+
+  /** Band geometry in the Mallat layout: (x0, y0, bw, bh). */
+  private def bandRect(orient: Int, lev: Int, w: Int, h: Int): (Int, Int, Int, Int) = {
+    def llw(l: Int): Int = { var v = w; var i = 0; while (i < l) { v = (v + 1) / 2; i += 1 }; v }
+    def llh(l: Int): Int = { var v = h; var i = 0; while (i < l) { v = (v + 1) / 2; i += 1 }; v }
+    orient match {
+      case 0 => (0, 0, llw(lev), llh(lev))
+      case 1 => (llw(lev), 0, llw(lev - 1) - llw(lev), llh(lev))
+      case 2 => (0, llh(lev), llw(lev), llh(lev - 1) - llh(lev))
+      case _ => (llw(lev), llh(lev), llw(lev - 1) - llw(lev), llh(lev - 1) - llh(lev))
+    }
+  }
+
+  private def orientOf(bandCode: Int): Int = bandCode match {
+    case 1 => OrientHL
+    case 3 => OrientHH
+    case _ => OrientLL // LL and LH share the context table (LH = vertical high-pass)
+  }
+
+  private def gainOf(bandCode: Int): Int = bandCode match {
+    case 0 => 0
+    case 3 => 2
+    case _ => 1
+  }
+
+  // ------------------------------------------------------------ encode
+
+  /** Lossless encode to a raw J2K codestream. `comps`: per-component
+    * row-major unsigned samples in [0, 2^depth). */
+  def encodeJ2k(width: Int, height: Int, depth: Int, comps: Array[Array[Int]], levels: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 32768 && height < 32768, "jp2: size out of supported range")
+    require(depth >= 1 && depth <= 16, "jp2: depth 1..16")
+    require(comps.nonEmpty && comps.forall(_.length == width * height), "jp2: component shape mismatch")
+    require(levels >= 0 && levels <= 10, "jp2: 0..10 decomposition levels")
+    val nc = comps.length
+    val mct = nc == 3
+
+    // DC shift + MCT + DWT
+    val planes = comps.map { c =>
+      val a = new Array[Int](c.length)
+      val shift = 1 << (depth - 1)
+      var i = 0
+      while (i < c.length) { a(i) = c(i) - shift; i += 1 }
+      a
+    }
+    if (mct) {
+      val (r, g, b) = (planes(0), planes(1), planes(2))
+      var i = 0
+      while (i < r.length) {
+        val y = (r(i) + 2 * g(i) + b(i)) >> 2
+        val cb = b(i) - g(i)
+        val cr = r(i) - g(i)
+        r(i) = y; g(i) = cb; b(i) = cr
+        i += 1
+      }
+    }
+    planes.foreach(p => fdwt53(p, width, height, levels))
+
+    val out = new ArrayBuffer[Byte](width * height * nc / 2 + 512)
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
+    def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
+
+    // SOC, SIZ
+    u16(0xFF4F)
+    u16(0xFF51); u16(38 + 3 * nc)
+    u16(0) // Rsiz
+    u32(width); u32(height); u32(0); u32(0) // image, origin
+    u32(width); u32(height); u32(0); u32(0) // tile grid = image
+    u16(nc)
+    (0 until nc).foreach { _ => u8(depth - 1); u8(1); u8(1) }
+    // COD
+    u16(0xFF52); u16(12)
+    u8(0) // Scod: default precincts, no SOP/EPH
+    u8(0) // progression LRCP
+    u16(1) // layers
+    u8(if (mct) 1 else 0)
+    u8(levels)
+    u8(CbExp - 2); u8(CbExp - 2)
+    u8(0) // code-block style
+    u8(1) // 5/3 reversible
+    // QCD: no quantization (reversible), exponents per subband
+    u16(0xFF5C); u16(3 + 3 * levels + 1)
+    u8((GuardBits << 5) | 0)
+    u8((depth + 0) << 3) // LL_N
+    var r = 1
+    while (r <= levels) {
+      Seq(1, 2, 3).foreach(b => u8((depth + gainOf(b)) << 3))
+      r += 1
+    }
+
+    // tile: SOT (Psot patched after), SOD, packets, EOC
+    val sotAt = out.length
+    u16(0xFF90); u16(10); u16(0); u32(0); u8(0); u8(1)
+    u16(0xFF93)
+
+    r = 0
+    while (r <= levels) {
+      var c = 0
+      while (c < nc) {
+        out ++= encodePacket(planes(c), width, height, levels, r, depth)
+        c += 1
+      }
+      r += 1
+    }
+    val psot = out.length - sotAt // Psot: SOT through end of tile data, EOC excluded
+    out(sotAt + 6) = (psot >> 24).toByte
+    out(sotAt + 7) = (psot >> 16).toByte
+    out(sotAt + 8) = (psot >> 8).toByte
+    out(sotAt + 9) = psot.toByte
+    u16(0xFFD9)
+    out.toArray
+  }
+
+  /** One LRCP packet: all bands of resolution r for one component. */
+  private def encodePacket(plane: Array[Int], w: Int, h: Int, levels: Int, r: Int, depth: Int): Array[Byte] = {
+    val lev = if (r == 0) levels else levels - r + 1
+    final case class Blk(bx: Int, by: Int, nbps: Int, missing: Int, data: Array[Byte], npasses: Int)
+    val perBand = bandsOf(r, levels).map { bandCode =>
+      val (x0, y0, bw, bh) = bandRect(bandCode, lev, w, h)
+      val orient = orientOf(bandCode)
+      val mb = depth + gainOf(bandCode) + GuardBits - 1
+      val nbx = if (bw == 0) 0 else ceilDiv(bw, 1 << CbExp)
+      val nby = if (bh == 0) 0 else ceilDiv(bh, 1 << CbExp)
+      val blks = for (by <- 0 until nby; bx <- 0 until nbx) yield {
+        val cx0 = bx << CbExp; val cy0 = by << CbExp
+        val cw = math.min(1 << CbExp, bw - cx0)
+        val ch = math.min(1 << CbExp, bh - cy0)
+        val mag = new Array[Int](cw * ch)
+        val sgn = new Array[Int](cw * ch)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            val v = plane((y0 + cy0 + y) * w + (x0 + cx0 + x))
+            mag(y * cw + x) = math.abs(v)
+            sgn(y * cw + x) = if (v < 0) 1 else 0
+            x += 1
+          }
+          y += 1
+        }
+        val (nbps, data) = encodeBlock(cw, ch, orient, mag, sgn)
+        require(nbps <= mb, s"jp2: coefficient overflow band=$bandCode nbps=$nbps Mb=$mb")
+        Blk(bx, by, nbps, mb - nbps, data, if (nbps == 0) 0 else 3 * nbps - 2)
+      }
+      (nbx, nby, blks)
+    }
+
+    val anyIncluded = perBand.exists(_._3.exists(_.nbps > 0))
+    val hw = new HeaderWriter
+    if (!anyIncluded) {
+      hw.bit(0)
+      return hw.flush()
+    }
+    hw.bit(1)
+    perBand.foreach { case (nbx, nby, blks) =>
+      if (nbx > 0 && nby > 0) {
+        val incl = new TagTree(nbx, nby)
+        val zbp = new TagTree(nbx, nby)
+        incl.build((x, y) => if (blks(y * nbx + x).nbps > 0) 0 else 1)
+        zbp.build((x, y) => blks(y * nbx + x).missing)
+        blks.foreach { b =>
+          incl.encode(b.bx, b.by, 1, hw)
+          if (b.nbps > 0) {
+            // zero-bitplane tag tree: drive thresholds until the leaf pins
+            var t = 1
+            while (t <= b.missing + 1) { zbp.encode(b.bx, b.by, t, hw); t += 1 }
+            writePasses(hw, b.npasses)
+            var lblock = 3
+            val len = b.data.length
+            val lenBits = math.max(1, 32 - Integer.numberOfLeadingZeros(if (len == 0) 1 else len))
+            val passBits = 31 - Integer.numberOfLeadingZeros(b.npasses)
+            while (lblock + passBits < lenBits) { hw.bit(1); lblock += 1 }
+            hw.bit(0)
+            hw.bits(len.toLong, lblock + passBits)
+          }
+        }
+      }
+    }
+    val header = hw.flush()
+    val body = perBand.flatMap(_._3).filter(_.nbps > 0).flatMap(_.data).toArray
+    header ++ body
+  }
+
+  private def writePasses(hw: HeaderWriter, n: Int): Unit = {
+    if (n == 1) hw.bit(0)
+    else if (n == 2) { hw.bit(1); hw.bit(0) }
+    else if (n <= 5) { hw.bits(0x3, 2); hw.bits(n - 3, 2) }
+    else if (n <= 36) { hw.bits(0xF, 4); hw.bits(n - 6, 5) }
+    else { hw.bits(0x1FF, 9); hw.bits(n - 37, 7) }
+  }
+
+  private def readPasses(hr: HeaderReader): Int = {
+    if (hr.bit() == 0) 1
+    else if (hr.bit() == 0) 2
+    else {
+      val t = hr.bits(2).toInt
+      if (t < 3) 3 + t
+      else {
+        val t2 = hr.bits(5).toInt
+        if (t2 < 31) 6 + t2
+        else 37 + hr.bits(7).toInt
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ decode
+
+  /** Decode a raw J2K codestream (the encoder's subset, generalized). */
+  def decodeJ2k(bytes: Array[Byte]): Image = {
+    var pos = 0
+    def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
+    def u32(): Int = { val v = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff); pos += 4; v }
+    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+
+    require(bytes.length > 4 && u16() == 0xFF4F, "jp2: missing SOC")
+    var width = 0; var height = 0; var nc = 0; var depth = 0
+    var levels = -1; var mct = false; var cbExpX = CbExp; var cbExpY = CbExp
+    var sawSiz = false; var sawCod = false
+    var guard = GuardBits
+
+    var inTile = false
+    while (!inTile) {
+      val marker = u16()
+      marker match {
+        case 0xFF51 => // SIZ
+          val l = u16(); val end = pos + l - 2
+          val rsiz = u16()
+          require(rsiz == 0 || rsiz == 1 || rsiz == 2, "jp2: unknown Rsiz")
+          width = u32(); height = u32()
+          require(u32() == 0 && u32() == 0, "jp2: non-zero image origin unsupported")
+          val tw = u32(); val th = u32()
+          require(u32() == 0 && u32() == 0, "jp2: non-zero tile origin unsupported")
+          require(tw >= width && th >= height, "jp2: multiple tiles unsupported")
+          nc = u16()
+          require(nc >= 1 && nc <= 16384, "jp2: bad component count")
+          depth = -1
+          (0 until nc).foreach { _ =>
+            val ssiz = u8()
+            require((ssiz & 0x80) == 0, "jp2: signed components unsupported")
+            val d = (ssiz & 0x7f) + 1
+            if (depth < 0) depth = d else require(depth == d, "jp2: mixed depths unsupported")
+            require(u8() == 1 && u8() == 1, "jp2: subsampled components unsupported")
+          }
+          require(depth <= 16, "jp2: depth > 16 unsupported")
+          pos = end
+          sawSiz = true
+        case 0xFF52 => // COD
+          val l = u16(); val end = pos + l - 2
+          val scod = u8()
+          require((scod & 0x01) == 0, "jp2: explicit precinct sizes unsupported")
+          require(u8() == 0 || true, "jp2: progression") // any order accepted: 1 layer, 1 precinct
+          require(u16() == 1, "jp2: multiple layers unsupported")
+          mct = u8() == 1
+          levels = u8()
+          cbExpX = u8() + 2; cbExpY = u8() + 2
+          require(u8() == 0, "jp2: code-block style options unsupported")
+          require(u8() == 1, "jp2: irreversible 9/7 unsupported")
+          pos = end
+          sawCod = true
+        case 0xFF5C => // QCD
+          val l = u16(); val end = pos + l - 2
+          val sq = u8()
+          require((sq & 0x1f) == 0, "jp2: quantized (non-reversible) QCD unsupported")
+          guard = (sq >> 5) & 0x7
+          pos = end
+        case 0xFF90 => // SOT
+          val l = u16()
+          require(l == 10, "jp2: bad SOT")
+          require(u16() == 0, "jp2: multiple tiles unsupported")
+          u32() // Psot
+          require(u8() == 0 && u8() <= 1, "jp2: tile parts unsupported")
+          require(u16() == 0xFF93, "jp2: missing SOD")
+          inTile = true
+        case 0xFF64 | 0xFF63 | 0xFF55 | 0xFF57 => // COM, CRG, TLM, PLM: informative, skippable
+          val l = u16(); pos += l - 2
+        case 0xFF53 | 0xFF5D =>
+          throw new IllegalArgumentException("jp2: per-component COC/QCC overrides unsupported")
+        case m =>
+          throw new IllegalArgumentException(f"jp2: unexpected marker 0x$m%04X")
+      }
+    }
+    require(sawSiz && sawCod && levels >= 0, "jp2: incomplete header")
+
+    val planes = Array.fill(nc)(new Array[Int](width * height))
+    // packets in LRCP: r → component
+    var r = 0
+    while (r <= levels) {
+      var c = 0
+      while (c < nc) {
+        pos = decodePacket(bytes, pos, planes(c), width, height, levels, r, depth, guard, cbExpX, cbExpY)
+        c += 1
+      }
+      r += 1
+    }
+    require(pos + 2 <= bytes.length && ((bytes(pos) & 0xff) << 8 | (bytes(pos + 1) & 0xff)) == 0xFFD9,
+      "jp2: missing EOC")
+
+    planes.foreach(p => idwt53(p, width, height, levels))
+    if (mct) {
+      require(nc >= 3, "jp2: MCT with <3 components")
+      val (y, cb, cr) = (planes(0), planes(1), planes(2))
+      var i = 0
+      while (i < y.length) {
+        val g = y(i) - ((cb(i) + cr(i)) >> 2)
+        val rr = cr(i) + g
+        val bb = cb(i) + g
+        y(i) = rr; cb(i) = g; cr(i) = bb
+        i += 1
+      }
+    }
+    val shift = 1 << (depth - 1)
+    planes.foreach { p => var i = 0; while (i < p.length) { p(i) += shift; i += 1 } }
+    Image(width, height, depth, planes)
+  }
+
+  private def decodePacket(bytes: Array[Byte], start: Int, plane: Array[Int], w: Int, h: Int,
+                           levels: Int, r: Int, depth: Int, guard: Int, cbx: Int, cby: Int): Int = {
+    val lev = if (r == 0) levels else levels - r + 1
+    val hr = new HeaderReader(bytes, start)
+    if (hr.bit() == 0) return hr.align()
+
+    final case class Pend(bandCode: Int, x0: Int, y0: Int, cx0: Int, cy0: Int, cw: Int, ch: Int,
+                          nbps: Int, len: Int)
+    val pending = ArrayBuffer.empty[Pend]
+    bandsOf(r, levels).foreach { bandCode =>
+      val (x0, y0, bw, bh) = bandRect(bandCode, lev, w, h)
+      val mb = depth + gainOf(bandCode) + guard - 1
+      val nbx = if (bw == 0) 0 else ceilDiv(bw, 1 << cbx)
+      val nby = if (bh == 0) 0 else ceilDiv(bh, 1 << cby)
+      if (nbx > 0 && nby > 0) {
+        val incl = new TagTree(nbx, nby)
+        val zbp = new TagTree(nbx, nby)
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            if (incl.decode(bx, by, 1, hr) == 1) {
+              val missing = zbp.decodeValue(bx, by, hr)
+              val npasses = readPasses(hr)
+              var lblock = 3
+              while (hr.bit() == 1) lblock += 1
+              val passBits = 31 - Integer.numberOfLeadingZeros(npasses)
+              val len = hr.bits(lblock + passBits).toInt
+              val cx0 = bx << cbx; val cy0 = by << cby
+              val cw = math.min(1 << cbx, bw - cx0)
+              val ch = math.min(1 << cby, bh - cy0)
+              val nbps = mb - missing
+              require(nbps >= 0, "jp2: negative bitplane count")
+              require(npasses == math.max(3 * nbps - 2, 0) || nbps == 0,
+                s"jp2: pass count $npasses does not cover $nbps bitplanes losslessly")
+              pending += Pend(bandCode, x0, y0, cx0, cy0, cw, ch, nbps, len)
+            }
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    }
+    var pos = hr.align()
+    pending.foreach { p =>
+      require(pos + p.len <= bytes.length, "jp2: truncated packet body")
+      val data = java.util.Arrays.copyOfRange(bytes, pos, pos + p.len)
+      pos += p.len
+      val (mag, sgn) = decodeBlock(p.cw, p.ch, orientOf(p.bandCode), p.nbps, data)
+      var y = 0
+      while (y < p.ch) {
+        var x = 0
+        while (x < p.cw) {
+          val v = mag(y * p.cw + x)
+          plane((p.y0 + p.cy0 + y) * w + (p.x0 + p.cx0 + x)) = if (sgn(y * p.cw + x) == 1) -v else v
+          x += 1
+        }
+        y += 1
+      }
+    }
+    pos
+  }
+
+  // ------------------------------------------------------------ JP2 container
+
+  private val Jp2Sig = Array[Byte](0, 0, 0, 12, 'j', 'P', ' ', ' ', 0x0D, 0x0A, 0x87.toByte, 0x0A)
+
+  /** Wrap a codestream in the JP2 box structure (signature, ftyp,
+    * jp2h/ihdr+colr, jp2c). */
+  def encodeJp2(width: Int, height: Int, depth: Int, comps: Array[Array[Int]], levels: Int = 3): Array[Byte] = {
+    val j2k = encodeJ2k(width, height, depth, comps, levels)
+    val out = new ArrayBuffer[Byte](j2k.length + 96)
+    def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
+    def tag(s: String): Unit = out ++= s.getBytes("US-ASCII")
+    out ++= Jp2Sig
+    u32(20); tag("ftyp"); tag("jp2 "); u32(0); tag("jp2 ")
+    val ihdrLen = 22
+    val colrLen = 15
+    u32(8 + ihdrLen + colrLen); tag("jp2h")
+    u32(ihdrLen); tag("ihdr")
+    u32(height); u32(width)
+    out += (comps.length >> 8).toByte; out += comps.length.toByte
+    out += (depth - 1).toByte
+    out += 7 // compression type: jpeg2000
+    out += 0; out += 0 // UnkC, IPR
+    u32(colrLen); tag("colr")
+    out += 1; out += 0; out += 0 // meth=enumerated, prec, approx
+    u32(if (comps.length >= 3) 16 else 17) // sRGB | greyscale
+    u32(8L + j2k.length); tag("jp2c")
+    out ++= j2k
+    out.toArray
+  }
+
+  def isJp2(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && (0 until 12).forall(i => bytes(i) == Jp2Sig(i))
+
+  def isJ2k(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0x4F &&
+      (bytes(2) & 0xff) == 0xFF && (bytes(3) & 0xff) == 0x51
+
+  /** Decode either a JP2 file or a bare J2K codestream. */
+  def decode(bytes: Array[Byte]): Image = {
+    if (isJ2k(bytes)) return decodeJ2k(bytes)
+    require(isJp2(bytes), "jp2: neither JP2 box file nor J2K codestream")
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      val len = ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
+        ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val (body, next) =
+        if (len == 0) (pos + 8, bytes.length.toLong)
+        else if (len == 1) {
+          var xl = 0L
+          (0 until 8).foreach(i => xl = (xl << 8) | (bytes(pos + 8 + i) & 0xffL))
+          (pos + 16, pos + xl)
+        } else (pos + 8, pos + len)
+      if (typ == "jp2c")
+        return decodeJ2k(java.util.Arrays.copyOfRange(bytes, body, next.toInt))
+      pos = next.toInt
+    }
+    throw new IllegalArgumentException("jp2: no jp2c codestream box")
+  }
+
+  /** q_jp2: per event_type, deterministic 8-bit images built from the
+    * group's own event ids cycle through BOTH containers in-task — a
+    * gray plane through the JP2 box file and an RGB triplet (RCT
+    * path) through the raw J2K codestream — and the decoded pixel
+    * sums must match the oracle's direct aggregates (lossless 5/3).
+    * One group = one task-local codec cycle, the q_splat shape. */
+  def jp2Query(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val sorted = ids.sorted
+      val n = sorted.length
+      val w = 64
+      val h = math.max(1, (n + w - 1) / w)
+      def plane(mul: Long): Array[Int] = {
+        val a = new Array[Int](w * h) // zero padding beyond n keeps the sums oracle-equal
+        var i = 0
+        while (i < n) { a(i) = ((sorted(i) * mul) % 256).toInt; i += 1 }
+        a
+      }
+      val gray = plane(37L)
+      val gImg = Jp2.decode(encodeJp2(w, h, 8, Array(gray), 3))
+      require(gImg.width == w && gImg.height == h && gImg.channels == 1, "jp2 gray meta drift")
+      require(gImg.comps(0).toSeq == gray.toSeq, "jp2 gray cycle not lossless")
+      val (r, g, b) = (plane(11L), plane(29L), plane(53L))
+      val cImg = decodeJ2k(encodeJ2k(w, h, 8, Array(r, g, b), 3))
+      require(cImg.comps(0).toSeq == r.toSeq && cImg.comps(1).toSeq == g.toSeq && cImg.comps(2).toSeq == b.toSeq,
+        "j2k RCT cycle not lossless")
+      val graySum = gImg.comps(0).map(_.toLong).sum
+      val rgbSum = cImg.comps.map(_.map(_.toLong).sum).sum
+      Seq(n.toLong, graySum, rgbSum)
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select(
+        $"event_type",
+        $"a".getItem(0).as("n_px"),
+        $"a".getItem(1).as("gray_sum"),
+        $"a".getItem(2).as("rgb_sum")
+      )
+      .orderBy($"event_type")
+  }
+
+  /** Header-only metadata probe (ihdr or SIZ), no entropy decode. */
+  def probe(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = { // (w, h, channels, depth)
+    try {
+      if (isJ2k(bytes)) {
+        val w = ((bytes(8) & 0xff) << 24) | ((bytes(9) & 0xff) << 16) | ((bytes(10) & 0xff) << 8) | (bytes(11) & 0xff)
+        val h = ((bytes(12) & 0xff) << 24) | ((bytes(13) & 0xff) << 16) | ((bytes(14) & 0xff) << 8) | (bytes(15) & 0xff)
+        val nc = ((bytes(40) & 0xff) << 8) | (bytes(41) & 0xff)
+        val d = (bytes(42) & 0x7f) + 1
+        Some((w, h, nc, d))
+      } else if (isJp2(bytes)) {
+        var pos = 0
+        while (pos + 8 <= bytes.length) {
+          val len = ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
+            ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
+          val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+          if (typ == "jp2h") {
+            // first sub-box must be ihdr
+            val b = pos + 8
+            val st = new String(bytes, b + 4, 4, "US-ASCII")
+            if (st != "ihdr") return None
+            val h = ((bytes(b + 8) & 0xff) << 24) | ((bytes(b + 9) & 0xff) << 16) | ((bytes(b + 10) & 0xff) << 8) | (bytes(b + 11) & 0xff)
+            val w = ((bytes(b + 12) & 0xff) << 24) | ((bytes(b + 13) & 0xff) << 16) | ((bytes(b + 14) & 0xff) << 8) | (bytes(b + 15) & 0xff)
+            val nc = ((bytes(b + 16) & 0xff) << 8) | (bytes(b + 17) & 0xff)
+            val d = (bytes(b + 18) & 0x7f) + 1
+            return Some((w, h, nc, d))
+          }
+          pos = if (len == 0) bytes.length else (pos + len).toInt
+        }
+        None
+      } else None
+    } catch { case _: Exception => None }
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.raster.{Jp2, Jp2Codec}
+
+/** JPEG 2000 codec conformance. No external JP2 fixtures exist in
+  * this sandbox, so the proof strategy is the LazCodec one: exact
+  * round-trips across awkward geometries/depths (the encoder and
+  * decoder share only the published tables, and the Tier-1 scan is
+  * driven through a direction-agnostic interface), plus independent
+  * kernel checks (hand-computed 5/3 lifting values, MQ coder
+  * round-trips over adversarial decision streams) and structural
+  * assertions on the emitted markers.
+  */
+class Jp2Spec extends SparkSuite {
+
+  private def gradient(w: Int, h: Int, depth: Int): Array[Int] = {
+    val mask = (1 << depth) - 1
+    Array.tabulate(w * h)(i => ((i % w) * 3 + (i / w) * 7) & mask)
+  }
+
+  private def noise(n: Int, depth: Int, seed: Long): Array[Int] = {
+    var s = seed
+    Array.fill(n) { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & ((1 << depth) - 1)).toInt }
+  }
+
+  test("5/3 lifting: hand-computed 1D values, and 2D forward/inverse identity") {
+    // x = [10, 20, 30, 40, 50]: d0 = 20 - (10+30)/2 = 0; d1 = 40 - (30+50)/2 = 0
+    // s0 = 10 + (0+0+2)/4 = 10; s1 = 30; s2 = 50 + (0+0+2)/4 = 50
+    val a = Array(10, 20, 30, 40, 50, 0, 0, 0, 0, 0)
+    // drive through the public 2D face with h=1 (one row)
+    val row = Array(10, 20, 30, 40, 50)
+    Jp2Codec.fdwt53(row, 5, 1, 1)
+    assert(row.toSeq == Seq(10, 30, 50, 0, 0), row.toSeq.toString)
+    Jp2Codec.idwt53(row, 5, 1, 1)
+    assert(row.toSeq == Seq(10, 20, 30, 40, 50))
+
+    val img = noise(37 * 23, 8, 0xbeefL)
+    val c = img.clone()
+    Jp2Codec.fdwt53(c, 37, 23, 3)
+    assert(c.toSeq != img.toSeq) // actually transformed
+    Jp2Codec.idwt53(c, 37, 23, 3)
+    assert(c.toSeq == img.toSeq, "5/3 multilevel not reversible")
+    assert(a.length == 10) // silence unused warning
+  }
+
+  test("MQ coder: decisions round-trip over adversarial streams and many contexts") {
+    var s = 0x12345L
+    val decisions = Array.fill(20000) { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & 1).toInt }
+    val ctxs = decisions.indices.map(i => (i * 7) % Jp2Codec.NumCtx).toArray
+    val enc = new Jp2Codec.MqEncoder
+    decisions.indices.foreach(i => enc.code(decisions(i), ctxs(i)))
+    val bytes = enc.finish()
+    val dec = new Jp2Codec.MqDecoder(bytes)
+    decisions.indices.foreach { i =>
+      assert(dec.code(0, ctxs(i)) == decisions(i), s"decision $i")
+    }
+    // heavily-skewed stream compresses far below 1 bit/decision
+    val enc2 = new Jp2Codec.MqEncoder
+    (0 until 20000).foreach(i => enc2.code(if (i % 500 == 0) 1 else 0, 0))
+    val skewed = enc2.finish()
+    assert(skewed.length < 500, s"skewed stream ${skewed.length} bytes")
+    val dec2 = new Jp2Codec.MqDecoder(skewed)
+    (0 until 20000).foreach(i => assert(dec2.code(0, 0) == (if (i % 500 == 0) 1 else 0)))
+  }
+
+  test("lossless round-trip: gray 8-bit across awkward geometries and level counts") {
+    for ((w, h, lv) <- Seq((1, 1, 0), (3, 2, 1), (64, 64, 3), (65, 33, 3), (127, 101, 5), (256, 64, 2))) {
+      val px = gradient(w, h, 8)
+      val img = Jp2.decodeJ2k(Jp2.encodeJ2k(w, h, 8, Array(px), lv))
+      assert(img.width == w && img.height == h && img.depth == 8 && img.channels == 1, s"($w,$h,$lv) meta")
+      assert(img.comps(0).toSeq == px.toSeq, s"($w,$h,$lv) pixels")
+    }
+  }
+
+  test("lossless round-trip: noise (worst-case entropy), 12/16-bit depths, RGB with RCT") {
+    val nz = noise(65 * 47, 8, 0x1234L)
+    assert(Jp2.decodeJ2k(Jp2.encodeJ2k(65, 47, 8, Array(nz), 3)).comps(0).toSeq == nz.toSeq)
+
+    val px12 = noise(40 * 30, 12, 0x77L)
+    val img12 = Jp2.decodeJ2k(Jp2.encodeJ2k(40, 30, 12, Array(px12), 2))
+    assert(img12.depth == 12 && img12.comps(0).toSeq == px12.toSeq)
+
+    val px16 = noise(33 * 21, 16, 0x99L)
+    assert(Jp2.decodeJ2k(Jp2.encodeJ2k(33, 21, 16, Array(px16), 3)).comps(0).toSeq == px16.toSeq)
+
+    val r = gradient(50, 40, 8); val g = noise(50 * 40, 8, 5L); val b = gradient(50, 40, 8).reverse
+    val rgb = Jp2.decodeJ2k(Jp2.encodeJ2k(50, 40, 8, Array(r, g, b), 3))
+    assert(rgb.channels == 3)
+    assert(rgb.comps(0).toSeq == r.toSeq && rgb.comps(1).toSeq == g.toSeq && rgb.comps(2).toSeq == b.toSeq,
+      "RCT cycle not lossless")
+  }
+
+  test("multi-code-block path: image wider/taller than 64 exercises tag trees across blocks") {
+    val (w, h) = (200, 150) // 4×3 code-blocks at full res
+    val px = noise(w * h, 8, 0xabcL)
+    val enc = Jp2.encodeJ2k(w, h, 8, Array(px), 2)
+    assert(Jp2.decodeJ2k(enc).comps(0).toSeq == px.toSeq)
+    // constant image: everything collapses to zero coefficients except LL DC
+    val flat = Array.fill(w * h)(200)
+    val encFlat = Jp2.encodeJ2k(w, h, 8, Array(flat), 3)
+    assert(encFlat.length < 400, s"flat image should be tiny, got ${encFlat.length}")
+    assert(Jp2.decodeJ2k(encFlat).comps(0).toSeq == flat.toSeq)
+  }
+
+  test("JP2 container: boxes parse, probe reads ihdr/SIZ without entropy decode, sniffers discriminate") {
+    val px = gradient(48, 32, 8)
+    val jp2 = Jp2.encodeJp2(48, 32, 8, Array(px, px, px), 2)
+    assert(Jp2.isJp2(jp2) && !Jp2.isJ2k(jp2))
+    assert(Jp2.probe(jp2).contains((48, 32, 3, 8)))
+    val img = Jp2.decode(jp2)
+    assert(img.width == 48 && img.channels == 3 && img.comps(0).toSeq == px.toSeq)
+
+    val j2k = Jp2.encodeJ2k(48, 32, 8, Array(px), 2)
+    assert(Jp2.isJ2k(j2k) && !Jp2.isJp2(j2k))
+    assert(Jp2.probe(j2k).contains((48, 32, 1, 8)))
+    assert(Jp2.decode(j2k).comps(0).toSeq == px.toSeq)
+    assert(Jp2.probe("not an image".getBytes).isEmpty)
+  }
+
+  test("marker structure: SOC/SIZ/COD/QCD/SOT/SOD/EOC in order with spec'd lengths") {
+    val enc = Jp2.encodeJ2k(10, 10, 8, Array(gradient(10, 10, 8)), 1)
+    def u16(i: Int): Int = ((enc(i) & 0xff) << 8) | (enc(i + 1) & 0xff)
+    assert(u16(0) == 0xFF4F, "SOC")
+    assert(u16(2) == 0xFF51 && u16(4) == 38 + 3, "SIZ")
+    val codAt = 2 + 2 + 38 + 3
+    assert(u16(codAt) == 0xFF52 && u16(codAt + 2) == 12, "COD")
+    val qcdAt = codAt + 2 + 12
+    assert(u16(qcdAt) == 0xFF5C && u16(qcdAt + 2) == 3 + 4, "QCD")
+    val sotAt = qcdAt + 2 + 7
+    assert(u16(sotAt) == 0xFF90 && u16(sotAt + 2) == 10, "SOT")
+    val psot = ((enc(sotAt + 6) & 0xff) << 24) | ((enc(sotAt + 7) & 0xff) << 16) |
+      ((enc(sotAt + 8) & 0xff) << 8) | (enc(sotAt + 9) & 0xff)
+    assert(sotAt + psot == enc.length - 2, "Psot spans SOT..EOC-start")
+    assert(u16(enc.length - 2) == 0xFFD9, "EOC")
+  }
+
+  test("named refusals: truncation, bad magic, unsupported features") {
+    val enc = Jp2.encodeJ2k(20, 20, 8, Array(gradient(20, 20, 8)), 2)
+    intercept[Exception](Jp2.decodeJ2k(enc.take(enc.length / 2))) // truncated
+    intercept[Exception](Jp2.decodeJ2k("garbage".getBytes))
+    // flip the transform byte to 9/7 → named error
+    val irrev = enc.clone()
+    // COD: at 2+2+38+3 → SPcod transform is last byte of COD segment
+    val codAt = 2 + 2 + 38 + 3
+    irrev(codAt + 2 + 12 - 1) = 0 // 9/7
+    val e = intercept[IllegalArgumentException](Jp2.decodeJ2k(irrev))
+    assert(e.getMessage.contains("9/7"))
+  }
+}
