@@ -39,11 +39,33 @@ object Multimodal {
     * (builder contract: stub only what can't be decoded, keep the
     * plumbing real).
     */
-  /** Unified still-image decode: PNG (pure-JVM codec) then baseline
-    * JPEG (`graft.raster.Jpeg`, ImageIO-conformance-proven). Anything
-    * else → None and the deterministic byte-plane fallback. */
+  /** Unified still-image decode: PNG (pure-JVM codec), baseline JPEG
+    * (`graft.raster.Jpeg`, ImageIO-conformance-proven), then JPEG
+    * 2000 (`graft.raster.Jp2`, lossless Part-1 subset; 8-bit planes
+    * fold to the byte-plane Image). Anything else → None and the
+    * deterministic byte-plane fallback. */
   def decodeImage(payload: Array[Byte]): Option[graft.raster.Png.Image] =
-    graft.raster.Png.decode(payload).orElse(graft.raster.Jpeg.decode(payload))
+    graft.raster.Png.decode(payload)
+      .orElse(graft.raster.Jpeg.decode(payload))
+      .orElse(decodeJp2Image(payload))
+
+  private def decodeJp2Image(payload: Array[Byte]): Option[graft.raster.Png.Image] = {
+    import graft.raster.Jp2
+    if (!Jp2.isJp2(payload) && !Jp2.isJ2k(payload)) return None
+    try {
+      val img = Jp2.decode(payload)
+      if (img.depth > 8) return None // byte-plane pipeline is 8-bit
+      val nc = img.channels
+      val px = new Array[Byte](img.width * img.height * nc)
+      var i = 0
+      while (i < img.width * img.height) {
+        var c = 0
+        while (c < nc) { px(i * nc + c) = img.comps(c)(i).toByte; c += 1 }
+        i += 1
+      }
+      Some(graft.raster.Png.Image(img.width, img.height, nc, px))
+    } catch { case _: Exception => None }
+  }
 
   object StubCodecs {
     /** Pixel mean/std: real decode for PNG/JPEG, byte-plane stats otherwise. */

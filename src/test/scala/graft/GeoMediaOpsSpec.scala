@@ -54,6 +54,18 @@ class GeoMediaOpsSpec extends SparkSuite {
     }
   }
 
+  test("media pipeline decodes JP2 payloads for real (stats on actual pixel planes)") {
+    val w = 40; val h = 30
+    val px = Array.tabulate(w * h)(i => (i * 13) % 256)
+    val jp2 = graft.raster.Jp2.encodeJp2(w, h, 8, Array(px), 2)
+    val img = Multimodal.decodeImage(jp2).getOrElse(fail("jp2 payload did not decode"))
+    assert(img.width == w && img.height == h && img.channels == 1)
+    assert(img.pixels.map(_ & 0xff).toSeq == px.toSeq)
+    val (mean, _) = Multimodal.StubCodecs.imageStats(jp2)
+    val expected = px.sum.toDouble / px.length
+    assert(math.abs(mean - expected) < 1e-9, s"jp2 stats not from decoded pixels: $mean vs $expected")
+  }
+
   test("phash: near-identical PNGs pair within Hamming 3; a different image does not") {
     import graft.raster.Png
     // a 32x24 grayscale gradient; B = A with a handful of pixels nudged
