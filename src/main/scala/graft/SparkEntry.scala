@@ -226,7 +226,8 @@ object SparkEntry {
     "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _),
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
     "q_flac" -> (graft.multimodal.Flac.audioCodecQuery _),
-    "q_jp2" -> (graft.raster.Jp2.jp2Query _)
+    "q_jp2" -> (graft.raster.Jp2.jp2Query _),
+    "q_h264" -> (graft.multimodal.H264Queries.h264Query _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3768,7 +3769,23 @@ object SparkEntry {
         |  count(*) AS n_px,
         |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum,
         |  CAST(sum((event_id * 11) % 256 + (event_id * 29) % 256 + (event_id * 53) % 256) AS BIGINT) AS rgb_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // H.264 I_PCM + MP4 round-trip proof: 4:2:0 frames built from the
+    // group's ids cycle Annex-B -> MP4 sample tables -> decode
+    // in-task (I_PCM is lossless raw). Luma takes every id once
+    // (order-free); chroma takes ranks 0..127 of each 512-run, which
+    // row_number reproduces here.
+    "q_h264" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(greatest(1, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS BIGINT) AS n_frames,
+        |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS y_sum,
+        |  CAST(coalesce(sum(CASE WHEN rn % 512 < 128
+        |    THEN (event_id * 11) % 256 + (event_id * 29) % 256 END), 0) AS BIGINT) AS c_sum
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

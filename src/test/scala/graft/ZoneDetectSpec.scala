@@ -74,14 +74,12 @@ class ZoneDetectSpec extends SparkSuite {
     db match {
       case None => cancel("timezone21 asset not deployed")
       case Some(d) =>
-        val t0 = System.nanoTime()
-        d.lookup(51.5, -0.12)
-        val cold = System.nanoTime() - t0
-        val t1 = System.nanoTime()
-        d.lookup(51.6, -0.2)
-        val warm = System.nanoTime() - t1
-        // same UK polygon, decoded once — warm must not re-decode 23k points
-        assert(warm < cold, s"warm $warm >= cold $cold")
+        val a = d.lookup(51.5, -0.12)
+        val n = d.cachedPolygons
+        assert(n > 0, "first lookup should populate the polygon cache")
+        val b = d.lookup(51.5, -0.12) // identical point: candidate set unchanged
+        assert(d.cachedPolygons == n, "repeated lookup must not decode new polygons")
+        assert(a == b, "cached path returns the same zones")
     }
   }
 
