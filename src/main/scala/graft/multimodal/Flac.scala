@@ -370,7 +370,8 @@ object Flac {
     require(sawStreamInfo, "flac: missing STREAMINFO")
     require(sampleRate > 0, "flac: zero sample rate")
 
-    val out = new ArrayBuffer[Int](if (total > 0 && total < Int.MaxValue) (total * channels).toInt else 1 << 16)
+    val cap = if (total > 0 && total * channels < (1 << 24)) (total * channels).toInt else 1 << 16
+    val out = new ArrayBuffer[Int](math.max(cap, 16))
     var decoded = 0L
     while ((total == 0L || decoded < total) && pos + 2 <= bytes.length) {
       val r = new BitReader(bytes, pos)

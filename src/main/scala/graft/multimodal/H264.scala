@@ -82,7 +82,11 @@ object H264 {
     def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
     def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
     def byteAligned: Boolean = bit == 0
-    def raw(): Byte = { require(bit == 0, "h264: raw read unaligned"); val v = b(pos); pos += 1; v }
+    def raw(): Byte = {
+      require(bit == 0, "h264: raw read unaligned")
+      require(pos < b.length, "h264: truncated rbsp")
+      val v = b(pos); pos += 1; v
+    }
     def more: Boolean = pos < b.length
   }
 
@@ -285,6 +289,7 @@ object H264 {
     r.u(1)
     val mbW = r.ue() + 1
     val mbH = r.ue() + 1
+    require(mbW <= 1024 && mbH <= 1024, "h264: picture size out of supported range") // ≤ 16K×16K
     val frameMbsOnly = r.u(1) == 1
     require(frameMbsOnly, "h264: interlaced (field) coding unsupported")
     r.u(1) // direct_8x8
@@ -292,6 +297,8 @@ object H264 {
     if (r.u(1) == 1) { cl = r.ue(); cr2 = r.ue(); ct = r.ue(); cb2 = r.ue() }
     val width = mbW * 16 - 2 * (cl + cr2)
     val height = mbH * 16 - 2 * (ct + cb2)
+    require(width > 0 && height > 0, "h264: cropping consumes the whole frame")
+    require(log2MaxFrameNum <= 16 && pocLsbBits <= 16, "h264: frame-number field width out of range")
     Sps(width, height, log2MaxFrameNum, pocType, pocLsbBits, cl, cr2, ct, cb2, mbW, mbH)
   }
 
@@ -310,7 +317,14 @@ object H264 {
   }
 
   /** Decode an Annex-B stream of the I_PCM subset into frames. */
-  def decodeAnnexB(bytes: Array[Byte]): Seq[Frame] = {
+  def decodeAnnexB(bytes: Array[Byte]): Seq[Frame] =
+    try decodeAnnexB0(bytes)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("h264: malformed or truncated stream", e)
+    }
+
+  private def decodeAnnexB0(bytes: Array[Byte]): Seq[Frame] = {
     var sps: Option[Sps] = None
     var pps: Option[Pps] = None
     val frames = ArrayBuffer.empty[Frame]
@@ -539,7 +553,11 @@ object Mp4Mux {
 
   /** Demux the first avc1 track: avcC parameter sets + samples via
     * stsz/stco/stsc walk (single-chunk or per-sample chunks). */
-  def demux(bytes: Array[Byte]): Option[Track] = {
+  def demux(bytes: Array[Byte]): Option[Track] =
+    try demux0(bytes)
+    catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  private def demux0(bytes: Array[Byte]): Option[Track] = {
     def be32At(i: Int): Long =
       ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) | ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
     var sps: Array[Byte] = null
@@ -565,9 +583,11 @@ object Mp4Mux {
               // walk sub-boxes after the 86-byte visual sample entry
               var s = e + 86
               val eEnd = e + be32At(e).toInt
-              while (s + 8 <= eEnd) {
+              var subOk = eEnd <= bytes.length
+              while (subOk && s + 8 <= eEnd) {
                 val ssz = be32At(s)
-                if (new String(bytes, s + 4, 4, "ISO-8859-1") == "avcC") {
+                if (ssz < 8 || s + ssz > eEnd) subOk = false
+                else if (new String(bytes, s + 4, 4, "ISO-8859-1") == "avcC") {
                   var p = s + 8 + 5
                   val nSps = bytes(p) & 0x1f; p += 1
                   require(nSps >= 1, "mp4: avcC without SPS")
@@ -585,11 +605,13 @@ object Mp4Mux {
           case "stsz" =>
             val n = be32At(i + 16).toInt
             val fixed = be32At(i + 12)
+            if (n < 0 || n > bytes.length / 4) return // size table cannot outsize the file
             sizes =
               if (fixed != 0) Array.fill(n)(fixed.toInt)
               else Array.tabulate(n)(k => be32At(i + 20 + 4 * k).toInt)
           case "stco" =>
             val n = be32At(i + 12).toInt
+            if (n < 0 || n > bytes.length / 4) return
             chunkOffsets = Array.tabulate(n)(k => be32At(i + 16 + 4 * k))
           case _ => ()
         }
@@ -618,7 +640,16 @@ object Mp4Mux {
 
   /** Decode every frame of a muxed I_PCM-subset file: demux, convert
     * length-prefixed samples to NALs, prepend parameter sets. */
-  def decodeFrames(bytes: Array[Byte]): Seq[H264.Frame] = {
+  def decodeFrames(bytes: Array[Byte]): Seq[H264.Frame] =
+    try decodeFrames0(bytes)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("mp4: malformed sample layout", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException("mp4: malformed sample size", e)
+    }
+
+  private def decodeFrames0(bytes: Array[Byte]): Seq[H264.Frame] = {
     val t = demux(bytes).getOrElse(throw new IllegalArgumentException("mp4: no avc1 track"))
     val annexB = ArrayBuffer.empty[Byte]
     def emit(nal: Array[Byte]): Unit = { annexB ++= Array[Byte](0, 0, 0, 1); annexB ++= nal }

@@ -247,7 +247,16 @@ object Jp2 {
   // ------------------------------------------------------------ decode
 
   /** Decode a raw J2K codestream (the encoder's subset, generalized). */
-  def decodeJ2k(bytes: Array[Byte]): Image = {
+  def decodeJ2k(bytes: Array[Byte]): Image =
+    try decodeJ2k0(bytes)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("jp2: malformed or truncated codestream", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException("jp2: malformed size field", e)
+    }
+
+  private def decodeJ2k0(bytes: Array[Byte]): Image = {
     var pos = 0
     def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
     def u32(): Int = { val v = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff); pos += 4; v }
@@ -268,6 +277,8 @@ object Jp2 {
           val rsiz = u16()
           require(rsiz == 0 || rsiz == 1 || rsiz == 2, "jp2: unknown Rsiz")
           width = u32(); height = u32()
+          require(width > 0 && height > 0 && width < 32768 && height < 32768,
+            "jp2: image size out of supported range")
           require(u32() == 0 && u32() == 0, "jp2: non-zero image origin unsupported")
           val tw = u32(); val th = u32()
           require(u32() == 0 && u32() == 0, "jp2: non-zero tile origin unsupported")
@@ -293,7 +304,9 @@ object Jp2 {
           require(u16() == 1, "jp2: multiple layers unsupported")
           mct = u8() == 1
           levels = u8()
+          require(levels <= 32, "jp2: decomposition level count out of range")
           cbExpX = u8() + 2; cbExpY = u8() + 2
+          require(cbExpX <= 10 && cbExpY <= 10, "jp2: code-block size out of range")
           require(u8() == 0, "jp2: code-block style options unsupported")
           require(u8() == 1, "jp2: irreversible 9/7 unsupported")
           pos = end
@@ -379,9 +392,11 @@ object Jp2 {
               val missing = zbp.decodeValue(bx, by, hr)
               val npasses = readPasses(hr)
               var lblock = 3
-              while (hr.bit() == 1) lblock += 1
+              while (hr.bit() == 1) { lblock += 1; require(lblock <= 32, "jp2: Lblock out of range") }
               val passBits = 31 - Integer.numberOfLeadingZeros(npasses)
+              require(lblock + passBits <= 31, "jp2: codeword length field out of range")
               val len = hr.bits(lblock + passBits).toInt
+              require(len >= 0 && len <= bytes.length, "jp2: codeword length out of range")
               val cx0 = bx << cbx; val cy0 = by << cby
               val cw = math.min(1 << cbx, bw - cx0)
               val ch = math.min(1 << cby, bh - cy0)
@@ -455,7 +470,16 @@ object Jp2 {
       (bytes(2) & 0xff) == 0xFF && (bytes(3) & 0xff) == 0x51
 
   /** Decode either a JP2 file or a bare J2K codestream. */
-  def decode(bytes: Array[Byte]): Image = {
+  def decode(bytes: Array[Byte]): Image =
+    try decode0(bytes)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("jp2: malformed container", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException("jp2: malformed box size", e)
+    }
+
+  private def decode0(bytes: Array[Byte]): Image = {
     if (isJ2k(bytes)) return decodeJ2k(bytes)
     require(isJp2(bytes), "jp2: neither JP2 box file nor J2K codestream")
     var pos = 0
@@ -470,6 +494,7 @@ object Jp2 {
           (0 until 8).foreach(i => xl = (xl << 8) | (bytes(pos + 8 + i) & 0xffL))
           (pos + 16, pos + xl)
         } else (pos + 8, pos + len)
+      require(next > pos && next <= bytes.length, "jp2: box size escapes the file")
       if (typ == "jp2c")
         return decodeJ2k(java.util.Arrays.copyOfRange(bytes, body, next.toInt))
       pos = next.toInt

@@ -313,10 +313,14 @@ object Jp2Codec {
       if (value(leaf) < threshold) 1 else 0
     }
 
-    /** Decoder: drive thresholds upward until the leaf value pins. */
+    /** Decoder: drive thresholds upward until the leaf value pins.
+      * Bounded — a corrupt all-zeros bitstream must not spin. */
     def decodeValue(x: Int, y: Int, br: HeaderReader): Int = {
       var t = 1
-      while (decode(x, y, t, br) == 0) t += 1
+      while (decode(x, y, t, br) == 0) {
+        t += 1
+        require(t <= 256, "jp2: tag-tree value out of range (corrupt packet header)")
+      }
       value(path(x, y).last)
     }
   }
