@@ -67,16 +67,51 @@ object Jp2 {
 
   /** Lossless encode to a raw J2K codestream. `comps`: per-component
     * row-major unsigned samples in [0, 2^depth). */
-  def encodeJ2k(width: Int, height: Int, depth: Int, comps: Array[Array[Int]], levels: Int = 3): Array[Byte] = {
-    require(width > 0 && height > 0 && width < 32768 && height < 32768, "jp2: size out of supported range")
-    require(depth >= 1 && depth <= 16, "jp2: depth 1..16")
-    require(comps.nonEmpty && comps.forall(_.length == width * height), "jp2: component shape mismatch")
-    require(levels >= 0 && levels <= 10, "jp2: 0..10 decomposition levels")
-    val nc = comps.length
-    val mct = nc == 3
+  /** Main-header bytes (SOC..QCD). Shared by the single-shot encoder
+    * and the distributed tiled writer. */
+  def headerBytes(width: Int, height: Int, depth: Int, nc: Int, mct: Boolean,
+                  levels: Int, tileW: Int, tileH: Int): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](64)
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
+    def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
+    u16(0xFF4F)
+    u16(0xFF51); u16(38 + 3 * nc)
+    u16(0) // Rsiz
+    u32(width); u32(height); u32(0); u32(0) // image, origin
+    u32(tileW); u32(tileH); u32(0); u32(0) // tile grid at the origin
+    u16(nc)
+    (0 until nc).foreach { _ => u8(depth - 1); u8(1); u8(1) }
+    u16(0xFF52); u16(12)
+    u8(0) // Scod: default precincts, no SOP/EPH
+    u8(0) // progression LRCP
+    u16(1) // layers
+    u8(if (mct) 1 else 0)
+    u8(levels)
+    u8(CbExp - 2); u8(CbExp - 2)
+    u8(0) // code-block style
+    u8(1) // 5/3 reversible
+    u16(0xFF5C); u16(3 + 3 * levels + 1)
+    u8((GuardBits << 5) | 0)
+    u8(depth << 3) // LL_N
+    var r = 1
+    while (r <= levels) {
+      Seq(1, 2, 3).foreach(b => u8((depth + gainOf(b)) << 3))
+      r += 1
+    }
+    out.toArray
+  }
 
-    // DC shift + MCT + DWT
-    val planes = comps.map { c =>
+  /** One complete tile-part (SOT..end of packet data) for tile
+    * `tileIdx`. `tileComps` hold the tile's own pixels (tw×th,
+    * row-major, unsigned). Pure function of the tile — the
+    * distributed writer maps tiles to this on executors and the
+    * driver concatenates parts in index order. */
+  def tilePart(tileIdx: Int, tw: Int, th: Int, depth: Int, tileComps: Array[Array[Int]],
+               levels: Int, mct: Boolean): Array[Byte] = {
+    require(tileComps.forall(_.length == tw * th), "jp2: tile shape mismatch")
+    val nc = tileComps.length
+    val planes = tileComps.map { c =>
       val a = new Array[Int](c.length)
       val shift = 1 << (depth - 1)
       var i = 0
@@ -94,61 +129,70 @@ object Jp2 {
         i += 1
       }
     }
-    planes.foreach(p => fdwt53(p, width, height, levels))
+    planes.foreach(p => fdwt53(p, tw, th, levels))
 
-    val out = new ArrayBuffer[Byte](width * height * nc / 2 + 512)
+    val out = new ArrayBuffer[Byte](tw * th * nc / 2 + 64)
     def u8(v: Int): Unit = out += v.toByte
     def u16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
     def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
-
-    // SOC, SIZ
-    u16(0xFF4F)
-    u16(0xFF51); u16(38 + 3 * nc)
-    u16(0) // Rsiz
-    u32(width); u32(height); u32(0); u32(0) // image, origin
-    u32(width); u32(height); u32(0); u32(0) // tile grid = image
-    u16(nc)
-    (0 until nc).foreach { _ => u8(depth - 1); u8(1); u8(1) }
-    // COD
-    u16(0xFF52); u16(12)
-    u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0) // progression LRCP
-    u16(1) // layers
-    u8(if (mct) 1 else 0)
-    u8(levels)
-    u8(CbExp - 2); u8(CbExp - 2)
-    u8(0) // code-block style
-    u8(1) // 5/3 reversible
-    // QCD: no quantization (reversible), exponents per subband
-    u16(0xFF5C); u16(3 + 3 * levels + 1)
-    u8((GuardBits << 5) | 0)
-    u8((depth + 0) << 3) // LL_N
-    var r = 1
-    while (r <= levels) {
-      Seq(1, 2, 3).foreach(b => u8((depth + gainOf(b)) << 3))
-      r += 1
-    }
-
-    // tile: SOT (Psot patched after), SOD, packets, EOC
-    val sotAt = out.length
-    u16(0xFF90); u16(10); u16(0); u32(0); u8(0); u8(1)
-    u16(0xFF93)
-
-    r = 0
+    u16(0xFF90); u16(10); u16(tileIdx); u32(0); u8(0); u8(1) // SOT, Psot patched below
+    u16(0xFF93) // SOD
+    var r = 0
     while (r <= levels) {
       var c = 0
       while (c < nc) {
-        out ++= encodePacket(planes(c), width, height, levels, r, depth)
+        out ++= encodePacket(planes(c), tw, th, levels, r, depth)
         c += 1
       }
       r += 1
     }
-    val psot = out.length - sotAt // Psot: SOT through end of tile data, EOC excluded
-    out(sotAt + 6) = (psot >> 24).toByte
-    out(sotAt + 7) = (psot >> 16).toByte
-    out(sotAt + 8) = (psot >> 8).toByte
-    out(sotAt + 9) = psot.toByte
-    u16(0xFFD9)
+    val psot = out.length
+    out(6) = (psot >> 24).toByte
+    out(7) = (psot >> 16).toByte
+    out(8) = (psot >> 8).toByte
+    out(9) = psot.toByte
+    out.toArray
+  }
+
+  /** Lossless encode to a raw J2K codestream. `comps`: per-component
+    * row-major unsigned samples in [0, 2^depth). `tileSize` 0 = one
+    * tile spanning the image; otherwise a tileSize×tileSize grid from
+    * the origin — each tile codes independently (the scale shape: on
+    * a cluster, tiles are a `mapPartitions` over tile ids and this
+    * function's body IS the per-task kernel via [[tilePart]]). */
+  def encodeJ2k(width: Int, height: Int, depth: Int, comps: Array[Array[Int]], levels: Int = 3,
+                tileSize: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 32768 && height < 32768, "jp2: size out of supported range")
+    require(depth >= 1 && depth <= 16, "jp2: depth 1..16")
+    require(comps.nonEmpty && comps.forall(_.length == width * height), "jp2: component shape mismatch")
+    require(levels >= 0 && levels <= 10, "jp2: 0..10 decomposition levels")
+    require(tileSize == 0 || tileSize >= 16, "jp2: tiles must be >= 16 px")
+    val nc = comps.length
+    val mct = nc == 3
+    val tileW = if (tileSize > 0) tileSize else width
+    val tileH = if (tileSize > 0) tileSize else height
+    val ntx = ceilDiv(width, tileW)
+    val nty = ceilDiv(height, tileH)
+    require(ntx * nty <= 65535, "jp2: too many tiles")
+
+    val out = new ArrayBuffer[Byte](width * height * nc / 2 + 512)
+    out ++= headerBytes(width, height, depth, nc, mct, levels, tileW, tileH)
+    var t = 0
+    while (t < ntx * nty) {
+      val tx = t % ntx; val ty = t / ntx
+      val x0 = tx * tileW; val y0 = ty * tileH
+      val tw = math.min(tileW, width - x0)
+      val th = math.min(tileH, height - y0)
+      val tileComps = comps.map { c =>
+        val a = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) { System.arraycopy(c, (y0 + y) * width + x0, a, y * tw, tw); y += 1 }
+        a
+      }
+      out ++= tilePart(t, tw, th, depth, tileComps, levels, mct)
+      t += 1
+    }
+    out += 0xFF.toByte; out += 0xD9.toByte // EOC
     out.toArray
   }
 
@@ -264,12 +308,13 @@ object Jp2 {
 
     require(bytes.length > 4 && u16() == 0xFF4F, "jp2: missing SOC")
     var width = 0; var height = 0; var nc = 0; var depth = 0
+    var tileW = 0; var tileH = 0
     var levels = -1; var mct = false; var cbExpX = CbExp; var cbExpY = CbExp
     var sawSiz = false; var sawCod = false
     var guard = GuardBits
 
-    var inTile = false
-    while (!inTile) {
+    var tileIdx = -1
+    while (tileIdx < 0) {
       val marker = u16()
       marker match {
         case 0xFF51 => // SIZ
@@ -280,9 +325,9 @@ object Jp2 {
           require(width > 0 && height > 0 && width < 32768 && height < 32768,
             "jp2: image size out of supported range")
           require(u32() == 0 && u32() == 0, "jp2: non-zero image origin unsupported")
-          val tw = u32(); val th = u32()
+          tileW = u32(); tileH = u32()
           require(u32() == 0 && u32() == 0, "jp2: non-zero tile origin unsupported")
-          require(tw >= width && th >= height, "jp2: multiple tiles unsupported")
+          require(tileW > 0 && tileH > 0, "jp2: bad tile grid")
           nc = u16()
           require(nc >= 1 && nc <= 16384, "jp2: bad component count")
           depth = -1
@@ -317,14 +362,13 @@ object Jp2 {
           require((sq & 0x1f) == 0, "jp2: quantized (non-reversible) QCD unsupported")
           guard = (sq >> 5) & 0x7
           pos = end
-        case 0xFF90 => // SOT
+        case 0xFF90 => // first SOT
           val l = u16()
           require(l == 10, "jp2: bad SOT")
-          require(u16() == 0, "jp2: multiple tiles unsupported")
+          tileIdx = u16()
           u32() // Psot
           require(u8() == 0 && u8() <= 1, "jp2: tile parts unsupported")
           require(u16() == 0xFF93, "jp2: missing SOD")
-          inTile = true
         case 0xFF64 | 0xFF63 | 0xFF55 | 0xFF57 => // COM, CRG, TLM, PLM: informative, skippable
           val l = u16(); pos += l - 2
         case 0xFF53 | 0xFF5D =>
@@ -334,22 +378,56 @@ object Jp2 {
       }
     }
     require(sawSiz && sawCod && levels >= 0, "jp2: incomplete header")
+    val ntx = ceilDiv(width, tileW)
+    val nty = ceilDiv(height, tileH)
 
     val planes = Array.fill(nc)(new Array[Int](width * height))
-    // packets in LRCP: r → component
-    var r = 0
-    while (r <= levels) {
+    // tile loop: decode the current tile's packets, then expect the
+    // next SOT (any Isot order) or EOC
+    var done = false
+    val seen = new Array[Boolean](ntx * nty)
+    while (!done) {
+      require(tileIdx >= 0 && tileIdx < ntx * nty, s"jp2: tile index $tileIdx out of grid")
+      require(!seen(tileIdx), s"jp2: duplicate tile $tileIdx")
+      seen(tileIdx) = true
+      val tx = tileIdx % ntx; val ty = tileIdx / ntx
+      val x0 = tx * tileW; val y0 = ty * tileH
+      val tw = math.min(tileW, width - x0)
+      val th = math.min(tileH, height - y0)
+      val tilePlanes = Array.fill(nc)(new Array[Int](tw * th))
+      var r = 0
+      while (r <= levels) {
+        var c = 0
+        while (c < nc) {
+          pos = decodePacket(bytes, pos, tilePlanes(c), tw, th, levels, r, depth, guard, cbExpX, cbExpY)
+          c += 1
+        }
+        r += 1
+      }
       var c = 0
       while (c < nc) {
-        pos = decodePacket(bytes, pos, planes(c), width, height, levels, r, depth, guard, cbExpX, cbExpY)
+        idwt53(tilePlanes(c), tw, th, levels)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(tilePlanes(c), y * tw, planes(c), (y0 + y) * width + x0, tw)
+          y += 1
+        }
         c += 1
       }
-      r += 1
+      require(pos + 2 <= bytes.length, "jp2: truncated after tile")
+      val marker = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+      pos += 2
+      if (marker == 0xFFD9) done = true
+      else if (marker == 0xFF90) {
+        require(u16() == 10, "jp2: bad SOT")
+        tileIdx = u16()
+        u32() // Psot
+        require(u8() == 0 && u8() <= 1, "jp2: tile parts unsupported")
+        require(u16() == 0xFF93, "jp2: missing SOD")
+      } else throw new IllegalArgumentException(f"jp2: unexpected marker 0x$marker%04X after tile")
     }
-    require(pos + 2 <= bytes.length && ((bytes(pos) & 0xff) << 8 | (bytes(pos + 1) & 0xff)) == 0xFFD9,
-      "jp2: missing EOC")
+    require(seen.forall(identity), "jp2: missing tiles")
 
-    planes.foreach(p => idwt53(p, width, height, levels))
     if (mct) {
       require(nc >= 3, "jp2: MCT with <3 components")
       val (y, cb, cr) = (planes(0), planes(1), planes(2))
@@ -500,6 +578,34 @@ object Jp2 {
       pos = next.toInt
     }
     throw new IllegalArgumentException("jp2: no jp2c codestream box")
+  }
+
+  /** Distributed tiled write (the COG-writer shape): one row per tile
+    * — (tileIdx, gray pixels) — runs the heavy Tier-1 entropy coding
+    * in [[tilePart]] on executors; the driver collects only the
+    * COMPRESSED parts (output-sized, not pixels-sized) and does the
+    * byte assembly. Byte-identical to the single-shot
+    * `encodeJ2k(..., tileSize)`. */
+  def encodeTiledDistributed(s: org.apache.spark.sql.SparkSession, width: Int, height: Int, depth: Int,
+                             levels: Int, tileSize: Int,
+                             tiles: org.apache.spark.sql.Dataset[(Int, Array[Int])]): Array[Byte] = {
+    val ntx = ceilDiv(width, tileSize)
+    val nty = ceilDiv(height, tileSize)
+    val (w, h, d, lv, ts) = (width, height, depth, levels, tileSize)
+    import s.implicits._
+    val parts = tiles
+      .map { case (t, px) =>
+        val tx = t % ntx; val ty = t / ntx
+        val tw = math.min(ts, w - tx * ts)
+        val th = math.min(ts, h - ty * ts)
+        (t, Jp2.tilePart(t, tw, th, d, Array(px), lv, mct = false))
+      }
+      .collect()
+      .sortBy(_._1)
+    require(parts.length == ntx * nty && parts.map(_._1).toSeq == (0 until ntx * nty),
+      "jp2: tile set incomplete")
+    headerBytes(w, h, d, 1, mct = false, lv, ts, ts) ++ parts.flatMap(_._2) ++
+      Array(0xFF.toByte, 0xD9.toByte)
   }
 
   /** q_jp2: per event_type, deterministic 8-bit images built from the

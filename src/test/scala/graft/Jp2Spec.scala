@@ -102,6 +102,61 @@ class Jp2Spec extends SparkSuite {
     assert(Jp2.decodeJ2k(encFlat).comps(0).toSeq == flat.toSeq)
   }
 
+  test("tiled codestreams: independent tiles round-trip, edge tiles crop, and parts compose distributedly") {
+    val (w, h) = (150, 90) // 32px tiles → 5×3 grid with 22/26-px edge tiles
+    val px = noise(w * h, 8, 0x5150L)
+    val tiled = Jp2.encodeJ2k(w, h, 8, Array(px), 2, tileSize = 32)
+    assert(Jp2.decodeJ2k(tiled).comps(0).toSeq == px.toSeq, "tiled round-trip")
+    // count SOT markers — one per tile
+    var sots = 0
+    (0 until tiled.length - 1).foreach { i =>
+      if ((tiled(i) & 0xff) == 0xFF && (tiled(i + 1) & 0xff) == 0x90) sots += 1
+    }
+    assert(sots == 15, s"expected 15 tile-parts, found $sots")
+
+    // the distributed composition: per-tile tilePart() on "executors",
+    // driver concatenates header ++ parts(in index order) ++ EOC —
+    // byte-identical to the single-shot encoder
+    val ntx = 5; val nty = 3
+    val parts = (0 until ntx * nty).map { t =>
+      val tx = t % ntx; val ty = t / ntx
+      val x0 = tx * 32; val y0 = ty * 32
+      val tw = math.min(32, w - x0); val th = math.min(32, h - y0)
+      val tile = new Array[Int](tw * th)
+      (0 until th).foreach(y => (0 until tw).foreach(x => tile(y * tw + x) = px((y0 + y) * w + x0 + x)))
+      Jp2.tilePart(t, tw, th, 8, Array(tile), 2, mct = false)
+    }
+    val composed = Jp2.headerBytes(w, h, 8, 1, mct = false, 2, 32, 32) ++
+      parts.flatten ++ Array[Byte](0xFF.toByte, 0xD9.toByte)
+    assert(composed.toSeq == tiled.toSeq, "distributed composition must be byte-identical")
+
+    // RGB tiled with MCT
+    val r = noise(w * h, 8, 1L); val g = noise(w * h, 8, 2L); val b = noise(w * h, 8, 3L)
+    val rgbT = Jp2.encodeJ2k(w, h, 8, Array(r, g, b), 3, tileSize = 64)
+    val img = Jp2.decodeJ2k(rgbT)
+    assert(img.comps(0).toSeq == r.toSeq && img.comps(1).toSeq == g.toSeq && img.comps(2).toSeq == b.toSeq)
+  }
+
+  test("encodeTiledDistributed: executors code tiles, driver assembles — byte-identical to single-shot") {
+    import spark.implicits._
+    val (w, h) = (100, 70)
+    val px = noise(w * h, 8, 0xd15cL)
+    val ts = 32
+    val ntx = (w + ts - 1) / ts; val nty = (h + ts - 1) / ts
+    val tiles = (0 until ntx * nty).map { t =>
+      val tx = t % ntx; val ty = t / ntx
+      val x0 = tx * ts; val y0 = ty * ts
+      val tw = math.min(ts, w - x0); val th = math.min(ts, h - y0)
+      val a = new Array[Int](tw * th)
+      (0 until th).foreach(y => (0 until tw).foreach(x => a(y * tw + x) = px((y0 + y) * w + x0 + x)))
+      (t, a)
+    }
+    val dist = Jp2.encodeTiledDistributed(spark, w, h, 8, 2, ts, tiles.toDS().repartition(4))
+    assert(dist.toSeq == Jp2.encodeJ2k(w, h, 8, Array(px), 2, tileSize = ts).toSeq,
+      "distributed and single-shot encoders must agree byte-for-byte")
+    assert(Jp2.decodeJ2k(dist).comps(0).toSeq == px.toSeq)
+  }
+
   test("JP2 container: boxes parse, probe reads ihdr/SIZ without entropy decode, sniffers discriminate") {
     val px = gradient(48, 32, 8)
     val jp2 = Jp2.encodeJp2(48, 32, 8, Array(px, px, px), 2)
