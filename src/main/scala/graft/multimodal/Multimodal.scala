@@ -228,10 +228,22 @@ object Multimodal {
   private val imageStatsUdf = udf { p: Array[Byte] =>
     val (mean, std) = StubCodecs.imageStats(p); Map("mean" -> mean, "std" -> std)
   }
-  /** Real audio features for WAV/PCM payloads (null otherwise). */
+  /** Real audio features for WAV (PCM/ADPCM/G.711) and FLAC payloads
+    * (null otherwise). FLAC folds to the same Audio feature shape. */
   private val audioStatsUdf = udf { p: Array[Byte] =>
-    Wav.decode(p).map(a => (a.durationMs, a.rms, a.sampleRate, a.channels))
+    decodeAudio(p).map(a => (a.durationMs, a.rms, a.sampleRate, a.channels))
   }
+
+  /** Unified audio decode: the WAV container family, then FLAC. */
+  def decodeAudio(p: Array[Byte]): Option[Wav.Audio] =
+    Wav.decode(p).orElse {
+      if (p != null && p.length > 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
+        try {
+          val s = Flac.decode(p)
+          Some(Wav.Audio(s.sampleRate, s.channels, s.bitsPerSample, s.samples))
+        } catch { case _: Exception => None }
+      else None
+    }
   private val resizeUdf = udf((p: Array[Byte], n: Int) => StubCodecs.resize(p, n))
   private val frameSampleUdf = udf((p: Array[Byte], n: Int, len: Int) => StubCodecs.frameSample(p, n, len))
 

@@ -102,6 +102,14 @@ object Extractors {
     * `entry.cpp:769-836`). */
   def extract(path: String, bytes: Array[Byte]): Extracted = {
     sniffImage(bytes) match {
+      case Some(m) if m.format == "jp2" && graft.raster.GeoJp2.geoMeta(bytes).exists(_.georeferenced) =>
+        // GeoJP2: the embedded degenerate GeoTIFF georeferences the
+        // raster — same GeoRaster shape as the TIFF branch below
+        val t = graft.raster.GeoJp2.geoMeta(bytes).get
+        val fp = t.footprint
+        val center = fp.map(_._2)
+        Extracted(EntryType.GeoRaster, GeoTiff.properties(t),
+          center.map(_._1), center.map(_._2), None, fp.map(_._1))
       case Some(m) =>
         val exif = if (m.format == "jpeg") Exif.fromJpeg(bytes) else Exif.empty
         val xmp = if (m.format == "jpeg") Xmp.fromJpeg(bytes) else Xmp.empty

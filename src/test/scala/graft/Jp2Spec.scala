@@ -172,6 +172,30 @@ class Jp2Spec extends SparkSuite {
     assert(Jp2.probe("not an image".getBytes).isEmpty)
   }
 
+  test("GeoJP2: UUID box georeferences the raster through the shared GeoTiff machinery") {
+    import graft.raster.GeoJp2
+    val (w, h) = (60, 40)
+    val px = gradient(w, h, 8)
+    val gt = Array(500000.0, 2.0, 0.0, 4649776.0, 0.0, -2.0) // UTM-ish, 2 m px
+    val geo = GeoJp2.encode(w, h, 8, Array(px), gt, Some(32633), 2)
+    // still a plain JP2 to every other face
+    assert(Jp2.isJp2(geo) && Jp2.probe(geo).contains((w, h, 1, 8)))
+    assert(Jp2.decode(geo).comps(0).toSeq == px.toSeq)
+    // the geo payload round-trips through GeoTiff.sniff
+    val t = GeoJp2.geoMeta(geo).getOrElse(fail("no GeoJP2 meta"))
+    assert(t.georeferenced && t.width == w && t.height == h)
+    assert(t.epsg.contains(32633))
+    assert(t.geotransform.exists(g => g.toSeq == gt.toSeq), t.geotransform.map(_.toSeq).toString)
+    // extractor dispatch: GeoRaster with an unprojected footprint
+    val ex = graft.sources.Extractors.extract("ortho.jp2", geo)
+    assert(ex.entryType == graft.model.EntryType.GeoRaster)
+    assert(ex.footprint.exists(_.nonEmpty), "footprint ring expected")
+    assert(ex.lon.exists(l => l > 14 && l < 16), s"UTM 33N center lon ${ex.lon}") // ~15°E
+    // a plain (non-geo) jp2 stays an Image
+    val plain = Jp2.encodeJp2(w, h, 8, Array(px), 2)
+    assert(graft.sources.Extractors.extract("img.jp2", plain).entryType == graft.model.EntryType.Image)
+  }
+
   test("marker structure: SOC/SIZ/COD/QCD/SOT/SOD/EOC in order with spec'd lengths") {
     val enc = Jp2.encodeJ2k(10, 10, 8, Array(gradient(10, 10, 8)), 1)
     def u16(i: Int): Int = ((enc(i) & 0xff) << 8) | (enc(i + 1) & 0xff)

@@ -159,6 +159,16 @@ class WavSpec extends SparkSuite {
     assert(errLR <= 2, s"stereo channels drifted: $errLR") // ±1 from independent rounding
   }
 
+  test("unified audio decode: FLAC payloads yield the same features as their WAV twin") {
+    val samples = tone(8000, 500, 0.5, 440.0)
+    val viaWav = graft.multimodal.Multimodal.decodeAudio(Wav.encode(8000, 1, samples)).get
+    val viaFlac = graft.multimodal.Multimodal
+      .decodeAudio(graft.multimodal.Flac.encode(8000, 1, 16, samples)).get
+    assert(viaFlac.samples.toSeq == viaWav.samples.toSeq)
+    assert(viaFlac.durationMs == 500L && math.abs(viaFlac.rms - viaWav.rms) < 1e-12)
+    assert(graft.multimodal.Multimodal.decodeAudio("fLaCgarbage!!".getBytes).isEmpty)
+  }
+
   test("features: duration and RMS match closed forms; refusal on non-WAV") {
     val samples = tone(8000, 500, 0.5, 440.0)
     val a = Wav.decode(Wav.encode(8000, 1, samples)).get
