@@ -48,6 +48,8 @@ object Multimodal {
     graft.raster.Png.decode(payload)
       .orElse(graft.raster.Jpeg.decode(payload))
       .orElse(decodeJp2Image(payload))
+      .orElse(graft.raster.GifBmp.decodeGif(payload))
+      .orElse(graft.raster.GifBmp.decodeBmp(payload))
 
   private def decodeJp2Image(payload: Array[Byte]): Option[graft.raster.Png.Image] = {
     import graft.raster.Jp2

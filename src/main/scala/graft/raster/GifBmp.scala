@@ -1,0 +1,204 @@
+package graft.raster
+
+/** GIF (87a/89a) and BMP decoders — the last two sniffable still
+  * formats that previously only yielded header dimensions. GIF:
+  * variable-width LZW per the published spec (clear/EOI codes,
+  * 12-bit cap), global/local palettes, interlace reordering; first
+  * frame only (animation = repeated frames of the same machinery).
+  * BMP: BITMAPINFOHEADER 8-bit palette / 24-bit / 32-bit
+  * uncompressed, bottom-up and top-down. Both decode to the same
+  * byte-plane Image as Png/Jpeg/Jp2, so stats/phash/resize/thumbs
+  * operate on real pixels for every sniffable format.
+  */
+object GifBmp {
+
+  // --------------------------------------------------------------- GIF
+
+  def decodeGif(b: Array[Byte]): Option[Png.Image] =
+    try decodeGif0(b)
+    catch { case _: Exception => None }
+
+  private def decodeGif0(b: Array[Byte]): Option[Png.Image] = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+    var pos = 6
+    def u16(): Int = { val v = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8); pos += 2; v }
+    val sw = u16(); val sh = u16()
+    val packed = b(pos) & 0xff; pos += 3 // packed, bg index, aspect
+    var palette: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      palette = readPalette(b, pos, n)
+      pos += 3 * n
+    }
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while (pos < b.length && b(pos) != 0) pos += 1 + (b(pos) & 0xff)
+          pos += 1
+        case 0x2C => // image descriptor
+          pos += 1
+          val ix = u16(); val iy = u16(); val iw = u16(); val ih = u16()
+          val ip = b(pos) & 0xff; pos += 1
+          var pal = palette
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            pal = readPalette(b, pos, n)
+            pos += 3 * n
+          }
+          require(pal != null, "gif: no color table")
+          require(iw > 0 && ih > 0 && ix + iw <= math.max(sw, ix + iw) && iw.toLong * ih < (1 << 26), "gif: bad frame rect")
+          val interlaced = (ip & 0x40) != 0
+          val minCode = b(pos) & 0xff; pos += 1
+          // concatenate sub-blocks
+          val data = new scala.collection.mutable.ArrayBuffer[Byte]()
+          while (pos < b.length && b(pos) != 0) {
+            val len = b(pos) & 0xff
+            data ++= b.slice(pos + 1, pos + 1 + len)
+            pos += 1 + len
+          }
+          pos += 1
+          val idx = lzw(data.toArray, minCode, iw * ih)
+          val rows =
+            if (!interlaced) idx
+            else {
+              val out = new Array[Byte](idx.length)
+              var src = 0
+              Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+                var y = start
+                while (y < ih) {
+                  System.arraycopy(idx, src * iw, out, y * iw, math.min(iw, idx.length - src * iw))
+                  src += 1; y += step
+                }
+              }
+              out
+            }
+          val px = new Array[Byte](iw * ih * 3)
+          var i = 0
+          while (i < iw * ih) {
+            val c = pal(math.min(rows(i) & 0xff, pal.length - 1))
+            px(3 * i) = (c >> 16).toByte; px(3 * i + 1) = (c >> 8).toByte; px(3 * i + 2) = c.toByte
+            i += 1
+          }
+          return Some(Png.Image(iw, ih, 3, px))
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  private def readPalette(b: Array[Byte], at: Int, n: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      ((b(at + 3 * i) & 0xff) << 16) | ((b(at + 3 * i + 1) & 0xff) << 8) | (b(at + 3 * i + 2) & 0xff)
+    }
+
+  /** GIF variable-width LZW (little-endian bit packing). */
+  private def lzw(data: Array[Byte], minCodeSize: Int, maxOut: Int): Array[Byte] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8, "gif: bad LZW min code size")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](maxOut)
+    var outAt = 0
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var oldCode = -1
+    var acc = 0L
+    var nbits = 0
+    var pos = 0
+    var firstByte = 0.toByte
+    while (outAt < maxOut) {
+      while (nbits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nbits
+        nbits += 8; pos += 1
+      }
+      if (nbits < codeSize) return out // truncated: emit what we have
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; nbits -= codeSize
+      if (code == clear) {
+        codeSize = minCodeSize + 1; next = eoi + 1; oldCode = -1
+      } else if (code == eoi) {
+        return out
+      } else {
+        var sp = 0
+        var cur = code
+        if (code >= next) { // KwKwK case
+          require(oldCode >= 0 && code == next, "gif: invalid LZW code")
+          stack(sp) = firstByte; sp += 1
+          cur = oldCode
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        firstByte = cur.toByte
+        stack(sp) = firstByte; sp += 1
+        while (sp > 0 && outAt < maxOut) { sp -= 1; out(outAt) = stack(sp); outAt += 1 }
+        if (oldCode >= 0 && next < 4096) {
+          prefix(next) = oldCode; suffix(next) = firstByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        oldCode = code
+      }
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- BMP
+
+  def decodeBmp(b: Array[Byte]): Option[Png.Image] =
+    try decodeBmp0(b)
+    catch { case _: Exception => None }
+
+  private def decodeBmp0(b: Array[Byte]): Option[Png.Image] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Int = u16(i) | (u16(i + 2) << 16)
+    val dataAt = u32(10)
+    val hdrSize = u32(14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER out of scope
+    val w = u32(18)
+    val hRaw = u32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || w.toLong * h > (1L << 26)) return None
+    if (u16(26) != 1) return None // planes
+    val bpp = u16(28)
+    if (u32(30) != 0) return None // compressed BMP (RLE/bitfields) out of scope
+    val palAt = 14 + hdrSize
+    val palCount = { val c = u32(46); if (c != 0) c else if (bpp == 8) 256 else 0 }
+    val rowBytes = (w * bpp / 8 + 3) & ~3
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataAt + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val (r, g, bb) = bpp match {
+          case 8 =>
+            val i = b(srcRow + x) & 0xff
+            if (i < palCount) {
+              val p = palAt + 4 * i // BGRA quads
+              ((b(p + 2) & 0xff), (b(p + 1) & 0xff), (b(p) & 0xff))
+            } else (0, 0, 0)
+          case 24 =>
+            val p = srcRow + 3 * x
+            ((b(p + 2) & 0xff), (b(p + 1) & 0xff), (b(p) & 0xff))
+          case 32 =>
+            val p = srcRow + 4 * x
+            ((b(p + 2) & 0xff), (b(p + 1) & 0xff), (b(p) & 0xff))
+          case _ => return None
+        }
+        val o = 3 * (y * w + x)
+        px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = bb.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(Png.Image(w, h, 3, px))
+  }
+}

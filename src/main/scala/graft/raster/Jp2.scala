@@ -291,8 +291,16 @@ object Jp2 {
   // ------------------------------------------------------------ decode
 
   /** Decode a raw J2K codestream (the encoder's subset, generalized). */
-  def decodeJ2k(bytes: Array[Byte]): Image =
-    try decodeJ2k0(bytes)
+  def decodeJ2k(bytes: Array[Byte]): Image = decodeJ2kReduced(bytes, 0)
+
+  /** Resolution-progressive decode: reconstruct the image with the
+    * top `discard` resolutions dropped — size ceil(w/2^d) × ceil(h/2^d).
+    * Only the low-resolution packets are entropy-decoded; the rest of
+    * each tile is SKIPPED via Psot, so an overview/thumbnail read of a
+    * huge tiled ortho touches a small fraction of the bytes (the
+    * COG-overview access pattern, native to JPEG 2000). */
+  def decodeJ2kReduced(bytes: Array[Byte], discard: Int): Image =
+    try decodeJ2k0(bytes, discard)
     catch {
       case e: IndexOutOfBoundsException =>
         throw new IllegalArgumentException("jp2: malformed or truncated codestream", e)
@@ -300,7 +308,7 @@ object Jp2 {
         throw new IllegalArgumentException("jp2: malformed size field", e)
     }
 
-  private def decodeJ2k0(bytes: Array[Byte]): Image = {
+  private def decodeJ2k0(bytes: Array[Byte], discard: Int): Image = {
     var pos = 0
     def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff); pos += 2; v }
     def u32(): Int = { val v = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff); pos += 4; v }
@@ -312,6 +320,8 @@ object Jp2 {
     var levels = -1; var mct = false; var cbExpX = CbExp; var cbExpY = CbExp
     var sawSiz = false; var sawCod = false
     var guard = GuardBits
+    var sotStart = -1
+    var tilePsot = 0L
 
     var tileIdx = -1
     while (tileIdx < 0) {
@@ -363,10 +373,11 @@ object Jp2 {
           guard = (sq >> 5) & 0x7
           pos = end
         case 0xFF90 => // first SOT
+          sotStart = pos - 2
           val l = u16()
           require(l == 10, "jp2: bad SOT")
           tileIdx = u16()
-          u32() // Psot
+          tilePsot = u32().toLong & 0xffffffffL
           require(u8() == 0 && u8() <= 1, "jp2: tile parts unsupported")
           require(u16() == 0xFF93, "jp2: missing SOD")
         case 0xFF64 | 0xFF63 | 0xFF55 | 0xFF57 => // COM, CRG, TLM, PLM: informative, skippable
@@ -380,10 +391,19 @@ object Jp2 {
     require(sawSiz && sawCod && levels >= 0, "jp2: incomplete header")
     val ntx = ceilDiv(width, tileW)
     val nty = ceilDiv(height, tileH)
+    val d = math.min(discard, levels)
+    val sc = 1 << d
+    require(d == 0 || ntx * nty == 1 || tileW % sc == 0 && tileH % sc == 0,
+      "jp2: reduced decode needs the tile size divisible by 2^discard")
+    val rLevels = levels - d
+    val rWidth = ceilDiv(width, sc)
+    val rHeight = ceilDiv(height, sc)
 
-    val planes = Array.fill(nc)(new Array[Int](width * height))
-    // tile loop: decode the current tile's packets, then expect the
-    // next SOT (any Isot order) or EOC
+    val planes = Array.fill(nc)(new Array[Int](rWidth * rHeight))
+    // tile loop: decode the current tile's packets (only the first
+    // levels−discard resolutions when reducing — the remaining
+    // packets are skipped via Psot, the progressive-read payoff),
+    // then expect the next SOT (any Isot order) or EOC
     var done = false
     val seen = new Array[Boolean](ntx * nty)
     while (!done) {
@@ -391,25 +411,29 @@ object Jp2 {
       require(!seen(tileIdx), s"jp2: duplicate tile $tileIdx")
       seen(tileIdx) = true
       val tx = tileIdx % ntx; val ty = tileIdx / ntx
-      val x0 = tx * tileW; val y0 = ty * tileH
-      val tw = math.min(tileW, width - x0)
-      val th = math.min(tileH, height - y0)
+      val x0 = tx * tileW / sc; val y0 = ty * tileH / sc
+      val tw = math.min(ceilDiv(tileW, sc), rWidth - x0)
+      val th = math.min(ceilDiv(tileH, sc), rHeight - y0)
       val tilePlanes = Array.fill(nc)(new Array[Int](tw * th))
       var r = 0
-      while (r <= levels) {
+      while (r <= rLevels) {
         var c = 0
         while (c < nc) {
-          pos = decodePacket(bytes, pos, tilePlanes(c), tw, th, levels, r, depth, guard, cbExpX, cbExpY)
+          pos = decodePacket(bytes, pos, tilePlanes(c), tw, th, rLevels, r, depth, guard, cbExpX, cbExpY)
           c += 1
         }
         r += 1
       }
+      if (d > 0) {
+        require(tilePsot > 0, "jp2: reduced decode needs explicit Psot")
+        pos = sotStart + tilePsot.toInt // skip the discarded high-resolution packets
+      }
       var c = 0
       while (c < nc) {
-        idwt53(tilePlanes(c), tw, th, levels)
+        idwt53(tilePlanes(c), tw, th, rLevels)
         var y = 0
         while (y < th) {
-          System.arraycopy(tilePlanes(c), y * tw, planes(c), (y0 + y) * width + x0, tw)
+          System.arraycopy(tilePlanes(c), y * tw, planes(c), (y0 + y) * rWidth + x0, tw)
           y += 1
         }
         c += 1
@@ -419,9 +443,10 @@ object Jp2 {
       pos += 2
       if (marker == 0xFFD9) done = true
       else if (marker == 0xFF90) {
+        sotStart = pos - 2
         require(u16() == 10, "jp2: bad SOT")
         tileIdx = u16()
-        u32() // Psot
+        tilePsot = u32().toLong & 0xffffffffL
         require(u8() == 0 && u8() <= 1, "jp2: tile parts unsupported")
         require(u16() == 0xFF93, "jp2: missing SOD")
       } else throw new IllegalArgumentException(f"jp2: unexpected marker 0x$marker%04X after tile")
@@ -442,7 +467,7 @@ object Jp2 {
     }
     val shift = 1 << (depth - 1)
     planes.foreach { p => var i = 0; while (i < p.length) { p(i) += shift; i += 1 } }
-    Image(width, height, depth, planes)
+    Image(rWidth, rHeight, depth, planes)
   }
 
   private def decodePacket(bytes: Array[Byte], start: Int, plane: Array[Int], w: Int, h: Int,
@@ -557,8 +582,21 @@ object Jp2 {
         throw new IllegalArgumentException("jp2: malformed box size", e)
     }
 
-  private def decode0(bytes: Array[Byte]): Image = {
-    if (isJ2k(bytes)) return decodeJ2k(bytes)
+  private def decode0(bytes: Array[Byte]): Image = decode0(bytes, 0)
+
+  /** Resolution-progressive decode of either container — see
+    * [[decodeJ2kReduced]]. */
+  def decodeReduced(bytes: Array[Byte], discard: Int): Image =
+    try decode0(bytes, discard)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("jp2: malformed container", e)
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException("jp2: malformed box size", e)
+    }
+
+  private def decode0(bytes: Array[Byte], discard: Int): Image = {
+    if (isJ2k(bytes)) return decodeJ2kReduced(bytes, discard)
     require(isJp2(bytes), "jp2: neither JP2 box file nor J2K codestream")
     var pos = 0
     while (pos + 8 <= bytes.length) {
@@ -574,7 +612,7 @@ object Jp2 {
         } else (pos + 8, pos + len)
       require(next > pos && next <= bytes.length, "jp2: box size escapes the file")
       if (typ == "jp2c")
-        return decodeJ2k(java.util.Arrays.copyOfRange(bytes, body, next.toInt))
+        return decodeJ2kReduced(java.util.Arrays.copyOfRange(bytes, body, next.toInt), discard)
       pos = next.toInt
     }
     throw new IllegalArgumentException("jp2: no jp2c codestream box")

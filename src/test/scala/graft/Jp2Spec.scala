@@ -172,6 +172,43 @@ class Jp2Spec extends SparkSuite {
     assert(Jp2.probe("not an image".getBytes).isEmpty)
   }
 
+  test("resolution-progressive decode: reduced reads match the DWT LL band and skip tile bytes via Psot") {
+    val (w, h) = (130, 94)
+    val px = noise(w * h, 8, 0xfeedL)
+    // reference LL: forward-transform the DC-shifted plane, take LL_d, unshift
+    def llReference(d: Int): Seq[Int] = {
+      val a = px.map(_ - 128)
+      Jp2Codec.fdwt53(a, w, h, d)
+      val lw = (0 until d).foldLeft(w)((v, _) => (v + 1) / 2)
+      val lh = (0 until d).foldLeft(h)((v, _) => (v + 1) / 2)
+      (0 until lh).flatMap(y => (0 until lw).map(x => a(y * w + x) + 128))
+    }
+    val single = Jp2.encodeJ2k(w, h, 8, Array(px), 3)
+    for (d <- 1 to 3) {
+      val img = Jp2.decodeJ2kReduced(single, d)
+      val lw = (0 until d).foldLeft(w)((v, _) => (v + 1) / 2)
+      assert(img.width == lw, s"d=$d width")
+      assert(img.comps(0).toSeq == llReference(d), s"d=$d LL mismatch")
+    }
+    // tiled: per-tile LL assembly (tile size divisible by 2^d)
+    val tiled = Jp2.encodeJ2k(w, h, 8, Array(px), 2, tileSize = 32)
+    val r1 = Jp2.decodeJ2kReduced(tiled, 1)
+    assert(r1.width == 65 && r1.height == 47)
+    // full decode of the reduced image must equal downsampling each tile's DWT;
+    // cross-check: reduced-decode of the SINGLE-tile stream at same d over each tile region
+    // (tile-local transforms differ from global ones at tile borders, so compare via the
+    // tile-local reference instead)
+    // tile-local reference for the first interior tile
+    val tw0 = 32; val th0 = 32
+    val tile0 = Array.tabulate(tw0 * th0)(i => px((i / tw0) * w + (i % tw0)) - 128)
+    Jp2Codec.fdwt53(tile0, tw0, th0, 1)
+    val expected0 = (0 until 16).flatMap(y => (0 until 16).map(x => tile0(y * tw0 + x) + 128))
+    val got0 = (0 until 16).flatMap(y => (0 until 16).map(x => r1.comps(0)(y * 65 + x)))
+    assert(got0 == expected0, "tiled reduced decode: tile-0 LL mismatch")
+    // container face
+    assert(Jp2.decodeReduced(Jp2.encodeJp2(w, h, 8, Array(px), 3), 2).width == 33)
+  }
+
   test("GeoJP2: UUID box georeferences the raster through the shared GeoTiff machinery") {
     import graft.raster.GeoJp2
     val (w, h) = (60, 40)
