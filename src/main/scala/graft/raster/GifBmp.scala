@@ -14,30 +14,69 @@ object GifBmp {
 
   // --------------------------------------------------------------- GIF
 
-  def decodeGif(b: Array[Byte]): Option[Png.Image] =
-    try decodeGif0(b)
-    catch { case _: Exception => None }
+  def decodeGif(b: Array[Byte]): Option[Png.Image] = gifFrames(b, 1).headOption
 
-  private def decodeGif0(b: Array[Byte]): Option[Png.Image] = {
-    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+  /** Up to `maxFrames` frames of a (possibly animated) GIF — each
+    * frame rect composited onto the logical-screen canvas, disposal
+    * method 2 (restore-to-background) clearing its rect to the
+    * background color. The frame-sampling twin of [[graft.multimodal.Multimodal.mjpegFrames]]. */
+  def gifFrames(b: Array[Byte], maxFrames: Int = 64): Seq[Png.Image] =
+    try gifFrames0(b, maxFrames)
+    catch { case _: Exception => Seq.empty }
+
+  private def gifFrames0(b: Array[Byte], maxFrames: Int): Seq[Png.Image] = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return Seq.empty
     var pos = 6
     def u16(): Int = { val v = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8); pos += 2; v }
     val sw = u16(); val sh = u16()
-    val packed = b(pos) & 0xff; pos += 3 // packed, bg index, aspect
+    val packed = b(pos) & 0xff
+    val bgIndex = b(pos + 1) & 0xff
+    pos += 3 // packed, bg index, aspect
+    require(sw > 0 && sh > 0 && sw.toLong * sh < (1 << 26), "gif: bad screen size")
     var palette: Array[Int] = null
     if ((packed & 0x80) != 0) {
       val n = 2 << (packed & 7)
       palette = readPalette(b, pos, n)
       pos += 3 * n
     }
-    while (pos < b.length) {
+    val canvas = new Array[Byte](sw * sh * 3)
+    if (palette != null && bgIndex < palette.length) {
+      val c = palette(bgIndex)
+      var i = 0
+      while (i < sw * sh) {
+        canvas(3 * i) = (c >> 16).toByte; canvas(3 * i + 1) = (c >> 8).toByte; canvas(3 * i + 2) = c.toByte
+        i += 1
+      }
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Png.Image]
+    var pendingDisposal = 0 // from the GCE preceding the NEXT frame: how that frame is disposed
+    var prevDisposal = 0 // how the PREVIOUS (already drawn) frame is disposed
+    var prevRect: (Int, Int, Int, Int) = null
+    while (pos < b.length && frames.length < maxFrames) {
       (b(pos) & 0xff) match {
         case 0x21 => // extension: label + sub-blocks
+          val label = if (pos + 1 < b.length) b(pos + 1) & 0xff else 0
+          if (label == 0xF9 && pos + 4 < b.length) pendingDisposal = (b(pos + 3) >> 2) & 7
           pos += 2
           while (pos < b.length && b(pos) != 0) pos += 1 + (b(pos) & 0xff)
           pos += 1
         case 0x2C => // image descriptor
           pos += 1
+          // dispose of the PREVIOUS frame (per ITS GCE) before drawing this one
+          if (prevDisposal == 2 && prevRect != null && palette != null && bgIndex < palette.length) {
+            val (rx, ry, rw, rh) = prevRect
+            val c = palette(bgIndex)
+            var y = ry
+            while (y < math.min(ry + rh, sh)) {
+              var x = rx
+              while (x < math.min(rx + rw, sw)) {
+                val o = 3 * (y * sw + x)
+                canvas(o) = (c >> 16).toByte; canvas(o + 1) = (c >> 8).toByte; canvas(o + 2) = c.toByte
+                x += 1
+              }
+              y += 1
+            }
+          }
           val ix = u16(); val iy = u16(); val iw = u16(); val ih = u16()
           val ip = b(pos) & 0xff; pos += 1
           var pal = palette
@@ -47,7 +86,7 @@ object GifBmp {
             pos += 3 * n
           }
           require(pal != null, "gif: no color table")
-          require(iw > 0 && ih > 0 && ix + iw <= math.max(sw, ix + iw) && iw.toLong * ih < (1 << 26), "gif: bad frame rect")
+          require(iw > 0 && ih > 0 && iw.toLong * ih < (1 << 26), "gif: bad frame rect")
           val interlaced = (ip & 0x40) != 0
           val minCode = b(pos) & 0xff; pos += 1
           // concatenate sub-blocks
@@ -73,19 +112,26 @@ object GifBmp {
               }
               out
             }
-          val px = new Array[Byte](iw * ih * 3)
-          var i = 0
-          while (i < iw * ih) {
-            val c = pal(math.min(rows(i) & 0xff, pal.length - 1))
-            px(3 * i) = (c >> 16).toByte; px(3 * i + 1) = (c >> 8).toByte; px(3 * i + 2) = c.toByte
-            i += 1
+          var y = 0
+          while (y < ih && iy + y < sh) {
+            var x = 0
+            while (x < iw && ix + x < sw) {
+              val c = pal(math.min(rows(y * iw + x) & 0xff, pal.length - 1))
+              val o = 3 * ((iy + y) * sw + (ix + x))
+              canvas(o) = (c >> 16).toByte; canvas(o + 1) = (c >> 8).toByte; canvas(o + 2) = c.toByte
+              x += 1
+            }
+            y += 1
           }
-          return Some(Png.Image(iw, ih, 3, px))
-        case 0x3B => return None // trailer before any image
-        case _ => return None
+          prevRect = (ix, iy, iw, ih)
+          prevDisposal = pendingDisposal
+          pendingDisposal = 0
+          frames += Png.Image(sw, sh, 3, canvas.clone())
+        case 0x3B => return frames.toSeq // trailer
+        case _ => return frames.toSeq
       }
     }
-    None
+    frames.toSeq
   }
 
   private def readPalette(b: Array[Byte], at: Int, n: Int): Array[Int] =

@@ -121,6 +121,52 @@ class GifBmpSpec extends SparkSuite {
     }
   }
 
+  test("animated GIF: frames composite onto the canvas; disposal 2 restores the background") {
+    // 8×4 screen, bg index 0; frame 1 full-screen; frame 2 a 2×2 patch at (3,1) with disposal-2 set on frame 1...
+    // build: header + GCE(disposal 2) + frame1 + GCE + frame2
+    val out = collection.mutable.ArrayBuffer.empty[Byte]
+    def u16v(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    out ++= "GIF89a".getBytes
+    u16v(8); u16v(4); out += 0xF7.toByte; out += 0; out += 0
+    (0 until 256).foreach { i => out += ((i * 31) % 256).toByte; out += ((i * 57) % 256).toByte; out += ((i * 91) % 256).toByte }
+    def gce(disposal: Int): Unit = {
+      out += 0x21; out += 0xF9.toByte; out += 4; out += (disposal << 2).toByte
+      u16v(10); out += 0; out += 0
+    }
+    def img(ix: Int, iy: Int, iw: Int, ih: Int, idx: Array[Byte]): Unit = {
+      out += 0x2C; u16v(ix); u16v(iy); u16v(iw); u16v(ih); out += 0
+      out += 8
+      var acc = 0L; var n = 0
+      val body = collection.mutable.ArrayBuffer.empty[Byte]
+      def put(code: Int): Unit = {
+        acc |= (code.toLong & 0x1ff) << n; n += 9
+        while (n >= 8) { body += (acc & 0xff).toByte; acc >>>= 8; n -= 8 }
+      }
+      idx.foreach { i => put(256); put(i & 0xff) }
+      put(257)
+      if (n > 0) body += (acc & 0xff).toByte
+      var at = 0
+      while (at < body.length) {
+        val len = math.min(255, body.length - at)
+        out += len.toByte; out ++= body.slice(at, at + len); at += len
+      }
+      out += 0
+    }
+    gce(2) // frame 1 disposes to background before frame 2 draws
+    img(0, 0, 8, 4, Array.fill[Byte](32)(5))
+    gce(0)
+    img(3, 1, 2, 2, Array[Byte](9, 9, 9, 9))
+    out += 0x3B
+    val frames = GifBmp.gifFrames(out.toArray)
+    assert(frames.length == 2, s"frames ${frames.length}")
+    assert(frames.head.width == 8 && frames.head.height == 4)
+    def red(f: graft.raster.Png.Image, x: Int, y: Int): Int = f.pixels(3 * (y * 8 + x)) & 0xff
+    assert(red(frames(0), 0, 0) == (5 * 31) % 256)
+    // frame 2: canvas restored to bg color (index 0 → red 0) outside the patch, patch is color 9
+    assert(red(frames(1), 0, 0) == 0, "disposal 2 should restore background")
+    assert(red(frames(1), 3, 1) == (9 * 31) % 256 && red(frames(1), 4, 2) == (9 * 31) % 256)
+  }
+
   test("decodeImage routes GIF and BMP; refusals on garbage") {
     val gif = handGif(6, 6, Array.tabulate(36)(_.toByte), interlaced = false)
     assert(graft.multimodal.Multimodal.decodeImage(gif).exists(_.width == 6))
