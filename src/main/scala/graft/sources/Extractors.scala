@@ -90,6 +90,18 @@ object Extractors {
       footprint: Option[Seq[(Double, Double)]] // closed (lon, lat) ring
   )
 
+  /** Audio-payload properties: full decode for the WAV family + FLAC
+    * (duration from samples), header probes for MP3/Ogg. None for
+    * non-audio payloads. */
+  def audioProperties(bytes: Array[Byte]): Option[String] = {
+    graft.multimodal.Multimodal.decodeAudio(bytes)
+      .map(a => s"""{"audio":{"codec":"pcm","duration":${a.durationMs},"sampleRate":${a.sampleRate},"channels":${a.channels}}}""")
+      .orElse(graft.multimodal.Mp3.sniff(bytes).map(m =>
+        s"""{"audio":{"codec":"mp3","duration":${m.durationMs},"sampleRate":${m.sampleRate},"channels":${m.channels},"bitrateKbps":${m.avgBitrateKbps}}}"""))
+      .orElse(graft.multimodal.Ogg.sniff(bytes).map(m =>
+        s"""{"audio":{"codec":"${m.codec}","duration":${m.durationMs},"sampleRate":${m.sampleRate},"channels":${m.channels}}}"""))
+  }
+
   /** Default sensor dimensions (mm) when the camera is not in a sensor
     * database — common 1/2.3" drone sensor; the reference resolves
     * these from its sensor DB with similar fallbacks. */
@@ -255,7 +267,15 @@ object Extractors {
                                   case Some(props) =>
                                     Extracted(EntryType.GaussianSplat, props, None, None, None, None)
                                   case None =>
-                                    Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                                    // audio metadata (beyond-reference: entry.cpp leaves
+                                    // audio at Generic with no properties) — decoded
+                                    // WAV/FLAC or probed MP3/Ogg duration/rate/channels
+                                    audioProperties(bytes) match {
+                                      case Some(props) =>
+                                        Extracted(EntryType.fromExtension(path), props, None, None, None, None)
+                                      case None =>
+                                        Extracted(EntryType.fromExtension(path), "{}", None, None, None, None)
+                                    }
                                 }
                             }
                         }

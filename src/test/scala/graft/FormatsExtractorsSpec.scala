@@ -88,6 +88,24 @@ class FormatsExtractorsSpec extends SparkSuite {
     assert(Extractors.fingerprint("notes.md", "# hi".getBytes) === EntryType.Markdown)
   }
 
+  test("audio payloads: extraction carries duration/rate/channels properties (beyond-reference)") {
+    val pcm = Array.tabulate(8000)(i => (math.sin(i * 0.1) * 8000).toInt)
+    val flac = graft.multimodal.Flac.encode(8000, 1, 16, pcm)
+    val exF = Extractors.extract("song.flac", flac)
+    assert(exF.properties.contains(""""codec":"pcm"""") && exF.properties.contains(""""duration":1000"""), exF.properties)
+    val mp3 = graft.multimodal.Mp3.syntheticCbr(20)
+    val exM = Extractors.extract("song.mp3", mp3)
+    assert(exM.properties.contains(""""codec":"mp3"""") && exM.properties.contains(""""sampleRate":44100"""), exM.properties)
+    val ogg = graft.multimodal.Ogg.writePage(1, 0, 0, 2,
+      Array[Byte](1) ++ "vorbis".getBytes ++ Array[Byte](0, 0, 0, 0, 2) ++
+        Array[Byte]((44100 & 0xff).toByte, ((44100 >> 8) & 0xff).toByte, 0, 0) ++ new Array[Byte](14)) ++
+      graft.multimodal.Ogg.writePage(1, 1, 44100, 4, new Array[Byte](20))
+    val exO = Extractors.extract("song.ogg", ogg)
+    assert(exO.properties.contains(""""codec":"vorbis"""") && exO.properties.contains(""""duration":1000"""), exO.properties)
+    // non-audio generic bytes keep empty properties
+    assert(Extractors.extract("data.bin", Array.fill[Byte](200)(0x42)).properties == "{}")
+  }
+
   test("extraction over a DataFrame of files") {
     val files = Seq(
       ("a.png", pngBytes(30, 20)),
