@@ -225,7 +225,7 @@ object SparkEntry {
     "q_e57" -> (graft.sources.E57.e57Query _),
     "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _),
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
-    "q_flac" -> (graft.multimodal.Flac.audioCodecQuery _),
+    "q_flac" -> (graft.multimodal.FlacQueries.audioCodecQuery _),
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _)
   )

@@ -518,6 +518,44 @@ object Flac {
     x
   }
 
+  private def readResidual(r: BitReader, blockSize: Int, order: Int): Array[Long] = {
+    val method = r.read(2).toInt
+    require(method <= 1, "flac: reserved residual method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xF else 0x1F
+    val partOrder = r.read(4).toInt
+    val parts = 1 << partOrder
+    require(blockSize % parts == 0, "flac: blocksize not divisible by partitions")
+    val res = new Array[Long](blockSize - order)
+    var idx = 0
+    var p = 0
+    while (p < parts) {
+      val count = (blockSize >> partOrder) - (if (p == 0) order else 0)
+      require(count >= 0, "flac: predictor order exceeds first partition")
+      val param = r.read(paramBits).toInt
+      if (param == escape) {
+        val raw = r.read(5).toInt
+        var i = 0
+        while (i < count) { res(idx) = if (raw == 0) 0L else r.readSigned(raw).toLong; idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary()
+          val low = if (param > 0) r.read(param) else 0L
+          res(idx) = unzigzag((q.toLong << param) | low)
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+    res
+  }
+}
+
+/** Spark query face for the audio codec family (kept out of the
+  * codec object so the decode section reads top-to-bottom — the
+  * H264Queries shape). */
+object FlacQueries {
   /** q_flac: per event_type, deterministic 16-bit PCM derived from
     * the group's own event ids cycles through the FLAC codec
     * (lossless — the decoded sum must equal the oracle's direct
@@ -558,38 +596,5 @@ object Flac {
         $"a".getItem(1).as("pcm_sum")
       )
       .orderBy($"event_type")
-  }
-
-  private def readResidual(r: BitReader, blockSize: Int, order: Int): Array[Long] = {
-    val method = r.read(2).toInt
-    require(method <= 1, "flac: reserved residual method")
-    val paramBits = if (method == 0) 4 else 5
-    val escape = if (method == 0) 0xF else 0x1F
-    val partOrder = r.read(4).toInt
-    val parts = 1 << partOrder
-    require(blockSize % parts == 0, "flac: blocksize not divisible by partitions")
-    val res = new Array[Long](blockSize - order)
-    var idx = 0
-    var p = 0
-    while (p < parts) {
-      val count = (blockSize >> partOrder) - (if (p == 0) order else 0)
-      require(count >= 0, "flac: predictor order exceeds first partition")
-      val param = r.read(paramBits).toInt
-      if (param == escape) {
-        val raw = r.read(5).toInt
-        var i = 0
-        while (i < count) { res(idx) = if (raw == 0) 0L else r.readSigned(raw).toLong; idx += 1; i += 1 }
-      } else {
-        var i = 0
-        while (i < count) {
-          val q = r.readUnary()
-          val low = if (param > 0) r.read(param) else 0L
-          res(idx) = unzigzag((q.toLong << param) | low)
-          idx += 1; i += 1
-        }
-      }
-      p += 1
-    }
-    res
   }
 }

@@ -274,8 +274,9 @@ object H264 {
     r.u(8) // constraints
     r.u(8) // level
     r.ue() // sps id
-    require(profile != 100 && profile != 110 && profile != 122 && profile != 244,
-      "h264: high-profile SPS extensions unsupported")
+    // every profile that carries the chroma_format_idc SPS extension block
+    val extended = Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 134, 135, 138, 139)
+    require(!extended.contains(profile), "h264: high-profile SPS extensions unsupported")
     val log2MaxFrameNum = r.ue() + 4
     val pocType = r.ue()
     var pocLsbBits = 0
@@ -591,8 +592,13 @@ object Mp4Mux {
                   var p = s + 8 + 5
                   val nSps = bytes(p) & 0x1f; p += 1
                   require(nSps >= 1, "mp4: avcC without SPS")
-                  val spsLen = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff); p += 2
-                  sps = java.util.Arrays.copyOfRange(bytes, p, p + spsLen); p += spsLen
+                  var k = 0
+                  while (k < nSps) { // keep the first, walk past the rest
+                    val spsLen = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff); p += 2
+                    if (k == 0) sps = java.util.Arrays.copyOfRange(bytes, p, p + spsLen)
+                    p += spsLen
+                    k += 1
+                  }
                   val nPps = bytes(p) & 0xff; p += 1
                   if (nPps >= 1) {
                     val ppsLen = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff); p += 2

@@ -98,30 +98,35 @@ object Mp3 {
       }
     }
     if (frames == 0 || rate == 0) return None
-    // Xing/Info header in the first frame overrides the frame count (VBR)
+    // Xing (VBR) / Info (LAME CBR) header at the FIXED side-info
+    // offset of the first frame overrides the walked frame count
     val xing = findXing(b, found)
-    val totalFrames = xing.getOrElse(frames)
+    val totalFrames = xing.map(_._1).getOrElse(frames)
+    val xingVbr = xing.exists(_._2)
     val dur = (samples / frames) * totalFrames.toLong * 1000 / rate
-    Some(Meta(dur, (brSum / frames).toInt, rate, channels, totalFrames, brSeen.size > 1 || xing.isDefined, id3))
+    Some(Meta(dur, (brSum / frames).toInt, rate, channels, totalFrames, brSeen.size > 1 || xingVbr, id3))
   }
 
-  /** Frame count from a Xing/Info tag in the first frame, if any. */
-  private def findXing(b: Array[Byte], frameAt: Int): Option[Int] = {
-    val limit = math.min(b.length - 8, frameAt + 200)
-    var i = frameAt + 4
-    while (i < limit) {
-      val tag = new String(b, i, 4, "US-ASCII")
-      if (tag == "Xing" || tag == "Info") {
-        val flags = ((b(i + 4) & 0xff) << 24) | ((b(i + 5) & 0xff) << 16) | ((b(i + 6) & 0xff) << 8) | (b(i + 7) & 0xff)
-        if ((flags & 1) != 0 && i + 12 <= b.length) {
-          val n = ((b(i + 8) & 0xff) << 24) | ((b(i + 9) & 0xff) << 16) | ((b(i + 10) & 0xff) << 8) | (b(i + 11) & 0xff)
-          return if (n > 0) Some(n) else None
-        }
-        return None
-      }
-      i += 1
-    }
-    None
+  /** (frameCount, isVbr) from a Xing/Info tag at the canonical offset
+    * (4 + Layer-III side-info size: MPEG-1 17/32, MPEG-2/2.5 9/17
+    * bytes for mono/other); 'Xing' marks VBR, 'Info' is LAME's CBR
+    * stamp. No substring scanning — payload bytes can't spoof it. */
+  private def findXing(b: Array[Byte], frameAt: Int): Option[(Int, Boolean)] = {
+    val f = frame(b, frameAt)
+    if (f == null) return None
+    val h = ((b(frameAt) & 0xff) << 24) | ((b(frameAt + 1) & 0xff) << 16) |
+      ((b(frameAt + 2) & 0xff) << 8) | (b(frameAt + 3) & 0xff)
+    val mpeg1 = ((h >>> 19) & 3) == 3
+    val mono = ((h >>> 6) & 3) == 3
+    val sideInfo = if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+    val i = frameAt + 4 + sideInfo
+    if (i + 12 > b.length) return None
+    val tag = new String(b, i, 4, "US-ASCII")
+    if (tag != "Xing" && tag != "Info") return None
+    val flags = ((b(i + 4) & 0xff) << 24) | ((b(i + 5) & 0xff) << 16) | ((b(i + 6) & 0xff) << 8) | (b(i + 7) & 0xff)
+    if ((flags & 1) == 0) return None
+    val n = ((b(i + 8) & 0xff) << 24) | ((b(i + 9) & 0xff) << 16) | ((b(i + 10) & 0xff) << 8) | (b(i + 11) & 0xff)
+    if (n > 0) Some((n, tag == "Xing")) else None
   }
 
   /** Synthesize a structurally valid CBR stream (zeroed payloads) —

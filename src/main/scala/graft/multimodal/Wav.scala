@@ -63,6 +63,7 @@ object Wav {
     while (pos + 8 <= bytes.length && audio.isEmpty) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = leU32(bytes, pos + 4).toInt
+      if (len < 0) return None // a 2^31+ chunk length would stall the walk
       val body = pos + 8
       if (id == "fmt " && len >= 16) {
         fmtTag = leU16(bytes, body)

@@ -718,7 +718,14 @@ object Jp2 {
             val d = (bytes(b + 18) & 0x7f) + 1
             return Some((w, h, nc, d))
           }
-          pos = if (len == 0) bytes.length else (pos + len).toInt
+          pos =
+            if (len == 0) bytes.length
+            else if (len == 1) { // XLBox: 64-bit length follows the type
+              var xl = 0L
+              (0 until 8).foreach(i => xl = (xl << 8) | (bytes(pos + 8 + i) & 0xffL))
+              if (xl < 16) return None
+              (pos + xl).toInt
+            } else (pos + len).toInt
         }
         None
       } else None

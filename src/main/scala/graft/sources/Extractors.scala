@@ -113,11 +113,13 @@ object Extractors {
     * footprint (EXIF GPS/focal + XMP relative altitude & gimbal yaw —
     * `entry.cpp:769-836`). */
   def extract(path: String, bytes: Array[Byte]): Extracted = {
+    // GeoJP2: the embedded degenerate GeoTIFF georeferences the
+    // raster — same GeoRaster shape as the TIFF branch below.
+    // (One sniff: geoMeta is the full box walk + GeoTIFF parse.)
+    lazy val jp2Geo = graft.raster.GeoJp2.geoMeta(bytes).filter(_.georeferenced)
     sniffImage(bytes) match {
-      case Some(m) if m.format == "jp2" && graft.raster.GeoJp2.geoMeta(bytes).exists(_.georeferenced) =>
-        // GeoJP2: the embedded degenerate GeoTIFF georeferences the
-        // raster — same GeoRaster shape as the TIFF branch below
-        val t = graft.raster.GeoJp2.geoMeta(bytes).get
+      case Some(m) if m.format == "jp2" && jp2Geo.isDefined =>
+        val t = jp2Geo.get
         val fp = t.footprint
         val center = fp.map(_._2)
         Extracted(EntryType.GeoRaster, GeoTiff.properties(t),

@@ -33,17 +33,25 @@ class Mp3Spec extends SparkSuite {
     assert(Mp3.sniff(withV1).get.frames == 20)
   }
 
-  test("Xing header overrides the frame count (VBR)") {
+  test("Xing/Info at the canonical side-info offset: Xing=VBR override, Info=LAME CBR, spoof ignored") {
     val mp3 = Mp3.syntheticCbr(30)
-    val x = mp3.clone()
-    // splice Xing + flags(frames) + count=120 into the first frame body
-    val at = 40
-    "Xing".getBytes.copyToArray(x, at)
-    x(at + 4) = 0; x(at + 5) = 0; x(at + 6) = 0; x(at + 7) = 1
-    x(at + 8) = 0; x(at + 9) = 0; x(at + 10) = 0; x(at + 11) = 120
-    val m = Mp3.sniff(x).get
+    def splice(tag: String, at: Int): Array[Byte] = {
+      val x = mp3.clone()
+      tag.getBytes.copyToArray(x, at)
+      x(at + 4) = 0; x(at + 5) = 0; x(at + 6) = 0; x(at + 7) = 1
+      x(at + 8) = 0; x(at + 9) = 0; x(at + 10) = 0; x(at + 11) = 120
+      x
+    }
+    val canonical = 4 + 32 // MPEG-1 stereo side-info
+    val m = Mp3.sniff(splice("Xing", canonical)).get
     assert(m.frames == 120 && m.vbr)
     assert(m.durationMs == 120L * 1152 * 1000 / 44100)
+    // LAME's Info tag carries the frame count but marks CBR
+    val info = Mp3.sniff(splice("Info", canonical)).get
+    assert(info.frames == 120 && !info.vbr, "Info is a CBR stamp")
+    // a 'Xing' string in ordinary payload bytes (wrong offset) must not override
+    val spoofed = Mp3.sniff(splice("Xing", canonical + 8)).get
+    assert(spoofed.frames == 30 && !spoofed.vbr, "payload spoof must be ignored")
   }
 
   test("refusals and false-sync guard") {

@@ -169,6 +169,15 @@ class WavSpec extends SparkSuite {
     assert(graft.multimodal.Multimodal.decodeAudio("fLaCgarbage!!".getBytes).isEmpty)
   }
 
+  test("adversarial chunk length 2^31+ refuses instead of stalling the RIFF walk") {
+    // 'JUNK' chunk with length 0xFFFFFFF8 (-8 as Int) previously re-read itself forever
+    val out = collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "RIFF".getBytes; out ++= Array[Byte](100, 0, 0, 0); out ++= "WAVE".getBytes
+    out ++= "JUNK".getBytes; out ++= Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    out ++= new Array[Byte](64)
+    assert(Wav.decode(out.toArray).isEmpty)
+  }
+
   test("features: duration and RMS match closed forms; refusal on non-WAV") {
     val samples = tone(8000, 500, 0.5, 440.0)
     val a = Wav.decode(Wav.encode(8000, 1, samples)).get
