@@ -50,6 +50,20 @@ object Multimodal {
       .orElse(decodeJp2Image(payload))
       .orElse(graft.raster.GifBmp.decodeGif(payload))
       .orElse(graft.raster.GifBmp.decodeBmp(payload))
+      .orElse(decodeTiffImage(payload))
+
+  /** Single-band 8-bit TIFF (tiled or stripped, raw/LZW/deflate)
+    * through the COG reader; multi-band/deep TIFFs stay None. */
+  private def decodeTiffImage(payload: Array[Byte]): Option[graft.raster.Png.Image] = {
+    if (payload == null || payload.length < 8) return None
+    val ii = payload(0) == 'I' && payload(1) == 'I' && (payload(2) & 0xff) == 42
+    val mm = payload(0) == 'M' && payload(1) == 'M' && (payload(3) & 0xff) == 42
+    if (!ii && !mm) return None
+    try {
+      val (w, h, px) = graft.raster.Cog.decodeLevel(payload, 0)
+      Some(graft.raster.Png.Image(w, h, 1, px.map(_.toByte)))
+    } catch { case _: Exception => None }
+  }
 
   private def decodeJp2Image(payload: Array[Byte]): Option[graft.raster.Png.Image] = {
     import graft.raster.Jp2

@@ -66,6 +66,15 @@ class GeoMediaOpsSpec extends SparkSuite {
     assert(math.abs(mean - expected) < 1e-9, s"jp2 stats not from decoded pixels: $mean vs $expected")
   }
 
+  test("media pipeline decodes single-band TIFF payloads through the COG reader") {
+    val w = 48; val h = 20
+    val px = Array.tabulate(w * h)(i => ((i * 11) % 256).toByte)
+    val tif = graft.raster.Cog.encode(w, h, px, tileSize = 16)
+    val img = Multimodal.decodeImage(tif).getOrElse(fail("tiff payload did not decode"))
+    assert(img.width == w && img.height == h && img.channels == 1)
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
   test("phash: near-identical PNGs pair within Hamming 3; a different image does not") {
     import graft.raster.Png
     // a 32x24 grayscale gradient; B = A with a handful of pixels nudged
