@@ -29,26 +29,26 @@ object Meta {
     * as a JSON string. */
   def normalizeJson(data: String): String = {
     val t = data.trim
-    def quote(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     // the reference PARSES (validateData, metamanager.cpp:80-98): raw
-    // json is kept; a parse failure retries with the input wrapped in
-    // bare quotes (no escaping), and a second failure is an error —
-    // so `{"ciao":}` throws instead of slipping through on shape
+    // json is kept (stored verbatim here; nlohmann's dump() would
+    // compact it — meta payloads are written compact in practice); a
+    // parse failure retries with the input wrapped in bare quotes (no
+    // escaping) and stores the PARSED value re-serialized — so escape
+    // sequences in the raw text are interpreted exactly like
+    // json::parse("\"..\"").dump(), and `{"ciao":}` still throws.
     def parses(s: String): Boolean =
-      try { graft.core.MiniJson.parse(s); true }
+      try { MiniJson.parse(s); true }
       catch { case _: Exception => false }
     if (t.nonEmpty && parses(t)) t
-    else if (parses("\"" + data + "\"")) quote(data)
-    else throw new IllegalArgumentException(s"Invalid JSON: $data")
+    else {
+      val rescued =
+        try Some(MiniJson.str(MiniJson.parse("\"" + data + "\"")))
+        catch { case _: Exception => None }
+      rescued match {
+        case Some(s) => MiniJson.quote(s)
+        case None => throw new IllegalArgumentException(s"Invalid JSON: $data")
+      }
+    }
   }
 
   def deterministicId(path: String, key: String, data: String, mtime: Long): String =
@@ -99,9 +99,22 @@ object Meta {
     rows.headOption.map(_.getString(0)).map { data =>
       try MiniJson.parse(data) match {
         case s: String => s
-        case other => String.valueOf(other)
+        case other => jsonText(other) // non-strings render as their JSON text (nlohmann dump)
       } catch { case _: Exception => data }
     }.getOrElse(default)
+  }
+
+  /** JSON text of a parsed MiniJson value — integral doubles print
+    * without the .0, like nlohmann's dump of a JSON number. */
+  private def jsonText(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case s: String => MiniJson.quote(s)
+    case m: Map[_, _] =>
+      m.map { case (k, x) => MiniJson.quote(k.toString) + ":" + jsonText(x) }.mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(jsonText).mkString("[", ",", "]")
+    case other => String.valueOf(other)
   }
 
   /** `list` — GROUP BY path, key with counts — ref

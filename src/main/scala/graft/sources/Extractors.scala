@@ -135,9 +135,9 @@ object Extractors {
           else if (hasGps) EntryType.GeoImage
           else EntryType.Image
         // sensor-size cascade (exif.cpp:195-232): focal-plane tags →
-        // sensor database keyed by make/model → fixed defaults; focal
-        // mm recovered from the 35mm-equivalent tag when the direct
-        // tag is absent (computeFocal, exif.cpp:167-191)
+        // sensor database keyed by make/model → fixed defaults; the
+        // 35mm-equivalent tag is PREFERRED over the direct FocalLength
+        // tag, which is the fallback (computeFocal, exif.cpp:177-186)
         val (sensorW, sensorH) = SensorData.sensorSizeMm(exif, m.width, m.height)
           .getOrElse((DefaultSensorWidthMm, DefaultSensorHeightMm))
         val focalMm = exif.focalLength35.filter(_ > 0).map(f35 => f35 / 36.0 * sensorW)

@@ -77,17 +77,21 @@ object Ingest {
       finally s.close()
     }
     val out = scala.collection.mutable.LinkedHashSet[String]()
+    // one tree walk shared by every wildcard pattern (was one walk per
+    // pattern); literal entries resolve directly and also honor the
+    // always-skip-.ddb contract
+    lazy val allFiles = walk(rootPath)
     patterns.foreach { pat =>
       require(pat != null && pat.nonEmpty, "empty glob pattern")
       val hasMeta = pat.exists("*?[".contains(_))
       if (!hasMeta) {
         val p = rootPath.resolve(pat).normalize
-        if (java.nio.file.Files.isRegularFile(p)) out += p.toString
+        if (java.nio.file.Files.isRegularFile(p)) { if (!isDdb(p)) out += p.toString }
         else if (java.nio.file.Files.isDirectory(p)) walk(p).foreach(out += _.toString)
         else throw new java.io.FileNotFoundException(s"no such file or directory: $pat")
       } else {
         val re = globToRegex(pat).r
-        walk(rootPath).foreach { p =>
+        allFiles.foreach { p =>
           val rel = rootPath.relativize(p).toString.replace('\\', '/')
           if (re.matches(rel)) out += p.toString
         }

@@ -108,6 +108,10 @@ object Tiles3d {
     val btJsonLen = bb.getInt
     val btBinLen = bb.getInt
     require(byteLength <= bytes.length, "b3dm byteLength overruns buffer")
+    require(ftJsonLen >= 0 && ftBinLen >= 0 && btJsonLen >= 0 && btBinLen >= 0,
+      "b3dm: negative table length")
+    require(28L + ftJsonLen + ftBinLen + btJsonLen + btBinLen <= byteLength,
+      "b3dm: table lengths overrun the tile")
     val ftJson = new String(bytes, 28, ftJsonLen, "UTF-8").trim
     val glbStart = 28 + ftJsonLen + ftBinLen + btJsonLen + btBinLen
     require(glbStart + 12 <= byteLength, "b3dm has no GLB payload")

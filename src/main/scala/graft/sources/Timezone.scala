@@ -96,8 +96,14 @@ object Timezone {
   def timezoneQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val zoneLits = conformanceCities.map { case (_, lat, lon, expected) =>
-      ZoneDetect.default.flatMap(_.zoneId(lat, lon)).getOrElse(expected)
+    val zoneLits = conformanceCities.map { case (city, lat, lon, expected) =>
+      ZoneDetect.default match {
+        case Some(db) =>
+          // a no-hit is a reader failure and must hash-fail the oracle,
+          // not silently substitute the expected literal
+          db.zoneId(lat, lon).getOrElse(s"MISS:$city")
+        case None => expected // asset not deployed: oracle-literal fallback
+      }
     }
     graft.Tables.events(s, dir)
       .select($"event_id", ($"event_id" % 24).cast("int").as("city_idx"))

@@ -206,7 +206,12 @@ object ZoneDetect {
     var off = i0
     var after = i0
     if (len >= 256) {
-      // remote (deduplicated) string inside the metadata section
+      // remote (deduplicated) string inside the metadata section.
+      // Header strings are parsed before the section offsets are known
+      // (metadataOffset 0 — the canonical C library has the same
+      // order); writers never emit remote header strings, so refuse
+      // rather than resolve into the header bytes.
+      require(metadataOffset > 0, "zonedetect: remote string reference in the file header")
       val (len1, o1) = uvarint(b, metadataOffset + (len - 256).toInt)
       len = len1; off = o1
     } else after = i0 + len.toInt

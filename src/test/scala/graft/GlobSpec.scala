@@ -53,6 +53,10 @@ class GlobSpec extends SparkSuite {
     assert(outDir.nonEmpty && outDir.forall(!_.contains(".ddb")))
     val outGlob = Ingest.expandGlobPatterns(sb.toString, Seq("**/*"))
     assert(outGlob.nonEmpty && outGlob.forall(!_.contains(".ddb")))
+    // literal paths under .ddb are skipped too (the contract covers
+    // every branch); skipping them all means "no files matched"
+    intercept[java.io.FileNotFoundException](
+      Ingest.expandGlobPatterns(sb.toString, Seq(".ddb/index.db")))
   }
 
   test("no match throws; empty pattern throws; dedup across patterns") {

@@ -35,6 +35,12 @@ class MetaSyncSpec extends SparkSuite {
     // a bare string with an unescapable quote also throws (the
     // reference wraps WITHOUT escaping and reparses)
     intercept[IllegalArgumentException](Meta.normalizeJson("he\"y"))
+    // escape sequences in the raw text are INTERPRETED, exactly like
+    // json::parse("\"..\"").dump(): C:\temp stores the TAB form, not
+    // a re-escaped literal backslash-t
+    assert(Meta.normalizeJson("C:\\temp") === "\"C:\\temp\"")
+    assert(graft.core.MiniJson.str(graft.core.MiniJson.parse(Meta.normalizeJson("C:\\temp"))) === "C:\temp")
+    assert(Meta.normalizeJson("a\\nb") === "\"a\\nb\"") // \n stays one interpreted newline when re-quoted
   }
 
   test("plural add appends, singular set replaces") {
