@@ -41,6 +41,76 @@ object Exif {
 
   val empty: ExifData = ExifData(None, None, None, None, None, None, None, None)
 
+  /** The embedded IFD1 thumbnail JPEG, if the APP1 block carries one
+    * (JPEGInterchangeFormat 0x0201 + length 0x0202) — drones write
+    * these, and serving them skips decoding the main image entirely
+    * (the at-scale thumbnail fast path). None when absent/corrupt. */
+  def thumbnail(bytes: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val app1 = locateApp1(bytes).getOrElse(return None)
+      val (off, end) = app1
+      val little = b2(bytes, off) == "II"
+      val big = b2(bytes, off) == "MM"
+      if (!little && !big) return None
+      def u16(i: Int): Int =
+        if (little) (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+        else ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+      def u32(i: Int): Long =
+        if (little)
+          (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) | ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+        else
+          ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) | ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      val ifd0 = off + u32(off + 4).toInt
+      if (ifd0 + 2 > end) return None
+      val n0 = u16(ifd0)
+      val nextAt = ifd0 + 2 + n0 * 12
+      if (nextAt + 4 > end) return None
+      val ifd1Off = u32(nextAt)
+      if (ifd1Off <= 0) return None
+      val ifd1 = off + ifd1Off.toInt
+      if (ifd1 + 2 > end) return None
+      val n1 = u16(ifd1)
+      var jif = -1L
+      var jifLen = -1L
+      (0 until math.min(n1, 256)).foreach { k =>
+        val e = ifd1 + 2 + k * 12
+        if (e + 12 <= end) {
+          val id = u16(e)
+          val tpe = u16(e + 2)
+          val v = if (tpe == 3) u16(e + 8).toLong else u32(e + 8)
+          if (id == 0x0201) jif = v
+          if (id == 0x0202) jifLen = v
+        }
+      }
+      if (jif <= 0 || jifLen <= 0) return None
+      val at = off + jif.toInt
+      if (at + jifLen.toInt > end || jifLen > Int.MaxValue) return None
+      val out = java.util.Arrays.copyOfRange(bytes, at, at + jifLen.toInt)
+      // must be a JPEG stream (SOI)
+      if (out.length >= 2 && (out(0) & 0xff) == 0xff && (out(1) & 0xff) == 0xd8) Some(out) else None
+    } catch { case _: Exception => None }
+  }
+
+  private def b2(b: Array[Byte], i: Int): String = new String(b, i, 2, "US-ASCII")
+
+  /** (tiffStart, tiffEnd) of the APP1 Exif block, if present. */
+  private def locateApp1(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 4 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None
+      val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      if (marker == 0xe1 && i + 10 <= bytes.length &&
+        bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+        bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0)
+        return Some((i + 10, math.min(bytes.length, i + 2 + len)))
+      i += 2 + len
+    }
+    None
+  }
+
   /** Extract from JPEG bytes: find APP1 "Exif\0\0", parse the TIFF. */
   def fromJpeg(bytes: Array[Byte]): ExifData = {
     if (bytes == null || bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) empty

@@ -134,4 +134,41 @@ class ExifSpec extends SparkSuite {
     val wide = buildJpegWithExif(buildTiff(), width = 800, height = 300)
     assert(Extractors.extract("pano.jpg", wide).entryType === EntryType.GeoPanorama)
   }
+
+  test("IFD1 embedded thumbnail extracts and decodes; absent/corrupt cases refuse") {
+    import graft.sources.Exif
+    // a real tiny JPEG as the thumbnail payload
+    val thumb = graft.raster.Jpeg.encode(16, 12, 1, Array.tabulate(192)(i => (i * 5).toByte), quality = 85)
+    // hand-built APP1: IFD0 (orientation) -> IFD1 (0x0201/0x0202) -> thumb bytes
+    val tiff = {
+      val out = collection.mutable.ArrayBuffer.empty[Byte]
+      def u16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+      def u32(v: Long): Unit = (0 until 4).foreach(k => out += (v >> (8 * k)).toByte)
+      out += 'I'; out += 'I'; u16(42); u32(8)
+      u16(1); u16(0x0112); u16(3); u32(1); u32(1) // IFD0: orientation=1
+      u32(26) // next IFD at 26
+      u16(2)
+      u16(0x0201); u16(4); u32(1); u32(56)
+      u16(0x0202); u16(4); u32(1); u32(thumb.length.toLong)
+      u32(0)
+      assert(out.length == 56)
+      out ++= thumb
+      out.toArray
+    }
+    val app1Body = "Exif\u0000\u0000".getBytes("ISO-8859-1") ++ tiff
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((app1Body.length + 2) >> 8) & 0xff).toByte, ((app1Body.length + 2) & 0xff).toByte) ++ app1Body
+    val host = graft.raster.Jpeg.encode(32, 32, 1, new Array[Byte](1024), quality = 85)
+    val withExif = host.take(2) ++ app1 ++ host.drop(2)
+
+    val got = Exif.thumbnail(withExif).getOrElse(fail("thumbnail not extracted"))
+    assert(got.toSeq == thumb.toSeq)
+    val dec = graft.raster.Jpeg.decode(got).getOrElse(fail("thumbnail not a decodable JPEG"))
+    assert(dec.width == 16 && dec.height == 12)
+    // no IFD1 -> None; corrupt offset -> None
+    assert(Exif.thumbnail(host).isEmpty)
+    val bad = withExif.clone()
+    // break the thumbnail offset (0x0201 value at tiff+2+... ) by pointing past the block
+    assert(Exif.thumbnail(bad.take(withExif.length - thumb.length - 4)).isEmpty)
+  }
 }
