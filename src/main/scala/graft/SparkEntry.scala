@@ -227,7 +227,8 @@ object SparkEntry {
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
     "q_flac" -> (graft.multimodal.FlacQueries.audioCodecQuery _),
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
-    "q_h264" -> (graft.multimodal.H264Queries.h264Query _)
+    "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
+    "q_gif" -> (graft.raster.GifBmp.gifQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3785,7 +3786,15 @@ object SparkEntry {
         |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS y_sum,
         |  CAST(coalesce(sum(CASE WHEN rn % 512 < 128
         |    THEN (event_id * 11) % 256 + (event_id * 29) % 256 END), 0) AS BIGINT) AS c_sum
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // GIF round-trip proof: gray planes cycle through the real-LZW
+    // GIF codec in-task (identity-ramp palette = lossless); zero
+    // padding keeps the sums equal to the direct aggregates.
+    "q_gif" ->
+      """SELECT event_type,
+        |  count(*) AS n_px,
+        |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

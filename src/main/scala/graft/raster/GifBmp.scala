@@ -194,6 +194,131 @@ object GifBmp {
     out
   }
 
+  /** Encode an indexed image as a GIF89a (real dictionary LZW, the
+    * encoder twin of [[lzw]]): `palette` as 0xRRGGBB, `idx` w×h
+    * palette indexes. Palette is padded to a power of two ≥ 2. */
+  def encodeGif(w: Int, h: Int, palette: Array[Int], idx: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && idx.length == w * h, "gif: bad frame shape")
+    require(palette.nonEmpty && palette.length <= 256, "gif: palette 1..256")
+    var bits = 1
+    while ((1 << bits) < palette.length) bits += 1
+    if (bits < 1) bits = 1
+    val palSize = 1 << bits
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](idx.length / 2 + 64)
+    def u16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    out ++= "GIF89a".getBytes("US-ASCII")
+    u16(w); u16(h)
+    out += (0x80 | ((bits - 1) & 7)).toByte; out += 0; out += 0
+    (0 until palSize).foreach { i =>
+      val c = if (i < palette.length) palette(i) else 0
+      out += (c >> 16).toByte; out += (c >> 8).toByte; out += c.toByte
+    }
+    out += 0x2C; u16(0); u16(0); u16(w); u16(h); out += 0
+    val minCode = math.max(2, bits)
+    out += minCode.toByte
+    out ++= lzwEncode(idx, minCode)
+    out += 0 // block terminator
+    out += 0x3B
+    out.toArray
+  }
+
+  /** Grayscale convenience: 256-entry gray ramp palette. */
+  def encodeGifGray(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] =
+    encodeGif(w, h, Array.tabulate(256)(i => (i << 16) | (i << 8) | i), pixels)
+
+  /** GIF variable-width LZW encoder with the real growing dictionary
+    * (hash map keyed (prefixCode << 8 | byte)), emitted as sub-blocks. */
+  private def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val body = new scala.collection.mutable.ArrayBuffer[Byte](data.length / 2 + 16)
+    var acc = 0L
+    var nbits = 0
+    var codeSize = minCodeSize + 1
+    def put(code: Int): Unit = {
+      acc |= (code.toLong & ((1L << codeSize) - 1)) << nbits
+      nbits += codeSize
+      while (nbits >= 8) { body += (acc & 0xff).toByte; acc >>>= 8; nbits -= 8 }
+    }
+    val dict = new java.util.HashMap[Int, Int]()
+    var next = eoi + 1
+    put(clear)
+    if (data.nonEmpty) {
+      var prefix = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = (prefix << 8) | c
+        val hit = dict.getOrDefault(key, -1)
+        if (hit >= 0) prefix = hit
+        else {
+          put(prefix)
+          if (next < 4096) {
+            dict.put(key, next)
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+            next += 1
+          } else { // dictionary full: reset (decoder mirrors on CLEAR)
+            put(clear)
+            dict.clear()
+            codeSize = minCodeSize + 1
+            next = eoi + 1
+          }
+          prefix = c
+        }
+        i += 1
+      }
+      put(prefix)
+    }
+    put(eoi)
+    if (nbits > 0) body += (acc & 0xff).toByte
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](body.length + body.length / 255 + 2)
+    var at = 0
+    while (at < body.length) {
+      val len = math.min(255, body.length - at)
+      out += len.toByte
+      out ++= body.slice(at, at + len)
+      at += len
+    }
+    out.toArray
+  }
+
+  /** q_gif: per event_type, a deterministic gray plane built from the
+    * group's own event ids cycles through the GIF codec in-task (the
+    * palette is the identity ramp, so indexes == gray values and the
+    * cycle is lossless); the decoded sum must equal the oracle's
+    * direct aggregate. One group = one task-local cycle. */
+  def gifQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val sorted = ids.sorted
+      val n = sorted.length
+      val w = 64
+      val h = math.max(1, (n + w - 1) / w)
+      val px = new Array[Byte](w * h)
+      var i = 0
+      while (i < n) { px(i) = ((sorted(i) * 37) % 256).toByte; i += 1 }
+      val dec = decodeGif(encodeGifGray(w, h, px)).getOrElse(sys.error("gif cycle failed"))
+      require(dec.width == w && dec.height == h && dec.channels == 3, "gif meta drift")
+      var sum = 0L
+      i = 0
+      while (i < w * h) {
+        val r = dec.pixels(3 * i) & 0xff
+        require(r == (dec.pixels(3 * i + 1) & 0xff) && r == (dec.pixels(3 * i + 2) & 0xff), "gray ramp broken")
+        sum += r
+        i += 1
+      }
+      Seq(n.toLong, sum)
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select($"event_type", $"a".getItem(0).as("n_px"), $"a".getItem(1).as("gray_sum"))
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------------------------------- BMP
 
   def decodeBmp(b: Array[Byte]): Option[Png.Image] =

@@ -167,6 +167,39 @@ class GifBmpSpec extends SparkSuite {
     assert(red(frames(1), 3, 1) == (9 * 31) % 256 && red(frames(1), 4, 2) == (9 * 31) % 256)
   }
 
+  test("GIF encoder: real-dictionary LZW round-trips through our decoder AND ImageIO") {
+    val (w, h) = (83, 47) // awkward size, > one sub-block of LZW data
+    val px = Array.tabulate(w * h)(i => ((i * 7 + i / w * 13) % 256).toByte)
+    val gif = GifBmp.encodeGifGray(w, h, px)
+    // our decoder round-trips exactly (gray palette: r==g==b==index)
+    val dec = GifBmp.decodeGif(gif).getOrElse(fail("own decode failed"))
+    assert(dec.width == w && dec.height == h)
+    (0 until w * h).foreach(i => assert((dec.pixels(3 * i) & 0xff) == (px(i) & 0xff), s"px $i"))
+    // ImageIO (independent implementation) reads our file identically
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO rejected our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val v = px(y * w + x) & 0xff
+        assert((img.getRGB(x, y) & 0xff) == v, s"ImageIO ($x,$y)")
+      }
+    }
+    // small palette (2 colors → 2-bit table, min code size clamp)
+    val bw = Array.tabulate(64)(i => (i % 2).toByte)
+    val tiny = GifBmp.encodeGif(8, 8, Array(0x000000, 0xFFFFFF), bw)
+    val tdec = GifBmp.decodeGif(tiny).get
+    (0 until 64).foreach(i => assert((tdec.pixels(3 * i) & 0xff) == (if (bw(i) == 1) 255 else 0)))
+    val timg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiny))
+    (0 until 8).foreach(y => (0 until 8).foreach(x =>
+      assert((timg.getRGB(x, y) & 0xff) == (if (bw(y * 8 + x) == 1) 255 else 0))))
+    // dictionary-reset path: enough distinct phrases to fill 4096 codes
+    var s = 1L
+    val big = Array.fill(120000) { s = s * 1103515245 + 12345; ((s >> 16) & 0xff).toByte }
+    val bigGif = GifBmp.encodeGifGray(400, 300, big)
+    assert(GifBmp.decodeGif(bigGif).get.pixels.grouped(3).map(_.head).toSeq == big.toSeq)
+  }
+
   test("decodeImage routes GIF and BMP; refusals on garbage") {
     val gif = handGif(6, 6, Array.tabulate(36)(_.toByte), interlaced = false)
     assert(graft.multimodal.Multimodal.decodeImage(gif).exists(_.width == 6))
