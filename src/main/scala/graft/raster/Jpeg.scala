@@ -240,8 +240,362 @@ object Jpeg {
     * truncated/corrupt streams — an estate scan flags bad files and
     * scans on, it never crashes or hangs on one. */
   def decode(bytes: Array[Byte]): Option[Png.Image] =
-    try parse(bytes).flatMap(p => decodeScan(bytes, p))
+    (try parse(bytes).flatMap(p => decodeScan(bytes, p))
+    catch { case _: Exception => None })
+      .orElse(decodeProgressive(bytes))
+
+  // ---- progressive (SOF2) decode -------------------------------------------
+  //
+  // T.81 Annex G: coefficients accumulate across scans — DC first /
+  // refine (successive approximation), AC first / refine per spectral
+  // band with EOB runs — then one dequant+IDCT at the end. A large
+  // share of real-world (web) JPEGs are progressive, so the
+  // training-data pipeline decodes them natively like baseline.
+
+  def decodeProgressive(bytes: Array[Byte]): Option[Png.Image] =
+    try decodeProgressive0(bytes)
     catch { case _: Exception => None }
+
+  private def decodeProgressive0(bytes: Array[Byte]): Option[Png.Image] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+
+    val qt = Array.ofDim[Int](4, 64)
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var progressive = false
+    var coefs: Array[Array[Int]] = null // per comp, padded blocks × 64, zigzag order
+    var mcusX = 0; var mcusY = 0
+    var hMax = 0; var vMax = 0
+
+    var pos = 2
+    var done = false
+    while (!done && pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xFF) != 0xFF) return None
+      val m = bytes(pos + 1) & 0xFF
+      if (m == 0xD9) done = true
+      else {
+        val len = u16(pos + 2)
+        val seg = pos + 4
+        m match {
+          case 0xDB =>
+            var p = seg
+            while (p < seg + len - 2) {
+              val pq = (bytes(p) & 0xFF) >> 4
+              val tq = bytes(p) & 0x0F
+              p += 1
+              var i = 0
+              while (i < 64) {
+                qt(tq)(i) = if (pq == 0) bytes(p) & 0xFF else u16(p)
+                p += (if (pq == 0) 1 else 2)
+                i += 1
+              }
+            }
+          case 0xC4 =>
+            var p = seg
+            while (p < seg + len - 2) {
+              val tc = (bytes(p) & 0xFF) >> 4
+              val th = bytes(p) & 0x0F
+              p += 1
+              val bits = Array.tabulate(16)(i => bytes(p + i) & 0xFF)
+              p += 16
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => bytes(p + i) & 0xFF)
+              p += n
+              val tab = new HuffDec(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            }
+          case 0xC2 =>
+            progressive = true
+            if ((bytes(seg) & 0xFF) != 8) return None
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xFF
+            if (nc != 1 && nc != 3) return None
+            comps = Array.tabulate(nc) { i =>
+              val p = seg + 6 + 3 * i
+              Comp(bytes(p) & 0xFF, (bytes(p + 1) & 0xFF) >> 4, bytes(p + 1) & 0x0F, bytes(p + 2) & 0xFF)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)) return None
+            hMax = comps.map(_.h).max; vMax = comps.map(_.v).max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            coefs = comps.map(c => new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          case 0xC0 | 0xC1 => return None // baseline frame: handled by the other path
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF => return None
+          case 0xDD => restartInterval = u16(seg)
+          case 0xDA =>
+            if (!progressive || comps == null) return None
+            val ns = bytes(seg) & 0xFF
+            var p = seg + 1
+            val scanComps = Array.tabulate(ns) { _ =>
+              val cid = bytes(p) & 0xFF
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).td = (bytes(p + 1) & 0xFF) >> 4
+              comps(ci).ta = bytes(p + 1) & 0x0F
+              p += 2
+              ci
+            }
+            val ss = bytes(p) & 0xFF
+            val se = bytes(p + 1) & 0xFF
+            val ah = (bytes(p + 2) & 0xFF) >> 4
+            val al = bytes(p + 2) & 0x0F
+            val dataStart = p + 3
+            decodeProgressiveScan(bytes, dataStart, comps, scanComps, coefs,
+              dcTabs, acTabs, mcusX, mcusY, hMax, vMax, w, h, ss, se, ah, al, restartInterval)
+            // find the next marker after the entropy data (skip RSTn + stuffed FF00)
+            var q = dataStart
+            var next = -1
+            while (next < 0 && q + 1 < bytes.length) {
+              if ((bytes(q) & 0xFF) == 0xFF) {
+                val mm = bytes(q + 1) & 0xFF
+                if (mm != 0x00 && !(mm >= 0xD0 && mm <= 0xD7)) next = q
+                else q += 2
+              } else q += 1
+            }
+            if (next < 0) return None
+            pos = next
+          case _ => ()
+        }
+        if (m != 0xDA) pos = seg + len - 2
+      }
+    }
+    if (!progressive || comps == null || coefs == null) return None
+
+    // dequant + IDCT every padded block into the component planes
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+    val natural = new Array[Int](64)
+    val block = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      val bw = mcusX * c.h
+      val bh = mcusY * c.v
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base = (by * bw + bx) * 64
+          java.util.Arrays.fill(natural, 0)
+          var k = 0
+          while (k < 64) {
+            val v = coefs(ci)(base + k)
+            if (v != 0) natural(Zigzag(k)) = v * q(k)
+            k += 1
+          }
+          var y0 = 0
+          while (y0 < 8) {
+            var x0 = 0
+            while (x0 < 8) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                var vv = 0
+                while (vv < 8) {
+                  val cc = natural(vv * 8 + u)
+                  if (cc != 0) sum += cu(u) * cu(vv) * cc * CosTable(u * 8 + x0) * CosTable(vv * 8 + y0)
+                  vv += 1
+                }
+                u += 1
+              }
+              block(y0 * 8 + x0) = sum / 4.0
+              x0 += 1
+            }
+            y0 += 1
+          }
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val v = math.round(block(yy * 8 + xx) + 128.0).toInt
+              val vc = if (v < 0) 0 else if (v > 255) 255 else v
+              planes(ci)((by * 8 + yy) * planeW(ci) + bx * 8 + xx) = vc.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    val parsed = Parsed(comps, qt, dcTabs, acTabs, w, h, restartInterval, 0)
+    Some(finish(parsed, planes, planeW, hMax, vMax))
+  }
+
+  /** One progressive scan (T.81 G.1.2 / the IJG control flow). */
+  private def decodeProgressiveScan(
+      bytes: Array[Byte], dataStart: Int, comps: Array[Comp], scanComps: Array[Int],
+      coefs: Array[Array[Int]], dcTabs: Array[HuffDec], acTabs: Array[HuffDec],
+      mcusX: Int, mcusY: Int, hMax: Int, vMax: Int, w: Int, h: Int,
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Unit = {
+    val r = new BitReader(bytes, dataStart)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstCycle = 0
+    var unitsSinceRestart = 0
+
+    def restartIfDue(): Unit = {
+      if (restartInterval > 0 && unitsSinceRestart == restartInterval) {
+        r.align()
+        if (r.marker == 0) {
+          while (r.pos + 1 < bytes.length && (bytes(r.pos) & 0xFF) != 0xFF) r.pos += 1
+          if (r.pos + 1 < bytes.length) { r.marker = bytes(r.pos + 1) & 0xFF; r.pos += 2 }
+        }
+        require(r.marker == 0xD0 + rstCycle, "jpeg: progressive restart desync")
+        r.clearMarker()
+        rstCycle = (rstCycle + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+        unitsSinceRestart = 0
+      }
+    }
+
+    def dcBlock(ci: Int, base: Int): Unit = {
+      val c = comps(ci)
+      if (ah == 0) {
+        val t = r.decodeHuff(dcTabs(c.td))
+        val diff = extend(r.readBits(t), t)
+        preds(ci) += diff
+        coefs(ci)(base) = preds(ci) << al
+      } else if (r.readBit() == 1) {
+        coefs(ci)(base) |= 1 << al
+      }
+    }
+
+    def acFirst(ci: Int, base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val c = comps(ci)
+      var k = ss
+      var stop = false
+      while (!stop && k <= se) {
+        val rs = r.decodeHuff(acTabs(c.ta))
+        val run = rs >> 4
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (run == 15) k += 16
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += r.readBits(run)
+            stop = true
+          }
+        } else {
+          k += run
+          if (k > se) stop = true // corrupt; bail on this block
+          else {
+            coefs(ci)(base + k) = extend(r.readBits(s), s) << al
+            k += 1
+          }
+        }
+      }
+    }
+
+    def acRefine(ci: Int, base: Int): Unit = {
+      val c = comps(ci)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var stop = false
+        while (!stop && k <= se) {
+          val rs = r.decodeHuff(acTabs(c.ta))
+          var run = rs >> 4
+          val s = rs & 0x0F
+          var newVal = 0
+          if (s != 0) {
+            newVal = if (r.readBit() == 1) p1 else m1
+          } else if (run != 15) {
+            eobrun = 1 << run
+            if (run > 0) eobrun += r.readBits(run)
+            stop = true
+          }
+          if (!stop) {
+            var placed = false
+            while (!placed && k <= se) {
+              val cur = coefs(ci)(base + k)
+              if (cur != 0) {
+                if (r.readBit() == 1 && (cur & p1) == 0)
+                  coefs(ci)(base + k) = cur + (if (cur >= 0) p1 else m1)
+                k += 1
+              } else {
+                if (run == 0) {
+                  if (newVal != 0) { coefs(ci)(base + k) = newVal }
+                  k += 1
+                  placed = true
+                } else { run -= 1; k += 1 }
+              }
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val cur = coefs(ci)(base + k)
+          if (cur != 0 && r.readBit() == 1 && (cur & p1) == 0)
+            coefs(ci)(base + k) = cur + (if (cur >= 0) p1 else m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (ss == 0) {
+      // DC scan: always interleaved over the scan's components (MCU order)
+      var mcu = 0
+      val nMcu = mcusX * mcusY
+      while (mcu < nMcu) {
+        restartIfDue()
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        scanComps.foreach { ci =>
+          val c = comps(ci)
+          val bw = mcusX * c.h
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val base = ((my * c.v + by) * bw + (mx * c.h + bx)) * 64
+              dcBlock(ci, base)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        mcu += 1
+        unitsSinceRestart += 1
+      }
+    } else {
+      // AC scans are always single-component, over the component's own
+      // (unpadded) block grid
+      require(scanComps.length == 1, "jpeg: multi-component AC scan")
+      val ci = scanComps(0)
+      val c = comps(ci)
+      val compW = (w * c.h + hMax - 1) / hMax
+      val compH = (h * c.v + vMax - 1) / vMax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      val stride = mcusX * c.h
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          restartIfDue()
+          val base = (by * stride + bx) * 64
+          if (ah == 0) acFirst(ci, base) else acRefine(ci, base)
+          bx += 1
+          unitsSinceRestart += 1
+        }
+        by += 1
+      }
+    }
+  }
 
   private[raster] def parse(bytes: Array[Byte]): Option[Parsed] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
