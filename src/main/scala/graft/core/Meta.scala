@@ -111,8 +111,9 @@ object Meta {
     case b: Boolean => b.toString
     case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case s: String => MiniJson.quote(s)
-    case m: Map[_, _] =>
-      m.map { case (k, x) => MiniJson.quote(k.toString) + ":" + jsonText(x) }.mkString("{", ",", "}")
+    case m: Map[_, _] => // nlohmann's dump sorts object keys
+      m.toSeq.sortBy(_._1.toString)
+        .map { case (k, x) => MiniJson.quote(k.toString) + ":" + jsonText(x) }.mkString("{", ",", "}")
     case xs: Seq[_] => xs.map(jsonText).mkString("[", ",", "]")
     case other => String.valueOf(other)
   }

@@ -56,8 +56,11 @@ object Multimodal {
     * through the COG reader; multi-band/deep TIFFs stay None. */
   private def decodeTiffImage(payload: Array[Byte]): Option[graft.raster.Png.Image] = {
     if (payload == null || payload.length < 8) return None
-    val ii = payload(0) == 'I' && payload(1) == 'I' && (payload(2) & 0xff) == 42
-    val mm = payload(0) == 'M' && payload(1) == 'M' && (payload(3) & 0xff) == 42
+    val magic2 = payload(2) & 0xff
+    val magic3 = payload(3) & 0xff
+    // classic TIFF (42) and BigTIFF (43) — Cog.parseIfds reads both
+    val ii = payload(0) == 'I' && payload(1) == 'I' && (magic2 == 42 || magic2 == 43)
+    val mm = payload(0) == 'M' && payload(1) == 'M' && (magic3 == 42 || magic3 == 43)
     if (!ii && !mm) return None
     try {
       val (w, h, px) = graft.raster.Cog.decodeLevel(payload, 0)

@@ -200,6 +200,8 @@ object GifBmp {
   def encodeGif(w: Int, h: Int, palette: Array[Int], idx: Array[Byte]): Array[Byte] = {
     require(w > 0 && h > 0 && idx.length == w * h, "gif: bad frame shape")
     require(palette.nonEmpty && palette.length <= 256, "gif: palette 1..256")
+    // out-of-range indexes would alias the LZW CLEAR/EOI codes
+    require(idx.forall(i => (i & 0xff) < palette.length), "gif: pixel index outside the palette")
     var bits = 1
     while ((1 << bits) < palette.length) bits += 1
     if (bits < 1) bits = 1

@@ -8,12 +8,13 @@ import scala.collection.mutable.ArrayBuffer
   * this library previously decoded only PNG natively). Both
   * directions:
   *
-  *  - [[decode]]: baseline + extended-sequential Huffman (SOF0/SOF1),
-  *    grayscale and 3-component YCbCr, arbitrary 1-2× chroma
-  *    subsampling (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte
-  *    stuffing; double-precision IDCT (well inside the T.81 §A.3.3
-  *    accuracy envelope). Progressive (SOF2) and arithmetic coding
-  *    return None — flag, don't abort the scan.
+  *  - [[decode]]: baseline + extended-sequential Huffman (SOF0/SOF1)
+  *    AND progressive (SOF2, via [[decodeProgressive]]), grayscale
+  *    and 3-component YCbCr, arbitrary 1-2× chroma subsampling
+  *    (4:4:4 / 4:2:2 / 4:2:0), restart markers, byte stuffing;
+  *    double-precision IDCT (well inside the T.81 §A.3.3 accuracy
+  *    envelope). Arithmetic coding returns None — flag, don't abort
+  *    the scan.
   *  - [[encode]]: baseline 8-bit, gray or 4:4:4 color, Annex K
   *    quantization tables with IJG quality scaling and the K.3.3
   *    standard Huffman tables.
@@ -234,11 +235,12 @@ object Jpeg {
       scanStart: Int
   )
 
-  /** Decode a baseline/extended-sequential JPEG. Returns channels 1
-    * (gray) or 3 (RGB). None for anything this codec does not cover
-    * (progressive, arithmetic, 12-bit, 4-component) AND for
-    * truncated/corrupt streams — an estate scan flags bad files and
-    * scans on, it never crashes or hangs on one. */
+  /** Decode a baseline/extended-sequential OR progressive JPEG
+    * (baseline path first, SOF2 falls through to
+    * [[decodeProgressive]]). Returns channels 1 (gray) or 3 (RGB).
+    * None for anything this codec does not cover (arithmetic, 12-bit,
+    * 4-component) AND for truncated/corrupt streams — an estate scan
+    * flags bad files and scans on, it never crashes or hangs on one. */
   def decode(bytes: Array[Byte]): Option[Png.Image] =
     (try parse(bytes).flatMap(p => decodeScan(bytes, p))
     catch { case _: Exception => None })
@@ -343,6 +345,9 @@ object Jpeg {
             val se = bytes(p + 1) & 0xFF
             val ah = (bytes(p + 2) & 0xFF) >> 4
             val al = bytes(p + 2) & 0x0F
+            // spectral band must stay inside one block (a corrupt Se
+            // would otherwise write into neighbouring blocks' slots)
+            if (!(ss == 0 && se == 0) && !(ss >= 1 && ss <= se && se <= 63)) return None
             val dataStart = p + 3
             decodeProgressiveScan(bytes, dataStart, comps, scanComps, coefs,
               dcTabs, acTabs, mcusX, mcusY, hMax, vMax, w, h, ss, se, ah, al, restartInterval)
@@ -546,8 +551,8 @@ object Jpeg {
       }
     }
 
-    if (ss == 0) {
-      // DC scan: always interleaved over the scan's components (MCU order)
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan: MCU order over the scan's components
       var mcu = 0
       val nMcu = mcusX * mcusY
       while (mcu < nMcu) {
@@ -570,6 +575,27 @@ object Jpeg {
         }
         mcu += 1
         unitsSinceRestart += 1
+      }
+    } else if (ss == 0) {
+      // single-component DC scan is NON-interleaved (T.81 A.2.2):
+      // raster order over the component's own unpadded block grid
+      val ci = scanComps(0)
+      val c = comps(ci)
+      val compW = (w * c.h + hMax - 1) / hMax
+      val compH = (h * c.v + vMax - 1) / vMax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      val stride = mcusX * c.h
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          restartIfDue()
+          dcBlock(ci, (by * stride + bx) * 64)
+          bx += 1
+          unitsSinceRestart += 1
+        }
+        by += 1
       }
     } else {
       // AC scans are always single-component, over the component's own

@@ -112,25 +112,8 @@ object Exif {
   }
 
   /** Extract from JPEG bytes: find APP1 "Exif\0\0", parse the TIFF. */
-  def fromJpeg(bytes: Array[Byte]): ExifData = {
-    if (bytes == null || bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) empty
-    else {
-      var i = 2
-      while (i + 4 < bytes.length) {
-        if ((bytes(i) & 0xff) != 0xff) return empty
-        val marker = bytes(i + 1) & 0xff
-        if (marker == 0xd9 || marker == 0xda) return empty // EOI / SOS: no EXIF
-        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-        if (marker == 0xe1 && i + 4 + 6 <= bytes.length &&
-          bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
-          bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
-          return fromTiff(bytes, i + 10, math.min(bytes.length, i + 2 + len))
-        }
-        i += 2 + len
-      }
-      empty
-    }
-  }
+  def fromJpeg(bytes: Array[Byte]): ExifData =
+    locateApp1(bytes).map { case (off, end) => fromTiff(bytes, off, end) }.getOrElse(empty)
 
   /** Parse a TIFF (EXIF) block in bytes[off, end). */
   def fromTiff(b: Array[Byte], off: Int, end: Int): ExifData = {
