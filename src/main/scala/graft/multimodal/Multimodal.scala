@@ -51,6 +51,7 @@ object Multimodal {
       .orElse(graft.raster.GifBmp.decodeGif(payload))
       .orElse(graft.raster.GifBmp.decodeBmp(payload))
       .orElse(decodeTiffImage(payload))
+      .orElse(graft.raster.Pnm.decode(payload))
 
   /** Single-band 8-bit TIFF (tiled or stripped, raw/LZW/deflate)
     * through the COG reader; multi-band/deep TIFFs stay None. */

@@ -1,0 +1,96 @@
+package graft.text
+
+/** URL canonicalization — the dedup key a web-scale curation pipeline
+  * groups on before content dedup (two crawls of one page differ only
+  * in tracking params, fragment, host case, default port). The rules
+  * are the common-crawl-style conservative set:
+  *
+  *  - scheme and host lowercased; a single leading `www.` stripped
+  *  - default ports dropped (http:80, https:443)
+  *  - fragment dropped
+  *  - percent-encodings of UNRESERVED characters decoded (A-Za-z0-9
+  *    -._~), all others left intact, hex digits uppercased
+  *  - tracking query parameters removed (utm_*, fbclid, gclid,
+  *    msclkid, mc_eid, igshid, ref_src); remaining params kept in
+  *    ORIGINAL order (sorting changes semantics on some sites —
+  *    conservative choice, documented)
+  *  - empty query/path normalized ("" path → "/", trailing "?" gone)
+  *
+  * Pure string function — usable as a codegen-friendly column via
+  * `udf`, grouped on before MinHash/SimHash in the dedup tier.
+  */
+object UrlCanon {
+
+  private val TrackingExact = Set("fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref_src", "yclid")
+
+  private def isTracking(key: String): Boolean = {
+    val k = key.toLowerCase(java.util.Locale.ROOT)
+    k.startsWith("utm_") || TrackingExact.contains(k)
+  }
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** Decode %XX of unreserved chars, uppercase the rest's hex. */
+  private def normalizePercent(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s(i + 1), 16) >= 0 && Character.digit(s(i + 2), 16) >= 0) {
+        val v = (Character.digit(s(i + 1), 16) << 4) | Character.digit(s(i + 2), 16)
+        if (isUnreserved(v.toChar)) out += v.toChar
+        else { out += '%'; out += Character.toUpperCase(s(i + 1)); out += Character.toUpperCase(s(i + 2)) }
+        i += 3
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Canonical form, or the input unchanged when it isn't an
+    * absolute http(s) URL (other schemes pass through untouched —
+    * flag, don't mangle). */
+  def canonical(url: String): String = {
+    if (url == null) return null
+    val t = url.trim
+    val schemeEnd = t.indexOf("://")
+    if (schemeEnd <= 0) return t
+    val scheme = t.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return t
+    val rest = t.substring(schemeEnd + 3)
+    // split authority / path / query / fragment
+    val fragAt = rest.indexOf('#')
+    val noFrag = if (fragAt >= 0) rest.substring(0, fragAt) else rest
+    val qAt = noFrag.indexOf('?')
+    val (authPath, query) = if (qAt >= 0) (noFrag.substring(0, qAt), noFrag.substring(qAt + 1)) else (noFrag, "")
+    val pathAt = authPath.indexOf('/')
+    var auth = if (pathAt >= 0) authPath.substring(0, pathAt) else authPath
+    val path = if (pathAt >= 0) authPath.substring(pathAt) else "/"
+    // authority: lowercase host, strip one leading www., drop default port
+    auth = auth.toLowerCase(java.util.Locale.ROOT)
+    val (userinfo, hostPort) = {
+      val at = auth.lastIndexOf('@')
+      if (at >= 0) (auth.substring(0, at + 1), auth.substring(at + 1)) else ("", auth)
+    }
+    var (host, port) = {
+      val colon = hostPort.lastIndexOf(':')
+      if (colon >= 0 && hostPort.drop(colon + 1).forall(_.isDigit))
+        (hostPort.substring(0, colon), hostPort.substring(colon + 1))
+      else (hostPort, "")
+    }
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    val defaultPort = (scheme == "http" && port == "80") || (scheme == "https" && port == "443")
+    val portPart = if (port.isEmpty || defaultPort) "" else ":" + port
+    // query: drop tracking params, keep original order
+    val keptQuery =
+      if (query.isEmpty) ""
+      else query.split("&", -1).filter { kv =>
+        val key = kv.indexOf('=') match { case -1 => kv; case e => kv.substring(0, e) }
+        kv.nonEmpty && !isTracking(key)
+      }.mkString("&")
+    val qPart = if (keptQuery.isEmpty) "" else "?" + keptQuery
+    scheme + "://" + userinfo + host + portPart + normalizePercent(path) + normalizePercent(qPart)
+  }
+}
