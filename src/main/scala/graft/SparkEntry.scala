@@ -228,7 +228,8 @@ object SparkEntry {
     "q_flac" -> (graft.multimodal.FlacQueries.audioCodecQuery _),
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
-    "q_gif" -> (graft.raster.GifBmp.gifQuery _)
+    "q_gif" -> (graft.raster.GifBmp.gifQuery _),
+    "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3794,6 +3795,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_px,
         |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // URL canonicalization proof: three crawl variants per id
+    // (www+utm tracking, uppercase scheme + default port, fragment)
+    // all collapse through the REAL kernel to one canonical form per
+    // (site, page) pair — which this oracle counts directly.
+    "q_url_canon" ->
+      """SELECT event_type,
+        |  count(*) AS n_urls,
+        |  CAST(count(DISTINCT (event_id % 50) * 1000 + (event_id % 100)) AS BIGINT) AS n_canon
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived

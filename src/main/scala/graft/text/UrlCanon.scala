@@ -93,4 +93,33 @@ object UrlCanon {
     val qPart = if (keptQuery.isEmpty) "" else "?" + keptQuery
     scheme + "://" + userinfo + host + portPart + normalizePercent(path) + normalizePercent(qPart)
   }
+
+  /** q_url_canon: per event_type, crawl-variant URLs built from the
+    * group's own ids (three variants per id — www+utm, uppercase
+    * scheme+default port, fragment — that all canonicalize to one
+    * form) collapse through the REAL kernel; the oracle counts the
+    * distinct (site, page) pairs directly. */
+  def urlCanonQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val mkUrl = udf { id: Long =>
+      val site = id % 50
+      val page = id % 100
+      (id % 3) match {
+        case 0 => s"https://www.site$site.com/p?id=$page&utm_source=feed"
+        case 1 => s"HTTPS://site$site.com:443/p?id=$page"
+        case _ => s"https://site$site.com/p?id=$page#frag"
+      }
+    }
+    val canonUdf = udf(canonical _)
+    graft.Tables
+      .eventsRaw(s, dir)
+      .select($"event_type", canonUdf(mkUrl($"event_id")).as("canon"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct($"canon").as("n_canon")
+      )
+      .orderBy($"event_type")
+  }
 }
