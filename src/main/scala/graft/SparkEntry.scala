@@ -229,7 +229,8 @@ object SparkEntry {
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
     "q_gif" -> (graft.raster.GifBmp.gifQuery _),
-    "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _)
+    "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _),
+    "q_html" -> (graft.text.HtmlExtract.htmlQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3804,6 +3805,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_urls,
         |  CAST(count(DISTINCT (event_id % 50) * 1000 + (event_id % 100)) AS BIGINT) AS n_canon
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // HTML boilerplate-removal proof: the article paragraph survives
+    // extraction byte-exactly (required in-task), so its length is
+    // the direct SQL expression below; nav/footer/style chrome must
+    // contribute nothing.
+    "q_html" ->
+      """SELECT event_type,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(rtrim(repeat('w' || CAST(event_id % 97 AS VARCHAR) || ' ', 30)))) AS BIGINT) AS kept_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
