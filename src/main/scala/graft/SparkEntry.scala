@@ -230,7 +230,8 @@ object SparkEntry {
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
     "q_gif" -> (graft.raster.GifBmp.gifQuery _),
     "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _),
-    "q_html" -> (graft.text.HtmlExtract.htmlQuery _)
+    "q_html" -> (graft.text.HtmlExtract.htmlQuery _),
+    "q_gopher" -> (TextOps.gopherQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3814,7 +3815,56 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_docs,
         |  CAST(sum(length(rtrim(repeat('w' || CAST(event_id % 97 AS VARCHAR) || ' ', 30)))) AS BIGINT) AS kept_chars
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Gopher quality rules (Rae et al. 2021): same \w+ token
+    // convention as q_token_stats; ratios and thresholds mirrored
+    // term-for-term. DuckDB's regexp_matches is RE2 — \b word
+    // boundaries and the line-anchor classes behave as in Java here.
+    "q_gopher" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    regexp_extract_all(text, '\w+') AS words,
+        |    length(regexp_extract_all(text, '\w+')) AS n_words,
+        |    string_split(text, chr(10)) AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
+        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END +
+        |     CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    n_words BETWEEN 50 AND 100000 AS f_words,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / n_words
+        |      ELSE 0.0 END BETWEEN 3.0 AND 10.0 AS f_mean_len,
+        |    CASE WHEN n_words > 0 THEN CAST(hashes AS DOUBLE) / n_words ELSE 1.0 END <= 0.1 AS f_hash,
+        |    CASE WHEN n_words > 0 THEN CAST(ellipses AS DOUBLE) / n_words ELSE 1.0 END <= 0.1 AS f_ellipsis,
+        |    CASE WHEN length(lines) > 0
+        |      THEN CAST(length(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / length(lines)
+        |      ELSE 0.0 END <= 0.9 AS f_bullet,
+        |    CASE WHEN length(lines) > 0
+        |      THEN CAST(length(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / length(lines)
+        |      ELSE 0.0 END <= 0.3 AS f_ell_lines,
+        |    CASE WHEN n_words > 0
+        |      THEN CAST(length(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_words
+        |      ELSE 0.0 END >= 0.8 AS f_alpha,
+        |    stop_hits >= 2 AS f_stops
+        |  FROM m)
+        |SELECT source,
+        |  count(*) AS docs,
+        |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS ok_words,
+        |  CAST(sum(CASE WHEN f_mean_len THEN 1 ELSE 0 END) AS BIGINT) AS ok_mean_len,
+        |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS ok_alpha,
+        |  CAST(sum(CASE WHEN f_stops THEN 1 ELSE 0 END) AS BIGINT) AS ok_stops,
+        |  CAST(sum(CASE WHEN f_words AND f_mean_len AND f_hash AND f_ellipsis
+        |    AND f_bullet AND f_ell_lines AND f_alpha AND f_stops THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
     // Every declared query has an oracle: hash-based ops (minhash,
     // simhash, fingerprint, LSH) use the engine-neutral md5-derived
     // hash so DuckDB recomputes the identical sketch.

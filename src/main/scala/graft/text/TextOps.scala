@@ -18,6 +18,64 @@ object TextOps {
   def tokenCols(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+"), lit(0)))
 
+  /** Gopher quality-rule flags (Rae et al. 2021, the published
+    * standard gate most curation stacks start from), as pure column
+    * expressions over the shared `\w+` token convention:
+    * word-count bounds, mean word length 3–10, symbol-to-word ratios
+    * for '#' and '...', bullet-line and ellipsis-line ratios,
+    * alphabetic-word ratio ≥ 0.8, ≥ 2 of the 8 Gopher stop words.
+    * Returns (flag columns..., pass_all). */
+  def gopherCols(text: Column): Seq[Column] = {
+    import org.apache.spark.sql.functions._
+    val words = regexp_extract_all(text, lit("\\w+"), lit(0))
+    val nWords = size(words).cast("double")
+    val wordChars = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).cast("double")
+    val meanLen = when(nWords > 0, wordChars / nWords).otherwise(lit(0.0))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+    val hashes = (length(text) - length(regexp_replace(text, lit("#"), lit("")))).cast("double")
+    val ellipses = ((length(text) - length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / 3).cast("double")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val fWords = nWords >= 50 && nWords <= 100000
+    val fMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val fHash = when(nWords > 0, hashes / nWords).otherwise(lit(1.0)) <= 0.1
+    val fEllipsis = when(nWords > 0, ellipses / nWords).otherwise(lit(1.0)) <= 0.1
+    val fBullet = when(nLines > 0, bulletLines / nLines).otherwise(lit(0.0)) <= 0.9
+    val fEllLines = when(nLines > 0, ellipsisLines / nLines).otherwise(lit(0.0)) <= 0.3
+    val fAlpha = when(nWords > 0, alphaWords / nWords).otherwise(lit(0.0)) >= 0.8
+    val fStops = stopHits >= 2
+    Seq(
+      fWords.as("f_words"), fMeanLen.as("f_mean_len"), fHash.as("f_hash"),
+      fEllipsis.as("f_ellipsis"), fBullet.as("f_bullet"), fEllLines.as("f_ell_lines"),
+      fAlpha.as("f_alpha"), fStops.as("f_stops"),
+      (fWords && fMeanLen && fHash && fEllipsis && fBullet && fEllLines && fAlpha && fStops).as("pass_all")
+    )
+  }
+
+  /** ◆ Gopher rules rolled up by source: docs, per-rule pass counts,
+    * full-gate pass count. */
+  def gopherQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, dir)
+      .select(Seq($"source") ++ gopherCols($"text"): _*)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when($"f_words", 1L).otherwise(0L)).as("ok_words"),
+        sum(when($"f_mean_len", 1L).otherwise(0L)).as("ok_mean_len"),
+        sum(when($"f_alpha", 1L).otherwise(0L)).as("ok_alpha"),
+        sum(when($"f_stops", 1L).otherwise(0L)).as("ok_stops"),
+        sum(when($"pass_all", 1L).otherwise(0L)).as("pass_all")
+      )
+      .orderBy($"source")
+  }
+
   /** ◆ Token counting per document, rolled up by language. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
