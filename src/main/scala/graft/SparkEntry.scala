@@ -3818,13 +3818,13 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Gopher quality rules (Rae et al. 2021): same \w+ token
     // convention as q_token_stats; ratios and thresholds mirrored
-    // term-for-term. DuckDB's regexp_matches is RE2 — \b word
-    // boundaries and the line-anchor classes behave as in Java here.
+    // term-for-term. Line tests use ltrim/rtrim + prefix/suffix, not
+    // \s/$ classes, so Java-vs-RE2 edge semantics cannot drift.
     "q_gopher" ->
       """WITH m AS (
         |  SELECT source,
         |    regexp_extract_all(text, '\w+') AS words,
-        |    length(regexp_extract_all(text, '\w+')) AS n_words,
+        |    length(words) AS n_words,
         |    string_split(text, chr(10)) AS lines,
         |    length(text) - length(replace(text, '#', '')) AS hashes,
         |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses,
@@ -3846,10 +3846,12 @@ object SparkEntry {
         |    CASE WHEN n_words > 0 THEN CAST(hashes AS DOUBLE) / n_words ELSE 1.0 END <= 0.1 AS f_hash,
         |    CASE WHEN n_words > 0 THEN CAST(ellipses AS DOUBLE) / n_words ELSE 1.0 END <= 0.1 AS f_ellipsis,
         |    CASE WHEN length(lines) > 0
-        |      THEN CAST(length(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / length(lines)
+        |      THEN CAST(length(list_filter(lines, l ->
+        |        starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) / length(lines)
         |      ELSE 0.0 END <= 0.9 AS f_bullet,
         |    CASE WHEN length(lines) > 0
-        |      THEN CAST(length(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / length(lines)
+        |      THEN CAST(length(list_filter(lines, l ->
+        |        ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE) / length(lines)
         |      ELSE 0.0 END <= 0.3 AS f_ell_lines,
         |    CASE WHEN n_words > 0
         |      THEN CAST(length(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_words

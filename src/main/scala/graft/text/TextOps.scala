@@ -26,7 +26,6 @@ object TextOps {
     * alphabetic-word ratio ≥ 0.8, ≥ 2 of the 8 Gopher stop words.
     * Returns (flag columns..., pass_all). */
   def gopherCols(text: Column): Seq[Column] = {
-    import org.apache.spark.sql.functions._
     val words = regexp_extract_all(text, lit("\\w+"), lit(0))
     val nWords = size(words).cast("double")
     val wordChars = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).cast("double")
@@ -36,8 +35,17 @@ object TextOps {
     val ellipses = ((length(text) - length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / 3).cast("double")
     val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
-    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double")
-    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double")
+    // ltrim/rtrim + prefix/suffix instead of \s / $ regex classes:
+    // Java and RE2 disagree on \x0B in \s and on $ before U+2028, so
+    // the Spark face and the DuckDB oracle would drift on such bytes
+    val bulletLines = size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    })).cast("double")
+    val ellipsisLines = size(filter(lines, l => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    })).cast("double")
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
       .reduce(_ + _)

@@ -10,6 +10,40 @@ import graft.text.TextOps
 class StreamGopherSpec extends SparkSuite {
   import spark.implicits._
 
+  test("per-rule flags pin on crafted failures: every one of the 8 rules has a failing case") {
+    val prose = ("The words here have to be plain and that is what we have with them " * 10).trim
+    val docs = Seq(
+      ("ok", prose),
+      ("too_short", "only a few words here with the rest missing"),
+      ("mean_len_high", (("pneumonoultramicroscopicsilicovolcanoconiosis " * 60).trim)),
+      ("mean_len_low", ("a b c d e f g h i j " * 30).trim),
+      ("hashy", (("#tag of the and that have with be to " + "# " * 5) * 20).trim),
+      ("ellipsisy", (("so... the of and that have with be to " * 20).trim)),
+      ("bullets", Seq.fill(60)("- the item of the list that we have with it be to and").mkString("\n")),
+      ("ell_lines", Seq.fill(60)("the line of text that we have with it be to and...").mkString("\n")),
+      ("numeric", (("12345 67890 24680 13579 11111 22222 33333 44444 55555 99999 " * 10).trim)),
+      ("no_stops", ("quick brown foxes jump over lazy dogs near riverbanks daily always " * 10).trim)
+    )
+    val flags = docs
+      .toDF("name", "text")
+      .select(Seq($"name") ++ TextOps.gopherCols($"text"): _*)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    def f(name: String, col: String): Boolean =
+      flags(name).getBoolean(flags(name).schema.fieldIndex(col))
+    assert(f("ok", "pass_all"), "the prose fixture must pass the whole gate")
+    assert(!f("too_short", "f_words") && !f("too_short", "pass_all"))
+    assert(!f("mean_len_high", "f_mean_len"))
+    assert(!f("mean_len_low", "f_mean_len"))
+    assert(!f("hashy", "f_hash"))
+    assert(!f("ellipsisy", "f_ellipsis"))
+    assert(!f("bullets", "f_bullet"))
+    assert(!f("ell_lines", "f_ell_lines"))
+    assert(!f("numeric", "f_alpha"))
+    assert(!f("no_stops", "f_stops"))
+  }
+
   test("streaming Gopher gate == batch gate across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
