@@ -29,25 +29,28 @@ object Meta {
     * as a JSON string. */
   def normalizeJson(data: String): String = {
     val t = data.trim
-    // the reference PARSES (validateData, metamanager.cpp:80-98): raw
-    // json is kept (stored verbatim here; nlohmann's dump() would
-    // compact it — meta payloads are written compact in practice); a
-    // parse failure retries with the input wrapped in bare quotes (no
-    // escaping) and stores the PARSED value re-serialized — so escape
-    // sequences in the raw text are interpreted exactly like
+    // the reference PARSES (validateData, metamanager.cpp:80-98) and stores
+    // json::parse(data).dump() — compact, object keys sorted — so valid JSON
+    // is re-serialized through jsonText (dump-compatible: pretty-printed or
+    // unsorted-key input persists in the same canonical form the reference
+    // would produce); a parse failure retries with the input wrapped in bare
+    // quotes (no escaping) and stores the PARSED value re-serialized — so
+    // escape sequences in the raw text are interpreted exactly like
     // json::parse("\"..\"").dump(), and `{"ciao":}` still throws.
-    def parses(s: String): Boolean =
-      try { MiniJson.parse(s); true }
-      catch { case _: Exception => false }
-    if (t.nonEmpty && parses(t)) t
-    else {
-      val rescued =
-        try Some(MiniJson.str(MiniJson.parse("\"" + data + "\"")))
-        catch { case _: Exception => None }
-      rescued match {
-        case Some(s) => MiniJson.quote(s)
-        case None => throw new IllegalArgumentException(s"Invalid JSON: $data")
-      }
+    val parsed: Option[Any] =
+      if (t.isEmpty) None
+      else try Some(MiniJson.parse(t))
+      catch { case _: Exception => None }
+    parsed match {
+      case Some(v) => jsonText(v)
+      case None =>
+        val rescued =
+          try Some(MiniJson.str(MiniJson.parse("\"" + data + "\"")))
+          catch { case _: Exception => None }
+        rescued match {
+          case Some(s) => MiniJson.quote(s)
+          case None => throw new IllegalArgumentException(s"Invalid JSON: $data")
+        }
     }
   }
 

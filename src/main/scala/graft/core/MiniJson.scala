@@ -132,7 +132,11 @@ object MiniJson {
               at += 4
             case c => fail(s"bad escape '\\$c'")
           }
-        } else sb += s(at)
+        } else {
+          // RFC 8259: raw control chars inside strings must be escaped
+          if (s(at) < ' ') fail("raw control character in string")
+          sb += s(at)
+        }
         at += 1
       }
       expect('"')
@@ -141,7 +145,11 @@ object MiniJson {
 
     private def number(): Double = {
       val start = at
-      if (at < s.length && (s(at) == '-' || s(at) == '+')) at += 1
+      // leading '+' is not JSON (RFC 8259 allows only an optional minus);
+      // the scan loop below still eats '+'/'-' for exponents, so the first
+      // significant char must be checked explicitly
+      if (at < s.length && s(at) == '-') at += 1
+      if (at >= s.length || !s(at).isDigit) fail("expected number")
       while (at < s.length && (s(at).isDigit || s(at) == '.' || s(at) == 'e' || s(at) == 'E' || s(at) == '-' || s(at) == '+')) at += 1
       if (at == start) fail("expected number")
       try s.substring(start, at).toDouble

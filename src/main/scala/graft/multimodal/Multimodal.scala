@@ -84,7 +84,11 @@ object Multimodal {
         i += 1
       }
       Some(graft.raster.Png.Image(img.width, img.height, nc, px))
-    } catch { case _: Exception => None }
+    } catch {
+      // OutOfMemoryError is an Error, not an Exception: a hostile SIZ header
+      // slipping past the pixel budget must not kill the executor JVM
+      case _: Exception | _: OutOfMemoryError => None
+    }
   }
 
   object StubCodecs {

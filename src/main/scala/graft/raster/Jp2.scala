@@ -340,6 +340,10 @@ object Jp2 {
           require(tileW > 0 && tileH > 0, "jp2: bad tile grid")
           nc = u16()
           require(nc >= 1 && nc <= 16384, "jp2: bad component count")
+          // combined pixel budget: bound nc*w*h before any allocation so a
+          // crafted SIZ header can't request terabytes (each bound alone passes)
+          require(nc.toLong * width * height <= (1L << 30),
+            "jp2: total sample count exceeds decoder budget")
           depth = -1
           (0 until nc).foreach { _ =>
             val ssiz = u8()

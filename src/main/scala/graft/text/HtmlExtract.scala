@@ -73,6 +73,18 @@ object HtmlExtract {
     var linkDepth = 0
     var i = 0
     val n = html.length
+    // allocation-free case-insensitive scan: a whole-document toLowerCase per
+    // script/style tag is quadratic, and lowercasing can change string length
+    // (U+0130), which would desync indices with the original
+    def indexOfIgnoreCase(needle: String, from: Int): Int = {
+      val m = needle.length
+      var p = math.max(0, from)
+      while (p <= n - m) {
+        if (html.regionMatches(true, p, needle, 0, m)) return p
+        p += 1
+      }
+      -1
+    }
 
     def flush(): Unit = {
       val t = decodeEntities(cur.toString).replaceAll("[ \\t\\u00a0]+", " ").trim
@@ -97,7 +109,7 @@ object HtmlExtract {
             if (!isEnd && DropTags.contains(name) && !inner.endsWith("/")) {
               // skip to the matching close tag (no nesting of like tags in practice)
               val endTag = "</" + name
-              val at = html.toLowerCase(java.util.Locale.ROOT).indexOf(endTag, close + 1)
+              val at = indexOfIgnoreCase(endTag, close + 1)
               i = if (at < 0) n else html.indexOf('>', at) match { case -1 => n; case e => e + 1 }
             } else {
               if (name == "a") { if (isEnd) linkDepth = math.max(0, linkDepth - 1) else if (!inner.endsWith("/")) linkDepth += 1 }

@@ -66,13 +66,15 @@ object UrlCanon {
     val qAt = noFrag.indexOf('?')
     val (authPath, query) = if (qAt >= 0) (noFrag.substring(0, qAt), noFrag.substring(qAt + 1)) else (noFrag, "")
     val pathAt = authPath.indexOf('/')
-    var auth = if (pathAt >= 0) authPath.substring(0, pathAt) else authPath
+    val auth = if (pathAt >= 0) authPath.substring(0, pathAt) else authPath
     val path = if (pathAt >= 0) authPath.substring(pathAt) else "/"
-    // authority: lowercase host, strip one leading www., drop default port
-    auth = auth.toLowerCase(java.util.Locale.ROOT)
+    // authority: split userinfo off FIRST (case-sensitive per RFC 3986 —
+    // lowercasing it would over-merge distinct users), then lowercase only
+    // host[:port] and strip one leading www. / the default port
     val (userinfo, hostPort) = {
       val at = auth.lastIndexOf('@')
-      if (at >= 0) (auth.substring(0, at + 1), auth.substring(at + 1)) else ("", auth)
+      if (at >= 0) (auth.substring(0, at + 1), auth.substring(at + 1).toLowerCase(java.util.Locale.ROOT))
+      else ("", auth.toLowerCase(java.util.Locale.ROOT))
     }
     var (host, port) = {
       val colon = hostPort.lastIndexOf(':')

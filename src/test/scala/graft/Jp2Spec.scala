@@ -262,4 +262,20 @@ class Jp2Spec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Jp2.decodeJ2k(irrev))
     assert(e.getMessage.contains("9/7"))
   }
+
+  test("pixel budget: a crafted SIZ header cannot request terabyte allocations") {
+    // nc=3 at 32767x32767 passes each individual bound but asks for ~12 GiB
+    // of planes; the combined budget must refuse BEFORE any allocation
+    val enc = Jp2.encodeJ2k(20, 20, 8, Array(gradient(20, 20, 8)), 2)
+    val evil = enc.clone()
+    def put32(i: Int, v: Int): Unit = {
+      evil(i) = (v >>> 24).toByte; evil(i + 1) = (v >>> 16).toByte
+      evil(i + 2) = (v >>> 8).toByte; evil(i + 3) = v.toByte
+    }
+    def put16(i: Int, v: Int): Unit = { evil(i) = (v >>> 8).toByte; evil(i + 1) = v.toByte }
+    put32(8, 32767); put32(12, 32767) // Xsiz, Ysiz (SIZ starts at offset 2)
+    put16(40, 3) // Csiz
+    val e2 = intercept[IllegalArgumentException](Jp2.decodeJ2k(evil))
+    assert(e2.getMessage.contains("budget"))
+  }
 }

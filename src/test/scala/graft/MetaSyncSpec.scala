@@ -41,6 +41,15 @@ class MetaSyncSpec extends SparkSuite {
     assert(Meta.normalizeJson("C:\\temp") === "\"C:\\temp\"")
     assert(graft.core.MiniJson.str(graft.core.MiniJson.parse(Meta.normalizeJson("C:\\temp"))) === "C:\temp")
     assert(Meta.normalizeJson("a\\nb") === "\"a\\nb\"") // \n stays one interpreted newline when re-quoted
+    // nlohmann dump parity: valid JSON re-serializes compact with sorted
+    // object keys, never verbatim (validateData returns parse(data).dump())
+    assert(Meta.normalizeJson("{ \"b\" : 2 ,\n  \"a\" : 1 }") === "{\"a\":1,\"b\":2}")
+    assert(Meta.normalizeJson("[ 1 , 2 ]") === "[1,2]")
+    // inputs nlohmann rejects must not be stored as raw JSON: a raw control
+    // char inside a string and a leading-plus number both fall through to
+    // the quote-wrap rescue (control char then fails the rescue parse too)
+    intercept[IllegalArgumentException](Meta.normalizeJson("\"a\tb\""))
+    assert(Meta.normalizeJson("+1") === "\"+1\"")
   }
 
   test("plural add appends, singular set replaces") {

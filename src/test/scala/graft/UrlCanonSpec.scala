@@ -34,6 +34,10 @@ class UrlCanonSpec extends SparkSuite {
 
   test("userinfo, non-http schemes and relative strings pass through safely") {
     assert(canonical("https://user:pw@www.example.com/x") == "https://user:pw@example.com/x")
+    // userinfo is case-sensitive (RFC 3986 §3.2.1): only host lowercases,
+    // so distinct users never over-merge into one dedup key
+    assert(canonical("http://User@Example.COM/x") == "http://User@example.com/x")
+    assert(canonical("http://User@host/x") != canonical("http://user@host/x"))
     assert(canonical("ftp://Example.com/a") == "ftp://Example.com/a")
     assert(canonical("not a url") == "not a url")
     assert(canonical("s3://bucket/key") == "s3://bucket/key")
