@@ -146,19 +146,18 @@ object SensorProfiles {
     }.sortBy(-_.priority)
   }
 
-  /** In-sandbox read-only copy of the shipped registry; env override
-    * first, like [[graft.sources.SensorData.defaultPath]]. */
-  def shippedJsonPath: String =
-    sys.env.getOrElse("GRAFT_SENSOR_PROFILES", "/root/reference/data/sensor-profiles.json")
+  /** Deployment contract (see [[graft.sources.Assets]]): env override →
+    * bundled resource → in-sandbox reference checkout. */
+  def resolved: Option[(String, Array[Byte])] =
+    graft.sources.Assets.resolve(
+      "GRAFT_SENSOR_PROFILES", "sensor-profiles.json", "/root/reference/data/sensor-profiles.json")
 
   /** The shipped registry when deployed, else [[defaultProfiles]]. */
-  lazy val shippedProfiles: Seq[Profile] = {
-    val p = java.nio.file.Paths.get(shippedJsonPath)
-    if (java.nio.file.Files.isReadable(p))
-      try fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  lazy val shippedProfiles: Seq[Profile] =
+    resolved.map { case (_, bytes) =>
+      try fromJson(new String(bytes, "UTF-8"))
       catch { case _: Exception => defaultProfiles }
-    else defaultProfiles
-  }
+    }.getOrElse(defaultProfiles)
 
   /** Scalar detection for one raster — the reference's exact decision
     * cascade (`detectSensor` :287-449): RGBA/RGB short-circuits,

@@ -18,10 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SensorData {
 
-  /** In-sandbox read-only copy of the reference's shipped asset; the
-    * env var wins so deployments can point at their own build. */
-  def defaultPath: String =
-    sys.env.getOrElse("GRAFT_SENSOR_DB", "/root/reference/data/sensor_data.sqlite")
+  /** Deployment contract (see [[Assets]]): GRAFT_SENSOR_DB env override →
+    * bundled resource → in-sandbox reference checkout. */
+  def resolved: Option[(String, Array[Byte])] =
+    Assets.resolve("GRAFT_SENSOR_DB", "sensor_data.sqlite", "/root/reference/data/sensor_data.sqlite")
 
   /** Parse a sensor_data.sqlite image into id → focal (sensor width,
     * mm). SQLite stores integral REALs as integers on disk (REAL
@@ -35,15 +35,12 @@ object SensorData {
       }
     }.toMap
 
-  /** The shipped database, loaded once per JVM; empty when the asset
-    * is absent (callers fall back to [[fallback]]). */
-  lazy val default: Map[String, Double] = {
-    val p = java.nio.file.Paths.get(defaultPath)
-    if (java.nio.file.Files.isReadable(p))
-      try load(java.nio.file.Files.readAllBytes(p))
-      catch { case _: Exception => Map.empty }
-    else Map.empty
-  }
+  /** The shipped database, loaded once per JVM; empty when no copy
+    * resolves (callers fall back to [[fallback]]). */
+  lazy val default: Map[String, Double] =
+    resolved.map(_._2).map { bytes =>
+      try load(bytes) catch { case _: Exception => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
 
   /** Small built-in subset (values read from the shipped asset; the
     * SensorDataSpec asserts they stay in sync) so footprint math

@@ -274,16 +274,14 @@ object ZoneDetect {
     Db(bytes, tableType, version, precision, fields, notice, bboxOffset, metadataOffset, dataOffset)
   }
 
-  /** In-sandbox read-only copy of the reference's shipped asset. */
-  def defaultPath: String =
-    sys.env.getOrElse("GRAFT_TZDB", "/root/reference/data/timezone21-old.bin")
+  /** Deployment contract (see [[Assets]]): GRAFT_TZDB env override →
+    * bundled resource → in-sandbox reference checkout. */
+  def resolved: Option[(String, Array[Byte])] =
+    Assets.resolve("GRAFT_TZDB", "timezone21.bin", "/root/reference/data/timezone21-old.bin")
 
-  /** The shipped database, loaded once per JVM; None when absent. */
-  lazy val default: Option[Db] = {
-    val p = java.nio.file.Paths.get(defaultPath)
-    if (java.nio.file.Files.isReadable(p))
-      try Some(parse(java.nio.file.Files.readAllBytes(p)))
-      catch { case _: Exception => None }
-    else None
-  }
+  /** The shipped database, loaded once per JVM; None when no copy resolves. */
+  lazy val default: Option[Db] =
+    resolved.flatMap { case (_, bytes) =>
+      try Some(parse(bytes)) catch { case _: Exception => None }
+    }
 }

@@ -9,12 +9,8 @@ import graft.sources.{Exif, SensorData}
   * `sensor_data.cpp` / `exif.cpp:142-258` semantics. */
 class SensorDataSpec extends SparkSuite {
 
-  private def realDb: Option[Map[String, Double]] = {
-    val p = java.nio.file.Paths.get(SensorData.defaultPath)
-    if (java.nio.file.Files.isReadable(p))
-      Some(SensorData.load(java.nio.file.Files.readAllBytes(p)))
-    else None
-  }
+  private def realDb: Option[Map[String, Double]] =
+    SensorData.resolved.map { case (_, bytes) => SensorData.load(bytes) }
 
   test("shipped sensor_data.sqlite parses and matches the embedded subset") {
     realDb match {

@@ -106,12 +106,10 @@ class SensorProfilesSpec extends SparkSuite {
 
   // --- shipped registry: the reference's real data/sensor-profiles.json ---
 
-  private def shipped: Option[Seq[Profile]] = {
-    val p = java.nio.file.Paths.get(SensorProfiles.shippedJsonPath)
-    if (java.nio.file.Files.isReadable(p))
-      Some(SensorProfiles.fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
-    else None
-  }
+  private def shipped: Option[Seq[Profile]] =
+    SensorProfiles.resolved.map { case (_, bytes) =>
+      SensorProfiles.fromJson(new String(bytes, "UTF-8"))
+    }
 
   test("fromJson parses the shipped registry: 17 profiles, priority-desc") {
     shipped match {
