@@ -231,7 +231,8 @@ object SparkEntry {
     "q_gif" -> (graft.raster.GifBmp.gifQuery _),
     "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _),
     "q_html" -> (graft.text.HtmlExtract.htmlQuery _),
-    "q_gopher" -> (TextOps.gopherQuery _)
+    "q_gopher" -> (TextOps.gopherQuery _),
+    "q_warc" -> (graft.sources.Warc.warcQuery _)
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -3815,6 +3816,18 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_docs,
         |  CAST(sum(length(rtrim(repeat('w' || CAST(event_id % 97 AS VARCHAR) || ' ', 30)))) AS BIGINT) AS kept_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // WARC split-read cycle (the q_e57 pattern): one gzip member per
+    // event becomes a crawl container read back through the range-split
+    // member scan at three arbitrary cuts; each page's boilerplate is
+    // removed and the article paragraph must survive byte-exactly, so
+    // kept_chars is the q_html closed form and uri_chars counts the
+    // synthetic URL ('https://crawl.invalid/doc/' = 26 chars + the id).
+    "q_warc" ->
+      """SELECT event_type,
+        |  count(*) AS n_records,
+        |  CAST(sum(30 * length(CAST(event_id % 97 AS VARCHAR)) + 59) AS BIGINT) AS kept_chars,
+        |  CAST(sum(26 + length(CAST(event_id AS VARCHAR))) AS BIGINT) AS uri_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Gopher quality rules (Rae et al. 2021): same \w+ token
     // convention as q_token_stats; ratios and thresholds mirrored
