@@ -72,7 +72,9 @@ object Bench {
     // 90 s for it to drain, then proceed but stamp the verdict into the
     // JSON so a noisy number is never mistaken for a clean one.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadGateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    // malformed override must not crash the bench before any pass runs
+    val loadGateMax =
+      sys.env.get("SPARK_GRAFT_LOAD_GATE").flatMap(_.toDoubleOption).getOrElse(2.0)
     val startLoad = osBean.getSystemLoadAverage
     var gateWaitSec = 0
     while (osBean.getSystemLoadAverage > loadGateMax && gateWaitSec < 90) {
@@ -80,9 +82,12 @@ object Bench {
     }
     // the verdict gates on the PRE-pass load only: once a pass runs, the
     // 1-min load average is dominated by the bench's own 32 threads, so
-    // mid-run samples would flag every clean run as noisy
+    // mid-run samples would flag every clean run as noisy. A negative
+    // sample means the platform exposes no load average — that is
+    // "unknown", never "clean" (r13 advice).
     val gatedLoad = osBean.getSystemLoadAverage
-    val gateVerdict = if (gatedLoad <= loadGateMax) "clean" else "noisy"
+    val gateVerdict =
+      if (gatedLoad < 0) "unknown" else if (gatedLoad <= loadGateMax) "clean" else "noisy"
 
     // two full passes, per-query min: -1 (error) never masks a clean run
     val (p1, p2) = (pass(), pass())
@@ -92,6 +97,24 @@ object Bench {
       val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
       name -> best
     }
+    // per-query noise stamp (r13 verdict): the one-shot pre-run load gate
+    // cannot see a burst that starts mid-run, but a burst that poisons a
+    // query shows as the two passes disagreeing. Stamp each query's pass
+    // pair and list queries whose max/min ratio exceeds 1.5 (fast queries
+    // under 0.25 s are exempt — sub-100ms jitter is scheduler noise, not
+    // load) so the judge can separate code regressions from load bursts
+    // without a git diff.
+    val passPairs = p1.zip(p2).map { case ((name, a), (_, b)) => (name, a, b) }
+    val noisy = passPairs.collect {
+      case (name, a, b)
+          if a > 0 && b > 0 && math.max(a, b) > 0.25 &&
+            math.max(a, b) / math.min(a, b) > 1.5 =>
+        name
+    }
+    val passesJson = passPairs
+      .map { case (name, a, b) => "\"" + name + "\":[" + f"$a%.3f" + "," + f"$b%.3f" + "]" }
+      .mkString("{", ",", "}")
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -103,7 +126,7 @@ object Bench {
     // every query, so per-query min across the two passes is a COLD
     // number. Cold-min values are the comparison series from r8 onward.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v2",$machine,$loadGate,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v2",$machine,$loadGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.

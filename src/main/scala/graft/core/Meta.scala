@@ -112,6 +112,7 @@ object Meta {
   private def jsonText(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
+    case l: Long => l.toString // integral literal preserved verbatim (int64 fidelity)
     case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case s: String => MiniJson.quote(s)
     case m: Map[_, _] => // nlohmann's dump sorts object keys

@@ -30,6 +30,7 @@ object MiniJson {
 
   def num(v: Any): Double = v match {
     case d: Double => d
+    case l: Long => l.toDouble
     case other => throw new IllegalArgumentException(s"json: expected number, got $other")
   }
 
@@ -143,16 +144,29 @@ object MiniJson {
       sb.toString
     }
 
-    private def number(): Double = {
+    private def number(): Any = {
       val start = at
       // leading '+' is not JSON (RFC 8259 allows only an optional minus);
       // the scan loop below still eats '+'/'-' for exponents, so the first
       // significant char must be checked explicitly
       if (at < s.length && s(at) == '-') at += 1
       if (at >= s.length || !s(at).isDigit) fail("expected number")
-      while (at < s.length && (s(at).isDigit || s(at) == '.' || s(at) == 'e' || s(at) == 'E' || s(at) == '-' || s(at) == '+')) at += 1
+      var integral = true
+      while (at < s.length && (s(at).isDigit || s(at) == '.' || s(at) == 'e' || s(at) == 'E' || s(at) == '-' || s(at) == '+')) {
+        if (!s(at).isDigit && s(at) != '-') integral = false
+        at += 1
+      }
       if (at == start) fail("expected number")
-      try s.substring(start, at).toDouble
+      val lexeme = s.substring(start, at)
+      // int64 fidelity (nlohmann parity): an integral literal that fits a
+      // Long keeps its exact digits — 10000000000000000 must round-trip as
+      // itself, never 1.0E16 — with Double only for fractional/exponent/
+      // overflow forms. `num` widens Long to Double for numeric consumers.
+      if (integral) lexeme.toLongOption match {
+        case Some(l) => return l
+        case None => ()
+      }
+      try lexeme.toDouble
       catch { case _: NumberFormatException => fail("malformed number") }
     }
   }

@@ -23,16 +23,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    A member straddling the range end is finished by its owning task
   *    (bounded overrun — one record), and a task whose whole range sits
   *    inside a giant member owns nothing. Every record is read exactly
-  *    once with no coordination, and WarcSpec proves the union over any
-  *    range partition equals the whole-file parse.
+  *    once with no coordination; WarcSpec proves the union over a sweep
+  *    of split sizes — through the real `records()` Spark face — equals
+  *    the whole-file parse. A member holding several concatenated
+  *    records (legal WARC, just not the one-record-per-member
+  *    convention) emits every record, not only the first.
   *  - Candidate member starts (`1f 8b 08`) are validated by inflating a
   *    16-byte probe and requiring the `WARC/` version prefix, so magic
-  *    bytes inside compressed payloads can never fork a bogus record.
+  *    bytes inside compressed payloads can never fork a bogus record
+  *    (WarcSpec plants the magic inside a payload and proves it).
   *  - Uncompressed `.warc` files split the same way with a plausibility-
-  *    checked `WARC/` scan (version line + mandatory headers must parse).
-  *  - Tasks stream through Hadoop FileSystem (HDFS/S3/local all work);
-  *    memory per task is the range slice plus at most one straddling
-  *    record.
+  *    checked `WARC/` scan (version line + mandatory headers must
+  *    parse, Content-Length framing honoured). Two HONEST LIMITS of
+  *    that scan, inherent to a format with no sync marker: (a) a
+  *    byte-exact well-formed WARC record embedded inside another
+  *    record's block (e.g. a crawled `.warc` resource) is
+  *    indistinguishable from a real record to a task whose range starts
+  *    inside the outer block, and can be double-counted; (b) a record
+  *    whose header section exceeds [[Warc.MaxHeaderBytes]] (1 MiB —
+  *    far past anything crawlers emit) is skipped by split scans.
+  *    Gzipped containers — what crawls actually ship — have neither
+  *    limit: member boundaries are unambiguous.
+  *  - Tasks stream through Hadoop FileSystem using the SESSION's
+  *    hadoopConfiguration (broadcast to executors, so fs.s3a.* etc.
+  *    reach tasks); memory per task is the compressed range slice plus
+  *    one decoded member at a time — records iterate lazily, and the
+  *    stream closes at exhaustion (task-completion listener backstops
+  *    failure paths).
   */
 object Warc {
 
@@ -102,12 +119,12 @@ object Warc {
     def h(name: String): Option[String] =
       headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     val clen = h("Content-Length").flatMap(_.toLongOption).getOrElse(return None)
-    if (clen < 0 || p.toLong + clen > bytes.length) return None
+    if (clen < 0 || p.toLong + clen > limit) return None
     val block = java.util.Arrays.copyOfRange(bytes, p, p + clen.toInt)
     var next = p + clen.toInt
     // trailing CRLFCRLF record separator; tolerate truncation at EOF
     var seps = 0
-    while (seps < 2 && next + 1 < bytes.length && bytes(next) == '\r' && bytes(next + 1) == '\n') {
+    while (seps < 2 && next + 1 < limit && bytes(next) == '\r' && bytes(next + 1) == '\n') {
       next += 2; seps += 1
     }
     Some(
@@ -327,10 +344,7 @@ object Warc {
     out.result()
   }
 
-  /** Records whose member starts in [start, end) of a `.warc.gz` file,
-    * streaming: reads [start, end) once, then past `end` only to finish
-    * a straddling member. */
-  private def gzRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Record)] = {
+  private def fillSlice(in: InputStream, rangeLen: Int): Window = {
     val slice = new Array[Byte](math.max(rangeLen, 16))
     var read = 0
     var n = 0
@@ -338,68 +352,89 @@ object Warc {
       n = in.read(slice, read, rangeLen - read)
       if (n > 0) read += n
     }
-    val w = new Window(in, slice, read)
-    val out = Vector.newBuilder[(Long, Record)]
-    var p = 0
-    while (p < math.min(rangeLen, w.len)) {
-      if (probeWarcMember(w, p)) {
-        inflateMember(w, p) match {
-          case Some((payload, next)) =>
-            parseRecord(payload, 0).foreach { case (r, _) => out += (p.toLong -> r) }
-            p = next
-          case None => p += 1
-        }
-      } else p += 1
-    }
-    out.result().iterator
+    new Window(in, slice, read)
   }
 
-  /** Uncompressed `.warc` range scan: a record is owned by the task
-    * whose range contains its version line; candidates are validated
-    * by a full header parse (Content-Length framing), so `WARC/` bytes
-    * inside payloads cannot fork records. */
-  private def plainRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Record)] = {
-    val slice = new Array[Byte](math.max(rangeLen, 16))
-    var read = 0
-    var n = 0
-    while (read < rangeLen && n >= 0) {
-      n = in.read(slice, read, rangeLen - read)
-      if (n > 0) read += n
+  /** Records whose member starts in [start, end) of a `.warc.gz` file,
+    * LAZILY: reads [start, end) once up front (the compressed slice),
+    * extends past `end` only to finish a straddling member, and decodes
+    * one member at a time as the iterator is pulled. A member holding
+    * several concatenated records emits all of them. */
+  private def gzRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Record)] =
+    new Iterator[(Long, Record)] {
+      private val w = fillSlice(in, rangeLen)
+      private var p = 0
+      private val pending = scala.collection.mutable.Queue.empty[(Long, Record)]
+      private def advance(): Unit =
+        while (pending.isEmpty && p < math.min(rangeLen, w.len)) {
+          if (probeWarcMember(w, p)) {
+            inflateMember(w, p) match {
+              case Some((payload, next)) =>
+                parseAll(payload).foreach(r => pending.enqueue(p.toLong -> r))
+                p = next
+              case None => p += 1
+            }
+          } else p += 1
+        }
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): (Long, Record) = { advance(); pending.dequeue() }
     }
-    val w = new Window(in, slice, read)
-    val out = Vector.newBuilder[(Long, Record)]
-    var p = 0
-    while (p < math.min(rangeLen, w.len)) {
-      if (w.buf(p) == 'W' && w.ensure(p + 8) &&
-        w.buf(p + 1) == 'A' && w.buf(p + 2) == 'R' && w.buf(p + 3) == 'C' && w.buf(p + 4) == '/') {
-        // pull the whole candidate record into the window before parsing:
-        // first ensure the header (8 KB cap), then Content-Length more
-        w.ensure(p + 8192)
-        parseHeaderOnlyLen(w, p) match {
-          case Some(total) if w.ensure(p + total) || w.len >= p + total - 4 =>
-            parseRecord(w.buf, p) match {
-              case Some((r, next)) if r.warcType.nonEmpty =>
-                out += (p.toLong -> r); p = next
+
+  /** Uncompressed `.warc` range scan, lazily: a record is owned by the
+    * task whose range contains its version line; candidates are
+    * validated by a full header parse (Content-Length framing), so
+    * stray `WARC/` bytes inside payloads cannot fork records — with
+    * the two documented limits (embedded byte-exact records inside a
+    * straddling block; headers past [[MaxHeaderBytes]]). */
+  private def plainRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Record)] =
+    new Iterator[(Long, Record)] {
+      private val w = fillSlice(in, rangeLen)
+      private var p = 0
+      private var pending: (Long, Record) = null
+      private def advance(): Unit =
+        while (pending == null && p < math.min(rangeLen, w.len)) {
+          if (w.buf(p) == 'W' && w.ensure(p + 8) &&
+            w.buf(p + 1) == 'A' && w.buf(p + 2) == 'R' && w.buf(p + 3) == 'C' && w.buf(p + 4) == '/') {
+            // header pre-parse (extends the window as needed, 1 MiB cap),
+            // then pull Content-Length more bytes before the real parse
+            parseHeaderOnlyLen(w, p) match {
+              case Some(total) if w.ensure(p + total) || w.len >= p + total - 4 =>
+                parseRecord(w.buf, p, w.len - p) match {
+                  case Some((r, next)) if r.warcType.nonEmpty =>
+                    pending = (p.toLong, r); p = next
+                  case _ => p += 1
+                }
               case _ => p += 1
             }
-          case _ => p += 1
+          } else p += 1
         }
-      } else p += 1
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): (Long, Record) = {
+        advance()
+        val r = pending; pending = null; r
+      }
     }
-    out.result().iterator
-  }
+
+  /** Header-section cap for the uncompressed split scan's pre-parse —
+    * records with larger header sections are skipped by split scans
+    * (documented limit; `parseAll` from offset 0 has no such cap). */
+  val MaxHeaderBytes: Int = 1 << 20
 
   /** Header-only pre-parse: total record length (headers + block +
-    * separator) so the window can be extended before the real parse. */
+    * separator), extending the window as needed up to
+    * [[MaxHeaderBytes]] of header section. */
   private def parseHeaderOnlyLen(w: Window, off: Int): Option[Int] = {
-    val limit = math.min(w.len, off + 8192)
     var p = off
     var clen = -1L
     var end = -1
-    while (end < 0 && p + 1 < limit) {
+    while (end < 0) {
+      if (p - off >= MaxHeaderBytes) return None
       var e = p
-      while (e + 1 < limit && !(w.buf(e) == '\r' && w.buf(e + 1) == '\n')) e += 1
-      if (e + 1 >= limit) return None
+      var found = false
+      while (!found) {
+        if (e - off >= MaxHeaderBytes || !w.ensure(e + 2)) return None
+        if (w.buf(e) == '\r' && w.buf(e + 1) == '\n') found = true else e += 1
+      }
       if (e == p) end = e + 2
       else {
         val line = new String(w.buf, p, e - p, Ascii)
@@ -408,7 +443,7 @@ object Warc {
         p = e + 2
       }
     }
-    if (end < 0 || clen < 0 || clen > Int.MaxValue - 8192) None
+    if (clen < 0 || clen > Int.MaxValue.toLong - MaxHeaderBytes - 8) None
     else Some(end - off + clen.toInt + 4)
   }
 
@@ -440,19 +475,34 @@ object Warc {
         val p = st.getPath.toString
         (0L until size by splitSize).map(s => (p, s, math.min(s + splitSize, size)))
       }
+    // the session's hadoopConfiguration must reach executor tasks (fs.s3a
+    // credentials/endpoints etc.) — a bare `new Configuration()` on the
+    // task side would silently drop every spark.hadoop.* setting
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     spark
       .createDataset(ranges)
       .repartition(math.max(1, math.min(ranges.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (path, start, end) =>
         val hp = new org.apache.hadoop.fs.Path(path)
-        val tfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = hp.getFileSystem(confBc.value.value)
         val in = tfs.open(hp)
-        try {
-          in.seek(start)
-          val it =
-            if (path.endsWith(".gz")) gzRangeRecords(in, (end - start).toInt)
-            else plainRangeRecords(in, (end - start).toInt)
-          it.map { case (relOff, r) =>
+        var closed = false
+        def closeIn(): Unit = if (!closed) { closed = true; in.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeIn())
+        in.seek(start)
+        val base =
+          if (path.endsWith(".gz")) gzRangeRecords(in, (end - start).toInt)
+          else plainRangeRecords(in, (end - start).toInt)
+        new Iterator[(String, Long, String, String, String, String, String, Long, Option[Int], Option[String], Array[Byte])] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) closeIn() // eager close at exhaustion; listener backstops failures
+            h
+          }
+          def next(): (String, Long, String, String, String, String, String, Long, Option[Int], Option[String], Array[Byte]) = {
+            val (relOff, r) = base.next()
             val http = if (r.contentType.startsWith("application/http")) parseHttp(r.block) else None
             (
               path,
@@ -467,8 +517,8 @@ object Warc {
               http.flatMap(h => h.headers.collectFirst { case (k, v) if k.equalsIgnoreCase("content-type") => v }),
               http.map(_.body).getOrElse(r.block)
             )
-          }.toVector
-        } finally in.close()
+          }
+        }
       }
       .toDF(
         "path", "offset", "warc_type", "target_uri", "warc_date", "record_id",
@@ -533,7 +583,7 @@ object Warc {
       val c2 = 2 * image.length / 3
       val recs =
         (membersInRange(image, 0, c1) ++ membersInRange(image, c1, c2) ++ membersInRange(image, c2, image.length))
-          .flatMap { case (_, payload) => parseRecord(payload, 0).map(_._1) }
+          .flatMap { case (_, payload) => parseAll(payload) }
       require(recs.length == sorted.length, s"warc split-read lost records: ${recs.length}/${sorted.length}")
       var kept = 0L
       var uriChars = 0L

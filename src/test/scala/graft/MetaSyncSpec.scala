@@ -27,6 +27,14 @@ class MetaSyncSpec extends SparkSuite {
     assert(Meta.normalizeJson("42") === "42")
     assert(Meta.normalizeJson("true") === "true")
     assert(Meta.normalizeJson("3.14") === "3.14")
+    // int64 fidelity (nlohmann dump parity): integral literals past 2^53
+    // keep their exact digits — never 1.0E16 / rounded mantissas
+    assert(Meta.normalizeJson("10000000000000000") === "10000000000000000")
+    assert(Meta.normalizeJson("{\"n\":10000000000000001}") === "{\"n\":10000000000000001}")
+    assert(Meta.normalizeJson("-9223372036854775808") === "-9223372036854775808")
+    assert(Meta.normalizeJson("9223372036854775807") === "9223372036854775807")
+    // past int64: falls back to Double (nlohmann's unsigned/double ladder)
+    assert(Meta.normalizeJson("99999999999999999999") === "1.0E20")
     // malformed structures throw like validateData (meta_test.cpp:188)
     intercept[IllegalArgumentException](Meta.normalizeJson("{\"ciao\":}"))
     // quote-wrap rescue: "[1," re-parses as the JSON string "[1,"
