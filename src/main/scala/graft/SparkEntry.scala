@@ -229,6 +229,7 @@ object SparkEntry {
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
     "q_gif" -> (graft.raster.GifBmp.gifQuery _),
+    "q_webp" -> (graft.raster.Webp.webpQuery _),
     "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _),
     "q_html" -> (graft.text.HtmlExtract.htmlQuery _),
     "q_gopher" -> (TextOps.gopherQuery _),
@@ -3798,6 +3799,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_px,
         |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // WebP (VP8L) round-trip proof: RGB planes cycle through the full
+    // lossless transform stack (subtract-green + predictor + cross-color
+    // + color cache + LZ77) in-task; losslessness is a require, so the
+    // channel sums equal the direct aggregates (zero padding adds 0).
+    "q_webp" ->
+      """SELECT event_type,
+        |  count(*) AS n_px,
+        |  CAST(sum((event_id * 37) % 256 + (event_id * 57) % 256 + (event_id * 77) % 256) AS BIGINT) AS rgb_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // URL canonicalization proof: three crawl variants per id
     // (www+utm tracking, uppercase scheme + default port, fragment)

@@ -48,6 +48,7 @@ object Multimodal {
     graft.raster.Png.decode(payload)
       .orElse(graft.raster.Jpeg.decode(payload))
       .orElse(decodeJp2Image(payload))
+      .orElse(graft.raster.Webp.decode(payload))
       .orElse(graft.raster.GifBmp.decodeGif(payload))
       .orElse(graft.raster.GifBmp.decodeBmp(payload))
       .orElse(decodeTiffImage(payload))

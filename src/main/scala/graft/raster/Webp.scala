@@ -641,40 +641,46 @@ object Webp {
     require(cacheBits >= 0 && cacheBits <= 11)
   }
 
-  /** Uniform two-length canonical code over `n` symbols (n in [1,512]):
-    * 512-n symbols at 8 bits, the rest at 9 (n=256 → all 8). Complete
-    * by construction. */
+  /** Uniform canonical code over `n` symbols: for 2^k < n <= 2^(k+1),
+    * the first 2^(k+1)-n symbols get k bits and the rest k+1 (exact
+    * powers of two are flat k-bit codes). Complete by construction;
+    * (shortLen, shortCount). */
   private def uniformLens(n: Int): (Int, Int) = {
-    require(n >= 2 && n <= 512)
-    val n8 = if (n >= 256) 512 - n else n // n<256 unused here; keep total sane
-    (n8, n - n8)
+    require(n >= 2 && n <= (1 << 14), s"vp8l: alphabet $n out of range")
+    var k = 1
+    while ((1 << k) < n) k += 1 // k = ceil(log2 n)
+    if ((1 << k) == n) (k, n) // flat
+    else (k - 1, (1 << k) - n) // split {k-1, k}
   }
 
   private def writeUniformCodeHeader(bw: BitWriter, n: Int): Unit = {
-    val (n8, _) = uniformLens(n)
+    val (kShort, nShort) = uniformLens(n)
     bw.bits(0, 1) // not simple
-    if (n8 == n) { // all symbols 8 bits → single cl-symbol (degenerate 0-bit cl code)
-      val maxIdx = kClOrder.indexOf(8)
+    if (nShort == n) { // flat code → single cl-symbol (degenerate 0-bit cl code)
+      val maxIdx = kClOrder.indexOf(kShort)
       bw.bits(maxIdx + 1 - 4, 4)
       var i = 0
-      while (i <= maxIdx) { bw.bits(if (kClOrder(i) == 8) 1 else 0, 3); i += 1 }
+      while (i <= maxIdx) { bw.bits(if (kClOrder(i) == kShort) 1 else 0, 3); i += 1 }
       bw.bits(0, 1) // no max_symbol — lengths consume zero bits
     } else {
-      val maxIdx = kClOrder.indexOf(9)
+      val maxIdx = math.max(kClOrder.indexOf(kShort), kClOrder.indexOf(kShort + 1))
       bw.bits(maxIdx + 1 - 4, 4)
       var i = 0
-      while (i <= maxIdx) { bw.bits(if (kClOrder(i) == 8 || kClOrder(i) == 9) 1 else 0, 3); i += 1 }
+      while (i <= maxIdx) {
+        bw.bits(if (kClOrder(i) == kShort || kClOrder(i) == kShort + 1) 1 else 0, 3)
+        i += 1
+      }
       bw.bits(0, 1) // no max_symbol
-      // cl code: {8→0, 9→1}, one bit per symbol length
+      // cl code: {short→0, long→1}, one bit per symbol length
       var s = 0
-      while (s < n) { bw.bits(if (s < n8) 0 else 1, 1); s += 1 }
+      while (s < n) { bw.bits(if (s < nShort) 0 else 1, 1); s += 1 }
     }
   }
 
   private def writeUniformSymbol(bw: BitWriter, n: Int, sym: Int): Unit = {
-    val (n8, _) = uniformLens(n)
-    if (sym < n8) bw.code(sym, 8)
-    else bw.code((n8 << 1) + (sym - n8), 9)
+    val (kShort, nShort) = uniformLens(n)
+    if (sym < nShort) bw.code(sym, kShort)
+    else bw.code((nShort << 1) + (sym - nShort), kShort + 1)
   }
 
   private def writeSingleSymbolCode(bw: BitWriter, sym: Int): Unit = {
@@ -912,6 +918,48 @@ object Webp {
     }
 
     wrapRiff(bw.result())
+  }
+
+  /** q_webp: per event_type, a deterministic RGB plane built from the
+    * group's own event ids cycles through the VP8L codec in-task with
+    * the full transform stack (subtract-green + predictor + cross-color
+    * + color cache + LZ77) — the cycle must be byte-lossless (a
+    * require), so the oracle can state the channel sums in closed form
+    * over the ids. One group = one task-local cycle. */
+  def webpQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val sorted = ids.sorted
+      val n = sorted.length
+      val w = 64
+      val h = math.max(1, (n + w - 1) / w)
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < n) {
+        px(3 * i) = ((sorted(i) * 37) % 256).toByte
+        px(3 * i + 1) = ((sorted(i) * 57) % 256).toByte
+        px(3 * i + 2) = ((sorted(i) * 77) % 256).toByte
+        i += 1
+      }
+      val img = Png.Image(w, h, 3, px)
+      val dec = Webp.decode(Webp.encode(img,
+        EncOpts(subtractGreen = true, predictorBits = 2, crossColor = true, cacheBits = 6, lz77 = true)))
+        .getOrElse(sys.error("webp cycle failed"))
+      require(dec.width == w && dec.height == h && dec.channels == 3, "webp meta drift")
+      require(java.util.Arrays.equals(dec.pixels, px), "webp cycle not lossless")
+      var rgbSum = 0L
+      i = 0
+      while (i < w * h * 3) { rgbSum += dec.pixels(i) & 0xff; i += 1 }
+      Seq(n.toLong, rgbSum)
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select($"event_type", $"a".getItem(0).as("n_px"), $"a".getItem(1).as("rgb_sum"))
+      .orderBy($"event_type")
   }
 
   /** RIFF/WEBP container around a raw VP8L payload. */

@@ -36,6 +36,9 @@ object Extractors {
     } else if (bytes(0) == 'B' && bytes(1) == 'M') {
       if (bytes.length < 26) None
       else Some(ImageMeta("bmp", le32(bytes, 18), le32(bytes, 22)))
+    } else if (graft.raster.Webp.isWebp(bytes)) {
+      // RIFF/WEBP: VP8L bit-fields, lossy VP8 frame tag, or VP8X canvas
+      graft.raster.Webp.probe(bytes).map { case (_, w, h) => ImageMeta("webp", w, h) }
     } else if (graft.raster.Jp2.isJp2(bytes) || graft.raster.Jp2.isJ2k(bytes)) {
       // JPEG 2000: ihdr/SIZ header probe, no entropy decode
       graft.raster.Jp2.probe(bytes).map { case (w, h, _, _) => ImageMeta("jp2", w, h) }
