@@ -227,6 +227,7 @@ object SparkEntry {
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
     "q_flac" -> (graft.multimodal.FlacQueries.audioCodecQuery _),
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
+    "q_jp2_lossy" -> (graft.raster.Jp2.jp2LossyQuery _),
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
     "q_gif" -> (graft.raster.GifBmp.gifQuery _),
     "q_webp" -> (graft.raster.Webp.webpQuery _),
@@ -3775,6 +3776,15 @@ object SparkEntry {
         |  count(*) AS n_px,
         |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum,
         |  CAST(sum((event_id * 11) % 256 + (event_id * 29) % 256 + (event_id * 53) % 256) AS BIGINT) AS rgb_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Lossy JPEG 2000 proof: the 9/7 + expounded-quantization path runs
+    // in-task with a required per-pixel error bound (step 0.25), so the
+    // SOURCE sums are the oracle — a broken irreversible transform or
+    // dequantizer trips the require before any row reaches the compare.
+    "q_jp2_lossy" ->
+      """SELECT event_type,
+        |  count(*) AS n_px,
+        |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // H.264 I_PCM + MP4 round-trip proof: 4:2:0 frames built from the
     // group's ids cycle Annex-B -> MP4 sample tables -> decode

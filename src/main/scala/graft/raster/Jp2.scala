@@ -13,10 +13,13 @@ import Jp2Codec._
   * origin, reversible 5/3 transform, RCT when 3 components, one
   * quality layer, LRCP progression, maximal precincts, 64×64
   * code-blocks, no coder bypass/termination options, lossless (all
-  * bitplanes, all passes). Decoder accepts that subset generally
-  * (any decomposition count, code-block size, depth ≤ 16, any
-  * component count) and fails with named errors on features outside
-  * it (multiple tiles, tiled origins, irreversible 9/7, multiple
+  * bitplanes, all passes) — plus [[encodeJ2k97]], the lossy path:
+  * irreversible 9/7 (Annex F), ICT (G.3), expounded scalar
+  * quantization (Annex E) at a caller-chosen step. Decoder accepts
+  * both wavelets generally (any decomposition count, code-block
+  * size, depth ≤ 16, any component count; 9/7 requires expounded
+  * QCD) and fails with named errors on features outside the subset
+  * (multiple tiles with origins, scalar-derived QCD, multiple
   * layers).
   *
   * Layout references: markers A.5–A.6, packet headers B.10, tag
@@ -141,7 +144,7 @@ object Jp2 {
     while (r <= levels) {
       var c = 0
       while (c < nc) {
-        out ++= encodePacket(planes(c), tw, th, levels, r, depth)
+        out ++= encodePacket(planes(c), tw, th, levels, r, b => depth + gainOf(b) + GuardBits - 1)
         c += 1
       }
       r += 1
@@ -196,14 +199,146 @@ object Jp2 {
     out.toArray
   }
 
-  /** One LRCP packet: all bands of resolution r for one component. */
-  private def encodePacket(plane: Array[Int], w: Int, h: Int, levels: Int, r: Int, depth: Int): Array[Byte] = {
+  // ------------------------------------------------------------ 9/7 lossy encode
+
+  /** (ε, µ) whose step 2^(Rb−ε)(1+µ/2048) best matches `step`. */
+  private def quantParams(rb: Int, step: Double): (Int, Int) = {
+    val e = math.floor(math.log(step) / math.log(2.0)).toInt
+    var eps = rb - e
+    var mu = math.round((step / math.pow(2.0, e) - 1.0) * 2048.0).toInt
+    if (mu >= 2048) { mu = 0; eps -= 1 } // rounding rolled into the next octave
+    require(eps >= 1 && eps <= 31, s"jp2: quantization step $step out of range for Rb=$rb")
+    (eps, math.max(0, mu))
+  }
+
+  private def deltaFrom(rb: Int, eps: Int, mu: Int): Double =
+    math.pow(2.0, rb - eps) * (1.0 + mu / 2048.0)
+
+  /** Lossy encode: irreversible 9/7 wavelet + ICT + expounded scalar
+    * quantization (uniform absolute step across bands — the DC-gain-1
+    * normalization makes that a flat spatial error), single tile,
+    * LRCP, all coding passes of the quantized magnitudes. `step` in
+    * sample units: ~1.0 is visually tight at depth 8; larger = lossier
+    * and smaller output. */
+  def encodeJ2k97(width: Int, height: Int, depth: Int, comps: Array[Array[Int]],
+                  levels: Int = 3, step: Double = 1.0): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 32768 && height < 32768, "jp2: size out of supported range")
+    require(depth >= 1 && depth <= 16, "jp2: depth 1..16")
+    require(comps.nonEmpty && comps.forall(_.length == width * height), "jp2: component shape mismatch")
+    require(levels >= 0 && levels <= 10, "jp2: 0..10 decomposition levels")
+    require(step > 0 && step.isFinite, "jp2: bad quantization step")
+    val nc = comps.length
+    val mct = nc == 3
+
+    val shift = 1 << (depth - 1)
+    val planesD = comps.map { c =>
+      val a = new Array[Double](c.length)
+      var i = 0
+      while (i < c.length) { a(i) = c(i) - shift; i += 1 }
+      a
+    }
+    if (mct) { // ICT forward (G.3)
+      val (r, g, b) = (planesD(0), planesD(1), planesD(2))
+      var i = 0
+      while (i < r.length) {
+        val y = 0.299 * r(i) + 0.587 * g(i) + 0.114 * b(i)
+        val cb = -0.168736 * r(i) - 0.331264 * g(i) + 0.5 * b(i)
+        val cr = 0.5 * r(i) - 0.418688 * g(i) - 0.081312 * b(i)
+        r(i) = y; g(i) = cb; b(i) = cr
+        i += 1
+      }
+    }
+    planesD.foreach(p => fdwt97(p, width, height, levels))
+
+    // quantize the Mallat layout band-by-band into signed indices
+    val quant = Array.tabulate(3 * levels + 1) { i =>
+      val bandCode = if (i == 0) 0 else (i - 1) % 3 + 1
+      quantParams(depth + gainOf(bandCode), step)
+    }
+    def qIdx(r: Int, bandCode: Int): Int = if (r == 0) 0 else 3 * (r - 1) + bandCode
+    val planes = planesD.map { dp =>
+      val q = new Array[Int](dp.length)
+      var r = 0
+      while (r <= levels) {
+        val lev = if (r == 0) levels else levels - r + 1
+        bandsOf(r, levels).foreach { bandCode =>
+          val (bx0, by0, bw, bh) = bandRect(bandCode, lev, width, height)
+          val (eps, mu) = quant(qIdx(r, bandCode))
+          val delta = deltaFrom(depth + gainOf(bandCode), eps, mu)
+          var y = 0
+          while (y < bh) {
+            var x = 0
+            while (x < bw) {
+              val v = dp((by0 + y) * width + (bx0 + x))
+              val m = math.floor(math.abs(v) / delta).toInt
+              q((by0 + y) * width + (bx0 + x)) = if (v < 0) -m else m
+              x += 1
+            }
+            y += 1
+          }
+        }
+        r += 1
+      }
+      q
+    }
+
+    val out = new ArrayBuffer[Byte](width * height * nc / 4 + 512)
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
+    def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
+    u16(0xFF4F)
+    u16(0xFF51); u16(38 + 3 * nc)
+    u16(0)
+    u32(width); u32(height); u32(0); u32(0)
+    u32(width); u32(height); u32(0); u32(0)
+    u16(nc)
+    (0 until nc).foreach { _ => u8(depth - 1); u8(1); u8(1) }
+    u16(0xFF52); u16(12)
+    u8(0); u8(0); u16(1)
+    u8(if (mct) 1 else 0)
+    u8(levels)
+    u8(CbExp - 2); u8(CbExp - 2)
+    u8(0)
+    u8(0) // 9/7 irreversible
+    u16(0xFF5C); u16(3 + 2 * (3 * levels + 1))
+    u8((GuardBits << 5) | 2) // scalar expounded
+    quant.foreach { case (eps, mu) => u16((eps << 11) | mu) }
+    val sotStart = out.length
+    u16(0xFF90); u16(10); u16(0); u32(0); u8(0); u8(1)
+    u16(0xFF93)
+    var r = 0
+    while (r <= levels) {
+      var c = 0
+      while (c < nc) {
+        val rr = r
+        out ++= encodePacket(planes(c), width, height, levels, r,
+          b => GuardBits + quant(qIdx(rr, b))._1 - 1)
+        c += 1
+      }
+      r += 1
+    }
+    // Psot = SOT start through the end of the tile part (before EOC)
+    val psotVal = out.length - sotStart
+    val psotAt = sotStart + 6
+    out(psotAt) = (psotVal >> 24).toByte
+    out(psotAt + 1) = (psotVal >> 16).toByte
+    out(psotAt + 2) = (psotVal >> 8).toByte
+    out(psotAt + 3) = psotVal.toByte
+    u16(0xFFD9)
+    out.toArray
+  }
+
+  /** One LRCP packet: all bands of resolution r for one component.
+    * `mbOf` gives the band's bit-plane count Mb (reversible:
+    * depth+gain+guard−1; quantized: guard+ε_b−1). */
+  private def encodePacket(plane: Array[Int], w: Int, h: Int, levels: Int, r: Int,
+                           mbOf: Int => Int): Array[Byte] = {
     val lev = if (r == 0) levels else levels - r + 1
     final case class Blk(bx: Int, by: Int, nbps: Int, missing: Int, data: Array[Byte], npasses: Int)
     val perBand = bandsOf(r, levels).map { bandCode =>
       val (x0, y0, bw, bh) = bandRect(bandCode, lev, w, h)
       val orient = orientOf(bandCode)
-      val mb = depth + gainOf(bandCode) + GuardBits - 1
+      val mb = mbOf(bandCode)
       val nbx = if (bw == 0) 0 else ceilDiv(bw, 1 << CbExp)
       val nby = if (bh == 0) 0 else ceilDiv(bh, 1 << CbExp)
       val blks = for (by <- 0 until nby; bx <- 0 until nbx) yield {
@@ -320,6 +455,9 @@ object Jp2 {
     var levels = -1; var mct = false; var cbExpX = CbExp; var cbExpY = CbExp
     var sawSiz = false; var sawCod = false
     var guard = GuardBits
+    var reversible = true
+    var quantStyle = 0
+    var quantRaw: Array[Byte] = null
     var sotStart = -1
     var tilePsot = 0L
 
@@ -367,14 +505,23 @@ object Jp2 {
           cbExpX = u8() + 2; cbExpY = u8() + 2
           require(cbExpX <= 10 && cbExpY <= 10, "jp2: code-block size out of range")
           require(u8() == 0, "jp2: code-block style options unsupported")
-          require(u8() == 1, "jp2: irreversible 9/7 unsupported")
+          val wt = u8()
+          require(wt == 0 || wt == 1, "jp2: unknown wavelet transform")
+          reversible = wt == 1
           pos = end
           sawCod = true
         case 0xFF5C => // QCD
           val l = u16(); val end = pos + l - 2
           val sq = u8()
-          require((sq & 0x1f) == 0, "jp2: quantized (non-reversible) QCD unsupported")
+          quantStyle = sq & 0x1f
+          require(quantStyle == 0 || quantStyle == 2,
+            "jp2: scalar-derived QCD (style 1) unsupported") // expounded (2) + none (0) only
           guard = (sq >> 5) & 0x7
+          if (quantStyle == 2) {
+            // (ε<<11 | µ) per subband, LL then HL/LH/HH per resolution;
+            // count is levels-dependent — parse after the header loop
+            quantRaw = java.util.Arrays.copyOfRange(bytes, pos, end)
+          }
           pos = end
         case 0xFF90 => // first SOT
           sotStart = pos - 2
@@ -393,6 +540,25 @@ object Jp2 {
       }
     }
     require(sawSiz && sawCod && levels >= 0, "jp2: incomplete header")
+    require(reversible == (quantStyle == 0),
+      "jp2: wavelet/quantization mismatch (9/7 needs expounded QCD, 5/3 needs none)")
+    // expounded quantization: (ε, µ) per subband in QCD order
+    val quant: Array[(Int, Int)] =
+      if (quantStyle != 2) null
+      else {
+        require(quantRaw != null && quantRaw.length >= 2 * (3 * levels + 1), "jp2: QCD too short")
+        Array.tabulate(3 * levels + 1) { i =>
+          val v = ((quantRaw(2 * i) & 0xff) << 8) | (quantRaw(2 * i + 1) & 0xff)
+          ((v >> 11) & 0x1f, v & 0x7ff)
+        }
+      }
+    // subband index in QCD order for (resolution r, bandCode)
+    def qIdx(r: Int, bandCode: Int): Int = if (r == 0) 0 else 3 * (r - 1) + bandCode
+    def deltaOf(r: Int, bandCode: Int): Double = {
+      val (eps, mu) = quant(qIdx(r, bandCode))
+      val rb = depth + gainOf(bandCode)
+      math.pow(2.0, rb - eps) * (1.0 + mu / 2048.0)
+    }
     val ntx = ceilDiv(width, tileW)
     val nty = ceilDiv(height, tileH)
     val d = math.min(discard, levels)
@@ -404,6 +570,9 @@ object Jp2 {
     val rHeight = ceilDiv(height, sc)
 
     val planes = Array.fill(nc)(new Array[Int](rWidth * rHeight))
+    // irreversible path accumulates dequantized doubles until the final
+    // ICT + rounding (rounding per tile would lose cross-tile precision)
+    val planesD = if (reversible) null else Array.fill(nc)(new Array[Double](rWidth * rHeight))
     // tile loop: decode the current tile's packets (only the first
     // levels−discard resolutions when reducing — the remaining
     // packets are skipped via Psot, the progressive-read payoff),
@@ -423,7 +592,10 @@ object Jp2 {
       while (r <= rLevels) {
         var c = 0
         while (c < nc) {
-          pos = decodePacket(bytes, pos, tilePlanes(c), tw, th, rLevels, r, depth, guard, cbExpX, cbExpY)
+          val mbOf: Int => Int =
+            if (reversible) b => depth + gainOf(b) + guard - 1
+            else { val rr = r; b => guard + quant(qIdx(rr, b))._1 - 1 }
+          pos = decodePacket(bytes, pos, tilePlanes(c), tw, th, rLevels, r, mbOf, cbExpX, cbExpY)
           c += 1
         }
         r += 1
@@ -434,11 +606,45 @@ object Jp2 {
       }
       var c = 0
       while (c < nc) {
-        idwt53(tilePlanes(c), tw, th, rLevels)
-        var y = 0
-        while (y < th) {
-          System.arraycopy(tilePlanes(c), y * tw, planes(c), (y0 + y) * rWidth + x0, tw)
-          y += 1
+        if (reversible) {
+          idwt53(tilePlanes(c), tw, th, rLevels)
+          var y = 0
+          while (y < th) {
+            System.arraycopy(tilePlanes(c), y * tw, planes(c), (y0 + y) * rWidth + x0, tw)
+            y += 1
+          }
+        } else {
+          // dequantize per band (midpoint reconstruction, T.800 E.1),
+          // then the irreversible synthesis transform
+          val dp = new Array[Double](tw * th)
+          var rr = 0
+          while (rr <= rLevels) {
+            val lev = if (rr == 0) rLevels else rLevels - rr + 1
+            bandsOf(rr, rLevels).foreach { bandCode =>
+              val (bx0, by0, bw, bh) = bandRect(bandCode, lev, tw, th)
+              val delta = deltaOf(rr, bandCode)
+              var y = 0
+              while (y < bh) {
+                var x = 0
+                while (x < bw) {
+                  val q = tilePlanes(c)((by0 + y) * tw + (bx0 + x))
+                  dp((by0 + y) * tw + (bx0 + x)) =
+                    if (q == 0) 0.0
+                    else if (q > 0) (q + 0.5) * delta
+                    else (q - 0.5) * delta
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            rr += 1
+          }
+          idwt97(dp, tw, th, rLevels)
+          var y = 0
+          while (y < th) {
+            System.arraycopy(dp, y * tw, planesD(c), (y0 + y) * rWidth + x0, tw)
+            y += 1
+          }
         }
         c += 1
       }
@@ -457,25 +663,51 @@ object Jp2 {
     }
     require(seen.forall(identity), "jp2: missing tiles")
 
-    if (mct) {
-      require(nc >= 3, "jp2: MCT with <3 components")
-      val (y, cb, cr) = (planes(0), planes(1), planes(2))
-      var i = 0
-      while (i < y.length) {
-        val g = y(i) - ((cb(i) + cr(i)) >> 2)
-        val rr = cr(i) + g
-        val bb = cb(i) + g
-        y(i) = rr; cb(i) = g; cr(i) = bb
-        i += 1
+    val shift = 1 << (depth - 1)
+    if (reversible) {
+      if (mct) { // RCT inverse (G.2, exact integers)
+        require(nc >= 3, "jp2: MCT with <3 components")
+        val (y, cb, cr) = (planes(0), planes(1), planes(2))
+        var i = 0
+        while (i < y.length) {
+          val g = y(i) - ((cb(i) + cr(i)) >> 2)
+          val rr = cr(i) + g
+          val bb = cb(i) + g
+          y(i) = rr; cb(i) = g; cr(i) = bb
+          i += 1
+        }
+      }
+      planes.foreach { p => var i = 0; while (i < p.length) { p(i) += shift; i += 1 } }
+    } else {
+      if (mct) { // ICT inverse (G.3, floating YCbCr)
+        require(nc >= 3, "jp2: MCT with <3 components")
+        val (y, cb, cr) = (planesD(0), planesD(1), planesD(2))
+        var i = 0
+        while (i < y.length) {
+          val rr = y(i) + 1.402 * cr(i)
+          val g = y(i) - 0.344136 * cb(i) - 0.714136 * cr(i)
+          val bb = y(i) + 1.772 * cb(i)
+          y(i) = rr; cb(i) = g; cr(i) = bb
+          i += 1
+        }
+      }
+      val maxV = (1 << depth) - 1
+      var c = 0
+      while (c < nc) {
+        var i = 0
+        while (i < planes(c).length) {
+          val v = math.round(planesD(c)(i) + shift).toInt
+          planes(c)(i) = if (v < 0) 0 else if (v > maxV) maxV else v
+          i += 1
+        }
+        c += 1
       }
     }
-    val shift = 1 << (depth - 1)
-    planes.foreach { p => var i = 0; while (i < p.length) { p(i) += shift; i += 1 } }
     Image(rWidth, rHeight, depth, planes)
   }
 
   private def decodePacket(bytes: Array[Byte], start: Int, plane: Array[Int], w: Int, h: Int,
-                           levels: Int, r: Int, depth: Int, guard: Int, cbx: Int, cby: Int): Int = {
+                           levels: Int, r: Int, mbOf: Int => Int, cbx: Int, cby: Int): Int = {
     val lev = if (r == 0) levels else levels - r + 1
     val hr = new HeaderReader(bytes, start)
     if (hr.bit() == 0) return hr.align()
@@ -485,7 +717,7 @@ object Jp2 {
     val pending = ArrayBuffer.empty[Pend]
     bandsOf(r, levels).foreach { bandCode =>
       val (x0, y0, bw, bh) = bandRect(bandCode, lev, w, h)
-      val mb = depth + gainOf(bandCode) + guard - 1
+      val mb = mbOf(bandCode)
       val nbx = if (bw == 0) 0 else ceilDiv(bw, 1 << cbx)
       val nby = if (bh == 0) 0 else ceilDiv(bh, 1 << cby)
       if (nbx > 0 && nby > 0) {
@@ -693,6 +925,49 @@ object Jp2 {
         $"a".getItem(1).as("gray_sum"),
         $"a".getItem(2).as("rgb_sum")
       )
+      .orderBy($"event_type")
+  }
+
+  /** q_jp2_lossy: per event_type, a deterministic gray plane built from
+    * the group's own event ids cycles through the IRREVERSIBLE 9/7 +
+    * quantization path in-task; the decode must land within the
+    * quantization error bound of every source pixel (a require — the
+    * spatial error of a step-Δ expounded scalar quantizer under the
+    * DC-gain-1 wavelet is small and bounded), so the oracle can state
+    * the SOURCE pixel sum in closed form. */
+  def jp2LossyQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val sorted = ids.sorted
+      val n = sorted.length
+      val w = 64
+      val h = math.max(1, (n + w - 1) / w)
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < n) { gray(i) = ((sorted(i) * 37) % 256).toInt; i += 1 }
+      val dec = decodeJ2k(encodeJ2k97(w, h, 8, Array(gray), 3, step = 0.25))
+      require(dec.width == w && dec.height == h && dec.channels == 1, "jp2 lossy meta drift")
+      var maxErr = 0
+      var se = 0.0
+      i = 0
+      while (i < w * h) {
+        val e = math.abs(dec.comps(0)(i) - gray(i))
+        if (e > maxErr) maxErr = e
+        se += e.toDouble * e
+        i += 1
+      }
+      // step 0.25 on noise-like 8-bit data: reconstruction stays within a
+      // few quantizer steps everywhere (MSE well under 1)
+      require(maxErr <= 4 && se / (w * h) < 1.0, s"jp2 9/7 error bound violated: max=$maxErr mse=${se / (w * h)}")
+      Seq(n.toLong, gray.map(_.toLong).sum)
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type")
+      .agg(collect_list($"event_id").as("ids"))
+      .select($"event_type", cycle($"ids").as("a"))
+      .select($"event_type", $"a".getItem(0).as("n_px"), $"a".getItem(1).as("gray_sum"))
       .orderBy($"event_type")
   }
 

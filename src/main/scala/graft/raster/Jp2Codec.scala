@@ -444,6 +444,133 @@ object Jp2Codec {
     }
   }
 
+  // ------------------------------------------------------------ 9/7 irreversible DWT (Annex F)
+
+  /** CDF 9/7 lifting constants (T.800 Annex F, irreversible filter). */
+  private final val A97 = -1.586134342059924
+  private final val B97 = -0.052980118572961
+  private final val G97 = 0.882911075530934
+  private final val D97 = 0.443506852043971
+  private final val K97 = 1.230174104914001
+
+  /** Forward 1D 9/7: same split layout and symmetric extension as the
+    * 5/3, four lifting steps + scaling normalized like the reversible
+    * path (low-pass DC gain 1, high-pass Nyquist gain 2 — so the
+    * Rb = depth + gain exponent logic is shared between filters). */
+  private def fwd1d97(buf: Array[Double], n: Int): Unit = {
+    if (n <= 1) return
+    val x = java.util.Arrays.copyOf(buf, n)
+    @inline def e(p: Int): Double = x(refl(p, n))
+    // step 1 (α): odd predict; step 2 (β): even update — in place over x
+    var i = 1
+    while (i < n) { x(i) = buf(i) + A97 * (e(i - 1) + e(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { x(i) = buf(i) + B97 * (e(i - 1) + e(i + 1)); i += 2 }
+    // steps 3 (γ) and 4 (δ) over the updated signal
+    val y = java.util.Arrays.copyOf(x, n)
+    @inline def e2(p: Int): Double = y(refl(p, n))
+    i = 1
+    while (i < n) { y(i) = x(i) + G97 * (e2(i - 1) + e2(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { y(i) = x(i) + D97 * (e2(i - 1) + e2(i + 1)); i += 2 }
+    // deinterleave with scaling: low ×1/K, high ×K
+    val sn = (n + 1) / 2
+    i = 0
+    while (i < sn) { buf(i) = y(2 * i) / K97; i += 1 }
+    i = 0
+    while (i < n / 2) { buf(sn + i) = y(2 * i + 1) * K97; i += 1 }
+  }
+
+  private def inv1d97(buf: Array[Double], n: Int): Unit = {
+    if (n <= 1) return
+    val sn = (n + 1) / 2
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < sn) { y(2 * i) = buf(i) * K97; i += 1 }
+    i = 0
+    while (i < n / 2) { y(2 * i + 1) = buf(sn + i) / K97; i += 1 }
+    // undo steps 4 (δ) and 3 (γ)
+    val x = java.util.Arrays.copyOf(y, n)
+    @inline def e2(p: Int): Double = y(refl(p, n))
+    i = 0
+    while (i < n) { x(i) = y(i) - D97 * (e2(i - 1) + e2(i + 1)); i += 2 }
+    val x2 = java.util.Arrays.copyOf(x, n)
+    @inline def e3(p: Int): Double = x2(refl(p, n))
+    i = 1
+    while (i < n) { x(i) = x2(i) - G97 * (e3(i - 1) + e3(i + 1)); i += 2 }
+    // undo steps 2 (β) and 1 (α)
+    val x3 = java.util.Arrays.copyOf(x, n)
+    @inline def e4(p: Int): Double = x3(refl(p, n))
+    i = 0
+    while (i < n) { x(i) = x3(i) - B97 * (e4(i - 1) + e4(i + 1)); i += 2 }
+    val x4 = java.util.Arrays.copyOf(x, n)
+    @inline def e5(p: Int): Double = x4(refl(p, n))
+    i = 1
+    while (i < n) { x(i) = x4(i) - A97 * (e5(i - 1) + e5(i + 1)); i += 2 }
+    System.arraycopy(x, 0, buf, 0, n)
+  }
+
+  /** Forward 2D multilevel 9/7 into the Mallat layout. */
+  def fdwt97(a: Array[Double], w: Int, h: Int, levels: Int): Unit = {
+    var lw = w; var lh = h
+    var lev = 0
+    val col = new Array[Double](h)
+    val row = new Array[Double](w)
+    while (lev < levels) {
+      var x = 0
+      while (x < lw) {
+        var y = 0
+        while (y < lh) { col(y) = a(y * w + x); y += 1 }
+        fwd1d97(col, lh)
+        y = 0
+        while (y < lh) { a(y * w + x) = col(y); y += 1 }
+        x += 1
+      }
+      var y = 0
+      while (y < lh) {
+        var i = 0
+        while (i < lw) { row(i) = a(y * w + i); i += 1 }
+        fwd1d97(row, lw)
+        i = 0
+        while (i < lw) { a(y * w + i) = row(i); i += 1 }
+        y += 1
+      }
+      lw = (lw + 1) / 2; lh = (lh + 1) / 2
+      lev += 1
+    }
+  }
+
+  /** Inverse 2D multilevel 9/7 (mirrors fdwt97 exactly). */
+  def idwt97(a: Array[Double], w: Int, h: Int, levels: Int): Unit = {
+    val col = new Array[Double](h)
+    val row = new Array[Double](w)
+    var lev = levels - 1
+    while (lev >= 0) {
+      var lw = w; var lh = h
+      var k = 0
+      while (k < lev) { lw = (lw + 1) / 2; lh = (lh + 1) / 2; k += 1 }
+      var y = 0
+      while (y < lh) {
+        var i = 0
+        while (i < lw) { row(i) = a(y * w + i); i += 1 }
+        inv1d97(row, lw)
+        i = 0
+        while (i < lw) { a(y * w + i) = row(i); i += 1 }
+        y += 1
+      }
+      var x = 0
+      while (x < lw) {
+        y = 0
+        while (y < lh) { col(y) = a(y * w + x); y += 1 }
+        inv1d97(col, lh)
+        y = 0
+        while (y < lh) { a(y * w + x) = col(y); y += 1 }
+        x += 1
+      }
+      lev -= 1
+    }
+  }
+
   // ------------------------------------------------------------ EBCOT Tier-1 (Annex D)
 
   /** Band orientation for context selection: 0=LL/LH-like, 1=HL, 2=HH. */

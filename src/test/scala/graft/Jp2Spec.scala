@@ -250,6 +250,104 @@ class Jp2Spec extends SparkSuite {
     assert(u16(enc.length - 2) == 0xFFD9, "EOC")
   }
 
+  private def psnr(a: Array[Int], b: Array[Int], depth: Int): Double = {
+    require(a.length == b.length)
+    var se = 0.0
+    var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toDouble; se += d * d; i += 1 }
+    val mse = se / a.length
+    val peak = ((1 << depth) - 1).toDouble
+    if (mse == 0) Double.PositiveInfinity else 10.0 * math.log10(peak * peak / mse)
+  }
+
+  test("9/7 lifting: DC gain 1, Nyquist high-pass gain 2, 2D forward/inverse identity") {
+    // constant input → low band = the constant, high band ~0 (the shared
+    // normalization with 5/3 that makes Rb = depth + gain hold)
+    val n = 16
+    val const = Array.fill(n)(42.0)
+    Jp2Codec.fdwt97(const, n, 1, 1)
+    (0 until (n + 1) / 2).foreach(i => assert(math.abs(const(i) - 42.0) < 1e-9, s"low[$i]"))
+    ((n + 1) / 2 until n).foreach(i => assert(math.abs(const(i)) < 1e-9, s"high[$i]"))
+    val nyq = Array.tabulate(n)(i => if (i % 2 == 0) 10.0 else -10.0)
+    Jp2Codec.fdwt97(nyq, n, 1, 1)
+    ((n + 1) / 2 until n).foreach(i => assert(math.abs(math.abs(nyq(i)) - 20.0) < 1e-6, s"nyq high[$i]"))
+    // 2D identity across awkward geometries
+    for ((w, h, lv) <- Seq((17, 13, 2), (64, 64, 3), (1, 9, 2), (33, 1, 3))) {
+      val src = Array.tabulate(w * h)(i => math.sin(i * 0.37) * 100 + (i % 7))
+      val buf = src.clone()
+      Jp2Codec.fdwt97(buf, w, h, lv)
+      Jp2Codec.idwt97(buf, w, h, lv)
+      var i = 0
+      while (i < buf.length) { assert(math.abs(buf(i) - src(i)) < 1e-6, s"($w,$h,$lv)[$i]"); i += 1 }
+    }
+  }
+
+  test("lossy 9/7: PSNR-bounded round-trips, step monotonicity, size win over lossless") {
+    val w = 96; val h = 80
+    // smooth gradient + texture — the orthophoto-like case
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.max(0, math.min(255, (x * 2 + y + 40 * math.sin(x * 0.2) * math.cos(y * 0.15)).toInt))
+    }
+    val fine = Jp2.encodeJ2k97(w, h, 8, Array(gray), 3, step = 0.5)
+    val dFine = Jp2.decodeJ2k(fine)
+    assert(dFine.width == w && dFine.height == h && dFine.channels == 1)
+    val pFine = psnr(gray, dFine.comps(0), 8)
+    assert(pFine > 44.0, s"fine-step PSNR $pFine")
+    val coarse = Jp2.encodeJ2k97(w, h, 8, Array(gray), 3, step = 8.0)
+    val pCoarse = psnr(gray, Jp2.decodeJ2k(coarse).comps(0), 8)
+    assert(pCoarse > 26.0 && pCoarse < pFine, s"coarse-step PSNR $pCoarse vs $pFine")
+    assert(coarse.length < fine.length, "coarser step must shrink the stream")
+    val lossless = Jp2.encodeJ2k(w, h, 8, Array(gray), 3)
+    assert(coarse.length < lossless.length / 2,
+      s"lossy(${coarse.length}) should be far under lossless(${lossless.length})")
+  }
+
+  test("lossy 9/7: RGB through the ICT, and 16-bit depth") {
+    val w = 48; val h = 40
+    def plane(seed: Int) = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * seed + y * 3 + (x * y) / 7) % 200) + 20
+    }
+    val comps = Array(plane(5), plane(3), plane(2))
+    val enc = Jp2.encodeJ2k97(w, h, 8, comps, 2, step = 1.0)
+    val dec = Jp2.decodeJ2k(enc)
+    assert(dec.channels == 3)
+    (0 until 3).foreach { c =>
+      val p = psnr(comps(c), dec.comps(c), 8)
+      assert(p > 38.0, s"rgb channel $c PSNR $p")
+    }
+    // 16-bit: absolute step 4 on a 16-bit range is a tight relative error
+    val deep = Array.tabulate(w * h)(i => (i * 37) % 60000)
+    val enc16 = Jp2.encodeJ2k97(w, h, 16, Array(deep), 2, step = 4.0)
+    val p16 = psnr(deep, Jp2.decodeJ2k(enc16).comps(0), 16)
+    assert(p16 > 70.0, s"16-bit PSNR $p16")
+  }
+
+  test("lossy 9/7: marker structure (COD transform 0, QCD expounded) and reduced decode") {
+    val w = 64; val h = 64
+    val gray = Array.tabulate(w * h)(i => (i % w) * 2 + (i / w))
+    val enc = Jp2.encodeJ2k97(w, h, 8, Array(gray), 2, step = 1.0)
+    // SIZ at 2: skip to COD
+    val codAt = 2 + 2 + 38 + 3
+    assert(((enc(codAt) & 0xff) << 8 | (enc(codAt + 1) & 0xff)) == 0xFF52)
+    assert(enc(codAt + 2 + 12 - 1) == 0, "COD transform byte must be 0 (9/7)")
+    val qcdAt = codAt + 2 + 12
+    assert(((enc(qcdAt) & 0xff) << 8 | (enc(qcdAt + 1) & 0xff)) == 0xFF5C)
+    assert((enc(qcdAt + 4) & 0x1f) == 2, "QCD must be scalar expounded")
+    // reduced decode: half-resolution reconstruction stays in pixel scale
+    val half = Jp2.decodeJ2kReduced(enc, 1)
+    assert(half.width == 32 && half.height == 32)
+    val mean = gray.map(_.toLong).sum.toDouble / gray.length
+    val meanHalf = half.comps(0).map(_.toLong).sum.toDouble / half.comps(0).length
+    assert(math.abs(mean - meanHalf) < 3.0, s"reduced-decode mean drifted: $mean vs $meanHalf")
+    // scalar-derived QCD (style 1) is a named refusal
+    val derived = enc.clone()
+    derived(qcdAt + 4) = ((derived(qcdAt + 4) & 0xe0) | 1).toByte
+    val e = intercept[IllegalArgumentException](Jp2.decodeJ2k(derived))
+    assert(e.getMessage.contains("derived"))
+  }
+
   test("named refusals: truncation, bad magic, unsupported features") {
     val enc = Jp2.encodeJ2k(20, 20, 8, Array(gradient(20, 20, 8)), 2)
     intercept[Exception](Jp2.decodeJ2k(enc.take(enc.length / 2))) // truncated
