@@ -225,6 +225,7 @@ object SparkEntry {
     "q_e57" -> (graft.sources.E57.e57Query _),
     "q_tiles3d" -> (graft.sources.Tiles3d.tiles3dQuery _),
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
+    "q_nexus" -> (graft.sources.Nexus.nexusQuery _),
     "q_flac" -> (graft.multimodal.FlacQueries.audioCodecQuery _),
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
     "q_jp2_lossy" -> (graft.raster.Jp2.jp2LossyQuery _),
@@ -3757,6 +3758,24 @@ object SparkEntry {
         |  coalesce(n_tris, 0) AS n_tris, coalesce(corner_sum, 0) AS corner_sum
         |FROM va LEFT JOIN ta ON va.event_type = ta.event_type
         |ORDER BY va.event_type""".stripMargin,
+    // Nexus .nxs container proof: the q_lod lattice mesh and its
+    // cell-4 decimation cycle through the real multiresolution
+    // container in-task (write -> read, byte-exact levels required),
+    // so the oracle states the two level widths relationally.
+    "q_nexus" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id AS vid,
+        |    CAST(event_id % 100 AS DOUBLE) AS x,
+        |    CAST((event_id * 3) % 100 AS DOUBLE) AS y,
+        |    CAST((event_id * 7) % 50 AS DOUBLE) AS z
+        |  FROM events),
+        |reps AS (
+        |  SELECT event_type, floor(x/4) AS cx, floor(y/4) AS cy, floor(z/4) AS cz
+        |  FROM v GROUP BY 1, 2, 3, 4)
+        |SELECT v.event_type,
+        |  count(*) AS n_fine,
+        |  (SELECT count(*) FROM reps r WHERE r.event_type = v.event_type) AS n_coarse
+        |FROM v GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
     // FLAC round-trip proof (the q_splat/q_e57 pattern): per-group
     // deterministic 16-bit PCM cycles through the FLAC codec in-task
     // (lossless + MD5-verified, so the decoded sum equals the direct
