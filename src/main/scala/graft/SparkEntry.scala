@@ -227,6 +227,7 @@ object SparkEntry {
     "q_lod" -> (graft.sources.MeshLod.lodQuery _),
     "q_nexus" -> (graft.sources.Nexus.nexusQuery _),
     "q_flac" -> (graft.multimodal.FlacQueries.audioCodecQuery _),
+    "q_vorbis" -> (graft.multimodal.Vorbis.vorbisQuery _),
     "q_jp2" -> (graft.raster.Jp2.jp2Query _),
     "q_jp2_lossy" -> (graft.raster.Jp2.jp2LossyQuery _),
     "q_h264" -> (graft.multimodal.H264Queries.h264Query _),
@@ -3785,6 +3786,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_samples,
         |  CAST(sum(((event_id * 37) % 1024) * 16 - 8192) AS BIGINT) AS pcm_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Ogg Vorbis round-trip proof: deterministic PCM cycles through
+    // the full lossy pipeline in-task (flat floor1, two-pass cascade
+    // residue, MDCT + TDAC windows, real Ogg pages); a required
+    // per-sample error bound makes the SOURCE sums the oracle.
+    "q_vorbis" ->
+      """SELECT event_type,
+        |  count(*) AS n_samples,
+        |  CAST(sum(((event_id * 37) % 256 - 128) * 8) AS BIGINT) AS pcm_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // JPEG 2000 round-trip proof: per-group 8-bit planes cycle through
     // the JP2 container (gray) and the raw J2K codestream (RGB via

@@ -267,6 +267,9 @@ object Multimodal {
           val s = Flac.decode(p)
           Some(Wav.Audio(s.sampleRate, s.channels, s.bitsPerSample, s.samples))
         } catch { case _: Exception => None }
+      else if (Vorbis.isVorbis(p))
+        try Some(Vorbis.decodeToAudio(p))
+        catch { case _: Exception => None }
       else None
     }
   private val resizeUdf = udf((p: Array[Byte], n: Int) => StubCodecs.resize(p, n))
