@@ -281,8 +281,18 @@ object Nexus {
 
   /** Read an uncompressed `.nxs` written by [[write]] (or any
     * position-only uncompressed stream in this layout). */
-  def read(bytes: Array[Byte]): Model = {
+  def read(bytes: Array[Byte]): Model =
+    try read0(bytes)
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException("nxs: truncated container")
+      case _: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("nxs: index out of range")
+    }
+
+  private def read0(bytes: Array[Byte]): Model = {
     require(isNxs(bytes), "nxs: bad magic")
+    require(bytes.length >= 88, "nxs: truncated header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.getInt() // magic
     val version = buf.getInt()

@@ -52,14 +52,17 @@ object Sqlite {
   /** SQLite varint: 1–9 bytes big-endian 7-bit groups, 9th byte carries
     * a full 8 bits. Returns (value, bytesConsumed). */
   def varint(b: Array[Byte], i: Int): (Long, Int) = {
+    require(i >= 0 && i < b.length, "sqlite: varint offset out of range (corrupt page)")
     var v = 0L
     var k = 0
     while (k < 8) {
+      require(i + k < b.length, "sqlite: varint runs past the file (corrupt page)")
       val x = b(i + k) & 0xff
       if ((x & 0x80) == 0) return ((v << 7) | x, k + 1)
       v = (v << 7) | (x & 0x7f)
       k += 1
     }
+    require(i + 8 < b.length, "sqlite: varint runs past the file (corrupt page)")
     (((v << 8) | (b(i + 8) & 0xffL)), 9)
   }
 
@@ -347,19 +350,28 @@ object Sqlite {
   /** Scan one table into raw rows (IPK columns materialize the rowid —
     * SQLite stores them as NULL in the record). Missing trailing
     * columns (rows written before an ALTER ADD COLUMN) read as null. */
-  def readTable(bytes: Array[Byte], table: String): (Table, Seq[Seq[Any]]) = {
-    val t = tables(bytes).getOrElse(table, throw new NoSuchElementException(s"table $table"))
-    val db = new Db(bytes)
-    val rows = new ArrayBuffer[Seq[Any]]()
-    db.scan(t.rootPage) { (rowid, rec) =>
-      val vals = record(rec)
-      rows += t.columns.zipWithIndex.map { case (c, i) =>
-        val v = if (i < vals.length) vals(i) else null
-        if (c.isIpk && v == null) rowid else v
+  def readTable(bytes: Array[Byte], table: String): (Table, Seq[Seq[Any]]) =
+    try {
+      val t = tables(bytes).getOrElse(table, throw new NoSuchElementException(s"table $table"))
+      val db = new Db(bytes)
+      val rows = new ArrayBuffer[Seq[Any]]()
+      db.scan(t.rootPage) { (rowid, rec) =>
+        val vals = record(rec)
+        rows += t.columns.zipWithIndex.map { case (c, i) =>
+          val v = if (i < vals.length) vals(i) else null
+          if (c.isIpk && v == null) rowid else v
+        }
       }
+      (t, rows.toSeq)
+    } catch {
+      // backstop for corrupt containers: page pointers and cell offsets
+      // are validated at the hot sites, but a flipped byte can route any
+      // index anywhere — surface it as the named refusal, never an AIOOBE
+      case _: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException("sqlite: corrupt database (offset out of range)")
+      case _: NegativeArraySizeException =>
+        throw new IllegalArgumentException("sqlite: corrupt database (negative size field)")
     }
-    (t, rows.toSeq)
-  }
 
   /** Same scan with rowids exposed (for index verification). */
   def readTableWithRowids(bytes: Array[Byte], table: String): Seq[(Long, Seq[Any])] = {
