@@ -58,7 +58,7 @@ object Vorbis {
     }
   }
 
-  private final class BW {
+  private[multimodal] final class BW {
     private val out = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nbits = 0
@@ -202,7 +202,7 @@ object Vorbis {
     r
   }
 
-  private def readCodebook(br: BR): Codebook = {
+  private[multimodal] def readCodebook(br: BR): Codebook = {
     require(br.bits(24) == 0x564342, "vorbis: codebook sync lost") // "BCV"
     val dims = br.bits(16)
     val entries = br.bits(24)
@@ -888,6 +888,7 @@ object Vorbis {
       resType: Int = 1,
       coupling: Boolean = false,
       longBlocks: Boolean = false,
+      classedFloor: Boolean = false, // partitioned floor1 (classes + masterbook + subbooks)
       quantStep: Double = 0.25) {
     require(channels == 1 || channels == 2)
     require(resType >= 0 && resType <= 2)
@@ -1026,19 +1027,39 @@ object Vorbis {
     val coarseCount = if (opts.resType == 0) 17 else 129
     val su = new BW
     su.bits(5, 8); "vorbis".foreach(c => su.bits(c.toInt, 8))
-    su.bits(3 - 1, 8) // three codebooks
+    val nBooks = if (opts.classedFloor) 5 else 3
+    su.bits(nBooks - 1, 8)
     writeCodebook(su, 2, Array.fill(4)(2), None)
     writeCodebook(su, valDims, fineLens,
       Some((-fineQ * delta, delta, ilog(fineCount - 1), Array.tabulate(fineCount)(identity))))
     writeCodebook(su, valDims, coarseLens,
       Some((-coarseQ * coarseMul * delta, coarseMul * delta, ilog(coarseCount - 1), Array.tabulate(coarseCount)(identity))))
+    if (opts.classedFloor) {
+      writeCodebook(su, 1, Array.fill(256)(8), None) // book 3: floor post values
+      writeCodebook(su, 1, Array.fill(2)(1), None) // book 4: floor class masterbook
+    }
     su.bits(0, 6); su.bits(0, 16) // one time transform, type 0
-    // one floor: type 1, zero partitions, multiplier 1, X = [0, 64]
     su.bits(0, 6) // floor_count - 1
-    su.bits(1, 16)
-    su.bits(0, 5) // partitions
-    su.bits(0, 2) // multiplier - 1
-    su.bits(6, 4) // rangebits
+    su.bits(1, 16) // floor type 1
+    if (opts.classedFloor) {
+      // partitioned floor: 2 partitions of class 0 (dims 2, 1 subclass
+      // bit, masterbook + subbooks) — still encoding a FLAT curve, but
+      // through the class/masterbook/subbook decode machinery
+      su.bits(2, 5) // partitions
+      su.bits(0, 4); su.bits(0, 4) // classList = [0, 0]
+      su.bits(2 - 1, 3) // class 0 dims
+      su.bits(1, 2) // 1 subclass bit
+      su.bits(4, 8) // masterbook = book 4
+      su.bits(3 + 1, 8); su.bits(3 + 1, 8) // both subbooks = book 3 (stored +1)
+      su.bits(0, 2) // multiplier - 1
+      su.bits(6, 4) // rangebits
+      Seq(16, 32, 48, 56).foreach(x => su.bits(x, 6)) // partition posts
+    } else {
+      // flat floor: zero partitions, the two root posts, X = [0, 64]
+      su.bits(0, 5) // partitions
+      su.bits(0, 2) // multiplier - 1
+      su.bits(6, 4) // rangebits
+    }
     // residues: one per blocksize in use
     val nRes = if (opts.longBlocks) 2 else 1
     su.bits(nRes - 1, 6)
@@ -1155,11 +1176,22 @@ object Vorbis {
       bw.bits(0, 1) // audio
       if (nRes > 1) bw.bits(blk.flag, 1) // mode number (mode ri == blocksize ri)
       if (blk.flag == 1) { bw.bits(pFlag, 1); bw.bits(nFlag, 1) }
-      // floors: flat at the table top (gain 1.0)
+      // floors: flat at the table top (gain 1.0). The classed variant
+      // still encodes the flat curve — every partition post codes the
+      // residual 0 (finalY = predicted = 255) through masterbook +
+      // subbook codewords, driving the class decode machinery.
       ch = 0
       while (ch < opts.channels) {
         bw.bits(1, 1)
         bw.bits(255, 8); bw.bits(255, 8)
+        if (opts.classedFloor) {
+          var p = 0
+          while (p < 2) {
+            bw.code(0, 1) // masterbook entry 0 → subbook 0 for both dims
+            bw.code(0, 8); bw.code(0, 8) // post residuals 0 (book 3 entry 0)
+            p += 1
+          }
+        }
         ch += 1
       }
       // residue: mirror of the decoder's partition walk, pass 0 only

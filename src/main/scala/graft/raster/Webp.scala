@@ -636,7 +636,14 @@ object Webp {
       palette: Boolean = false,
       cacheBits: Int = 0,
       lz77: Boolean = false,
-      metaGroup: Boolean = false) {
+      metaGroup: Boolean = false,
+      // TWO meta groups on a checkerboard of 16px blocks: group 1 pins
+      // R/B/A to single-symbol codes (pixels there must be (7,g,11,255)),
+      // so a wrong group lookup desyncs or mis-colors — the real test of
+      // the per-block group index path. Plain literals only.
+      metaTwoGroups: Boolean = false) {
+    require(!metaTwoGroups || (!metaGroup && !lz77 && cacheBits == 0 && !palette &&
+      !subtractGreen && predictorBits == 0 && !crossColor), "metaTwoGroups is a plain-literal config")
     require(!palette || (!subtractGreen && predictorBits == 0 && !crossColor), "palette is exclusive")
     require(cacheBits >= 0 && cacheBits <= 11)
   }
@@ -859,13 +866,22 @@ object Webp {
     val cacheSize = if (opts.cacheBits > 0) 1 << opts.cacheBits else 0
     if (cacheSize > 0) { bw.bits(1, 1); bw.bits(opts.cacheBits, 4) } else bw.bits(0, 1)
 
-    // meta prefix codes: one group via an all-zero meta image (the meta
-    // path itself is what's being exercised)
+    // meta prefix codes: one group via an all-zero meta image, or two
+    // groups on a 16px checkerboard (group = (bx+by) mod 2)
+    val mBits = 4
     if (opts.metaGroup) {
       bw.bits(1, 1)
-      val mBits = 4
       bw.bits(mBits - 2, 3)
       writeEntropyImage(bw, new Array[Int](subSize(codedW, mBits) * subSize(h, mBits)))
+    } else if (opts.metaTwoGroups) {
+      bw.bits(1, 1)
+      bw.bits(mBits - 2, 3)
+      val mw = subSize(codedW, mBits)
+      val mh = subSize(h, mBits)
+      writeEntropyImage(bw, Array.tabulate(mw * mh) { i =>
+        val g = ((i % mw) + (i / mw)) % 2
+        0xff000000 | (g << 8)
+      })
     } else bw.bits(0, 1)
 
     val greenN = 280 + cacheSize
@@ -875,6 +891,13 @@ object Webp {
     writeUniformCodeHeader(bw, 256)
     if (opts.lz77) writeSingleSymbolCode(bw, 1) // only distance value 2 (= dist 1) is emitted
     else writeSingleSymbolCode(bw, 0)
+    if (opts.metaTwoGroups) { // group 1: green uniform, R/B/A pinned single-symbol
+      writeUniformCodeHeader(bw, greenN)
+      writeSingleSymbolCode(bw, 7) // red
+      writeSingleSymbolCode(bw, 11) // blue
+      writeSingleSymbolCode(bw, 255) // alpha
+      writeSingleSymbolCode(bw, 0) // distance
+    }
 
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     val cacheSet = if (cacheSize > 0) new Array[Boolean](cacheSize) else null
@@ -901,6 +924,13 @@ object Webp {
         var k = 0
         while (k < run) { cacheInsert(argb(pos + k)); k += 1 }
         pos += run
+      } else if (opts.metaTwoGroups &&
+        (((pos % codedW) >> mBits) + ((pos / codedW) >> mBits)) % 2 == 1) {
+        // group 1 block: R/B/A are zero-bit single-symbol codes
+        require(((p >>> 16) & 0xff) == 7 && (p & 0xff) == 11 && (p >>> 24) == 0xff,
+          "webp: metaTwoGroups pixels in group-1 blocks must be (7, g, 11, 255)")
+        writeUniformSymbol(bw, greenN, (p >>> 8) & 0xff)
+        pos += 1
       } else {
         val hsh = if (cache != null) colorCacheHash(p, opts.cacheBits) else -1
         if (cache != null && cacheSet(hsh) && cache(hsh) == p) {

@@ -109,6 +109,20 @@ class VorbisSpec extends AnyFunSuite {
     assert(err < 24.0, s"switching max err $err")
   }
 
+  test("partitioned floor1 (classes + masterbook + subbooks) round-trips") {
+    val pcm = tone(1600, 700.0, 0.015)
+    val enc = Vorbis.encode(Array(pcm), EncOpts(classedFloor = true, quantStep = 0.25))
+    val err = maxErr(pcm, Vorbis.decode(enc).samples(0))
+    assert(err < 16.0, s"classed-floor max err $err")
+    // and composed with stereo coupling
+    val l = tone(1400, 600.0, 0.018)
+    val r = tone(1400, 580.0, 0.0181, phase = 0.9)
+    val enc2 = Vorbis.encode(Array(l, r),
+      EncOpts(channels = 2, resType = 2, coupling = true, classedFloor = true, quantStep = 0.25))
+    val dec2 = Vorbis.decode(enc2)
+    assert(maxErr(l, dec2.samples(0)) < 16.0 && maxErr(r, dec2.samples(1)) < 16.0)
+  }
+
   test("finer quantization monotonically tightens reconstruction") {
     val pcm = tone(1000, 1000.0, 0.023)
     val coarse = maxErr(pcm, Vorbis.decode(Vorbis.encode(Array(pcm), EncOpts(quantStep = 2.0))).samples(0))

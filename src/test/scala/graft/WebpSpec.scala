@@ -128,6 +128,23 @@ class WebpSpec extends AnyFunSuite {
     assertCycle(mkImage(20, 20, 3, 12), EncOpts(metaGroup = true, cacheBits = 3), "meta+cache")
   }
 
+  test("two meta groups: per-block group lookup selects the right code set") {
+    // checkerboard of 16px blocks: group-1 blocks carry (7, g, 11) pixels
+    // coded with zero-bit R/B/A codes — a wrong group index either
+    // desyncs the stream or mis-colors, both caught by the exact cycle
+    val w = 47; val h = 35
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val group1 = ((x >> 4) + (y >> 4)) % 2 == 1
+      if (group1) { px(3 * i) = 7; px(3 * i + 1) = ((x * 31 + y * 7) & 0xff).toByte; px(3 * i + 2) = 11 }
+      else { px(3 * i) = (x * 5).toByte; px(3 * i + 1) = (y * 9).toByte; px(3 * i + 2) = (x ^ y).toByte }
+      i += 1
+    }
+    assertCycle(Png.Image(w, h, 3, px), EncOpts(metaTwoGroups = true), "meta2")
+  }
+
   test("probe: VP8L dims from bit-fields; lossy VP8 sniffed but not decoded") {
     val webp = Webp.encode(mkImage(129, 67, 3, 13))
     assert(Webp.probe(webp).contains(("vp8l", 129, 67)))
