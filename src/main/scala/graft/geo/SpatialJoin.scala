@@ -73,27 +73,19 @@ object SpatialJoin {
       .agg(count(lit(1)).as("n_points"), sum($"event_id").as("id_sum"))
   }
 
-  /** Radius-bounded k-nearest-neighbor join — for every query point
-    * the k closest data points within distance r, EXACT: with the grid
-    * cell sized to r, any point within r of a query lies in the
-    * query's 3×3 cell neighborhood, so queries explode ×9, data maps
-    * to its ONE cell, and the candidate set from the plain equi-join
-    * is provably complete. Integer coordinates make d² exact long
-    * arithmetic (no epsilon); the per-query top-k is a window over the
-    * bounded candidate set (≈ density·9r² rows), never over the data
-    * table. Shuffle volume: 9× queries + 1× data — the kNN twin of the
-    * containment join above.
-    *
-    * queries(qid, px, py) × data(bid, px, py), centi-degree longs. */
-  def knnJoin(queries: DataFrame, data: DataFrame, r: Long, k: Int): DataFrame = {
+  /** One grid round: candidates from the 3×3 neighborhood of `cell`-
+    * sized cells, kept within `radius`, per-query top-k. EXACT and
+    * COMPLETE for any radius ≤ cell: a point within L∞ distance
+    * `cell` of a query differs by at most one cell index per axis. */
+  private def knnRound(queries: DataFrame, data: DataFrame, cell: Long, radius: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries
       .select(
         col("qid"),
         col("px"),
         col("py"),
-        expr(s"(px + 18000) div $r").as("cx0"),
-        expr(s"(py + 9000) div $r").as("cy0")
+        expr(s"(px + 18000) div $cell").as("cx0"),
+        expr(s"(py + 9000) div $cell").as("cy0")
       )
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -108,8 +100,8 @@ object SpatialJoin {
       col("bid"),
       col("px").as("bx"),
       col("py").as("by"),
-      expr(s"(px + 18000) div $r").as("cx"),
-      expr(s"(py + 9000) div $r").as("cy")
+      expr(s"(px + 18000) div $cell").as("cx"),
+      expr(s"(py + 9000) div $cell").as("cy")
     )
     val cand = q
       .join(d, Seq("cx", "cy"))
@@ -119,7 +111,7 @@ object SpatialJoin {
         (col("px") - col("bx")) * (col("px") - col("bx")) +
           (col("py") - col("by")) * (col("py") - col("by"))
       )
-      .filter(col("d2") <= lit(r * r))
+      .filter(col("d2") <= lit(radius * radius))
     cand
       .withColumn(
         "rank",
@@ -127,6 +119,53 @@ object SpatialJoin {
       )
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("bid"), col("d2"))
+  }
+
+  /** Radius-bounded k-nearest-neighbor join — for every query point
+    * the k closest data points within distance r, EXACT. Grid cell =
+    * radius makes the 3×3 equi-join candidate set provably complete;
+    * integer coordinates make d² exact long arithmetic; per-query
+    * top-k is a window over the bounded candidates, never the table.
+    *
+    * DENSITY-ADAPTIVE (the sf1 scale-probe finding): with cell = r
+    * the candidate count per query grows linearly with data density —
+    * the r13→r14 probe measured the whole join ~linear-plus at 10×
+    * rows because candidates grew 100×. When the expected neighbor
+    * count per query (n·πr²/extent-area, from four cheap aggregates)
+    * is far above k, a FIRST round runs at a shrunken radius r₁ with
+    * E[neighbors at r₁] ≈ 8k: a query with k results inside the
+    * guaranteed-complete r₁ ball already holds its global top-k
+    * (closer beats farther), and only the sparse-region remainder
+    * re-runs at full r. Per-query candidate work becomes O(k),
+    * independent of density — the 100-TB shape.
+    *
+    * queries(qid, px, py) × data(bid, px, py), centi-degree longs. */
+  def knnJoin(queries: DataFrame, data: DataFrame, r: Long, k: Int): DataFrame = {
+    val stats = data
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("px")).as("x0"), max(col("px")).as("x1"),
+        min(col("py")).as("y0"), max(col("py")).as("y1"))
+      .head()
+    val n = stats.getLong(0)
+    if (n == 0) return knnRound(queries, data, r, r, k)
+    val area = math.max(1.0,
+      (stats.getLong(2) - stats.getLong(1)).toDouble * (stats.getLong(4) - stats.getLong(3)).toDouble)
+    val lambda = n * math.Pi * r * r / area // expected neighbors within r
+    val r1 = math.ceil(r * math.sqrt(8.0 * k / math.max(lambda, 1e-9))).toLong
+    if (r1 >= r) knnRound(queries, data, r, r, k)
+    else {
+      val first = graft.operators.Staged.persist(knnRound(queries, data, math.max(r1, 1), math.max(r1, 1), k))
+      val satisfied = first
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === k)
+        .select(col("qid"))
+      val unsatisfied = queries.join(satisfied, Seq("qid"), "left_anti")
+      first
+        .join(satisfied, Seq("qid")) // keep only provably-complete top-k sets
+        .unionByName(knnRound(unsatisfied, data, r, r, k))
+    }
   }
 
   /** ◆ q_knn_join — every 10th event queries its 5 nearest events
