@@ -220,18 +220,56 @@ object Jp2 {
     * LRCP, all coding passes of the quantized magnitudes. `step` in
     * sample units: ~1.0 is visually tight at depth 8; larger = lossier
     * and smaller output. */
-  def encodeJ2k97(width: Int, height: Int, depth: Int, comps: Array[Array[Int]],
-                  levels: Int = 3, step: Double = 1.0): Array[Byte] = {
-    require(width > 0 && height > 0 && width < 32768 && height < 32768, "jp2: size out of supported range")
-    require(depth >= 1 && depth <= 16, "jp2: depth 1..16")
-    require(comps.nonEmpty && comps.forall(_.length == width * height), "jp2: component shape mismatch")
-    require(levels >= 0 && levels <= 10, "jp2: 0..10 decomposition levels")
-    require(step > 0 && step.isFinite, "jp2: bad quantization step")
-    val nc = comps.length
-    val mct = nc == 3
+  /** Per-subband (ε, µ) for a uniform absolute step at `depth`. */
+  private def quantTable(depth: Int, levels: Int, step: Double): Array[(Int, Int)] =
+    Array.tabulate(3 * levels + 1) { i =>
+      val bandCode = if (i == 0) 0 else (i - 1) % 3 + 1
+      quantParams(depth + gainOf(bandCode), step)
+    }
 
+  private def qIdx97(r: Int, bandCode: Int): Int = if (r == 0) 0 else 3 * (r - 1) + bandCode
+
+  /** Main-header bytes for the 9/7 path (COD transform 0, expounded
+    * QCD). Shared by the single-shot and distributed tiled writers. */
+  def headerBytes97(width: Int, height: Int, depth: Int, nc: Int, mct: Boolean,
+                    levels: Int, tileW: Int, tileH: Int, step: Double): Array[Byte] = {
+    val quant = quantTable(depth, levels, step)
+    val out = new ArrayBuffer[Byte](64)
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
+    def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
+    u16(0xFF4F)
+    u16(0xFF51); u16(38 + 3 * nc)
+    u16(0)
+    u32(width); u32(height); u32(0); u32(0)
+    u32(tileW); u32(tileH); u32(0); u32(0)
+    u16(nc)
+    (0 until nc).foreach { _ => u8(depth - 1); u8(1); u8(1) }
+    u16(0xFF52); u16(12)
+    u8(0); u8(0); u16(1)
+    u8(if (mct) 1 else 0)
+    u8(levels)
+    u8(CbExp - 2); u8(CbExp - 2)
+    u8(0)
+    u8(0) // 9/7 irreversible
+    u16(0xFF5C); u16(3 + 2 * (3 * levels + 1))
+    u8((GuardBits << 5) | 2) // scalar expounded
+    quant.foreach { case (eps, mu) => u16((eps << 11) | mu) }
+    out.toArray
+  }
+
+  /** One complete 9/7 tile-part (SOT..end of packet data), a pure
+    * function of the tile — ICT + forward 9/7 + quantization + Tier-1
+    * run on the executor, the driver only concatenates (the
+    * distributed-orthophoto shape: lossy coding is the expensive step
+    * and it parallelizes per tile with zero coordination). */
+  def tilePart97(tileIdx: Int, tw: Int, th: Int, depth: Int, tileComps: Array[Array[Int]],
+                 levels: Int, mct: Boolean, step: Double): Array[Byte] = {
+    require(tileComps.forall(_.length == tw * th), "jp2: tile shape mismatch")
+    val nc = tileComps.length
+    val quant = quantTable(depth, levels, step)
     val shift = 1 << (depth - 1)
-    val planesD = comps.map { c =>
+    val planesD = tileComps.map { c =>
       val a = new Array[Double](c.length)
       var i = 0
       while (i < c.length) { a(i) = c(i) - shift; i += 1 }
@@ -248,30 +286,24 @@ object Jp2 {
         i += 1
       }
     }
-    planesD.foreach(p => fdwt97(p, width, height, levels))
-
+    planesD.foreach(p => fdwt97(p, tw, th, levels))
     // quantize the Mallat layout band-by-band into signed indices
-    val quant = Array.tabulate(3 * levels + 1) { i =>
-      val bandCode = if (i == 0) 0 else (i - 1) % 3 + 1
-      quantParams(depth + gainOf(bandCode), step)
-    }
-    def qIdx(r: Int, bandCode: Int): Int = if (r == 0) 0 else 3 * (r - 1) + bandCode
     val planes = planesD.map { dp =>
       val q = new Array[Int](dp.length)
       var r = 0
       while (r <= levels) {
         val lev = if (r == 0) levels else levels - r + 1
         bandsOf(r, levels).foreach { bandCode =>
-          val (bx0, by0, bw, bh) = bandRect(bandCode, lev, width, height)
-          val (eps, mu) = quant(qIdx(r, bandCode))
+          val (bx0, by0, bw, bh) = bandRect(bandCode, lev, tw, th)
+          val (eps, mu) = quant(qIdx97(r, bandCode))
           val delta = deltaFrom(depth + gainOf(bandCode), eps, mu)
           var y = 0
           while (y < bh) {
             var x = 0
             while (x < bw) {
-              val v = dp((by0 + y) * width + (bx0 + x))
+              val v = dp((by0 + y) * tw + (bx0 + x))
               val m = math.floor(math.abs(v) / delta).toInt
-              q((by0 + y) * width + (bx0 + x)) = if (v < 0) -m else m
+              q((by0 + y) * tw + (bx0 + x)) = if (v < 0) -m else m
               x += 1
             }
             y += 1
@@ -281,51 +313,68 @@ object Jp2 {
       }
       q
     }
-
-    val out = new ArrayBuffer[Byte](width * height * nc / 4 + 512)
+    val out = new ArrayBuffer[Byte](tw * th * nc / 4 + 64)
     def u8(v: Int): Unit = out += v.toByte
     def u16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
     def u32(v: Long): Unit = { out += (v >> 24).toByte; out += (v >> 16).toByte; out += (v >> 8).toByte; out += v.toByte }
-    u16(0xFF4F)
-    u16(0xFF51); u16(38 + 3 * nc)
-    u16(0)
-    u32(width); u32(height); u32(0); u32(0)
-    u32(width); u32(height); u32(0); u32(0)
-    u16(nc)
-    (0 until nc).foreach { _ => u8(depth - 1); u8(1); u8(1) }
-    u16(0xFF52); u16(12)
-    u8(0); u8(0); u16(1)
-    u8(if (mct) 1 else 0)
-    u8(levels)
-    u8(CbExp - 2); u8(CbExp - 2)
-    u8(0)
-    u8(0) // 9/7 irreversible
-    u16(0xFF5C); u16(3 + 2 * (3 * levels + 1))
-    u8((GuardBits << 5) | 2) // scalar expounded
-    quant.foreach { case (eps, mu) => u16((eps << 11) | mu) }
-    val sotStart = out.length
-    u16(0xFF90); u16(10); u16(0); u32(0); u8(0); u8(1)
+    u16(0xFF90); u16(10); u16(tileIdx); u32(0); u8(0); u8(1)
     u16(0xFF93)
     var r = 0
     while (r <= levels) {
       var c = 0
       while (c < nc) {
         val rr = r
-        out ++= encodePacket(planes(c), width, height, levels, r,
-          b => GuardBits + quant(qIdx(rr, b))._1 - 1)
+        out ++= encodePacket(planes(c), tw, th, levels, r,
+          b => GuardBits + quant(qIdx97(rr, b))._1 - 1)
         c += 1
       }
       r += 1
     }
-    // Psot = SOT start through the end of the tile part (before EOC)
-    val psotVal = out.length - sotStart
-    val psotAt = sotStart + 6
-    out(psotAt) = (psotVal >> 24).toByte
-    out(psotAt + 1) = (psotVal >> 16).toByte
-    out(psotAt + 2) = (psotVal >> 8).toByte
-    out(psotAt + 3) = psotVal.toByte
-    u16(0xFFD9)
+    val psot = out.length
+    out(6) = (psot >> 24).toByte
+    out(7) = (psot >> 16).toByte
+    out(8) = (psot >> 8).toByte
+    out(9) = psot.toByte
     out.toArray
+  }
+
+  def encodeJ2k97(width: Int, height: Int, depth: Int, comps: Array[Array[Int]],
+                  levels: Int = 3, step: Double = 1.0): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 32768 && height < 32768, "jp2: size out of supported range")
+    require(depth >= 1 && depth <= 16, "jp2: depth 1..16")
+    require(comps.nonEmpty && comps.forall(_.length == width * height), "jp2: component shape mismatch")
+    require(levels >= 0 && levels <= 10, "jp2: 0..10 decomposition levels")
+    require(step > 0 && step.isFinite, "jp2: bad quantization step")
+    val mct = comps.length == 3
+    headerBytes97(width, height, depth, comps.length, mct, levels, width, height, step) ++
+      tilePart97(0, width, height, depth, comps, levels, mct, step) ++
+      Array(0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** Distributed tiled 9/7 encode: executors run [[tilePart97]] per
+    * tile (the expensive ICT/DWT/Tier-1 work), the driver assembles
+    * header + parts — byte-identical to a single-shot tiled encode.
+    * Single-component tiles (the ortho-band shape). */
+  def encodeTiled97Distributed(s: org.apache.spark.sql.SparkSession, width: Int, height: Int,
+                               depth: Int, levels: Int, tileSize: Int, step: Double,
+                               tiles: org.apache.spark.sql.Dataset[(Int, Array[Int])]): Array[Byte] = {
+    val ntx = ceilDiv(width, tileSize)
+    val nty = ceilDiv(height, tileSize)
+    val (w, h, d, lv, ts, st) = (width, height, depth, levels, tileSize, step)
+    import s.implicits._
+    val parts = tiles
+      .map { case (t, px) =>
+        val tx = t % ntx; val ty = t / ntx
+        val tw = math.min(ts, w - tx * ts)
+        val th = math.min(ts, h - ty * ts)
+        (t, Jp2.tilePart97(t, tw, th, d, Array(px), lv, mct = false, st))
+      }
+      .collect()
+      .sortBy(_._1)
+    require(parts.length == ntx * nty && parts.map(_._1).toSeq == (0 until ntx * nty),
+      "jp2: tile set incomplete")
+    headerBytes97(w, h, d, 1, mct = false, lv, ts, ts, st) ++ parts.flatMap(_._2) ++
+      Array(0xFF.toByte, 0xD9.toByte)
   }
 
   /** One LRCP packet: all bands of resolution r for one component.

@@ -348,6 +348,38 @@ class Jp2Spec extends SparkSuite {
     assert(e.getMessage.contains("derived"))
   }
 
+  test("lossy 9/7 tiled: distributed tile parts compose byte-identically and decode within bounds") {
+    val w = 96; val h = 64; val ts = 32
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.max(0, math.min(255, (x + y * 2 + 30 * math.sin(x * 0.3)).toInt))
+    }
+    def tileOf(t: Int): Array[Int] = {
+      val ntx = (w + ts - 1) / ts
+      val tx = t % ntx; val ty = t / ntx
+      val tw = math.min(ts, w - tx * ts); val th = math.min(ts, h - ty * ts)
+      Array.tabulate(tw * th)(i => gray((ty * ts + i / tw) * w + tx * ts + i % tw))
+    }
+    val nTiles = ((w + ts - 1) / ts) * ((h + ts - 1) / ts)
+    // single-shot tiled: header + serial tileParts
+    val serial = Jp2.headerBytes97(w, h, 8, 1, mct = false, 2, ts, ts, 1.0) ++
+      (0 until nTiles).flatMap { t =>
+        val ntx = (w + ts - 1) / ts
+        val tw = math.min(ts, w - (t % ntx) * ts); val th = math.min(ts, h - (t / ntx) * ts)
+        Jp2.tilePart97(t, tw, th, 8, Array(tileOf(t)), 2, mct = false, 1.0)
+      } ++ Array(0xFF.toByte, 0xD9.toByte)
+    import spark.implicits._
+    val distributed = Jp2.encodeTiled97Distributed(spark, w, h, 8, 2, ts, 1.0,
+      spark.createDataset((0 until nTiles).map(t => (t, tileOf(t)))))
+    assert(java.util.Arrays.equals(serial, distributed), "distributed must equal serial bytes")
+    val dec = Jp2.decodeJ2k(distributed)
+    val p = psnr(gray, dec.comps(0), 8)
+    assert(p > 40.0, s"tiled lossy PSNR $p")
+    // reduced decode works on tiled lossy streams too
+    val half = Jp2.decodeJ2kReduced(distributed, 1)
+    assert(half.width == 48 && half.height == 32)
+  }
+
   test("named refusals: truncation, bad magic, unsupported features") {
     val enc = Jp2.encodeJ2k(20, 20, 8, Array(gradient(20, 20, 8)), 2)
     intercept[Exception](Jp2.decodeJ2k(enc.take(enc.length / 2))) // truncated

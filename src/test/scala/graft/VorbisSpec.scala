@@ -131,6 +131,18 @@ class VorbisSpec extends AnyFunSuite {
     assert(fine < 8.0)
   }
 
+  test("everything at once: stereo + coupling + classed floor + window switching") {
+    val l = tone(5000, 700.0, 0.012)
+    val r = tone(5000, 650.0, 0.0123, phase = 0.7)
+    val enc = Vorbis.encode(Array(l, r), EncOpts(
+      channels = 2, resType = 2, coupling = true, classedFloor = true,
+      longBlocks = true, quantStep = 0.25))
+    val dec = Vorbis.decode(enc)
+    val eL = maxErr(l, dec.samples(0))
+    val eR = maxErr(r, dec.samples(1))
+    assert(eL < 24.0 && eR < 24.0, s"combo errs $eL $eR")
+  }
+
   test("decodeAudio face: Ogg Vorbis payloads route to PCM; named refusals hold") {
     val pcm = tone(800, 2000.0, 0.02)
     val enc = Vorbis.encode(Array(pcm), EncOpts())
