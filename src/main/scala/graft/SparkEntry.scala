@@ -236,7 +236,10 @@ object SparkEntry {
     "q_url_canon" -> (graft.text.UrlCanon.urlCanonQuery _),
     "q_html" -> (graft.text.HtmlExtract.htmlQuery _),
     "q_gopher" -> (TextOps.gopherQuery _),
-    "q_warc" -> (graft.sources.Warc.warcQuery _)
+    "q_warc" -> (graft.sources.Warc.warcQuery _),
+    "q_wet" -> (graft.sources.Wet.wetQuery _),
+    "q_wat" -> (graft.sources.Wet.watQuery _),
+    "q_unigram" -> ((s: SparkSession, d: String) => graft.text.Unigram.unigramQuery(s, d))
   )
 
   /** Generated minhash oracle: same md5→GF(p) hash, same k linear
@@ -882,7 +885,83 @@ object SparkEntry {
        |FROM ($union) ORDER BY rk""".stripMargin
   }
 
+  /** Generated unigram-LM hard-EM oracle: replays seed substring
+    * counts, add-one smoothing (the one mirrored float: round(cnt+1 /
+    * total+V, 8)), and two Viterbi rounds with the engine's pinned
+    * tie-breaks (max product, then smallest split position),
+    * position-unrolled to MaxWord=12. Counts are integers, so nothing
+    * drifts across rounds. */
+  private def unigramOracle: String = {
+    val maxWord = graft.text.Unigram.MaxWord
+    val maxPiece = graft.text.Unigram.MaxPiece
+    def viterbiRound(r: Int, probTable: String): String = {
+      val bs = (1 to maxWord).map { e =>
+        val priors = (math.max(0, e - maxPiece) until e).map { s =>
+          if (s == 0)
+            s"SELECT word, 0 AS s, CAST(1.0 AS DOUBLE) AS pv FROM wf WHERE length(word) >= $e"
+          else
+            s"SELECT word, $s AS s, val AS pv FROM b${r}_$s WHERE length(word) >= $e"
+        }.mkString(" UNION ALL ")
+        s"""b${r}_$e AS MATERIALIZED (
+           |  SELECT word, val, piece FROM (
+           |    SELECT cand.word, cand.val, cand.piece,
+           |      row_number() OVER (PARTITION BY cand.word ORDER BY cand.val DESC, cand.s ASC) AS rn
+           |    FROM (
+           |      SELECT pr.word, pr.s, pr.pv * pp.p AS val, pp.piece
+           |      FROM ($priors) pr
+           |      JOIN $probTable pp ON pp.piece = substr(pr.word, pr.s + 1, $e - pr.s)
+           |    ) cand) WHERE rn = 1)""".stripMargin
+      }
+      val ball = (1 to maxWord)
+        .map(e => s"SELECT word, $e AS pos, piece FROM b${r}_$e")
+        .mkString(" UNION ALL ")
+      val ts = (1 to maxWord).map { k =>
+        s"""t${r}_$k AS MATERIALIZED (
+           |  SELECT t.word, t.freq, t.pos - length(b.piece) AS pos, b.piece
+           |  FROM t${r}_${k - 1} t JOIN ball$r b ON b.word = t.word AND b.pos = t.pos
+           |  WHERE t.pos > 0)""".stripMargin
+      }
+      val emitted = (1 to maxWord).map(k => s"SELECT piece, freq FROM t${r}_$k").mkString(" UNION ALL ")
+      (bs ++ Seq(
+        s"ball$r AS MATERIALIZED ($ball)",
+        s"t${r}_0 AS (SELECT word, freq, length(word) AS pos FROM wf)") ++ ts ++ Seq(
+        s"""cnt$r AS MATERIALIZED (
+           |  SELECT v0.piece, CAST(coalesce(sum(u.freq), 0) AS BIGINT) AS cnt
+           |  FROM v0 LEFT JOIN ($emitted) u ON u.piece = v0.piece
+           |  GROUP BY v0.piece)""".stripMargin,
+        s"""p$r AS MATERIALIZED (
+           |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
+           |    CAST((SELECT sum(cnt) FROM cnt$r) + (SELECT count(*) FROM cnt$r) AS DOUBLE), 8) AS p
+           |  FROM cnt$r)""".stripMargin)).mkString(",\n")
+    }
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $maxWord GROUP BY word),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(word, s, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wf,
+       |       (SELECT unnest(range(1, ${maxWord + 1})) AS s),
+       |       (SELECT unnest(range(1, ${maxPiece + 1})) AS l)
+       |  WHERE s + l - 1 <= length(word)
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM sub WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece ASC LIMIT 120)),
+       |p0 AS MATERIALIZED (
+       |  SELECT piece, round(CAST(cnt + 1 AS DOUBLE) /
+       |    CAST((SELECT sum(cnt) FROM v0) + (SELECT count(*) FROM v0) AS DOUBLE), 8) AS p
+       |  FROM v0),
+       |${viterbiRound(1, "p0")},
+       |${viterbiRound(2, "p1")}
+       |SELECT piece, cnt FROM cnt2 ORDER BY cnt DESC, piece ASC LIMIT 30""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_unigram" -> unigramOracle,
     "q_colormap" -> colormapOracle,
     "q_plane_fit" ->
       """WITH px AS (
@@ -3877,6 +3956,25 @@ object SparkEntry {
         |  count(*) AS n_records,
         |  CAST(sum(30 * length(CAST(event_id % 97 AS VARCHAR)) + 59) AS BIGINT) AS kept_chars,
         |  CAST(sum(26 + length(CAST(event_id AS VARCHAR))) AS BIGINT) AS uri_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // WET sidecar cycle: conversion records (text/plain extracted text,
+    // deterministic per id) split-scanned at three arbitrary cuts; each
+    // text must survive byte-exactly (required in-task), so text_chars
+    // is the closed form of (("w"+id%89+" ")*20).trim's length.
+    "q_wet" ->
+      """SELECT event_type,
+        |  count(*) AS n_records,
+        |  CAST(sum(20 * length('w' || CAST(event_id % 89 AS VARCHAR)) + 19) AS BIGINT) AS text_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // WAT sidecar cycle: metadata records carrying the Common Crawl
+    // JSON envelope (title + id%5+1 links) split-scanned and parsed
+    // through the REAL envelope walker; every field must round-trip
+    // (required in-task), so link and title counts are closed forms.
+    "q_wat" ->
+      """SELECT event_type,
+        |  count(*) AS n_pages,
+        |  CAST(sum(event_id % 5 + 1) AS BIGINT) AS n_links,
+        |  CAST(sum(length('T' || CAST(event_id AS VARCHAR))) AS BIGINT) AS title_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Gopher quality rules (Rae et al. 2021): same \w+ token
     // convention as q_token_stats; ratios and thresholds mirrored

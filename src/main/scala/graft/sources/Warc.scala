@@ -452,7 +452,8 @@ object Warc {
   // ------------------------------------------------------------------
 
   /** One row per WARC record under `pattern` (file/glob/dir of .warc /
-    * .warc.gz). The driver plans (path, start, end) ranges from file
+    * .warc.gz, plus the .wet[.gz] / .wat[.gz] sidecar names — see
+    * [[Wet]]). The driver plans (path, start, end) ranges from file
     * metadata only; each task scans its own byte range. */
   def records(spark: SparkSession, pattern: String, splitSize: Long = 32L << 20): DataFrame = {
     import spark.implicits._
@@ -467,8 +468,12 @@ object Warc {
     }
     val ranges: Seq[(String, Long, Long)] = statuses
       .filter { st =>
+        // Common Crawl names its sidecars *.warc.wet.gz / *.warc.wat.gz —
+        // they are plain WARC containers and must not be silently skipped
         val n = st.getPath.getName
-        n.endsWith(".warc") || n.endsWith(".warc.gz")
+        n.endsWith(".warc") || n.endsWith(".warc.gz") ||
+        n.endsWith(".wet") || n.endsWith(".wet.gz") ||
+        n.endsWith(".wat") || n.endsWith(".wat.gz")
       }
       .flatMap { st =>
         val size = st.getLen
