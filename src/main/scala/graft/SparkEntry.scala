@@ -239,6 +239,7 @@ object SparkEntry {
     "q_warc" -> (graft.sources.Warc.warcQuery _),
     "q_wet" -> (graft.sources.Wet.wetQuery _),
     "q_wat" -> (graft.sources.Wet.watQuery _),
+    "q_cdx" -> (graft.sources.Cdx.cdxQuery _),
     "q_unigram" -> ((s: SparkSession, d: String) => graft.text.Unigram.unigramQuery(s, d))
   )
 
@@ -3975,6 +3976,19 @@ object SparkEntry {
         |  count(*) AS n_pages,
         |  CAST(sum(event_id % 5 + 1) AS BIGINT) AS n_links,
         |  CAST(sum(length('T' || CAST(event_id AS VARCHAR))) AS BIGINT) AS title_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CDX capture-index cycle: a gz container is indexed through the
+    // split member scan, lines round-trip the real CDXJ codec (SURT
+    // pinned in-task), and the id%3==0 subset is fetched back by
+    // (offset,length) extents only — byte-exactness + digest match are
+    // required in-task, so counts and kept chars are closed forms.
+    // Fetched text is (("c"+id%83+" ")*25).trim → 25*(2+digits)-1 chars.
+    "q_cdx" ->
+      """SELECT event_type,
+        |  count(*) AS n_indexed,
+        |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fetched,
+        |  CAST(sum(CASE WHEN event_id % 3 = 0
+        |    THEN 25 * (2 + length(CAST(event_id % 83 AS VARCHAR))) - 1 ELSE 0 END) AS BIGINT) AS fetched_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Gopher quality rules (Rae et al. 2021): same \w+ token
     // convention as q_token_stats; ratios and thresholds mirrored

@@ -360,24 +360,24 @@ object Warc {
     * extends past `end` only to finish a straddling member, and decodes
     * one member at a time as the iterator is pulled. A member holding
     * several concatenated records emits all of them. */
-  private def gzRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Record)] =
-    new Iterator[(Long, Record)] {
+  private def gzRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Long, Record)] =
+    new Iterator[(Long, Long, Record)] {
       private val w = fillSlice(in, rangeLen)
       private var p = 0
-      private val pending = scala.collection.mutable.Queue.empty[(Long, Record)]
+      private val pending = scala.collection.mutable.Queue.empty[(Long, Long, Record)]
       private def advance(): Unit =
         while (pending.isEmpty && p < math.min(rangeLen, w.len)) {
           if (probeWarcMember(w, p)) {
             inflateMember(w, p) match {
               case Some((payload, next)) =>
-                parseAll(payload).foreach(r => pending.enqueue(p.toLong -> r))
+                parseAll(payload).foreach(r => pending.enqueue((p.toLong, (next - p).toLong, r)))
                 p = next
               case None => p += 1
             }
           } else p += 1
         }
       def hasNext: Boolean = { advance(); pending.nonEmpty }
-      def next(): (Long, Record) = { advance(); pending.dequeue() }
+      def next(): (Long, Long, Record) = { advance(); pending.dequeue() }
     }
 
   /** Uncompressed `.warc` range scan, lazily: a record is owned by the
@@ -386,11 +386,11 @@ object Warc {
     * stray `WARC/` bytes inside payloads cannot fork records — with
     * the two documented limits (embedded byte-exact records inside a
     * straddling block; headers past [[MaxHeaderBytes]]). */
-  private def plainRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Record)] =
-    new Iterator[(Long, Record)] {
+  private def plainRangeRecords(in: InputStream, rangeLen: Int): Iterator[(Long, Long, Record)] =
+    new Iterator[(Long, Long, Record)] {
       private val w = fillSlice(in, rangeLen)
       private var p = 0
-      private var pending: (Long, Record) = null
+      private var pending: (Long, Long, Record) = null
       private def advance(): Unit =
         while (pending == null && p < math.min(rangeLen, w.len)) {
           if (w.buf(p) == 'W' && w.ensure(p + 8) &&
@@ -401,7 +401,7 @@ object Warc {
               case Some(total) if w.ensure(p + total) || w.len >= p + total - 4 =>
                 parseRecord(w.buf, p, w.len - p) match {
                   case Some((r, next)) if r.warcType.nonEmpty =>
-                    pending = (p.toLong, r); p = next
+                    pending = (p.toLong, (next - p).toLong, r); p = next
                   case _ => p += 1
                 }
               case _ => p += 1
@@ -409,7 +409,7 @@ object Warc {
           } else p += 1
         }
       def hasNext: Boolean = { advance(); pending != null }
-      def next(): (Long, Record) = {
+      def next(): (Long, Long, Record) = {
         advance()
         val r = pending; pending = null; r
       }
@@ -454,7 +454,13 @@ object Warc {
   /** One row per WARC record under `pattern` (file/glob/dir of .warc /
     * .warc.gz, plus the .wet[.gz] / .wat[.gz] sidecar names — see
     * [[Wet]]). The driver plans (path, start, end) ranges from file
-    * metadata only; each task scans its own byte range. */
+    * metadata only; each task scans its own byte range.
+    *
+    * `(offset, record_bytes)` is the record's random-access extent:
+    * for gz containers the compressed member holding the record (a
+    * multi-record member's records share it), for plain `.warc` the
+    * record's serialized extent — exactly what a CDX index stores and
+    * [[Cdx.fetch]] reads back without scanning. */
   def records(spark: SparkSession, pattern: String, splitSize: Long = 32L << 20): DataFrame = {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(pattern)
@@ -500,18 +506,19 @@ object Warc {
         val base =
           if (path.endsWith(".gz")) gzRangeRecords(in, (end - start).toInt)
           else plainRangeRecords(in, (end - start).toInt)
-        new Iterator[(String, Long, String, String, String, String, String, Long, Option[Int], Option[String], Array[Byte])] {
+        new Iterator[(String, Long, Long, String, String, String, String, String, Long, Option[Int], Option[String], Array[Byte])] {
           def hasNext: Boolean = {
             val h = base.hasNext
             if (!h) closeIn() // eager close at exhaustion; listener backstops failures
             h
           }
-          def next(): (String, Long, String, String, String, String, String, Long, Option[Int], Option[String], Array[Byte]) = {
-            val (relOff, r) = base.next()
+          def next(): (String, Long, Long, String, String, String, String, String, Long, Option[Int], Option[String], Array[Byte]) = {
+            val (relOff, extent, r) = base.next()
             val http = if (r.contentType.startsWith("application/http")) parseHttp(r.block) else None
             (
               path,
               start + relOff,
+              extent,
               r.warcType,
               r.targetUri,
               r.date,
@@ -526,7 +533,7 @@ object Warc {
         }
       }
       .toDF(
-        "path", "offset", "warc_type", "target_uri", "warc_date", "record_id",
+        "path", "offset", "record_bytes", "warc_type", "target_uri", "warc_date", "record_id",
         "content_type", "content_length", "http_status", "http_content_type", "body")
   }
 
