@@ -240,6 +240,7 @@ object SparkEntry {
     "q_wet" -> (graft.sources.Wet.wetQuery _),
     "q_wat" -> (graft.sources.Wet.watQuery _),
     "q_cdx" -> (graft.sources.Cdx.cdxQuery _),
+    "q_robots" -> (graft.text.Robots.robotsQuery _),
     "q_unigram" -> ((s: SparkSession, d: String) => graft.text.Unigram.unigramQuery(s, d))
   )
 
@@ -3989,6 +3990,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fetched,
         |  CAST(sum(CASE WHEN event_id % 3 = 0
         |    THEN 25 * (2 + length(CAST(event_id % 83 AS VARCHAR))) - 1 ELSE 0 END) AS BIGINT) AS fetched_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // robots.txt gate (RFC 9309): path shape id%7 exercises a distinct
+    // rule each; the engine requires the real parse->group->match chain
+    // to equal the closed-form verdict in-task, so allowed counts are
+    // the shapes 0/2/4/6 (no-rule, longer-allow, anchor-miss, tie-win).
+    "q_robots" ->
+      """SELECT event_type,
+        |  count(*) AS n_pages,
+        |  CAST(sum(CASE WHEN event_id % 7 IN (0, 2, 4, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Gopher quality rules (Rae et al. 2021): same \w+ token
     // convention as q_token_stats; ratios and thresholds mirrored
