@@ -83,29 +83,35 @@ object Robots {
   }
 
   /** RFC 9309 path-pattern match: from the path start, `*` matches any
-    * sequence, trailing `$` anchors the end. */
+    * sequence, trailing `$` anchors the end. Iterative last-star
+    * backtracking — O(|pattern|·|path|) worst case, so an adversarial
+    * robots.txt full of `*`s cannot blow up a task (the naive
+    * recursive matcher is exponential in the star count). */
   def patternMatches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    // greedy backtracking wildcard match over (pat, path prefix)
-    def m(pi: Int, si: Int): Boolean = {
-      var p = pi
-      var s = si
-      while (p < pat.length) {
-        if (pat(p) == '*') {
-          // try every suffix start (backtrack point)
-          var k = s
-          while (k <= path.length) {
-            if (m(p + 1, k)) return true
-            k += 1
-          }
-          return false
-        } else if (s < path.length && pat(p) == path(s)) { p += 1; s += 1 }
-        else return false
+    var p = 0
+    var s = 0
+    var starP = -1 // position after the last '*' tried
+    var starS = -1 // path position that star currently consumes up to
+    while (true) {
+      if (p == pat.length) {
+        // pattern exhausted: a prefix match is a match unless anchored
+        if (!anchored || s == path.length) return true
+        if (starP < 0) return false
+        starS += 1
+        if (starS > path.length) return false
+        p = starP; s = starS
+      } else if (pat(p) == '*') { starP = p + 1; starS = s; p += 1 }
+      else if (s < path.length && pat(p) == path(s)) { p += 1; s += 1 }
+      else {
+        if (starP < 0) return false
+        starS += 1
+        if (starS > path.length) return false
+        p = starP; s = starS
       }
-      !anchored || s == path.length
     }
-    m(0, 0)
+    false // unreachable
   }
 
   /** Group selection: the longest product token that is a substring of
