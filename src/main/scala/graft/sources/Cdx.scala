@@ -271,13 +271,14 @@ object Cdx {
   // q_cdx — oracle-checked in-task cycle (the q_warc pattern)
   // ------------------------------------------------------------------
 
-  /** Per event_type: a gz crawl container (one resource record per
-    * event, text deterministic from the id) is indexed through the
-    * split member scan, every index line cycles through the REAL CDXJ
-    * codec, then the ids divisible by 3 are fetched back by their
-    * (offset, length) extents ONLY — each fetched record must be
-    * byte-exact and its digest must match the index (requires), so
-    * counts and kept chars have closed forms. */
+  /** Per (event_type, id%16 shard): a gz crawl container (one resource
+    * record per event, text deterministic from the id) is indexed
+    * through the split member scan, every index line cycles through
+    * the REAL CDXJ codec, then the ids divisible by 3 are fetched back
+    * by their (offset, length) extents ONLY — each fetched record must
+    * be byte-exact and its digest must match the index (requires), so
+    * counts and kept chars have closed forms. Shard sums re-aggregate
+    * per group (additive), parallelizing the CPU-heavy cycles. */
   def cdxQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cycle = udf { ids: Seq[Long] =>
@@ -331,14 +332,15 @@ object Cdx {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select(
-        $"event_type",
-        $"a".getItem(0).as("n_indexed"),
-        $"a".getItem(1).as("n_fetched"),
-        $"a".getItem(2).as("fetched_chars"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"a".getItem(0)).as("n_indexed"),
+        sum($"a".getItem(1)).as("n_fetched"),
+        sum($"a".getItem(2)).as("fetched_chars"))
       .orderBy($"event_type")
   }
 }

@@ -559,13 +559,17 @@ object Warc {
   // q_warc — oracle-checked in-task cycle (the q_e57 pattern)
   // ------------------------------------------------------------------
 
-  /** Per event_type: one synthetic crawl container (one gzip member per
-    * event: an HTTP 200 HTML response whose article paragraph is
-    * deterministic from the id) is built in-task, read back through the
-    * RANGE-SPLIT scan at three arbitrary byte cuts (split independence
-    * exercised on every group), each page's boilerplate removed — the
-    * paragraph must survive byte-exactly (a require) so the oracle can
-    * state the kept text length in closed form. */
+  /** Per event_type: one synthetic crawl container per (group, id%16
+    * shard) — one gzip member per event: an HTTP 200 HTML response
+    * whose article paragraph is deterministic from the id — is built
+    * in-task, read back through the RANGE-SPLIT scan at three
+    * arbitrary byte cuts (split independence exercised on every
+    * shard), each page's boilerplate removed; the paragraph must
+    * survive byte-exactly (a require) so the oracle can state the kept
+    * text length in closed form. Shard sums re-aggregate per group —
+    * the counts are additive, so the oracle is shard-blind. The
+    * explicit repartition before the cycle keeps AQE from coalescing
+    * the (small-bytes, CPU-heavy) shard rows into one task. */
   def warcQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -613,15 +617,15 @@ object Warc {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select(
-        $"event_type",
-        $"a".getItem(0).as("n_records"),
-        $"a".getItem(1).as("kept_chars"),
-        $"a".getItem(2).as("uri_chars")
-      )
+      .groupBy($"event_type")
+      .agg(
+        sum($"a".getItem(0)).as("n_records"),
+        sum($"a".getItem(1)).as("kept_chars"),
+        sum($"a".getItem(2)).as("uri_chars"))
       .orderBy($"event_type")
   }
 }

@@ -168,11 +168,12 @@ object Wet {
   // q_wet / q_wat — oracle-checked in-task cycles (the q_warc pattern)
   // ------------------------------------------------------------------
 
-  /** Per event_type: a WET container (one conversion record per event,
-    * text deterministic from the id) cycles through the range-split
-    * member scan at three arbitrary cuts; each text must survive
-    * byte-exactly (a require), so kept chars have the closed form the
-    * oracle states. */
+  /** Per (event_type, id%16 shard): a WET container (one conversion
+    * record per event, text deterministic from the id) cycles through
+    * the range-split member scan at three arbitrary cuts; each text
+    * must survive byte-exactly (a require), so kept chars have the
+    * closed form the oracle states. Shard sums re-aggregate per group
+    * (additive), parallelizing the CPU-heavy cycles. */
   def wetQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cycle = udf { ids: Seq[Long] =>
@@ -205,18 +206,21 @@ object Wet {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select($"event_type", $"a".getItem(0).as("n_records"), $"a".getItem(1).as("text_chars"))
+      .groupBy($"event_type")
+      .agg(sum($"a".getItem(0)).as("n_records"), sum($"a".getItem(1)).as("text_chars"))
       .orderBy($"event_type")
   }
 
-  /** Per event_type: a WAT container (one metadata record per event;
-    * title and link fan-out deterministic from the id — id%5+1 links,
-    * one per j to host h((id*j)%13)) cycles through the split scan and
-    * the REAL envelope parser; every field must round-trip (requires),
-    * so link and title counts have closed forms. */
+  /** Per (event_type, id%16 shard): a WAT container (one metadata
+    * record per event; title and link fan-out deterministic from the
+    * id — id%5+1 links, one per j to host h((id*j)%13)) cycles through
+    * the split scan and the REAL envelope parser; every field must
+    * round-trip (requires), so link and title counts have closed
+    * forms. Shard sums re-aggregate per group (additive). */
   def watQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cycle = udf { ids: Seq[Long] =>
@@ -253,14 +257,15 @@ object Wet {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select(
-        $"event_type",
-        $"a".getItem(0).as("n_pages"),
-        $"a".getItem(1).as("n_links"),
-        $"a".getItem(2).as("title_chars"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"a".getItem(0)).as("n_pages"),
+        sum($"a".getItem(1)).as("n_links"),
+        sum($"a".getItem(2)).as("title_chars"))
       .orderBy($"event_type")
   }
 }
