@@ -24,16 +24,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Full evaluation through the no-op sink: every output column is
+    // computed and discarded. Through r13 the action was .count(),
+    // which let the optimizer PRUNE final-projection columns — real
+    // relational work (joins/aggs/filters) was measured, but a query
+    // whose last projection is an expensive UDF (the container-cycle
+    // oracles: q_warc, q_vorbis, q_jp2_lossy, …) had that kernel
+    // optimized out of its number. The protocol tag below breaks the
+    // series so r14+ values are never compared raw against r13-.
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // JVM/codegen warmup on one representative query
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    try evaluate(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    def time(fn: => Long): Double = {
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     def pass(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs =
-        try time(fn(spark, sfDir).count())
+        try time(evaluate(fn(spark, sfDir)))
         catch { case _: Throwable => -1.0 }
         // drop blocks persisted inside the query plan — cached
         // intermediates must not accumulate across the 100+-query
@@ -123,10 +134,12 @@ object Bench {
     // round-over-round series breaks are visible: r7 and earlier ran
     // min-of-2 back-to-back (2nd run WARM, riding staged persists);
     // from r8 on each pass releases all staged/cached blocks after
-    // every query, so per-query min across the two passes is a COLD
-    // number. Cold-min values are the comparison series from r8 onward.
+    // every query (COLD per-query min); from r14 on the action is a
+    // full no-op-sink evaluation instead of count() — queries whose
+    // final projection is a heavy UDF gain their real cost, so v3
+    // numbers only compare against v3.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v2",$machine,$loadGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v3-noop",$machine,$loadGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.

@@ -13,8 +13,13 @@ object TimeQueries {
       if (only.isEmpty || only.contains(name)) {
         val t0 = System.nanoTime()
         try {
-          val n = fn(spark, sfDir).count()
-          out.println(f"[time] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+          // full no-op-sink evaluation — the Bench action (count() would
+          // prune heavy final-projection UDFs out of the measurement)
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val n = df.count() // untimed sanity count
+          out.println(f"[time] $name%-20s $secs%8.2f s  ($n rows)")
         } catch {
           case e: Throwable =>
             out.println(f"[time] $name%-20s FAILED ${String.valueOf(e.getMessage).take(120)}")
