@@ -3896,22 +3896,29 @@ object SparkEntry {
         |  count(*) AS n_px,
         |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS gray_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // H.264 I_PCM + MP4 round-trip proof: 4:2:0 frames built from the
-    // group's ids cycle Annex-B -> MP4 sample tables -> decode
-    // in-task (I_PCM is lossless raw). Luma takes every id once
-    // (order-free); chroma takes ranks 0..127 of each 512-run, which
-    // row_number reproduces here.
+    // H.264 I_PCM + MP4 round-trip proof: 4:2:0 frames built from each
+    // (event_type, id%16 shard)'s ids cycle Annex-B -> MP4 sample
+    // tables -> decode in-task (I_PCM is lossless raw). Luma takes
+    // every id once (order-free); chroma takes ranks 0..127 of each
+    // 512-run WITHIN the shard, which the shard-partitioned row_number
+    // reproduces here; frames and sums add across shards.
     "q_h264" ->
       """WITH r AS (
         |  SELECT event_type, event_id,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn
-        |  FROM events)
+        |    row_number() OVER (PARTITION BY event_type, event_id % 16 ORDER BY event_id) - 1 AS rn
+        |  FROM events),
+        |sh AS (
+        |  SELECT event_type, event_id % 16 AS shard,
+        |    greatest(1, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS frames,
+        |    sum((event_id * 37) % 256) AS y,
+        |    coalesce(sum(CASE WHEN rn % 512 < 128
+        |      THEN (event_id * 11) % 256 + (event_id * 29) % 256 END), 0) AS c
+        |  FROM r GROUP BY event_type, event_id % 16)
         |SELECT event_type,
-        |  CAST(greatest(1, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS BIGINT) AS n_frames,
-        |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS y_sum,
-        |  CAST(coalesce(sum(CASE WHEN rn % 512 < 128
-        |    THEN (event_id * 11) % 256 + (event_id * 29) % 256 END), 0) AS BIGINT) AS c_sum
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |  CAST(sum(frames) AS BIGINT) AS n_frames,
+        |  CAST(sum(y) AS BIGINT) AS y_sum,
+        |  CAST(sum(c) AS BIGINT) AS c_sum
+        |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin,
     // GIF round-trip proof: gray planes cycle through the real-LZW
     // GIF codec in-task (identity-ramp palette = lossless); zero
     // padding keeps the sums equal to the direct aggregates.

@@ -412,11 +412,13 @@ object H264 {
 }
 
 object H264Queries {
-  /** q_h264: per event_type, 4:2:0 frames built from the group's own
-    * event ids cycle Annex-B encode → MP4 mux → sample-table demux →
-    * I_PCM decode in-task; the decoded luma/chroma sums must equal
-    * the oracle's direct aggregates (I_PCM is lossless raw). One
-    * group = one task-local cycle, the q_splat shape. */
+  /** q_h264: per (event_type, id%16 shard), 4:2:0 frames built from the
+    * shard's own event ids cycle Annex-B encode → MP4 mux →
+    * sample-table demux → I_PCM decode in-task; the decoded luma/chroma
+    * sums must equal the oracle's direct aggregates (I_PCM is lossless
+    * raw). Chroma takes ranks 0..127 of each 512-run WITHIN the shard,
+    * which the oracle reproduces with a (event_type, id%16) window;
+    * frame counts and sums re-aggregate additively per group. */
   def h264Query(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -467,15 +469,15 @@ object H264Queries {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select(
-        $"event_type",
-        $"a".getItem(0).as("n_frames"),
-        $"a".getItem(1).as("y_sum"),
-        $"a".getItem(2).as("c_sum")
-      )
+      .groupBy($"event_type")
+      .agg(
+        sum($"a".getItem(0)).as("n_frames"),
+        sum($"a".getItem(1)).as("y_sum"),
+        sum($"a".getItem(2)).as("c_sum"))
       .orderBy($"event_type")
   }
 }

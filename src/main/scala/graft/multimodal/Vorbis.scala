@@ -903,12 +903,14 @@ object Vorbis {
     * bs0/4 in the decoded timeline. */
   val CodecDelay: Int = 64
 
-  /** q_vorbis: per event_type, a deterministic PCM ramp built from the
-    * group's own event ids cycles through the FULL Vorbis pipeline
-    * in-task (flat floor1, two-pass cascade residue, windowed MDCT,
-    * Ogg framing); reconstruction after the codec delay must stay
-    * within a small quantization bound for EVERY sample (a require),
-    * so the oracle can state the source sample sum in closed form. */
+  /** q_vorbis: per (event_type, id%16 shard), a deterministic PCM ramp
+    * built from the shard's own event ids cycles through the FULL
+    * Vorbis pipeline in-task (flat floor1, two-pass cascade residue,
+    * windowed MDCT, Ogg framing); reconstruction after the codec delay
+    * must stay within a small quantization bound for EVERY sample (a
+    * require), so the oracle can state the source sample sum in closed
+    * form. Shard sums re-aggregate per group (additive — oracle
+    * unchanged). */
   def vorbisQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -934,10 +936,12 @@ object Vorbis {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select($"event_type", $"a".getItem(0).as("n_samples"), $"a".getItem(1).as("pcm_sum"))
+      .groupBy($"event_type")
+      .agg(sum($"a".getItem(0)).as("n_samples"), sum($"a".getItem(1)).as("pcm_sum"))
       .orderBy($"event_type")
   }
 

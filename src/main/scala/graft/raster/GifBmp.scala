@@ -284,11 +284,12 @@ object GifBmp {
     out.toArray
   }
 
-  /** q_gif: per event_type, a deterministic gray plane built from the
-    * group's own event ids cycles through the GIF codec in-task (the
-    * palette is the identity ramp, so indexes == gray values and the
-    * cycle is lossless); the decoded sum must equal the oracle's
-    * direct aggregate. One group = one task-local cycle. */
+  /** q_gif: per (event_type, id%16 shard), a deterministic gray plane
+    * built from the shard's own event ids cycles through the GIF codec
+    * in-task (the palette is the identity ramp, so indexes == gray
+    * values and the cycle is lossless); the decoded sum must equal the
+    * oracle's direct aggregate. Shard sums re-aggregate per group
+    * (additive — oracle unchanged). */
   def gifQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -314,10 +315,12 @@ object GifBmp {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select($"event_type", $"a".getItem(0).as("n_px"), $"a".getItem(1).as("gray_sum"))
+      .groupBy($"event_type")
+      .agg(sum($"a".getItem(0)).as("n_px"), sum($"a".getItem(1)).as("gray_sum"))
       .orderBy($"event_type")
   }
 

@@ -931,12 +931,15 @@ object Jp2 {
       Array(0xFF.toByte, 0xD9.toByte)
   }
 
-  /** q_jp2: per event_type, deterministic 8-bit images built from the
-    * group's own event ids cycle through BOTH containers in-task — a
-    * gray plane through the JP2 box file and an RGB triplet (RCT
-    * path) through the raw J2K codestream — and the decoded pixel
+  /** q_jp2: per (event_type, id%16 shard), deterministic 8-bit images
+    * built from the shard's own event ids cycle through BOTH containers
+    * in-task — a gray plane through the JP2 box file and an RGB triplet
+    * (RCT path) through the raw J2K codestream — and the decoded pixel
     * sums must match the oracle's direct aggregates (lossless 5/3).
-    * One group = one task-local codec cycle, the q_splat shape. */
+    * Shard sums re-aggregate per group (count and sums are additive, so
+    * the oracle is unchanged); the explicit repartition stops AQE from
+    * coalescing the byte-tiny collect_list shuffle into a handful of
+    * tasks and serializing the CPU-heavy EBCOT cycles. */
   def jp2Query(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -965,25 +968,26 @@ object Jp2 {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select(
-        $"event_type",
-        $"a".getItem(0).as("n_px"),
-        $"a".getItem(1).as("gray_sum"),
-        $"a".getItem(2).as("rgb_sum")
-      )
+      .groupBy($"event_type")
+      .agg(
+        sum($"a".getItem(0)).as("n_px"),
+        sum($"a".getItem(1)).as("gray_sum"),
+        sum($"a".getItem(2)).as("rgb_sum"))
       .orderBy($"event_type")
   }
 
-  /** q_jp2_lossy: per event_type, a deterministic gray plane built from
-    * the group's own event ids cycles through the IRREVERSIBLE 9/7 +
-    * quantization path in-task; the decode must land within the
-    * quantization error bound of every source pixel (a require — the
-    * spatial error of a step-Δ expounded scalar quantizer under the
-    * DC-gain-1 wavelet is small and bounded), so the oracle can state
-    * the SOURCE pixel sum in closed form. */
+  /** q_jp2_lossy: per (event_type, id%16 shard), a deterministic gray
+    * plane built from the shard's own event ids cycles through the
+    * IRREVERSIBLE 9/7 + quantization path in-task; the decode must land
+    * within the quantization error bound of every source pixel (a
+    * require — the spatial error of a step-Δ expounded scalar quantizer
+    * under the DC-gain-1 wavelet is small and bounded), so the oracle
+    * can state the SOURCE pixel sum in closed form. Shard sums
+    * re-aggregate per group (additive — oracle unchanged). */
   def jp2LossyQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -1013,10 +1017,12 @@ object Jp2 {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select($"event_type", $"a".getItem(0).as("n_px"), $"a".getItem(1).as("gray_sum"))
+      .groupBy($"event_type")
+      .agg(sum($"a".getItem(0)).as("n_px"), sum($"a".getItem(1)).as("gray_sum"))
       .orderBy($"event_type")
   }
 

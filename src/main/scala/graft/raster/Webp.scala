@@ -950,12 +950,14 @@ object Webp {
     wrapRiff(bw.result())
   }
 
-  /** q_webp: per event_type, a deterministic RGB plane built from the
-    * group's own event ids cycles through the VP8L codec in-task with
-    * the full transform stack (subtract-green + predictor + cross-color
-    * + color cache + LZ77) — the cycle must be byte-lossless (a
-    * require), so the oracle can state the channel sums in closed form
-    * over the ids. One group = one task-local cycle. */
+  /** q_webp: per (event_type, id%16 shard), a deterministic RGB plane
+    * built from the shard's own event ids cycles through the VP8L codec
+    * in-task with the full transform stack (subtract-green + predictor
+    * + cross-color + color cache + LZ77) — the cycle must be
+    * byte-lossless (a require), so the oracle can state the channel
+    * sums in closed form over the ids. Shard sums re-aggregate per
+    * group (additive — oracle unchanged); sharding parallelizes the
+    * CPU-heavy cycles across all cores. */
   def webpQuery(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -985,10 +987,12 @@ object Webp {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type")
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
-      .select($"event_type", $"a".getItem(0).as("n_px"), $"a".getItem(1).as("rgb_sum"))
+      .groupBy($"event_type")
+      .agg(sum($"a".getItem(0)).as("n_px"), sum($"a".getItem(1)).as("rgb_sum"))
       .orderBy($"event_type")
   }
 
