@@ -182,6 +182,7 @@ object SparkEntry {
     "q_dup_spans" -> (Curation.dupSpansQuery _),
     "q_cut_spans" -> (Curation.cutSpansQuery _),
     "q_cut_runs" -> (Curation.cutRunsQuery _),
+    "q_suffix_dedup" -> (graft.text.SuffixDedup.suffixDedupQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2924,6 +2925,35 @@ object SparkEntry {
         |  CAST(min(ti) AS BIGINT) AS run_start, CAST(max(ti) AS BIGINT) AS run_end,
         |  CAST(count(*) AS BIGINT) AS run_len
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, run""".stripMargin,
+    // Exact suffix-array substring dedup: the oracle rebuilds the
+    // per-position duplicate extents from a 48-char WINDOWED suffix
+    // sort (lead/lag LCP via the first-false list_position trick).
+    // Capping extents at the window makes the per-position value
+    // independent of within-tie-block ordering, so the windowed sort
+    // here and the true prefix-doubling SA on the Spark side agree
+    // exactly; unbounded exactness is SuffixDedupSpec's job.
+    "q_suffix_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, text, unnest(generate_series(1, length(text))) AS pos FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, pos, substr(text, CAST(pos AS INT), 48) AS win FROM p),
+        |nb AS (
+        |  SELECT lang, doc_id, pos, win,
+        |    lead(win) OVER w AS nw,
+        |    lag(win) OVER w AS pw
+        |  FROM s WINDOW w AS (ORDER BY win, doc_id, pos)),
+        |e AS (
+        |  SELECT lang,
+        |    greatest(
+        |      CASE WHEN nw IS NULL THEN 0 ELSE coalesce(nullif(list_position(list_transform(generate_series(1, CAST(least(length(win), length(nw)) AS INT)), k -> substr(win, CAST(k AS INT), 1) = substr(nw, CAST(k AS INT), 1)), false), 0) - 1, least(length(win), length(nw))) END,
+        |      CASE WHEN pw IS NULL THEN 0 ELSE coalesce(nullif(list_position(list_transform(generate_series(1, CAST(least(length(win), length(pw)) AS INT)), k -> substr(win, CAST(k AS INT), 1) = substr(pw, CAST(k AS INT), 1)), false), 0) - 1, least(length(win), length(pw))) END
+        |    ) AS ext
+        |  FROM nb)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN ext >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
+        |  CAST(sum(CASE WHEN ext >= 16 THEN ext ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CAST(max(ext) AS BIGINT) AS max_extent
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
     // Bloom membership: same md5 double-hash probe positions, same
     // 32-bit filter words via bit_or, same all-bits-set decision.
     "q_bloom" ->

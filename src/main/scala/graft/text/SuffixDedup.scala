@@ -1,0 +1,347 @@
+package graft.text
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** ◆ EXACT substring-duplication analysis via a DISTRIBUTED suffix
+  * array — the exact form of Lee et al. 2022's substring dedup
+  * ("Deduplicating Training Data Makes Language Models Better"), whose
+  * ESA machinery finds every duplicated span of ANY length. The
+  * fixed-n gram-hash pipeline ([[Curation.dupSpans]] /
+  * [[Curation.cutDupSpans]]) answers "is this n-window duplicated?";
+  * this module answers the strictly stronger "how LONG is the longest
+  * duplicate starting here?" — per corpus position — which fixed-n
+  * hashing cannot (it saturates at n and misses sub-n structure).
+  *
+  * Construction is prefix doubling (the classic distributed suffix-
+  * array algorithm — Manber–Myers ranks, realized with sort passes the
+  * way the published MPI/MapReduce SACAs do it, e.g. Flick & Aluru,
+  * SC'15): suffixes are identified by (doc, pos) — nothing ever
+  * materializes the concatenated corpus — and after the initial
+  * rank-by-first-`InitPrefix`-chars sort, each round k doubles the
+  * compared prefix by re-ranking every still-tied suffix on the pair
+  * (rank(p), rank(p+k)). Ranks are SPARSE (rank = count of strictly
+  * smaller suffixes), so a tie group at rank r with m members owns
+  * slot [r, r+m) and refines entirely inside it: finalized suffixes
+  * (singleton groups) drop out of every later round, and the working
+  * set collapses geometrically on real text.
+  *
+  * Scale shape per round: one keyed join of the tied set against the
+  * shifted rank table, one grouped count, and one window PARTITIONED BY
+  * the old rank over the distinct (rank, rank+k) pairs — group-bounded,
+  * never a global single-task window. The only global sort in the
+  * whole build is the initial rank, done RDD-side (range-partitioned,
+  * skew-sampled) with a numPartitions-sized driver collect of partition
+  * subtotals — the same two-pass cumulative trick everywhere Spark
+  * needs "count of strictly smaller" without a one-partition Window.
+  * Rounds are O(log maxDocLen) regardless of corpus size; each round's
+  * shuffles are keyed by rank, so a 1000-executor cluster splits them
+  * evenly. Pathological corpora (one character repeated everywhere)
+  * keep one giant tie group alive for all log rounds — the distinct
+  * PAIR table stays tiny there (few distinct ranks exist at all), so
+  * the window cost stays bounded even then.
+  */
+object SuffixDedup {
+
+  /** First-round compare width (chars). Wider costs more sort-key
+    * bytes but discriminates far more suffixes in round zero (real
+    * prose ties heavily at 16 chars — common phrases — and barely at
+    * 32), which shrinks every later round's working set. */
+  val InitPrefix = 32
+
+  /** Initial sparse ranks from ONE range-partitioned sort of the
+    * (window, doc, pos) rows: rank(row) = global index of the first row
+    * sharing its window, fin = the window is unique corpus-wide. Key
+    * runs that straddle partition boundaries are stitched from a
+    * numPartitions-sized driver summary (count, first/last key,
+    * tail-run length per partition) — the two-pass cumulative trick,
+    * never a one-partition Window, and never a groupBy + join-back
+    * (this stage dominates the whole SA build, so it gets exactly one
+    * shuffle). The range partitioner samples the key distribution, so
+    * a heavily-duplicated window still spreads across partitions; all
+    * its rows rank at the run's stitched global start, as sparse ranks
+    * require. */
+  private def initialRanks(withWin: DataFrame): DataFrame = {
+    val spark = withWin.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    // the global sort runs as a Tungsten range shuffle (repartitionByRange
+    // + sortWithinPartitions), NOT RDD.sortBy — the row payload never
+    // round-trips through Java serialization; only the two stitch passes
+    // below read it out as JVM objects
+    val sortedDf = withWin
+      .select(col("k"), col("d"), col("p"))
+      .repartitionByRange(parts, col("k"), col("d"), col("p"))
+      .sortWithinPartitions("k", "d", "p")
+    val sorted: RDD[(String, (Long, Int))] = sortedDf.rdd
+      .map(r => (r.getString(0), (r.getLong(1), r.getInt(2))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-partition summary: (index, count, firstKey, lastKey, tailRunLen)
+    val meta = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var n = 0L
+        var first: String = null
+        var last: String = null
+        var tailRun = 0L
+        it.foreach { case (k, _) =>
+          if (first == null) first = k
+          if (k == last) tailRun += 1 else tailRun = 1
+          last = k
+          n += 1
+        }
+        Iterator((i, n, first, last, tailRun))
+      }
+      .collect()
+      .sortBy(_._1)
+    val offsets = meta.scanLeft(0L)(_ + _._2).init // global index of each partition's first row
+    // stitch pass (driver, numPartitions entries): where does the key
+    // run each partition OPENS with begin globally, and what are the
+    // boundary rows' neighbor keys (for the uniqueness flag)
+    val headStart = new Array[Long](meta.length)
+    val prevLast = new Array[String](meta.length)
+    val nextFirst = new Array[String](meta.length)
+    var curKey: String = null
+    var curStart = 0L
+    meta.foreach { case (i, n, first, last, tailRun) =>
+      prevLast(i) = curKey
+      if (n > 0L) {
+        headStart(i) = if (first == curKey) curStart else offsets(i)
+        if (last != curKey || last != first) {
+          // the run open at this partition's end starts at its own tail
+          curStart = offsets(i) + n - tailRun
+          curKey = last
+        } // else: the whole partition continues curKey's run
+      }
+    }
+    var firstSeen: String = null
+    meta.reverse.foreach { case (i, n, first, _, _) =>
+      nextFirst(i) = firstSeen
+      if (n > 0L) firstSeen = first
+    }
+    val bc = spark.sparkContext.broadcast((offsets, headStart, prevLast, nextFirst))
+    val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      val (off, hs, pl, nf) = bc.value
+      // buffered for one-row lookahead on the uniqueness flag; bounded
+      // by the range split, the same order as the shuffle block itself
+      val buf = it.toArray
+      val n = buf.length
+      var j = 0
+      var groupStart = 0
+      val out = new Array[(Long, Int, Long, Boolean)](n)
+      while (j < n) {
+        val k = buf(j)._1
+        if (j > 0 && k != buf(j - 1)._1) groupStart = j
+        val rank =
+          if (groupStart == 0 && k == pl(i)) hs(i) // continues the previous partition's run
+          else off(i) + groupStart
+        val prevK = if (j > 0) buf(j - 1)._1 else pl(i)
+        val nextK = if (j < n - 1) buf(j + 1)._1 else nf(i)
+        val fin = k != prevK && k != nextK
+        out(j) = (buf(j)._2._1, buf(j)._2._2, rank, fin)
+        j += 1
+      }
+      out.iterator
+    }
+    val out = ranked.toDF("d", "p", "rank", "fin")
+    // sorted's blocks back `out` lazily; register for the session-level
+    // release the bench/verify harnesses run after materialization
+    graft.operators.Staged.register(Seq(sorted))
+    out
+  }
+
+  /** (doc_id, pos, rank) sparse suffix ranks over the whole corpus —
+    * pos is 1-based (SQL substr parity), rank = number of strictly
+    * smaller suffixes corpus-wide; EQUAL suffixes (full-text ties)
+    * share their rank. */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      directFinishBytes: Long = DirectFinishBytes): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t")).filter(length(col("t")) >= 1)
+    val maxLen = d.agg(max(length(col("t")))).head().getInt(0)
+
+    // one pass: every (doc, 1-based pos) with its InitPrefix-char window
+    val withWin = d
+      .select(col("d"), col("t"), explode(sequence(lit(1), length(col("t")))).as("p"))
+      .select(col("d"), col("p"), expr(s"substring(t, p, $InitPrefix)").as("k"))
+    val (r0, r0Blocks) = graft.operators.Staged.checkpointOwned(initialRanks(withWin))
+    graft.operators.Staged.register(r0Blocks)
+
+    // finalized suffixes LEAVE the loop: each round re-ranks (and
+    // re-checkpoints) only the still-tied working set, which collapses
+    // geometrically on real text — round 1 is O(corpus), the tail is
+    // O(surviving ties). Finalized pieces accumulate as filters over
+    // their round's checkpoint; the rank-lookup table each round is
+    // the cheap union of those cached pieces plus the working set.
+    var pieces = List(r0.filter(col("fin")).select("d", "p", "rank"))
+    var work = r0.filter(!col("fin")).select("d", "p", "rank")
+    var workCount = work.count()
+
+    var k = InitPrefix.toLong
+    while (k < maxLen && workCount > 0) {
+      if (workCount * maxLen.toLong < directFinishBytes) {
+        // DIRECT FINISH (prefix-doubling "with discarding + direct
+        // comparison", the standard hybrid): once the surviving tied
+        // set is small, one window per tie group ordered by the ACTUAL
+        // remaining suffix settles every group in a single round —
+        // rank() is sparse within the group (equal tails keep sharing,
+        // as genuinely equal suffixes must). The guard bounds the
+        // shuffled tail payload (workCount × maxDocLen); above it the
+        // doubling rounds keep shrinking the set first, so adversarial
+        // corpora (one repeated character) stay O(log) rounds of
+        // bounded shuffles instead of one giant-partition sort.
+        val tails = work
+          .join(d, "d")
+          .select(col("d"), col("p"), col("rank"), expr("substring(t, p, 2147483647)").as("tail"))
+        val w = Window.partitionBy("rank").orderBy("tail")
+        work = tails.select(col("d"), col("p"), (col("rank") + rank().over(w) - 1).as("rank"))
+        workCount = 0
+      } else {
+        val lookup = (work :: pieces).reduce(_ union _)
+        val shifted = lookup.select(col("d"), (col("p") - k).as("p"), col("rank").as("rn"))
+        val wn = work.join(shifted, Seq("d", "p"), "left").na.fill(-1L, Seq("rn"))
+        val pairs = wn.groupBy("rank", "rn").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("rank").orderBy("rn")
+        val offs = pairs
+          .withColumn("off", coalesce(sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("nfin", col("c") === 1)
+        val (refined, refinedBlocks) = graft.operators.Staged.checkpointOwned(
+          wn
+            .join(offs, Seq("rank", "rn"))
+            .select(col("d"), col("p"), (col("rank") + col("off")).as("rank"), col("nfin").as("fin"))
+        )
+        graft.operators.Staged.register(refinedBlocks)
+        pieces ::= refined.filter(col("fin")).select("d", "p", "rank")
+        work = refined.filter(!col("fin")).select("d", "p", "rank")
+        workCount = work.count()
+        k *= 2
+      }
+    }
+    // remaining ties are genuinely equal suffixes (identical text to
+    // their full length) — they keep the shared sparse rank
+    (work :: pieces).reduce(_ union _)
+  }
+
+  /** Direct-finish payload bound (bytes ≈ surviving ties × max doc
+    * length): below it the remaining groups sort by their actual
+    * suffix tails in one round; above it prefix doubling keeps going. */
+  val DirectFinishBytes: Long = 256L << 20
+
+  /** Total suffix order: sparse rank + deterministic (doc, pos) break
+    * inside full-text tie groups — the tie-group window is bounded by
+    * duplicate-suffix multiplicity, never the corpus. */
+  def suffixOrder(docs: DataFrame, idCol: String, textCol: String,
+      directFinishBytes: Long = DirectFinishBytes): DataFrame = {
+    val ranks = suffixRanks(docs, idCol, textCol, directFinishBytes)
+    val w = Window.partitionBy("rank").orderBy("d", "p")
+    ranks.select(col("d"), col("p"), (col("rank") + row_number().over(w) - 1).as("ord"))
+  }
+
+  /** LCP in CODE POINTS (positions are Spark/SQL character positions,
+    * which count code points — a UTF-16 charAt walk would drift on
+    * supplementary-plane text and could stop mid-surrogate-pair). */
+  private val lcpUdf = udf { (a: String, pa: Int, b: String, pb: Int) =>
+    var ia = a.offsetByCodePoints(0, pa - 1)
+    var ib = b.offsetByCodePoints(0, pb - 1)
+    var n = 0L
+    var go = true
+    while (go && ia < a.length && ib < b.length) {
+      val ca = a.codePointAt(ia)
+      if (ca == b.codePointAt(ib)) {
+        val w = Character.charCount(ca)
+        ia += w; ib += w; n += 1
+      } else go = false
+    }
+    n
+  }
+
+  /** Per corpus position, the EXACT longest duplicate extent: the
+    * length of the longest substring starting at (doc, pos) that also
+    * occurs anywhere else in the corpus (another doc or another
+    * position of the same doc). Classical identity: that extent is the
+    * max LCP with the suffix-order NEIGHBORS, so one self-join on
+    * ord±1, two text lookups, and a per-pair character walk bounded by
+    * the true LCP — no pair table, no quadratic anything. */
+  def dupExtents(docs: DataFrame, idCol: String, textCol: String, cap: Int = 0,
+      directFinishBytes: Long = DirectFinishBytes): DataFrame = {
+    // cap > 0: carry the suffix's own cap-char WINDOW through the order
+    // stage instead of joining whole doc texts afterwards — extents
+    // saturate at cap, the neighbor self-join already holds both
+    // windows, and the two per-side text joins disappear entirely.
+    // sfx feeds both sides of the neighbor join and adj feeds both
+    // sides of the position union — staged, or the whole SA plan
+    // (including the non-checkpointed finish window) re-executes 4x
+    val adj =
+      if (cap > 0) {
+        val wins = docs
+          .select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
+          .select(col("d"), explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
+          .select(col("d"), col("p"), expr(s"substring(t, p, $cap)").as("win"))
+        val w = Window.partitionBy("rank").orderBy("d", "p")
+        val sfx = graft.operators.Staged.persist(
+          suffixRanks(docs, idCol, textCol, directFinishBytes)
+            .join(wins, Seq("d", "p"))
+            .select(col("d"), col("p"), (col("rank") + row_number().over(w) - 1).as("ord"), col("win"))
+        )
+        val nxt = sfx.select((col("ord") - 1).as("ord"), col("d").as("d2"), col("p").as("p2"), col("win").as("wb"))
+        sfx
+          .join(nxt, "ord")
+          .select(col("d"), col("p"), col("d2"), col("p2"), lcpUdf(col("win"), lit(1), col("wb"), lit(1)).as("l"))
+      } else {
+        val texts = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
+        val sfx = graft.operators.Staged.persist(suffixOrder(docs, idCol, textCol, directFinishBytes))
+        val nxt = sfx.select((col("ord") - 1).as("ord"), col("d").as("d2"), col("p").as("p2"))
+        sfx
+          .join(nxt, "ord")
+          .join(texts, "d")
+          .withColumnRenamed("t", "ta")
+          .join(texts.select(col("d").as("d2"), col("t").as("tb")), "d2")
+          .select(col("d"), col("p"), col("d2"), col("p2"), lcpUdf(col("ta"), col("p"), col("tb"), col("p2")).as("l"))
+      }
+    val staged = graft.operators.Staged.persist(adj)
+    staged
+      .select(col("d"), col("p"), col("l"))
+      .union(staged.select(col("d2").as("d"), col("p2").as("p"), col("l")))
+      .groupBy("d", "p")
+      .agg(max(col("l")).as("extent"))
+  }
+
+  /** Per-doc exact dup profile: longest duplicated substring length and
+    * how many positions open a duplicate of ≥ minLen. */
+  def longestDup(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    dupExtents(docs, idCol, textCol)
+      .groupBy(col("d").as("doc_id"))
+      .agg(
+        max(col("extent")).as("max_extent"),
+        sum(when(col("extent") >= minLen, 1L).otherwise(0L)).as("n_dup_positions")
+      )
+
+  /** q_suffix_dedup oracle face. Extents are CAPPED at [[OracleWindow]]
+    * so the DuckDB oracle can rebuild them from a W-char windowed
+    * suffix sort: capping makes the per-position value independent of
+    * the within-tie-block ordering (block members see extent == W from
+    * an in-block neighbor either way, and block-boundary LCPs are
+    * fixed by the W-prefixes alone), so the true-SA face here and the
+    * windowed SQL face agree EXACTLY, position by position, while the
+    * un-capped machinery is proven unbounded in SuffixDedupSpec. */
+  val OracleWindow = 48
+  val OracleMinLen = 16
+
+  def suffixDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documentsWide(s, dir)
+    val ext = dupExtents(docs, "doc_id", "text", cap = OracleWindow)
+      .select(col("d").as("doc_id"), col("extent").as("ext"))
+    docs
+      .select(col("doc_id"), col("lang"))
+      .join(ext, "doc_id")
+      .groupBy($"lang")
+      .agg(
+        sum(when($"ext" >= OracleMinLen, 1L).otherwise(0L)).as("dup_positions"),
+        sum(when($"ext" >= OracleMinLen, $"ext").otherwise(0L)).as("dup_chars"),
+        max($"ext").as("max_extent")
+      )
+      .orderBy($"lang")
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import graft.text.SuffixDedup
+
+/** Exact distributed suffix array (prefix doubling) against a serial
+  * brute-force reference: the full suffix ORDER and every per-position
+  * duplicate EXTENT must match exactly — unbounded, beyond any fixed-n
+  * gram window. Fixtures stay in the BMP, where Java's UTF-16 string
+  * order equals Spark's UTF-8/code-point order, so the serial sort is
+  * a valid oracle. */
+class SuffixDedupSpec extends SparkSuite {
+
+  private def df(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  private def serialSorted(docs: Seq[(Long, String)]): IndexedSeq[(Long, Int, String)] =
+    docs
+      .flatMap { case (d, t) => (1 to t.length).map(p => (d, p, t.substring(p - 1))) }
+      .sortBy { case (d, p, s) => (s, d, p) }
+      .toIndexedSeq
+
+  private def lcp(a: String, b: String): Long = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i.toLong
+  }
+
+  private def serialExtents(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+    val ord = serialSorted(docs)
+    ord.indices.map { i =>
+      val (d, p, s) = ord(i)
+      val prev = if (i > 0) lcp(s, ord(i - 1)._3) else 0L
+      val next = if (i < ord.size - 1) lcp(s, ord(i + 1)._3) else 0L
+      (d, p) -> math.max(prev, next)
+    }.toMap
+  }
+
+  private def checkOrder(docs: Seq[(Long, String)]): Unit = {
+    val got = SuffixDedup
+      .suffixOrder(df(docs), "doc_id", "text")
+      .orderBy("ord")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSeq
+    val want = serialSorted(docs).map { case (d, p, _) => (d, p) }
+    assert(got == want, s"suffix order drift:\n got=$got\nwant=$want")
+  }
+
+  private def checkExtents(docs: Seq[(Long, String)]): Unit = {
+    val got = SuffixDedup
+      .dupExtents(df(docs), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val want = serialExtents(docs)
+    assert(got == want, {
+      val diff = (want.keySet ++ got.keySet).filter(k => want.get(k) != got.get(k)).take(10)
+      s"extent drift at $diff: got=${diff.map(got.get)}, want=${diff.map(want.get)}"
+    })
+  }
+
+  test("mixed corpus with long cross-doc motifs: order and extents equal the serial SA") {
+    // motif of 80 chars forces doubling through k=16,32,64 before any
+    // cross-doc pair resolves — far beyond any fixed-n gram window
+    val motif = ("the quick brown fox jumps over the lazy dog and keeps running through the night" + "!").take(80)
+    val docs = Seq(
+      1L -> s"alpha begins here $motif and then one ends",
+      2L -> s"totally different opening $motif closing words differ",
+      3L -> "no shared content in this document at all, nothing repeats",
+      4L -> s"$motif at the very start this time"
+    )
+    checkOrder(docs)
+    checkExtents(docs)
+    // the motif extent must be EXACT (80), not saturated at a gram width
+    val ext = SuffixDedup
+      .dupExtents(df(docs), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(ext((4L, 1)) >= 80L, s"motif extent saturated below the 80-char motif: ${ext((4L, 1))}")
+  }
+
+  test("identical documents: full-text tie groups break by (doc, pos) and extents are whole suffixes") {
+    val t = "same exact text in every copy of this document body"
+    val docs = Seq(1L -> t, 2L -> t, 3L -> t)
+    checkOrder(docs)
+    checkExtents(docs)
+    val ext = serialExtents(docs)
+    assert(ext((2L, 1)) == t.length.toLong) // whole doc duplicated
+  }
+
+  test("pathological single-character corpus: ties split only through the rank(p+k) sentinel cascade") {
+    val docs = Seq(1L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", 2L -> "aaaaaaaaaaaaaaaaaaaaa")
+    checkOrder(docs)
+    checkExtents(docs)
+  }
+
+  test("short docs, single chars, below-InitPrefix lengths") {
+    val docs = Seq(1L -> "ab", 2L -> "b", 3L -> "abz", 4L -> "ab", 5L -> "z")
+    checkOrder(docs)
+    checkExtents(docs)
+  }
+
+  test("single document: extents come from internal repeats only") {
+    val docs = Seq(7L -> "abcabcxyz")
+    checkOrder(docs)
+    checkExtents(docs)
+    val ext = serialExtents(docs)
+    assert(ext((7L, 1)) == 3L) // "abc" repeats at pos 4
+    assert(ext((7L, 7)) == 0L) // "xyz" unique
+  }
+
+  test("BMP unicode (CJK): Spark's code-point order equals the serial UTF-16 order inside the BMP") {
+    val docs = Seq(
+      1L -> "中文文本重复片段中文文本",
+      2L -> "另一份文档也含重复片段内容",
+      3L -> "ascii and 中文 mixed 中文 mixed"
+    )
+    checkOrder(docs)
+    checkExtents(docs)
+  }
+
+  test("longestDup: per-doc max extent and minLen position counts") {
+    val motif = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars
+    val docs = Seq(1L -> s"xx$motif", 2L -> s"yy$motif", 3L -> "zzz unique here")
+    val got = SuffixDedup
+      .longestDup(df(docs), "doc_id", "text", minLen = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = serialExtents(docs)
+    val wantMax1 = want.collect { case ((1L, _), e) => e }.max
+    assert(got(1L)._1 == wantMax1 && wantMax1 == 36L)
+    // positions opening a >=10 dup in doc 1: motif starts 1..27 all
+    // have extent >= 10 (suffix pairs shrink together)
+    assert(got(1L)._2 == want.count { case ((d, _), e) => d == 1L && e >= 10 })
+    assert(!got.contains(3L) || got(3L)._1 < 10)
+  }
+
+  test("pure prefix-doubling path (direct finish disabled) matches the serial SA too") {
+    val motif = "shared across documents repeatedly and long enough to need several doubling rounds here"
+    val docs = Seq(
+      1L -> s"first $motif tail one",
+      2L -> s"second $motif other tail",
+      3L -> s"$motif$motif", // back-to-back: internal overlap + doc-length ties
+      4L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    )
+    val got = SuffixDedup
+      .suffixOrder(df(docs), "doc_id", "text", directFinishBytes = 0L)
+      .orderBy("ord")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSeq
+    val want = serialSorted(docs).map { case (d, p, _) => (d, p) }
+    assert(got == want)
+    val ext = SuffixDedup
+      .dupExtents(df(docs), "doc_id", "text", cap = 0, directFinishBytes = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(ext == serialExtents(docs))
+  }
+
+  test("capped extents equal min(true extent, cap)") {
+    val motif = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGH" // 44 chars
+    val docs = Seq(1L -> s"xx$motif", 2L -> s"yy$motif zz")
+    val full = SuffixDedup
+      .dupExtents(df(docs), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val capped = SuffixDedup
+      .dupExtents(df(docs), "doc_id", "text", cap = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(capped == full.map { case (k, v) => k -> math.min(v, 10L) })
+  }
+
+  test("empty texts are dropped, not exploded") {
+    val docs = Seq(1L -> "", 2L -> "ok ok ok")
+    val n = SuffixDedup.suffixOrder(df(docs), "doc_id", "text").count()
+    assert(n == 8L)
+  }
+}
