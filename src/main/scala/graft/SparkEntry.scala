@@ -183,6 +183,7 @@ object SparkEntry {
     "q_cut_spans" -> (Curation.cutSpansQuery _),
     "q_cut_runs" -> (Curation.cutRunsQuery _),
     "q_suffix_dedup" -> (graft.text.SuffixDedup.suffixDedupQuery _),
+    "q_zst" -> (graft.sources.ZstdSeek.zstQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2954,6 +2955,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ext >= 16 THEN ext ELSE 0 END) AS BIGINT) AS dup_chars,
         |  CAST(max(ext) AS BIGINT) AS max_extent
         |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+    // Seekable-zstd container cycle: jsonl lines deterministic from the
+    // ids round-trip through the REAL RFC 8878 codec + seekable framing
+    // in-task (split-ownership sweep + ranged frame fetch + checksums
+    // are requires), so line counts and char sums are the direct
+    // closed forms below; shard sums add.
+    "q_zst" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 97 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Bloom membership: same md5 double-hash probe positions, same
     // 32-bit filter words via bit_or, same all-bits-set decision.
     "q_bloom" ->
