@@ -3946,15 +3946,16 @@ object SparkEntry {
     "q_h264" ->
       """WITH r AS (
         |  SELECT event_type, event_id,
-        |    row_number() OVER (PARTITION BY event_type, event_id % 16 ORDER BY event_id) - 1 AS rn
+        |    row_number() OVER (PARTITION BY event_type, ((event_id % 16) + 16) % 16 ORDER BY event_id) - 1 AS rn
         |  FROM events),
         |sh AS (
-        |  SELECT event_type, event_id % 16 AS shard,
+        |  SELECT event_type, ((event_id % 16) + 16) % 16 AS shard,
         |    greatest(1, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS frames,
         |    sum((event_id * 37) % 256) AS y,
         |    coalesce(sum(CASE WHEN rn % 512 < 128
         |      THEN (event_id * 11) % 256 + (event_id * 29) % 256 END), 0) AS c
-        |  FROM r GROUP BY event_type, event_id % 16)
+        |  -- pmod semantics: match the Spark side for negative ids too
+        |  FROM r GROUP BY event_type, ((event_id % 16) + 16) % 16)
         |SELECT event_type,
         |  CAST(sum(frames) AS BIGINT) AS n_frames,
         |  CAST(sum(y) AS BIGINT) AS y_sum,

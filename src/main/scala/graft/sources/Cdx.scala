@@ -245,6 +245,13 @@ object Cdx {
             curIn = hp.getFileSystem(confBc.value.value).open(hp)
             curPath = path
           }
+          // index rows are untrusted: a corrupt/hostile length would
+          // OOM the task (or silently truncate via toInt past 2 GiB) —
+          // bound it and name the bad row. 1 GiB is far above any sane
+          // single WARC member.
+          if (len <= 0 || len > (1L << 30))
+            throw new IllegalArgumentException(
+              s"cdx index row has unreasonable warc_record_length=$len for $path@$off")
           val buf = new Array[Byte](len.toInt)
           curIn.seek(off)
           curIn.readFully(buf)

@@ -379,8 +379,22 @@ object Zstd {
   }
 
   /** Decode ONE frame starting at `off` (leading skippable frames are
-    * skipped). Returns payload + total bytes consumed from `off`. */
-  def decodeFrame(b: Array[Byte], off: Int): Decoded = {
+    * skipped). Returns payload + total bytes consumed from `off`.
+    * Untrusted-bytes contract: malformed input of ANY shape raises
+    * [[ZstdError]] — explicit validation covers the structured cases
+    * and a uniform conversion catches residual out-of-range indexing,
+    * so callers (e.g. the `jsonlLines` tail-grow retry) need only one
+    * catch. */
+  def decodeFrame(b: Array[Byte], off: Int): Decoded =
+    try decodeFrameImpl(b, off)
+    catch {
+      case e: ZstdError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: IndexOutOfBoundsException =>
+        fail("malformed zstd input (out-of-range field)")
+    }
+
+  private def decodeFrameImpl(b: Array[Byte], off: Int): Decoded = {
     var p = off
     while (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) p += 8 + le32(b, p + 4)
     if (p + 4 > b.length || le32(b, p) != Magic) fail("bad zstd magic")
@@ -418,15 +432,22 @@ object Zstd {
     val st = new FrameState
     var last = false
     while (!last) {
+      if (p + 3 > b.length) fail("truncated block header")
       val bh = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
       p += 3
       last = (bh & 1) != 0
       val btype = (bh >>> 1) & 3
       val bsize = bh >>> 3
       btype match {
-        case 0 => out.addAll(b, p, bsize); p += bsize
-        case 1 => out.fill(b(p), bsize); p += 1
-        case 2 => decodeCompressedBlock(b, p, bsize, out, st); p += bsize
+        case 0 =>
+          if (p + bsize > b.length) fail("raw block past input end")
+          out.addAll(b, p, bsize); p += bsize
+        case 1 =>
+          if (p >= b.length) fail("RLE block past input end")
+          out.fill(b(p), bsize); p += 1
+        case 2 =>
+          if (p + bsize > b.length) fail("compressed block past input end")
+          decodeCompressedBlock(b, p, bsize, out, st); p += bsize
         case _ => fail("reserved block type")
       }
     }
@@ -490,12 +511,18 @@ object Zstd {
           p += 5
       }
     }
+    if (regen < 0 || regen > (1 << 20)) fail(s"literal regenerated size out of range: $regen")
     val literals = new Array[Byte](regen)
     litType match {
-      case 0 => System.arraycopy(b, p, literals, 0, regen); p += regen
-      case 1 => java.util.Arrays.fill(literals, b(p)); p += 1
+      case 0 =>
+        if (p + regen > end) fail("raw literals past block end")
+        System.arraycopy(b, p, literals, 0, regen); p += regen
+      case 1 =>
+        if (p >= end) fail("RLE literals past block end")
+        java.util.Arrays.fill(literals, b(p)); p += 1
       case t =>
         val litEnd = p + cmpSize
+        if (cmpSize < 0 || litEnd > end) fail("compressed literals past block end")
         var hp = p
         val tbl =
           if (t == 2) {
@@ -510,14 +537,19 @@ object Zstd {
           }
         if (!streams4) huffDecode(b, hp, litEnd - hp, tbl, literals, 0, regen)
         else {
-          if (regen < 1) fail("4-stream literals need content")
+          // RFC 8878 §3.1.1.3.1.6: the first three streams each carry
+          // ceil(regen/4) literals and the fourth the remainder, so
+          // regen < 4 would make the fourth stream's count negative —
+          // malformed, not merely empty
+          if (regen < 4) fail("4-stream literals need >= 4 regenerated bytes")
+          if (hp + 6 > litEnd) fail("4-stream jump table past literals section")
           val s1 = (b(hp) & 0xff) | ((b(hp + 1) & 0xff) << 8)
           val s2 = (b(hp + 2) & 0xff) | ((b(hp + 3) & 0xff) << 8)
           val s3 = (b(hp + 4) & 0xff) | ((b(hp + 5) & 0xff) << 8)
           hp += 6
           val part = (regen + 3) >>> 2
           val last = litEnd - hp - s1 - s2 - s3
-          if (last <= 0) fail("4-stream jump table inconsistent")
+          if (last <= 0 || hp + s1 + s2 + s3 > litEnd) fail("4-stream jump table inconsistent")
           var o = 0
           var sp = hp
           val lens = Array(s1, s2, s3, last)

@@ -68,6 +68,8 @@ object ZstdSeek {
     if ((desc & 0x7c) != 0) throw new Zstd.ZstdError("reserved seek-descriptor bits")
     val frames = le32(whole, n - 9)
     val entryBytes = if (withChecksum) 12 else 8
+    if (frames < 0 || n - 9L - frames.toLong * entryBytes < 8L)
+      throw new Zstd.ZstdError(s"seek table frame count out of range: $frames")
     val tableStart = n - 9 - frames * entryBytes
     if (tableStart < 8 || le32(whole, tableStart - 8) != SeekTableMagic ||
       le32(whole, tableStart - 4) != frames * entryBytes + 9)
@@ -147,10 +149,14 @@ object ZstdSeek {
         val fs1 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
         val in = fs1.open(new org.apache.hadoop.fs.Path(path))
         try {
-          frames.iterator.flatMap { case (idx, off, cs, _, ck, hasCk) =>
+          frames.iterator.flatMap { case (idx, off, cs, ds, ck, hasCk) =>
             val buf = new Array[Byte](cs)
             in.readFully(off, buf)
             val dec = Zstd.decodeFrame(buf, 0).bytes
+            // a foreign container without per-frame checksums whose
+            // table lies about sizes must fail loudly, not pass silently
+            if (dec.length != ds)
+              throw new Zstd.ZstdError(s"frame at $off decoded ${dec.length} B, seek table says $ds")
             if (hasCk && (Zstd.xxh64(dec, 0, dec.length) & 0xffffffffL).toInt != ck)
               throw new Zstd.ZstdError("frame checksum mismatch")
             new String(dec, java.nio.charset.StandardCharsets.UTF_8)

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   *    `Sitemap` (file-global) are surfaced, unknown directives skip.
   *
   * Scale shape: robots files are a per-HOST dimension (kB each, one
-  * per registrable host — millions of rows at web scale but kB-sized
-  * and joinable), while pages are the 100-TB fact side. [[gate]]
-  * parses each host's file ONCE on the dim side, then broadcast-joins
-  * compiled verdicts against pages by host — the fact table is
-  * touched in a single map-side pass, no shuffle. RobotsSpec pins the
-  * RFC cases; q_robots oracles the gate end-to-end.
+  * per registrable host — 10⁷–10⁸ rows at web scale), while pages are
+  * the 100-TB fact side. [[gate]] parses each host's file ONCE,
+  * executor-side, into the UA's compiled rule list, then EQUI-JOINS
+  * pages against the compiled dimension on host — Spark broadcasts
+  * when the dimension is small and sort-merges when it isn't; nothing
+  * is ever collected to the driver, so host count is unbounded.
+  * RobotsSpec pins the RFC cases; q_robots oracles the gate
+  * end-to-end.
   */
 object Robots {
 
@@ -158,31 +160,57 @@ object Robots {
   // ------------------------------------------------------------------
 
   /** Gate a page frame by per-host robots files. `pages` carries
-    * `urlCol`; `robotsByHost` is the (host, robots_txt) dimension —
-    * parsed once per host on the dim side, BROADCAST, then applied in
-    * one map-side pass over the fact table (pages of hosts with no
-    * robots file pass, the crawl convention). Adds `robots_allowed`;
-    * filter on it or keep it for audit. */
+    * `urlCol`; `robotsByHost` is the (host, robots_txt) dimension.
+    * JOIN-shaped for crawl scale: each host's file is parsed ONCE,
+    * executor-side, into the compiled rule list the crawler's UA
+    * selects (group resolution per RFC 9309 happens here, so the
+    * fact side carries only pattern matching); pages then equi-join
+    * the compiled dimension on host and Spark picks the physical
+    * join — broadcast when the dimension is small, sort-merge when a
+    * real crawl's 10⁷–10⁸ hosts make it a table in its own right.
+    * Nothing is collected to the driver. Pages of hosts with no
+    * robots file pass (the crawl convention); so do pages of hosts
+    * whose selected group has no rules — both encode as an absent /
+    * empty rule list, which is exactly the RFC's "no matching rule →
+    * allow". Adds `robots_allowed`; filter on it or keep it for
+    * audit. */
   def gate(
       spark: SparkSession,
       pages: DataFrame,
       robotsByHost: DataFrame,
       userAgent: String,
       urlCol: String = "url"): DataFrame = {
-    import spark.implicits._
-    val compiled: Map[String, RobotsFile] = robotsByHost
-      .select(col("host").cast("string"), col("robots_txt").cast("string"))
-      .as[(String, String)]
-      .collect()
-      .toMap
-      .map { case (h, txt) => h.toLowerCase(java.util.Locale.ROOT) -> parse(txt) }
-    val bc = spark.sparkContext.broadcast(compiled)
     val ua = userAgent
-    val verdict = udf { url: String =>
-      val host = graft.sources.Wet.hostOf(url)
-      bc.value.get(host).forall(f => isAllowed(f, ua, pathOf(url)))
+    // dim side: robots_txt → the UA's compiled rules ("A"/"D" + pattern,
+    // most-specific-wins resolved at match time). Runs once per host, on
+    // executors, keyed output — never on the driver.
+    val compileRules = udf { txt: String =>
+      groupFor(parse(Option(txt).getOrElse("")), ua) match {
+        case None => Seq.empty[String]
+        case Some((rules, _)) =>
+          rules.collect { case Rule(allow, pat) if pat.nonEmpty => (if (allow) "A" else "D") + pat }
+      }
     }
-    pages.withColumn("robots_allowed", verdict(col(urlCol)))
+    val compiledDim = robotsByHost
+      .select(
+        lower(col("host").cast("string")).as("__robots_host"),
+        compileRules(col("robots_txt").cast("string")).as("__robots_rules"))
+    // fact side: host extraction is a map-side column; the join key.
+    val hostOf = udf { url: String => graft.sources.Wet.hostOf(url) }
+    val verdict = udf { (url: String, rules: Seq[String]) =>
+      if (rules == null || rules.isEmpty) true
+      else {
+        val path = pathOf(url)
+        val hits = rules.filter(r => patternMatches(r.substring(1), path))
+        if (hits.isEmpty) true
+        else hits.maxBy(r => (r.length - 1, r.charAt(0) == 'A')).charAt(0) == 'A'
+      }
+    }
+    pages
+      .withColumn("__robots_host", hostOf(col(urlCol)))
+      .join(compiledDim, Seq("__robots_host"), "left")
+      .withColumn("robots_allowed", verdict(col(urlCol), col("__robots_rules")))
+      .drop("__robots_host", "__robots_rules")
   }
 
   // ------------------------------------------------------------------
