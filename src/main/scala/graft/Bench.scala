@@ -4,12 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the query inventory on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Protocol mirrors
-  * BASELINE.md §3: warmup, then TWO full end-to-end passes over the
+  * BASELINE.md §3: warmup, then THREE full end-to-end passes over the
   * sorted query list with per-query min across passes — minute-scale
   * background load on a shared box then has to hit the SAME query in
-  * BOTH passes (minutes apart) to poison its number, where min-of-2
-  * back-to-back runs inside one visit shared the load window. Single
-  * local session, UTC, UI off.
+  * EVERY pass (minutes apart) to poison its number, where min-of-N
+  * back-to-back runs inside one visit shared the load window. The
+  * noise flag compares passes 2 and 3 only (both warm), so it detects
+  * machine events rather than pass-1 JIT warmup. Single local
+  * session, UTC, UI off.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -100,30 +102,30 @@ object Bench {
     val gateVerdict =
       if (gatedLoad < 0) "unknown" else if (gatedLoad <= loadGateMax) "clean" else "noisy"
 
-    // two full passes, per-query min: -1 (error) never masks a clean run
-    val (p1, p2) = (pass(), pass())
+    // three full passes, per-query min: -1 (error) never masks a clean run
+    val (p1, p2, p3) = (pass(), pass(), pass())
     val loadGate =
       f""""load_gate":{"threshold":$loadGateMax%.1f,"start_load":$startLoad%.2f,"waited_sec":$gateWaitSec,"gated_load":$gatedLoad%.2f,"verdict":"$gateVerdict"}"""
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
-      name -> best
+    val results = p1.zip(p2).zip(p3).map { case (((name, a), (_, b)), (_, c)) =>
+      val valid = Seq(a, b, c).filter(_ >= 0)
+      name -> (if (valid.isEmpty) -1.0 else valid.min)
     }
-    // per-query noise stamp (r13 verdict): the one-shot pre-run load gate
-    // cannot see a burst that starts mid-run, but a burst that poisons a
-    // query shows as the two passes disagreeing. Stamp each query's pass
-    // pair and list queries whose max/min ratio exceeds 1.5 (fast queries
-    // under 0.25 s are exempt — sub-100ms jitter is scheduler noise, not
-    // load) so the judge can separate code regressions from load bursts
-    // without a git diff.
-    val passPairs = p1.zip(p2).map { case ((name, a), (_, b)) => (name, a, b) }
-    val noisy = passPairs.collect {
-      case (name, a, b)
-          if a > 0 && b > 0 && math.max(a, b) > 0.25 &&
-            math.max(a, b) / math.min(a, b) > 1.5 =>
+    // per-query noise stamp, r14-verdict form: pass 1 carries JIT/codegen
+    // warmup for almost every query, so pass1-vs-pass2 disagreement was
+    // warmup detection (57% of the suite flagged), not noise detection.
+    // Passes 2 and 3 are BOTH warm, so their disagreement isolates actual
+    // machine events: a load burst has to land inside one of two
+    // identical warm visits minutes apart to fire the flag. Fast queries
+    // under 0.25 s stay exempt — sub-100ms jitter is scheduler noise.
+    val passTriples = p1.zip(p2).zip(p3).map { case (((name, a), (_, b)), (_, c)) => (name, a, b, c) }
+    val noisy = passTriples.collect {
+      case (name, _, b, c)
+          if b > 0 && c > 0 && math.max(b, c) > 0.25 &&
+            math.max(b, c) / math.min(b, c) > 1.5 =>
         name
     }
-    val passesJson = passPairs
-      .map { case (name, a, b) => "\"" + name + "\":[" + f"$a%.3f" + "," + f"$b%.3f" + "]" }
+    val passesJson = passTriples
+      .map { case (name, a, b, c) => "\"" + name + "\":[" + f"$a%.3f" + "," + f"$b%.3f" + "," + f"$c%.3f" + "]" }
       .mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results
@@ -137,9 +139,11 @@ object Bench {
     // every query (COLD per-query min); from r14 on the action is a
     // full no-op-sink evaluation instead of count() — queries whose
     // final projection is a heavy UDF gain their real cost, so v3
-    // numbers only compare against v3.
+    // numbers only compare against v3. From r15 a THIRD pass feeds the
+    // warm-vs-warm noise flag; the reported min is over all passes
+    // (min-of-3 vs r14's min-of-2 — same distribution floor).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"2pass-cold-min-v3-noop",$machine,$loadGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"3pass-cold-min-v3-noop",$machine,$loadGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.

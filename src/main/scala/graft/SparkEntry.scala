@@ -3680,16 +3680,27 @@ object SparkEntry {
     // each task; the oracle aggregates the same deterministic values
     // straight from orders — equal iff the file cycle is lossless.
     "q_ddb" ->
-      """SELECT o_custkey % 16 AS ds,
-        |  count(*) AS n_entries,
-        |  CAST(sum((o_orderkey * 37) % 1000000) AS BIGINT) AS size_sum,
-        |  CAST(sum(o_custkey % 7) AS BIGINT) AS type_sum,
-        |  min('orders/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS path_min,
-        |  max('orders/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS path_max,
-        |  CAST(count(DISTINCT o_orderkey % 1000) AS BIGINT) AS hash_distinct,
-        |  CAST(sum(o_orderkey % 360 - 180) AS BIGINT) AS lon_sum,
-        |  CAST(sum(o_orderkey % 170 - 85) AS BIGINT) AS lat_sum
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH b AS (
+        |  SELECT o_custkey % 16 AS ds, o_orderkey // 4096 AS bkt,
+        |    count(*) AS n,
+        |    sum((o_orderkey * 37) % 1000000) AS sz,
+        |    sum(o_custkey % 7) AS ty,
+        |    min('orders/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS pmin,
+        |    max('orders/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS pmax,
+        |    count(DISTINCT o_orderkey % 1000) AS hd,
+        |    sum(o_orderkey % 360 - 180) AS lon,
+        |    sum(o_orderkey % 170 - 85) AS lat
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT ds,
+        |  CAST(sum(n) AS BIGINT) AS n_entries,
+        |  CAST(sum(sz) AS BIGINT) AS size_sum,
+        |  CAST(sum(ty) AS BIGINT) AS type_sum,
+        |  min(pmin) AS path_min,
+        |  max(pmax) AS path_max,
+        |  CAST(sum(hd) AS BIGINT) AS hash_distinct,
+        |  CAST(sum(lon) AS BIGINT) AS lon_sum,
+        |  CAST(sum(lat) AS BIGINT) AS lat_sum
+        |FROM b GROUP BY ds ORDER BY ds""".stripMargin,
     // Tie-point extraction proof: the Spark side recovers a known
     // md5-derived circular shift through the FULL signal chain (FFT
     // phase correlation seed -> per-patch NCC -> sub-pixel parabola)

@@ -456,7 +456,7 @@ object Similarity {
     * rebroadcasts it, the same flat-lineage pattern as [[trainIvf]].
     * Codes that lose all members keep their previous centroid (standard
     * Lloyd degeneracy handling: k-means distortion is then monotone
-    * non-increasing per round, which PqSpec gates). */
+    * non-increasing per round, which AnnPqSpec gates). */
   def trainPq(
       s: SparkSession,
       corpus: DataFrame,
@@ -504,7 +504,7 @@ object Similarity {
   }
 
   /** Mean squared quantization error of a codebook over a corpus — the
-    * k-means objective Lloyd minimizes. Training diagnostics: PqSpec
+    * k-means objective Lloyd minimizes. Training diagnostics: AnnPqSpec
     * gates that [[trainPq]] never increases it over the seed codebook. */
   def pqDistortion(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): Double =
     subVectors(corpus, m, dsub)

@@ -217,7 +217,7 @@ object Graph {
     * accumulation order to diverge across engines, partitionings or
     * runs, which is what makes a 10-round iterative result
     * hash-oracle-able at all. Truncation only ever LOSES mass (≤ 1
-    * unit per edge per round — PageRankSpec bounds the total), it
+    * unit per edge per round — GraphSpec bounds the total), it
     * never reorders ranks materially.
     *
     * Per round: one join edges⋈ranks + one partial-agg sum keyed by

@@ -396,16 +396,28 @@ object Ddb {
         got.flatMap(_.pointGeom).map(_._2.toLong).sum
       )
     }
+    // Sub-sharded like the other codec cycles: (ds, o_orderkey DIV 4096)
+    // keys make the per-task SQLite file SF-INVARIANT (~256 orders per
+    // database at any scale — the bucket width is fixed, the bucket
+    // count grows with the data) and the task count exceeds the core
+    // count from sf0.01 up. Everything re-aggregates additively per ds;
+    // hash_distinct is the per-bucket distinct count summed (the oracle
+    // states the same two-level form).
     graft.Tables
       .orders(s, dir)
-      .groupBy(($"o_custkey" % 16).as("ds"))
+      .groupBy(($"o_custkey" % 16).as("ds"), expr("o_orderkey DIV 4096").as("bkt"))
       .agg(collect_list(struct($"o_orderkey", $"o_custkey")).as("rows"))
       .select($"ds", cycle($"rows").as("a"))
-      .select(
-        $"ds",
-        $"a.n_entries", $"a.size_sum", $"a.type_sum",
-        $"a.path_min", $"a.path_max", $"a.hash_distinct",
-        $"a.lon_sum", $"a.lat_sum"
+      .groupBy($"ds")
+      .agg(
+        sum($"a.n_entries").as("n_entries"),
+        sum($"a.size_sum").as("size_sum"),
+        sum($"a.type_sum").as("type_sum"),
+        min($"a.path_min").as("path_min"),
+        max($"a.path_max").as("path_max"),
+        sum($"a.hash_distinct").as("hash_distinct"),
+        sum($"a.lon_sum").as("lon_sum"),
+        sum($"a.lat_sum").as("lat_sum")
       )
       .orderBy($"ds")
   }

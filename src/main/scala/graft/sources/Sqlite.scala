@@ -632,62 +632,85 @@ object Sqlite {
       varintBytes(rec.length.toLong).length + spilledLen(rec.length, index = true)
     if (pageFits(entries.length, entries.map(cellLenOf).sum, 8, 0))
       return st.alloc(makePage(0x0a, entries.map(cellOf), 0, 0))
-    // leaves with promoted dividers
-    var pagesL = Vector.empty[Int]
-    var dividers = Vector.empty[Array[Byte]] // raw cell payload records between page i and i+1
-    var cur = new ArrayBuffer[Array[Byte]]()
+    // PLAN leaf membership and dividers first (cell sizing is pure),
+    // then spill+allocate each page in order — a promoted divider never
+    // spills as a leaf cell (no orphaned overflow chain), and the plan
+    // step can restructure around the final entry cleanly: when the
+    // entry that overflows a leaf is the LAST one, promoting it would
+    // leave no leaf to its right, so the closing leaf's own last entry
+    // is demoted to divider and the final entry becomes a 1-cell leaf
+    // (every leaf keeps >= 1 cell and leaves == dividers + 1 always).
+    val leafGroups = Vector.newBuilder[Vector[Array[Byte]]]
+    var dividers = Vector.empty[Array[Byte]] // entry records between leaf i and i+1
+    var cur = Vector.empty[Array[Byte]]
     var curBytes = 0
     var i = 0
     while (i < entries.length) {
-      val cellLen = cellLenOf(entries(i))
+      val rec = entries(i)
+      val cellLen = cellLenOf(rec)
       if (cur.nonEmpty && !pageFits(cur.length + 1, curBytes + cellLen, 8, 0)) {
-        pagesL :+= st.alloc(makePage(0x0a, cur.toSeq, 0, 0))
-        dividers :+= entries(i) // this entry moves up a level
-        cur = new ArrayBuffer[Array[Byte]](); curBytes = 0
-        i += 1
-        if (i >= entries.length) {
-          // divider was the final entry; demote it back into a last leaf
-          pagesL :+= st.alloc(makePage(0x0a, Seq(cellOf(entries(i - 1))), 0, 0))
-          dividers = dividers.init
+        if (i == entries.length - 1) {
+          require(cur.length >= 2, "index leaf too small to demote a divider")
+          leafGroups += cur.init
+          dividers :+= cur.last
+          cur = Vector(rec); curBytes = cellLen
+        } else {
+          leafGroups += cur
+          dividers :+= rec // this entry moves up a level
+          cur = Vector.empty; curBytes = 0
         }
       } else {
-        val cell = cellOf(entries(i))
-        cur += cell; curBytes += cell.length
-        i += 1
+        cur :+= rec; curBytes += cellLen
       }
+      i += 1
     }
-    if (cur.nonEmpty) pagesL :+= st.alloc(makePage(0x0a, cur.toSeq, 0, 0))
-    // interior levels
-    var level = pagesL
+    if (cur.nonEmpty) leafGroups += cur
+    var level = leafGroups.result().map(g => st.alloc(makePage(0x0a, g.map(cellOf), 0, 0)))
     var divs = dividers
+    // interior levels: same plan-then-alloc shape. Children C(0..n-1)
+    // carry dividers D(0..n-2); a page holding children a..b has cells
+    // (ptr C(k), D(k)) for k in a..b-1 and rightmost C(b); D(b) is
+    // promoted between pages. Closing on the LAST divider would leave a
+    // cell-less final page, so the close point backs up one child.
     while (level.length > 1) {
-      val nextPages = new ArrayBuffer[Int]()
-      val nextDivs = new ArrayBuffer[Array[Byte]]()
-      var groupCells = new ArrayBuffer[Array[Byte]]()
-      var groupBytes = 0
-      var childIdx = 0
-      // Each interior cell = u32(child_k) ++ varint(len) ++ payload(div_k)
-      while (childIdx < level.length - 1) {
-        val rec = divs(childIdx)
-        // size first, spill only if the cell is placed — a re-promoted
-        // divider must not allocate (then abandon) an overflow chain
-        val cellLen = 4 + varintBytes(rec.length.toLong).length + spilledLen(rec.length, index = true)
-        if (groupCells.length >= 2 && !pageFits(groupCells.length + 1, groupBytes + cellLen, 12, 0)) {
-          // close page: rightmost = current child, promote its divider
-          nextPages += st.alloc(makePage(0x02, groupCells.toSeq, level(childIdx), 0))
-          nextDivs += rec
-          groupCells = new ArrayBuffer[Array[Byte]](); groupBytes = 0
-          childIdx += 1
+      def cellLenOfDiv(rec: Array[Byte]): Int =
+        4 + varintBytes(rec.length.toLong).length + spilledLen(rec.length, index = true)
+      val groups = Vector.newBuilder[(Vector[Int], Vector[Array[Byte]], Int)] // (children sans rightmost, cells' divs, rightmost)
+      val nextDivs = Vector.newBuilder[Array[Byte]]
+      var gStart = 0 // first child of the open group
+      var gBytes = 0
+      var j = 0 // divider index == left-child index of the candidate cell
+      while (j < divs.length) {
+        val placed = j - gStart // cells already in the open group
+        if (placed >= 2 && !pageFits(placed + 1, gBytes + cellLenOfDiv(divs(j)), 12, 0)) {
+          if (j == divs.length - 1) {
+            // last divider: back the close up one child so the final
+            // page keeps >= 1 cell (children j..n-1 with cell D(j))
+            groups += ((Vector.range(gStart, j - 1), divs.slice(gStart, j - 1).toVector, j - 1))
+            nextDivs += divs(j - 1)
+            gStart = j; gBytes = cellLenOfDiv(divs(j))
+            j += 1
+          } else {
+            groups += ((Vector.range(gStart, j), divs.slice(gStart, j).toVector, j))
+            nextDivs += divs(j)
+            gStart = j + 1; gBytes = 0
+            j += 1
+          }
         } else {
-          val cell = { val b = new Array[Byte](4); putU32(b, 0, level(childIdx).toLong); b } ++
-            varintBytes(rec.length.toLong) ++ spill(st, rec, index = true)
-          groupCells += cell; groupBytes += cell.length
-          childIdx += 1
+          gBytes += cellLenOfDiv(divs(j))
+          j += 1
         }
       }
-      nextPages += st.alloc(makePage(0x02, groupCells.toSeq, level(childIdx), 0))
-      level = nextPages.toVector
-      divs = nextDivs.toVector
+      groups += ((Vector.range(gStart, divs.length), divs.slice(gStart, divs.length).toVector, divs.length))
+      val lv = level
+      level = groups.result().map { case (children, cellDivs, rightmost) =>
+        val cells = children.zip(cellDivs).map { case (c, rec) =>
+          { val b = new Array[Byte](4); putU32(b, 0, lv(c).toLong); b } ++
+            varintBytes(rec.length.toLong) ++ spill(st, rec, index = true)
+        }
+        st.alloc(makePage(0x02, cells, lv(rightmost), 0))
+      }
+      divs = nextDivs.result()
     }
     level.head
   }

@@ -155,7 +155,7 @@ object Curation {
     // both join sides read the same shingle pipeline — materialize it
     // once (at corpus scale: a staged table) instead of re-hashing the
     // corpus per side. Hashes come from the one-pass distinct kernel
-    // (value-identical to explode(shingles)+md5 — DedupSpec)
+    // (value-identical to explode(shingles)+md5 — TextSpec)
     val hashesUdf = udf { t: String => if (t == null) null else Dedup.shingleHashesSerial(t, n) }
     val sh = docs
       .select(col(idCol).as("doc_id"), explode(hashesUdf(col(textCol))).as("h"))

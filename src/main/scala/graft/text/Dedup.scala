@@ -31,7 +31,8 @@ object Dedup {
   /** One-pass DISTINCT shingle-hash kernel (first-occurrence order):
     * tokens → sliding n-grams → 60-bit md5 prefix, deduped — value-
     * identical to `conv(substring(md5(explode(shingles(text, n))),
-    * 1, 15), 16, 10)` (DedupSpec), with no gram strings or HOF tree
+    * 1, 15), 16, 10)` (TextSpec proves the per-doc identity), with no
+    * gram strings or HOF tree
     * in the plan. null when the document has fewer than n tokens
     * (like the relational path, which then emits no grams). Shared by
     * [[ngramJaccard]] and [[Curation.decontaminate]]. */
@@ -124,7 +125,9 @@ object Dedup {
   /** One-pass k-min signature per document: tokens → sliding shingles
     * → md5-folded GF(p) hash → k running minima, all inside one
     * projection. Value-identical to the explode+groupBy construction
-    * (DedupSpec) but with NO per-shingle rows and NO signature
+    * (TextSpec proves the underlying shingle-hash identity;
+    * DedupExactSpec gates the signature bounds) but with NO
+    * per-shingle rows and NO signature
     * shuffle — the k×shingle multiply-min loop runs in place. Docs
     * with fewer than nGram tokens drop out, exactly like the explode
     * path. */
