@@ -3984,10 +3984,14 @@ object SparkEntry {
     // lossless transform stack (subtract-green + predictor + cross-color
     // + color cache + LZ77) in-task; losslessness is a require, so the
     // channel sums equal the direct aggregates (zero padding adds 0).
+    // (r15) the same cycle also pushes the R channel through the real
+    // lossy VP8 keyframe codec with a required per-pixel error bound;
+    // y_sum is the SOURCE plane's closed form (the jp2_lossy pattern).
     "q_webp" ->
       """SELECT event_type,
         |  count(*) AS n_px,
-        |  CAST(sum((event_id * 37) % 256 + (event_id * 57) % 256 + (event_id * 77) % 256) AS BIGINT) AS rgb_sum
+        |  CAST(sum((event_id * 37) % 256 + (event_id * 57) % 256 + (event_id * 77) % 256) AS BIGINT) AS rgb_sum,
+        |  CAST(sum((event_id * 37) % 256) AS BIGINT) AS y_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // URL canonicalization proof: three crawl variants per id
     // (www+utm tracking, uppercase scheme + default port, fragment)

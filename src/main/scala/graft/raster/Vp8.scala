@@ -35,12 +35,6 @@ object Vp8 {
   final class Vp8Error(msg: String) extends RuntimeException(msg)
   private def fail(msg: String): Nothing = throw new Vp8Error(msg)
 
-  /** dev-only: bypass the loop filter to localize conformance diffs */
-  @volatile private[raster] var debugSkipFilter = false
-
-  /** dev-only: print per-MB mode/nz decisions */
-  @volatile private[raster] var debugTrace = false
-
   /** Reconstructed frame: tight visible-crop planes. */
   final case class Frame(
       width: Int,
@@ -845,10 +839,6 @@ object Vp8 {
           }
         }
 
-        if (debugTrace)
-          println(s"MB($mbX,$mbY) seg=$segment skip=$skipFlag yMode=$yMode uv=$uvMode " +
-            s"sub=${if (is4x4) subMode.mkString(",") else "-"} nz=${nzMask.toHexString} uvNz=${uvNzMask.toHexString} y2nz=$y2Nonzero")
-
         // --- reconstruction ---
         val yo = yOrigin + mbY * 16 * yStride + mbX * 16
         val co = cOrigin + mbY * 8 * cStride + mbX * 8
@@ -943,7 +933,7 @@ object Vp8 {
     }
 
     // --- loop filter (after full reconstruction, MB raster order) ---
-    if (!debugSkipFilter && (h.filterLevel > 0 || h.segEnabled || h.lfDeltaEnabled)) {
+    if (h.filterLevel > 0 || h.segEnabled || h.lfDeltaEnabled) {
       mbY = 0
       while (mbY < mbH) {
         var mbX = 0
@@ -1069,5 +1059,491 @@ object Vp8 {
       }
       i += 1
     }
+  }
+
+  // ==================================================================
+  // encoder — minimal conforming keyframe (cycle driver)
+  // ==================================================================
+
+  /** boolean arithmetic WRITER (RFC 6386 §8): the exact dual of the
+    * decoder above, with carry propagation into already-emitted
+    * bytes. */
+  private final class BoolEnc {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var low = 0L
+    private var range = 255
+    private var count = -24
+
+    def put(prob: Int, bit: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (bit != 0) { low += split; range -= split }
+      else range = split
+      var shift = 0
+      while (range < 128) { range <<= 1; shift += 1 }
+      count += shift
+      if (count >= 0) {
+        val offset = shift - count
+        if (((low << (offset - 1)) & 0x80000000L) != 0) {
+          // carry into the emitted bytes
+          var x = buf.length - 1
+          while (x >= 0 && buf(x) == 0xff.toByte) { buf(x) = 0; x -= 1 }
+          if (x >= 0) buf(x) = (buf(x) + 1).toByte
+        }
+        buf += ((low >> (24 - offset)) & 0xff).toByte
+        low = (low << offset) & 0xffffffL
+        shift = count
+        count -= 8
+      }
+      low <<= shift // no mask: the next carry check reads bit 31
+    }
+
+    def literal(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { put(128, (v >> i) & 1); i -= 1 }
+    }
+
+    /** encode the path to leaf `value` in `tree`. */
+    def tree(t: Array[Int], probs: Array[Int], probOff: Int, value: Int, startNode: Int): Unit = {
+      // find the root-to-leaf bit path by DFS
+      def path(node: Int): List[Int] = {
+        val l = t(node); val r = t(node + 1)
+        if (l == -value && l <= 0) List(0)
+        else if (r == -value && r <= 0) List(1)
+        else {
+          val viaL = if (l > 0) path(l) else Nil
+          if (viaL.nonEmpty) 0 :: viaL
+          else {
+            val viaR = if (r > 0) path(r) else Nil
+            if (viaR.nonEmpty) 1 :: viaR else Nil
+          }
+        }
+      }
+      var node = startNode
+      path(startNode).foreach { bit =>
+        put(probs(probOff + (node >> 1)), bit)
+        node = t(node + bit)
+      }
+    }
+
+    def flush(): Array[Byte] = {
+      var i = 0
+      while (i < 32) { put(128, 0); i += 1 }
+      buf.toArray
+    }
+  }
+
+  /** float inverse of the integer inverse-transforms: forward(coeffs)
+    * so that idct(coeffs) reproduces the residual up to quantization +
+    * integer rounding. Built numerically by inverting the linearized
+    * inverse transform — self-consistent with the decoder by
+    * construction, and any conforming decoder by the fixtures. */
+  private lazy val FwdDct: Array[Array[Double]] = invertLinear(idctLinear)
+  private lazy val FwdWht: Array[Array[Double]] = invertLinear(iwhtLinear)
+
+  private def idctLinear(c: Array[Double]): Array[Double] = {
+    val al = 1.0 + 20091.0 / 65536.0
+    val be = 35468.0 / 65536.0
+    val tmp = new Array[Double](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = c(i) + c(8 + i); val b1 = c(i) - c(8 + i)
+      val c1 = c(4 + i) * be - c(12 + i) * al
+      val d1 = c(4 + i) * al + c(12 + i) * be
+      tmp(i) = a1 + d1; tmp(12 + i) = a1 - d1
+      tmp(4 + i) = b1 + c1; tmp(8 + i) = b1 - c1
+      i += 1
+    }
+    val out = new Array[Double](16)
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 2); val b1 = tmp(o) - tmp(o + 2)
+      val c1 = tmp(o + 1) * be - tmp(o + 3) * al
+      val d1 = tmp(o + 1) * al + tmp(o + 3) * be
+      out(o) = (a1 + d1) / 8; out(o + 3) = (a1 - d1) / 8
+      out(o + 1) = (b1 + c1) / 8; out(o + 2) = (b1 - c1) / 8
+      i += 1
+    }
+    out
+  }
+
+  private def iwhtLinear(c: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = c(i) + c(12 + i); val b1 = c(4 + i) + c(8 + i)
+      val c1 = c(4 + i) - c(8 + i); val d1 = c(i) - c(12 + i)
+      tmp(i) = a1 + b1; tmp(4 + i) = c1 + d1
+      tmp(8 + i) = a1 - b1; tmp(12 + i) = d1 - c1
+      i += 1
+    }
+    val out = new Array[Double](16)
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 3); val b1 = tmp(o + 1) + tmp(o + 2)
+      val c1 = tmp(o + 1) - tmp(o + 2); val d1 = tmp(o) - tmp(o + 3)
+      out(o) = (a1 + b1) / 8; out(o + 1) = (c1 + d1) / 8
+      out(o + 2) = (a1 - b1) / 8; out(o + 3) = (d1 - c1) / 8
+      i += 1
+    }
+    out
+  }
+
+  /** numerically invert a linear 16->16 map (Gauss-Jordan). */
+  private def invertLinear(f: Array[Double] => Array[Double]): Array[Array[Double]] = {
+    val n = 16
+    val a = Array.ofDim[Double](n, 2 * n)
+    var j = 0
+    while (j < n) {
+      val e = new Array[Double](n); e(j) = 1.0
+      val col = f(e)
+      var i = 0
+      while (i < n) { a(i)(j) = col(i); i += 1 }
+      j += 1
+    }
+    var i = 0
+    while (i < n) { a(i)(n + i) = 1.0; i += 1 }
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var best = math.abs(a(col)(col))
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > best) { best = math.abs(a(r)(col)); piv = r }; r += 1 }
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val d = a(col)(col)
+      var k = 0
+      while (k < 2 * n) { a(col)(k) /= d; k += 1 }
+      r = 0
+      while (r < n) {
+        if (r != col && a(r)(col) != 0) {
+          val m = a(r)(col)
+          k = 0
+          while (k < 2 * n) { a(r)(k) -= m * a(col)(k); k += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Array.tabulate(n, n)((r0, c0) => a(r0)(n + c0))
+  }
+
+  private def applyMat(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](16)
+    var r = 0
+    while (r < 16) {
+      var s = 0.0
+      var c = 0
+      while (c < 16) { s += m(r)(c) * v(c); c += 1 }
+      out(r) = s
+      r += 1
+    }
+    out
+  }
+
+  /** token-encode one block's quantized LEVELS (raster order, already
+    * divided by the quantizer). Mirrors [[decodeCoeffs]]. */
+  private def encodeCoeffs(
+      be: BoolEnc, probs: Array[Int], blockType: Int, first: Int, ctx0: Int,
+      levels: Array[Int]): Boolean = {
+    var last = -1
+    var n = first
+    while (n < 16) { if (levels(Zigzag(n)) != 0) last = n; n += 1 }
+    var ctx = ctx0
+    var prevZero = false
+    n = first
+    while (n <= last) {
+      val v = levels(Zigzag(n))
+      val pOff = ((blockType * 8 + Bands(n)) * 3 + ctx) * 11
+      val start = if (prevZero) 2 else 0
+      val av = math.abs(v)
+      val tok =
+        if (av == 0) 0
+        else if (av <= 4) av
+        else if (av <= 6) 5
+        else if (av <= 10) 6
+        else if (av <= 18) 7
+        else if (av <= 34) 8
+        else if (av <= 66) 9
+        else 10
+      be.tree(CoeffTree, probs, pOff, tok, start)
+      if (av > 0) {
+        if (tok >= 5) {
+          val cat = tok - 5
+          val extra = av - CatBase(cat)
+          val cp = CatProbs(cat)
+          var i = 0
+          while (i < cp.length) { be.put(cp(i), (extra >> (cp.length - 1 - i)) & 1); i += 1 }
+        }
+        be.put(128, if (v < 0) 1 else 0)
+      }
+      prevZero = av == 0
+      ctx = if (av == 0) 0 else if (av == 1) 1 else 2
+      n += 1
+    }
+    if (last + 1 < 16) {
+      // EOB never directly follows a ZERO token (trailing zeros are
+      // simply not coded), so start node 0 is always legal here
+      val pOff = ((blockType * 8 + Bands(last + 1 max first)) * 3 + ctx) * 11
+      be.tree(CoeffTree, probs, pOff, DCT_EOB, 0)
+    }
+    last >= first
+  }
+
+  /** Encode planes as one VP8 keyframe (raw frame payload, no RIFF).
+    * All MBs 16x16 DC_PRED + chroma DC_PRED, flat quantizer `qIndex`
+    * (0..127, smaller = finer), loop filter level 0, one token
+    * partition, default probabilities. */
+  def encodeFrame(y: Array[Byte], u: Array[Byte], v: Array[Byte], width: Int, height: Int, qIndex: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 16384 && height < 16384, "bad dimensions")
+    require(qIndex >= 0 && qIndex <= 127, "qIndex out of range")
+    val cw = (width + 1) / 2; val chh = (height + 1) / 2
+    require(y.length == width * height && u.length == cw * chh && v.length == cw * chh, "plane sizes")
+    val mbW = (width + 15) >> 4
+    val mbH = (height + 15) >> 4
+
+    // padded planes (edge replication)
+    val pw = mbW * 16; val ph = mbH * 16
+    val pcw = mbW * 8; val pch = mbH * 8
+    def pad(src: Array[Byte], sw: Int, sh: Int, dw: Int, dh: Int): Array[Byte] = {
+      val out = new Array[Byte](dw * dh)
+      var r = 0
+      while (r < dh) {
+        val sr = if (r < sh) r else sh - 1
+        var c = 0
+        while (c < dw) {
+          val sc = if (c < sw) c else sw - 1
+          out(r * dw + c) = src(sr * sw + sc)
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+    val py = pad(y, width, height, pw, ph)
+    val pu = pad(u, cw, chh, pcw, pch)
+    val pv = pad(v, cw, chh, pcw, pch)
+
+    // quantizers (no deltas, no segments)
+    val dcT = Vp8Tables.DcQLookup; val acT = Vp8Tables.AcQLookup
+    val y1dc = dcT(qIndex); val y1ac = acT(qIndex)
+    val y2dc = dcT(qIndex) * 2
+    val y2ac = { val t = acT(qIndex) * 155 / 100; if (t < 8) 8 else t }
+    val uvdc = { val t = dcT(qIndex); if (t > 132) 132 else t }
+    val uvac = acT(qIndex)
+
+    // reconstruction planes mirror the decoder's (1-pixel boundary)
+    val yStride = pw + 8; val cStride = pcw + 8
+    val ry = new Array[Byte]((ph + 1) * yStride)
+    val ru = new Array[Byte]((pch + 1) * cStride)
+    val rv = new Array[Byte]((pch + 1) * cStride)
+    java.util.Arrays.fill(ry, 0, yStride, 127.toByte)
+    java.util.Arrays.fill(ru, 0, cStride, 127.toByte)
+    java.util.Arrays.fill(rv, 0, cStride, 127.toByte)
+    var r0 = 1
+    while (r0 <= ph) { ry(r0 * yStride) = 129.toByte; r0 += 1 }
+    r0 = 1
+    while (r0 <= pch) { ru(r0 * cStride) = 129.toByte; rv(r0 * cStride) = 129.toByte; r0 += 1 }
+    val yOrigin = yStride + 1; val cOrigin = cStride + 1
+
+    val head = new BoolEnc
+    val toks = new BoolEnc
+    val probs = Vp8Tables.CoeffProbs
+
+    // --- keyframe header ---
+    head.literal(0, 1) // color space
+    head.literal(0, 1) // clamping
+    head.put(128, 0) // segmentation off
+    head.literal(0, 1) // filter type: normal (level 0 => unused)
+    head.literal(0, 6) // filter level 0
+    head.literal(0, 3) // sharpness
+    head.put(128, 0) // lf deltas off
+    head.literal(0, 2) // one token partition
+    head.literal(qIndex, 7)
+    var i = 0
+    while (i < 5) { head.put(128, 0); i += 1 } // no quant deltas
+    head.literal(0, 1) // refresh entropy probs
+    val upd = Vp8Tables.CoeffUpdateProbs
+    i = 0
+    while (i < upd.length) { head.put(upd(i), 0); i += 1 } // keep defaults
+    head.put(128, 0) // mb_no_coeff_skip off: every MB codes tokens
+
+    // --- per-MB: modes into head, tokens into toks ---
+    val aboveNz = Array.ofDim[Int](mbW, 9)
+    val leftNz = new Array[Int](9)
+    val resid = new Array[Double](16)
+    val levels = Array.ofDim[Int](16, 16) // quantized levels per y block
+    val uvLevels = Array.ofDim[Int](8, 16)
+    val y2Levels = new Array[Int](16)
+    val recCoeffs = new Array[Int](16)
+    val block = new Array[Int](16)
+    val dcBuf = new Array[Int](16)
+
+    var mbY = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(leftNz, 0)
+      var mbX = 0
+      while (mbX < mbW) {
+        // modes: DC_PRED (bits 1,0,0 on the kf ymode tree) + uv DC
+        head.tree(KfYModeTree, KfYModeProb, 0, DC_PRED, 0)
+        head.tree(UvModeTree, KfUvModeProb, 0, DC_PRED, 0)
+
+        val yo = yOrigin + mbY * 16 * yStride + mbX * 16
+        val co = cOrigin + mbY * 8 * cStride + mbX * 8
+        val hasAbove = mbY > 0
+        val hasLeft = mbX > 0
+
+        // luma: DC prediction from the RECONSTRUCTED neighbors
+        predDc(ry, yStride, yo, 16, hasAbove, hasLeft)
+        // per-4x4 forward transform of (src - pred)
+        val dcVals = new Array[Double](16)
+        var b = 0
+        while (b < 16) {
+          val bx = (b & 3) * 4; val by = (b >> 2) * 4
+          var k = 0
+          while (k < 16) {
+            val xx = bx + (k & 3); val yy = by + (k >> 2)
+            resid(k) = (py(( mbY * 16 + yy) * pw + mbX * 16 + xx) & 0xff) -
+              (ry(yo + yy * yStride + xx) & 0xff)
+            k += 1
+          }
+          val c = applyMat(FwdDct, resid)
+          dcVals(b) = c(0)
+          k = 1
+          while (k < 16) {
+            val q = if (k == 0) y1dc else y1ac
+            var lvl = math.round(c(k) / q).toInt
+            if (lvl > 2047) lvl = 2047; if (lvl < -2047) lvl = -2047
+            levels(b)(k) = lvl
+            k += 1
+          }
+          levels(b)(0) = 0 // DC goes through Y2
+          b += 1
+        }
+        // Y2: forward WHT of the 16 DC values
+        val y2c = applyMat(FwdWht, dcVals)
+        var k = 0
+        while (k < 16) {
+          val q = if (k == 0) y2dc else y2ac
+          var lvl = math.round(y2c(k) / q).toInt
+          if (lvl > 2047) lvl = 2047; if (lvl < -2047) lvl = -2047
+          y2Levels(k) = lvl
+          k += 1
+        }
+        // chroma
+        predDc(ru, cStride, co, 8, hasAbove, hasLeft)
+        predDc(rv, cStride, co, 8, hasAbove, hasLeft)
+        b = 0
+        while (b < 8) {
+          val plane = b >> 2; val bi = b & 3
+          val bx = (bi & 1) * 4; val by = (bi >> 1) * 4
+          val (src, rec, ro) = if (plane == 0) (pu, ru, co) else (pv, rv, co)
+          var k2 = 0
+          while (k2 < 16) {
+            val xx = bx + (k2 & 3); val yy = by + (k2 >> 2)
+            resid(k2) = (src((mbY * 8 + yy) * pcw + mbX * 8 + xx) & 0xff) -
+              (rec(ro + yy * cStride + xx) & 0xff)
+            k2 += 1
+          }
+          val c = applyMat(FwdDct, resid)
+          k2 = 0
+          while (k2 < 16) {
+            val q = if (k2 == 0) uvdc else uvac
+            var lvl = math.round(c(k2) / q).toInt
+            if (lvl > 2047) lvl = 2047; if (lvl < -2047) lvl = -2047
+            uvLevels(b)(k2) = lvl
+            k2 += 1
+          }
+          b += 1
+        }
+
+        // tokens: y2 (type 1), 16 luma (type 0, from coeff 1), 8 chroma
+        val ctxY2 = aboveNz(mbX)(8) + leftNz(8)
+        val nzY2 = encodeCoeffs(toks, probs, 1, 0, ctxY2, y2Levels)
+        aboveNz(mbX)(8) = if (nzY2) 1 else 0
+        leftNz(8) = if (nzY2) 1 else 0
+        var nzMask = 0
+        b = 0
+        while (b < 16) {
+          val bx = b & 3; val by = b >> 2
+          val ctx = (if (by == 0) aboveNz(mbX)(bx) else (nzMask >> ((by - 1) * 4 + bx)) & 1) +
+            (if (bx == 0) leftNz(by) else (nzMask >> (by * 4 + bx - 1)) & 1)
+          val nz = encodeCoeffs(toks, probs, 0, 1, ctx, levels(b))
+          if (nz) nzMask |= 1 << b
+          b += 1
+        }
+        i = 0
+        while (i < 4) {
+          aboveNz(mbX)(i) = (nzMask >> (12 + i)) & 1
+          leftNz(i) = (nzMask >> (i * 4 + 3)) & 1
+          i += 1
+        }
+        var uvNzMask = 0
+        b = 0
+        while (b < 8) {
+          val plane = b >> 2; val bi = b & 3
+          val bx = bi & 1; val by = bi >> 1
+          val ctx = (if (by == 0) aboveNz(mbX)(4 + plane * 2 + bx) else (uvNzMask >> (plane * 4 + bx)) & 1) +
+            (if (bx == 0) leftNz(4 + plane * 2 + by) else (uvNzMask >> (plane * 4 + by * 2)) & 1)
+          val nz = encodeCoeffs(toks, probs, 2, 0, ctx, uvLevels(b))
+          if (nz) uvNzMask |= 1 << (plane * 4 + by * 2 + bx)
+          b += 1
+        }
+        i = 0
+        while (i < 2) {
+          var k3 = 0
+          while (k3 < 2) {
+            aboveNz(mbX)(4 + i * 2 + k3) = (uvNzMask >> (i * 4 + 2 + k3)) & 1
+            leftNz(4 + i * 2 + k3) = (uvNzMask >> (i * 4 + k3 * 2 + 1)) & 1
+            k3 += 1
+          }
+          i += 1
+        }
+
+        // --- reconstruct exactly like the decoder (drives the next
+        //     MB's prediction) ---
+        k = 0
+        while (k < 16) { recCoeffs(k) = y2Levels(k) * (if (k == 0) y2dc else y2ac); k += 1 }
+        iwht4x4(recCoeffs, dcBuf)
+        b = 0
+        while (b < 16) {
+          var k4 = 0
+          while (k4 < 16) { recCoeffs(k4) = levels(b)(k4) * (if (k4 == 0) y1dc else y1ac); k4 += 1 }
+          recCoeffs(0) = dcBuf(b)
+          idct4x4(recCoeffs, block)
+          addResidual(ry, yStride, yo + (b >> 2) * 4 * yStride + (b & 3) * 4, block)
+          b += 1
+        }
+        b = 0
+        while (b < 8) {
+          val plane = b >> 2; val bi = b & 3
+          var k5 = 0
+          while (k5 < 16) { recCoeffs(k5) = uvLevels(b)(k5) * (if (k5 == 0) uvdc else uvac); k5 += 1 }
+          idct4x4(recCoeffs, block)
+          val rec = if (plane == 0) ru else rv
+          addResidual(rec, cStride, co + (bi >> 1) * 4 * cStride + (bi & 1) * 4, block)
+          b += 1
+        }
+        mbX += 1
+      }
+      // right-edge above-right replication, like the decoder
+      val lastRowOff = yOrigin + (mbY * 16 + 15) * yStride + mbW * 16
+      val repl = ry(lastRowOff - 1)
+      var kk = 0
+      while (kk < 4) { ry(lastRowOff + kk) = repl; kk += 1 }
+      mbY += 1
+    }
+
+    val part0 = head.flush()
+    val part1 = toks.flush()
+    val out = new java.io.ByteArrayOutputStream()
+    val tag = (part0.length << 5) | (1 << 4) // keyframe(0), version 0, show_frame
+    out.write(tag & 0xff); out.write((tag >> 8) & 0xff); out.write((tag >> 16) & 0xff)
+    out.write(0x9d); out.write(0x01); out.write(0x2a)
+    out.write(width & 0xff); out.write((width >> 8) & 0x3f)
+    out.write(height & 0xff); out.write((height >> 8) & 0x3f)
+    out.write(part0, 0, part0.length)
+    out.write(part1, 0, part1.length)
+    out.toByteArray
   }
 }

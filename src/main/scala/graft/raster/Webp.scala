@@ -1,10 +1,13 @@
 package graft.raster
 
-/** WebP lossless (VP8L) codec — decode of the full published bitstream
-  * (all four transforms, color cache, meta prefix codes, LZ77 with the
-  * 2D distance map, simple + code-length-coded prefix codes) and a
-  * minimal conforming encoder used by the round-trip specs and the
-  * q_webp oracle cycle.
+/** WebP container + lossless (VP8L) codec — decode of the full
+  * published bitstream (all four transforms, color cache, meta prefix
+  * codes, LZ77 with the 2D distance map, simple + code-length-coded
+  * prefix codes) and a minimal conforming encoder used by the
+  * round-trip specs and the q_webp oracle cycle. Lossy `VP8 `
+  * keyframes decode through [[Vp8]] (RFC 6386, conformance-pinned
+  * against the reference decoder in Vp8Spec) — [[decode]] handles
+  * both flavors; [[decodeLossyYuv]] exposes the normative YUV planes.
   *
   * WebP is the most common crawl-corpus image format; the reference
   * indexes images through stb/GDAL (vendored, empty in the checkout) —
@@ -25,8 +28,6 @@ package graft.raster
   *    color-indexing transform shrinks the coded width (pixel
   *    bundling at <=16 palette entries).
   *
-  * Lossy `VP8 ` streams are sniffed (dimensions) but not decoded —
-  * documented boundary; `decode` returns None so callers fall back.
   */
 object Webp {
 
@@ -596,11 +597,14 @@ object Webp {
   }
 
   /** Full decode to the engine's Image: VP8L (direct or inside a VP8X
-    * extended container); lossy VP8 → None (documented boundary). */
+    * extended container) and lossy VP8 keyframes ([[Vp8]]). For VP8
+    * the bitstream normatively defines the 4:2:0 YUV reconstruction;
+    * the RGB conversion here (BT.601 limited-range, nearest-neighbor
+    * chroma upsampling) is the application-defined last step. */
   def decode(bytes: Array[Byte]): Option[Png.Image] = {
     if (!isWebp(bytes)) return None
     try {
-      chunks(bytes).collectFirst { case ("VP8L", off, size) if size >= 5 => (off, size) }.map {
+      val lossless = chunks(bytes).collectFirst { case ("VP8L", off, size) if size >= 5 => (off, size) }.map {
         case (off, size) =>
           val (w, h, argb) = decodeVp8l(java.util.Arrays.copyOfRange(bytes, off, off + size))
           var hasAlpha = false
@@ -619,7 +623,63 @@ object Webp {
           }
           Png.Image(w, h, ch, px)
       }
+      lossless.orElse {
+        chunks(bytes).collectFirst { case ("VP8 ", off, size) if size >= 10 => (off, size) }.map {
+          case (off, size) => yuvToRgb(Vp8.decodeFrame(bytes, off, size))
+        }
+      }
     } catch { case _: Exception => None }
+  }
+
+  /** Decode a lossy WebP to its normative YUV planes (the
+    * conformance-grade face; RGB is an application choice). */
+  def decodeLossyYuv(bytes: Array[Byte]): Option[Vp8.Frame] = {
+    if (!isWebp(bytes)) return None
+    try chunks(bytes).collectFirst { case ("VP8 ", off, size) if size >= 10 => (off, size) }
+      .map { case (off, size) => Vp8.decodeFrame(bytes, off, size) }
+    catch { case _: Exception => None }
+  }
+
+  /** BT.601 limited-range YUV 4:2:0 -> RGB, nearest-neighbor chroma. */
+  private def yuvToRgb(f: Vp8.Frame): Png.Image = {
+    val w = f.width; val h = f.height; val cw = f.chromaW
+    val px = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yv = 298 * ((f.y(yy * w + xx) & 0xff) - 16)
+        val uvi = (yy / 2) * cw + (xx / 2)
+        val uv0 = (f.u(uvi) & 0xff) - 128
+        val vv0 = (f.v(uvi) & 0xff) - 128
+        val i = (yy * w + xx) * 3
+        px(i) = clamp8((yv + 409 * vv0 + 128) >> 8)
+        px(i + 1) = clamp8((yv - 100 * uv0 - 208 * vv0 + 128) >> 8)
+        px(i + 2) = clamp8((yv + 516 * uv0 + 128) >> 8)
+        xx += 1
+      }
+      yy += 1
+    }
+    Png.Image(w, h, 3, px)
+  }
+
+  private def clamp8(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Encode YUV planes as a lossy `VP8 ` WebP container ([[Vp8]]'s
+    * minimal conforming keyframe; cross-checked against the reference
+    * decoder — see tools/check_vp8_enc.py). */
+  def encodeLossy(y: Array[Byte], u: Array[Byte], v: Array[Byte], width: Int, height: Int, qIndex: Int = 8): Array[Byte] = {
+    val frame = Vp8.encodeFrame(y, u, v, width, height, qIndex)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(x: Int): Unit = { out.write(x & 0xff); out.write((x >> 8) & 0xff); out.write((x >> 16) & 0xff); out.write((x >> 24) & 0xff) }
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    w32(4 + 8 + frame.length + (frame.length & 1))
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write(' ')
+    w32(frame.length)
+    out.write(frame, 0, frame.length)
+    if ((frame.length & 1) == 1) out.write(0)
+    out.toByteArray
   }
 
   // ------------------------------------------------------------------
@@ -951,6 +1011,9 @@ object Webp {
   }
 
   /** q_webp: per (event_type, id%16 shard), a deterministic RGB plane
+    * cycles the FULL VP8L transform stack losslessly AND (r15) its R
+    * channel cycles the real lossy VP8 keyframe codec with a required
+    * per-pixel quantization bound —
     * built from the shard's own event ids cycles through the VP8L codec
     * in-task with the full transform stack (subtract-green + predictor
     * + cross-color + color cache + LZ77) — the cycle must be
@@ -983,7 +1046,30 @@ object Webp {
       var rgbSum = 0L
       i = 0
       while (i < w * h * 3) { rgbSum += dec.pixels(i) & 0xff; i += 1 }
-      Seq(n.toLong, rgbSum)
+      // LOSSY lane: the R channel as a luma plane cycles through the
+      // real VP8 keyframe codec (encode -> RIFF -> decodeLossyYuv) at
+      // the finest quantizer; the require bounds per-pixel error, so
+      // the closed-form y_sum the oracle states is only reachable if
+      // the lossy cycle actually ran within tolerance.
+      val cw = (w + 1) / 2
+      val chh = (h + 1) / 2
+      val yPlane = new Array[Byte](w * h)
+      i = 0
+      while (i < n) { yPlane(i) = ((sorted(i) * 37) % 256).toByte; i += 1 }
+      val uPlane = Array.fill[Byte](cw * chh)(128.toByte)
+      val vPlane = Array.fill[Byte](cw * chh)(128.toByte)
+      val lossy = Webp.decodeLossyYuv(Webp.encodeLossy(yPlane, uPlane, vPlane, w, h, qIndex = 0))
+        .getOrElse(sys.error("vp8 lossy cycle failed"))
+      require(lossy.width == w && lossy.height == h, "vp8 meta drift")
+      i = 0
+      var ySum = 0L
+      while (i < w * h) {
+        val d = math.abs((lossy.y(i) & 0xff) - (yPlane(i) & 0xff))
+        require(d <= 3, s"vp8 lossy error $d exceeds the q0 quantization bound")
+        ySum += yPlane(i) & 0xff
+        i += 1
+      }
+      Seq(n.toLong, rgbSum, ySum)
     }
     graft.Tables
       .eventsRaw(s, dir)
@@ -992,7 +1078,10 @@ object Webp {
       .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
       .groupBy($"event_type")
-      .agg(sum($"a".getItem(0)).as("n_px"), sum($"a".getItem(1)).as("rgb_sum"))
+      .agg(
+        sum($"a".getItem(0)).as("n_px"),
+        sum($"a".getItem(1)).as("rgb_sum"),
+        sum($"a".getItem(2)).as("y_sum"))
       .orderBy($"event_type")
   }
 

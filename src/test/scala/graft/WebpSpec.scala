@@ -145,7 +145,7 @@ class WebpSpec extends AnyFunSuite {
     assertCycle(Png.Image(w, h, 3, px), EncOpts(metaTwoGroups = true), "meta2")
   }
 
-  test("probe: VP8L dims from bit-fields; lossy VP8 sniffed but not decoded") {
+  test("probe: VP8L dims from bit-fields; lossy VP8 probed and decoded (r15)") {
     val webp = Webp.encode(mkImage(129, 67, 3, 13))
     assert(Webp.probe(webp).contains(("vp8l", 129, 67)))
     // minimal lossy VP8 container: frame tag + start code + dims
@@ -158,7 +158,10 @@ class WebpSpec extends AnyFunSuite {
       out.toByteArray
     }
     assert(Webp.probe(vp8).contains(("vp8", 80, 60)))
-    assert(Webp.decode(vp8).isEmpty) // documented boundary: lossy not decoded
+    // lossy VP8 decodes since r15 (Vp8Spec holds the conformance gate);
+    // this minimal zero-fill payload is a legal all-default keyframe
+    val lossyImg = Webp.decode(vp8)
+    assert(lossyImg.exists(i => i.width == 80 && i.height == 60))
     // sniffImage dispatch
     assert(graft.sources.Extractors.sniffImage(webp).contains(
       graft.sources.Extractors.ImageMeta("webp", 129, 67)))
