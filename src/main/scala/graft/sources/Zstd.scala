@@ -17,8 +17,12 @@ package graft.sources
   * FSE_Compressed and Repeat table modes; the 3-slot repeat-offset
   * history including the literals_length==0 shift; single-segment and
   * windowed frame headers; xxhash64 content checksum; skippable
-  * frames. Dictionaries are a named refusal (a non-zero Dictionary_ID
-  * rejects). ZstdSpec pins the decoder against REAL reference-encoder
+  * frames. RAW-CONTENT dictionaries (patch-from style, negotiated
+  * out-of-band per RFC 8878) are supported both directions as a match
+  * window prefix; TRAINED dictionaries are a named refusal (a
+  * non-zero Dictionary_ID rejects — the ID registry and entropy-table
+  * priming cannot be validated in-sandbox against real trained
+  * dicts). ZstdSpec pins the decoder against REAL reference-encoder
   * output captured as fixtures (multiple levels, so predefined tables,
   * FSE header conventions and Huffman code assignment are all checked
   * against ground truth, not a mirror of this code).
@@ -385,8 +389,15 @@ object Zstd {
     * and a uniform conversion catches residual out-of-range indexing,
     * so callers (e.g. the `jsonlLines` tail-grow retry) need only one
     * catch. */
-  def decodeFrame(b: Array[Byte], off: Int): Decoded =
-    try decodeFrameImpl(b, off)
+  def decodeFrame(b: Array[Byte], off: Int): Decoded = decodeFrame(b, off, null)
+
+  /** Like [[decodeFrame]] with a RAW-CONTENT dictionary (RFC 8878
+    * patch-from style, negotiated out-of-band): the dictionary bytes
+    * pre-load the match window, so sequences may copy from them as if
+    * they preceded the frame. Trained dictionaries (non-zero
+    * Dictionary_ID, entropy-table priming) remain a named refusal. */
+  def decodeFrame(b: Array[Byte], off: Int, dict: Array[Byte]): Decoded =
+    try decodeFrameImpl(b, off, dict)
     catch {
       case e: ZstdError => throw e
       case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
@@ -394,7 +405,7 @@ object Zstd {
         fail("malformed zstd input (out-of-range field)")
     }
 
-  private def decodeFrameImpl(b: Array[Byte], off: Int): Decoded = {
+  private def decodeFrameImpl(b: Array[Byte], off: Int, dict: Array[Byte]): Decoded = {
     var p = off
     while (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) p += 8 + le32(b, p + 4)
     if (p + 4 > b.length || le32(b, p) != Magic) fail("bad zstd magic")
@@ -428,7 +439,9 @@ object Zstd {
       if (fcsBytes == 2) fcs += 256
       p += fcsBytes
     }
-    val out = new Out(if (fcs >= 0 && fcs < (1L << 30)) fcs.toInt else 1 << 16)
+    val dictLen = if (dict == null) 0 else dict.length
+    val out = new Out(dictLen + (if (fcs >= 0 && fcs < (1L << 30)) fcs.toInt else 1 << 16))
+    if (dictLen > 0) out.addAll(dict, 0, dictLen) // window prefix
     val st = new FrameState
     var last = false
     while (!last) {
@@ -451,8 +464,10 @@ object Zstd {
         case _ => fail("reserved block type")
       }
     }
-    if (fcs >= 0 && out.len != fcs) fail(s"frame content size mismatch: ${out.len} vs $fcs")
-    val bytes = out.toArray
+    if (fcs >= 0 && out.len - dictLen != fcs)
+      fail(s"frame content size mismatch: ${out.len - dictLen} vs $fcs")
+    val bytes = if (dictLen == 0) out.toArray
+      else java.util.Arrays.copyOfRange(out.buf, dictLen, out.len)
     if (hasChecksum) {
       val want = le32(b, p); p += 4
       val got = (xxh64(bytes, 0, bytes.length) & 0xffffffffL).toInt
@@ -461,14 +476,15 @@ object Zstd {
     Decoded(bytes, p - off)
   }
 
-  /** Decode every frame in `b` and concatenate payloads. */
-  def decode(b: Array[Byte]): Array[Byte] = {
+  /** Decode every frame in `b` and concatenate payloads. The optional
+    * raw-content dictionary applies to EACH frame (patch-from model). */
+  def decode(b: Array[Byte], dict: Array[Byte] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var p = 0
     while (p < b.length) {
       if (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) p += 8 + le32(b, p + 4)
       else {
-        val d = decodeFrame(b, p)
+        val d = decodeFrame(b, p, dict)
         out.write(d.bytes)
         p += d.consumed
       }
@@ -750,13 +766,29 @@ object Zstd {
   private final case class Seq3(ll: Int, offset: Int, ml: Int)
 
   /** greedy single-slot hash-table LZ parse over one block */
-  private def lzParse(b: Array[Byte], off: Int, len: Int): (Array[Seq3], Array[Byte]) = {
+  private def lzParse(data: Array[Byte], dataOff: Int, dataLen: Int,
+      prefix: Array[Byte] = Array.emptyByteArray): (Array[Seq3], Array[Byte]) = {
+    // with a raw-content dictionary the matchable space is dict ++
+    // block: positions inside the prefix only seed the hash table;
+    // emission starts at the block. Offsets i-cand are then exactly
+    // the decoder's window distances (the dict directly precedes the
+    // frame output).
+    val pl = prefix.length
+    val len = pl + dataLen
+    val b = if (pl == 0) data else {
+      val t = new Array[Byte](len)
+      System.arraycopy(prefix, 0, t, 0, pl)
+      System.arraycopy(data, dataOff, t, pl, dataLen)
+      t
+    }
+    val off = if (pl == 0) dataOff else 0
     val table = new Array[Int](1 << 15)
     java.util.Arrays.fill(table, -1)
     val seqs = scala.collection.mutable.ArrayBuffer[Seq3]()
     val lits = new java.io.ByteArrayOutputStream()
     var i = 0
-    var litStart = 0
+    var litStart = pl
+    while (i + 4 <= len && i < pl) { table(hash4(b, off + i)) = i; i += 1 }
     while (i + 4 <= len) {
       val h = hash4(b, off + i)
       val cand = table(h)
@@ -1131,8 +1163,12 @@ object Zstd {
     out.toByteArray
   }
 
-  /** standard zstd frame for `data` */
-  def encode(data: Array[Byte], opts: EncOpts = EncOpts()): Array[Byte] = {
+  /** standard zstd frame for `data`. An optional RAW-CONTENT
+    * dictionary lets the first block's matcher reference the dict
+    * bytes (later blocks match within themselves, as before); the
+    * output stays a standard frame a dict-aware decoder reads with
+    * the same dict. */
+  def encode(data: Array[Byte], opts: EncOpts = EncOpts(), dict: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     def le32out(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
     le32out(Magic)
@@ -1155,7 +1191,7 @@ object Zstd {
         out.write(bh & 0xff); out.write((bh >>> 8) & 0xff); out.write((bh >>> 16) & 0xff)
         out.write(data(off))
       } else {
-        val (seqs, lits) = lzParse(data, off, len)
+        val (seqs, lits) = lzParse(data, off, len, if (off == 0) dict else Array.emptyByteArray)
         val litSec = encodeLiterals(lits, opts)
         val seqSec = encodeSequences(seqs)
         val body = litSec ++ seqSec

@@ -24,7 +24,7 @@ class ZstdSpec extends SparkSuite {
   private def fixturePairs: Seq[String] = {
     val names = fixtureDir
       .listFiles()
-      .filter(_.getName.endsWith(".zst"))
+      .filter(f => f.getName.endsWith(".zst") && !f.getName.startsWith("rawdict"))
       .map(_.getName.stripSuffix(".zst"))
       .sorted
       .toSeq
@@ -127,7 +127,38 @@ class ZstdSpec extends SparkSuite {
     }
   }
 
-  test("decode: non-zero dictionary id is a NAMED refusal") {
+  test("raw-content dictionary: window-prefix matching both directions; decode without the dict fails") {
+    // payload shares long runs with the dict: the matcher must reach
+    // into the prefix, which only a dict-aware decode can resolve
+    val dict = (0 until 40).map(i => s"""{"schema":"event","field_$i":"padding-$i"}""").mkString("\n").getBytes(Utf8)
+    val data = ((0 until 40).map(i => s"""{"schema":"event","field_$i":"padding-$i"}""") :+ "tail-unique-content")
+      .mkString("\n").getBytes(Utf8)
+    val withDict = Zstd.encode(data, Zstd.EncOpts(), dict)
+    val without = Zstd.encode(data, Zstd.EncOpts())
+    assert(withDict.length < without.length,
+      s"dict matching must shrink a dict-heavy payload (${withDict.length} vs ${without.length})")
+    assert(java.util.Arrays.equals(Zstd.decode(withDict, dict), data), "dict round-trip drift")
+    // without the dict the window starts empty: back-references into
+    // the prefix must fail loudly, never read garbage
+    intercept[Zstd.ZstdError](Zstd.decode(withDict))
+    // a dict-less frame decodes identically with or without a dict
+    assert(java.util.Arrays.equals(Zstd.decode(without, dict), data))
+  }
+
+  test("raw-content dictionary: REAL reference-encoder dict frames decode byte-exactly") {
+    // captured from the system libzstd's ZSTD_compress_usingDict with a
+    // raw-content dictionary at levels 3 and 19 (the reverse direction
+    // — our encoder's dict output — was cross-checked EXACT through
+    // ZSTD_decompress_usingDict at capture time)
+    val dict = Files.readAllBytes(new java.io.File(fixtureDir, "rawdict.dict").toPath)
+    val want = Files.readAllBytes(new java.io.File(fixtureDir, "rawdict.bin").toPath)
+    Seq("rawdict_l3.zst", "rawdict_l19.zst").foreach { n =>
+      val zst = Files.readAllBytes(new java.io.File(fixtureDir, n).toPath)
+      assert(java.util.Arrays.equals(Zstd.decode(zst, dict), want), s"$n: dict decode mismatch")
+    }
+  }
+
+  test("decode: non-zero dictionary id (TRAINED dict) is a NAMED refusal") {
     // frame header with dict-flag=1 and a non-zero 1-byte dictionary id
     val frame = Array[Byte](0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte, 0x01, 0x10, 0x07, 0x01, 0x00, 0x00)
     val err = intercept[Zstd.ZstdError](Zstd.decode(frame))
