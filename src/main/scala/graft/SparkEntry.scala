@@ -184,6 +184,7 @@ object SparkEntry {
     "q_cut_runs" -> (Curation.cutRunsQuery _),
     "q_suffix_dedup" -> (graft.text.SuffixDedup.suffixDedupQuery _),
     "q_zst" -> (graft.sources.ZstdSeek.zstQuery _),
+    "q_wds" -> (graft.sources.Tar.wdsQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2964,6 +2965,16 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 97 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // WebDataset tar-shard cycle: three files per sample (txt/cls/json,
+    // one pax long-path per shard) round-trip through the REAL ustar
+    // writer + split-ownership sweep + sample regrouping in-task (all
+    // requires), so sample counts and .txt char sums are the direct
+    // closed forms; shard sums add.
+    "q_wds" ->
+      """SELECT event_type,
+        |  count(*) AS n_samples,
+        |  CAST(sum(10 + length(CAST(event_id AS VARCHAR)) + event_id % 23) AS BIGINT) AS txt_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Bloom membership: same md5 double-hash probe positions, same
     // 32-bit filter words via bit_or, same all-bits-set decision.
