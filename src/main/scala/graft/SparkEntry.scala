@@ -185,6 +185,7 @@ object SparkEntry {
     "q_suffix_dedup" -> (graft.text.SuffixDedup.suffixDedupQuery _),
     "q_zst" -> (graft.sources.ZstdSeek.zstQuery _),
     "q_wds" -> (graft.sources.Tar.wdsQuery _),
+    "q_brotli" -> (graft.text.Brotli.brotliQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2965,6 +2966,14 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 97 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Brotli container cycle: jsonl -> encodeRaw -> decode byte-equal +
+    // the Content-Encoding:br WARC face (both requires); counts/chars
+    // are direct closed forms. Real-encoder conformance: BrotliSpec.
+    "q_brotli" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 89 AS VARCHAR))) AS BIGINT) AS line_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // WebDataset tar-shard cycle: three files per sample (txt/cls/json,
     // one pax long-path per shard) round-trip through the REAL ustar

@@ -527,7 +527,7 @@ object Warc {
               r.contentLength,
               http.map(_.status),
               http.flatMap(h => h.headers.collectFirst { case (k, v) if k.equalsIgnoreCase("content-type") => v }),
-              http.map(_.body).getOrElse(r.block)
+              http.map(h => decodeContentEncoding(h.headers, h.body)).getOrElse(r.block)
             )
           }
         }
@@ -535,6 +535,49 @@ object Warc {
       .toDF(
         "path", "offset", "record_bytes", "warc_type", "target_uri", "warc_date", "record_id",
         "content_type", "content_length", "http_status", "http_content_type", "body")
+  }
+
+  /** Decode an HTTP body per its Content-Encoding header — the step
+    * between the WARC member and the text pipeline. Modern crawls are
+    * dominated by `br` (RFC 7932, [[graft.text.Brotli]]) and `gzip`;
+    * `deflate` appears both zlib-wrapped and raw in the wild, so both
+    * are tried. Tolerant like the curation pipeline needs: a body
+    * that fails to decode passes through raw rather than killing the
+    * task (the downstream text gates discard binary garbage). */
+  def decodeContentEncoding(headers: Map[String, String], body: Array[Byte]): Array[Byte] = {
+    val enc = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("content-encoding") => v.trim.toLowerCase(java.util.Locale.ROOT)
+    }
+    enc match {
+      case Some("br") =>
+        try graft.text.Brotli.decode(body)
+        catch { case _: graft.text.Brotli.BrotliError => body }
+      case Some("gzip") | Some("x-gzip") =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+          try in.readAllBytes() finally in.close()
+        } catch { case _: Exception => body }
+      case Some("deflate") =>
+        def inflate(raw: Boolean): Array[Byte] = {
+          val inf = new Inflater(raw)
+          inf.setInput(body)
+          val out = new java.io.ByteArrayOutputStream(body.length * 3)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && !inf.finished()) throw new java.util.zip.DataFormatException("stalled")
+            out.write(buf, 0, n)
+          }
+          if (!inf.finished()) throw new java.util.zip.DataFormatException("truncated")
+          out.toByteArray
+        }
+        try inflate(raw = false)
+        catch {
+          case _: Exception =>
+            try inflate(raw = true) catch { case _: Exception => body }
+        }
+      case _ => body
+    }
   }
 
   /** HTML documents of a crawl: 200-status html responses with the
