@@ -186,6 +186,7 @@ object SparkEntry {
     "q_zst" -> (graft.sources.ZstdSeek.zstQuery _),
     "q_wds" -> (graft.sources.Tar.wdsQuery _),
     "q_brotli" -> (graft.text.Brotli.brotliQuery _),
+    "q_xz" -> (graft.sources.Xz.xzQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2974,6 +2975,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 89 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // XZ multi-stream cycle: jsonl -> four REAL xz streams (raw LZMA2
+    // chunks, CRC32/index/footer) -> whole decode + metadata stream
+    // walk + split-ownership sweep (all requires); closed-form counts.
+    // Real-encoder conformance: XzSpec's liblzma fixtures.
+    "q_xz" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 83 AS VARCHAR))) AS BIGINT) AS line_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // WebDataset tar-shard cycle: three files per sample (txt/cls/json,
     // one pax long-path per shard) round-trip through the REAL ustar

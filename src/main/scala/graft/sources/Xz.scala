@@ -1,0 +1,726 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** XZ / LZMA decoder — pure JVM: the LZMA range coder and state
+  * machine (public LZMA specification), LZMA2 chunking (dict/state/
+  * props resets, uncompressed chunks), the `.xz` container (stream
+  * header/footer, block headers with filter chains, index, CRC32/
+  * CRC64/SHA256 integrity checks, multi-block streams, concatenated
+  * streams with padding) and the legacy `.lzma` "alone" format.
+  *
+  * Why it's front-door: public-dataset shards ship `.jsonl.xz` /
+  * `.xml.xz` routinely (wiki dumps, HF mirrors of The Pile era
+  * corpora). The JDK has no xz.
+  *
+  * Scale shape: one `.xz` STREAM is sequential (LZMA is not
+  * splittable), but xz files are legally CONCATENATIONS of streams,
+  * and shard producers exploit that. [[streamsOf]] walks stream
+  * boundaries backward from footers using only metadata (each footer
+  * names its index size; each index names its blocks), so the driver
+  * plans per-stream ranges without decompressing anything, and each
+  * task decodes exactly its own streams — the seekable-zstd shape.
+  * Single-stream files degrade to one task per file (the honest
+  * limit; the file set is then the parallelism unit).
+  *
+  * XzSpec pins the decoder byte-exactly against REAL liblzma output
+  * (python's stdlib `lzma` is a liblzma binding) across presets,
+  * check types, custom lc/lp/pb filter chains, the alone format and
+  * concatenated streams. The in-task q_xz cycle uses
+  * [[encodeRawXz]] — valid xz built from LZMA2 UNCOMPRESSED chunks
+  * (the format's storage escape hatch) with real CRCs/index/footer.
+  */
+object Xz {
+
+  final class XzError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new XzError(msg)
+
+  // ------------------------------------------------------------------
+  // CRC64 (ECMA-182 reflected, the xz variant)
+  // ------------------------------------------------------------------
+
+  private val Crc64Table: Array[Long] = {
+    val poly = 0xC96C5795D7870F42L
+    Array.tabulate(256) { i =>
+      var crc = i.toLong
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 1L) != 0) (crc >>> 1) ^ poly else crc >>> 1
+        k += 1
+      }
+      crc
+    }
+  }
+
+  def crc64(b: Array[Byte], off: Int, len: Int): Long = {
+    var crc = ~0L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      crc = Crc64Table(((crc ^ b(i)) & 0xff).toInt) ^ (crc >>> 8)
+      i += 1
+    }
+    ~crc
+  }
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  // ------------------------------------------------------------------
+  // LZMA core (public LZMA specification)
+  // ------------------------------------------------------------------
+
+  private final class RangeDec(b: Array[Byte], var pos: Int, end: Int) {
+    var range: Int = -1 // 0xFFFFFFFF
+    var code: Int = 0
+    def init(): Unit = {
+      if (pos >= end) fail("lzma: range coder init past end")
+      if (b(pos) != 0) fail("lzma: first range byte must be 0")
+      pos += 1
+      var i = 0
+      while (i < 4) { code = (code << 8) | (b(pos) & 0xff); pos += 1; i += 1 }
+    }
+    @inline private def normalize(): Unit =
+      if ((range & 0xff000000) == 0) {
+        range <<= 8
+        code = (code << 8) | (if (pos < end) b(pos) & 0xff else 0)
+        pos += 1
+      }
+    def bit(probs: Array[Short], idx: Int): Int = {
+      val p = probs(idx)
+      val bound = (range >>> 11) * p
+      // unsigned compare
+      if ((code ^ Int.MinValue) < (bound ^ Int.MinValue)) {
+        probs(idx) = (p + ((2048 - p) >>> 5)).toShort
+        range = bound
+        normalize()
+        0
+      } else {
+        probs(idx) = (p - (p >>> 5)).toShort
+        range -= bound
+        code -= bound
+        normalize()
+        1
+      }
+    }
+    def directBits(n: Int): Int = {
+      var res = 0
+      var i = n
+      while (i > 0) {
+        range = range >>> 1
+        code -= range
+        val t = 0 - (code >>> 31) // 0 if code >= 0 (bit 1), -1 if negative (bit 0)
+        code += range & t
+        res = (res << 1) + t + 1
+        normalize()
+        i -= 1
+      }
+      res
+    }
+    def bitTree(probs: Array[Short], off: Int, nbits: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < nbits) { m = (m << 1) + bit(probs, off + m); i += 1 }
+      m - (1 << nbits)
+    }
+    def bitTreeReverse(probs: Array[Short], off: Int, nbits: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < nbits) {
+        val bb = bit(probs, off + m)
+        m = (m << 1) + bb
+        sym |= bb << i
+        i += 1
+      }
+      sym
+    }
+    def finishedOk: Boolean = code == 0
+  }
+
+  private val InitProb: Short = 1024
+
+  /** LZMA decoder state persisting across LZMA2 chunks. */
+  private final class LzmaState(var lc: Int, var lp: Int, var pb: Int) {
+    var state = 0
+    var rep0 = 0; var rep1 = 0; var rep2 = 0; var rep3 = 0
+    var lit: Array[Short] = _
+    val isMatch = new Array[Short](12 << 4)
+    val isRep = new Array[Short](12)
+    val isRepG0 = new Array[Short](12)
+    val isRepG1 = new Array[Short](12)
+    val isRepG2 = new Array[Short](12)
+    val isRep0Long = new Array[Short](12 << 4)
+    val posSlot = new Array[Short](4 * 64)
+    val specPos = new Array[Short](115)
+    val align = new Array[Short](16)
+    // len coders: [0]=choice [1]=choice2 [2..2+16*8) low [..mid) [..+256) high
+    val lenProbs = new Array[Short](2 + 16 * 8 + 16 * 8 + 256)
+    val repLenProbs = new Array[Short](2 + 16 * 8 + 16 * 8 + 256)
+    resetState()
+    def resetProps(lc0: Int, lp0: Int, pb0: Int): Unit = { lc = lc0; lp = lp0; pb = pb0; resetState() }
+    def resetState(): Unit = {
+      state = 0; rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+      lit = Array.fill[Short](0x300 << (lc + lp))(InitProb)
+      java.util.Arrays.fill(isMatch, InitProb)
+      java.util.Arrays.fill(isRep, InitProb)
+      java.util.Arrays.fill(isRepG0, InitProb)
+      java.util.Arrays.fill(isRepG1, InitProb)
+      java.util.Arrays.fill(isRepG2, InitProb)
+      java.util.Arrays.fill(isRep0Long, InitProb)
+      java.util.Arrays.fill(posSlot, InitProb)
+      java.util.Arrays.fill(specPos, InitProb)
+      java.util.Arrays.fill(align, InitProb)
+      java.util.Arrays.fill(lenProbs, InitProb)
+      java.util.Arrays.fill(repLenProbs, InitProb)
+    }
+  }
+
+  private def decodeLen(rc: RangeDec, probs: Array[Short], posState: Int): Int =
+    if (rc.bit(probs, 0) == 0) 2 + rc.bitTree(probs, 2 + posState * 8, 3)
+    else if (rc.bit(probs, 1) == 0) 10 + rc.bitTree(probs, 2 + 16 * 8 + posState * 8, 3)
+    else 18 + rc.bitTree(probs, 2 + 16 * 8 + 16 * 8, 8)
+
+  /** Decode one LZMA stream segment into `out` (append), producing
+    * exactly `limit` bytes unless `limit < 0` (then until end marker).
+    * `out.len` position participates in lp/pb masks and the window. */
+  private def lzmaRun(rc: RangeDec, st: LzmaState, out: XOut, limit: Long): Unit = {
+    val pbMask = (1 << st.pb) - 1
+    val lpMask = (1 << st.lp) - 1
+    val target = if (limit < 0) Long.MaxValue else out.total + limit
+    var endMarker = false
+    while (out.total < target && !endMarker) {
+      val posState = (out.total & pbMask).toInt
+      if (rc.bit(st.isMatch, (st.state << 4) + posState) == 0) {
+        // literal
+        val prev = if (out.total > 0) out.last & 0xff else 0
+        val litState = (((out.total & lpMask).toInt) << st.lc) + (prev >>> (8 - st.lc))
+        val off = 0x300 * litState
+        var sym = 1
+        if (st.state >= 7) {
+          // matched literal
+          var matchByte = out.byteBack(st.rep0 + 1) & 0xff
+          var break = false
+          while (sym < 0x100 && !break) {
+            val matchBit = (matchByte >> 7) & 1
+            matchByte <<= 1
+            val bb = rc.bit(st.lit, off + ((1 + matchBit) << 8) + sym)
+            sym = (sym << 1) | bb
+            if (matchBit != bb) break = true
+          }
+        }
+        while (sym < 0x100) sym = (sym << 1) | rc.bit(st.lit, off + sym)
+        out.add((sym & 0xff).toByte)
+        st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3 else st.state - 6
+      } else {
+        var len = 0
+        if (rc.bit(st.isRep, st.state) == 1) {
+          // rep match
+          if (rc.bit(st.isRepG0, st.state) == 0) {
+            if (rc.bit(st.isRep0Long, (st.state << 4) + posState) == 0) {
+              // short rep
+              st.state = if (st.state < 7) 9 else 11
+              out.add(out.byteBack(st.rep0 + 1))
+              len = -1 // handled
+            }
+          } else {
+            val dist =
+              if (rc.bit(st.isRepG1, st.state) == 0) st.rep1
+              else if (rc.bit(st.isRepG2, st.state) == 0) { val d = st.rep2; st.rep2 = st.rep1; d }
+              else { val d = st.rep3; st.rep3 = st.rep2; st.rep2 = st.rep1; d }
+            st.rep1 = st.rep0
+            st.rep0 = dist
+          }
+          if (len == 0) {
+            len = decodeLen(rc, st.repLenProbs, posState)
+            st.state = if (st.state < 7) 8 else 11
+          }
+        } else {
+          // new match
+          st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+          len = decodeLen(rc, st.lenProbs, posState)
+          val lenToPos = math.min(len - 2, 3)
+          val slot = rc.bitTree(st.posSlot, lenToPos * 64, 6)
+          if (slot < 4) st.rep0 = slot
+          else {
+            val numDirect = (slot >> 1) - 1
+            var dist = (2 | (slot & 1)) << numDirect
+            if (slot < 14)
+              dist += rc.bitTreeReverse(st.specPos, dist - slot - 1, numDirect)
+            else {
+              dist += rc.directBits(numDirect - 4) << 4
+              dist += rc.bitTreeReverse(st.align, 0, 4)
+            }
+            st.rep0 = dist
+          }
+          if (st.rep0 == -1) {
+            // end-of-stream marker (0xFFFFFFFF)
+            endMarker = true
+            len = -1
+          } else st.state = if (st.state < 7) 7 else 10
+        }
+        if (len > 0) {
+          if (st.rep0 < 0 || st.rep0.toLong + 1 > out.total) fail("lzma: distance beyond window")
+          if (out.total + len > target && limit >= 0) fail("lzma: match overruns chunk size")
+          var i = 0
+          while (i < len) { out.add(out.byteBack(st.rep0 + 1)); i += 1 }
+        }
+      }
+    }
+    if (limit >= 0 && out.total != target) fail("lzma: chunk produced wrong size")
+  }
+
+  /** output buffer: whole-payload (crawl-shard scale) */
+  private final class XOut(hint: Int) {
+    var buf = new Array[Byte](math.max(64, hint))
+    var total: Long = 0
+    private def len = total.toInt
+    def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length * 2
+        while (cap < len + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def add(v: Byte): Unit = { ensure(1); buf(len) = v; total += 1 }
+    def addAll(src: Array[Byte], off: Int, n: Int): Unit = { ensure(n); System.arraycopy(src, off, buf, len, n); total += n }
+    def last: Byte = buf(len - 1)
+    def byteBack(dist: Int): Byte = {
+      if (dist > total) fail("lzma: window underrun")
+      buf(len - dist)
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  // ------------------------------------------------------------------
+  // LZMA2
+  // ------------------------------------------------------------------
+
+  /** Decode an LZMA2 chunk sequence (ends at control byte 0). */
+  private def lzma2Run(b: Array[Byte], off: Int, end: Int, out: XOut): Int = {
+    var p = off
+    var st: LzmaState = null
+    var needProps = true
+    while (p < end) {
+      val c = b(p) & 0xff
+      p += 1
+      if (c == 0) return p
+      else if (c <= 2) {
+        // uncompressed chunk; 0x01 resets dict (we keep the whole
+        // output, so a dict reset only gates copy distances — not
+        // enforced here; liblzma output never violates it)
+        val n = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+        p += 2
+        if (p + n > end) fail("lzma2: uncompressed chunk past end")
+        out.addAll(b, p, n)
+        p += n
+        if (st != null) st.resetState() // spec: state resets after an uncompressed chunk
+      } else if (c >= 0x80) {
+        val unpack = (((c & 0x1f) << 16) | ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+        val pack = (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) + 1
+        p += 4
+        val mode = (c >> 5) & 3
+        if (mode >= 2) {
+          val props = b(p) & 0xff
+          p += 1
+          if (props > 224) fail("lzma2: bad props byte")
+          val lc = props % 9
+          val lp = (props / 9) % 5
+          val pb = props / 45
+          if (lc + lp > 4) fail("lzma2: lc+lp > 4")
+          if (st == null) st = new LzmaState(lc, lp, pb) else st.resetProps(lc, lp, pb)
+          needProps = false
+        } else {
+          if (st == null || needProps) fail("lzma2: chunk needs props before data")
+          if (mode == 1) st.resetState()
+        }
+        if (p + pack > end) fail("lzma2: packed chunk past end")
+        val rc = new RangeDec(b, p, p + pack)
+        rc.init()
+        lzmaRun(rc, st, out, unpack)
+        p += pack
+      } else fail(s"lzma2: bad control byte $c")
+    }
+    fail("lzma2: missing end marker")
+  }
+
+  // ------------------------------------------------------------------
+  // xz container
+  // ------------------------------------------------------------------
+
+  private val Magic = Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0)
+  private val FooterMagic = Array[Byte]('Y', 'Z')
+
+  private def varint(b: Array[Byte], p0: Int): (Long, Int) = {
+    var v = 0L
+    var p = p0
+    var shift = 0
+    while (shift < 63) {
+      val x = b(p) & 0xff
+      p += 1
+      v |= (x & 0x7fL) << shift
+      if ((x & 0x80) == 0) return (v, p)
+      shift += 7
+    }
+    fail("xz: varint too long")
+  }
+
+  /** Decode ONE xz stream starting at `off`; returns (payload, bytes
+    * consumed incl. the footer). */
+  def decodeStream(b: Array[Byte], off: Int): (Array[Byte], Int) = {
+    var p = off
+    if (p + 12 > b.length || !java.util.Arrays.equals(java.util.Arrays.copyOfRange(b, p, p + 6), Magic))
+      fail("xz: bad stream magic")
+    val flagsHi = b(p + 6) & 0xff
+    val check = b(p + 7) & 0xff
+    if (flagsHi != 0) fail("xz: reserved stream flags")
+    if (crc32(b, p + 6, 2) != le32(b, p + 8)) fail("xz: stream header CRC mismatch")
+    p += 12
+    val out = new XOut(1 << 16)
+    var lastBlockEnd = p
+    // blocks until the index indicator (0x00)
+    while ((b(p) & 0xff) != 0) {
+      val headerSize = ((b(p) & 0xff) + 1) * 4
+      if (crc32(b, p, headerSize - 4) != le32(b, p + headerSize - 4)) fail("xz: block header CRC mismatch")
+      val flags = b(p + 1) & 0xff
+      val numFilters = (flags & 3) + 1
+      if ((flags & 0x3c) != 0) fail("xz: reserved block flags")
+      var q = p + 2
+      if ((flags & 0x40) != 0) q = varint(b, q)._2 // compressed size (informative)
+      var declaredUnpacked = -1L
+      if ((flags & 0x80) != 0) { val (v, q2) = varint(b, q); declaredUnpacked = v; q = q2 }
+      var lzma2 = false
+      var f = 0
+      var deltaDist = 0
+      while (f < numFilters) {
+        val (id, q2) = varint(b, q)
+        val (propsLen, q3) = varint(b, q2)
+        if (id == 0x21 && f == numFilters - 1) lzma2 = true
+        else if (id == 0x03 && propsLen == 1) deltaDist = (b(q3) & 0xff) + 1
+        else fail(s"xz: unsupported filter id $id")
+        q = q3 + propsLen.toInt
+        f += 1
+      }
+      if (!lzma2) fail("xz: block without LZMA2 filter")
+      val dataStart = p + headerSize
+      val before = out.total
+      val dataEnd = lzma2Run(b, dataStart, b.length, out)
+      if (deltaDist > 0) applyDeltaDecode(out, before, deltaDist)
+      if (declaredUnpacked >= 0 && out.total - before != declaredUnpacked)
+        fail("xz: block uncompressed size mismatch")
+      // pad to 4
+      var pad = dataEnd
+      while (((pad - dataStart + headerSize) & 3) != 0) {
+        if (b(pad) != 0) fail("xz: nonzero block padding")
+        pad += 1
+      }
+      // integrity check over this block's output
+      val produced = (out.total - before).toInt
+      val checkLen = check match {
+        case 0 => 0
+        case 1 =>
+          if (crc32(out.buf, before.toInt, produced) != le32(b, pad)) fail("xz: block CRC32 mismatch")
+          4
+        case 4 =>
+          if (crc64(out.buf, before.toInt, produced) != le64(b, pad)) fail("xz: block CRC64 mismatch")
+          8
+        case 10 =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.update(out.buf, before.toInt, produced)
+          if (!java.util.Arrays.equals(md.digest(), java.util.Arrays.copyOfRange(b, pad, pad + 32)))
+            fail("xz: block SHA-256 mismatch")
+          32
+        case other => fail(s"xz: unsupported check type $other")
+      }
+      p = pad + checkLen
+      lastBlockEnd = p
+    }
+    // index: skip to footer (validated structurally)
+    val (nRec, p1) = varint(b, p + 1)
+    var q = p1
+    var r = 0L
+    while (r < nRec) { q = varint(b, varint(b, q)._2)._2; r += 1 }
+    while (((q - p) & 3) != 0) { if (b(q) != 0) fail("xz: nonzero index padding"); q += 1 }
+    if (crc32(b, p, q - p) != le32(b, q)) fail("xz: index CRC mismatch")
+    q += 4
+    // footer
+    if (crc32(b, q + 4, 6) != le32(b, q)) fail("xz: footer CRC mismatch")
+    val backward = (le32(b, q + 4).toLong & 0xffffffffL)
+    if ((backward + 1) * 4 != (q - p)) fail("xz: footer backward size disagrees with index")
+    if (b(q + 8) != 0 || b(q + 9) != check.toByte) fail("xz: footer flags disagree with header")
+    if (b(q + 10) != FooterMagic(0) || b(q + 11) != FooterMagic(1)) fail("xz: bad footer magic")
+    (out.toArray, q + 12 - off)
+  }
+
+  private def applyDeltaDecode(out: XOut, from: Long, dist: Int): Unit = {
+    var i = from.toInt
+    val end = out.total.toInt
+    while (i < end) {
+      if (i - dist >= from) out.buf(i) = (out.buf(i) + out.buf(i - dist)).toByte
+      i += 1
+    }
+  }
+
+  @inline private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  @inline private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  /** Decode a whole `.xz` file: every concatenated stream, skipping
+    * 4-aligned zero padding between them. */
+  def decode(b: Array[Byte]): Array[Byte] = decode(b, null)
+
+  private def decode(b: Array[Byte], sink: java.io.ByteArrayOutputStream): Array[Byte] =
+    try {
+      val out = if (sink == null) new java.io.ByteArrayOutputStream() else sink
+      var p = 0
+      while (p < b.length) {
+        if (b(p) == 0) {
+          // stream padding: 4-aligned zeros
+          if ((p & 3) != 0) fail("xz: misaligned stream padding")
+          while (p < b.length && b(p) == 0) p += 1
+          if (p < b.length && ((p & 3) != 0)) fail("xz: stream padding not multiple of 4")
+        } else {
+          val (payload, consumed) = decodeStream(b, p)
+          out.write(payload)
+          p += consumed
+        }
+      }
+      out.toByteArray
+    } catch {
+      case e: XzError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: IndexOutOfBoundsException =>
+        fail("xz: malformed input (out-of-range field)")
+    }
+
+  /** Legacy `.lzma` (alone) format: 5-byte props+dictsize header,
+    * 8-byte LE uncompressed size (-1 = until end marker). */
+  def decodeAlone(b: Array[Byte]): Array[Byte] =
+    try {
+      if (b.length < 13) fail("lzma-alone: too short")
+      val props = b(0) & 0xff
+      if (props > 224) fail("lzma-alone: bad props")
+      val lc = props % 9
+      val lp = (props / 9) % 5
+      val pb = props / 45
+      var size = 0L
+      var i = 0
+      while (i < 8) { size |= (b(5 + i) & 0xffL) << (8 * i); i += 1 }
+      val st = new LzmaState(lc, lp, pb)
+      val out = new XOut(if (size > 0 && size < Int.MaxValue) size.toInt else 1 << 16)
+      val rc = new RangeDec(b, 13, b.length)
+      rc.init()
+      lzmaRun(rc, st, out, if (size == -1L) -1 else size)
+      out.toArray
+    } catch {
+      case e: XzError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: IndexOutOfBoundsException =>
+        fail("lzma-alone: malformed input (out-of-range field)")
+    }
+
+  // ------------------------------------------------------------------
+  // stream-boundary walk (metadata only) + Spark face
+  // ------------------------------------------------------------------
+
+  /** (offset, length) of each concatenated stream, discovered by
+    * walking BACKWARD from footers: footer -> backward size -> index
+    * start; the index's own records then give the block region, so no
+    * payload bytes are touched. */
+  def streamsOf(b: Array[Byte]): Seq[(Long, Long)] = {
+    val out = List.newBuilder[(Long, Long)]
+    var end = b.length
+    while (end > 0) {
+      // strip stream padding (zeros; a footer never ends in 0x00 — 'Z')
+      while (end > 0 && b(end - 1) == 0) end -= 1
+      if (end == 0) return out.result()
+      if (end < 12 || b(end - 1) != 'Z' || b(end - 2) != 'Y') fail("xz: bad footer magic in walk")
+      val backward = (le32(b, end - 8).toLong & 0xffffffffL)
+      val indexStart = end - 12 - (backward + 1) * 4
+      if (indexStart < 0 || b(indexStart.toInt) != 0) fail("xz: index indicator missing")
+      // sum block sizes from index records
+      var (nRec, p) = varint(b, indexStart.toInt + 1)
+      var blockBytes = 0L
+      var r = 0L
+      while (r < nRec) {
+        val (unpadded, p2) = varint(b, p)
+        val (_, p3) = varint(b, p2)
+        blockBytes += ((unpadded + 3) / 4) * 4
+        p = p3
+        r += 1
+      }
+      val start = indexStart - blockBytes - 12
+      if (start < 0) fail("xz: stream start out of range")
+      out += ((start, end - start))
+      end = start.toInt
+    }
+    out.result().reverse // walked backward; return in file order
+  }
+
+  /** Lines of a (possibly multi-stream) `.jsonl.xz` on any Hadoop
+    * filesystem: the driver reads the whole file's METADATA tail walk
+    * (footers + indexes — this needs the raw bytes of the tail region
+    * of each stream; for simplicity and because xz indexes are tiny,
+    * the driver reads the file once to plan), then each task decodes
+    * only the streams whose start lands in its range. Output:
+    * (stream_idx, line). */
+  def jsonlLines(spark: SparkSession, path: String, splitSize: Long = 64L << 20): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf.value)
+    val len = fs.getFileStatus(hp).getLen
+    val whole = {
+      val in = fs.open(hp)
+      try { val a = new Array[Byte](len.toInt); in.readFully(0, a); a } finally in.close()
+    }
+    val streams = streamsOf(whole).zipWithIndex
+    val plan = (0L until len by splitSize).map(s => (s, math.min(s + splitSize, len))).flatMap {
+      case (s, e) =>
+        val own = streams.filter { case ((o, _), _) => o >= s && o < e }
+        if (own.nonEmpty) Some(own.map { case ((o, l), i) => (i, o, l) }) else None
+    }
+    spark.sparkContext
+      .parallelize(plan, math.max(1, plan.size))
+      .flatMap { owned =>
+        val fs1 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+        val in = fs1.open(new org.apache.hadoop.fs.Path(path))
+        try {
+          owned.iterator.flatMap { case (idx, o, l) =>
+            val buf = new Array[Byte](l.toInt)
+            in.readFully(o, buf)
+            val (payload, _) = decodeStream(buf, 0)
+            new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n", -1)
+              .iterator
+              .filter(_.nonEmpty)
+              .map(line => (idx, line))
+              .toSeq
+          }.toSeq
+        } finally in.close()
+      }
+      .toDF("stream_idx", "line")
+  }
+
+  // ------------------------------------------------------------------
+  // raw writer (cycles): LZMA2 uncompressed chunks in a real container
+  // ------------------------------------------------------------------
+
+  /** Valid single-stream xz holding `data` in LZMA2 UNCOMPRESSED
+    * chunks, with real CRC32 block check, index and footer — the
+    * format's storage escape hatch; drives in-task cycles. */
+  def encodeRawXz(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def wVarint(v0: Long): Unit = { var v = v0; while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>= 7 }; out.write(v.toInt) }
+    // stream header (check = CRC32)
+    out.write(Magic)
+    val flags = Array[Byte](0, 1)
+    out.write(flags)
+    w32(crc32(flags, 0, 2))
+    // block header: size 8 (2 units), flags 0 (1 filter), LZMA2 id 0x21 props 1 byte
+    val header = Array[Byte](1, 0, 0x21, 1, 0x16, 0, 0, 0) // size=(1+1)*4=8; dictSize code 0x16 (8 MiB)
+    // last 4 bytes get the CRC of the first 4
+    val hcrc = crc32(header, 0, 4)
+    header(4) = (hcrc & 0xff).toByte; header(5) = ((hcrc >> 8) & 0xff).toByte
+    header(6) = ((hcrc >> 16) & 0xff).toByte; header(7) = ((hcrc >> 24) & 0xff).toByte
+    out.write(header)
+    // LZMA2 uncompressed chunks (first resets the dict), then the
+    // end-of-chunks marker
+    val body = new java.io.ByteArrayOutputStream()
+    var off = 0
+    var first = true
+    while (off < data.length) {
+      val n = math.min(1 << 16, data.length - off)
+      body.write(if (first) 0x01 else 0x02)
+      body.write((n - 1) >> 8); body.write((n - 1) & 0xff)
+      body.write(data, off, n)
+      off += n
+      first = false
+    }
+    body.write(0)
+    val bodyBytes = body.toByteArray
+    out.write(bodyBytes)
+    // pad block to 4 (header 8 + body)
+    var total = 8 + bodyBytes.length
+    while ((total & 3) != 0) { out.write(0); total += 1 }
+    w32(crc32(data, 0, data.length)) // block check
+    val unpadded = 8L + bodyBytes.length + 4 // header + data (unpadded) + check
+    // index
+    val idx = new java.io.ByteArrayOutputStream()
+    idx.write(0)
+    def iVarint(v0: Long): Unit = { var v = v0; while (v >= 0x80) { idx.write(((v & 0x7f) | 0x80).toInt); v >>= 7 }; idx.write(v.toInt) }
+    iVarint(1)
+    iVarint(unpadded)
+    iVarint(data.length.toLong)
+    while ((idx.size() & 3) != 0) idx.write(0)
+    val idxBytes = idx.toByteArray
+    out.write(idxBytes)
+    w32(crc32(idxBytes, 0, idxBytes.length))
+    // footer
+    val tail = new Array[Byte](6)
+    val backward = (idxBytes.length + 4) / 4 - 1
+    tail(0) = (backward & 0xff).toByte; tail(1) = ((backward >> 8) & 0xff).toByte
+    tail(2) = ((backward >> 16) & 0xff).toByte; tail(3) = ((backward >> 24) & 0xff).toByte
+    tail(4) = 0; tail(5) = 1
+    w32(crc32(tail, 0, 6))
+    out.write(tail, 0, 6)
+    out.write(FooterMagic)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // q_xz — oracle-checked cycle
+  // ------------------------------------------------------------------
+
+  /** Per (event_type, id%16 shard): the shard's jsonl splits into
+    * four real xz streams ([[encodeRawXz]] — genuine container with
+    * CRC32 blocks, index, footer), concatenates with stream padding,
+    * then cycles: whole-file [[decode]] byte-equal, the metadata-only
+    * [[streamsOf]] walk finds exactly the four boundaries, and a
+    * split-ownership sweep at three split sizes reproduces the stream
+    * set exactly once. Counts/char sums have closed forms the oracle
+    * states; shard sums add. Real-ENCODER conformance is XzSpec's
+    * liblzma fixture gate. */
+  def xzQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cycle = udf { ids: Seq[Long] =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val sorted = ids.sorted
+      val lines = sorted.map(id => s"""{"id":$id,"w":"w${id % 83}"}""")
+      val payload = lines.mkString("", "\n", "\n").getBytes(utf8)
+      val groups = if (lines.isEmpty) Seq(Seq.empty) else lines.grouped(math.max(1, (lines.size + 3) / 4)).toSeq
+      val file = {
+        val o = new java.io.ByteArrayOutputStream()
+        groups.zipWithIndex.foreach { case (g, i) =>
+          o.write(encodeRawXz(g.mkString("", "\n", "\n").getBytes(utf8)))
+          if (i % 2 == 1) o.write(new Array[Byte](4))
+        }
+        o.toByteArray
+      }
+      require(java.util.Arrays.equals(Xz.decode(file), payload), "xz: whole-file decode drift")
+      val streams = streamsOf(file)
+      require(streams.length == groups.length, "xz: stream walk count drift")
+      for (split <- Seq(file.length.toLong + 5, math.max(64L, file.length.toLong / 3), 111L)) {
+        val got = (0L until file.length.toLong by split).flatMap { st =>
+          streams.filter { case (o2, _) => o2 >= st && o2 < math.min(st + split, file.length.toLong) }
+        }
+        require(got == streams, s"xz: split $split ownership not exactly-once")
+      }
+      Seq(lines.length.toLong, lines.map(_.length.toLong).sum)
+    }
+    graft.Tables
+      .eventsRaw(s, dir)
+      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
+      .agg(collect_list($"event_id").as("ids"))
+      .repartition(32)
+      .select($"event_type", cycle($"ids").as("a"))
+      .groupBy($"event_type")
+      .agg(sum($"a".getItem(0)).as("n_lines"), sum($"a".getItem(1)).as("line_chars"))
+      .orderBy($"event_type")
+  }
+}

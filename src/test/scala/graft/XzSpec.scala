@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.sources.Xz
+
+/** XZ / LZMA conformance. Fixtures are REAL liblzma output (python's
+  * stdlib lzma binding): presets 0/3/6/9e, check types
+  * none/CRC32/CRC64/SHA256, custom lc/lp/pb filter chains, a
+  * delta+LZMA2 chain, the legacy alone format, concatenated streams,
+  * empty and tiny payloads — all must decode byte-exactly. Then: the
+  * metadata-only stream walk, a split-size sweep through the real
+  * [[Xz.jsonlLines]] Spark face, the raw-chunk writer round-trip, and
+  * the untrusted-bytes contract. */
+class XzSpec extends SparkSuite {
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val dir = new java.io.File("src/test/resources/graft/xz")
+
+  private def fixtures: Seq[String] =
+    dir.listFiles().filter(_.getName.endsWith(".xz")).map(_.getName.stripSuffix(".xz")).sorted.toSeq
+
+  test("decode: every real liblzma fixture decodes byte-exactly") {
+    val names = fixtures
+    assert(names.size >= 11)
+    assert(names.exists(_.contains("sha256")) && names.exists(_.contains("crc64")) &&
+      names.exists(_.contains("none")), "check-type coverage")
+    names.foreach { n =>
+      val xz = Files.readAllBytes(new java.io.File(dir, n + ".xz").toPath)
+      val want = Files.readAllBytes(new java.io.File(dir, n + ".bin").toPath)
+      val got = if (n.contains("alone")) Xz.decodeAlone(xz) else Xz.decode(xz)
+      assert(java.util.Arrays.equals(got, want), s"$n: decode mismatch (${got.length} vs ${want.length})")
+    }
+  }
+
+  test("streamsOf: metadata-only walk finds every concatenated stream boundary") {
+    val xz = Files.readAllBytes(new java.io.File(dir, "concat_2streams.xz").toPath)
+    val streams = Xz.streamsOf(xz)
+    assert(streams.length == 2)
+    assert(streams.head._1 == 0)
+    // each discovered range must decode standalone
+    val want = Files.readAllBytes(new java.io.File(dir, "concat_2streams.bin").toPath)
+    val cat = streams.sortBy(_._1).flatMap { case (o, l) =>
+      Xz.decodeStream(java.util.Arrays.copyOfRange(xz, o.toInt, (o + l).toInt), 0)._1
+    }.toArray
+    assert(java.util.Arrays.equals(cat, want))
+  }
+
+  test("encodeRawXz: real-container raw chunks round-trip, incl. empty and multi-chunk") {
+    Seq(
+      Array.emptyByteArray,
+      "x".getBytes(Utf8),
+      Array.tabulate(200000)(i => (i * 7).toByte) // several 64 KiB chunks
+    ).foreach { data =>
+      val enc = Xz.encodeRawXz(data)
+      assert(java.util.Arrays.equals(Xz.decode(enc), data), s"raw round-trip drift at ${data.length} B")
+    }
+  }
+
+  test("jsonlLines: split sweep over a many-stream shard equals the whole decode") {
+    val tmp = Files.createTempDirectory("xz-jsonl")
+    try {
+      val lines = (0 until 900).map(i => s"""{"id":$i,"w":"${"w" * (i % 41)}"}""")
+      // 12 streams with stream padding between some of them
+      val streams = lines.grouped(75).map { g =>
+        Xz.encodeRawXz(g.mkString("", "\n", "\n").getBytes(Utf8))
+      }.toSeq
+      val out = new java.io.ByteArrayOutputStream()
+      streams.zipWithIndex.foreach { case (s, i) =>
+        out.write(s)
+        if (i % 3 == 1) out.write(new Array[Byte](4)) // stream padding
+      }
+      val file = out.toByteArray
+      assert(Xz.streamsOf(file).length == 12)
+      val p = tmp.resolve("many.jsonl.xz")
+      Files.write(p, file)
+      for (split <- Seq(file.length.toLong + 3, file.length.toLong / 4, 512L)) {
+        val got = Xz.jsonlLines(spark, p.toString, splitSize = split)
+          .collect().map(r => (r.getInt(0), r.getString(1)))
+        assert(got.length == lines.length, s"split $split: ${got.length} lines")
+        assert(got.map(_._2).sorted.toSeq == lines.sorted, s"split $split: line multiset drift")
+        got.groupBy(_._1).foreach { case (si, ls) =>
+          assert(ls.map(_._2).toSeq.sorted == lines.grouped(75).toSeq(si).sorted, s"split $split: stream $si drift")
+        }
+      }
+    } finally {
+      tmp.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("malformed input raises XzError, never raw index errors; checksums reject corruption") {
+    val good = Files.readAllBytes(new java.io.File(dir, "jsonl_p6_crc64.xz").toPath)
+    (Seq(1, 3, 5, 7, 11, 13) ++ (14 until good.length by 31)).foreach { cut =>
+      intercept[Xz.XzError](Xz.decode(java.util.Arrays.copyOf(good, cut)))
+    }
+    // flip one payload byte: the CRC64 must catch any silent mis-decode
+    (12 until good.length - 24 by 9).foreach { i =>
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x41).toByte
+      try { Xz.decode(bad); () }
+      catch { case _: Xz.XzError => () }
+    }
+    // corrupt the stored check itself
+    val bad2 = good.clone()
+    bad2(good.length - 20) = (bad2(good.length - 20) ^ 1).toByte
+    intercept[Xz.XzError](Xz.decode(bad2))
+  }
+}
