@@ -187,6 +187,7 @@ object SparkEntry {
     "q_wds" -> (graft.sources.Tar.wdsQuery _),
     "q_brotli" -> (graft.text.Brotli.brotliQuery _),
     "q_xz" -> (graft.sources.Xz.xzQuery _),
+    "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2984,6 +2985,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 83 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bzip2 full-codec cycle: jsonl -> REAL encode (RLE1+BWT+MTF+RLE2+
+    // huffman) -> decode byte-equal + bit-aligned block split sweep
+    // (all requires); closed-form counts. Cross-decoder conformance
+    // (libbz2 both directions): Bzip2Spec.
+    "q_bz2" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 79 AS VARCHAR))) AS BIGINT) AS line_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // WebDataset tar-shard cycle: three files per sample (txt/cls/json,
     // one pax long-path per shard) round-trip through the REAL ustar
