@@ -188,6 +188,7 @@ object SparkEntry {
     "q_brotli" -> (graft.text.Brotli.brotliQuery _),
     "q_xz" -> (graft.sources.Xz.xzQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
+    "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -2994,6 +2995,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 79 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // warc.zst cycle: WARC records -> zstd frames behind an in-band
+    // dictionary -> dictionary recovery + frame split sweep + record
+    // parse (all requires). Body bytes: html wrapper (34) + digits +
+    // id%31 w's. Trained-dict conformance: WarcZstSpec.
+    "q_warc_zst" ->
+      """SELECT event_type,
+        |  count(*) AS n_records,
+        |  CAST(sum(25 + length(CAST(event_id AS VARCHAR)) + event_id % 31) AS BIGINT) AS body_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // WebDataset tar-shard cycle: three files per sample (txt/cls/json,
     // one pax long-path per shard) round-trip through the REAL ustar

@@ -17,12 +17,14 @@ package graft.sources
   * FSE_Compressed and Repeat table modes; the 3-slot repeat-offset
   * history including the literals_length==0 shift; single-segment and
   * windowed frame headers; xxhash64 content checksum; skippable
-  * frames. RAW-CONTENT dictionaries (patch-from style, negotiated
-  * out-of-band per RFC 8878) are supported both directions as a match
-  * window prefix; TRAINED dictionaries are a named refusal (a
-  * non-zero Dictionary_ID rejects — the ID registry and entropy-table
-  * priming cannot be validated in-sandbox against real trained
-  * dicts). ZstdSpec pins the decoder against REAL reference-encoder
+  * frames. Dictionaries are supported both flavors, auto-detected
+  * like libzstd: RAW-CONTENT (patch-from style) bytes pre-load the
+  * match window; TRAINED dictionaries (magic 0xEC30A437) additionally
+  * prime the entropy state — huffman + FSE tables for the first
+  * block's treeless/Repeat modes — and the rep-offset history, with
+  * the frame's Dictionary_ID checked against the dict's. A frame
+  * naming a dictionary that was not supplied is a named failure.
+  * ZstdSpec pins the decoder against REAL reference-encoder
   * output captured as fixtures (multiple levels, so predefined tables,
   * FSE header conventions and Huffman code assignment are all checked
   * against ground truth, not a mirror of this code).
@@ -382,6 +384,42 @@ object Zstd {
     val rep = Array(1, 4, 8)
   }
 
+  /** A parsed TRAINED dictionary (RFC 8878 §5 / zstd
+    * dictionary_format.md): entropy tables prime the first block's
+    * treeless-literal and FSE-repeat paths, the rep offsets seed the
+    * history, and the content pre-loads the match window. */
+  final case class TrainedDict(
+      id: Long,
+      huff: HuffTable,
+      of: FseTable,
+      ml: FseTable,
+      ll: FseTable,
+      rep: Array[Int],
+      content: Array[Byte])
+
+  private val DictMagic = 0xEC30A437
+
+  /** Parse dictionary bytes: `Some(trained)` when the trained-dict
+    * magic is present, `None` for a raw-content dictionary (whose
+    * bytes are used verbatim as the window prefix — the libzstd
+    * auto-detection convention). */
+  def parseDict(d: Array[Byte]): Option[TrainedDict] = {
+    if (d.length < 8 || le32(d, 0) != DictMagic) return None
+    val id = le32(d, 4) & 0xffffffffL
+    var p = 8
+    val (weights, consumed) = readHuffWeights(d, p)
+    p += consumed
+    val huff = buildHuffTable(weights)
+    val (ofT, c1) = readFseTable(d, p, 31, 8); p += c1
+    val (mlT, c2) = readFseTable(d, p, 52, 9); p += c2
+    val (llT, c3) = readFseTable(d, p, 35, 9); p += c3
+    val rep = Array(le32(d, p), le32(d, p + 4), le32(d, p + 8))
+    p += 12
+    val content = java.util.Arrays.copyOfRange(d, p, d.length)
+    rep.foreach(r0 => if (r0 <= 0 || r0 > content.length + (1 << 20)) fail(s"dictionary rep offset $r0 out of range"))
+    Some(TrainedDict(id, huff, ofT, mlT, llT, rep, content))
+  }
+
   /** Decode ONE frame starting at `off` (leading skippable frames are
     * skipped). Returns payload + total bytes consumed from `off`.
     * Untrusted-bytes contract: malformed input of ANY shape raises
@@ -406,6 +444,9 @@ object Zstd {
     }
 
   private def decodeFrameImpl(b: Array[Byte], off: Int, dict: Array[Byte]): Decoded = {
+    val trained: Option[TrainedDict] = if (dict == null) None else parseDict(dict)
+    val windowPrefix: Array[Byte] =
+      if (dict == null) null else trained.map(_.content).getOrElse(dict)
     var p = off
     while (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) p += 8 + le32(b, p + 4)
     if (p + 4 > b.length || le32(b, p) != Magic) fail("bad zstd magic")
@@ -422,7 +463,8 @@ object Zstd {
       var id = 0L
       var i = 0
       while (i < dictBytes) { id |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
-      if (id != 0L) fail("dictionaries unsupported")
+      if (id != 0L && !trained.exists(_.id == id))
+        fail(s"frame needs trained dictionary id $id (none or a different one supplied)")
       p += dictBytes
     }
     val fcsBytes = fcsFlag match {
@@ -439,10 +481,17 @@ object Zstd {
       if (fcsBytes == 2) fcs += 256
       p += fcsBytes
     }
-    val dictLen = if (dict == null) 0 else dict.length
+    val dictLen = if (windowPrefix == null) 0 else windowPrefix.length
     val out = new Out(dictLen + (if (fcs >= 0 && fcs < (1L << 30)) fcs.toInt else 1 << 16))
-    if (dictLen > 0) out.addAll(dict, 0, dictLen) // window prefix
+    if (dictLen > 0) out.addAll(windowPrefix, 0, dictLen) // window prefix
     val st = new FrameState
+    trained.foreach { t =>
+      // entropy priming: the first block may use treeless literals and
+      // Repeat-mode FSE tables straight from the dictionary
+      st.huff = t.huff
+      st.of = t.of; st.ml = t.ml; st.ll = t.ll
+      st.rep(0) = t.rep(0); st.rep(1) = t.rep(1); st.rep(2) = t.rep(2)
+    }
     var last = false
     while (!last) {
       if (p + 3 > b.length) fail("truncated block header")

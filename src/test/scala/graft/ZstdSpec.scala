@@ -24,7 +24,7 @@ class ZstdSpec extends SparkSuite {
   private def fixturePairs: Seq[String] = {
     val names = fixtureDir
       .listFiles()
-      .filter(f => f.getName.endsWith(".zst") && !f.getName.startsWith("rawdict"))
+      .filter(f => f.getName.endsWith(".zst") && !f.getName.startsWith("rawdict") && !f.getName.startsWith("traineddict"))
       .map(_.getName.stripSuffix(".zst"))
       .sorted
       .toSeq
@@ -145,6 +145,25 @@ class ZstdSpec extends SparkSuite {
     assert(java.util.Arrays.equals(Zstd.decode(without, dict), data))
   }
 
+  test("TRAINED dictionary: ZDICT-trained real-encoder frames decode byte-exactly; wrong/absent dict fails") {
+    // dict trained by libzstd's ZDICT from jsonl-record samples (the
+    // warc.zst shape), frames compressed by ZSTD_compress_usingDict at
+    // levels 3 and 19 — entropy priming, rep-offset seeding and the
+    // content window must all be right to reproduce these
+    val dict = Files.readAllBytes(new java.io.File(fixtureDir, "trained.dict").toPath)
+    assert(Zstd.parseDict(dict).exists(_.id == 89709523L), "trained dict must parse with its id")
+    Seq("traineddict_l3", "traineddict_l19").foreach { n =>
+      val zst = Files.readAllBytes(new java.io.File(fixtureDir, n + ".zst").toPath)
+      val want = Files.readAllBytes(new java.io.File(fixtureDir, n + ".payload").toPath)
+      assert(java.util.Arrays.equals(Zstd.decode(zst, dict), want), s"$n: trained-dict decode mismatch")
+      // without the dict: the frame names a dictionary id -> named failure
+      val e = intercept[Zstd.ZstdError](Zstd.decode(zst))
+      assert(e.getMessage.contains("dictionary"), s"$n: missing-dict failure must be named")
+      // with a WRONG dict (raw bytes, no id): same named failure
+      intercept[Zstd.ZstdError](Zstd.decode(zst, "not the dictionary".getBytes(Utf8)))
+    }
+  }
+
   test("raw-content dictionary: REAL reference-encoder dict frames decode byte-exactly") {
     // captured from the system libzstd's ZSTD_compress_usingDict with a
     // raw-content dictionary at levels 3 and 19 (the reverse direction
@@ -158,7 +177,7 @@ class ZstdSpec extends SparkSuite {
     }
   }
 
-  test("decode: non-zero dictionary id (TRAINED dict) is a NAMED refusal") {
+  test("decode: a frame naming a dictionary id without one supplied is a NAMED failure") {
     // frame header with dict-flag=1 and a non-zero 1-byte dictionary id
     val frame = Array[Byte](0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte, 0x01, 0x10, 0x07, 0x01, 0x00, 0x00)
     val err = intercept[Zstd.ZstdError](Zstd.decode(frame))
