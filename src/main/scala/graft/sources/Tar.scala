@@ -194,7 +194,7 @@ object Tar {
     def oct(v: Long, len: Int): Array[Byte] = {
       val s = java.lang.Long.toOctalString(v)
       val pad = "0" * (len - 1 - s.length) + s
-      (pad + " ").getBytes(Ascii)
+      (pad + "\u0000").getBytes(Ascii) // NUL-terminated octal field
     }
     def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
       val h = new Array[Byte](512)
