@@ -189,6 +189,7 @@ object SparkEntry {
     "q_xz" -> (graft.sources.Xz.xzQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
+    "q_shards" -> (graft.sources.TextShards.shardsQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
@@ -3004,6 +3005,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_records,
         |  CAST(sum(25 + length(CAST(event_id AS VARCHAR)) + event_id % 31) AS BIGINT) AS body_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // One-front-door shard dispatch: the same jsonl cycles through all
+    // five compressed shard flavors (zstd/xz/bz2/gz/brotli), each
+    // decoded back via the EXACT extension+sniff dispatch the shard-set
+    // face uses (requires); closed-form counts.
+    "q_shards" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 73 AS VARCHAR))) AS BIGINT) AS line_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // WebDataset tar-shard cycle: three files per sample (txt/cls/json,
     // one pax long-path per shard) round-trip through the REAL ustar
