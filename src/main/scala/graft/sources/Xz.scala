@@ -560,12 +560,70 @@ object Xz {
     out.result().reverse // walked backward; return in file order
   }
 
+  /** Stream boundaries via RANGED reads only — the driver-side plan
+    * for huge files: each stream's footer and index sit at its END,
+    * and the footer names the index size while the index names the
+    * block bytes, so walking backward touches ~KB of metadata per
+    * stream regardless of stream size. `read(off, n)` supplies file
+    * bytes. */
+  def streamsOfRanged(read: (Long, Int) => Array[Byte], len: Long): Seq[(Long, Long)] = {
+    val out = List.newBuilder[(Long, Long)]
+    var end = len
+    while (end > 0) {
+      var w = math.min(end, 256L << 10).toInt
+      var ok = false
+      while (!ok) {
+        val bufStart = end - w
+        val buf = read(bufStart, w)
+        var e = w
+        while (e > 0 && buf(e - 1) == 0) e -= 1
+        if (e == 0) {
+          if (bufStart == 0) return out.result().reverse
+          // whole window is zeros: keep walking back (padding exceeding
+          // a window only occurs in pathological files)
+          end = bufStart
+          w = math.min(end, 256L << 10).toInt
+        } else {
+          val fileEnd = bufStart + e
+          if (e < 12) { if (w.toLong < end) { w = math.min(end, w.toLong * 4).toInt } else fail("xz: truncated footer") }
+          else if (buf(e - 1) != 'Z' || buf(e - 2) != 'Y') fail("xz: bad footer magic in ranged walk")
+          else {
+            val backward = (le32(buf, e - 8).toLong & 0xffffffffL)
+            val indexStart = fileEnd - 12 - (backward + 1) * 4
+            if (indexStart < bufStart) {
+              if (w.toLong >= end) fail("xz: index larger than file prefix")
+              w = math.min(end, w.toLong * 4).toInt
+            } else {
+              val rel = (indexStart - bufStart).toInt
+              if (buf(rel) != 0) fail("xz: index indicator missing (ranged walk)")
+              var (nRec, p) = varint(buf, rel + 1)
+              var blockBytes = 0L
+              var r = 0L
+              while (r < nRec) {
+                val (unpadded, p2) = varint(buf, p)
+                val (_, p3) = varint(buf, p2)
+                blockBytes += ((unpadded + 3) / 4) * 4
+                p = p3
+                r += 1
+              }
+              val start = indexStart - blockBytes - 12
+              if (start < 0) fail("xz: stream start out of range (ranged walk)")
+              out += ((start, fileEnd - start))
+              end = start
+              ok = true
+            }
+          }
+        }
+      }
+    }
+    out.result().reverse
+  }
+
   /** Lines of a (possibly multi-stream) `.jsonl.xz` on any Hadoop
-    * filesystem: the driver reads the whole file's METADATA tail walk
-    * (footers + indexes — this needs the raw bytes of the tail region
-    * of each stream; for simplicity and because xz indexes are tiny,
-    * the driver reads the file once to plan), then each task decodes
-    * only the streams whose start lands in its range. Output:
+    * filesystem: the driver plans stream boundaries from RANGED
+    * metadata reads only (footers + indexes, ~KB per stream — no
+    * payload bytes touched), then each task decodes exactly the
+    * streams whose start lands in its range. Output:
     * (stream_idx, line). */
   def jsonlLines(spark: SparkSession, path: String, splitSize: Long = 64L << 20): DataFrame = {
     import spark.implicits._
@@ -573,11 +631,11 @@ object Xz {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf.value)
     val len = fs.getFileStatus(hp).getLen
-    val whole = {
+    val ranged: (Long, Int) => Array[Byte] = { (off, n) =>
       val in = fs.open(hp)
-      try { val a = new Array[Byte](len.toInt); in.readFully(0, a); a } finally in.close()
+      try { val a = new Array[Byte](n); in.readFully(off, a); a } finally in.close()
     }
-    val streams = streamsOf(whole).zipWithIndex
+    val streams = streamsOfRanged(ranged, len).zipWithIndex
     val plan = (0L until len by splitSize).map(s => (s, math.min(s + splitSize, len))).flatMap {
       case (s, e) =>
         val own = streams.filter { case ((o, _), _) => o >= s && o < e }

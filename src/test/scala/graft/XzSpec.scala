@@ -88,6 +88,22 @@ class XzSpec extends SparkSuite {
     }
   }
 
+  test("streamsOfRanged: the metadata-only driver walk equals the in-memory walk (no payload reads)") {
+    val xz = Files.readAllBytes(new java.io.File(dir, "concat_2streams.xz").toPath)
+    var bytesRead = 0L
+    val ranged: (Long, Int) => Array[Byte] = { (off, n) =>
+      bytesRead += n
+      java.util.Arrays.copyOfRange(xz, off.toInt, off.toInt + n)
+    }
+    assert(Xz.streamsOfRanged(ranged, xz.length.toLong) == Xz.streamsOf(xz))
+    // and on a many-stream composite
+    val streams = (0 until 9).map(i =>
+      Xz.encodeRawXz((s"payload $i " + "x" * (i * 50) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val cat = streams.reduce(_ ++ _)
+    assert(Xz.streamsOfRanged((o, n) => java.util.Arrays.copyOfRange(cat, o.toInt, o.toInt + n), cat.length.toLong)
+      == Xz.streamsOf(cat))
+  }
+
   test("malformed input raises XzError, never raw index errors; checksums reject corruption") {
     val good = Files.readAllBytes(new java.io.File(dir, "jsonl_p6_crc64.xz").toPath)
     (Seq(1, 3, 5, 7, 11, 13) ++ (14 until good.length by 31)).foreach { cut =>
