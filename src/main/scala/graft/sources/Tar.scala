@@ -319,6 +319,34 @@ object Tar {
         sum(col("size")).as("bytes"))
   }
 
+  /** WebDataset samples with their media DECODED: images (`jpg`,
+    * `png`, `webp` incl. lossy VP8, `gif`, `bmp`) go through the real
+    * codec stack to (width, height, channels); text-ish extensions
+    * surface as strings; everything else stays opaque binary with its
+    * size. The multimodal training-data read path end to end: tar
+    * split scan -> sample regroup -> codec decode, all executor-side. */
+  def decodedSamples(spark: SparkSession, path: String, splitSize: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val imgMeta = udf { (files: Map[String, Array[Byte]]) =>
+      files.collectFirst {
+        case (ext, bytes) if Set("jpg", "jpeg", "png", "webp", "gif", "bmp").contains(ext.toLowerCase(java.util.Locale.ROOT)) =>
+          graft.multimodal.Multimodal.decodeImage(bytes) match {
+            case Some(img) => Seq(img.width, img.height, img.channels)
+            case None => Seq(-1, -1, -1)
+          }
+      }.getOrElse(Seq.empty[Int])
+    }
+    val textOf = udf { (files: Map[String, Array[Byte]]) =>
+      files.collectFirst {
+        case (ext, bytes) if Set("txt", "cls", "json", "caption").contains(ext.toLowerCase(java.util.Locale.ROOT)) =>
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }.orNull
+    }
+    samples(spark, path, splitSize)
+      .withColumn("image_meta", imgMeta(col("files")))
+      .withColumn("text", textOf(col("files")))
+  }
+
   // ------------------------------------------------------------------
   // q_wds — oracle-checked cycle (the q_zst pattern)
   // ------------------------------------------------------------------

@@ -112,6 +112,33 @@ object TextShards {
     }
   }
 
+  /** STREAMING twin of [[lines]]: continuously ingest shards as they
+    * land in a directory (the drop-folder pattern crawl deliveries
+    * use). Built on the binaryFile streaming source, so Structured
+    * Streaming's file tracking provides exactly-once per shard; each
+    * micro-batch decodes its new files with the same dispatch. */
+  def linesStream(spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val decodeLines = udf { (path: String, content: Array[Byte]) =>
+      new String(decodeShard(path, content), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1)
+        .toSeq
+        .filter(_.nonEmpty)
+    }
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", globFilter)
+      .load(dir)
+      .select(col("path"), explode(decodeLines(col("path"), col("content"))).as("line"))
+  }
+
   // ------------------------------------------------------------------
   // q_shards — oracle-checked cycle
   // ------------------------------------------------------------------

@@ -50,6 +50,41 @@ class TextShardsSpec extends SparkSuite {
     }
   }
 
+  test("linesStream: shards dropped into a folder stream out decoded, exactly-once per file") {
+    val dir = Files.createTempDirectory("shards-stream")
+    val ckpt = Files.createTempDirectory("shards-ckpt")
+    try {
+      val mk = (tag: String, n: Int) => (0 until n).map(i => s"""{"t":"$tag","i":$i}""")
+      Files.write(dir.resolve("one.jsonl.zst"),
+        Zstd.encode(mk("a", 40).mkString("", "\n", "\n").getBytes(Utf8)))
+      val q = TextShards.linesStream(spark, dir.toString)
+        .writeStream
+        .format("memory")
+        .queryName("shards_stream")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val n1 = spark.sql("select count(*) from shards_stream").head().getLong(0)
+        assert(n1 == 40, s"first batch: $n1")
+        // drop a second shard in a different encoding
+        Files.write(dir.resolve("two.jsonl.bz2"),
+          Bzip2.encode(mk("b", 25).mkString("", "\n", "\n").getBytes(Utf8), 1))
+        q.processAllAvailable()
+        val rows = spark.sql("select line from shards_stream").collect().map(_.getString(0))
+        assert(rows.length == 65, s"after second batch: ${rows.length}")
+        assert(rows.sorted.toSeq == (mk("a", 40) ++ mk("b", 25)).sorted)
+      } finally q.stop()
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        val f = p.toFile
+        if (f.isDirectory) f.listFiles().foreach(c => rm(c.toPath))
+        Files.deleteIfExists(p)
+      }
+      rm(dir); rm(ckpt)
+    }
+  }
+
   test("decodeShard: misnamed shards route by magic sniff; multi-member gzip concatenates") {
     val payload = (0 until 50).map(i => s"line $i").mkString("", "\n", "\n").getBytes(Utf8)
     assert(java.util.Arrays.equals(TextShards.decodeShard("x.bin", Zstd.encode(payload)), payload))
