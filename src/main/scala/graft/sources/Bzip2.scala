@@ -348,21 +348,33 @@ object Bzip2 {
     * range. Candidates that fail to decode should be dropped by the
     * caller (48-bit false positives are possible in principle). */
   def blockCandidates(b: Array[Byte], startByte: Long, endByte: Long): Seq[Long] = {
+    // byte-stepped: roll an 8-byte big-endian window and test all 8 bit
+    // alignments per byte (1 load + 8 shift-compares per byte — the
+    // whole-corpus scan cost at 100 TB, so constant factors matter).
+    // After pushing byte i, the low 56 bits hold bytes (i-6..i); the
+    // 48-bit field at bit k of byte s=i-6 is (low56 >>> (8-k)).
     val out = List.newBuilder[Long]
-    var bit = startByte * 8
-    val endBit = math.min(endByte * 8, b.length.toLong * 8 - 47)
-    // rolling 48-bit window
-    if (bit + 48 > b.length.toLong * 8) return Nil
-    var window = 0L
-    var i = 0
-    while (i < 48) { window = (window << 1) | ((b(((bit + i) >> 3).toInt) >> (7 - ((bit + i) & 7)).toInt) & 1); i += 1 }
-    while (bit < endBit) {
-      if (window == BlockMagic) out += bit
-      val nb = bit + 48
-      if (nb < b.length.toLong * 8) {
-        window = ((window << 1) | ((b((nb >> 3).toInt) >> (7 - (nb & 7)).toInt) & 1)) & 0xffffffffffffL
-      } else window = (window << 1) & 0xffffffffffffL
-      bit += 1
+    val s0 = startByte.toInt
+    if (b.length - s0 < 7) return Nil
+    var w = 0L
+    var j = 0
+    while (j < 6) { w = (w << 8) | (b(s0 + j) & 0xffL); j += 1 }
+    var i = s0 + 6
+    val lastExclusive = math.min(endByte + 6, b.length.toLong).toInt
+    val endBit = endByte * 8
+    while (i < lastExclusive) {
+      w = (w << 8) | (b(i) & 0xffL)
+      val low56 = w & 0x00ffffffffffffffL
+      val s = (i - 6).toLong
+      var k = 0
+      while (k < 8) {
+        if (((low56 >>> (8 - k)) & 0xffffffffffffL) == BlockMagic) {
+          val bit = s * 8 + k
+          if (bit >= startByte * 8 && bit < endBit) out += bit
+        }
+        k += 1
+      }
+      i += 1
     }
     out.result()
   }
