@@ -30,7 +30,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bzip2 {
 
-  final class Bzip2Error(msg: String) extends RuntimeException(msg)
+  class Bzip2Error(msg: String) extends RuntimeException(msg)
+  /** Bitstream ran off the END of the supplied buffer — distinct from
+    * corruption so range scans can grow their tail read and retry (a
+    * pathological block can compress LARGER than its level*100k
+    * payload: 23-bit symbols give ~2.6 MB worst case). */
+  final class TruncatedError(msg: String) extends Bzip2Error(msg)
   private def fail(msg: String): Nothing = throw new Bzip2Error(msg)
 
   private val BlockMagic = 0x314159265359L // 48-bit "pi"
@@ -43,7 +48,7 @@ object Bzip2 {
   private final class Bits(b: Array[Byte], startBit: Long, endBit: Long) {
     var pos: Long = startBit
     def bit(): Int = {
-      if (pos >= endBit) fail("bzip2: bitstream truncated")
+      if (pos >= endBit) throw new TruncatedError("bzip2: bitstream truncated")
       val v = (b((pos >> 3).toInt) >> (7 - (pos & 7)).toInt) & 1
       pos += 1
       v
@@ -381,11 +386,22 @@ object Bzip2 {
 
   /** Blocks whose magic STARTS in [startByte, endByte): decoded
     * payloads keyed by bit position (exactly-once ownership across a
-    * byte-range partition); false-positive candidates are dropped. */
-  def blocksInRange(b: Array[Byte], startByte: Long, endByte: Long, level: Int): Seq[(Long, Array[Byte])] =
+    * byte-range partition); false-positive candidates are dropped.
+    * With `failOnTruncation`, a candidate whose decode runs off the
+    * END of `b` propagates [[TruncatedError]] instead of being
+    * dropped — callers holding a partial file read (range scans) must
+    * grow the buffer and retry, or a REAL block extending past the
+    * tail read silently loses data as a "false positive". Leave it
+    * false only when `b` is the whole file (then truncation IS
+    * corruption). */
+  def blocksInRange(b: Array[Byte], startByte: Long, endByte: Long, level: Int,
+      failOnTruncation: Boolean = false): Seq[(Long, Array[Byte])] =
     blockCandidates(b, startByte, endByte).flatMap { bitPos =>
       try Some((bitPos, decodeBlock(b, bitPos, level)._1))
-      catch { case _: Bzip2Error => None }
+      catch {
+        case e: TruncatedError if failOnTruncation => throw e
+        case _: Bzip2Error => None
+      }
     }
 
   // ------------------------------------------------------------------
@@ -624,13 +640,23 @@ object Bzip2 {
         val fs1 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
         val in = fs1.open(new org.apache.hadoop.fs.Path(path))
         try {
-          // a block that starts in-range may extend past the range end;
-          // read a generous tail (max block = level*100k PRE-compression;
-          // compressed blocks are smaller, 1 MiB covers pathological)
-          val tail = math.min(len, e + (level.toLong * 100000) + (1 << 20))
-          val buf = new Array[Byte]((tail - s).toInt)
-          in.readFully(s, buf)
-          blocksInRange(buf, 0, e - s, level).iterator.flatMap { case (bitPos, payload) =>
+          // a block that starts in-range may extend past the range end:
+          // start with a generous tail (max payload = level*100k, but a
+          // PATHOLOGICAL block can compress LARGER — 23-bit symbols give
+          // ~2.6 MB worst case), and GROW on TruncatedError until the
+          // decode completes (the Tar.entries / WarcZst grow-until-
+          // complete pattern). At tail == len truncation IS corruption
+          // and the candidate drops as a false positive.
+          var extra = (level.toLong * 100000) + (1 << 20)
+          var blocks: Seq[(Long, Array[Byte])] = null
+          while (blocks == null) {
+            val tail = math.min(len, e + extra)
+            val buf = new Array[Byte]((tail - s).toInt)
+            in.readFully(s, buf)
+            try blocks = blocksInRange(buf, 0, e - s, level, failOnTruncation = tail < len)
+            catch { case _: TruncatedError => extra *= 2 }
+          }
+          blocks.iterator.flatMap { case (bitPos, payload) =>
             new String(payload, java.nio.charset.StandardCharsets.UTF_8)
               .split("\n", -1)
               .iterator

@@ -120,7 +120,17 @@ object Tar {
     * entries whose header lies before `start` are walked but not
     * emitted. A planted candidate whose implied chain breaks — or
     * whose "terminator" is not the spec's TWO zero blocks — is
-    * skipped. */
+    * skipped.
+    *
+    * Known limitation — NESTED archives: a STORED `.tar` payload inside
+    * an entry is itself chain-valid (it IS a tar stream), so a split
+    * landing inside the outer entry's data can anchor on the inner
+    * archive and emit its entries as top-level, while the split owning
+    * the outer header also emits the outer entry — duplicate/ghost rows
+    * for tar-in-tar shards. Chain validation cannot distinguish this
+    * case by construction; callers with tar-in-tar corpora should read
+    * each file as one range (no split) or unpack one level first.
+    * WebDataset shards never nest, so the production path is safe. */
   def entriesInRange(b: Array[Byte], start: Long, end: Long): Seq[Entry] = {
     val out = Seq.newBuilder[Entry]
     var pos = math.max(0L, ((start - PaxBackWindow) / 512) * 512)
@@ -208,13 +218,13 @@ object Tar {
       System.arraycopy(oct(0, 12), 0, h, 136, 12)
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)
       h(156) = typeflag.toByte
-      System.arraycopy("ustar 00".getBytes(Ascii), 0, h, 257, 8)
+      System.arraycopy("ustar\u000000".getBytes(Ascii), 0, h, 257, 8)
       var sum = 0L
       var i = 0
       while (i < 512) { sum += h(i) & 0xff; i += 1 }
       val cs = java.lang.Long.toOctalString(sum)
       val csPad = "0" * (6 - cs.length) + cs
-      System.arraycopy((csPad + "  ").getBytes(Ascii), 0, h, 148, 8)
+      System.arraycopy((csPad + "\u0000 ").getBytes(Ascii), 0, h, 148, 8)
       h
     }
     def put(name: String, data: Array[Byte], typeflag: Char): Unit = {

@@ -38,7 +38,7 @@ object WarcZst {
   def dictionaryOf(head: Array[Byte]): (Option[Array[Byte]], Long) = {
     if (head.length >= 8 && le32(head, 0) == DictSkippableMagic) {
       val size = le32(head, 4)
-      if (size < 0 || 8 + size > head.length)
+      if (size < 0 || 8L + size > head.length)
         throw new Zstd.ZstdError("warc.zst: dictionary frame larger than the head read")
       val blob = java.util.Arrays.copyOfRange(head, 8, 8 + size)
       val dict =
@@ -85,7 +85,13 @@ object WarcZst {
     // of the previous one (skippable frames skipped by decodeFrame)
     while (pos < end && pos < b.length) {
       if (pos + 8 <= b.length && (le32(b, pos.toInt) & 0xfffffff0) == 0x184D2A50) {
-        pos += 8L + le32(b, pos.toInt + 4)
+        // size field is UNSIGNED — a signed read of a crafted/corrupt
+        // value walks pos backwards or loops forever on untrusted input
+        val sz = le32(b, pos.toInt + 4) & 0xffffffffL
+        val next = pos + 8L + sz
+        if (next > b.length)
+          throw new Zstd.ZstdError("warc.zst: skippable frame size out of range")
+        pos = next
       } else if (pos + 4 <= b.length && le32(b, pos.toInt) == FrameMagic) {
         val d = Zstd.decodeFrame(b, pos.toInt, dict)
         out += ((pos, d.bytes))

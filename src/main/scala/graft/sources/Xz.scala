@@ -387,16 +387,23 @@ object Xz {
       val flags = b(p + 1) & 0xff
       val numFilters = (flags & 3) + 1
       if ((flags & 0x3c) != 0) fail("xz: reserved block flags")
+      // all variable fields must fit BEFORE the trailing header CRC —
+      // without this bound a crafted header's filter parse silently
+      // reads into the CRC region (or past the buffer)
+      val fieldsEnd = p + headerSize - 4
       var q = p + 2
       if ((flags & 0x40) != 0) q = varint(b, q)._2 // compressed size (informative)
       var declaredUnpacked = -1L
       if ((flags & 0x80) != 0) { val (v, q2) = varint(b, q); declaredUnpacked = v; q = q2 }
+      if (q > fieldsEnd) fail("xz: block header size fields overrun header")
       var lzma2 = false
       var f = 0
       var deltaDist = 0
       while (f < numFilters) {
         val (id, q2) = varint(b, q)
         val (propsLen, q3) = varint(b, q2)
+        if (q3 > fieldsEnd || propsLen < 0 || propsLen > fieldsEnd - q3)
+          fail("xz: filter fields overrun block header")
         if (id == 0x21 && f == numFilters - 1) lzma2 = true
         else if (id == 0x03 && propsLen == 1) deltaDist = (b(q3) & 0xff) + 1
         else fail(s"xz: unsupported filter id $id")
@@ -679,12 +686,15 @@ object Xz {
     val flags = Array[Byte](0, 1)
     out.write(flags)
     w32(crc32(flags, 0, 2))
-    // block header: size 8 (2 units), flags 0 (1 filter), LZMA2 id 0x21 props 1 byte
-    val header = Array[Byte](1, 0, 0x21, 1, 0x16, 0, 0, 0) // size=(1+1)*4=8; dictSize code 0x16 (8 MiB)
-    // last 4 bytes get the CRC of the first 4
-    val hcrc = crc32(header, 0, 4)
-    header(4) = (hcrc & 0xff).toByte; header(5) = ((hcrc >> 8) & 0xff).toByte
-    header(6) = ((hcrc >> 16) & 0xff).toByte; header(7) = ((hcrc >> 24) & 0xff).toByte
+    // block header: size 12 (3 units) — flags 0 (1 filter), LZMA2 id
+    // 0x21, propsLen 1, props 0x16 (8 MiB dict), 3 pad zeros, CRC32 of
+    // the first 8 bytes in bytes 8..11. (An 8-byte header has no room
+    // for the filter entry: its props byte would sit where the CRC
+    // goes — liblzma rejects that as corrupt.)
+    val header = Array[Byte](2, 0, 0x21, 1, 0x16, 0, 0, 0, 0, 0, 0, 0) // size=(2+1)*4=12
+    val hcrc = crc32(header, 0, 8)
+    header(8) = (hcrc & 0xff).toByte; header(9) = ((hcrc >> 8) & 0xff).toByte
+    header(10) = ((hcrc >> 16) & 0xff).toByte; header(11) = ((hcrc >> 24) & 0xff).toByte
     out.write(header)
     // LZMA2 uncompressed chunks (first resets the dict), then the
     // end-of-chunks marker
@@ -702,11 +712,11 @@ object Xz {
     body.write(0)
     val bodyBytes = body.toByteArray
     out.write(bodyBytes)
-    // pad block to 4 (header 8 + body)
-    var total = 8 + bodyBytes.length
+    // pad block to 4 (header 12 + body)
+    var total = 12 + bodyBytes.length
     while ((total & 3) != 0) { out.write(0); total += 1 }
     w32(crc32(data, 0, data.length)) // block check
-    val unpadded = 8L + bodyBytes.length + 4 // header + data (unpadded) + check
+    val unpadded = 12L + bodyBytes.length + 4 // header + data (unpadded) + check
     // index
     val idx = new java.io.ByteArrayOutputStream()
     idx.write(0)

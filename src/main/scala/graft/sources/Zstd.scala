@@ -429,11 +429,13 @@ object Zstd {
     * catch. */
   def decodeFrame(b: Array[Byte], off: Int): Decoded = decodeFrame(b, off, null)
 
-  /** Like [[decodeFrame]] with a RAW-CONTENT dictionary (RFC 8878
-    * patch-from style, negotiated out-of-band): the dictionary bytes
-    * pre-load the match window, so sequences may copy from them as if
-    * they preceded the frame. Trained dictionaries (non-zero
-    * Dictionary_ID, entropy-table priming) remain a named refusal. */
+  /** Like [[decodeFrame]] with a dictionary. Raw-content dictionaries
+    * (RFC 8878 patch-from style, negotiated out-of-band) pre-load the
+    * match window, so sequences may copy from them as if they preceded
+    * the frame. TRAINED dictionaries (RFC 8878 §5: magic 0xEC30A437,
+    * Dictionary_ID, huffman + 3 FSE entropy tables, rep-offset seeding)
+    * are auto-detected by [[parseDict]] — their entropy tables prime the
+    * first block's treeless/Repeat modes exactly like libzstd. */
   def decodeFrame(b: Array[Byte], off: Int, dict: Array[Byte]): Decoded =
     try decodeFrameImpl(b, off, dict)
     catch {
@@ -448,7 +450,13 @@ object Zstd {
     val windowPrefix: Array[Byte] =
       if (dict == null) null else trained.map(_.content).getOrElse(dict)
     var p = off
-    while (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) p += 8 + le32(b, p + 4)
+    while (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) {
+      // size is UNSIGNED; a signed read of crafted input walks p
+      // backwards (infinite loop) or misparses legal sizes >= 2^31
+      val next = p + 8L + (le32(b, p + 4) & 0xffffffffL)
+      if (next > b.length) fail("skippable frame size out of range")
+      p = next.toInt
+    }
     if (p + 4 > b.length || le32(b, p) != Magic) fail("bad zstd magic")
     p += 4
     val fhd = b(p) & 0xff; p += 1
@@ -531,8 +539,11 @@ object Zstd {
     val out = new java.io.ByteArrayOutputStream()
     var p = 0
     while (p < b.length) {
-      if (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) p += 8 + le32(b, p + 4)
-      else {
+      if (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableMagicBase) {
+        val next = p + 8L + (le32(b, p + 4) & 0xffffffffL) // unsigned size
+        if (next > b.length) fail("skippable frame size out of range")
+        p = next.toInt
+      } else {
         val d = decodeFrame(b, p, dict)
         out.write(d.bytes)
         p += d.consumed

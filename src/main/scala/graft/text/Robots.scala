@@ -191,10 +191,17 @@ object Robots {
           rules.collect { case Rule(allow, pat) if pat.nonEmpty => (if (allow) "A" else "D") + pat }
       }
     }
+    // One row per host BEFORE compiling: duplicate snapshots of a host
+    // (re-crawls) would otherwise fan out every page row of that host
+    // through the equi-join. max() picks a single snapshot
+    // deterministically; callers with versioned snapshots should
+    // pre-select the one they want (e.g. latest by fetch ts).
     val compiledDim = robotsByHost
+      .groupBy(lower(col("host").cast("string")).as("__robots_host"))
+      .agg(max(col("robots_txt").cast("string")).as("__robots_txt"))
       .select(
-        lower(col("host").cast("string")).as("__robots_host"),
-        compileRules(col("robots_txt").cast("string")).as("__robots_rules"))
+        col("__robots_host"),
+        compileRules(col("__robots_txt")).as("__robots_rules"))
     // fact side: host extraction is a map-side column; the join key.
     val hostOf = udf { url: String => graft.sources.Wet.hostOf(url) }
     val verdict = udf { (url: String, rules: Seq[String]) =>

@@ -79,4 +79,21 @@ class WarcZstSpec extends SparkSuite {
       tmp.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tmp)
     }
   }
+
+  test("framesInRange: crafted skippable-frame sizes raise ZstdError, never hang or escape raw") {
+    // one real frame, then a skippable frame whose UNSIGNED size field
+    // is hostile: 0xFFFFFFF8 once read signed gave pos += 0 (infinite
+    // loop); smaller negatives walked pos backwards (raw AIOOBE)
+    val payload = Zstd.encode("WARC/1.0\r\n\r\n".getBytes(Utf8))
+    for (size <- Seq(0xfffffff8, 0x80000000, -16)) {
+      val bad = new java.io.ByteArrayOutputStream()
+      bad.write(payload)
+      def w32(v: Int): Unit = { bad.write(v & 0xff); bad.write((v >>> 8) & 0xff); bad.write((v >>> 16) & 0xff); bad.write((v >>> 24) & 0xff) }
+      w32(0x184d2a50); w32(size)
+      bad.write(new Array[Byte](16)) // some trailing bytes the walk would skip into
+      val b = bad.toByteArray
+      val ex = intercept[Zstd.ZstdError](WarcZst.framesInRange(b, 0, b.length.toLong, null))
+      assert(ex.getMessage.contains("skippable"), ex.getMessage)
+    }
+  }
 }

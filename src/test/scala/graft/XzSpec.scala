@@ -46,6 +46,34 @@ class XzSpec extends SparkSuite {
     assert(java.util.Arrays.equals(cat, want))
   }
 
+  test("encodeRawXz: output is byte-exactly the liblzma-validated container") {
+    // rawwriter{,_empty}.xz ARE encodeRawXz output, captured once and
+    // validated externally: python's lzma.decompress returns the exact
+    // payload and `xz -t` passes (r16 — the earlier 8-byte block header
+    // left no room for the filter entry, so its props byte sat where
+    // the header CRC goes and liblzma rejected the stream as corrupt).
+    // Pinning the bytes keeps the writer conformant without a
+    // subprocess in the test.
+    val want = Files.readAllBytes(new java.io.File(dir, "rawwriter.xz").toPath)
+    val bin = Files.readAllBytes(new java.io.File(dir, "rawwriter.bin").toPath)
+    assert(java.util.Arrays.equals(Xz.encodeRawXz(bin), want), "writer drifted from the liblzma-validated bytes")
+    val emptyWant = Files.readAllBytes(new java.io.File(dir, "rawwriter_empty.xz").toPath)
+    assert(java.util.Arrays.equals(Xz.encodeRawXz(Array.emptyByteArray), emptyWant))
+  }
+
+  test("decodeStream: filter fields overrunning the block header fail loudly") {
+    // craft: take a valid raw-writer stream and shrink the declared
+    // block-header size so the filter entry would spill into the CRC
+    val xz = Xz.encodeRawXz("abc".getBytes(Utf8))
+    val bad = xz.clone()
+    bad(12) = 1 // header size byte: 12 -> 8, filter props now overlap the CRC
+    // re-fix the header CRC so the size tamper itself isn't what trips
+    val crc = { val c = new java.util.zip.CRC32(); c.update(bad, 12, 4); c.getValue.toInt }
+    bad(16) = (crc & 0xff).toByte; bad(17) = ((crc >> 8) & 0xff).toByte
+    bad(18) = ((crc >> 16) & 0xff).toByte; bad(19) = ((crc >> 24) & 0xff).toByte
+    intercept[Xz.XzError](Xz.decode(bad))
+  }
+
   test("encodeRawXz: real-container raw chunks round-trip, incl. empty and multi-chunk") {
     Seq(
       Array.emptyByteArray,
