@@ -9,10 +9,103 @@ import org.apache.spark.sql.execution.FormattedMode
   */
 class PlanAuditSpec extends SparkSuite {
 
-  private lazy val plans: Map[String, String] =
+  // every registered query, planned ONCE and shared by all gates (the
+  // structured SparkPlan walks and the formatted-text checks read the
+  // same QueryExecution)
+  private lazy val qes: Map[String, org.apache.spark.sql.execution.QueryExecution] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf0001).queryExecution.explainString(FormattedMode)
+      name -> fn(spark, sf0001).queryExecution
     }
+
+  private lazy val plans: Map[String, String] =
+    qes.map { case (name, qe) => name -> qe.explainString(FormattedMode) }
+
+  test("registry-wide lint: no multiplying join (cartesian / nested-loop over two data-sized sides)") {
+    // PlanLint.boundedRows proves one side constant for the legitimate
+    // nested-loop spines (a 1-row aggregate, a constant Range, a
+    // LocalTableScan dimension, and their products — PageRank's
+    // dangling-mass scalar, covariance's 64×64 pairs, the sensor DB).
+    // The queries below carry a bound the PLAN cannot prove but the
+    // construction guarantees — each names why:
+    val semanticallyBounded = Map(
+      // brute-force oracle lanes: the query side is a literal key
+      // filter (vec_id < 5 / vec_id = 0) — a fixed probe set by
+      // construction; the scalable lanes are q_ann_lsh/ivf/pq
+      "q_ann_batch" -> "probe side fixed by literal vec_id < 5",
+      "q_ann_topk" -> "probe side fixed by literal vec_id = 0",
+      // CountMin probe: distinct tokens of ONE document (doc_id = 0)
+      // crossed with the source dimension — both probe-bounded
+      "q_cmsketch" -> "probe side = tokens of a single doc_id",
+      // gap-fill spine: hours between min(ts) and max(ts) crossed with
+      // the event_type domain — grows with the TIME RANGE, not rows
+      "q_gapfill" -> "hour spine x type domain, time-bounded",
+      // credential check: both sides literal key filters (< 100 / < 50)
+      "q_password" -> "both sides literal doc_id range filters"
+    )
+    val bad = qes.toSeq.sortBy(_._1).flatMap { case (n, qe) =>
+      if (semanticallyBounded.contains(n)) Nil
+      else PlanLint.joinViolations(qe.sparkPlan).map(v => s"$n: $v")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // the whitelist must stay honest: every entry still plans a
+    // nested-loop (delete the entry when the query stops needing it)
+    val stale = semanticallyBounded.keys.filter(n => PlanLint.joinViolations(qes(n).sparkPlan).isEmpty)
+    assert(stale.isEmpty, s"whitelist entries no longer needed: ${stale.mkString(", ")}")
+  }
+
+  test("registry-wide lint: every parquet scan carrying data filters pushes at least one down") {
+    val bad = qes.toSeq.sortBy(_._1).flatMap { case (n, qe) =>
+      PlanLint.unpushedScanViolations(qe.sparkPlan).map(v => s"$n: $v")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("lint self-check: a planted cartesian trips the gate; bounded spines pass") {
+    import org.apache.spark.sql.functions.sum
+    // data-sized × data-sized: the offender the gate exists for (both
+    // sides are parquet scans — row counts grow with the data)
+    val docs = Tables.documents(spark, sf0001).select("doc_id")
+    val ev = Tables.eventsRaw(spark, sf0001).select("event_id")
+    assert(
+      PlanLint.joinViolations(docs.crossJoin(ev).queryExecution.sparkPlan).nonEmpty,
+      "planted data×data cartesian must be flagged")
+    // the legitimate spines must NOT be flagged: a 1-row aggregate
+    // (broadcast scalar) and a constant Range (level/pair spine)
+    val one = ev.agg(sum("event_id").as("s"))
+    assert(
+      PlanLint.joinViolations(docs.crossJoin(one).queryExecution.sparkPlan).isEmpty,
+      "1-row aggregate spine is the allowed pattern")
+    val levels = spark.range(9).toDF("level")
+    assert(
+      PlanLint.joinViolations(docs.crossJoin(levels).queryExecution.sparkPlan).isEmpty,
+      "constant Range spine is the allowed pattern")
+    // scan gate, both directions: a pushable-shaped filter over a scan
+    // whose PushedFilters came back empty trips; a filter on a computed
+    // expression (never pushable) does not
+    import org.apache.spark.sql.functions.{col, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("planlint_scan").toString
+    try {
+      spark.range(100).toDF("v").write.mode("overwrite").parquet(dir)
+      val pushed = spark.read.parquet(dir).filter(col("v") > 10)
+      val scan = pushed.queryExecution.sparkPlan
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(fail("no scan"))
+      assert(scan.dataFilters.exists(PlanLint.pushableShaped), "plant precondition")
+      // planted offender: the same pushable filters, but the scan
+      // reports empty PushedFilters — the shape the gate exists for
+      assert(
+        PlanLint.scanViolation(scan.dataFilters, Some("[]")),
+        "pushable filters over an empty PushedFilters scan must be flagged")
+      // and the healthy scan (filters actually pushed) must pass
+      assert(
+        PlanLint.unpushedScanViolations(pushed.queryExecution.sparkPlan).isEmpty,
+        "a scan that pushed its filters must not be flagged")
+      val computed = spark.read.parquet(dir).filter(pmod(col("v"), org.apache.spark.sql.functions.lit(7)) === 0)
+      assert(
+        PlanLint.unpushedScanViolations(computed.queryExecution.sparkPlan).isEmpty,
+        "a computed-expression filter is not pushable and must not be flagged")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 
   test("no query plans a CartesianProduct") {
     val bad = plans.filter(_._2.contains("CartesianProduct")).keys
@@ -223,10 +316,7 @@ class PlanAuditSpec extends SparkSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val bad = SparkEntry.queries.keys.filter { name =>
-      SparkEntry
-        .queries(name)(spark, sf0001)
-        .queryExecution
-        .sparkPlan
+      qes(name).sparkPlan
         .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
         .exists(!_.child.exists { case _: BaseAggregateExec => true; case _ => false })
     }
@@ -249,10 +339,7 @@ class PlanAuditSpec extends SparkSuite {
       "label", "r_name", "n_name", "cell_id", "z", "block", "band_name"
     )
     val bad = SparkEntry.queries.keys.filter { name =>
-      SparkEntry
-        .queries(name)(spark, sf0001)
-        .queryExecution
-        .sparkPlan
+      qes(name).sparkPlan
         .collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
         .exists { w =>
           val keys = w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
