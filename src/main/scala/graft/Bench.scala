@@ -103,31 +103,58 @@ object Bench {
       if (gatedLoad < 0) "unknown" else if (gatedLoad <= loadGateMax) "clean" else "noisy"
 
     // three full passes, per-query min: -1 (error) never masks a clean run
-    val (p1, p2, p3) = (pass(), pass(), pass())
+    var passes = Vector(pass(), pass(), pass())
     val loadGate =
       f""""load_gate":{"threshold":$loadGateMax%.1f,"start_load":$startLoad%.2f,"waited_sec":$gateWaitSec,"gated_load":$gatedLoad%.2f,"verdict":"$gateVerdict"}"""
-    val results = p1.zip(p2).zip(p3).map { case (((name, a), (_, b)), (_, c)) =>
-      val valid = Seq(a, b, c).filter(_ >= 0)
-      name -> (if (valid.isEmpty) -1.0 else valid.min)
-    }
+
     // per-query noise stamp, r14-verdict form: pass 1 carries JIT/codegen
     // warmup for almost every query, so pass1-vs-pass2 disagreement was
     // warmup detection (57% of the suite flagged), not noise detection.
-    // Passes 2 and 3 are BOTH warm, so their disagreement isolates actual
-    // machine events: a load burst has to land inside one of two
-    // identical warm visits minutes apart to fire the flag. Fast queries
+    // WARM passes (2+) should agree: a query is noisy when NO adjacent
+    // pair of its sorted warm timings agrees within 1.5× — with two warm
+    // passes that is the r15 rule exactly; with three (after a noise
+    // rerun) a single poisoned pass no longer flags the query, because
+    // the other two agree and their min is trustworthy. Fast queries
     // under 0.25 s stay exempt — sub-100ms jitter is scheduler noise.
-    val passTriples = p1.zip(p2).zip(p3).map { case (((name, a), (_, b)), (_, c)) => (name, a, b, c) }
-    val noisy = passTriples.collect {
-      case (name, _, b, c)
-          if b > 0 && c > 0 && math.max(b, c) > 0.25 &&
-            math.max(b, c) / math.min(b, c) > 1.5 =>
-        name
+    def noisyOf(ps: Vector[Seq[(String, Double)]]): Seq[String] =
+      ps.head.indices.collect {
+        case i if {
+              val warm = ps.drop(1).map(_(i)._2).filter(_ > 0).sorted
+              warm.size >= 2 && warm.last > 0.25 &&
+              !warm.zip(warm.tail).exists { case (lo, hi) => hi / lo <= 1.5 }
+            } =>
+          ps.head(i)._1
+      }
+
+    // noisy-fraction gate (r15 verdict #4): the start-sampled load gate
+    // cannot see a load event landing MID-run — r15's final local run
+    // had 105/207 queries flagged noisy from one such event while the
+    // gate said "clean". If more than 20% of the suite flags, the run
+    // is re-measured once (a fourth full pass); if the fraction stays
+    // above 20% even with three warm passes to agree across, the
+    // artifact stamps itself "noisy" rather than posing as clean.
+    val noisyFirst = noisyOf(passes)
+    val rerunTriggered = noisyFirst.size * 5 > passes.head.size
+    if (rerunTriggered) passes :+= pass()
+    val noisy = noisyOf(passes)
+    val noiseVerdict =
+      if (noisy.size * 5 > passes.head.size) "noisy"
+      else if (rerunTriggered) "rerun_clean"
+      else "clean"
+
+    val results = passes.head.indices.map { i =>
+      val name = passes.head(i)._1
+      val valid = passes.map(_(i)._2).filter(_ >= 0)
+      name -> (if (valid.isEmpty) -1.0 else valid.min)
     }
-    val passesJson = passTriples
-      .map { case (name, a, b, c) => "\"" + name + "\":[" + f"$a%.3f" + "," + f"$b%.3f" + "," + f"$c%.3f" + "]" }
+    val passesJson = passes.head.indices
+      .map { i =>
+        "\"" + passes.head(i)._1 + "\":[" + passes.map(p => f"${p(i)._2}%.3f").mkString(",") + "]"
+      }
       .mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val noiseGate =
+      s""""noise_gate":{"first_noisy":${noisyFirst.size},"rerun":$rerunTriggered,"final_noisy":${noisy.size},"verdict":"$noiseVerdict"}"""
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -141,9 +168,11 @@ object Bench {
     // final projection is a heavy UDF gain their real cost, so v3
     // numbers only compare against v3. From r15 a THIRD pass feeds the
     // warm-vs-warm noise flag; the reported min is over all passes
-    // (min-of-3 vs r14's min-of-2 — same distribution floor).
+    // (min-of-3 vs r14's min-of-2 — same distribution floor). From r16
+    // the noise_gate can add a FOURTH pass (protocol tag records the
+    // actual count) and stamps a run-level noise verdict.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"3pass-cold-min-v3-noop",$machine,$loadGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${passes.size}pass-cold-min-v3-noop",$machine,$loadGate,$noiseGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.
