@@ -398,14 +398,18 @@ object Xz {
       if (q > fieldsEnd) fail("xz: block header size fields overrun header")
       var lzma2 = false
       var f = 0
-      var deltaDist = 0
+      // non-LZMA2 chain entries in declared (encode) order: delta and
+      // the BCJ branch converters. Decoding undoes them in REVERSE.
+      val pre = List.newBuilder[(Long, Long)] // (filter id, delta dist | bcj start offset)
       while (f < numFilters) {
         val (id, q2) = varint(b, q)
         val (propsLen, q3) = varint(b, q2)
         if (q3 > fieldsEnd || propsLen < 0 || propsLen > fieldsEnd - q3)
           fail("xz: filter fields overrun block header")
         if (id == 0x21 && f == numFilters - 1) lzma2 = true
-        else if (id == 0x03 && propsLen == 1) deltaDist = (b(q3) & 0xff) + 1
+        else if (id == 0x03 && propsLen == 1) pre += ((id, (b(q3) & 0xff) + 1L))
+        else if (id >= 0x04 && id <= 0x0a && propsLen == 0) pre += ((id, 0L))
+        else if (id >= 0x04 && id <= 0x0a && propsLen == 4) pre += ((id, le32(b, q3) & 0xffffffffL))
         else fail(s"xz: unsupported filter id $id")
         q = q3 + propsLen.toInt
         f += 1
@@ -414,7 +418,11 @@ object Xz {
       val dataStart = p + headerSize
       val before = out.total
       val dataEnd = lzma2Run(b, dataStart, b.length, out)
-      if (deltaDist > 0) applyDeltaDecode(out, before, deltaDist)
+      pre.result().reverse.foreach {
+        case (0x03, dist) => applyDeltaDecode(out, before, dist.toInt)
+        case (id, start) =>
+          Bcj(id, out.buf, before.toInt, (out.total - before).toInt, start, encode = false)
+      }
       if (declaredUnpacked >= 0 && out.total - before != declaredUnpacked)
         fail("xz: block uncompressed size mismatch")
       // pad to 4
@@ -474,6 +482,244 @@ object Xz {
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
   @inline private def le64(b: Array[Byte], i: Int): Long =
     (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  // ------------------------------------------------------------------
+  // BCJ branch filters (the xz "simple" filters, ids 0x04..0x0A):
+  // position-dependent rewrites of relative branch/call targets to
+  // absolute form so identical call sites compress alike. Algorithms
+  // per the published xz file format / public-domain xz-utils simple
+  // filters; every one is gated byte-exact against real liblzma
+  // output in XzSpec. Filter state is per BLOCK (each block decodes
+  // independently), and both directions are the same transform with
+  // the sign of the position term flipped.
+  // ------------------------------------------------------------------
+
+  /** Apply BCJ filter `id` in place over `b[off, off+len)`. `start`
+    * is the filter's start-offset property (position of the first
+    * byte in the pre-filtered stream); `encode = false` undoes what
+    * the compressor's filter did. Exposed for spec round-trips. */
+  private[graft] def Bcj(id: Long, b: Array[Byte], off: Int, len: Int, start: Long, encode: Boolean): Unit =
+    id match {
+      case 0x04 => bcjX86(b, off, len, start.toInt, encode)
+      case 0x05 => bcjPowerPc(b, off, len, start.toInt, encode)
+      case 0x06 => bcjIa64(b, off, len, start.toInt, encode)
+      case 0x07 => bcjArm(b, off, len, start.toInt, encode)
+      case 0x08 => bcjArmThumb(b, off, len, start.toInt, encode)
+      case 0x09 => bcjSparc(b, off, len, start.toInt, encode)
+      case 0x0a => bcjArm64(b, off, len, start.toInt, encode)
+      case other => fail(s"xz: unsupported BCJ filter id $other")
+    }
+
+  /** x86: E8/E9 call/jump rel32 ↔ abs32 with the 5-byte sliding
+    * validity mask (uint32 arithmetic via Int wraparound; unsigned
+    * compares explicit). */
+  private def bcjX86(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    if (len < 5) return
+    val maskAllowed = Array(true, true, true, false, true, false, false, false)
+    val maskBit = Array(0, 1, 2, 2, 3, 3, 3, 3)
+    @inline def msb(x: Int) = x == 0 || x == 0xff
+    var prevMask = 0
+    var prevPos = nowPos0 - 5
+    var i = 0
+    val limit = len - 5
+    while (i <= limit) {
+      if ((b(off + i) & 0xfe) != 0xe8) i += 1
+      else {
+        val d = (nowPos0 + i) - prevPos
+        prevPos = nowPos0 + i
+        if (Integer.compareUnsigned(d, 5) > 0) prevMask = 0
+        else {
+          var k = 0
+          while (k < d) { prevMask &= 0x77; prevMask <<= 1; k += 1 }
+        }
+        var bb = b(off + i + 4) & 0xff
+        if (msb(bb) && maskAllowed((prevMask >>> 1) & 7) && (prevMask >>> 1) < 0x10) {
+          var src = (bb << 24) | ((b(off + i + 3) & 0xff) << 16) |
+            ((b(off + i + 2) & 0xff) << 8) | (b(off + i + 1) & 0xff)
+          var dest = 0
+          var done = false
+          while (!done) {
+            dest = if (enc) src + (nowPos0 + i + 5) else src - (nowPos0 + i + 5)
+            if (prevMask == 0) done = true
+            else {
+              val idx = maskBit(prevMask >>> 1)
+              bb = (dest >>> (24 - idx * 8)) & 0xff
+              if (!msb(bb)) done = true
+              else src = dest ^ ((1 << (32 - idx * 8)) - 1)
+            }
+          }
+          b(off + i + 4) = (0 - ((dest >>> 24) & 1)).toByte // 0x00 or 0xFF sign byte
+          b(off + i + 3) = (dest >>> 16).toByte
+          b(off + i + 2) = (dest >>> 8).toByte
+          b(off + i + 1) = dest.toByte
+          i += 5
+          prevMask = 0
+        } else {
+          prevMask |= 1
+          if (msb(bb)) prevMask |= 0x10
+          i += 1
+        }
+      }
+    }
+  }
+
+  /** PowerPC: big-endian `bl` (0b010010..._..01) 24-bit word target. */
+  private def bcjPowerPc(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      if (((b(off + i) & 0xfc) == 0x48) && ((b(off + i + 3) & 3) == 1)) {
+        val src = ((b(off + i) & 3) << 24) | ((b(off + i + 1) & 0xff) << 16) |
+          ((b(off + i + 2) & 0xff) << 8) | (b(off + i + 3) & 0xfc)
+        val dest = if (enc) nowPos0 + i + src else src - (nowPos0 + i)
+        b(off + i) = (0x48 | ((dest >>> 24) & 3)).toByte
+        b(off + i + 1) = (dest >>> 16).toByte
+        b(off + i + 2) = (dest >>> 8).toByte
+        b(off + i + 3) = ((b(off + i + 3) & 3) | (dest & 0xfc)).toByte
+      }
+      i += 4
+    }
+  }
+
+  /** IA-64: 16-byte bundles; template selects which 41-bit slots hold
+    * branches; mpr.b slots (major opcode 5, low 27 imm bits clear)
+    * carry a 21-bit 16-byte-unit target. */
+  private def bcjIa64(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    val branchTable = Array(
+      0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0,
+      4, 4, 6, 6, 0, 0, 7, 7,
+      4, 4, 0, 0, 4, 4, 0, 0)
+    var i = 0
+    while (i + 16 <= len) {
+      val mask = branchTable(b(off + i) & 0x1f)
+      var slot = 0
+      var bitPos = 5
+      while (slot < 3) {
+        if (((mask >> slot) & 1) != 0) {
+          val bytePos = bitPos >> 3
+          val bitRes = bitPos & 7
+          var instruction = 0L
+          var j = 0
+          while (j < 6) { instruction |= (b(off + i + j + bytePos) & 0xffL) << (8 * j); j += 1 }
+          var instNorm = instruction >>> bitRes
+          if (((instNorm >>> 37) & 0xf) == 5 && ((instNorm >>> 9) & 0x7) == 0) {
+            var src = ((instNorm >>> 13) & 0xfffff).toInt
+            src |= (((instNorm >>> 36) & 1) << 20).toInt
+            src <<= 4
+            var dest = if (enc) nowPos0 + i + src else src - (nowPos0 + i)
+            dest >>>= 4
+            instNorm &= ~(0x8fffffL << 13)
+            instNorm |= (dest & 0xfffffL) << 13
+            instNorm |= (dest & 0x100000L) << (36 - 20)
+            instruction &= (1L << bitRes) - 1
+            instruction |= instNorm << bitRes
+            j = 0
+            while (j < 6) { b(off + i + j + bytePos) = (instruction >>> (8 * j)).toByte; j += 1 }
+          }
+        }
+        slot += 1
+        bitPos += 41
+      }
+      i += 16
+    }
+  }
+
+  /** ARM: little-endian word whose top byte is 0xEB (BL), 24-bit
+    * word-shifted target, PC 8 ahead. */
+  private def bcjArm(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      if ((b(off + i + 3) & 0xff) == 0xeb) {
+        var src = ((b(off + i + 2) & 0xff) << 16) | ((b(off + i + 1) & 0xff) << 8) | (b(off + i) & 0xff)
+        src <<= 2
+        var dest = if (enc) nowPos0 + i + 8 + src else src - (nowPos0 + i + 8)
+        dest >>>= 2
+        b(off + i + 2) = (dest >>> 16).toByte
+        b(off + i + 1) = (dest >>> 8).toByte
+        b(off + i) = dest.toByte
+      }
+      i += 4
+    }
+  }
+
+  /** ARM Thumb: BL instruction PAIR (0xF0xx 0xF8xx halfwords), 22-bit
+    * halfword-shifted target, PC 4 ahead. */
+  private def bcjArmThumb(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      if ((b(off + i + 1) & 0xf8) == 0xf0 && (b(off + i + 3) & 0xf8) == 0xf8) {
+        var src = ((b(off + i + 1) & 7) << 19) | ((b(off + i) & 0xff) << 11) |
+          ((b(off + i + 3) & 7) << 8) | (b(off + i + 2) & 0xff)
+        src <<= 1
+        var dest = if (enc) nowPos0 + i + 4 + src else src - (nowPos0 + i + 4)
+        dest >>>= 1
+        b(off + i + 1) = (0xf0 | ((dest >>> 19) & 7)).toByte
+        b(off + i) = (dest >>> 11).toByte
+        b(off + i + 3) = (0xf8 | ((dest >>> 8) & 7)).toByte
+        b(off + i + 2) = dest.toByte
+        i += 2
+      }
+      i += 2
+    }
+  }
+
+  /** SPARC: big-endian CALL (0x40...) / the sign-collapsed 0x7F form,
+    * 22 significant word-shifted bits re-sign-folded on write. */
+  private def bcjSparc(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      val b0 = b(off + i) & 0xff
+      val b1 = b(off + i + 1) & 0xff
+      if ((b0 == 0x40 && (b1 & 0xc0) == 0x00) || (b0 == 0x7f && (b1 & 0xc0) == 0xc0)) {
+        var src = (b0 << 24) | (b1 << 16) | ((b(off + i + 2) & 0xff) << 8) | (b(off + i + 3) & 0xff)
+        src <<= 2
+        var dest = if (enc) nowPos0 + i + src else src - (nowPos0 + i)
+        dest >>>= 2
+        dest = ((0x40000000 - (dest & 0x400000)) | 0x40000000 | (dest & 0x3fffff))
+        b(off + i) = (dest >>> 24).toByte
+        b(off + i + 1) = (dest >>> 16).toByte
+        b(off + i + 2) = (dest >>> 8).toByte
+        b(off + i + 3) = dest.toByte
+      }
+      i += 4
+    }
+  }
+
+  /** ARM64: BL (26-bit ±128 MiB) and ADRP (±512 MiB page window)
+    * immediates, little-endian 4-byte instructions. */
+  private def bcjArm64(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    var i = 0
+    while (i + 4 <= len) {
+      var pc = nowPos0 + i
+      val instr = le32(b, off + i)
+      if ((instr >>> 26) == 0x25) {
+        val src = instr
+        pc >>>= 2
+        if (!enc) pc = 0 - pc
+        val out = 0x94000000 | ((src + pc) & 0x03ffffff)
+        b(off + i) = out.toByte
+        b(off + i + 1) = (out >>> 8).toByte
+        b(off + i + 2) = (out >>> 16).toByte
+        b(off + i + 3) = (out >>> 24).toByte
+      } else if ((instr & 0x9f000000) == 0x90000000) {
+        val src = ((instr >>> 29) & 3) | ((instr >>> 3) & 0x001ffffc)
+        if (((src + 0x00020000) & 0x001c0000) == 0) {
+          var out = instr & 0x9000001f
+          pc >>>= 12
+          if (!enc) pc = 0 - pc
+          val dest = src + pc
+          out |= (dest & 3) << 29
+          out |= (dest & 0x0003fffc) << 3
+          out |= (0 - (dest & 0x00020000)) & 0x00e00000
+          b(off + i) = out.toByte
+          b(off + i + 1) = (out >>> 8).toByte
+          b(off + i + 2) = (out >>> 16).toByte
+          b(off + i + 3) = (out >>> 24).toByte
+        }
+      }
+      i += 4
+    }
+  }
 
   /** Decode a whole `.xz` file: every concatenated stream, skipping
     * 4-aligned zero padding between them. */
@@ -677,7 +923,18 @@ object Xz {
   /** Valid single-stream xz holding `data` in LZMA2 UNCOMPRESSED
     * chunks, with real CRC32 block check, index and footer — the
     * format's storage escape hatch; drives in-task cycles. */
-  def encodeRawXz(data: Array[Byte]): Array[Byte] = {
+  def encodeRawXz(data: Array[Byte]): Array[Byte] = encodeRawXz(data, 0L)
+
+  /** Like [[encodeRawXz]] with an optional BCJ pre-filter (`bcjId` in
+    * 0x04..0x0A, 0 = none): the payload is branch-converted exactly as
+    * liblzma's filter would and the block header declares the
+    * two-entry chain, so decoding exercises the real filtered-stream
+    * path. The block check stays over the ORIGINAL bytes (the xz check
+    * covers fully-unfiltered output). */
+  def encodeRawXz(data0: Array[Byte], bcjId: Long): Array[Byte] = {
+    val data =
+      if (bcjId == 0L) data0
+      else { val c = data0.clone(); Bcj(bcjId, c, 0, c.length, 0L, encode = true); c }
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
     def wVarint(v0: Long): Unit = { var v = v0; while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>= 7 }; out.write(v.toInt) }
@@ -686,12 +943,15 @@ object Xz {
     val flags = Array[Byte](0, 1)
     out.write(flags)
     w32(crc32(flags, 0, 2))
-    // block header: size 12 (3 units) — flags 0 (1 filter), LZMA2 id
-    // 0x21, propsLen 1, props 0x16 (8 MiB dict), 3 pad zeros, CRC32 of
-    // the first 8 bytes in bytes 8..11. (An 8-byte header has no room
-    // for the filter entry: its props byte would sit where the CRC
+    // block header: size 12 (3 units) — 1-filter chain [LZMA2 id 0x21,
+    // propsLen 1, props 0x16 (8 MiB dict)] or 2-filter chain [BCJ id,
+    // propsLen 0, then LZMA2]; zero padding, CRC32 of the first 8
+    // bytes in bytes 8..11. (An 8-byte header has no room for even the
+    // single filter entry: its props byte would sit where the CRC
     // goes — liblzma rejects that as corrupt.)
-    val header = Array[Byte](2, 0, 0x21, 1, 0x16, 0, 0, 0, 0, 0, 0, 0) // size=(2+1)*4=12
+    val header =
+      if (bcjId == 0L) Array[Byte](2, 0, 0x21, 1, 0x16, 0, 0, 0, 0, 0, 0, 0) // size=(2+1)*4=12
+      else Array[Byte](2, 1, bcjId.toByte, 0, 0x21, 1, 0x16, 0, 0, 0, 0, 0)
     val hcrc = crc32(header, 0, 8)
     header(8) = (hcrc & 0xff).toByte; header(9) = ((hcrc >> 8) & 0xff).toByte
     header(10) = ((hcrc >> 16) & 0xff).toByte; header(11) = ((hcrc >> 24) & 0xff).toByte
@@ -715,7 +975,7 @@ object Xz {
     // pad block to 4 (header 12 + body)
     var total = 12 + bodyBytes.length
     while ((total & 3) != 0) { out.write(0); total += 1 }
-    w32(crc32(data, 0, data.length)) // block check
+    w32(crc32(data0, 0, data0.length)) // block check: the UNFILTERED bytes
     val unpadded = 12L + bodyBytes.length + 4 // header + data (unpadded) + check
     // index
     val idx = new java.io.ByteArrayOutputStream()
@@ -762,10 +1022,14 @@ object Xz {
       val lines = sorted.map(id => s"""{"id":$id,"w":"w${id % 83}"}""")
       val payload = lines.mkString("", "\n", "\n").getBytes(utf8)
       val groups = if (lines.isEmpty) Seq(Seq.empty) else lines.grouped(math.max(1, (lines.size + 3) / 4)).toSeq
+      // filtered-stream lane (r15 verdict #5): the four streams cycle
+      // through BCJ chains — plain, x86, ARM, ARM64 — so every decode
+      // exercises the branch-filter undo path, not just plain LZMA2
+      val bcjLane = Array(0L, 0x04L, 0x07L, 0x0aL)
       val file = {
         val o = new java.io.ByteArrayOutputStream()
         groups.zipWithIndex.foreach { case (g, i) =>
-          o.write(encodeRawXz(g.mkString("", "\n", "\n").getBytes(utf8)))
+          o.write(encodeRawXz(g.mkString("", "\n", "\n").getBytes(utf8), bcjLane(i % 4)))
           if (i % 2 == 1) o.write(new Array[Byte](4))
         }
         o.toByteArray

@@ -74,6 +74,43 @@ class XzSpec extends SparkSuite {
     intercept[Xz.XzError](Xz.decode(bad))
   }
 
+  test("BCJ filters: all eight real-liblzma fixtures present, byte-exact, and transforms round-trip") {
+    // fixture sweep above already decodes these byte-exactly; this
+    // pins COVERAGE (a deleted fixture may not silently shrink the
+    // conformance surface) and the transform identities
+    val expected = Seq("bcj_x86", "bcj_x86_start16", "bcj_powerpc", "bcj_ia64",
+      "bcj_arm", "bcj_armthumb", "bcj_sparc", "bcj_arm64")
+    expected.foreach(n => assert(fixtures.contains(n), s"missing BCJ fixture $n"))
+    // encode→decode identity per filter over branch-dense bytes
+    val ids = Seq(0x04L, 0x05L, 0x06L, 0x07L, 0x08L, 0x09L, 0x0aL)
+    val base = Files.readAllBytes(new java.io.File(dir, "bcj_x86.bin").toPath)
+    for (id <- ids; start <- Seq(0L, 4096L)) {
+      val enc = base.clone()
+      Xz.Bcj(id, enc, 0, enc.length, start, encode = true)
+      Xz.Bcj(id, enc, 0, enc.length, start, encode = false)
+      assert(java.util.Arrays.equals(enc, base), s"BCJ $id start=$start round-trip drift")
+    }
+    // unknown filter id refuses cleanly
+    intercept[Xz.XzError](Xz.Bcj(0x0bL, base.clone(), 0, base.length, 0L, encode = false))
+  }
+
+  test("encodeRawXz: BCJ-chained streams decode back and match the liblzma-validated bytes") {
+    // the q_xz filtered lane: a two-entry chain [bcj, lzma2] written by
+    // encodeRawXz must decode to the original through the real header
+    // parse (filters applied in reverse declared order). The
+    // rawbcj_*.validated fixtures ARE this writer's output, captured
+    // once and accepted by python lzma.decompress + `xz -t` (r16) —
+    // pinning them keeps the 2-filter header liblzma-conformant
+    // without a subprocess in the test.
+    val payload = Files.readAllBytes(new java.io.File(dir, "bcj_arm.bin").toPath)
+    for ((id, name) <- Seq(0x04L -> "x86", 0x07L -> "arm", 0x0aL -> "arm64")) {
+      val xz = Xz.encodeRawXz(payload, id)
+      assert(java.util.Arrays.equals(Xz.decode(xz), payload), s"BCJ-chained raw stream drift (id $id)")
+      val validated = Files.readAllBytes(new java.io.File(dir, s"rawbcj_$name.validated").toPath)
+      assert(java.util.Arrays.equals(xz, validated), s"writer drifted from liblzma-validated bytes ($name)")
+    }
+  }
+
   test("encodeRawXz: real-container raw chunks round-trip, incl. empty and multi-chunk") {
     Seq(
       Array.emptyByteArray,

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Generate XZ BCJ-filter conformance fixtures with REAL liblzma.
+
+Each payload is deterministic pseudo-code seeded per architecture,
+salted with genuine branch-shaped instruction patterns so the filter
+actually converts (verified below: the filtered stream must differ
+from a plain-LZMA2 stream of the same payload). Python's lzma binding
+covers x86/ppc/ia64/arm/armthumb/sparc; arm64 (no python constant)
+goes through the xz CLI. Outputs <name>.xz + <name>.bin pairs into
+src/test/resources/graft/xz/.
+"""
+import hashlib, lzma, os, struct, subprocess
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "graft", "xz")
+
+def prng(seed: str, n: int) -> bytearray:
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+def payload(arch: str, n=8192) -> bytes:
+    b = prng("bcj:" + arch, n)
+    # plant branch-shaped patterns on the filter's alignment
+    for k in range(0, n - 20, 24):
+        tgt = (k * 7919) & 0x7FFFF
+        if arch == "x86":
+            b[k] = 0xE8 if (k // 24) % 2 else 0xE9
+            b[k+1:k+5] = struct.pack("<i", tgt if (k // 48) % 2 else -tgt)
+        elif arch == "arm":
+            a = k - (k % 4)
+            b[a+3] = 0xEB
+            b[a:a+3] = struct.pack("<I", tgt)[:3]
+        elif arch == "armthumb":
+            a = k - (k % 2)
+            b[a+1] = 0xF0 | ((tgt >> 19) & 7)
+            b[a] = (tgt >> 11) & 0xFF
+            b[a+3] = 0xF8 | ((tgt >> 8) & 7)
+            b[a+2] = tgt & 0xFF
+        elif arch == "powerpc":
+            a = k - (k % 4)
+            b[a] = 0x48 | ((tgt >> 24) & 3)
+            b[a+1] = (tgt >> 16) & 0xFF
+            b[a+2] = (tgt >> 8) & 0xFF
+            b[a+3] = (tgt & 0xFC) | 1
+        elif arch == "sparc":
+            a = k - (k % 4)
+            b[a] = 0x40
+            b[a+1] = (tgt >> 16) & 0x3F
+            b[a+2] = (tgt >> 8) & 0xFF
+            b[a+3] = tgt & 0xFF
+        elif arch == "ia64":
+            a = k - (k % 16)
+            b[a] = 0x10  # template with branch slots
+            # slot 2 (bits 87..127): opcode 5, imm20 = tgt, low bits clear
+            inst = (5 << 37) | ((tgt & 0xFFFFF) << 13)
+            bitpos = 5 + 2 * 41
+            bytepos, bitres = bitpos >> 3, bitpos & 7
+            cur = int.from_bytes(b[a+bytepos:a+bytepos+6], "little")
+            cur &= (1 << bitres) - 1
+            cur |= inst << bitres
+            b[a+bytepos:a+bytepos+6] = cur.to_bytes(7, "little")[:6]
+        elif arch == "arm64":
+            a = k - (k % 4)
+            if (k // 24) % 2:
+                b[a:a+4] = struct.pack("<I", 0x94000000 | (tgt & 0x03FFFFFF))  # BL
+            else:
+                page = tgt & 0x1FFFF
+                instr = 0x90000000 | ((page & 3) << 29) | (((page >> 2) & 0x7FFFF) << 5) | 7
+                b[a:a+4] = struct.pack("<I", instr)  # ADRP x7
+    return bytes(b)
+
+PY = {
+    "x86": lzma.FILTER_X86, "powerpc": lzma.FILTER_POWERPC, "ia64": lzma.FILTER_IA64,
+    "arm": lzma.FILTER_ARM, "armthumb": lzma.FILTER_ARMTHUMB, "sparc": lzma.FILTER_SPARC,
+}
+
+for arch, fid in PY.items():
+    data = payload(arch)
+    filtered = lzma.compress(data, format=lzma.FORMAT_XZ,
+                             filters=[{"id": fid}, {"id": lzma.FILTER_LZMA2, "preset": 6}])
+    plain = lzma.compress(data, format=lzma.FORMAT_XZ,
+                          filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    assert filtered != plain, f"{arch}: filter was a no-op — payload converts nothing"
+    assert lzma.decompress(filtered) == data
+    open(os.path.join(OUT, f"bcj_{arch}.xz"), "wb").write(filtered)
+    open(os.path.join(OUT, f"bcj_{arch}.bin"), "wb").write(data)
+    print(arch, "ok", len(filtered))
+
+# x86 with a non-zero start offset (CLI exposes start=N)
+data = payload("x86")
+open("/tmp/bcj_start.raw", "wb").write(data)
+subprocess.run(["xz", "-zkf", "--x86=start=16", "--lzma2=preset=6", "-S", ".startxz", "/tmp/bcj_start.raw"], check=True)
+xz_bytes = open("/tmp/bcj_start.raw.startxz", "rb").read()
+assert lzma.decompress(xz_bytes) == data
+open(os.path.join(OUT, "bcj_x86_start16.xz"), "wb").write(xz_bytes)
+open(os.path.join(OUT, "bcj_x86_start16.bin"), "wb").write(data)
+print("x86 start=16 ok", len(xz_bytes))
+
+# arm64 via the CLI (python binding predates the constant)
+data = payload("arm64")
+open("/tmp/bcj_arm64.raw", "wb").write(data)
+subprocess.run(["xz", "-zkf", "--arm64", "--lzma2=preset=6", "-S", ".a64xz", "/tmp/bcj_arm64.raw"], check=True)
+xz_bytes = open("/tmp/bcj_arm64.raw.a64xz", "rb").read()
+plain = lzma.compress(data, format=lzma.FORMAT_XZ, filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+assert xz_bytes != plain and lzma.decompress(xz_bytes) == data
+open(os.path.join(OUT, "bcj_arm64.xz"), "wb").write(xz_bytes)
+open(os.path.join(OUT, "bcj_arm64.bin"), "wb").write(data)
+print("arm64 ok", len(xz_bytes))
