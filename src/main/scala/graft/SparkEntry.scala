@@ -187,6 +187,7 @@ object SparkEntry {
     "q_wds" -> (graft.sources.Tar.wdsQuery _),
     "q_brotli" -> (graft.text.Brotli.brotliQuery _),
     "q_xz" -> (graft.sources.Xz.xzQuery _),
+    "q_lz4" -> (graft.sources.Lz4.lz4Query _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_shards" -> (graft.sources.TextShards.shardsQuery _),
@@ -2987,6 +2988,16 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 83 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // LZ4 multi-frame cycle: jsonl -> four REAL frames (greedy
+    // encoder, block sizes 64K..4M, block checksums, planted skippable
+    // frame) -> whole decode + header-only frame walk + split-ownership
+    // sweep (all requires); closed-form counts. Real-CLI conformance:
+    // Lz4Spec's lz4-CLI fixtures + pinned encoder bytes.
+    "q_lz4" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 97 AS VARCHAR))) AS BIGINT) AS line_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // bzip2 full-codec cycle: jsonl -> REAL encode (RLE1+BWT+MTF+RLE2+
     // huffman) -> decode byte-equal + bit-aligned block split sweep

@@ -339,7 +339,14 @@ object Cdx {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
+      // SF-INVARIANT bucket (the q_ddb r15 lesson, re-learned here by
+      // the r16 sf10 probe): id DIV 4096 keeps each task's in-memory
+      // container ~constant (≈0.2 MB) at ANY scale, where the old
+      // 16-way pmod grew per-task work linearly with the data —
+      // superlinear wall time once group images outgrew cache. The
+      // oracle is per-id closed forms grouped by type only, so the
+      // grouping is free to change; sums re-aggregate additively.
+      .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
       .agg(collect_list($"event_id").as("ids"))
       .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))

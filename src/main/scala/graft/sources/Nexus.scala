@@ -304,6 +304,12 @@ object Nexus {
     val fType = buf.get(); val fNum = buf.get()
     buf.position(buf.position() + 14)
     val flags = buf.getInt()
+    // PERMANENT refusal (r16 feasibility probe): corto/MECO node
+    // compression has no published normative spec (the format is
+    // defined by its reference library) and no implementation exists
+    // in this container to pin a clean-room decoder against
+    // (`find / -iname "*corto*"` / ldconfig: nothing) — the same
+    // provenance gate MP3 fails. Uncompressed `.nxs` reads fully.
     require(flags == 0, "nxs: compressed (.nxz corto/MECO) streams unsupported")
     require(vType == TFloat && vNum == 3, "nxs: only position-f32x3 vertex signatures supported")
     require(fType == TUShort && fNum == 3, "nxs: only u16-triangle face signatures supported")

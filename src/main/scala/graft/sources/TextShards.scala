@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One front door for line-oriented corpus SHARD SETS — the way
   * text/training corpora actually arrive: thousands of `.jsonl.zst` /
-  * `.jsonl.gz` / `.jsonl.xz` / `.txt.bz2` / `.jsonl.br` files of
+  * `.jsonl.gz` / `.jsonl.xz` / `.txt.bz2` / `.jsonl.lz4` / `.jsonl.br` files of
   * ~100-500 MB each. [[lines]] globs the set, dispatches each file to
   * the right pure-JVM decoder by extension (and magic sniff as the
   * fallback), and emits (path, line) with FILE-level parallelism —
@@ -40,6 +40,8 @@ object TextShards {
       else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' && b(2) == 'z') "xz"
       else if (b.length >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h') "bz2"
       else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gz"
+      else if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 && (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "lz4"
+      else if (b.length >= 4 && (b(0) & 0xff) == 0x02 && (b(1) & 0xff) == 0x21 && (b(2) & 0xff) == 0x4c && (b(3) & 0xff) == 0x18) "lz4" // legacy frame
       else ""
     val kind =
       if (lower.endsWith(".zst")) "zst"
@@ -47,6 +49,7 @@ object TextShards {
       else if (lower.endsWith(".lzma")) "lzma"
       else if (lower.endsWith(".bz2")) "bz2"
       else if (lower.endsWith(".gz")) "gz"
+      else if (lower.endsWith(".lz4")) "lz4"
       else if (lower.endsWith(".br")) "br" // no magic: extension only
       else sniff
     kind match {
@@ -55,6 +58,7 @@ object TextShards {
       case "lzma" => Xz.decodeAlone(b)
       case "bz2" => Bzip2.decode(b)
       case "gz" => gunzipAll(b)
+      case "lz4" => Lz4.decode(b)
       case "br" => graft.text.Brotli.decode(b)
       case _ => b
     }
@@ -76,7 +80,7 @@ object TextShards {
     val (plain, compressed) = files.partition { case (p, _) =>
       val l = p.toLowerCase(java.util.Locale.ROOT)
       !(l.endsWith(".zst") || l.endsWith(".xz") || l.endsWith(".lzma") ||
-        l.endsWith(".bz2") || l.endsWith(".gz") || l.endsWith(".br"))
+        l.endsWith(".bz2") || l.endsWith(".gz") || l.endsWith(".lz4") || l.endsWith(".br"))
     }
     val compressedDf =
       if (compressed.isEmpty) None
@@ -144,8 +148,8 @@ object TextShards {
   // ------------------------------------------------------------------
 
   /** Per (event_type, id%16 shard): the same jsonl payload cycles
-    * through ALL FIVE compressed shard flavors — seekable zstd, xz,
-    * bzip2, gzip (JDK), raw-brotli — each decoded back through the
+    * through ALL SIX compressed shard flavors — seekable zstd, xz,
+    * bzip2, gzip (JDK), lz4, raw-brotli — each decoded back through the
     * EXACT dispatch [[decodeShard]] the shard-set face uses, byte
     * equality required per flavor. Proves the one-front-door contract
     * end to end; counts/char sums have closed forms. */
@@ -167,6 +171,7 @@ object TextShards {
         "s.jsonl.xz" -> Xz.encodeRawXz(payload),
         "s.jsonl.bz2" -> Bzip2.encode(payload, level = 1),
         "s.jsonl.gz" -> gz,
+        "s.jsonl.lz4" -> Lz4.encode(payload),
         "s.jsonl.br" -> graft.text.Brotli.encodeRaw(payload))
       flavors.foreach { case (name, bytes) =>
         require(java.util.Arrays.equals(decodeShard(name, bytes), payload), s"shard flavor $name drift")

@@ -2,12 +2,12 @@ package graft
 
 import java.nio.file.{Files, Path}
 
-import graft.sources.{Bzip2, TextShards, Xz, Zstd}
+import graft.sources.{Bzip2, Lz4, TextShards, Xz, Zstd}
 import graft.text.Brotli
 
 /** The one-front-door shard-set face: a directory holding the SAME
-  * corpus split across shards in six different encodings (seekable
-  * zstd, xz, bzip2, gzip, brotli, plain) must come back as exactly
+  * corpus split across shards in seven different encodings (seekable
+  * zstd, xz, bzip2, gzip, lz4, brotli, plain) must come back as exactly
   * the union of all lines through [[TextShards.lines]], with the
   * plain files routed through Spark's splittable text reader. Also
   * pins the misnamed-shard magic sniff. */
@@ -31,6 +31,7 @@ class TextShardsSpec extends SparkSuite {
         ("c.jsonl.bz2", mk("bz2", 200), (b: Array[Byte]) => Bzip2.encode(b, 1)),
         ("d.jsonl.gz", mk("gz", 60), gzip _),
         ("e.jsonl.br", mk("br", 90), (b: Array[Byte]) => Brotli.encodeRaw(b)),
+        ("g.jsonl.lz4", mk("lz4", 110), (b: Array[Byte]) => Lz4.encode(b)),
         ("f.jsonl", mk("plain", 150), identity[Array[Byte]] _)
       )
       val expected = shards.flatMap(_._2).sorted
