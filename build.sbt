@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra JVM/Spark flags for scale probes (SparkConf picks up -Dspark.*
+// system properties), e.g. heartbeat/GC tuning for sf10 runs whose
+// single-JVM full-GC pauses would otherwise trip the 120 s heartbeat.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

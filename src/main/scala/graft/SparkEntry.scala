@@ -188,6 +188,7 @@ object SparkEntry {
     "q_brotli" -> (graft.text.Brotli.brotliQuery _),
     "q_xz" -> (graft.sources.Xz.xzQuery _),
     "q_lz4" -> (graft.sources.Lz4.lz4Query _),
+    "q_snappy" -> (graft.sources.Snappy.snappyQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_shards" -> (graft.sources.TextShards.shardsQuery _),
@@ -2988,6 +2989,15 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 83 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Snappy triple-format cycle: jsonl -> raw block + hadoop framing
+    // + framing format, each decoding byte-equal (requires);
+    // closed-form counts. Reference conformance (snappy-java, both
+    // directions, all three formats): SnappySpec.
+    "q_snappy" ->
+      """SELECT event_type,
+        |  count(*) AS n_lines,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 101 AS VARCHAR))) AS BIGINT) AS line_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // LZ4 multi-frame cycle: jsonl -> four REAL frames (greedy
     // encoder, block sizes 64K..4M, block checksums, planted skippable

@@ -116,6 +116,16 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Iterative jobs (suffix-array build, graph fixpoints) leave each
+      // round's SHUFFLE files on disk until the ContextCleaner sees the
+      // old RDD graph garbage-collected — and a big heap may not GC for
+      // the whole job, so scratch grows as rounds × per-round shuffle
+      // instead of ~2 rounds' worth. The default periodicGC interval
+      // (30 min) is longer than most jobs; 5 min keeps scratch bounded
+      // at scale and costs ~nothing at test SFs. (Found by the r16 sf10
+      // probe: the suffix build filled 78 GB of disk with 12 rounds of
+      // retained shuffles before the cleaner ever fired.)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -42,6 +42,7 @@ object TextShards {
       else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gz"
       else if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 && (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) "lz4"
       else if (b.length >= 4 && (b(0) & 0xff) == 0x02 && (b(1) & 0xff) == 0x21 && (b(2) & 0xff) == 0x4c && (b(3) & 0xff) == 0x18) "lz4" // legacy frame
+      else if (Snappy.isFramed(b)) "sz"
       else ""
     val kind =
       if (lower.endsWith(".zst")) "zst"
@@ -50,6 +51,8 @@ object TextShards {
       else if (lower.endsWith(".bz2")) "bz2"
       else if (lower.endsWith(".gz")) "gz"
       else if (lower.endsWith(".lz4")) "lz4"
+      else if (lower.endsWith(".sz")) "sz"
+      else if (lower.endsWith(".snappy")) "snappy" // hadoop framing: no magic
       else if (lower.endsWith(".br")) "br" // no magic: extension only
       else sniff
     kind match {
@@ -59,6 +62,8 @@ object TextShards {
       case "bz2" => Bzip2.decode(b)
       case "gz" => gunzipAll(b)
       case "lz4" => Lz4.decode(b)
+      case "sz" => Snappy.framedDecode(b)
+      case "snappy" => Snappy.hadoopDecode(b)
       case "br" => graft.text.Brotli.decode(b)
       case _ => b
     }
@@ -80,7 +85,8 @@ object TextShards {
     val (plain, compressed) = files.partition { case (p, _) =>
       val l = p.toLowerCase(java.util.Locale.ROOT)
       !(l.endsWith(".zst") || l.endsWith(".xz") || l.endsWith(".lzma") ||
-        l.endsWith(".bz2") || l.endsWith(".gz") || l.endsWith(".lz4") || l.endsWith(".br"))
+        l.endsWith(".bz2") || l.endsWith(".gz") || l.endsWith(".lz4") ||
+        l.endsWith(".sz") || l.endsWith(".snappy") || l.endsWith(".br"))
     }
     val compressedDf =
       if (compressed.isEmpty) None
@@ -148,8 +154,8 @@ object TextShards {
   // ------------------------------------------------------------------
 
   /** Per (event_type, id%16 shard): the same jsonl payload cycles
-    * through ALL SIX compressed shard flavors — seekable zstd, xz,
-    * bzip2, gzip (JDK), lz4, raw-brotli — each decoded back through the
+    * through ALL EIGHT compressed shard flavors — seekable zstd, xz,
+    * bzip2, gzip (JDK), lz4, snappy framing + hadoop-snappy, raw-brotli — each decoded back through the
     * EXACT dispatch [[decodeShard]] the shard-set face uses, byte
     * equality required per flavor. Proves the one-front-door contract
     * end to end; counts/char sums have closed forms. */
@@ -172,12 +178,14 @@ object TextShards {
         "s.jsonl.bz2" -> Bzip2.encode(payload, level = 1),
         "s.jsonl.gz" -> gz,
         "s.jsonl.lz4" -> Lz4.encode(payload),
+        "s.jsonl.sz" -> Snappy.framedEncode(payload),
+        "s.jsonl.snappy" -> Snappy.hadoopEncode(payload),
         "s.jsonl.br" -> graft.text.Brotli.encodeRaw(payload))
       flavors.foreach { case (name, bytes) =>
         require(java.util.Arrays.equals(decodeShard(name, bytes), payload), s"shard flavor $name drift")
         // the magic sniff must ALSO route a misnamed shard correctly
         // (brotli has no magic, so the extension is authoritative there)
-        if (!name.endsWith(".br"))
+        if (!name.endsWith(".br") && !name.endsWith(".snappy"))
           require(java.util.Arrays.equals(decodeShard("misnamed.bin", bytes), payload), s"sniff for $name drift")
       }
       Seq(lines.length.toLong, lines.map(_.length.toLong).sum)

@@ -43,6 +43,15 @@ import org.apache.spark.storage.StorageLevel
   * keep one giant tie group alive for all log rounds — the distinct
   * PAIR table stays tiny there (few distinct ranks exist at all), so
   * the window cost stays bounded even then.
+  *
+  * SCRATCH-DISK note (r16 sf10 probe): each round's shuffle files stay
+  * on disk until the ContextCleaner observes the previous rounds' RDD
+  * graph garbage-collected — with a large heap that may be NEVER
+  * during the job, so scratch grows as rounds × per-round shuffle
+  * (~12 × ~20 GB at 1 G chars on one box) instead of ~2 rounds' worth.
+  * Run long iterative jobs with `spark.cleaner.periodicGC.interval`
+  * well under the job length ([[graft.Sessions.local]] sets 5 min);
+  * on a cluster the same setting bounds per-executor scratch.
   */
 object SuffixDedup {
 

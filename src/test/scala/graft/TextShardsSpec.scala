@@ -2,12 +2,12 @@ package graft
 
 import java.nio.file.{Files, Path}
 
-import graft.sources.{Bzip2, Lz4, TextShards, Xz, Zstd}
+import graft.sources.{Bzip2, Lz4, Snappy, TextShards, Xz, Zstd}
 import graft.text.Brotli
 
 /** The one-front-door shard-set face: a directory holding the SAME
-  * corpus split across shards in seven different encodings (seekable
-  * zstd, xz, bzip2, gzip, lz4, brotli, plain) must come back as exactly
+  * corpus split across shards in nine different encodings (seekable
+  * zstd, xz, bzip2, gzip, lz4, snappy framed + hadoop, brotli, plain) must come back as exactly
   * the union of all lines through [[TextShards.lines]], with the
   * plain files routed through Spark's splittable text reader. Also
   * pins the misnamed-shard magic sniff. */
@@ -32,6 +32,8 @@ class TextShardsSpec extends SparkSuite {
         ("d.jsonl.gz", mk("gz", 60), gzip _),
         ("e.jsonl.br", mk("br", 90), (b: Array[Byte]) => Brotli.encodeRaw(b)),
         ("g.jsonl.lz4", mk("lz4", 110), (b: Array[Byte]) => Lz4.encode(b)),
+        ("h.jsonl.sz", mk("sz", 70), (b: Array[Byte]) => Snappy.framedEncode(b)),
+        ("i.jsonl.snappy", mk("snappy", 50), (b: Array[Byte]) => Snappy.hadoopEncode(b)),
         ("f.jsonl", mk("plain", 150), identity[Array[Byte]] _)
       )
       val expected = shards.flatMap(_._2).sorted
