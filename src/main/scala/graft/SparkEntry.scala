@@ -189,6 +189,7 @@ object SparkEntry {
     "q_xz" -> (graft.sources.Xz.xzQuery _),
     "q_lz4" -> (graft.sources.Lz4.lz4Query _),
     "q_snappy" -> (graft.sources.Snappy.snappyQuery _),
+    "q_zip" -> (graft.sources.Zip.zipQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_shards" -> (graft.sources.TextShards.shardsQuery _),
@@ -2989,6 +2990,17 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_lines,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 83 AS VARCHAR))) AS BIGINT) AS line_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ZIP split-scan cycle: documents -> JDK ZipOutputStream archive
+    // (streamed data-descriptor entries) -> OUR reader end to end:
+    // EOCD tail walk, central-directory parse, per-entry ranged extent
+    // decode with CRC (requires). Closed-form counts; line text is
+    // {"id":N,"w":"wM"} with M = id%103 -> 15+digits(id)+digits(M).
+    // Python-zipfile conformance (incl. zip64 extras): ZipSpec.
+    "q_zip" ->
+      """SELECT event_type,
+        |  count(*) AS n_entries,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 103 AS VARCHAR))) AS BIGINT) AS entry_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Snappy triple-format cycle: jsonl -> raw block + hadoop framing
     // + framing format, each decoding byte-equal (requires);

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Generate ZIP conformance fixtures with REAL python-zipfile.
+
+Variants: stored + deflated entries, an archive comment, forced ZIP64
+(central fields saturated via force_zip64 streaming writes), many-entry
+archive, unicode names, and an empty archive. Each <name>.zip ships
+with <name>.json describing {entry name: sha256 of payload} so the spec
+verifies decoded bytes without committing payloads twice.
+"""
+import hashlib, io, json, os, zipfile
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "graft", "zip")
+
+def payload(tag, n):
+    return ("\n".join(f'{{"t":"{tag}","i":{i},"pad":"{"x" * (i % 37)}"}}' for i in range(n)) + "\n").encode()
+
+def write(name, builder):
+    buf = io.BytesIO()
+    manifest = builder(buf)
+    data = buf.getvalue()
+    # sanity: python reads its own archive
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        for n2, h in manifest.items():
+            assert hashlib.sha256(z.read(n2)).hexdigest() == h, (name, n2)
+    open(os.path.join(OUT, name + ".zip"), "wb").write(data)
+    open(os.path.join(OUT, name + ".json"), "w").write(json.dumps(manifest))
+    print(name, "ok", len(data), len(manifest))
+
+def basic(buf):
+    m = {}
+    with zipfile.ZipFile(buf, "w") as z:
+        for i, (n, meth) in enumerate([("a.json", zipfile.ZIP_DEFLATED), ("b/stored.bin", zipfile.ZIP_STORED),
+                                       ("c/deep/path.txt", zipfile.ZIP_DEFLATED), ("uni-é中.txt", zipfile.ZIP_DEFLATED)]):
+            data = payload(n, 200 + i * 50)
+            z.writestr(zipfile.ZipInfo(n), data, meth)
+            m[n] = hashlib.sha256(data).hexdigest()
+        z.comment = b"graft zip conformance fixture"
+    return m
+
+def zip64(buf):
+    m = {}
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(3):
+            n = f"z64_{i}.json"
+            data = payload(n, 500)
+            # force_zip64 streams the entry: ZIP64 extras + data descriptor
+            with z.open(zipfile.ZipInfo(n), "w", force_zip64=True) as f:
+                f.write(data)
+            m[n] = hashlib.sha256(data).hexdigest()
+    return m
+
+def many(buf):
+    m = {}
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(400):
+            n = f"docs/doc_{i:05d}.json"
+            data = payload(n, 5 + i % 20)
+            z.writestr(n, data)
+            m[n] = hashlib.sha256(data).hexdigest()
+    return m
+
+def empty(buf):
+    with zipfile.ZipFile(buf, "w"):
+        pass
+    return {}
+
+write("basic", basic)
+write("zip64", zip64)
+write("many", many)
+write("empty", empty)
