@@ -451,4 +451,59 @@ class CodecFuzzSpec extends SparkSuite {
       }
     }
   }
+
+  test("r16 codecs: lz4/snappy/zip - random blobs, mutated and truncated artifacts refuse cleanly") {
+    import graft.sources.{Lz4, Snappy, Zip}
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def named(what: String)(f: => Unit): Unit =
+      try f
+      catch {
+        case _: Lz4.Lz4Error => ()
+        case _: Snappy.SnappyError => ()
+        case _: Zip.ZipError => ()
+        case e: Throwable => fail(s"$what escaped with ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    val payload = (0 until 400).map(i => s"""{"i":$i,"w":"w${i % 31}"}""").mkString("\n").getBytes(utf8)
+    val lz4 = Lz4.encode(payload, bmax = 4, blockChecksum = true, contentSize = true)
+    val sz = Snappy.framedEncode(payload)
+    val hsnap = Snappy.hadoopEncode(payload, blockSize = 1024)
+    val zip = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zo = new java.util.zip.ZipOutputStream(bos)
+      (0 until 8).foreach { i =>
+        zo.putNextEntry(new java.util.zip.ZipEntry(s"e$i.json")); zo.write(payload); zo.closeEntry()
+      }
+      zo.close(); bos.toByteArray
+    }
+    def zipWhole(b: Array[Byte]): Unit = {
+      val ranged: (Long, Int) => Array[Byte] =
+        (off, n) => java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + n)
+      val (o, sz2, c) = Zip.centralDirectoryExtent(ranged, b.length.toLong)
+      val es = Zip.parseCentralDirectory(java.util.Arrays.copyOfRange(b, o.toInt, (o + sz2).toInt), c)
+      es.foreach { e =>
+        val buf = java.util.Arrays.copyOfRange(
+          b, e.localHeaderOffset.toInt,
+          math.min(b.length.toLong, e.localHeaderOffset + Zip.fetchLen(e, b.length.toLong)).toInt)
+        Zip.decodeEntry(buf, e)
+      }
+    }
+    (0 until 120).foreach { i =>
+      val blob = randomBytes(64 + rnd.nextInt(2048))
+      named(s"lz4-rand #$i")(Lz4.decode(blob))
+      named(s"lz4-rand-walk #$i")(Lz4.framesOf(blob))
+      named(s"snappy-rand #$i")(Snappy.decode(blob))
+      named(s"snappy-raw-rand #$i")(Snappy.rawDecode(blob, 0, blob.length))
+      named(s"zip-rand #$i")(zipWhole(blob))
+    }
+    (0 until 60).foreach { i =>
+      named(s"lz4-mut #$i")(Lz4.decode(mutate(lz4, 1 + rnd.nextInt(8))))
+      named(s"sz-mut #$i")(Snappy.decode(mutate(sz, 1 + rnd.nextInt(8))))
+      named(s"hsnap-mut #$i")(Snappy.hadoopDecode(mutate(hsnap, 1 + rnd.nextInt(8))))
+      named(s"zip-mut #$i")(zipWhole(mutate(zip, 1 + rnd.nextInt(8))))
+    }
+    Seq(3, 9, lz4.length / 2, lz4.length - 3).foreach(c => named(s"lz4-cut $c")(Lz4.decode(lz4.take(c))))
+    Seq(3, 12, sz.length / 2, sz.length - 3).foreach(c => named(s"sz-cut $c")(Snappy.decode(sz.take(c))))
+    Seq(2, 6, hsnap.length / 2).foreach(c => named(s"hsnap-cut $c")(Snappy.hadoopDecode(hsnap.take(c))))
+    Seq(10, 40, zip.length / 2, zip.length - 3).foreach(c => named(s"zip-cut $c")(zipWhole(zip.take(c))))
+  }
 }
