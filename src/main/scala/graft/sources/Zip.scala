@@ -234,14 +234,24 @@ object Zip {
         else {
           val fs1 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
           val in = fs1.open(new org.apache.hadoop.fs.Path(path))
-          val out = rows.map { case (name, method, csize, usize, lho, crc) =>
-            val e = Entry(name, method, csize, usize, lho, crc, 0)
-            val buf = new Array[Byte](fetchLen(e, len))
-            in.readFully(lho, buf)
-            (name, decodeEntry(buf, e))
-          }.toVector // materialize before the stream closes
-          in.close()
-          out.iterator
+          // STREAMED, not materialized: one entry's payload in memory
+          // at a time (a partition may own thousands of entries whose
+          // decoded bytes must not accumulate); the stream closes when
+          // the task drains the iterator
+          new Iterator[(String, Array[Byte])] {
+            def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h) in.close()
+              h
+            }
+            def next(): (String, Array[Byte]) = {
+              val (name, method, csize, usize, lho, crc) = rows.next()
+              val e = Entry(name, method, csize, usize, lho, crc, 0)
+              val buf = new Array[Byte](fetchLen(e, len))
+              in.readFully(lho, buf)
+              (name, decodeEntry(buf, e))
+            }
+          }
         }
       }
       .toDF("name", "bytes")

@@ -70,13 +70,18 @@ class TextShardsSpec extends SparkSuite {
         q.processAllAvailable()
         val n1 = spark.sql("select count(*) from shards_stream").head().getLong(0)
         assert(n1 == 40, s"first batch: $n1")
-        // drop a second shard in a different encoding
+        // drop more shards in different encodings — the r16 codecs ride
+        // the same dispatch, so the stream twin inherits them
         Files.write(dir.resolve("two.jsonl.bz2"),
           Bzip2.encode(mk("b", 25).mkString("", "\n", "\n").getBytes(Utf8), 1))
+        Files.write(dir.resolve("three.jsonl.lz4"),
+          Lz4.encode(mk("c", 15).mkString("", "\n", "\n").getBytes(Utf8)))
+        Files.write(dir.resolve("four.jsonl.sz"),
+          Snappy.framedEncode(mk("d", 10).mkString("", "\n", "\n").getBytes(Utf8)))
         q.processAllAvailable()
         val rows = spark.sql("select line from shards_stream").collect().map(_.getString(0))
-        assert(rows.length == 65, s"after second batch: ${rows.length}")
-        assert(rows.sorted.toSeq == (mk("a", 40) ++ mk("b", 25)).sorted)
+        assert(rows.length == 90, s"after second batch: ${rows.length}")
+        assert(rows.sorted.toSeq == (mk("a", 40) ++ mk("b", 25) ++ mk("c", 15) ++ mk("d", 10)).sorted)
       } finally q.stop()
     } finally {
       def rm(p: java.nio.file.Path): Unit = {

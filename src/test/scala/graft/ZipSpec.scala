@@ -69,6 +69,40 @@ class ZipSpec extends SparkSuite {
     }
   }
 
+  test("ZIP64 EOCD: an archive past the 65535-entry limit walks through the EOCD64 record") {
+    // the JDK writer emits a REAL zip64 end-of-central-directory once
+    // the entry count saturates the 16-bit EOCD field — generated
+    // in-test (≈70k empty-payload entries) rather than committed
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    val n = 70000
+    var i = 0
+    while (i < n) {
+      val ze = new java.util.zip.ZipEntry(f"e$i%05d")
+      ze.setTime(0L)
+      zo.putNextEntry(ze)
+      if (i % 9999 == 0) zo.write(s"payload $i".getBytes(Utf8))
+      zo.closeEntry()
+      i += 1
+    }
+    zo.close()
+    val image = bos.toByteArray
+    val ranged: (Long, Int) => Array[Byte] =
+      (off, len) => java.util.Arrays.copyOfRange(image, off.toInt, off.toInt + len)
+    val (cdOff, cdSize, count) = Zip.centralDirectoryExtent(ranged, image.length.toLong)
+    assert(count == n.toLong, s"EOCD64 count $count, want $n")
+    val es = Zip.parseCentralDirectory(
+      java.util.Arrays.copyOfRange(image, cdOff.toInt, (cdOff + cdSize).toInt), count)
+    assert(es.length == n)
+    // spot-decode the non-empty entries through the ranged path
+    es.filter(_.uncompressedSize > 0).foreach { e =>
+      val buf = java.util.Arrays.copyOfRange(
+        image, e.localHeaderOffset.toInt, e.localHeaderOffset.toInt + Zip.fetchLen(e, image.length.toLong))
+      val got = new String(Zip.decodeEntry(buf, e), Utf8)
+      assert(got == s"payload ${e.name.stripPrefix("e").toInt}", s"${e.name}: payload drift")
+    }
+  }
+
   test("malformed input raises ZipError, never raw index errors") {
     val good = Files.readAllBytes(new java.io.File(dir, "basic.zip").toPath)
     def ranged(b: Array[Byte]): (Long, Int) => Array[Byte] =
