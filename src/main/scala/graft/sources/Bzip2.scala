@@ -647,14 +647,22 @@ object Bzip2 {
           // decode completes (the Tar.entries / WarcZst grow-until-
           // complete pattern). At tail == len truncation IS corruption
           // and the candidate drops as a false positive.
+          // growth is CAPPED: a real bzip2 block cannot compress past
+          // ~2.6 MB (23-bit symbols over a level*100k payload), so 64 MiB
+          // of tail covers every conforming stream with two orders of
+          // margin; past the cap a still-truncating candidate is a false
+          // positive decoding garbage off the buffer end (treated as
+          // corruption and dropped), never an unbounded whole-file read
+          val extraCap = 64L << 20
           var extra = (level.toLong * 100000) + (1 << 20)
           var blocks: Seq[(Long, Array[Byte])] = null
           while (blocks == null) {
             val tail = math.min(len, e + extra)
             val buf = new Array[Byte]((tail - s).toInt)
             in.readFully(s, buf)
-            try blocks = blocksInRange(buf, 0, e - s, level, failOnTruncation = tail < len)
-            catch { case _: TruncatedError => extra *= 2 }
+            val growable = tail < len && extra < extraCap
+            try blocks = blocksInRange(buf, 0, e - s, level, failOnTruncation = growable)
+            catch { case _: TruncatedError => extra = math.min(extra * 2, extraCap) }
           }
           blocks.iterator.flatMap { case (bitPos, payload) =>
             new String(payload, java.nio.charset.StandardCharsets.UTF_8)

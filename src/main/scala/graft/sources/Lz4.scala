@@ -112,6 +112,10 @@ object Lz4 {
         while (x == 0xff) {
           if (p >= send) fail("lz4: truncated literal length")
           x = src(p) & 0xff; p += 1; litLen += x
+          // cap BEFORE Int wrap: legacy-frame blocks have no compressed-
+          // size bound, so ~16.8M 0xFF extensions could wrap litLen back
+          // to a small positive value and decode misaligned garbage
+          if (litLen > (1 << 28)) fail("lz4: literal length out of range")
         }
       }
       if (p + litLen > send || litLen < 0) fail("lz4: truncated literals")
@@ -128,6 +132,7 @@ object Lz4 {
           while (x == 0xff) {
             if (p >= send) fail("lz4: truncated match length")
             x = src(p) & 0xff; p += 1; mLen += x
+            if (mLen > (1 << 28)) fail("lz4: match length out of range")
           }
         }
         if (mLen < 0) fail("lz4: match length overflow")
@@ -221,8 +226,13 @@ object Lz4 {
           out.len += size
         } else {
           val windowStart = if (blockIndep) out.len else 0
+          val before = out.len
           decodeBlock(b, p, p + size, out, windowStart)
-          if (blockIndep && out.len - windowStart > blockMax)
+          // Block Maximum Size bounds each block's UNCOMPRESSED size
+          // regardless of dependence — without this a crafted dependent
+          // frame amplifies ~255x per block (decompression bomb the
+          // reference decoder rejects)
+          if (out.len - before > blockMax)
             fail("lz4: block decodes past its max size")
         }
         p += size
@@ -411,6 +421,7 @@ object Lz4 {
       if (p + 4 > len) fail("lz4: truncated frame magic in walk")
       var magic = u32(p)
       while (!trailing && (magic & 0xfffffff0L) == (SkippableBase & 0xffffffffL)) {
+        if (p + 8 > len) fail("lz4: truncated skippable frame header in walk")
         val next = p + 8L + u32(p + 4)
         if (next > len) fail("lz4: skippable frame size out of range in walk")
         p = next
@@ -482,11 +493,18 @@ object Lz4 {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf.value)
     val len = fs.getFileStatus(hp).getLen
-    val ranged: (Long, Int) => Array[Byte] = { (off, n) =>
+    // ONE positioned-read stream for the whole driver-side walk: the
+    // walk reads a 4-byte header per block, and per-call open/close
+    // against an object store would dominate planning time
+    val frames = {
       val in = fs.open(hp)
-      try { val a = new Array[Byte](n); in.readFully(off, a); a } finally in.close()
+      try {
+        val ranged: (Long, Int) => Array[Byte] = { (off, n) =>
+          val a = new Array[Byte](n); in.readFully(off, a); a
+        }
+        framesOfRanged(ranged, len).zipWithIndex
+      } finally in.close()
     }
-    val frames = framesOfRanged(ranged, len).zipWithIndex
     val plan = (0L until len by splitSize).map(s => (s, math.min(s + splitSize, len))).flatMap {
       case (s, e) =>
         val own = frames.filter { case ((o, _), _) => o >= s && o < e }
@@ -499,6 +517,7 @@ object Lz4 {
         val in = fs1.open(new org.apache.hadoop.fs.Path(path))
         try {
           owned.iterator.flatMap { case (idx, o, l) =>
+            if (l > Int.MaxValue - 8) fail("lz4: single frame exceeds a task buffer (>2 GiB) — split the shard upstream")
             val buf = new Array[Byte](l.toInt)
             in.readFully(o, buf)
             val (payload, _) = decodeFrame(buf, 0)

@@ -71,19 +71,25 @@ object Zip {
     var cdSize = le32(tail, e + 12)
     var cdOff = le32(tail, e + 16)
     // ZIP64: any saturated field -> the EOCD64 locator sits directly
-    // before the EOCD and names the EOCD64 record
+    // before the EOCD and names the EOCD64 record. A writer may also
+    // store a LEGITIMATE 0xFFFF count with no zip64 at all (CPython
+    // emits a plain EOCD for exactly 65535 entries), so a missing
+    // locator is an error only when a saturated field has no real
+    // value without it.
     if (count == 0xffffL || cdSize == 0xffffffffL || cdOff == 0xffffffffL) {
       val locPos = len - tailLen + e - 20
-      if (locPos < 0) fail("zip: zip64 locator missing")
-      val loc = ranged(locPos, 20)
-      if (le32(loc, 0) != Eocd64LocSig) fail("zip: zip64 locator signature missing")
-      val e64Pos = le64(loc, 8)
-      if (e64Pos < 0 || e64Pos + 56 > len) fail("zip: zip64 EOCD position out of range")
-      val e64 = ranged(e64Pos, 56)
-      if (le32(e64, 0) != Eocd64Sig) fail("zip: zip64 EOCD signature missing")
-      count = le64(e64, 32)
-      cdSize = le64(e64, 40)
-      cdOff = le64(e64, 48)
+      val loc = if (locPos >= 0) ranged(locPos, 20) else Array.emptyByteArray
+      if (locPos >= 0 && le32(loc, 0) == Eocd64LocSig) {
+        val e64Pos = le64(loc, 8)
+        if (e64Pos < 0 || e64Pos + 56 > len) fail("zip: zip64 EOCD position out of range")
+        val e64 = ranged(e64Pos, 56)
+        if (le32(e64, 0) != Eocd64Sig) fail("zip: zip64 EOCD signature missing")
+        count = le64(e64, 32)
+        cdSize = le64(e64, 40)
+        cdOff = le64(e64, 48)
+      } else if (cdSize == 0xffffffffL || cdOff == 0xffffffffL)
+        fail("zip: zip64 locator missing for saturated directory fields")
+      // else: exactly 65535 entries in a plain EOCD — the values stand
     }
     if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > len) fail("zip: central directory extent out of range")
     (cdOff, cdSize, count)
@@ -91,7 +97,16 @@ object Zip {
 
   /** Parse central-directory bytes into entries (executor-side in the
     * Spark face; pure for tests). */
-  def parseCentralDirectory(cd: Array[Byte], expected: Long): Seq[Entry] = {
+  def parseCentralDirectory(cd: Array[Byte], expected: Long): Seq[Entry] =
+    try parseCentralDirectoryImpl(cd, expected)
+    catch {
+      case e: ZipError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException =>
+        fail("zip: malformed central directory (out-of-range field)")
+    }
+
+  private def parseCentralDirectoryImpl(cd: Array[Byte], expected: Long): Seq[Entry] = {
     val out = Seq.newBuilder[Entry]
     var p = 0
     var n = 0L
@@ -108,17 +123,26 @@ object Zip {
       var lho = le32(cd, p + 42)
       if (p + 46 + nameLen + extraLen + commentLen > cd.length) fail("zip: central record overruns directory")
       val name = new String(cd, p + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
-      // ZIP64 extra field (0x0001): saturated fields, in spec order
+      // ZIP64 extra field (0x0001): saturated fields, in spec order —
+      // every read bounded by the extra field's own declared size (a
+      // crafted sz=0 zip64 header must fail loudly, not read the next
+      // record's bytes as sizes)
       var q = p + 46 + nameLen
       val qEnd = q + extraLen
       while (q + 4 <= qEnd) {
         val id = le16(cd, q)
         val sz = le16(cd, q + 2)
+        if (q + 4 + sz > qEnd) fail("zip: extra field overruns its region")
         if (id == 0x0001) {
           var r = q + 4
-          if (usize == 0xffffffffL) { usize = le64(cd, r); r += 8 }
-          if (csize == 0xffffffffL) { csize = le64(cd, r); r += 8 }
-          if (lho == 0xffffffffL) { lho = le64(cd, r); r += 8 }
+          val rEnd = q + 4 + sz
+          def take64(): Long = {
+            if (r + 8 > rEnd) fail("zip: zip64 extra field too short for its saturated fields")
+            val v = le64(cd, r); r += 8; v
+          }
+          if (usize == 0xffffffffL) usize = take64()
+          if (csize == 0xffffffffL) csize = take64()
+          if (lho == 0xffffffffL) lho = take64()
         }
         q += 4 + sz
       }
@@ -203,6 +227,7 @@ object Zip {
       .flatMap { case (off, size, cnt) =>
         val fs1 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
         val in = fs1.open(new org.apache.hadoop.fs.Path(path))
+        if (size > Int.MaxValue - 8) { in.close(); fail("zip: central directory exceeds a single buffer (>2 GiB) — archive beyond supported catalog size") }
         val cd =
           try { val a = new Array[Byte](size.toInt); in.readFully(off, a); a } finally in.close()
         parseCentralDirectory(cd, cnt).iterator
@@ -236,21 +261,20 @@ object Zip {
           val in = fs1.open(new org.apache.hadoop.fs.Path(path))
           // STREAMED, not materialized: one entry's payload in memory
           // at a time (a partition may own thousands of entries whose
-          // decoded bytes must not accumulate); the stream closes when
-          // the task drains the iterator
-          new Iterator[(String, Array[Byte])] {
-            def hasNext: Boolean = {
-              val h = rows.hasNext
-              if (!h) in.close()
-              h
+          // decoded bytes must not accumulate). The stream closes on
+          // task COMPLETION — not iterator exhaustion — so early stops
+          // (limit/take) and decode failures don't leak the handle.
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit] { _ =>
+              try in.close()
+              catch { case _: java.io.IOException => () }
             }
-            def next(): (String, Array[Byte]) = {
-              val (name, method, csize, usize, lho, crc) = rows.next()
-              val e = Entry(name, method, csize, usize, lho, crc, 0)
-              val buf = new Array[Byte](fetchLen(e, len))
-              in.readFully(lho, buf)
-              (name, decodeEntry(buf, e))
-            }
+          rows.map { case (name, method, csize, usize, lho, crc) =>
+            val e = Entry(name, method, csize, usize, lho, crc, 0)
+            val buf = new Array[Byte](fetchLen(e, len))
+            in.readFully(lho, buf)
+            (name, decodeEntry(buf, e))
           }
         }
       }

@@ -111,6 +111,16 @@ class Lz4Spec extends SparkSuite {
       try { Lz4.decode(bad); () }
       catch { case _: Lz4.Lz4Error => () }
     }
+    // legacy-frame varlen bomb: a literal-length extension long enough
+    // to wrap a 32-bit accumulator must raise, never decode misaligned
+    {
+      val block = new java.io.ByteArrayOutputStream()
+      block.write(0xf0) // token: litLen 15 + extensions
+      block.write(Array.fill(2 << 20)(0xff.toByte)) // ~536M accumulated
+      val bomb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(0x184c2102).putInt(block.size()).array() ++ block.toByteArray
+      intercept[Lz4.Lz4Error](Lz4.decode(bomb))
+    }
     // hostile skippable size (signed-read trap)
     val hostile = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(0x184d2a50).putInt(0xfffffff8).putInt(0).putInt(0).array()

@@ -121,6 +121,20 @@ class ZipSpec extends SparkSuite {
     val cd = java.util.Arrays.copyOfRange(good, cdOff.toInt, (cdOff + cdSize).toInt)
     val badCd = cd.clone(); badCd(0) = 0x7f
     intercept[Zip.ZipError](Zip.parseCentralDirectory(badCd, count))
+    // crafted zip64 extra: declared size 0 but saturated csize — must
+    // fail loudly, never read the next record's bytes as sizes
+    locally {
+      val es0 = Zip.parseCentralDirectory(cd, count)
+      // rebuild one record with csize=0xFFFFFFFF and a 4-byte extra [id=1, sz=0]
+      val rec = java.util.Arrays.copyOfRange(good, cdOff.toInt, cdOff.toInt + 46 + es0.head.name.getBytes("UTF-8").length)
+      val crafted = java.util.Arrays.copyOf(rec, rec.length + 4)
+      // csize at +20 -> 0xFFFFFFFF; extraLen at +30 -> 4
+      for (i <- 20 to 23) crafted(i) = 0xff.toByte
+      crafted(30) = 4; crafted(31) = 0
+      crafted(rec.length) = 1; crafted(rec.length + 1) = 0 // id = 0x0001
+      crafted(rec.length + 2) = 0; crafted(rec.length + 3) = 0 // sz = 0
+      intercept[Zip.ZipError](Zip.parseCentralDirectory(crafted, 1))
+    }
     // corrupt deflate payload -> CRC/deflate error, named
     val es = Zip.parseCentralDirectory(cd, count)
     val e0 = es.find(_.method == 8).get
