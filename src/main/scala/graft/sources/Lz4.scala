@@ -579,7 +579,10 @@ object Lz4 {
     }
     graft.Tables
       .eventsRaw(s, dir)
-      .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
+      // SF-INVARIANT bucket (the q_cdx r16 lesson): per-task container
+      // size stays ~constant at any scale; oracle is per-id closed
+      // forms by type, so the grouping is free to change
+      .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
       .agg(collect_list($"event_id").as("ids"))
       .repartition(32)
       .select($"event_type", cycle($"ids").as("a"))
