@@ -171,8 +171,17 @@ object Bench {
     // (min-of-3 vs r14's min-of-2 — same distribution floor). From r16
     // the noise_gate can add a FOURTH pass (protocol tag records the
     // actual count) and stamps a run-level noise verdict.
+    // git SHA makes the committed bench_out.json a self-contained
+    // record (the driver's stdout tail has truncated mid-JSON before):
+    // sha + protocol + sf + machine + gates all travel together
+    val gitSha =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${passes.size}pass-cold-min-v3-noop",$machine,$loadGate,$noiseGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${passes.size}pass-cold-min-v3-noop","git_sha":"$gitSha",$machine,$loadGate,$noiseGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.

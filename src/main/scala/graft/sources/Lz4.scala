@@ -209,7 +209,13 @@ object Lz4 {
     val hc = (xxh32(b, descStart, p - descStart, 0) >>> 8) & 0xff
     if ((b(p) & 0xff) != hc) fail("lz4: frame header checksum mismatch")
     p += 1
-    val out = new LOut(if (contentSize >= 0 && contentSize < (1L << 30)) contentSize.toInt else 1 << 16)
+    // initial allocation capped at one block: the header-declared
+    // content size is attacker-controlled (a ~20-byte frame with a
+    // valid header CRC can declare gigabytes), so the buffer starts at
+    // min(contentSize, blockMax) and grows only as blocks actually
+    // decode; the declared size is still verified at frame end
+    val out = new LOut(
+      if (contentSize >= 0) math.min(contentSize, blockMax.toLong).toInt else 1 << 16)
     var done = false
     while (!done) {
       if (p + 4 > b.length) fail("lz4: truncated block header")

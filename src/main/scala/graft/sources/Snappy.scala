@@ -37,9 +37,12 @@ object Snappy {
   // raw block format
   // ------------------------------------------------------------------
 
-  /** Decompress one raw-snappy block. */
-  def rawDecode(b: Array[Byte], off: Int, end: Int): Array[Byte] =
-    try rawDecodeImpl(b, off, end)
+  /** Decompress one raw-snappy block. `maxLen` bounds the DECLARED
+    * uncompressed length before any allocation (framing callers pass
+    * their format's chunk cap; default callers still get the
+    * format-implied bound below). */
+  def rawDecode(b: Array[Byte], off: Int, end: Int, maxLen: Int = Int.MaxValue): Array[Byte] =
+    try rawDecodeImpl(b, off, end, maxLen)
     catch {
       case e: SnappyError => throw e
       case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
@@ -47,7 +50,7 @@ object Snappy {
         fail("snappy: malformed input (out-of-range field)")
     }
 
-  private def rawDecodeImpl(b: Array[Byte], off: Int, end: Int): Array[Byte] = {
+  private def rawDecodeImpl(b: Array[Byte], off: Int, end: Int, maxLen: Int): Array[Byte] = {
     var p = off
     // varint32 uncompressed length
     var n = 0
@@ -61,6 +64,14 @@ object Snappy {
       more = (x & 0x80) != 0
     }
     if (n < 0) fail("snappy: negative length")
+    if (n > maxLen) fail(s"snappy: declared length $n exceeds caller bound $maxLen")
+    // format-implied expansion bound BEFORE allocating: the densest
+    // conforming emission is a 2-byte-offset copy (3 tag bytes -> 64
+    // output bytes), so a declared length past remaining*64/3 cannot
+    // decode and a few crafted varint bytes must not force a multi-GiB
+    // allocation (memory-pressure DoS on untrusted input)
+    if (n.toLong > (end - p).toLong * 64L / 3L + 1L)
+      fail(s"snappy: declared length $n impossible from ${end - p} input bytes")
     val out = new Array[Byte](n)
     var q = 0
     while (p < end) {
@@ -185,7 +196,8 @@ object Snappy {
           if (p + 4 > b.length) fail("snappy-hadoop: truncated chunk length")
           val clen = be32(b, p); p += 4
           if (clen < 0 || p + clen > b.length) fail("snappy-hadoop: chunk overruns input")
-          val chunk = rawDecode(b, p, p + clen)
+          // a chunk may not decode past the block's declared remainder
+          val chunk = rawDecode(b, p, p + clen, orig - got)
           p += clen
           out.write(chunk)
           got += chunk.length
@@ -249,11 +261,15 @@ object Snappy {
         t match {
           case 0x00 => // compressed: masked CRC32C of the UNCOMPRESSED data
             if (len < 4) fail("snappy-framed: compressed chunk too short")
-            val data = rawDecode(b, p + 4, p + len)
+            // framing spec: uncompressed data in any chunk caps at 65536
+            // — enforced BEFORE rawDecode allocates (reference decoders
+            // reject these chunks the same way)
+            val data = rawDecode(b, p + 4, p + len, 65536)
             if (maskedCrc32c(data, 0, data.length) != le32(b, p)) fail("snappy-framed: CRC mismatch")
             out.write(data)
           case 0x01 => // uncompressed
             if (len < 4) fail("snappy-framed: uncompressed chunk too short")
+            if (len - 4 > 65536) fail("snappy-framed: uncompressed chunk exceeds 65536-byte cap")
             if (maskedCrc32c(b, p + 4, len - 4) != le32(b, p)) fail("snappy-framed: CRC mismatch")
             out.write(b, p + 4, len - 4)
           case 0xfe => () // padding

@@ -409,12 +409,25 @@ object Xz {
         if (id == 0x21 && f == numFilters - 1) lzma2 = true
         else if (id == 0x03 && propsLen == 1) pre += ((id, (b(q3) & 0xff) + 1L))
         else if (id >= 0x04 && id <= 0x0a && propsLen == 0) pre += ((id, 0L))
-        else if (id >= 0x04 && id <= 0x0a && propsLen == 4) pre += ((id, le32(b, q3) & 0xffffffffL))
-        else fail(s"xz: unsupported filter id $id")
+        else if (id >= 0x04 && id <= 0x0a && propsLen == 4) {
+          // spec: a BCJ start offset must be a multiple of the filter's
+          // instruction alignment (liblzma rejects misaligned offsets)
+          val start = le32(b, q3) & 0xffffffffL
+          if (start % bcjAlignment(id) != 0)
+            fail(s"xz: BCJ start offset $start not aligned to filter $id's instruction size")
+          pre += ((id, start))
+        } else fail(s"xz: unsupported filter id $id")
         q = q3 + propsLen.toInt
         f += 1
       }
       if (!lzma2) fail("xz: block without LZMA2 filter")
+      // spec: bytes between the last filter entry and the header CRC
+      // are padding and MUST be zero (liblzma rejects nonzero padding;
+      // without this check some malformed headers decode silently)
+      while (q < fieldsEnd) {
+        if (b(q) != 0) fail("xz: nonzero block header padding")
+        q += 1
+      }
       val dataStart = p + headerSize
       val before = out.total
       val dataEnd = lzma2Run(b, dataStart, b.length, out)
@@ -493,6 +506,19 @@ object Xz {
   // independently), and both directions are the same transform with
   // the sign of the position term flipped.
   // ------------------------------------------------------------------
+
+  /** Instruction alignment per BCJ filter id — the unit a start
+    * offset must be a multiple of (xz file-format spec §5.3.2). */
+  private def bcjAlignment(id: Long): Int = id match {
+    case 0x04 => 1 // x86
+    case 0x05 => 4 // PowerPC
+    case 0x06 => 16 // IA-64 bundle
+    case 0x07 => 4 // ARM
+    case 0x08 => 2 // ARM-Thumb
+    case 0x09 => 4 // SPARC
+    case 0x0a => 4 // ARM64
+    case _ => 1
+  }
 
   /** Apply BCJ filter `id` in place over `b[off, off+len)`. `start`
     * is the filter's start-offset property (position of the first
@@ -747,6 +773,32 @@ object Xz {
       case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
           _: IndexOutOfBoundsException =>
         fail("xz: malformed input (out-of-range field)")
+    }
+
+  /** Raw LZMA1 stream — the payload shape ZIP method 14 and 7z LZMA1
+    * coders carry (props byte out-of-band, no container): decodes
+    * exactly `outSize` bytes (`-1` = until the end marker; a trailing
+    * EOS marker after `outSize` bytes is simply not read, matching
+    * reference decoders given a known size). */
+  def decodeLzma1(props: Int, b: Array[Byte], off: Int, end: Int, outSize: Long): Array[Byte] =
+    try {
+      if (props < 0 || props > 224) fail("lzma: bad props byte")
+      val lc = props % 9
+      val lp = (props / 9) % 5
+      val pb = props / 45
+      val st = new LzmaState(lc, lp, pb)
+      // initial allocation capped: outSize may be attacker-declared
+      val out = new XOut(
+        if (outSize >= 0) math.min(outSize, 1L << 22).toInt else 1 << 16)
+      val rc = new RangeDec(b, off, end)
+      rc.init()
+      lzmaRun(rc, st, out, outSize)
+      out.toArray
+    } catch {
+      case e: XzError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: IndexOutOfBoundsException =>
+        fail("lzma: malformed input (out-of-range field)")
     }
 
   /** Legacy `.lzma` (alone) format: 5-byte props+dictsize header,

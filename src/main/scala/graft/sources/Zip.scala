@@ -147,7 +147,8 @@ object Zip {
         q += 4 + sz
       }
       if ((flags & 0x1) != 0) fail(s"zip: encrypted entry unsupported: $name")
-      if (method != 0 && method != 8) fail(s"zip: compression method $method unsupported: $name")
+      if (method != 0 && method != 8 && method != 12 && method != 14 && method != 93)
+        fail(s"zip: compression method $method unsupported: $name")
       out += Entry(name, method, csize, usize, lho, crc, flags)
       p += 46 + nameLen + extraLen + commentLen
       n += 1
@@ -186,6 +187,33 @@ object Zip {
             if (done != res.length) fail(s"zip: inflated $done of ${res.length}: ${e.name}")
             res
           } finally inf.end()
+        case 12 => // bzip2: the payload is one complete bzip2 stream
+          if (e.uncompressedSize > Int.MaxValue - 8) fail(s"zip: entry too large: ${e.name}")
+          val res =
+            try Bzip2.decode(java.util.Arrays.copyOfRange(buf, dataOff, (dataOff + e.compressedSize).toInt))
+            catch { case b: Bzip2.Bzip2Error => fail(s"zip: corrupt bzip2 data (${b.getMessage}): ${e.name}") }
+          if (res.length.toLong != e.uncompressedSize)
+            fail(s"zip: bzip2 entry decoded ${res.length} of ${e.uncompressedSize}: ${e.name}")
+          res
+        case 14 => // LZMA (APPNOTE 5.8): version u16, props-size u16, props, raw LZMA1
+          if (e.uncompressedSize > Int.MaxValue - 8) fail(s"zip: entry too large: ${e.name}")
+          if (e.compressedSize < 9) fail(s"zip: LZMA entry header truncated: ${e.name}")
+          val psize = le16(buf, dataOff + 2)
+          if (psize < 5 || dataOff + 4 + psize > dataOff + e.compressedSize)
+            fail(s"zip: LZMA properties size $psize out of range: ${e.name}")
+          val res =
+            try Xz.decodeLzma1(buf(dataOff + 4) & 0xff, buf, dataOff + 4 + psize,
+              (dataOff + e.compressedSize).toInt, e.uncompressedSize)
+            catch { case x: Xz.XzError => fail(s"zip: corrupt LZMA data (${x.getMessage}): ${e.name}") }
+          res
+        case 93 => // zstd (APPNOTE 6.3.7+): the payload is one zstd frame
+          if (e.uncompressedSize > Int.MaxValue - 8) fail(s"zip: entry too large: ${e.name}")
+          val res =
+            try Zstd.decode(java.util.Arrays.copyOfRange(buf, dataOff, (dataOff + e.compressedSize).toInt))
+            catch { case z: Zstd.ZstdError => fail(s"zip: corrupt zstd data (${z.getMessage}): ${e.name}") }
+          if (res.length.toLong != e.uncompressedSize)
+            fail(s"zip: zstd entry decoded ${res.length} of ${e.uncompressedSize}: ${e.name}")
+          res
         case m => fail(s"zip: method $m unsupported: ${e.name}")
       }
       val c = new java.util.zip.CRC32
@@ -282,6 +310,50 @@ object Zip {
   }
 
   // ------------------------------------------------------------------
+  // method-lane archive builder (cycle/test-facing): a minimal
+  // spec-layout writer so the reader's bzip2/zstd method paths run at
+  // data scale. Production PACKING stays Mzip; real-archive
+  // conformance for methods 12/14/93 is ZipSpec's fixture gate.
+  // ------------------------------------------------------------------
+
+  /** Assemble an archive whose entries use compression `method` 0
+    * (stored), 12 (bzip2 via [[Bzip2.encode]]) or 93 (zstd via
+    * [[Zstd.encode]]) — per APPNOTE's record layout. */
+  private[graft] def buildMethodArchive(entries: Seq[(String, Int, Array[Byte])]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = { var i = 0; while (i < 4) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    val centrals = entries.map { case (name, method, data) =>
+      val comp = method match {
+        case 0 => data
+        case 12 => Bzip2.encode(data)
+        case 93 => Zstd.encode(data)
+        case m => fail(s"zip: builder does not write method $m")
+      }
+      val c = new java.util.zip.CRC32
+      c.update(data)
+      val nb = name.getBytes(utf8)
+      val lho = out.size().toLong
+      w32(LocSig); w16(63); w16(0); w16(method); w16(0); w16(0)
+      w32(c.getValue); w32(comp.length.toLong); w32(data.length.toLong); w16(nb.length); w16(0)
+      out.write(nb); out.write(comp)
+      (nb, method, c.getValue, comp.length.toLong, data.length.toLong, lho)
+    }
+    val cdOff = out.size().toLong
+    centrals.foreach { case (nb, method, crc, csize, usize, lho) =>
+      w32(CenSig); w16(63); w16(63); w16(0); w16(method); w16(0); w16(0)
+      w32(crc); w32(csize); w32(usize); w16(nb.length); w16(0); w16(0); w16(0); w16(0)
+      w32(0L); w32(lho)
+      out.write(nb)
+    }
+    val cdSize = out.size().toLong - cdOff
+    w32(EocdSig); w16(0); w16(0); w16(entries.size); w16(entries.size)
+    w32(cdSize); w32(cdOff); w16(0)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // q_zip — oracle-checked cycle
   // ------------------------------------------------------------------
 
@@ -328,6 +400,26 @@ object Zip {
         val got = new String(decodeEntry(buf, e), utf8)
         require(got == texts(id), s"zip: entry payload drift for $id")
         chars += got.length
+      }
+      // method lane (r17): the same reader path over entries compressed
+      // with methods 12 (bzip2) and 93 (zstd) plus a stored control —
+      // require-only (contributes nothing to the aggregates, so the
+      // oracle stays the deflate cycle's closed forms)
+      if (sorted.nonEmpty) {
+        val laneData = sorted.take(64).map(texts).mkString("\n").getBytes(utf8)
+        val lane = buildMethodArchive(
+          Seq(("m0.json", 0, laneData), ("m12.json", 12, laneData), ("m93.json", 93, laneData)))
+        val laneRanged: (Long, Int) => Array[Byte] =
+          (off, n) => java.util.Arrays.copyOfRange(lane, off.toInt, off.toInt + n)
+        val (lo, ls, lc) = centralDirectoryExtent(laneRanged, lane.length.toLong)
+        val les = parseCentralDirectory(java.util.Arrays.copyOfRange(lane, lo.toInt, (lo + ls).toInt), lc)
+        require(les.length == 3, "zip: method-lane entry count drift")
+        les.foreach { e =>
+          val buf = java.util.Arrays.copyOfRange(
+            lane, e.localHeaderOffset.toInt, e.localHeaderOffset.toInt + fetchLen(e, lane.length.toLong))
+          require(java.util.Arrays.equals(decodeEntry(buf, e), laneData),
+            s"zip: method-${e.method} lane payload drift")
+        }
       }
       Seq(sorted.length.toLong, chars)
     }

@@ -126,5 +126,19 @@ class Lz4Spec extends SparkSuite {
       .putInt(0x184d2a50).putInt(0xfffffff8).putInt(0).putInt(0).array()
     intercept[Lz4.Lz4Error](Lz4.decode(hostile))
     intercept[Lz4.Lz4Error](Lz4.framesOf(hostile))
+    // allocation bomb: a ~20-byte frame with a VALID header CRC
+    // declaring a 1 GiB content size must raise (and, since r17, never
+    // preallocates the declared size — the buffer starts at one block)
+    locally {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte](0x04, 0x22, 0x4d, 0x18)) // frame magic LE
+      val desc = Array[Byte]((0x40 | 0x20 | 0x08).toByte, 0x40, // FLG: v1+indep+contentSize; BD: 64K
+        0, 0, 0, 0x40, 0, 0, 0, 0) // content size 1 GiB LE
+      o.write(desc)
+      o.write((Lz4.xxh32(desc, 0, desc.length, 0) >>> 8) & 0xff)
+      o.write(Array[Byte](0, 0, 0, 0)) // EndMark with no blocks
+      val e = intercept[Lz4.Lz4Error](Lz4.decode(o.toByteArray))
+      assert(e.getMessage.contains("content size"))
+    }
   }
 }

@@ -94,4 +94,38 @@ class SnappySpec extends SparkSuite {
     intercept[Snappy.SnappyError](Snappy.rawDecode(Array[Byte](4, 0x02, 1, 1), 0, 4)) // copy at pos 0
     intercept[Snappy.SnappyError](Snappy.rawDecode(Array[Byte](10, 0x00, 'a'), 0, 3)) // declares 10, has 1
   }
+
+  test("allocation bombs rejected before allocating (declared-length bounds)") {
+    // a 5-byte varint declaring ~2 GiB from 6 input bytes: the
+    // format-implied 64/3 expansion bound fires before any allocation
+    val bomb = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x07, 0x00)
+    val e1 = intercept[Snappy.SnappyError](Snappy.rawDecode(bomb, 0, bomb.length))
+    assert(e1.getMessage.contains("impossible"))
+    // caller-supplied cap fires first when tighter
+    val small = Snappy.rawEncode(Array.fill[Byte](70000)('a'))
+    intercept[Snappy.SnappyError](Snappy.rawDecode(small, 0, small.length, 65536))
+    // framing format: a compressed chunk may not DECLARE >65536 output
+    val inner = Snappy.rawEncode(Array.fill[Byte](70000)('b'))
+    val chunk = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte](0xff.toByte, 0x06, 0x00, 0x00, 's', 'N', 'a', 'P', 'p', 'Y'))
+      val len = 4 + inner.length
+      o.write(0x00); o.write(len & 0xff); o.write((len >>> 8) & 0xff); o.write((len >>> 16) & 0xff)
+      o.write(Array[Byte](0, 0, 0, 0)) // CRC never reached
+      o.write(inner)
+      o.toByteArray
+    }
+    intercept[Snappy.SnappyError](Snappy.framedDecode(chunk))
+    // framing format: an uncompressed chunk past the 65536 cap
+    val big = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte](0xff.toByte, 0x06, 0x00, 0x00, 's', 'N', 'a', 'P', 'p', 'Y'))
+      val len = 4 + 70000
+      o.write(0x01); o.write(len & 0xff); o.write((len >>> 8) & 0xff); o.write((len >>> 16) & 0xff)
+      o.write(Array[Byte](0, 0, 0, 0))
+      o.write(new Array[Byte](70000))
+      o.toByteArray
+    }
+    intercept[Snappy.SnappyError](Snappy.framedDecode(big))
+  }
 }

@@ -185,4 +185,43 @@ class XzSpec extends SparkSuite {
     bad2(good.length - 20) = (bad2(good.length - 20) ^ 1).toByte
     intercept[Xz.XzError](Xz.decode(bad2))
   }
+
+  test("block header: nonzero padding and misaligned BCJ start offsets reject (liblzma parity)") {
+    def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(b, off, len)
+      c.getValue.toInt
+    }
+    def putCrc(h: Array[Byte]): Array[Byte] = {
+      val v = crc32(h, 0, h.length - 4)
+      h(h.length - 4) = (v & 0xff).toByte; h(h.length - 3) = ((v >> 8) & 0xff).toByte
+      h(h.length - 2) = ((v >> 16) & 0xff).toByte; h(h.length - 1) = ((v >> 24) & 0xff).toByte
+      h
+    }
+    def stream(header: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0))
+      val flags = Array[Byte](0, 1)
+      o.write(flags)
+      val fc = crc32(flags, 0, 2)
+      o.write(Array[Byte]((fc & 0xff).toByte, ((fc >> 8) & 0xff).toByte, ((fc >> 16) & 0xff).toByte, ((fc >> 24) & 0xff).toByte))
+      o.write(header)
+      o.write(new Array[Byte](16)) // never reached: the header must reject first
+      o.toByteArray
+    }
+    // 1-filter header with a NONZERO padding byte (valid CRC): spec
+    // requires zero padding between the last filter entry and the CRC
+    val padded = putCrc(Array[Byte](2, 0, 0x21, 1, 0x16, 1, 0, 0, 0, 0, 0, 0))
+    val e1 = intercept[Xz.XzError](Xz.decodeStream(stream(padded), 0))
+    assert(e1.getMessage.contains("padding"))
+    // 2-filter header: PPC BCJ with start offset 2 (alignment is 4)
+    val misaligned = putCrc(Array[Byte](3, 1, 0x05, 4, 2, 0, 0, 0, 0x21, 1, 0x16, 0, 0, 0, 0, 0))
+    val e2 = intercept[Xz.XzError](Xz.decodeStream(stream(misaligned), 0))
+    assert(e2.getMessage.contains("aligned"))
+    // control: the same PPC chain with start offset 8 parses past the
+    // header (fails later in block data, not at the header checks)
+    val aligned = putCrc(Array[Byte](3, 1, 0x05, 4, 8, 0, 0, 0, 0x21, 1, 0x16, 0, 0, 0, 0, 0))
+    val e3 = intercept[Xz.XzError](Xz.decodeStream(stream(aligned), 0))
+    assert(!e3.getMessage.contains("padding") && !e3.getMessage.contains("aligned"))
+  }
 }

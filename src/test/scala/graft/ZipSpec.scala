@@ -29,7 +29,11 @@ class ZipSpec extends SparkSuite {
       .toMap
   }
 
-  private def fixtures = Seq("basic", "zip64", "many", "empty")
+  // methods: python-zipfile ZIP_BZIP2 (12) + ZIP_LZMA (14) entries.
+  // zstd93: method-93 entries whose compressed payloads are REAL
+  // `zstd -19` CLI frames in a spec-layout container (no in-container
+  // producer writes method 93 — provenance in gen_zip_fixtures.py).
+  private def fixtures = Seq("basic", "zip64", "many", "empty", "methods", "zstd93")
 
   test("every python-zipfile fixture: every entry decodes byte-exact through the ranged path") {
     fixtures.foreach { name =>
@@ -144,5 +148,42 @@ class ZipSpec extends SparkSuite {
     intercept[Zip.ZipError](Zip.decodeEntry(buf, e0))
     // stored-entry truncation
     intercept[Zip.ZipError](Zip.decodeEntry(java.util.Arrays.copyOf(buf, 10), e0))
+  }
+
+  test("method lane: bzip2/zstd entries round-trip through the builder + ranged reader") {
+    val data = (1 to 200).map(i => s"""{"i":$i,"pad":"${"y" * (i % 23)}"}""").mkString("\n").getBytes(Utf8)
+    val image = Zip.buildMethodArchive(
+      Seq(("s.json", 0, data), ("b.json", 12, data), ("z.json", 93, data)))
+    val ranged: (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(image, off.toInt, off.toInt + n)
+    val (cdOff, cdSize, count) = Zip.centralDirectoryExtent(ranged, image.length.toLong)
+    assert(count == 3L)
+    val es = Zip.parseCentralDirectory(
+      java.util.Arrays.copyOfRange(image, cdOff.toInt, (cdOff + cdSize).toInt), count)
+    assert(es.map(_.method).sorted == Seq(0, 12, 93))
+    es.foreach { e =>
+      val buf = java.util.Arrays.copyOfRange(
+        image, e.localHeaderOffset.toInt, e.localHeaderOffset.toInt + Zip.fetchLen(e, image.length.toLong))
+      assert(java.util.Arrays.equals(Zip.decodeEntry(buf, e), data), s"method ${e.method} drift")
+    }
+    // corrupt a bzip2 payload byte: named ZipError, not a raw throw
+    val eb = es.find(_.method == 12).get
+    val bad = java.util.Arrays.copyOfRange(
+      image, eb.localHeaderOffset.toInt, eb.localHeaderOffset.toInt + Zip.fetchLen(eb, image.length.toLong))
+    bad(45) = (bad(45) ^ 0x55).toByte
+    intercept[Zip.ZipError](Zip.decodeEntry(bad, eb))
+  }
+
+  test("method 14 flag semantics: the LZMA fixture's EOS-marked streams decode with the known size") {
+    // python-zipfile sets general-purpose bit 1 (EOS marker present);
+    // the reader decodes exactly usize bytes and never reads the marker
+    val image = Files.readAllBytes(new java.io.File(dir, "methods.zip").toPath)
+    val ranged: (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(image, off.toInt, off.toInt + n)
+    val (cdOff, cdSize, count) = Zip.centralDirectoryExtent(ranged, image.length.toLong)
+    val es = Zip.parseCentralDirectory(
+      java.util.Arrays.copyOfRange(image, cdOff.toInt, (cdOff + cdSize).toInt), count)
+    val lz = es.filter(_.method == 14)
+    assert(lz.nonEmpty && lz.forall(e => (e.flags & 0x2) != 0), "fixture should carry EOS-marked LZMA entries")
   }
 }
