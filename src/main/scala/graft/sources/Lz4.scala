@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stream of literal/match sequences), the frame format (magic
   * 0x184D2204, FLG/BD descriptor with header checksum, independent or
   * dependent blocks, optional block/content xxHash32 checksums,
-  * content size, skippable frames, concatenated frames) and the
+  * content size, external DICTIONARIES both directions — the `lz4 -D`
+  * shape, last-64 KiB window, with or without a Dictionary-ID field
+  * (r17) — skippable frames, concatenated frames) and the
   * legacy frame (magic 0x184C2102, fixed 8 MiB chunks). Algorithms
   * per the published LZ4 block/frame specifications; the encoder is
   * the canonical single-pass greedy hash-table matcher.
@@ -101,8 +103,12 @@ object Lz4 {
   /** Decode one compressed block appending to `out`; matches may not
     * reach before `windowStart` (frame start, or block start for
     * block-independent frames — the reference decoder enforces the
-    * same bound). */
-  private def decodeBlock(src: Array[Byte], soff: Int, send: Int, out: LOut, windowStart: Int): Unit = {
+    * same bound), EXCEPT into the last `histLen` bytes of `hist` — the
+    * external-dictionary history the reference decoder exposes as
+    * LZ4_decompress_safe_usingDict: the dictionary is logically
+    * concatenated immediately before the window start. */
+  private def decodeBlock(src: Array[Byte], soff: Int, send: Int, out: LOut, windowStart: Int,
+      hist: Array[Byte], histLen: Int): Unit = {
     var p = soff
     while (p < send) {
       val token = src(p) & 0xff; p += 1
@@ -137,10 +143,17 @@ object Lz4 {
         }
         if (mLen < 0) fail("lz4: match length overflow")
         val start = out.len - offset
-        if (start < windowStart) fail("lz4: match offset reaches before window")
+        if (start < windowStart - histLen)
+          fail(if (histLen == 0) "lz4: match offset reaches before window"
+          else "lz4: match offset reaches before the supplied dictionary")
         out.ensure(mLen)
         var i = 0 // forward byte copy: overlapping matches replicate correctly
-        while (i < mLen) { out.buf(out.len + i) = out.buf(start + i); i += 1 }
+        while (i < mLen) {
+          val s = start + i
+          out.buf(out.len + i) =
+            if (s < windowStart) hist(histLen + (s - windowStart)) else out.buf(s)
+          i += 1
+        }
         out.len += mLen
       }
     }
@@ -152,8 +165,17 @@ object Lz4 {
 
   /** One frame at `off`: (payload, bytes consumed). Skippable frames
     * are skipped transparently before the content frame. */
-  def decodeFrame(b: Array[Byte], off: Int): (Array[Byte], Int) =
-    try decodeFrameImpl(b, off)
+  def decodeFrame(b: Array[Byte], off: Int): (Array[Byte], Int) = decodeFrame(b, off, null)
+
+  /** Like [[decodeFrame]] with an external dictionary (the `lz4 -D`
+    * shape): only the dictionary's last 64 KiB participate (the
+    * format's window). The CLI writes dict frames WITHOUT a
+    * Dictionary-ID field, so the dict applies to any frame; a frame
+    * that does carry a Dictionary-ID decodes when a dict is supplied
+    * (the id is application-defined and cannot be verified against
+    * bytes) and refuses loudly when none is. */
+  def decodeFrame(b: Array[Byte], off: Int, dict: Array[Byte]): (Array[Byte], Int) =
+    try decodeFrameImpl(b, off, dict)
     catch {
       case e: Lz4Error => throw e
       case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
@@ -164,7 +186,7 @@ object Lz4 {
   @inline private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
-  private def decodeFrameImpl(b: Array[Byte], off: Int): (Array[Byte], Int) = {
+  private def decodeFrameImpl(b: Array[Byte], off: Int, dict: Array[Byte]): (Array[Byte], Int) = {
     var p = off
     while (p + 8 <= b.length && (le32(b, p) & 0xfffffff0) == SkippableBase) {
       val next = p + 8L + (le32(b, p + 4) & 0xffffffffL) // UNSIGNED size
@@ -173,13 +195,13 @@ object Lz4 {
     }
     if (p + 4 > b.length) fail("lz4: truncated frame magic")
     le32(b, p) match {
-      case FrameMagic => decodeModernFrame(b, p)
-      case LegacyMagic => decodeLegacyFrame(b, p)
+      case FrameMagic => decodeModernFrame(b, p, dict)
+      case LegacyMagic => decodeLegacyFrame(b, p) // the legacy format predates dictionaries
       case _ => fail("lz4: bad frame magic")
     }
   }
 
-  private def decodeModernFrame(b: Array[Byte], off: Int): (Array[Byte], Int) = {
+  private def decodeModernFrame(b: Array[Byte], off: Int, dict: Array[Byte]): (Array[Byte], Int) = {
     var p = off + 4
     val descStart = p
     if (p + 2 > b.length) fail("lz4: truncated frame descriptor")
@@ -204,7 +226,11 @@ object Lz4 {
       while (i < 8) { contentSize |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
       p += 8
     }
-    if (hasDictId) fail("lz4: dictionary frames need an external dictionary (none supplied)")
+    if (hasDictId) {
+      if (p + 4 > b.length) fail("lz4: truncated dictionary id")
+      if (dict == null) fail("lz4: dictionary frames need an external dictionary (none supplied)")
+      p += 4 // application-defined id; unverifiable against raw dict bytes
+    }
     if (p + 1 > b.length) fail("lz4: truncated header checksum")
     val hc = (xxh32(b, descStart, p - descStart, 0) >>> 8) & 0xff
     if ((b(p) & 0xff) != hc) fail("lz4: frame header checksum mismatch")
@@ -216,6 +242,11 @@ object Lz4 {
     // decode; the declared size is still verified at frame end
     val out = new LOut(
       if (contentSize >= 0) math.min(contentSize, blockMax.toLong).toInt else 1 << 16)
+    // only the dictionary's LAST 64 KiB are addressable (the window)
+    val histLen = if (dict == null) 0 else math.min(dict.length, 65536)
+    val hist = if (dict == null) Array.emptyByteArray else dict
+    val histOffTrim = if (dict == null) 0 else dict.length - histLen
+    val histTail = if (histOffTrim == 0) hist else java.util.Arrays.copyOfRange(hist, histOffTrim, hist.length)
     var done = false
     while (!done) {
       if (p + 4 > b.length) fail("lz4: truncated block header")
@@ -231,9 +262,12 @@ object Lz4 {
           System.arraycopy(b, p, out.buf, out.len, size)
           out.len += size
         } else {
+          // block-independent frames re-initialize every block with the
+          // dictionary (frame spec); dependent frames use it once at
+          // frame start (offsets cap at 64 KiB, so it ages out naturally)
           val windowStart = if (blockIndep) out.len else 0
           val before = out.len
-          decodeBlock(b, p, p + size, out, windowStart)
+          decodeBlock(b, p, p + size, out, windowStart, histTail, histLen)
           // Block Maximum Size bounds each block's UNCOMPRESSED size
           // regardless of dependence — without this a crafted dependent
           // frame amplifies ~255x per block (decompression bomb the
@@ -276,7 +310,7 @@ object Lz4 {
           p += 4
           if (size < 0 || p + size > b.length) fail("lz4: truncated legacy block")
           val windowStart = out.len
-          decodeBlock(b, p, p + size, out, windowStart)
+          decodeBlock(b, p, p + size, out, windowStart, Array.emptyByteArray, 0)
           if (out.len - windowStart > LegacyBlockMax) fail("lz4: legacy block exceeds 8 MiB")
           p += size
         }
@@ -287,7 +321,11 @@ object Lz4 {
 
   /** Decode a whole (possibly multi-frame) `.lz4` file; trailing
     * skippable frames are legal and skipped. */
-  def decode(b: Array[Byte]): Array[Byte] =
+  def decode(b: Array[Byte]): Array[Byte] = decode(b, null)
+
+  /** Like [[decode]] with an external dictionary applied to every
+    * frame (the `lz4 -D` shape). */
+  def decode(b: Array[Byte], dict: Array[Byte]): Array[Byte] =
     try {
       val out = new java.io.ByteArrayOutputStream()
       var p = 0
@@ -297,7 +335,7 @@ object Lz4 {
           if (next > b.length) fail("lz4: skippable frame size out of range")
           p = next.toInt
         } else {
-          val (payload, consumed) = decodeFrame(b, p)
+          val (payload, consumed) = decodeFrame(b, p, dict)
           out.write(payload)
           p += consumed
         }
@@ -361,6 +399,96 @@ object Lz4 {
     out.write(src, soff + anchor, litLen)
     val res = out.toByteArray
     if (res.length >= slen) null else res
+  }
+
+  /** [[compressBlock]] with an external-dictionary history: the
+    * matcher runs over the VIRTUAL array hist[0,histLen) ++ src — the
+    * hash table is pre-seeded with every dict position, matches may
+    * source from the dict (the emitted offset is just the distance,
+    * ≤ 64 KiB), and only src-region bytes are emitted as literals.
+    * Decodes via the usingDict path any conforming decoder has. */
+  private def compressBlockDict(src: Array[Byte], soff: Int, slen: Int,
+      hist: Array[Byte], histLen: Int): Array[Byte] = {
+    @inline def vb(p: Int): Byte = if (p < histLen) hist(p) else src(soff + p - histLen)
+    @inline def r32(p: Int): Int =
+      (vb(p) & 0xff) | ((vb(p + 1) & 0xff) << 8) | ((vb(p + 2) & 0xff) << 16) | ((vb(p + 3) & 0xff) << 24)
+    @inline def hash(v: Int): Int = (v * P1) >>> 18
+    val total = histLen + slen
+    val out = new java.io.ByteArrayOutputStream(slen / 2 + 16)
+    def writeLen(v0: Int): Unit = { var v = v0; while (v >= 255) { out.write(255); v -= 255 }; out.write(v) }
+    def emit(anchor: Int, i: Int, offset: Int, mLen: Int): Unit = {
+      val litLen = i - anchor
+      val token = (math.min(litLen, 15) << 4) | math.min(mLen - 4, 15)
+      out.write(token)
+      if (litLen >= 15) writeLen(litLen - 15)
+      out.write(src, soff + anchor - histLen, litLen)
+      out.write(offset & 0xff); out.write((offset >>> 8) & 0xff)
+      if (mLen - 4 >= 15) writeLen(mLen - 4 - 15)
+    }
+    var anchor = histLen
+    if (slen >= 13) {
+      val table = new Array[Int](1 << 14)
+      java.util.Arrays.fill(table, -1)
+      var d = 0
+      while (d + 4 <= histLen) { table(hash(r32(d))) = d; d += 1 }
+      val mfLimit = total - 12
+      val matchLimit = total - 5
+      var i = histLen
+      while (i <= mfLimit) {
+        val h = hash(r32(i))
+        val cand = table(h)
+        table(h) = i
+        if (cand >= 0 && i - cand <= 65535 && r32(cand) == r32(i)) {
+          var mLen = 4
+          while (i + mLen < matchLimit && vb(cand + mLen) == vb(i + mLen)) mLen += 1
+          emit(anchor, i, i - cand, mLen)
+          i += mLen
+          anchor = i
+        } else i += 1
+      }
+    }
+    val litLen = total - anchor
+    out.write(math.min(litLen, 15) << 4)
+    if (litLen >= 15) writeLen(litLen - 15)
+    out.write(src, soff + anchor - histLen, litLen)
+    val res = out.toByteArray
+    if (res.length >= slen) null else res
+  }
+
+  /** Write a dict-compressed frame (the `lz4 -D` shape: independent
+    * blocks each initialized with the dictionary's last 64 KiB, NO
+    * Dictionary-ID field — CLI parity; decode with [[decode]]'s dict
+    * overload or any reference decoder given the same dict). */
+  def encodeDict(data: Array[Byte], dict: Array[Byte], bmax: Int = 4,
+      blockChecksum: Boolean = false, contentSize: Boolean = false): Array[Byte] = {
+    require(bmax >= 4 && bmax <= 7, "block max size code must be 4..7")
+    val histLen = math.min(dict.length, 65536)
+    val hist = if (dict.length == histLen) dict else java.util.Arrays.copyOfRange(dict, dict.length - histLen, dict.length)
+    val blockMax = 1 << (8 + 2 * bmax)
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    w32(FrameMagic)
+    val flg = 0x40 | 0x20 | (if (blockChecksum) 0x10 else 0) | (if (contentSize) 0x08 else 0) | 0x04
+    val desc = new java.io.ByteArrayOutputStream()
+    desc.write(flg); desc.write(bmax << 4)
+    if (contentSize) { var v = data.length.toLong; var i = 0; while (i < 8) { desc.write((v & 0xff).toInt); v >>= 8; i += 1 } }
+    val db = desc.toByteArray
+    out.write(db)
+    out.write((xxh32(db, 0, db.length, 0) >>> 8) & 0xff)
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(blockMax, data.length - off)
+      val comp = compressBlockDict(data, off, n, hist, histLen)
+      val stored = comp == null
+      val payload = if (stored) java.util.Arrays.copyOfRange(data, off, off + n) else comp
+      w32(if (stored) payload.length | 0x80000000 else payload.length)
+      out.write(payload)
+      if (blockChecksum) w32(xxh32(payload, 0, payload.length, 0))
+      off += n
+    }
+    w32(0) // EndMark
+    w32(xxh32(data, 0, data.length, 0)) // content checksum
+    out.toByteArray
   }
 
   /** Write a standard frame: 64 KiB..4 MiB independent blocks (size
@@ -573,6 +701,15 @@ object Lz4 {
         o.toByteArray
       }
       require(java.util.Arrays.equals(Lz4.decode(file), payload), "lz4: whole-file decode drift")
+      // dict lane (r17, require-only): the group's payload through the
+      // `lz4 -D` shape — encodeDict against a shared-vocab dictionary,
+      // decoded back through the usingDict window path
+      if (sorted.nonEmpty) {
+        val dict = (0L until 32L).map(i => s"""{"id":${i % 7},"w":"w${i % 97}"}""")
+          .mkString("", "\n", "\n").getBytes(utf8)
+        require(java.util.Arrays.equals(Lz4.decode(Lz4.encodeDict(payload, dict), dict), payload),
+          "lz4: dict cycle drift")
+      }
       val frames = framesOf(file)
       require(frames.length == groups.length, "lz4: frame walk count drift")
       for (split <- Seq(file.length.toLong + 5, math.max(64L, file.length.toLong / 3), 97L)) {

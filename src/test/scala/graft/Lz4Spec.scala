@@ -22,7 +22,8 @@ class Lz4Spec extends SparkSuite {
     dir.listFiles().filter(_.getName.endsWith(".lz4")).map(_.getName.stripSuffix(".lz4")).sorted.toSeq
 
   test("decode: every real lz4-CLI fixture decodes byte-exactly") {
-    val names = fixtures
+    // dict_* fixtures need their external dictionary — own test below
+    val names = fixtures.filterNot(_.startsWith("dict_"))
     assert(names.size >= 11)
     assert(names.exists(_.contains("dep")) && names.exists(_.contains("legacy")) &&
       names.exists(_.contains("bx")) && names.exists(_.contains("hc")), "variant coverage")
@@ -70,6 +71,69 @@ class Lz4Spec extends SparkSuite {
     assert(
       java.util.Arrays.equals(Lz4.encode(payload), Files.readAllBytes(validated.toPath)),
       "writer drifted from the CLI-validated bytes")
+  }
+
+  test("dictionary frames: every real lz4-CLI -D fixture decodes byte-exact with the dict") {
+    val dict = Files.readAllBytes(new java.io.File(dir, "dict.bin").toPath)
+    val bigDict = Files.readAllBytes(new java.io.File(dir, "dict_big.bin").toPath)
+    for ((name, d) <- Seq(("dict_b4", dict), ("dict_dep", dict), ("dict_hc", dict), ("dict_bigd", bigDict))) {
+      val enc = Files.readAllBytes(new java.io.File(dir, name + ".lz4").toPath)
+      val want = Files.readAllBytes(new java.io.File(dir, name + ".bin").toPath)
+      assert(java.util.Arrays.equals(Lz4.decode(enc, d), want), s"$name: dict decode drift")
+      // the dict is load-bearing (asserted against the CLI at capture):
+      // without it the frame must refuse, never mis-decode
+      val e = intercept[Lz4.Lz4Error](Lz4.decode(enc))
+      assert(e.getMessage.contains("window") || e.getMessage.contains("dictionary"), s"$name: $e")
+    }
+    // dict_bigd used a >64 KiB dictionary: only the last 64 KiB are the
+    // window, so trimming the head off ourselves decodes identically
+    val encBig = Files.readAllBytes(new java.io.File(dir, "dict_bigd.lz4").toPath)
+    val tail = java.util.Arrays.copyOfRange(bigDict, bigDict.length - 65536, bigDict.length)
+    assert(java.util.Arrays.equals(Lz4.decode(encBig, tail), Lz4.decode(encBig, bigDict)))
+  }
+
+  test("dictionary-ID frames: decode with a dict, refuse loudly without") {
+    // the CLI never writes the Dictionary-ID field, so the id-present
+    // path is crafted here: set FLG bit 0, splice a 4-byte id, and
+    // recompute the header checksum per the frame spec
+    val dict = Files.readAllBytes(new java.io.File(dir, "dict.bin").toPath)
+    val enc = Files.readAllBytes(new java.io.File(dir, "dict_b4.lz4").toPath)
+    val flg = enc(4)
+    assert((flg & 0x01) == 0, "CLI fixture unexpectedly carries a dict id")
+    val crafted = new java.io.ByteArrayOutputStream()
+    crafted.write(enc, 0, 4)
+    val desc = Array[Byte]((flg | 0x01).toByte, enc(5), 0x2a, 0x5c, 0x1f, 0x04.toByte)
+    crafted.write(desc)
+    crafted.write((Lz4.xxh32(desc, 0, desc.length, 0) >>> 8) & 0xff)
+    crafted.write(enc, 7, enc.length - 7) // blocks + trailer (after old 1-byte HC)
+    val bytes = crafted.toByteArray
+    assert(java.util.Arrays.equals(Lz4.decode(bytes, dict), Lz4.decode(enc, dict)))
+    val e = intercept[Lz4.Lz4Error](Lz4.decode(bytes))
+    assert(e.getMessage.contains("external dictionary"), e.getMessage)
+  }
+
+  test("encodeDict: dict frames round-trip; CLI-validated bytes pinned") {
+    val dict = Files.readAllBytes(new java.io.File(dir, "dict.bin").toPath)
+    val payload = Files.readAllBytes(new java.io.File(dir, "dict_b4.bin").toPath)
+    for (bmax <- Seq(4, 6)) {
+      val enc = Lz4.encodeDict(payload, dict, bmax = bmax)
+      assert(java.util.Arrays.equals(Lz4.decode(enc, dict), payload), s"encodeDict round-trip drift b=$bmax")
+      // the dict must be load-bearing in our output too (shared vocab)
+      intercept[Lz4.Lz4Error](Lz4.decode(enc))
+    }
+    // >64 KiB dict: the writer trims to the window; both spellings agree
+    val bigDict = Files.readAllBytes(new java.io.File(dir, "dict_big.bin").toPath)
+    val tail = java.util.Arrays.copyOfRange(bigDict, bigDict.length - 65536, bigDict.length)
+    assert(java.util.Arrays.equals(Lz4.encodeDict(payload, bigDict), Lz4.encodeDict(payload, tail)))
+    // encoder_dict.validated IS Lz4.encodeDict(payload, dict) captured
+    // once and decoded byte-exact by `lz4 -D dict.bin -d` (r17 —
+    // Lz4DictCapture regenerates) — pinning keeps the writer
+    // CLI-conformant without a subprocess here
+    val validated = new java.io.File(dir, "encoder_dict.validated")
+    assert(validated.exists(), "missing CLI-validated dict-encoder fixture")
+    assert(
+      java.util.Arrays.equals(Lz4.encodeDict(payload, dict), Files.readAllBytes(validated.toPath)),
+      "dict writer drifted from the CLI-validated bytes")
   }
 
   test("jsonlLines: split sweep over a multi-frame shard equals the whole decode") {

@@ -64,3 +64,37 @@ assert open("/tmp/lz4fix.back", "rb").read() == want
 open(os.path.join(OUT, "concat_skippable.lz4"), "wb").write(concat)
 open(os.path.join(OUT, "concat_skippable.bin"), "wb").write(want)
 print("concat_skippable ok", len(concat))
+
+# ---------------------------------------------------------------------
+# r17: dictionary frames (`lz4 -D`). The dictionary shares vocabulary
+# with the payloads so matches genuinely reach into it (asserted below:
+# decoding WITHOUT the dict fails). The CLI writes dict frames with NO
+# Dictionary-ID field (FLG bit 0 clear) — the id-present path is
+# crafted in-spec instead.
+vocab = ["alpha","bravo","charlie","delta","echo","foxtrot","golf","hotel"]
+dict_data = ("\n".join('{"key":"%s","n":%d,"tag":"shared-vocab"}' % (vocab[i % 8], i) for i in range(800)) + "\n").encode()
+open(os.path.join(OUT, "dict.bin"), "wb").write(dict_data)
+dict_payload = ("\n".join('{"key":"%s","n":%d,"tag":"shared-vocab"}' % (vocab[(i * 3) % 8], i + 50000) for i in range(6000)) + "\n").encode()
+# >64 KiB dictionary: only the LAST 64 KiB participate (format window)
+big_dict = prng("lz4bigdictpad", 80000) + dict_data
+open(os.path.join(OUT, "dict_big.bin"), "wb").write(big_dict)
+
+dict_cases = [
+    ("dict_b4",  dict_payload, ["-z", "-B4"], "dict.bin"),
+    ("dict_dep", dict_payload, ["-z", "-B4", "-BD"], "dict.bin"),
+    ("dict_hc",  dict_payload, ["-z", "-9"], "dict.bin"),
+    ("dict_bigd", dict_payload, ["-z", "-B4"], "dict_big.bin"),
+]
+for name, data, flags, dname in dict_cases:
+    dpath = os.path.join(OUT, dname)
+    open("/tmp/lz4fix.raw", "wb").write(data)
+    subprocess.run(["lz4", "-f", "-k", "-D", dpath] + flags + ["/tmp/lz4fix.raw", f"/tmp/lz4fix_{name}.lz4"], check=True)
+    enc = open(f"/tmp/lz4fix_{name}.lz4", "rb").read()
+    subprocess.run(["lz4", "-d", "-f", "-D", dpath, f"/tmp/lz4fix_{name}.lz4", "/tmp/lz4fix.back"], check=True)
+    assert open("/tmp/lz4fix.back", "rb").read() == data, name
+    # the dict must be LOAD-BEARING: decode without it fails
+    r = subprocess.run(["lz4", "-d", "-f", f"/tmp/lz4fix_{name}.lz4", "/tmp/lz4fix.back2"], capture_output=True)
+    assert r.returncode != 0, f"{name}: dict not load-bearing"
+    open(os.path.join(OUT, name + ".lz4"), "wb").write(enc)
+    open(os.path.join(OUT, name + ".bin"), "wb").write(data)
+    print(name, "ok", len(enc))
