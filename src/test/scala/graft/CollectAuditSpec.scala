@@ -20,7 +20,7 @@ class CollectAuditSpec extends SparkSuite {
   /** max single-job task-result bytes per job group (the group name is
     * set thread-locally around each query's construction, so
     * concurrent suites sharing the session don't pollute it) */
-  private final class MaxJobBytesByGroup extends SparkListener {
+  private final class MaxJobBytesByGroup(prefix: String) extends SparkListener {
     private val stageToJob = TrieMap.empty[Int, (String, Int)]
     private val jobBytes = TrieMap.empty[(String, Int), Long]
     override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -35,7 +35,7 @@ class CollectAuditSpec extends SparkSuite {
       // future (every stage callsite is withThreadLocalCaptured).
       val planner = js.stageInfos.nonEmpty &&
         js.stageInfos.forall(_.name.contains("withThreadLocalCaptured"))
-      if (g.startsWith("collectaudit:") && !planner)
+      if (g.startsWith(prefix) && !planner)
         js.stageIds.foreach(id => stageToJob.put(id, (g, js.jobId)))
     }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
@@ -63,7 +63,7 @@ class CollectAuditSpec extends SparkSuite {
     //    the driver one partition at a time via sorted toLocalIterator
     //    (memory bounded by one partition, bytes necessarily linear).
     val whitelist = Set("q_stamp_checksum")
-    val listener = new MaxJobBytesByGroup
+    val listener = new MaxJobBytesByGroup("collectaudit:")
     spark.sparkContext.addSparkListener(listener)
     try {
       for ((tag, dir) <- Seq("a" -> sf0001, "b" -> sf001); (name, fn) <- SparkEntry.queries) {
@@ -89,6 +89,73 @@ class CollectAuditSpec extends SparkSuite {
           s"$n: max single-job driver bytes grew $a B (sf0.001) -> $b B (sf0.01)"
       }
       assert(bad.isEmpty, "row-growing driver collect during construction:\n" + bad.mkString("\n"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("action-time driver bytes (full evaluation through the no-op sink) are bounded too") {
+    // The construction-time audit's blind spot (r16 verdict): a
+    // row-growing driver transfer that fires only when the SINK
+    // evaluates would slip past it. This gate runs every registered
+    // query end to end through the bench's no-op sink at both SFs
+    // under the same per-job listener, same 4×-over-floor rule. The
+    // realistic action-time channel is TASK RESULTS (accumulator
+    // payloads ride them — see the planted offender below); planner
+    // jobs stay excluded as threshold-bounded.
+    val whitelist = Set("q_stamp_checksum")
+    val listener = new MaxJobBytesByGroup("evalaudit:")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for ((tag, dir) <- Seq("a" -> sf0001, "b" -> sf001); (name, fn) <- SparkEntry.queries) {
+        spark.sparkContext.setJobGroup(s"evalaudit:$tag:$name", s"eval audit $name")
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        finally {
+          spark.sparkContext.clearJobGroup()
+          graft.operators.Staged.releaseAll()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
+      }
+      waitUntilListenerEmpty()
+      val bad = SparkEntry.queries.keys.toSeq.sorted.collect {
+        case n
+            if !whitelist(n) && {
+              val a = listener.maxJob(s"evalaudit:a:$n")
+              val b = listener.maxJob(s"evalaudit:b:$n")
+              b > 4 * math.max(a, 64L << 10)
+            } =>
+          val a = listener.maxJob(s"evalaudit:a:$n")
+          val b = listener.maxJob(s"evalaudit:b:$n")
+          s"$n: max single-job driver bytes grew $a B (sf0.001) -> $b B (sf0.01) at action time"
+      }
+      assert(bad.isEmpty, "row-growing driver transfer during evaluation:\n" + bad.mkString("\n"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("self-check: a planted action-time offender (row-data accumulator) trips the gate") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad, udf}
+    val listener = new MaxJobBytesByGroup("evalplant:")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the offender: a UDF shipping every row's payload back to the
+      // driver via a collection accumulator — nothing collects at
+      // construction (the gate the OTHER test runs would pass it), but
+      // evaluation's task results grow with the data
+      // events grows 10× across the decade (documents does NOT at
+      // these SFs — the generator holds it at 500 docs until sf0.1)
+      for ((tag, dir) <- Seq("a" -> sf0001, "b" -> sf001)) {
+        val acc = spark.sparkContext.collectionAccumulator[String](s"plant-$tag")
+        val leak = udf { s: String => acc.add(s); if (s == null) 0 else s.length }
+        spark.sparkContext.setJobGroup(s"evalplant:$tag:offender", "planted eval offender")
+        try graft.Tables.eventsRaw(spark, dir)
+          .select(leak(concat(col("event_id").cast("string"), lit(":"), lpad(col("event_type"), 64, "x"))).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      waitUntilListenerEmpty()
+      val a = listener.maxJob("evalplant:a:offender")
+      val b = listener.maxJob("evalplant:b:offender")
+      assert(b > 4 * math.max(a, 64L << 10),
+        s"planted action-time offender must trip the gate ($a B -> $b B)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
