@@ -190,6 +190,7 @@ object SparkEntry {
     "q_lz4" -> (graft.sources.Lz4.lz4Query _),
     "q_snappy" -> (graft.sources.Snappy.snappyQuery _),
     "q_zip" -> (graft.sources.Zip.zipQuery _),
+    "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_shards" -> (graft.sources.TextShards.shardsQuery _),
@@ -3001,6 +3002,17 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_entries,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 103 AS VARCHAR))) AS BIGINT) AS entry_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 7z solid-archive cycle: the bucket's documents as substreams of
+    // ONE folder cycling copy/bzip2/LZMA2 coders -> OUR reader end to
+    // end (signature, header parse, folder decode, substream split,
+    // per-substream CRC; requires). Closed-form counts; line text is
+    // {"id":N,"w":"wM"} with M = id%107 -> 15+digits(id)+digits(M).
+    // Real-producer (bsdtar) conformance: SevenZipSpec.
+    "q_7z" ->
+      """SELECT event_type,
+        |  count(*) AS n_entries,
+        |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 107 AS VARCHAR))) AS BIGINT) AS entry_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Snappy triple-format cycle: jsonl -> raw block + hadoop framing
     // + framing format, each decoding byte-equal (requires);

@@ -775,6 +775,24 @@ object Xz {
         fail("xz: malformed input (out-of-range field)")
     }
 
+  /** Raw LZMA2 chunk sequence ending at the zero control byte — the
+    * payload shape the 7z LZMA2 coder carries (no xz container).
+    * `outSize >= 0` is verified after decode. */
+  def decodeLzma2Raw(b: Array[Byte], outSize: Long): Array[Byte] =
+    try {
+      val out = new XOut(
+        if (outSize >= 0) math.min(outSize, 1L << 22).toInt else 1 << 16)
+      lzma2Run(b, 0, b.length, out)
+      if (outSize >= 0 && out.total != outSize)
+        fail(s"lzma2: produced ${out.total} of declared $outSize bytes")
+      out.toArray
+    } catch {
+      case e: XzError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: IndexOutOfBoundsException =>
+        fail("lzma2: malformed input (out-of-range field)")
+    }
+
   /** Raw LZMA1 stream — the payload shape ZIP method 14 and 7z LZMA1
     * coders carry (props byte out-of-band, no container): decodes
     * exactly `outSize` bytes (`-1` = until the end marker; a trailing
