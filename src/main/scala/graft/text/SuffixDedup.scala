@@ -29,29 +29,40 @@ import org.apache.spark.storage.StorageLevel
   * (singleton groups) drop out of every later round, and the working
   * set collapses geometrically on real text.
   *
-  * Scale shape per round: one keyed join of the tied set against the
-  * shifted rank table, one grouped count, and one window PARTITIONED BY
-  * the old rank over the distinct (rank, rank+k) pairs — group-bounded,
-  * never a global single-task window. The only global sort in the
-  * whole build is the initial rank, done RDD-side (range-partitioned,
-  * skew-sampled) with a numPartitions-sized driver collect of partition
-  * subtotals — the same two-pass cumulative trick everywhere Spark
-  * needs "count of strictly smaller" without a one-partition Window.
-  * Rounds are O(log maxDocLen) regardless of corpus size; each round's
-  * shuffles are keyed by rank, so a 1000-executor cluster splits them
-  * evenly. Pathological corpora (one character repeated everywhere)
-  * keep one giant tie group alive for all log rounds — the distinct
-  * PAIR table stays tiny there (few distinct ranks exist at all), so
-  * the window cost stays bounded even then.
+  * Scale shape per round (r17 — resolved-rank FREEZE): finalized
+  * ranks never change after finalization, so each round's finalized
+  * piece is frozen into a cache hash-partitioned AND sorted on
+  * (doc, pos). The per-round rank(p+k) lookup is then a
+  * requests-driven chain of sort-merge joins in which ONLY the
+  * work-sized request side shuffles — the cached pieces satisfy the
+  * join's distribution and ordering as-is, so the corpus-sized rank
+  * table re-shuffles NEVER (one repartition per piece, at freeze
+  * time). Per-round shuffle volume is O(surviving ties), which
+  * collapses geometrically on real text; before r17 every round
+  * re-shuffled the full table (the r16 sf10 probe measured rounds ×
+  * ~20-25 GB of live scratch at 1 G chars — the single-box
+  * constraint this freeze removes). The remaining per-round work:
+  * the request join, one grouped count, and one window PARTITIONED BY
+  * the old rank over the distinct (rank, rank+k) pairs —
+  * group-bounded, never a global single-task window. The only global
+  * sort in the whole build is the initial rank, done RDD-side
+  * (range-partitioned, skew-sampled) with a numPartitions-sized
+  * driver collect of partition subtotals. Rounds are O(log maxDocLen)
+  * regardless of corpus size. Pathological corpora (one character
+  * repeated everywhere) keep one giant tie group alive for all log
+  * rounds — the distinct PAIR table stays tiny there, so the window
+  * cost stays bounded even then. Freezing is LAZY per piece: a corpus
+  * that direct-finishes before any doubling round never pays the
+  * cache (small SFs run exactly the pre-r17 plan).
   *
-  * SCRATCH-DISK note (r16 sf10 probe): each round's shuffle files stay
-  * on disk until the ContextCleaner observes the previous rounds' RDD
-  * graph garbage-collected — with a large heap that may be NEVER
-  * during the job, so scratch grows as rounds × per-round shuffle
-  * (~12 × ~20 GB at 1 G chars on one box) instead of ~2 rounds' worth.
-  * Run long iterative jobs with `spark.cleaner.periodicGC.interval`
-  * well under the job length ([[graft.Sessions.local]] sets 5 min);
-  * on a cluster the same setting bounds per-executor scratch.
+  * SCRATCH-DISK note (r16 sf10 probe): shuffle files stay on disk
+  * until the ContextCleaner observes their RDD graph collected — run
+  * long iterative jobs with `spark.cleaner.periodicGC.interval` well
+  * under the job length ([[graft.Sessions.local]] sets 5 min). The
+  * r17 freeze shrinks what there is to retain: dead rounds hold
+  * O(work) shuffle files instead of O(corpus), and the corpus-scale
+  * state lives in the piece caches (spillable storage, one copy),
+  * not in per-round shuffle scratch.
   */
 object SuffixDedup {
 
@@ -180,10 +191,34 @@ object SuffixDedup {
     // finalized suffixes LEAVE the loop: each round re-ranks (and
     // re-checkpoints) only the still-tied working set, which collapses
     // geometrically on real text — round 1 is O(corpus), the tail is
-    // O(surviving ties). Finalized pieces accumulate as filters over
-    // their round's checkpoint; the rank-lookup table each round is
-    // the cheap union of those cached pieces plus the working set.
-    var pieces = List(r0.filter(col("fin")).select("d", "p", "rank"))
+    // O(surviving ties). Finalized ranks are FROZEN (they never change
+    // after finalization — Manber–Myers), so each round's piece is
+    // cached CO-PARTITIONED on (d, p): the per-round rank(p+k) lookup
+    // is then a requests-driven join in which ONLY the work-sized
+    // request side shuffles — the cached pieces' hash partitioning
+    // satisfies the join's distribution, so the corpus-sized table
+    // never re-shuffles after its one repartition (the r16 sf10 probe
+    // diagnosed exactly that per-round corpus shuffle as the
+    // single-box scratch constraint: rounds × ~25 GiB at 1 G chars).
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // Freezing = caching the piece hash-partitioned AND sorted on the
+    // lookup key: every later round's sort-merge join then neither
+    // exchanges nor re-sorts the cached side (InMemoryTableScan
+    // preserves both properties). LAZY per piece — a corpus that
+    // direct-finishes before any doubling round (small SFs) never pays
+    // the repartition/cache at all; the first lookup round freezes
+    // whatever pieces exist, later rounds freeze only their own.
+    final class Piece(raw: DataFrame) {
+      private var forced = false
+      lazy val lookup: DataFrame = {
+        forced = true
+        graft.operators.Staged.persist(
+          raw.repartition(parts, col("d"), col("p")).sortWithinPartitions("d", "p"))
+      }
+      /** frozen form if a round built it (cached — reuse), raw otherwise */
+      def best: DataFrame = if (forced) lookup else raw
+    }
+    var pieces = List(new Piece(r0.filter(col("fin")).select("d", "p", "rank")))
     var work = r0.filter(!col("fin")).select("d", "p", "rank")
     var workCount = work.count()
 
@@ -207,9 +242,24 @@ object SuffixDedup {
         work = tails.select(col("d"), col("p"), (col("rank") + rank().over(w) - 1).as("rank"))
         workCount = 0
       } else {
-        val lookup = (work :: pieces).reduce(_ union _)
-        val shifted = lookup.select(col("d"), (col("p") - k).as("p"), col("rank").as("rn"))
-        val wn = work.join(shifted, Seq("d", "p"), "left").na.fill(-1L, Seq("rn"))
+        // requests-driven lookup: each tied suffix asks for rank(p+k).
+        // Pieces are disjoint by position, so across the chained left
+        // joins at most one lookup column is non-null; -1 is the
+        // "no such suffix" sentinel (p+k past the doc end), exactly as
+        // the old shifted-union join filled it.
+        val req = work.select(col("d"), col("p"), col("rank"), (col("p") + k).as("q"))
+        var joined = req
+        var rnCols = List.empty[org.apache.spark.sql.Column]
+        (work :: pieces.map(_.lookup)).zipWithIndex.foreach { case (piece, i) =>
+          val r = piece.select(col("d").as(s"ld$i"), col("p").as(s"lp$i"), col("rank").as(s"rn$i"))
+          joined = joined
+            .join(r, joined("d") === r(s"ld$i") && joined("q") === r(s"lp$i"), "left")
+            .drop(s"ld$i", s"lp$i")
+          rnCols ::= col(s"rn$i")
+        }
+        val wn = joined.select(
+          col("d"), col("p"), col("rank"),
+          coalesce(rnCols.reverse :+ lit(-1L): _*).as("rn"))
         val pairs = wn.groupBy("rank", "rn").agg(count(lit(1)).as("c"))
         val w = Window.partitionBy("rank").orderBy("rn")
         val offs = pairs
@@ -221,7 +271,7 @@ object SuffixDedup {
             .select(col("d"), col("p"), (col("rank") + col("off")).as("rank"), col("nfin").as("fin"))
         )
         graft.operators.Staged.register(refinedBlocks)
-        pieces ::= refined.filter(col("fin")).select("d", "p", "rank")
+        pieces ::= new Piece(refined.filter(col("fin")).select("d", "p", "rank"))
         work = refined.filter(!col("fin")).select("d", "p", "rank")
         workCount = work.count()
         k *= 2
@@ -229,7 +279,7 @@ object SuffixDedup {
     }
     // remaining ties are genuinely equal suffixes (identical text to
     // their full length) — they keep the shared sparse rank
-    (work :: pieces).reduce(_ union _)
+    (work :: pieces.map(_.best)).reduce(_ union _)
   }
 
   /** Direct-finish payload bound (bytes ≈ surviving ties × max doc

@@ -164,6 +164,76 @@ class SuffixDedupSpec extends SparkSuite {
     assert(ext == serialExtents(docs))
   }
 
+  test("resolved-rank freeze: sparse ranks from the frozen-piece lookup equal the serial definition") {
+    // rank(p) = count of strictly smaller suffixes corpus-wide; EQUAL
+    // suffixes share their rank. Forcing directFinishBytes = 0 drives
+    // the build through MANY doubling rounds, so every round's
+    // rank(p+k) resolves through the chained frozen-piece lookup —
+    // this is the equivalence case for the r17 freeze: finalized ranks
+    // served from co-partitioned caches must reproduce the serial
+    // sparse ranks exactly.
+    val docs = Seq(
+      1L -> "the same long shared motif appears in every document of this corpus",
+      2L -> "another document where the same long shared motif appears again ok",
+      3L -> ("ab" * 120), // slow-resolving ties: ~log2(240) extra rounds
+      4L -> "the same long shared motif appears here too"
+    )
+    val got = SuffixDedup
+      .suffixRanks(df(docs), "doc_id", "text", directFinishBytes = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val ord = serialSorted(docs)
+    val want = ord.indices.map { i =>
+      val (d, p, s) = ord(i)
+      // sparse rank = index of the FIRST suffix equal to this one
+      var j = i
+      while (j > 0 && ord(j - 1)._3 == s) j -= 1
+      (d, p) -> j.toLong
+    }.toMap
+    assert(got == want, {
+      val diff = (want.keySet ++ got.keySet).filter(k => want.get(k) != got.get(k)).take(10)
+      s"sparse rank drift at $diff: got=${diff.map(got.get)}, want=${diff.map(want.get)}"
+    })
+    graft.operators.Staged.releaseAll()
+  }
+
+  test("freeze gate: total shuffle write tracks work, not corpus × rounds") {
+    // a mostly-unique 33k-char corpus (finalizes in round 0) plus a
+    // 3k-char slow tail ("ab"×1500: ~12 doubling rounds). Before the
+    // r17 freeze every round re-shuffled the full rank table (measured
+    // 3.70 MB total on this exact corpus); with frozen co-partitioned
+    // pieces only the request side shuffles per round (measured
+    // 1.69 MB — the remainder is the one-time initial range sort and
+    // piece repartitions). The 2.8 MB gate fails if piece lookups ever
+    // regress to corpus-sized shuffles, with slack for codec drift.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    val unique = (1 to 30).map(_ => (1 to 1000).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = unique.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+ (99L, "ab" * 1500)
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        for (m <- Option(te.taskMetrics)) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = SuffixDedup
+        .suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text", directFinishBytes = 0L)
+        .count()
+      assert(n == docs.map(_._2.length).sum.toLong)
+      // listener delivery is async
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      assert(bytes.get < 2800000L,
+        s"SA build shuffled ${bytes.get} B on a 33k-char corpus — piece lookups are re-shuffling the rank table")
+    } finally {
+      graft.operators.Staged.releaseAll()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("capped extents equal min(true extent, cap)") {
     val motif = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGH" // 44 chars
     val docs = Seq(1L -> s"xx$motif", 2L -> s"yy$motif zz")
