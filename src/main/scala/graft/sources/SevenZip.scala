@@ -221,14 +221,25 @@ object SevenZip {
     var folders: Seq[Folder] = Seq.empty
     var subSizes: Seq[Seq[Long]] = Seq.empty
     var subCrcs: Seq[Seq[Option[Long]]] = Seq.empty
+    // structural sanity: a header of H bytes cannot describe more
+    // streams/folders than it has bytes — bounds every count-driven
+    // allocation below against the attacker-controlled numbers
+    val maxCount = c.b.length
     var t = c.num()
     if (t == KPackInfo) {
       packPos = c.number()
+      if (packPos < 0) fail("7z: negative pack position")
       val n = c.num()
+      if (n > maxCount) fail(s"7z: $n pack streams in a ${c.b.length}-byte header")
       var tp = c.num()
       while (tp != KEnd) {
         tp match {
-          case KSize => packSizes = (0 until n).map(_ => c.number())
+          case KSize =>
+            packSizes = (0 until n).map { _ =>
+              val v = c.number()
+              if (v < 0) fail("7z: negative pack size")
+              v
+            }
           case KCrc => // pack-stream CRCs: defined bits + u32 each
             val defined = c.boolsAllDefined(n)
             defined.foreach(d => if (d) c.skip(4))
@@ -242,6 +253,7 @@ object SevenZip {
     if (t == KUnpackInfo) {
       if (c.num() != KFolder) fail("7z: UnpackInfo without folders")
       val numFolders = c.num()
+      if (numFolders > maxCount) fail(s"7z: $numFolders folders in a ${c.b.length}-byte header")
       if (c.u8() != 0) fail("7z: external folder definitions unsupported")
       var fs = (0 until numFolders).map(_ => parseFolder(c))
       if (c.num() != KCodersUnpackSize) fail("7z: missing coders unpack sizes")
@@ -267,7 +279,11 @@ object SevenZip {
     if (t == KSubStreamsInfo) {
       var ts = c.num()
       if (ts == KNumUnpackStream) {
-        counts = folders.map(_ => c.num())
+        counts = folders.map { _ =>
+          val v = c.num()
+          if (v > maxCount) fail(s"7z: $v substreams in a ${c.b.length}-byte header")
+          v
+        }
         ts = c.num()
       }
       if (ts == KSize) {
@@ -339,6 +355,7 @@ object SevenZip {
     var numFiles = 0
     if (t == KFilesInfo) {
       numFiles = c.num()
+      if (numFiles > h.length) fail(s"7z: $numFiles files in a ${h.length}-byte header")
       emptyStream = new Array[Boolean](numFiles)
       var tp = c.num()
       while (tp != KEnd) {
@@ -396,7 +413,21 @@ object SevenZip {
       }
     }
     val folderPackFirst = folders.indices.map(f => folders.take(f).map(_.packedIndices.length).sum)
+    if (folders.map(_.packedIndices.length.toLong).sum > packSizes.length)
+      fail("7z: folders reference more pack streams than PackInfo declares")
     Archive(packPos, packSizes, folders, folderPackFirst, subSizes, subCrcs, entries.result())
+  }
+
+  /** Reject archives whose declared pack extents leave the file —
+    * before any extent arithmetic can wrap or slice out of range. */
+  private def validateExtents(a: Archive, len: Long): Archive = {
+    var off = 32L + a.packPos
+    if (a.packPos < 0 || off > len) fail("7z: pack position out of range")
+    a.packSizes.foreach { sz =>
+      if (sz < 0 || sz > len - off) fail("7z: pack stream extent out of range")
+      off += sz
+    }
+    a
   }
 
   // ------------------------------------------------------------------
@@ -436,8 +467,11 @@ object SevenZip {
       val outToCoder = (0 until folder.totalOut).map(o => folder.coders.indices.find(i => o >= outBase(i) && o < outBase(i) + folder.coders(i).numOut).get)
       val byInIndex: Map[Int, Array[Byte]] = folder.packedIndices.zip(packs).toMap
       val memo = new Array[Array[Byte]](folder.totalOut)
+      val inProgress = new Array[Boolean](folder.totalOut)
       def evalOut(o: Int): Array[Byte] = {
         if (memo(o) != null) return memo(o)
+        if (inProgress(o)) fail("7z: cyclic bind pairs in folder")
+        inProgress(o) = true
         val ci = outToCoder(o)
         val coder = folder.coders(ci)
         if (coder.numOut != 1) fail("7z: multi-output coders unsupported")
@@ -546,7 +580,7 @@ object SevenZip {
           if (h.isEmpty || (h(0) & 0xff) != KHeader) fail("7z: encoded header did not decode to a header")
           h
         } else fail(s"7z: unexpected next-header kind $kind")
-      parseHeader(plain)
+      validateExtents(parseHeader(plain), len)
     } catch {
       case e: SevenZipError => throw e
       case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
@@ -560,26 +594,33 @@ object SevenZip {
 
   /** Decode every entry of an in-memory archive: (name, bytes),
     * streamless entries excluded. Per-substream CRCs verified. */
-  def unpackAll(b: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val a = parseArchive(b)
-    val byFolder = a.entries.filter(_.hasStream).groupBy(_.folderIdx)
-    byFolder.toSeq.sortBy(_._1).flatMap { case (fi, es) =>
-      val (s, e) = a.folderPackExtent(fi)
-      if (e > b.length) fail("7z: folder pack extent out of range")
-      var off = s
-      val packs = a.folders(fi).packedIndices.indices.map { i =>
-        val sz = a.packSizes(a.folderPackFirst(fi) + i)
-        val arr = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt); off += sz; arr
+  def unpackAll(b: Array[Byte]): Seq[(String, Array[Byte])] =
+    try {
+      val a = parseArchive(b)
+      val byFolder = a.entries.filter(_.hasStream).groupBy(_.folderIdx)
+      byFolder.toSeq.sortBy(_._1).flatMap { case (fi, es) =>
+        val (s, e) = a.folderPackExtent(fi)
+        if (s < 0 || e > b.length) fail("7z: folder pack extent out of range")
+        var off = s
+        val packs = a.folders(fi).packedIndices.indices.map { i =>
+          val sz = a.packSizes(a.folderPackFirst(fi) + i)
+          val arr = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt); off += sz; arr
+        }
+        val out = decodeFolder(a.folders(fi), packs)
+        es.sortBy(_.subIdx).map { en =>
+          if (en.subOffset < 0 || en.size < 0 || en.subOffset + en.size > out.length)
+            fail(s"7z: substream overruns folder output: ${en.name}")
+          val payload = java.util.Arrays.copyOfRange(out, en.subOffset.toInt, (en.subOffset + en.size).toInt)
+          en.crc.foreach(want => if (crc32(payload, 0, payload.length) != want) fail(s"7z: substream CRC mismatch: ${en.name}"))
+          (en.name, payload)
+        }
       }
-      val out = decodeFolder(a.folders(fi), packs)
-      es.sortBy(_.subIdx).map { en =>
-        if (en.subOffset + en.size > out.length) fail(s"7z: substream overruns folder output: ${en.name}")
-        val payload = java.util.Arrays.copyOfRange(out, en.subOffset.toInt, (en.subOffset + en.size).toInt)
-        en.crc.foreach(want => if (crc32(payload, 0, payload.length) != want) fail(s"7z: substream CRC mismatch: ${en.name}"))
-        (en.name, payload)
-      }
+    } catch {
+      case e: SevenZipError => throw e
+      case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException =>
+        fail("7z: malformed archive (out-of-range extent)")
     }
-  }
 
   // ------------------------------------------------------------------
   // minimal builder (cycle/test-facing): one SOLID folder holding all
@@ -709,11 +750,16 @@ object SevenZip {
       val sorted = ids.sorted
       val files = sorted.map(id => s"doc_$id.json" -> s"""{"id":$id,"w":"w${id % 107}"}""".getBytes(utf8))
       var chars = 0L
+      // the copy lane covers the whole bucket (it feeds the oracle's
+      // closed forms); the compressed lanes are require-only and run
+      // on a 64-entry prefix — the codecs' own data-scale gates are
+      // q_bz2/q_xz, this lane exercises the 7z container composition
       Seq("copy", "bzip2", "lzma2").zipWithIndex.foreach { case (codec, i) =>
-        val image = buildSolidArchive(files, codec)
+        val lane = if (i == 0) files else files.take(64)
+        val image = buildSolidArchive(lane, codec)
         val got = unpackAll(image)
-        require(got.length == files.length, s"7z: $codec entry count drift")
-        got.zip(files).foreach { case ((gn, gb), (wn, wb)) =>
+        require(got.length == lane.length, s"7z: $codec entry count drift")
+        got.zip(lane).foreach { case ((gn, gb), (wn, wb)) =>
           require(gn == wn && java.util.Arrays.equals(gb, wb), s"7z: $codec payload drift for $gn")
           if (i == 0) chars += gb.length
         }
@@ -787,6 +833,8 @@ object SevenZip {
           }
           val out = decodeFolder(arc.folders(fi), packs)
           arc.entries.filter(e => e.hasStream && e.folderIdx == fi).sortBy(_.subIdx).map { en =>
+            if (en.subOffset < 0 || en.size < 0 || en.subOffset + en.size > out.length)
+              fail(s"7z: substream overruns folder output: ${en.name}")
             val payload = java.util.Arrays.copyOfRange(out, en.subOffset.toInt, (en.subOffset + en.size).toInt)
             en.crc.foreach(want => if (crc32(payload, 0, payload.length) != want) fail(s"7z: substream CRC mismatch: ${en.name}"))
             (en.name, payload)
