@@ -84,7 +84,7 @@ object SuffixDedup {
     * a heavily-duplicated window still spreads across partitions; all
     * its rows rank at the run's stitched global start, as sparse ranks
     * require. */
-  private def initialRanks(withWin: DataFrame): DataFrame = {
+  private def initialRanks(withWin: DataFrame): (DataFrame, Seq[RDD[_]]) = {
     val spark = withWin.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
@@ -166,10 +166,10 @@ object SuffixDedup {
       out.iterator
     }
     val out = ranked.toDF("d", "p", "rank", "fin")
-    // sorted's blocks back `out` lazily; register for the session-level
-    // release the bench/verify harnesses run after materialization
-    graft.operators.Staged.register(Seq(sorted))
-    out
+    // sorted's blocks back `out` lazily; the CALLER releases them the
+    // moment `out` is checkpointed (corpus-sized — holding them to
+    // query end doubled resident scratch at the sf10 scale)
+    (out, Seq[RDD[_]](sorted))
   }
 
   /** (doc_id, pos, rank) sparse suffix ranks over the whole corpus —
@@ -185,8 +185,11 @@ object SuffixDedup {
     val withWin = d
       .select(col("d"), col("t"), explode(sequence(lit(1), length(col("t")))).as("p"))
       .select(col("d"), col("p"), expr(s"substring(t, p, $InitPrefix)").as("k"))
-    val (r0, r0Blocks) = graft.operators.Staged.checkpointOwned(initialRanks(withWin))
-    graft.operators.Staged.register(r0Blocks)
+    val (ranked0, sortedBlocks) = initialRanks(withWin)
+    val (r0, r0Blocks) = graft.operators.Staged.checkpointOwned(ranked0) // eager
+    // the range-sorted stage backed ranked0 only until this checkpoint:
+    // release it NOW (corpus-sized persist + its shuffle dependency)
+    graft.operators.Staged.release(sortedBlocks)
 
     // finalized suffixes LEAVE the loop: each round re-ranks (and
     // re-checkpoints) only the still-tied working set, which collapses
@@ -221,6 +224,16 @@ object SuffixDedup {
     var pieces = List(new Piece(r0.filter(col("fin")).select("d", "p", "rank")))
     var work = r0.filter(!col("fin")).select("d", "p", "rank")
     var workCount = work.count()
+    // round-scoped checkpoint lifetime (the Graph-fixpoint pattern):
+    // round r's checkpoint backs its work (consumed into round r+1's
+    // eager checkpoint) and its piece's raw form (cache-backed once
+    // any later lookup round forces the freeze) — so after round
+    // r+1 materializes, round r's blocks are DEAD and release
+    // immediately instead of accumulating rounds × corpus scratch to
+    // query end (the r16/r17 sf10 disk-exhaustion mode). Whatever is
+    // still pending at loop exit stays alive for the returned union
+    // and releases with the session registry.
+    var pendingBlocks: List[Seq[org.apache.spark.rdd.RDD[_]]] = List(r0Blocks)
 
     var k = InitPrefix.toLong
     while (k < maxLen && workCount > 0) {
@@ -270,13 +283,19 @@ object SuffixDedup {
             .join(offs, Seq("rank", "rn"))
             .select(col("d"), col("p"), (col("rank") + col("off")).as("rank"), col("nfin").as("fin"))
         )
-        graft.operators.Staged.register(refinedBlocks)
+        // refined is materialized (checkpointOwned is eager), which
+        // also forced and materialized every existing piece's frozen
+        // cache through the request join — all prior rounds' blocks
+        // are now dead
+        pendingBlocks.foreach(graft.operators.Staged.release)
+        pendingBlocks = List(refinedBlocks)
         pieces ::= new Piece(refined.filter(col("fin")).select("d", "p", "rank"))
         work = refined.filter(!col("fin")).select("d", "p", "rank")
         workCount = work.count()
         k *= 2
       }
     }
+    pendingBlocks.foreach(graft.operators.Staged.register)
     // remaining ties are genuinely equal suffixes (identical text to
     // their full length) — they keep the shared sparse rank
     (work :: pieces.map(_.best)).reduce(_ union _)
