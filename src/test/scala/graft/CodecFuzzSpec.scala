@@ -506,4 +506,58 @@ class CodecFuzzSpec extends SparkSuite {
     Seq(2, 6, hsnap.length / 2).foreach(c => named(s"hsnap-cut $c")(Snappy.hadoopDecode(hsnap.take(c))))
     Seq(10, 40, zip.length / 2, zip.length - 3).foreach(c => named(s"zip-cut $c")(zipWhole(zip.take(c))))
   }
+
+  test("r17 codecs: 7z / lz4-dict / zip-methods — random, mutated and truncated inputs refuse cleanly") {
+    import graft.sources.{Lz4, SevenZip, Zip}
+    def named(what: String)(f: => Unit): Unit =
+      try f
+      catch {
+        case _: SevenZip.SevenZipError => ()
+        case _: Lz4.Lz4Error => ()
+        case _: Zip.ZipError => ()
+        case e: Throwable => fail(s"$what escaped with ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    val dir7 = new java.io.File("src/test/resources/graft/sevenzip")
+    val sevenZ = java.nio.file.Files.readAllBytes(new java.io.File(dir7, "codec_lzma2.7z").toPath)
+    val store7 = java.nio.file.Files.readAllBytes(new java.io.File(dir7, "codec_store.7z").toPath)
+    val dirL = new java.io.File("src/test/resources/graft/lz4")
+    val dlz4 = java.nio.file.Files.readAllBytes(new java.io.File(dirL, "dict_b4.lz4").toPath)
+    val dict = java.nio.file.Files.readAllBytes(new java.io.File(dirL, "dict.bin").toPath)
+    val dirZ = new java.io.File("src/test/resources/graft/zip")
+    val mzip = java.nio.file.Files.readAllBytes(new java.io.File(dirZ, "methods.zip").toPath)
+    val zzip = java.nio.file.Files.readAllBytes(new java.io.File(dirZ, "zstd93.zip").toPath)
+    def zipWhole(b: Array[Byte]): Unit = {
+      val ranged: (Long, Int) => Array[Byte] =
+        (off, n) => java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + n)
+      val (o, sz2, c) = Zip.centralDirectoryExtent(ranged, b.length.toLong)
+      val es = Zip.parseCentralDirectory(java.util.Arrays.copyOfRange(b, o.toInt, (o + sz2).toInt), c)
+      es.foreach { e =>
+        val buf = java.util.Arrays.copyOfRange(
+          b, e.localHeaderOffset.toInt,
+          math.min(b.length.toLong, e.localHeaderOffset + Zip.fetchLen(e, b.length.toLong)).toInt)
+        Zip.decodeEntry(buf, e)
+      }
+    }
+    (0 until 150).foreach { i =>
+      val blob = randomBytes(48 + rnd.nextInt(3000))
+      named(s"7z-rand #$i")(SevenZip.unpackAll(blob))
+      named(s"lz4-dict-rand #$i")(Lz4.decode(blob, dict))
+      // random bytes behind the 7z signature magic
+      named(s"7z-magic #$i")(SevenZip.unpackAll(
+        Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c) ++ blob))
+    }
+    (0 until 80).foreach { i =>
+      named(s"7z-mut #$i")(SevenZip.unpackAll(mutate(sevenZ, 1 + rnd.nextInt(8))))
+      named(s"7zs-mut #$i")(SevenZip.unpackAll(mutate(store7, 1 + rnd.nextInt(8))))
+      named(s"lz4d-mut #$i")(Lz4.decode(mutate(dlz4, 1 + rnd.nextInt(8)), dict))
+      named(s"zipm-mut #$i")(zipWhole(mutate(mzip, 1 + rnd.nextInt(8))))
+      named(s"zipz-mut #$i")(zipWhole(mutate(zzip, 1 + rnd.nextInt(6))))
+    }
+    Seq(3, 12, 31, 40, sevenZ.length / 2, sevenZ.length - 4).foreach(c =>
+      named(s"7z-cut $c")(SevenZip.unpackAll(java.util.Arrays.copyOf(sevenZ, c))))
+    Seq(5, dlz4.length / 2, dlz4.length - 3).foreach(c =>
+      named(s"lz4d-cut $c")(Lz4.decode(java.util.Arrays.copyOf(dlz4, c), dict)))
+    Seq(10, 40, mzip.length / 2, mzip.length - 3).foreach(c =>
+      named(s"zipm-cut $c")(zipWhole(java.util.Arrays.copyOf(mzip, c))))
+  }
 }
