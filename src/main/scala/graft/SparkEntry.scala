@@ -191,6 +191,7 @@ object SparkEntry {
     "q_snappy" -> (graft.sources.Snappy.snappyQuery _),
     "q_zip" -> (graft.sources.Zip.zipQuery _),
     "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
+    "q_topojson" -> (graft.sources.TopoJson.topoQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_shards" -> (graft.sources.TextShards.shardsQuery _),
@@ -3014,6 +3015,22 @@ object SparkEntry {
         |  count(*) AS n_entries,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 107 AS VARCHAR))) AS BIGINT) AS entry_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // TopoJSON cycle: each (event_type, shard) bucket delta-encodes its
+    // ids as ONE quantized topology (integer transform -> lossless),
+    // OUR reader decodes it (arc cumsum + transform, ones'-complement
+    // reversal identity, two-arc junction dedup, closed ring, id/
+    // properties — requires); closed forms: the line's x positions are
+    // 0..n-1 per bucket, y = id%1000. Spec-example conformance:
+    // TopoJsonSpec.
+    "q_topojson" ->
+      """SELECT event_type,
+        |  CAST(sum(n) AS BIGINT) AS n_points,
+        |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS sum_x,
+        |  CAST(sum(sy) AS BIGINT) AS sum_y
+        |FROM (
+        |  SELECT event_type, count(*) AS n, sum(event_id % 1000) AS sy
+        |  FROM events GROUP BY event_type, event_id // 4096
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Snappy triple-format cycle: jsonl -> raw block + hadoop framing
     // + framing format, each decoding byte-equal (requires);
     // closed-form counts. Reference conformance (snappy-java, both

@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -9,40 +10,74 @@ import graft.Tables
   * table, the preprocessing primitive under whitening, PCA, and the
   * Mahalanobis scoring ANN re-rankers use. Computed from SUMS (Σxᵢxⱼ,
   * Σxᵢ, n — the same mergeable-state algebra as [[graft.operators
-  * .Incremental]]), so it is one distributed pass: each row scatters
-  * its d(d+1)/2 upper-triangle products against a BROADCAST pair
-  * domain (2 080 rows for d = 64 — a bounded nested-loop join, never a
-  * CartesianProduct), and the map-side partial agg collapses the
-  * blow-up within each partition before any shuffle. The shuffle is
-  * therefore pair-domain-sized (2 080 rows per partition), independent
-  * of row count — the shape that holds at 10⁹ vectors.
+  * .Incremental]]) accumulated by ONE custom [[Aggregator]]: every
+  * partition folds its rows into a single (1 + d + d(d+1)/2)-double
+  * moment buffer (n, per-dim sums, upper-triangle product sums) with a
+  * tight multiply-add loop — no per-row (i, j) row blow-up, no 2 080-
+  * key hash probe per row. The shuffle is one buffer per partition
+  * (~17 KB at d = 64), independent of row count — the shape that holds
+  * at 10⁹ vectors; the finished 1-row moment vector fans back out to
+  * (i, j, cov) against the broadcast pair domain.
   */
 object EmbedStats {
+
+  /** One-pass mergeable moment state: [n, Σx₁..Σx_d, Σxᵢxⱼ (i ≤ j,
+    * row-major upper triangle)]. */
+  private final class Moments(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    private val tri = d * (d + 1) / 2
+    override def zero: Array[Double] = new Array[Double](1 + d + tri)
+    override def reduce(b: Array[Double], e: Seq[Double]): Array[Double] = {
+      val x = e match {
+        case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+        case _ => e.toArray
+      }
+      require(x.length == d, s"embedding dim drift: ${x.length} != $d")
+      b(0) += 1.0
+      var i = 0
+      var k = 1 + d
+      while (i < d) {
+        val xi = x(i)
+        b(1 + i) += xi
+        var j = i
+        while (j < d) { b(k) += xi * x(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: ExpressionEncoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: ExpressionEncoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
 
   /** vecs(e: array<double> of dim d) → (i, j, cov) upper triangle,
     * sample covariance, 6dp. */
   def covariance(vecs: DataFrame, d: Int): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val dims = s.range(1, d + 1).select($"id".as("i"))
-    val pairs = dims
-      .join(dims.select($"i".as("j")), $"j" >= $"i")
-      .select($"i", $"j")
-    val prods = vecs
-      .join(broadcast(pairs))
-      .select($"i", $"j", (element_at($"e", $"i".cast("int")) * element_at($"e", $"j".cast("int"))).as("p"))
-      .groupBy($"i", $"j")
-      .agg(sum($"p").as("sij"))
-    val sums = vecs
-      .join(broadcast(dims))
-      .select($"i", element_at($"e", $"i".cast("int")).as("x"))
-      .groupBy($"i")
-      .agg(sum($"x").as("si"))
-    val n = vecs.agg(count(lit(1)).as("n"))
-    prods
-      .join(broadcast(sums.select($"i", $"si".as("sa"))), Seq("i"))
-      .join(broadcast(sums.select($"i".as("j"), $"si".as("sb"))), Seq("j"))
-      .crossJoin(broadcast(n))
+    val momentsAgg = udaf(new Moments(d), ExpressionEncoder[Seq[Double]]())
+    val m = vecs.agg(momentsAgg($"e").as("m")) // 1 row: the moment vector
+    // fan the finished moments back out to the (i, j) triangle; k is the
+    // row-major flat index of (i, j), both 1-based
+    val pairs = s.createDataFrame(
+      (for { i <- 1 to d; j <- i to d } yield (i.toLong, j.toLong)).zipWithIndex
+        .map { case ((i, j), k) => (i, j, k) }
+    ).toDF("i", "j", "k")
+    pairs
+      .crossJoin(broadcast(m))
+      .select(
+        $"i",
+        $"j",
+        element_at($"m", 1).as("n"),
+        element_at($"m", ($"i" + 1).cast("int")).as("sa"),
+        element_at($"m", ($"j" + 1).cast("int")).as("sb"),
+        element_at($"m", ($"k" + lit(2 + d)).cast("int")).as("sij")
+      )
       // + 0.0 collapses IEEE −0.0 (a tiny negative covariance rounding
       // to zero keeps its sign bit otherwise, and engines then differ)
       .select($"i", $"j", (round(($"sij" - $"sa" * $"sb" / $"n") / ($"n" - 1), 6) + 0.0).as("cov"))

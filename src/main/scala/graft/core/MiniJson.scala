@@ -60,12 +60,24 @@ object MiniJson {
       at += 1
     }
 
+    // untrusted-bytes contract: crafted nesting ("[[[[…" ×100k) must
+    // raise the named parse error, not a StackOverflowError (an Error,
+    // which escapes `case _: Exception` recovery in every caller)
+    private var depth = 0
+    private def deeper[T](body: => T): T = {
+      depth += 1
+      if (depth > 512) fail("nesting depth > 512")
+      val r = body
+      depth -= 1
+      r
+    }
+
     def value(): Any = {
       ws()
       if (at >= s.length) fail("unexpected end")
       s(at) match {
-        case '{' => obj0()
-        case '[' => arr0()
+        case '{' => deeper(obj0())
+        case '[' => deeper(arr0())
         case '"' => string()
         case 't' => lit("true", true)
         case 'f' => lit("false", false)

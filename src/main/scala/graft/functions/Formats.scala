@@ -43,9 +43,14 @@ object Formats {
   /** WKT POLYGON ((...)) → [w, s, e, n] — ref `database.cpp:495-530`.
     * Column-native: extract all coordinate pairs, min/max fold. */
   def wktPolygonBbox(wkt: Column): Column = {
-    val pairs = regexp_extract_all(wkt, lit("(-?\\d+(?:\\.\\d+)?)\\s+(-?\\d+(?:\\.\\d+)?)"), lit(0))
-    val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
-    val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
+    // tabs/newlines fold to spaces first (translate is a char map, not a
+    // regex) so the per-pair split below needs no regex at all
+    val pairs =
+      regexp_extract_all(translate(wkt, "\t\n\r", "   "), lit("(-?\\d+(?:\\.\\d+)?) +(-?\\d+(?:\\.\\d+)?)"), lit(0))
+    // the extracted pair is "<x><spaces><y>"; substring_index splits it
+    // without re-running a regex per element (2 regex evals/pair saved)
+    val xs = transform(pairs, p => substring_index(p, " ", 1).cast("double"))
+    val ys = transform(pairs, p => substring_index(p, " ", -1).cast("double"))
     when(size(pairs) > 0,
       struct(
         array_min(xs).as("w"), array_min(ys).as("s"),

@@ -61,7 +61,9 @@ object EntryType {
       case "md" => Markdown
       case "mp4" | "mov" | "avi" | "mkv" | "webm" => Video
       case "obj" | "gltf" | "glb" | "fbx" | "stl" => Model
-      case "geojson" | "shp" | "gpkg" | "fgb" | "kml" | "kmz" | "dxf" => Vector
+      // entry.cpp:1034's extension set verbatim (dwg/shz/topojson added
+      // r17); dwg classifies but never decodes — see Extractors scaladoc
+      case "geojson" | "shp" | "gpkg" | "fgb" | "kml" | "kmz" | "dxf" | "dwg" | "shz" | "topojson" => Vector
       // the extension is an explicit splat signal; content checks only
       // warn, never reclassify (entry.cpp:1006-1016)
       case "splat" | "spz" | "ksplat" => GaussianSplat

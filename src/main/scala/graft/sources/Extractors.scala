@@ -242,7 +242,7 @@ object Extractors {
                         Extracted(EntryType.Vector, VectorFile.properties(v),
                           center.map(_._1), center.map(_._2), None, ring)
                       case None =>
-                        Kml.meta(bytes).orElse(Gml.meta(bytes)).orElse(Gpx.meta(bytes)).orElse(Dxf.meta(bytes)).orElse(Fgb.meta(bytes)) match {
+                        Kml.meta(bytes).orElse(Gml.meta(bytes)).orElse(Gpx.meta(bytes)).orElse(Dxf.meta(bytes)).orElse(Fgb.meta(bytes)).orElse(TopoJson.meta(bytes)).orElse(Shz.meta(path, bytes)) match {
                           case Some(v) =>
                             val ring = v.bbox.map { case (w, s, e, n) =>
                               Seq((w, s), (e, s), (e, n), (w, n), (w, s))

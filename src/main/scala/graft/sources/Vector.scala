@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
 /** Vector-file extraction — the GeoJSON + ESRI Shapefile subset of the
   * reference's OGR layer scan (`entry.cpp:491-654`,
   * `vector_query.cpp:121-292`): layer name, geometry type, feature
@@ -121,6 +125,62 @@ object VectorFile {
     val types = m.geometryTypes.map(t => "\"" + t + "\"").mkString("[", ",", "]")
     val extent = m.bbox.map { case (w, s, e, n) => s""","extent":[$w,$s,$e,$n]""" }.getOrElse("")
     s"""{"vector":{"driver":"${m.driver}","featureCount":${m.featureCount},"geometryTypes":$types$extent}}"""
+  }
+}
+
+/** Zipped-shapefile container (`.shz` / `.shp.zip`) — the compressed
+  * shapefile shape of the reference's vector long-tail
+  * (`entry.cpp:1034` lists "shz"; the reference reads it through
+  * GDAL's Shapefile driver, which since GDAL 3.1 opens both spellings
+  * as a ZIP of the `.shp`/`.shx`/`.dbf` sidecars). The EXTENSION is
+  * the signal (any ZIP is not a layer); the container must hold
+  * exactly one `.shp`, which feeds the same pure-JVM main-file walk
+  * as a bare shapefile. Container unzip is the JDK (the in-tree
+  * ranged [[Zip]] reader is the 100 GB-archive access path, pinned
+  * separately).
+  */
+object Shz {
+
+  private def isZip(b: Array[Byte]): Boolean =
+    b != null && b.length > 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4
+
+  private val MaxShpBytes = 256 << 20 // sanity bound on one decoded main file
+
+  /** All `.shp` payloads in the container (names lowercased for the
+    * extension test only). */
+  private[sources] def shpPayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = ArrayBuffer.empty[Array[Byte]]
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && e.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".shp")) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = zin.read(buf)
+          while (n >= 0 && bos.size <= MaxShpBytes) { bos.write(buf, 0, n); n = zin.read(buf) }
+          if (bos.size > MaxShpBytes) return Seq.empty
+          out += bos.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+      out.toSeq
+    } catch { case _: Exception => Seq.empty } finally zin.close()
+  }
+
+  def hasShzExtension(path: String): Boolean = {
+    val p = path.toLowerCase(java.util.Locale.ROOT)
+    p.endsWith(".shz") || p.endsWith(".shp.zip")
+  }
+
+  /** Tolerant fingerprint face: extension + ZIP magic + exactly one
+    * inner `.shp` that parses. */
+  def meta(path: String, bytes: Array[Byte]): Option[VectorFile.VectorMeta] = {
+    if (!hasShzExtension(path) || !isZip(bytes)) return None
+    shpPayloads(bytes) match {
+      case Seq(shp) => VectorFile.sniffShapefile(shp)
+      case _ => None
+    }
   }
 }
 
