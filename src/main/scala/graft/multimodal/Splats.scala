@@ -207,6 +207,68 @@ object Splats {
     (SpzInfo(n, shDeg, fracBits, flags), out)
   }
 
+  // ---- conversion dispatch (gsplat.cpp:398-460) ------------------------
+
+  /** The reference's BuildDepMissingException shape: a conversion that
+    * needs an optional external tool absent from the deployment. */
+  final case class BuildDepMissing(msg: String, tool: String) extends RuntimeException(msg)
+
+  /** `formatOf` (gsplat.cpp:44-56): extension decides, like the
+    * reference. */
+  def formatOf(name: String): String = {
+    val p = name.toLowerCase(java.util.Locale.ROOT)
+    val ext = p.substring(p.lastIndexOf('.') + 1)
+    ext match {
+      case "ply" | "splat" | "spz" | "ksplat" => ext
+      case _ => "unknown"
+    }
+  }
+
+  /** `convertToSpz` (gsplat.cpp:398-460): one artifact in, the gzip
+    * SPZ delivery artifact out.
+    *
+    *  - `.ksplat` refuses with the reference's BuildDepMissing shape
+    *    (`gsplat.cpp:402-404` — the optional splat-transform tool is
+    *    an external enhancer there too; recognition-without-convert IS
+    *    reference parity, pinned like `gsplat_test.cpp:495`);
+    *  - unknown extensions refuse
+    *    (`gsplat.cpp:406-407` InvalidArgsException);
+    *  - gzip SPZ (legacy v1-3 container) copies through unchanged
+    *    (`gsplat.cpp:419-423`); raw-NGSP SPZ (v4) transcodes through
+    *    readSpz→writeSpz only when it is this library's own gzip
+    *    dialect — a true zstd-NGSP stream fails in gunzip with the
+    *    named corrupt-container error, mirroring the reference's
+    *    loadSpz failure path;
+    *  - `.ply` (3DGS layout) and `.splat` decode then re-encode
+    *    (`gsplat.cpp:438-452`), refusing when no splats decode. */
+  def convertToSpz(name: String, bytes: Array[Byte]): Array[Byte] = formatOf(name) match {
+    case "ksplat" =>
+      throw BuildDepMissing("Converting .ksplat requires the optional splat-transform tool", "splat-transform")
+    case "unknown" =>
+      throw new IllegalArgumentException(s"Unsupported Gaussian Splat format: $name")
+    case "spz" =>
+      require(looksLikeSpz(bytes), s"File does not look like a valid .spz: $name")
+      if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) bytes // gzip SPZ: viewer-compatible as-is
+      else {
+        val (info, splats) = readSpz(bytes)
+        require(info.numPoints > 0, s"No splats decoded from: $name")
+        writeSpz(splats, if (info.fractionalBits > 0) info.fractionalBits else 12)
+      }
+    case "ply" =>
+      // a plain point-cloud/mesh PLY is NOT a splat source — the
+      // reference's loadSplatFromPly decodes 0 splats there and throws
+      // (gsplat_test.cpp nonSplatPlyConversionThrows)
+      val isSplat = Ply.info(bytes).exists(_.isSplat)
+      require(isSplat, s"Not a valid Gaussian Splat PLY (no splats decoded): $name")
+      val splats = fromPly(bytes)
+      require(splats.nonEmpty, s"Not a valid Gaussian Splat PLY (no splats decoded): $name")
+      writeSpz(splats)
+    case "splat" =>
+      val splats = readSplat(bytes)
+      require(splats.nonEmpty, s"No splats decoded from: $name")
+      writeSpz(splats)
+  }
+
   // ---- lightweight sniffs (gsplat.cpp:274-345) ------------------------
 
   /** `looksLikeSpz`: NGSP (v4) magic or gzip (legacy v1-3) magic. */

@@ -132,6 +132,40 @@ class SplatsSpec extends AnyFunSuite {
     assert(ex.entryType == EntryType.GaussianSplat && ex.properties.contains("\"splatCount\":4"))
   }
 
+  test("convertToSpz dispatch mirrors gsplat.cpp:398-460") {
+    val splats = mk(48, 1, seed = 9)
+    // .splat → gzip SPZ delivery artifact
+    val fromSplat = Splats.convertToSpz("scene.splat", Splats.writeSplat(splats))
+    assert((fromSplat(0) & 0xff) === 0x1f && (fromSplat(1) & 0xff) === 0x8b, "delivery artifact is gzip SPZ")
+    assert(Splats.readSpz(fromSplat)._1.numPoints === 48)
+    // 3DGS PLY → SPZ
+    val fromPly = Splats.convertToSpz("scene.ply", Splats.toPly(splats))
+    assert(Splats.readSpz(fromPly)._1.numPoints === 48)
+    // gzip SPZ input: viewer-compatible, copied through UNCHANGED
+    assert(Splats.convertToSpz("scene.spz", fromSplat) eq fromSplat)
+  }
+
+  test("convertToSpz refusals mirror gsplat_test.cpp (ksplat / unknown / non-splat PLY)") {
+    // ksplatRequiresExternalTool (gsplat_test.cpp:495): arbitrary bytes,
+    // extension is the signal, the missing dependency is NAMED
+    val e = intercept[Splats.BuildDepMissing] {
+      Splats.convertToSpz("scene.ksplat", "ksplatdata".getBytes)
+    }
+    assert(e.tool === "splat-transform")
+    assert(e.getMessage.contains("splat-transform"))
+    // unsupported extension (gsplat.cpp:406-407)
+    val u = intercept[IllegalArgumentException] { Splats.convertToSpz("scene.xyz", Array[Byte](1)) }
+    assert(u.getMessage.contains("Unsupported Gaussian Splat format"))
+    // nonSplatPlyConversionThrows: a plain point-cloud PLY is not a splat
+    val cloudPly = ("ply\nformat ascii 1.0\nelement vertex 2\n" +
+      "property float x\nproperty float y\nproperty float z\nend_header\n" +
+      "0 0 0\n1 1 1\n").getBytes("UTF-8")
+    val p = intercept[IllegalArgumentException] { Splats.convertToSpz("cloud.ply", cloudPly) }
+    assert(p.getMessage.contains("no splats decoded"))
+    // spz that is neither gzip nor NGSP refuses by sniff
+    intercept[IllegalArgumentException] { Splats.convertToSpz("x.spz", Array[Byte](0, 1, 2, 3)) }
+  }
+
   test("PLY 3DGS bridge: fromPly(toPly) is exact; the written PLY dispatches as a splat") {
     val splats = mk(120, 1, 42)
     val ply = Splats.toPly(splats)
