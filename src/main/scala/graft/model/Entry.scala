@@ -54,12 +54,12 @@ object EntryType {
     val ext = lower.substring(lower.lastIndexOf('.') + 1)
     if (!lower.contains('.')) Generic
     else ext match {
-      case "jpg" | "jpeg" | "png" | "gif" | "bmp" | "webp" => Image
+      case "jpg" | "jpeg" | "png" | "gif" | "bmp" | "webp" | "dng" => Image // dng: entry.cpp:1038 (TIFF-based raw)
       case "tif" | "tiff" => GeoRaster // content sniff decides Image vs GeoRaster in the full path
       case "las" | "laz" | "copc" | "e57" | "pts" | "xyz" => PointCloud // entry.cpp:1001
       case "ply" => PointCloud // content dispatch mesh/splat in full path (entry.cpp:1018-1022)
       case "md" => Markdown
-      case "mp4" | "mov" | "avi" | "mkv" | "webm" => Video
+      case "mp4" | "mov" | "avi" | "mkv" | "webm" | "m4v" => Video // m4v: entry.cpp:1041
       case "obj" | "gltf" | "glb" | "fbx" | "stl" => Model
       // entry.cpp:1034's extension set verbatim (dwg/shz/topojson added
       // r17); dwg classifies but never decodes — see Extractors scaladoc

@@ -146,23 +146,29 @@ object Shz {
 
   private val MaxShpBytes = 256 << 20 // sanity bound on one decoded main file
 
-  /** All `.shp` payloads in the container (names lowercased for the
-    * extension test only). */
+  /** The `.shp` payloads in the container (names lowercased for the
+    * extension test only). Decompression-bounded: the first payload is
+    * capped at [[MaxShpBytes]], and a SECOND `.shp` name stops the
+    * walk without inflating anything further — the sniff only needs
+    * one-vs-many, so a crafted container cannot make it accumulate
+    * decoded bytes. */
   private[sources] def shpPayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
     val out = ArrayBuffer.empty[Array[Byte]]
     try {
       var e = zin.getNextEntry
-      while (e != null) {
+      while (e != null && out.length < 2) {
         if (!e.isDirectory && e.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".shp")) {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = zin.read(buf)
-          while (n >= 0 && bos.size <= MaxShpBytes) { bos.write(buf, 0, n); n = zin.read(buf) }
-          if (bos.size > MaxShpBytes) return Seq.empty
-          out += bos.toByteArray
+          if (out.isEmpty) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = zin.read(buf)
+            while (n >= 0 && bos.size <= MaxShpBytes) { bos.write(buf, 0, n); n = zin.read(buf) }
+            if (bos.size > MaxShpBytes) return Seq.empty
+            out += bos.toByteArray
+          } else out += Array.emptyByteArray // second .shp: presence is enough
         }
-        e = zin.getNextEntry
+        e = if (out.length < 2) zin.getNextEntry else null
       }
       out.toSeq
     } catch { case _: Exception => Seq.empty } finally zin.close()

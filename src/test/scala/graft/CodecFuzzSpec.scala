@@ -436,6 +436,13 @@ class CodecFuzzSpec extends SparkSuite {
       mustRefuseOrDecodeAny(s"kml-xml #$i")(Kml.meta(xmlGarbage))
       mustRefuseOrDecodeAny(s"gml-xml #$i")(Gml.meta(xmlGarbage))
       mustRefuseOrDecodeAny(s"gpx-xml #$i")(Gpx.meta(xmlGarbage))
+      // r17 drivers: TopoJSON (json garbage + Topology-magic prefixes)
+      // and zipped shapefiles (zip-magic garbage, container bodies)
+      mustRefuseOrDecodeAny(s"topojson #$i")(graft.sources.TopoJson.meta(blob))
+      mustRefuseOrDecodeAny(s"topojson-magic #$i")(
+        graft.sources.TopoJson.meta(("""{"type":"Topology",""" + new String(blob.map(b => (33 + math.abs(b % 90)).toByte))).getBytes))
+      mustRefuseOrDecodeAny(s"shz #$i")(graft.sources.Shz.meta("a.shz", blob))
+      mustRefuseOrDecodeAny(s"shz-magic #$i")(graft.sources.Shz.meta("a.shz", Array[Byte]('P', 'K', 3, 4) ++ blob))
     }
     // FlatGeobuf magic + garbage body (the binary driver's hard case)
     val fgbMagic = Array[Byte](0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00)
