@@ -39,7 +39,10 @@ object Similarity {
     graft.plans.VectorExpressions.vecCosine(a, b)
   }
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // a plain Cast, NOT transform(_.cast): higher-order lambdas are
+  // CodegenFallback and would pull every staging projection that
+  // touches an embedding out of whole-stage codegen
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** ◆ Brute-force cosine top-k against one query vector (vec_id = 0):
     * one scan, no shuffle beyond TakeOrdered's driver merge. */

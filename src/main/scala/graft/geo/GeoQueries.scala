@@ -121,7 +121,7 @@ object GeoQueries {
         $"ty",
         size($"pts").cast("long").as("n_points"),
         size($"cmds").cast("long").as("n_cmds"),
-        md5(concat_ws(",", transform($"cmds", _.cast("string")))).as("cmd_md5")
+        md5(concat_ws(",", $"cmds".cast("array<string>"))).as("cmd_md5")
       )
   }
 

@@ -31,9 +31,12 @@ object Bloom {
 
   /** The k probe positions of a key in an m-bit filter (array column).
     * h1 + i·h2 stays under 2^62 for k ≤ 4 60-bit hashes — no overflow
-    * before the mod. */
+    * before the mod. k is a plan-time constant, so the array unrolls
+    * (codegen'd, with h1/h2 CSE-shared) instead of a higher-order
+    * transform lambda that would drop the projection to interpreted
+    * eval. */
   def positions(key: Column, m: Int, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i => (h1(key) + i * h2(key)) % m)
+    array((0 until k).map(i => (h1(key) + lit(i.toLong) * h2(key)) % m): _*)
 
   /** Build the filter over a key column: (bucket, bits) 32-bit words,
     * one explode + one bit_or partial agg — the map-side combine does

@@ -426,7 +426,7 @@ object Curation {
     val cents = centroids.getOrElse(
       emb
         .filter($"vec_id" < nCells)
-        .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
+        .select($"vec_id".as("cell_id"), $"embedding".cast("array<double>").as("centroid"))
     )
     val assigned = graft.ann.Similarity.ivfAssign(emb, cents).select("vec_id", "cell_id")
     val key = md5(col("vec_id").cast("string"))
@@ -467,7 +467,7 @@ object Curation {
     val emb = Tables.embeddings(s, dir)
     val centroids = emb
       .filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell_id"), transform($"embedding", _.cast("double")).as("centroid"))
+      .select($"vec_id".as("cell_id"), $"embedding".cast("array<double>").as("centroid"))
     val assigned = graft.ann.Similarity.ivfAssign(emb, centroids)
     val a = assigned.select($"cell_id", $"vec_id".as("id_a"), $"v".as("va"))
     val b = assigned.select($"cell_id", $"vec_id".as("id_b"), $"v".as("vb"))

@@ -267,7 +267,7 @@ object Dedup {
     val vd = graft.plans.VectorExpressions.vecDot _
     val emb = Tables
       .embeddings(s, dir)
-      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("n2", vd($"v", $"v"))
       .withColumn("bucket", floor(sqrt($"n2") / eps).cast("long"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll

@@ -342,7 +342,7 @@ object TextOps {
       .select(
         $"doc_id",
         size($"fingerprint").as("n_fingerprints"),
-        md5(concat_ws(",", transform($"fingerprint", _.cast("string"))).cast("binary")).as("fp_digest")
+        md5(concat_ws(",", $"fingerprint".cast("array<string>")).cast("binary")).as("fp_digest")
       )
   }
 
