@@ -28,21 +28,18 @@ import graft.operators.Staged
   */
 object Coreset {
 
+  // native codegen'd Σ(a−b)² — bit-identical to the aggregate(zip_with)
+  // spelling (same left-to-right accumulation); the per-round max-min
+  // column stays inside whole-stage codegen
   private def d2To(center: Seq[Double]): Column =
-    round(
-      aggregate(
-        zip_with(col("e"), typedLit(center), (a, b) => (a - b) * (a - b)),
-        lit(0.0),
-        (acc, x) => acc + x
-      ),
-      4
-    )
+    round(graft.plans.VectorExpressions.vecD2(col("e"), typedLit(center)), 4)
 
   /** vecs(vec_id, e: array<double>) → (rank, vec_id, dist): the k
     * selected centers with their max-min distance at selection. */
   def kCenters(vecs: DataFrame, k: Int): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
+    graft.plans.VectorExpressions.register(s)
     val first = vecs.orderBy(col("vec_id").asc).limit(1).collect()(0)
     var picks = Vector((1L, first.getLong(0), 0.0))
     var center = first.getSeq[Double](1)

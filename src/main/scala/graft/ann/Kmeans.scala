@@ -35,19 +35,17 @@ import graft.Tables
   */
 object Kmeans {
 
+  // native codegen'd Σ(a−b)² (same left-to-right IEEE accumulation the
+  // aggregate(zip_with(…)) spelling had — bit-identical, but the k
+  // distance columns stay inside whole-stage codegen instead of k
+  // interpreted lambda evaluations per row)
   private def d2To(center: Seq[Double]): Column =
-    round(
-      aggregate(
-        zip_with(col("e"), typedLit(center), (a, b) => (a - b) * (a - b)),
-        lit(0.0),
-        (acc, x) => acc + x
-      ),
-      4
-    )
+    round(graft.plans.VectorExpressions.vecD2(col("e"), typedLit(center)), 4)
 
   /** One assignment pass: (vec_id, e, c, dist) with c = argmin over
     * the k literal centroids, ties to the smaller cluster id. */
   private def assign(vecs: DataFrame, cents: IndexedSeq[Seq[Double]]): DataFrame = {
+    graft.plans.VectorExpressions.register(vecs.sparkSession)
     val withD = vecs.select(
       col("vec_id") +: col("e") +: cents.zipWithIndex.map { case (cv, j) => d2To(cv).as(s"d$j") }: _*
     )

@@ -664,6 +664,7 @@ object Similarity {
     * domain pipeline hash-checkable, not just recall-gated. */
   def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.plans.VectorExpressions.register(s)
     val m = 8; val ksub = 16; val dsub = 8
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.select($"vec_id", asDouble($"embedding").as("v"))
@@ -673,7 +674,7 @@ object Similarity {
     // both engines compute the identical residual)
     val residuals = assigned
       .join(broadcast(centroids), Seq("cell_id"))
-      .select($"vec_id", zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
+      .select($"vec_id", graft.plans.VectorExpressions.vecSub($"v", $"centroid").as("v"))
     val codebook = pqSeedCodebook(residuals, m, ksub, dsub)
     val codes = pqAssign(residuals, codebook, m, dsub)
       .join(assigned.select($"vec_id", $"cell_id"), Seq("vec_id"))

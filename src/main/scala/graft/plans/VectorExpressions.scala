@@ -125,16 +125,117 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Σ(aᵢ−bᵢ)² over array<double>; null if lengths differ. Accumulates
+  * LEFT-TO-RIGHT like `aggregate(zip_with(a, b, (x,y) => (x−y)²))`, so
+  * it is bit-identical to the HOF spelling it replaces. */
+case class SquaredDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_d2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Elementwise a − b over array<double> (the PQ residual); null if
+  * lengths differ. Same per-element IEEE subtract as
+  * `zip_with(a, b, (x, y) => x − y)`. */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_sub"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $tmp = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $tmp[$i] = $a.getDouble($i) - $b.getDouble($i);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($tmp);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object VectorExpressions {
-  /** Register `vec_dot` / `vec_cosine` in the session's function
-    * registry; reachable from both SQL and `Column` code via
-    * `call_function`. Idempotent. */
+  /** Register `vec_dot` / `vec_cosine` / `vec_d2` / `vec_sub` in the
+    * session's function registry; reachable from both SQL and `Column`
+    * code via `call_function`. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_d2", exprs => SquaredDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_sub", exprs => VecSub(exprs(0), exprs(1)), "built-in")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def vecD2(a: Column, b: Column): Column = call_function("vec_d2", a, b)
+  def vecSub(a: Column, b: Column): Column = call_function("vec_sub", a, b)
 }

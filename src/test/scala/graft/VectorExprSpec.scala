@@ -39,6 +39,28 @@ class VectorExprSpec extends SparkSuite {
     assert(r(3L).isEmpty) // zero-norm -> null, not NaN
   }
 
+  test("vec_d2 matches the aggregate(zip_with) spelling bit-exactly") {
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val r = df.select(VectorExpressions.vecD2($"a", $"b").as("native"), hof.as("hof")).collect()
+    r.foreach(row => assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(row.getDouble(1))))
+    assert(r(0).getDouble(0) === 27.0)
+    // length mismatch -> null
+    val m = df.select(VectorExpressions.vecD2($"a", array(lit(1.0))).as("d")).collect()
+    assert(m.forall(_.isNullAt(0)))
+  }
+
+  test("vec_sub matches the zip_with spelling element-exactly") {
+    val r = df.select(
+      VectorExpressions.vecSub($"a", $"b").as("native"),
+      zip_with($"a", $"b", (x, y) => x - y).as("hof")
+    ).collect()
+    r.foreach(row => assert(row.getSeq[Double](0) === row.getSeq[Double](1)))
+    assert(r(0).getSeq[Double](0) === Seq(-3.0, -3.0, -3.0))
+    val m = df.select(VectorExpressions.vecSub($"a", array(lit(1.0))).as("d")).collect()
+    assert(m.forall(_.isNullAt(0)))
+  }
+
   test("length mismatch -> null") {
     val d2 = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
     assert(d2.select(VectorExpressions.vecDot($"a", $"b")).head().isNullAt(0))
