@@ -386,12 +386,14 @@ object Similarity {
   private def subVectors(corpus: DataFrame, m: Int, dsub: Int): DataFrame =
     corpus.select(
       col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)), s => slice(col("v"), s * dsub + 1, lit(dsub))))
+      // m is a plan-time constant: unrolled array() of slices stays in
+      // whole-stage codegen (transform-over-sequence is CodegenFallback)
+      posexplode(array((0 until m).map(s => slice(col("v"), s * dsub + 1, dsub)): _*))
         .as(Seq("sub_id", "sv"))
     )
 
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.vecD2(a, b) // bit-identical to the HOF spelling
 
   /** Deterministic PQ seed codebook: the sub-vectors of the first
     * `ksub` vectors by id — (sub_id, code, centroid), m·ksub rows,
@@ -485,11 +487,11 @@ object Similarity {
       val codes = pqCodesUdf(cb, m, dsub)(col("v"))
       val refined = corpusP
         .select(
+          // m is a plan-time constant: unrolled (codegen'd) like
+          // subVectors above
           posexplode(
-            transform(
-              sequence(lit(0), lit(m - 1)),
-              sb => struct(element_at(codes, sb + 1).as("code"), slice(col("v"), sb * dsub + 1, lit(dsub)).as("sv"))
-            )
+            array((0 until m).map(sb =>
+              struct(element_at(codes, sb + 1).as("code"), slice(col("v"), sb * dsub + 1, dsub).as("sv"))): _*)
           ).as(Seq("sub_id", "p"))
         )
         .select(col("sub_id"), col("p.code").as("code"), posexplode(col("p.sv")).as(Seq("dim", "x")))
@@ -509,7 +511,8 @@ object Similarity {
   /** Mean squared quantization error of a codebook over a corpus — the
     * k-means objective Lloyd minimizes. Training diagnostics: AnnPqSpec
     * gates that [[trainPq]] never increases it over the seed codebook. */
-  def pqDistortion(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): Double =
+  def pqDistortion(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): Double = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
     subVectors(corpus, m, dsub)
       .join(broadcast(codebook.select(col("sub_id"), col("code"), col("centroid"))), Seq("sub_id"))
       .withColumn("dist", sqDist(col("sv"), col("centroid")))
@@ -518,6 +521,7 @@ object Similarity {
       .agg(avg(col("d")))
       .head()
       .getDouble(0)
+  }
 
   /** Squared distance between a raw double array pair — driver-side
     * LUT construction helper. */
