@@ -43,6 +43,22 @@ object Curation {
     )
   }
 
+  /** One-pass serial form of [[ngramsAll]] — value-identical gram
+    * strings (CurationSpec proves row-for-row equality), but a single
+    * JIT'd call per document instead of a higher-order-function tree
+    * (CodegenFallback) rebuilding the token array per gram. */
+  private[graft] def ngramsAllSerial(n: Int) =
+    org.apache.spark.sql.functions.udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else {
+        val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase)
+        val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) toks += m.group()
+        if (toks.length < n) Seq.empty[String]
+        else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+      }
+    }
+
   /** One-pass per-document gram-hash kernel: position i (0-based) →
     * the 60-bit md5 prefix of the i-th n-gram — value-identical to
     * `conv(substring(md5(ngramsAll(text, n)[i]), 1, 15), 16, 10)`
@@ -188,7 +204,7 @@ object Curation {
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def gramCounts(n: Int): DataFrame =
       docs
-        .select(col(idCol).as("doc_id"), explode(ngramsAll(col(textCol), n)).as("g"))
+        .select(col(idCol).as("doc_id"), explode(ngramsAllSerial(n)(col(textCol))).as("g"))
         .groupBy(col("doc_id"), col("g"))
         .agg(count(lit(1)).as("c"))
     val bi = gramCounts(2)

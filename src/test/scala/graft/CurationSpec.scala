@@ -97,6 +97,27 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("ngramsAllSerial equals the relational ngramsAll, row for row (incl. unicode and short docs)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near a riverbank at dawn today"),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, "Punctuation, CASE and   runs--of symbols; should tokenize identically 1 2 3 4 5 6 7"),
+      (5L, "Üñïçôdé Wörds müßen auch identisch TOKENISIEREN über beide Pfade"),
+      (6L, "one")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 10)) {
+      val relational = docs
+        .select(col("doc_id"), posexplode(Curation.ngramsAll(col("text"), n)).as(Seq("p", "g")))
+        .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val serial = docs
+        .select(col("doc_id"), posexplode(Curation.ngramsAllSerial(n)(col("text"))).as(Seq("p", "g")))
+        .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(serial === relational, s"n=$n")
+    }
+  }
+
   test("dupSpans: shared 10-token run is flagged position-exactly; unique docs are absent") {
     val run = "a b c d e f g h i j" // 10 shared tokens = 1 shared position each side
     val docs = Seq(
