@@ -15,8 +15,12 @@ import graft.Tables
   * cell subset; both are expressed as join-on-key, never a cross join
   * over the full corpus.
   *
-  * All vector math is `transform`/`zip_with`/`aggregate` column
-  * expressions over `array<double>` — codegen'd, no UDF.
+  * Hot-path vector math is the codegen'd native expressions
+  * (`vec_dot`/`vec_cosine`/`vec_d2` in [[graft.plans]]) or compiled
+  * one-pass UDF kernels; the `transform`/`zip_with`/`aggregate`
+  * higher-order forms (CodegenFallback — interpreted lambdas) remain
+  * only as dependency-free fallbacks and where blocking
+  * CollapseProject is the point (the IVF-PQ residual).
   */
 object Similarity {
 
@@ -675,10 +679,15 @@ object Similarity {
     val centroids = corpus.filter($"vec_id" < 8).select($"vec_id".as("cell_id"), $"v".as("centroid"))
     val assigned = graft.operators.Staged.persist(ivfAssign(emb, centroids))
     // residual corpus: v − assigned-cell centroid (exact IEEE subtract —
-    // both engines compute the identical residual)
+    // both engines compute the identical residual). Deliberately the
+    // zip_with HOF, NOT the codegen'd vec_sub: the HOF's non-cheap
+    // status blocks CollapseProject, so the residual materializes ONCE
+    // here instead of being inlined into every downstream consumer
+    // (measured A/B on q_ann_ivfpq: zip_with 2.1-3.0 s warm, vec_sub
+    // 3.6-4.0 s — the join re-evaluation dominates the lambda cost)
     val residuals = assigned
       .join(broadcast(centroids), Seq("cell_id"))
-      .select($"vec_id", graft.plans.VectorExpressions.vecSub($"v", $"centroid").as("v"))
+      .select($"vec_id", zip_with($"v", $"centroid", (x, c) => x - c).as("v"))
     val codebook = pqSeedCodebook(residuals, m, ksub, dsub)
     val codes = pqAssign(residuals, codebook, m, dsub)
       .join(assigned.select($"vec_id", $"cell_id"), Seq("vec_id"))
