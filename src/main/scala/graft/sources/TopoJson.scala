@@ -244,8 +244,18 @@ object TopoJson {
 
   /** One feature per geometry: a top-level GeometryCollection is the
     * layer (its members are the features, OGR's TopoJSON model); any
-    * other object type is a single feature itself. */
-  def features(bytes: Array[Byte]): Seq[Feature] = {
+    * other object type is a single feature itself. Every malformed
+    * shape raises [[TopoJsonError]] — including type errors deep in
+    * the JSON (a non-object geometry, a boolean id) that surface from
+    * MiniJson as IllegalArgumentException. */
+  def features(bytes: Array[Byte]): Seq[Feature] =
+    try features0(bytes)
+    catch {
+      case e: TopoJsonError => throw e
+      case e: IllegalArgumentException => fail(e.getMessage)
+    }
+
+  private def features0(bytes: Array[Byte]): Seq[Feature] = {
     val t = decode(bytes)
     val out = Vector.newBuilder[Feature]
     t.objects.foreach { case (name, raw) =>

@@ -152,6 +152,10 @@ class TopoJsonSpec extends SparkSuite {
     // unknown geometry type
     assert(err("""{"type":"Topology","objects":{"o":{"type":"Circle","arcs":[0]}},
                  |"arcs":[[[0,0],[1,1]]]}""".stripMargin).contains("unknown geometry"))
+    // deep type errors (non-object geometry member, boolean id) are
+    // still the NAMED TopoJsonError, not a leaked MiniJson exception
+    err("""{"type":"Topology","objects":{"o":{"type":"GeometryCollection","geometries":[42]}},"arcs":[]}""")
+    err("""{"type":"Topology","objects":{"o":{"type":"Point","coordinates":[1,2],"id":true}},"arcs":[]}""")
   }
 
   test("crafted deep nesting raises the named parse error, never a StackOverflowError") {
