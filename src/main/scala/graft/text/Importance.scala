@@ -52,11 +52,26 @@ object Importance {
     * Streaming). */
   def bigrams(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // one-call serial kernel, value-identical to the former
+    // transform-over-sequence HOF spelling (ImportanceSpec proves
+    // row-for-row equality): tokenize once, emit adjacent pairs —
+    // HOF lambdas are CodegenFallback and this runs per corpus row
     docs
-      .withColumn("t", regexp_extract_all(lower($"text"), lit("\\w+"), lit(0)))
-      .filter(size($"t") >= 2)
-      .select(explode(expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(explode(bigramsSerial($"text")).as("b"))
       .select($"b.w1", $"b.w2")
+  }
+
+  final case class Bigram(w1: String, w2: String)
+
+  private[graft] val bigramsSerial = udf { text: String =>
+    if (text == null) Seq.empty[Bigram]
+    else {
+      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) toks += m.group()
+      if (toks.length < 2) Seq.empty[Bigram]
+      else (0 until toks.length - 1).map(i => Bigram(toks(i), toks(i + 1)))
+    }
   }
 
   /** q_kn_lm: interpolated Kneser-Ney bigram statistics, top 15 bigram

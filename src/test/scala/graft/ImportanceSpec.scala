@@ -9,6 +9,26 @@ class ImportanceSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("bigramsSerial equals the relational transform-over-sequence spelling, row for row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "one"),
+      (3L, ""),
+      (4L, "Case FOLDS and punct, splits; tokens 1 2 3"),
+      (5L, "Üñïçôdé wörter bleiben gleich")
+    ).toDF("doc_id", "text")
+    val hof = docs
+      .withColumn("t", regexp_extract_all(lower($"text"), lit("\\w+"), lit(0)))
+      .filter(size($"t") >= 2)
+      .select(explode(expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+      .as[(String, String)].collect().sorted.toSeq
+    val serial = Importance.bigrams(docs).as[(String, String)].collect().sorted.toSeq
+    assert(serial === hof)
+  }
+
   test("Kneser-Ney components: valid probability rationals, consistent counts, ordered emission") {
     val rows = Importance.knLmQuery(spark, dir).collect()
     assert(rows.length == 15)
