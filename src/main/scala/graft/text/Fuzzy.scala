@@ -22,14 +22,32 @@ object Fuzzy {
     * for max edit distance 1 (deletion keys of BOTH sides cover
     * substitution, insertion and deletion; FuzzySpec proves no distance-1
     * pair is missed). */
-  def deletionKeys(w: Column): Column =
-    array_union(
-      array(w),
-      transform(
-        sequence(lit(0), length(w) - 1),
-        i => concat(w.substr(lit(1), i), w.substr(i + lit(2), length(w)))
-      )
-    )
+  def deletionKeys(w: Column): Column = deletionKeysSerial(w)
+
+  /** One-call kernel form — value-identical to
+    * `array_union(array(w), transform(sequence(…), deletions))`
+    * (FuzzySpec proves equality): distinct-preserving first-occurrence
+    * order, the word itself first. The HOF spelling ran interpreted
+    * per dictionary row. */
+  private[graft] val deletionKeysSerial = udf { w: String =>
+    if (w == null) Seq.empty[String]
+    else {
+      // delete per CODEPOINT, matching Spark substr semantics (Java
+      // String.substring counts UTF-16 units and would diverge on
+      // astral-plane letters)
+      val cps = w.codePoints().toArray
+      val out = scala.collection.mutable.LinkedHashSet(w)
+      var i = 0
+      while (i < cps.length) {
+        val sb = new java.lang.StringBuilder(w.length)
+        var j = 0
+        while (j < cps.length) { if (j != i) sb.appendCodePoint(cps(j)); j += 1 }
+        out += sb.toString
+        i += 1
+      }
+      out.toSeq
+    }
+  }
 
   /** All pairs of `dict("w")` within Levenshtein distance 1:
     * key-explode → equi-join → distinct pair → one exact verify.

@@ -36,6 +36,25 @@ class FuzzySpec extends SparkSuite {
     assert(nKeys <= dict.map(_.length + 1).sum)
   }
 
+  test("deletionKeysSerial equals the relational HOF spelling, row for row (incl. astral codepoints)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val words = Seq("spark", "a", "", "naïve", "x😀y", "doppelgänger").toDF("w")
+    val hof = words.select(
+      col("w"),
+      array_union(
+        array(col("w")),
+        transform(
+          sequence(lit(0), length(col("w")) - 1),
+          i => concat(col("w").substr(lit(1), i), col("w").substr(i + lit(2), length(col("w"))))
+        )
+      ).as("ks")
+    ).as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    val serial = words.select(col("w"), graft.text.Fuzzy.deletionKeys(col("w")).as("ks"))
+      .as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(serial === hof)
+  }
+
   test("single-char words link through the empty-string deletion key") {
     val pairs = Fuzzy
       .fuzzyPairs(Seq("a", "b", "xy").toDF("w"))
