@@ -1007,12 +1007,18 @@ object Zstd {
   /** Huffman tree description: direct 4-bit weights, or FSE-compressed
     * when requested and applicable. `weights` includes the last symbol
     * (implied on the wire). */
+  /** Huffman weight description, or null when the weights cannot be
+    * described (caller falls back to raw literals). The DIRECT form
+    * (headerByte 128..255 = 127+N) caps at 128 weights — any literal
+    * alphabet whose highest symbol exceeds 128 (e.g. UTF-8 text with
+    * bytes >= 0x80) MUST take the FSE form regardless of `fse`. */
   private def writeHuffDescription(weights: Array[Int], fse: Boolean): Array[Byte] = {
     var last = weights.length - 1
     while (last > 0 && weights(last) == 0) last -= 1
     val towrite = weights.slice(0, last) // implied final weight
+    val directOk = towrite.length <= 128
     val distinct = towrite.distinct.count(_ => true)
-    if (fse && towrite.length >= 4 && distinct >= 2) {
+    if ((fse || !directOk) && towrite.length >= 4 && distinct >= 2) {
       val freq = new Array[Int](16)
       towrite.foreach(w => freq(w) += 1)
       val counts = normalizeCounts(freq, 6)
@@ -1062,10 +1068,11 @@ object Zstd {
       }
       val payload = w.pack()
       val body = header ++ payload
-      if (body.length < 128 && body.length < 1 + ((towrite.length + 1) >> 1))
+      if (body.length < 128 && (!directOk || body.length < 1 + ((towrite.length + 1) >> 1)))
         return Array(body.length.toByte) ++ body
       // fall through to direct if FSE did not help
     }
+    if (!directOk) return null // caller emits raw literals instead
     val out = new Array[Byte](1 + ((towrite.length + 1) >> 1))
     out(0) = (127 + towrite.length).toByte
     var i = 0
@@ -1120,6 +1127,7 @@ object Zstd {
         val maxBits = lengths.max
         val weights = lengths.map(l => if (l == 0) 0 else maxBits + 1 - l)
         val desc = writeHuffDescription(weights, opts.fseWeights)
+        if (desc == null) return rawSection // alphabet not describable
         val codes = huffCodes(weights, maxBits)
         val four = opts.fourStreams && n >= 16
         val payload =

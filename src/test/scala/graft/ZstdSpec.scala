@@ -97,6 +97,31 @@ class ZstdSpec extends SparkSuite {
     }
   }
 
+  test("encode: literal alphabets spanning >128 symbols (UTF-8 high bytes) — regression") {
+    // The direct Huffman-weight description caps at 128 weights
+    // (headerByte = 127+N); alphabets whose highest literal exceeds
+    // 0x80 (ANY non-ASCII UTF-8 text) must take the FSE description
+    // or fall back to raw literals. Pre-fix, the header byte wrapped
+    // and the reference CLI rejected the frame as corrupt.
+    val cases = Seq(
+      "interpunct" -> (0 until 300).map(i => if (i % 5 == 4) "" else s"n${i}·${i % 11}").mkString.getBytes("UTF-8"),
+      "accents" -> ("déjà-vu café naïve à côté — " * 40).getBytes("UTF-8"),
+      "span255" -> Array.tabulate(4000)(i => (if (i % 9 == 0) 0xff else "aeiou nst".charAt(i % 9)).toByte),
+      "span129" -> Array.tabulate(3000)(i => (if (i % 11 == 0) 0x81 else "redundant!".charAt(i % 10)).toByte)
+    )
+    for {
+      fseWeights <- Seq(true, false)
+      (name, data) <- cases
+    } {
+      val enc = Zstd.encode(data, Zstd.EncOpts(fseWeights = fseWeights))
+      val dec = Zstd.decode(enc)
+      assert(java.util.Arrays.equals(dec, data), s"round-trip drift: $name fse=$fseWeights")
+      // LIVE reference cross-check: zstd-jni ships on the Spark classpath
+      val ref = com.github.luben.zstd.Zstd.decompress(enc, data.length)
+      assert(java.util.Arrays.equals(ref, data), s"reference decoder rejects our frame: $name fse=$fseWeights")
+    }
+  }
+
   test("encode: small block-size option splits into multiple blocks and still round-trips") {
     val data = payloads.find(_._1 == "jsonl").get._2
     val enc = Zstd.encode(data, Zstd.EncOpts(blockSize = 1024))
