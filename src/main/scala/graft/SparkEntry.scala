@@ -191,6 +191,8 @@ object SparkEntry {
     "q_snappy" -> (graft.sources.Snappy.snappyQuery _),
     "q_zip" -> (graft.sources.Zip.zipQuery _),
     "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
+    "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
+    "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_topojson" -> (graft.sources.TopoJson.topoQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
@@ -3014,6 +3016,32 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_entries,
         |  CAST(sum(15 + length(CAST(event_id AS VARCHAR)) + length(CAST(event_id % 107 AS VARCHAR))) AS BIGINT) AS entry_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Arrow IPC cycle: each (event_type, shard) bucket's events become
+    // a REAL multi-batch Arrow file written by Arrow Java (the
+    // reference producer on the Spark classpath), decoded end to end
+    // by OUR reader (footer walk, flatbuffers parse, validity/offset
+    // buffer decode; requires verify id/tag/val/flag per row), plus a
+    // require-only ZSTD-compressed lane (our writer -> our reader).
+    // Closed forms: tag = "t"+(id%101), val = id%7. Live two-direction
+    // conformance incl. lz4/zstd bodies + dictionaries: ArrowIpcSpec.
+    "q_arrow" ->
+      """SELECT event_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(1 + length(CAST(event_id % 101 AS VARCHAR))) AS BIGINT) AS tag_chars,
+        |  CAST(sum(event_id % 7) AS BIGINT) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // NumPy .npz cycle: each (event_type, shard) bucket's ids become a
+    // real zip-of-.npy archive (JDK ZipOutputStream container, OUR
+    // npy writer members: int64 ids + float32 (n,4) features), read
+    // back by OUR ZIP walk + npy decode (requires verify each id and
+    // feature). Closed forms: feature (i,j) = id%1000 + j, so the
+    // bucket's feature sum = 4*sum(id%1000) + 6n. Byte-exact numpy
+    // writer pins + dtype/order/version matrix: NpySpec.
+    "q_npz" ->
+      """SELECT event_type,
+        |  count(*) AS n_vectors,
+        |  CAST(4 * sum(event_id % 1000) + 6 * count(*) AS BIGINT) AS feat_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TopoJSON cycle: each (event_type, shard) bucket delta-encodes its
     // ids as ONE quantized topology (integer transform -> lossless),
