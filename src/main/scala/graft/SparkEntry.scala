@@ -193,6 +193,7 @@ object SparkEntry {
     "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
     "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
+    "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_topojson" -> (graft.sources.TopoJson.topoQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
@@ -3042,6 +3043,18 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_vectors,
         |  CAST(4 * sum(event_id % 1000) + 6 * count(*) AS BIGINT) AS feat_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // safetensors cycle: each (event_type, shard) bucket's ids become
+    // a spec-layout safetensors file (u64 header length + JSON index
+    // + contiguous buffer: I64 ids, F16 (n,2) features, __metadata__),
+    // read back by OUR header parse + typed decode (requires verify
+    // ids/features + the reference coverage rule). Feature (i,j) =
+    // id%512 + j (exact in F16), so feat_sum = 2*sum(id%512) + n.
+    // Layout/validator conformance: SafetensorsSpec.
+    "q_safetensors" ->
+      """SELECT event_type,
+        |  count(*) AS n_vectors,
+        |  CAST(2 * sum(event_id % 512) + count(*) AS BIGINT) AS feat_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TopoJSON cycle: each (event_type, shard) bucket delta-encodes its
     // ids as ONE quantized topology (integer transform -> lossless),
