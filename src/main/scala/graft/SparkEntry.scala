@@ -194,6 +194,7 @@ object SparkEntry {
     "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
+    "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
     "q_topojson" -> (graft.sources.TopoJson.topoQuery _),
     "q_bz2" -> (graft.sources.Bzip2.bz2Query _),
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
@@ -3055,6 +3056,20 @@ object SparkEntry {
       """SELECT event_type,
         |  count(*) AS n_vectors,
         |  CAST(2 * sum(event_id % 512) + count(*) AS BIGINT) AS feat_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // TFRecord cycle: each (event_type, shard) bucket's ids become
+    // framed tf.train.Examples (published framing: u64 len + masked
+    // JDK-CRC32C of len + payload + masked CRC of payload; protobuf
+    // wire per the published spec) in a plain AND a gzipped shard,
+    // read back end to end (CRC-verified framing, wire parse with
+    // unknown-field skip; requires verify id/tag/vals per row).
+    // Closed forms: tag = "t"+(id%101), val_sum += 2*(id%7)+1.
+    // LIVE protobuf-runtime cross-check both directions: TfRecordSpec.
+    "q_tfrecord" ->
+      """SELECT event_type,
+        |  count(*) AS n_examples,
+        |  CAST(sum(1 + length(CAST(event_id % 101 AS VARCHAR))) AS BIGINT) AS tag_chars,
+        |  CAST(sum(2 * (event_id % 7) + 1) AS BIGINT) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // TopoJSON cycle: each (event_type, shard) bucket delta-encodes its
     // ids as ONE quantized topology (integer transform -> lossless),
