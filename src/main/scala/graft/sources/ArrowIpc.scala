@@ -339,6 +339,12 @@ object ArrowIpc {
       entries: IndexedSeq[(Long, Long)],
       codec: Int) { // -1 none, 0 lz4-frame, 1 zstd
     private var i = 0
+    /** advance past k buffers WITHOUT materializing or decompressing
+      * them — the column-pruning fast path. */
+    def skip(k: Int): Unit = {
+      req(i + k <= entries.length, "arrow: batch consumes more buffers than declared")
+      i += k
+    }
     def next(): Array[Byte] = {
       req(i < entries.length, "arrow: batch consumes more buffers than declared")
       val (off, len) = entries(i); i += 1
@@ -594,6 +600,31 @@ object ArrowIpc {
     }
   }
 
+  /** Column-pruning walk: consume a field's nodes and buffers WITHOUT
+    * decoding (and, crucially, without decompressing) them. */
+  private def skipColumn(f: AField, nodes: Iterator[(Long, Long)], bufs: BufCursor): Unit = {
+    req(nodes.hasNext, s"arrow: missing field node for '${f.name}'")
+    nodes.next()
+    val effType: AType =
+      if (f.dictId >= 0) AInt(f.dictIndexBits, f.dictIndexSigned) else f.tpe
+    effType match {
+      case ANull => ()
+      case AInt(_, _) | AFloat(_) | ABool | AFixedSizeBinary(_) | ADecimal(_, _, _) |
+          ADate(_) | ATime(_, _) | ATimestamp(_, _) | ADuration(_) =>
+        bufs.skip(2)
+      case AUtf8 | ABinary | ALargeUtf8 | ALargeBinary => bufs.skip(3)
+      case AList | ALargeList =>
+        bufs.skip(2)
+        skipColumn(f.children.head, nodes, bufs)
+      case AFixedSizeList(_) =>
+        bufs.skip(1)
+        skipColumn(f.children.head, nodes, bufs)
+      case AStruct =>
+        bufs.skip(1)
+        f.children.foreach(c => skipColumn(c, nodes, bufs))
+    }
+  }
+
   /** RecordBatch table -> nodes + buffers + compression codec. */
   private def batchParts(meta: Array[Byte], rbTab: Int): (Long, IndexedSeq[(Long, Long)], IndexedSeq[(Long, Long)], Int) = {
     val rows = fbLong(meta, rbTab, 0, 0L)
@@ -626,17 +657,33 @@ object ArrowIpc {
       b: Array[Byte],
       off: Int,
       schema: ASchema,
-      dicts: Map[Long, Array[Any]] = Map.empty): Batch = guarded("record batch") {
+      dicts: Map[Long, Array[Any]] = Map.empty): Batch =
+    decodeBatchMessage(b, off, schema, dicts, _ => true)
+
+  /** Pruned decode: columns failing `wanted` consume their node/
+    * buffer slots WITHOUT materializing or decompressing anything
+    * (their slot in the result is null). The DSv2 face pushes column
+    * pruning down to here — on compressed files a pruned column's
+    * codec work is skipped entirely. */
+  def decodeBatchMessage(
+      b: Array[Byte],
+      off: Int,
+      schema: ASchema,
+      dicts: Map[Long, Array[Any]],
+      wanted: Int => Boolean): Batch = guarded("record batch") {
     val (hType, rbTab, meta, bodyStart) = parseMessage(b, off)
     req(hType == HRecordBatch, s"arrow: expected record batch, got header type $hType")
     val (rows, nodes, buffers, codec) = batchParts(meta, rbTab)
     req(rows >= 0 && rows <= Int.MaxValue - 8, s"arrow: batch of $rows rows")
     val nodeIt = nodes.iterator
     val cursor = new BufCursor(b, bodyStart, buffers, codec)
-    val cols = schema.fields.map { f =>
-      val col = decodeColumn(f, nodeIt, cursor, dicts)
-      req(col.length == rows.toInt, s"arrow: column '${f.name}' length ${col.length} != $rows")
-      col
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (!wanted(i)) { skipColumn(f, nodeIt, cursor); null }
+      else {
+        val col = decodeColumn(f, nodeIt, cursor, dicts)
+        req(col.length == rows.toInt, s"arrow: column '${f.name}' length ${col.length} != $rows")
+        col
+      }
     }.toArray
     Batch(rows.toInt, cols)
   }
@@ -752,7 +799,7 @@ object ArrowIpc {
     StructType(s.fields.map(f => StructField(f.name, sparkType(f), f.nullable)))
 
   /** Raw decoded value -> Spark external-row value. */
-  private def toRowValue(f: AField, v: Any): Any = v match {
+  private[sources] def toRowValue(f: AField, v: Any): Any = v match {
     case null => null
     case _ =>
       f.tpe match {
