@@ -517,7 +517,7 @@ object SevenZip {
             val c2 = input.clone()
             Xz.Bcj(bcjIdOf(bcj), c2, 0, c2.length, 0L, encode = false)
             c2
-          case 0x030401L => fail("7z: PPMd coder unsupported (no conforming in-container reference to pin a decoder against)")
+          case 0x030401L => fail("7z: PPMd coder unsupported (PPMd var.H has no published normative spec — it is defined by the 7-Zip reference source, absent in-container; libarchive here can round-trip it, but a from-memory reimplementation cannot be validated constant-by-constant)")
           case 0x06f10701L => fail("7z: AES-encrypted archives unsupported")
           case other => fail(s"7z: codec id 0x${other.toHexString} unsupported")
         }

@@ -10,9 +10,12 @@ import graft.sources.SevenZip
   * catalogs; a 250-file solid archive; a multi-folder store archive;
   * unicode names; empty files; a directory-shaped payload tree — each
   * round-tripped by bsdtar at capture and shipped with a per-entry
-  * sha256 manifest. PPMd is captured too and must REFUSE by codec id
-  * (no conforming in-container reference to pin a PPMd decoder
-  * against). */
+  * sha256 manifest. PPMd is captured too and must REFUSE by codec id:
+  * libarchive here CAN round-trip PPMd, but PPMd var.H has no
+  * published normative spec — it is defined by the 7-Zip reference
+  * source (absent in-container), so a from-memory reimplementation
+  * could not be validated constant-by-constant, only guessed against
+  * opaque encoder output. */
 class SevenZipSpec extends SparkSuite {
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
