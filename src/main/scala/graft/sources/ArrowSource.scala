@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 face for Arrow IPC files:
-  * `spark.read.format("arrowipc").load(path...)`.
+  * `spark.read.format("arrowipc").load(path...)` and
+  * `df.write.format("arrowipc").save(dir)`.
   *
   * Spark-first shape: schema comes from the file FOOTER (tail-only
   * driver reads), one InputPartition per record-batch block (the
@@ -21,6 +22,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * files its LZ4/ZSTD work is skipped entirely, which
   * ArrowSourceSpec proves by poisoning a pruned column's compressed
   * buffer and reading successfully around it.
+  *
+  * Writes are shard-per-partition (`part-NNNNN.arrow`, the
+  * HuggingFace-datasets shard shape), task-committed via tmp-rename
+  * so failed attempts never surface; `option("codec", "zstd"|"lz4")`
+  * compresses bodies through the in-tree codecs; SaveMode.Overwrite
+  * maps to SupportsTruncate.
   *
   * Scope: the FILE format (`.arrow`, Feather v2). Streams
   * (`.arrows`) have no index and stay on [[ArrowIpc.readStreamBytes]].
@@ -56,10 +63,18 @@ final class ArrowSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new ArrowTable(paths(new CaseInsensitiveStringMap(properties)), schema)
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // reads expand paths eagerly; writes target a (possibly not yet
+    // existing) directory, so keep the raw path for the write side
+    val rawPath = Option(opts.get("path"))
+    val expanded = try paths(opts)
+    catch { case _: IllegalArgumentException if rawPath.isDefined => Seq.empty }
+    new ArrowTable(expanded, rawPath, schema,
+      Option(opts.get("codec")).map(ArrowTable.codecOf).getOrElse(-1))
+  }
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 private[sources] object ArrowSource {
@@ -75,15 +90,40 @@ private[sources] object ArrowSource {
   }
 }
 
-private final class ArrowTable(paths: Seq[String], tableSchema: StructType)
+private object ArrowTable {
+  def codecOf(name: String): Int = name.toLowerCase match {
+    case "none" | "" => -1
+    case "lz4" => 0
+    case "zstd" => 1
+    case other => throw new IllegalArgumentException(s"arrowipc: unknown codec '$other' (none|lz4|zstd)")
+  }
+}
+
+private final class ArrowTable(
+    paths: Seq[String],
+    rawPath: Option[String],
+    tableSchema: StructType,
+    writeCodec: Int)
     extends Table
-    with SupportsRead {
-  override def name(): String = s"arrowipc(${paths.head}${if (paths.length > 1) s" +${paths.length - 1}" else ""})"
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = {
+    val p = paths.headOption.orElse(rawPath).getOrElse("?")
+    s"arrowipc($p${if (paths.length > 1) s" +${paths.length - 1}" else ""})"
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(paths.nonEmpty, "arrowipc: no input files to read")
     new ArrowScanBuilder(paths, tableSchema)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    val dir = rawPath.getOrElse(
+      throw new IllegalArgumentException("arrowipc: write needs a single directory path"))
+    new ArrowWriteBuilder(dir, info.schema(), writeCodec)
+  }
 }
 
 private final class ArrowScanBuilder(paths: Seq[String], full: StructType)
@@ -167,5 +207,147 @@ private final class ArrowPartitionReader(path: String, batchIdx: Int, required: 
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// --------------------------------------------------------------- write side
+
+private object ArrowWriteSupport {
+  /** Spark type -> Arrow field (the writer matrix; unsupported types
+    * refuse loudly at plan time, not per task). */
+  def toAField(f: org.apache.spark.sql.types.StructField): ArrowIpc.AField = {
+    import org.apache.spark.sql.types._
+    val tpe: (ArrowIpc.AType, Seq[ArrowIpc.AField]) = f.dataType match {
+      case ByteType => (ArrowIpc.AInt(8, signed = true), Nil)
+      case ShortType => (ArrowIpc.AInt(16, signed = true), Nil)
+      case IntegerType => (ArrowIpc.AInt(32, signed = true), Nil)
+      case LongType => (ArrowIpc.AInt(64, signed = true), Nil)
+      case FloatType => (ArrowIpc.AFloat(1), Nil)
+      case DoubleType => (ArrowIpc.AFloat(2), Nil)
+      case StringType => (ArrowIpc.AUtf8, Nil)
+      case BinaryType => (ArrowIpc.ABinary, Nil)
+      case BooleanType => (ArrowIpc.ABool, Nil)
+      case DateType => (ArrowIpc.ADate(0), Nil)
+      case TimestampType => (ArrowIpc.ATimestamp(2, "UTC"), Nil)
+      case ArrayType(et, nullable) =>
+        (ArrowIpc.AList, Seq(toAField(StructField("item", et, nullable))))
+      case st: StructType => (ArrowIpc.AStruct, st.fields.toSeq.map(toAField))
+      case dt => throw new IllegalArgumentException(s"arrowipc write: unsupported type $dt for '${f.name}'")
+    }
+    ArrowIpc.AField(f.name, f.nullable, tpe._1, tpe._2)
+  }
+
+  /** Spark external value -> ArrowIpc raw writer value. */
+  def toRaw(dt: org.apache.spark.sql.types.DataType, v: Any): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else dt match {
+      case DateType =>
+        v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case d: java.time.LocalDate => d.toEpochDay.toInt
+        }
+      case TimestampType =>
+        v match {
+          case t: java.sql.Timestamp =>
+            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+        }
+      case ArrayType(et, _) => v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(e => toRaw(et, e))
+      case st: StructType =>
+        val r = v.asInstanceOf[Row]
+        st.fields.toIndexedSeq.zipWithIndex.map { case (f, i) => toRaw(f.dataType, r.get(i)) }
+      case _ => v
+    }
+  }
+}
+
+private final class ArrowWriteBuilder(dir: String, schema: StructType, codec: Int)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = { doTruncate = true; this }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val t = doTruncate
+    new org.apache.spark.sql.connector.write.Write {
+      // validate the schema at plan time
+      schema.fields.foreach(ArrowWriteSupport.toAField)
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new ArrowBatchWrite(dir, schema, codec, t)
+    }
+  }
+}
+
+private final case class ArrowCommitMessage(tmp: String, dst: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private final class ArrowBatchWrite(dir: String, schema: StructType, codec: Int, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo): org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) require(d.mkdirs(), s"arrowipc: cannot create $dir")
+    if (truncate)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".arrow") || f.getName.endsWith(".tmp"))
+        .foreach(_.delete())
+    new ArrowWriterFactory(dir, schema, codec)
+  }
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach { m =>
+      val c = m.asInstanceOf[ArrowCommitMessage]
+      val ok = new java.io.File(c.tmp).renameTo(new java.io.File(c.dst))
+      require(ok, s"arrowipc: commit rename ${c.tmp} -> ${c.dst} failed")
+    }
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ArrowCommitMessage(tmp, _) => new java.io.File(tmp).delete()
+      case _ => ()
+    }
+}
+
+private final class ArrowWriterFactory(dir: String, schema: StructType, codec: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ArrowDataWriter(dir, schema, codec, partitionId, taskId)
+}
+
+/** Buffers the partition's rows column-wise, encodes 4096-row record
+  * batches, writes `part-NNNNN.arrow.tmp`, and hands the rename to
+  * the driver-side commit (task-attempt isolation: the tmp name
+  * carries the task id, so a zombie attempt never clobbers the
+  * committed file). */
+private final class ArrowDataWriter(dir: String, schema: StructType, codec: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToScalaConverter(schema)
+  private val aFields = schema.fields.toIndexedSeq.map(ArrowWriteSupport.toAField)
+  private val aSchema = ArrowIpc.ASchema(aFields)
+  private val cols = Array.fill(schema.length)(scala.collection.mutable.ArrayBuffer.empty[Any])
+
+  override def write(record: InternalRow): Unit = {
+    val row = toScala(record).asInstanceOf[Row]
+    var i = 0
+    while (i < schema.length) {
+      cols(i) += ArrowWriteSupport.toRaw(schema.fields(i).dataType, row.get(i))
+      i += 1
+    }
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val n = cols.headOption.map(_.length).getOrElse(0)
+    val batches = (0 until n by 4096).map { start =>
+      val m = math.min(4096, n - start)
+      (Array.tabulate(schema.length)(c => cols(c).slice(start, start + m).toArray), m)
+    }
+    val bytes = ArrowIpc.encodeFile(aSchema, if (n == 0) Nil else batches, codec)
+    val dst = f"$dir/part-$partitionId%05d.arrow"
+    val tmp = s"$dst.$taskId.tmp"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp), bytes)
+    ArrowCommitMessage(tmp, dst)
+  }
+
+  override def abort(): Unit = ()
   override def close(): Unit = ()
 }

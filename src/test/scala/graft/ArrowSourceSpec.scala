@@ -111,6 +111,70 @@ class ArrowSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("write side: shard-per-partition files read back by our face AND Arrow Java") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("arrowwrite").resolve("out").toString
+    val df = spark.range(0, 1000)
+      .select(
+        org.apache.spark.sql.functions.col("id"),
+        concat(lit("s"), col("id") % 13).as("tag"),
+        (col("id") % 7).cast("double").as("v"),
+        array((col("id") % 5).cast("float"), (col("id") % 3).cast("float")).as("emb"),
+        to_date(lit("2024-01-01")).as("d"),
+        to_timestamp(lit("2024-01-01 12:34:56.789")).as("ts"))
+      .repartition(4)
+    df.write.format("arrowipc").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 4, files.mkString(","))
+    // our face round-trip
+    val back = spark.read.format("arrowipc").load(dir)
+    assert(back.count() == 1000)
+    val r = back.selectExpr("sum(id)", "sum(length(tag))", "sum(v)", "sum(emb[0]+emb[1])",
+      "min(cast(d as string))", "min(cast(ts as string))").collect().head
+    assert(r.getLong(0) == (0L until 1000L).sum)
+    assert(r.getDouble(2) == (0 until 1000).map(_ % 7).sum.toDouble)
+    assert(r.getDouble(3) == (0 until 1000).map(i => i % 5 + i % 3).sum.toDouble)
+    assert(r.getString(4) == "2024-01-01")
+    assert(r.getString(5) == "2024-01-01 12:34:56.789")
+    // LIVE conformance: Arrow Java reads a written shard
+    val a = new org.apache.arrow.memory.RootAllocator()
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+      val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes), a)
+      try {
+        var rows = 0L
+        while (rd.loadNextBatch()) rows += rd.getVectorSchemaRoot.getRowCount
+        assert(rows > 0)
+        assert(rd.getVectorSchemaRoot.getSchema.getFields.size == 6)
+      } finally rd.close()
+    } finally a.close()
+    // overwrite truncates
+    spark.range(0, 10).selectExpr("id").repartition(1).write
+      .format("arrowipc").mode("overwrite").save(dir)
+    assert(spark.read.format("arrowipc").load(dir).count() == 10)
+  }
+
+  test("write side: zstd codec option compresses and still reads everywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowwz").resolve("out").toString
+    val dirNone = java.nio.file.Files.createTempDirectory("arrowwn").resolve("out").toString
+    val df = spark.range(0, 5000).selectExpr("id", "repeat('pad', 30) as pad").repartition(1)
+    df.write.format("arrowipc").option("codec", "zstd").mode("append").save(dir)
+    df.write.format("arrowipc").mode("append").save(dirNone)
+    def size(d: String) = new java.io.File(d).listFiles().filter(_.getName.endsWith(".arrow")).map(_.length).sum
+    assert(size(dir) < size(dirNone) / 2, s"zstd ${size(dir)} vs none ${size(dirNone)}")
+    assert(spark.read.format("arrowipc").load(dir).count() == 5000)
+  }
+
+  test("write side: unsupported column type refuses at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowbad").resolve("out").toString
+    val df = spark.range(0, 3).selectExpr("cast(id as decimal(10,2)) as d")
+    val e = intercept[Exception] { df.write.format("arrowipc").mode("append").save(dir) }
+    def mentions(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("unsupported type") || mentions(t.getCause))
+    assert(mentions(e), s"unexpected: $e")
+  }
+
   test("one InputPartition per record batch") {
     val dir = java.nio.file.Files.createTempDirectory("arrowparts")
     try {
