@@ -380,10 +380,11 @@ object ArrowIpc {
   @inline private def bitSet(bm: Array[Byte], i: Int): Boolean =
     (bm(i >> 3) & (1 << (i & 7))) != 0
 
-  /** null-test helper: empty validity buffer = all valid (spec allows
-    * eliding the bitmap when null_count is 0). */
+  /** null-test helper: an elided (empty) validity buffer is only
+    * legal when null_count is 0 — enforced where buffers are sized
+    * (see decodeColumn), so a present bitmap is always full-size. */
   @inline private def isValid(bm: Array[Byte], i: Int, nullCount: Long): Boolean =
-    nullCount == 0L || bm.length == 0 || (bm.length > (i >> 3) && bitSet(bm, i))
+    nullCount == 0L || bitSet(bm, i)
 
   private def halfToFloat(h: Int): Float = {
     val sign = (h >> 15) & 1
@@ -411,8 +412,21 @@ object ArrowIpc {
     val effType: AType =
       if (f.dictId >= 0) AInt(f.dictIndexBits, f.dictIndexSigned) else f.tpe
 
+    // Allocation-bomb guard: every Array[Any](n) below must be backed
+    // by real bytes. With nulls present the validity bitmap must be
+    // full-size (n/8 bytes an attacker actually has to supply); with
+    // no nulls the data buffer must be full-size. An all-null column
+    // may elide DATA only — never the bitmap.
+    def checkedValidity(validity: Array[Byte]): Array[Byte] = {
+      req(nullCount >= 0 && nullCount <= lenL, s"arrow: field '${f.name}' null count $nullCount of $lenL")
+      if (nullCount > 0)
+        req(validity.length >= (n + 7) / 8,
+          s"arrow: field '${f.name}' validity ${validity.length} bytes for $n rows with $nullCount nulls")
+      validity
+    }
+
     def fixedData(width: Int): (Array[Byte], Array[Byte]) = {
-      val validity = bufs.next()
+      val validity = checkedValidity(bufs.next())
       val data = bufs.next()
       req(data.length >= n.toLong * width || nullCount == lenL,
         s"arrow: field '${f.name}' data buffer ${data.length} < ${n.toLong * width}")
@@ -421,7 +435,8 @@ object ArrowIpc {
 
     val raw: Array[Any] = effType match {
       case ANull =>
-        req(n <= (1 << 28), s"arrow: null column of $n rows")
+        // nothing backs a null column; cap it (real writers batch far smaller)
+        req(n <= (1 << 26), s"arrow: null column of $n rows")
         new Array[Any](n)
       case AInt(bits, signed) =>
         val width = bits / 8
@@ -458,14 +473,14 @@ object ArrowIpc {
         }
         out
       case ABool =>
-        val validity = bufs.next(); val d = bufs.next()
+        val validity = checkedValidity(bufs.next()); val d = bufs.next()
         req(d.length >= (n + 7) / 8 || nullCount == lenL, s"arrow: bool buffer short for '${f.name}'")
         val out = new Array[Any](n)
         var i = 0
         while (i < n) { if (isValid(validity, i, nullCount)) out(i) = java.lang.Boolean.valueOf(bitSet(d, i)); i += 1 }
         out
       case AUtf8 | ABinary =>
-        val validity = bufs.next(); val offs = bufs.next(); val data = bufs.next()
+        val validity = checkedValidity(bufs.next()); val offs = bufs.next(); val data = bufs.next()
         req(offs.length >= 4L * (n + 1) || n == 0, s"arrow: offsets buffer short for '${f.name}'")
         val out = new Array[Any](n)
         var i = 0
@@ -481,7 +496,7 @@ object ArrowIpc {
         }
         out
       case ALargeUtf8 | ALargeBinary =>
-        val validity = bufs.next(); val offs = bufs.next(); val data = bufs.next()
+        val validity = checkedValidity(bufs.next()); val offs = bufs.next(); val data = bufs.next()
         req(offs.length >= 8L * (n + 1) || n == 0, s"arrow: large offsets short for '${f.name}'")
         val out = new Array[Any](n)
         var i = 0
@@ -539,7 +554,7 @@ object ArrowIpc {
         out
       case ATime(_, w) => fail(s"arrow: time$w")
       case AList | ALargeList =>
-        val validity = bufs.next(); val offs = bufs.next()
+        val validity = checkedValidity(bufs.next()); val offs = bufs.next()
         val wide = effType == ALargeList
         req((if (wide) offs.length >= 8L * (n + 1) else offs.length >= 4L * (n + 1)) || n == 0,
           s"arrow: list offsets short for '${f.name}'")
@@ -559,7 +574,7 @@ object ArrowIpc {
         out
       case AFixedSizeList(k) =>
         req(k >= 0 && k <= (1 << 20), s"arrow: fixed list size $k")
-        val validity = bufs.next()
+        val validity = checkedValidity(bufs.next())
         req(f.children.length == 1, s"arrow: fixed-size list '${f.name}' needs exactly one child")
         val child = decodeColumn(f.children.head, nodes, bufs, dicts)
         req(child.length >= n.toLong * k || nullCount == lenL,
@@ -569,7 +584,9 @@ object ArrowIpc {
         while (i < n) { if (isValid(validity, i, nullCount)) out(i) = child.slice(i * k, (i + 1) * k).toVector; i += 1 }
         out
       case AStruct =>
-        val validity = bufs.next()
+        val validity = checkedValidity(bufs.next())
+        // a field-less struct has no backing bytes — cap like ANull
+        req(f.children.nonEmpty || n <= (1 << 26), s"arrow: empty struct of $n rows")
         val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts))
         val out = new Array[Any](n)
         var i = 0

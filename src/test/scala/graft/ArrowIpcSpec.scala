@@ -440,6 +440,39 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(mutated == 600)
   }
 
+  test("allocation bombs: declared rows without backing bytes refuse before allocating") {
+    // A 23-byte body cannot legitimately carry 100M rows: with nulls
+    // the validity bitmap must be full-size, without them the data
+    // buffer must be. Craft by patching a valid 4-row file's
+    // RecordBatch length field (node lengths live in the metadata
+    // flatbuffer as i64 pairs; scan-and-patch both occurrences).
+    val schema = ASchema(Seq(AField("x", nullable = true, AInt(64, signed = true))))
+    val cols: Array[Array[Any]] = Array(Array[Any](1L, 2L, null, 4L))
+    val good = ArrowIpc.encodeFile(schema, Seq((cols, 4)), codec = -1)
+    // patch every little-endian i64 equal to 4 in the batch message
+    // region to 100,000,000 (rows + node length + null-count stays)
+    val bomb = good.clone()
+    var patched = 0
+    for (p <- 0 until bomb.length - 8) {
+      val isFour = (0 until 8).forall(j => bomb(p + j) == (if (j == 0) 4 else 0))
+      if (isFour) {
+        val v = 100000000L
+        for (j <- 0 until 8) bomb(p + j) = ((v >> (8 * j)) & 0xff).toByte
+        patched += 1
+      }
+    }
+    assert(patched >= 2, s"expected to patch rows+node length, got $patched")
+    val before = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    try { ArrowIpc.readFileBytes(bomb); fail("bomb decoded silently") }
+    catch {
+      case _: ArrowIpc.ArrowError => ()
+      case e: org.scalatest.exceptions.TestFailedException => throw e
+      case e: Throwable => fail(s"bomb escaped as ${e.getClass.getName}: ${e.getMessage}")
+    }
+    val after = Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    assert(after - before < (512L << 20), s"bomb allocated ${(after - before) >> 20} MB before failing")
+  }
+
   test("writer refusals: dictionary fields and unsupported types refuse loudly") {
     val dictField = ASchema(Seq(AField("w", nullable = true, AUtf8, dictId = 3L)))
     intercept[ArrowIpc.ArrowError] {
