@@ -882,6 +882,43 @@ object ArrowIpc {
     spark.createDataFrame(rdd, sparkSchema0)
   }
 
+  /** Streaming twin: continuously ingest `.arrow`/`.arrows` shards
+    * dropped into a directory (the shard-landing-zone shape). Schema
+    * must be declared up front (Structured Streaming is fixed-schema);
+    * files whose footer/stream schema drifts fail loudly. File vs
+    * stream format dispatches on the leading magic. */
+  def rowsStream(
+      spark: SparkSession,
+      dir: String,
+      expected: StructType,
+      globFilter: String = "*.arrow*"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val outSchema = StructType(StructField("path", StringType) +: expected.fields)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pairEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY)
+    spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", globFilter)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](pairEnc)
+      .flatMap { case (path, content) =>
+        val isFile = content.length >= 8 && content.take(6).sameElements(Magic)
+        val (as, batches) = if (isFile) readFileBytes(content) else readStreamBytes(content)
+        val got = sparkSchema(as)
+        req(got == expected, s"arrow stream: schema drift — $path has $got, stream declared $expected")
+        batches.iterator.flatMap(b => batchRows(as, b).map(r => Row.fromSeq(path +: r.toSeq)))
+      }(outEnc)
+      .toDF()
+  }
+
   private def rangedOf(raf: java.io.RandomAccessFile): (Long, Int) => Array[Byte] =
     (off, n) => {
       val out = new Array[Byte](n)
