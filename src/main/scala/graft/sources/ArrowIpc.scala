@@ -290,7 +290,18 @@ object ArrowIpc {
     req(fLen > 0 && fLen <= len - 8 - 10, s"arrow: footer length $fLen out of range")
     val fb = ranged(len - 10 - fLen, fLen)
     req(fb.length == fLen, "arrow: short footer read")
-    parseFooterBytes(fb)
+    val f = parseFooterBytes(fb)
+    // bound every block extent against the real file NOW, so ranged
+    // fetch paths (scan, DSv2 readers) can trust them — a hostile
+    // footer must fail here as ArrowError, never as a raw IO/array
+    // error inside a fetch task
+    (f.dictionaries ++ f.batches).foreach { blk =>
+      req(blk.offset >= 8 && blk.metaLen >= 0 && blk.bodyLen >= 0 &&
+        blk.metaLen.toLong + blk.bodyLen <= Int.MaxValue &&
+        blk.offset + blk.metaLen + blk.bodyLen <= len - 10 - fLen,
+        s"arrow: block extent (${blk.offset},${blk.metaLen},${blk.bodyLen}) outside file of $len")
+    }
+    f
   }
 
   private[sources] def parseFooterBytes(fb: Array[Byte]): Footer = guarded("footer") {
@@ -386,16 +397,6 @@ object ArrowIpc {
   @inline private def isValid(bm: Array[Byte], i: Int, nullCount: Long): Boolean =
     nullCount == 0L || bitSet(bm, i)
 
-  private def halfToFloat(h: Int): Float = {
-    val sign = (h >> 15) & 1
-    val exp = (h >> 10) & 0x1f
-    val mant = h & 0x3ff
-    val f =
-      if (exp == 0) math.pow(2, -14).toFloat * (mant / 1024f)
-      else if (exp == 0x1f) { if (mant == 0) Float.PositiveInfinity else Float.NaN }
-      else math.pow(2, exp - 15).toFloat * (1f + mant / 1024f)
-    if (sign == 1) -f else f
-  }
 
   /** Decode one field's column (recursing into children), consuming
     * nodes/buffers in the IPC spec's flattened pre-order. */
@@ -465,7 +466,7 @@ object ArrowIpc {
         var i = 0
         while (i < n) {
           if (isValid(bm, i, nullCount)) out(i) = prec match {
-            case 0 => java.lang.Float.valueOf(halfToFloat(u16(d, 2 * i)))
+            case 0 => java.lang.Float.valueOf(graft.multimodal.Rad.halfToFloat(u16(d, 2 * i)))
             case 1 => java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(i32(d, 4 * i)))
             case 2 => java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(i64(d, 8 * i)))
           }
@@ -728,7 +729,16 @@ object ArrowIpc {
       (dictId, col)
     }
 
-  private def flatten(f: AField): Seq[AField] = f +: f.children.flatMap(flatten)
+  private[sources] def flatten(f: AField): Seq[AField] = f +: f.children.flatMap(flatten)
+
+  /** Dictionary id of the dictionary-batch message at `off` WITHOUT
+    * touching its body — lets a pruned reader skip unneeded
+    * dictionaries' decode (and codec) work entirely. */
+  def dictionaryIdOf(b: Array[Byte], off: Int): Long = guarded("dictionary batch") {
+    val (hType, dbTab, meta, _) = parseMessage(b, off)
+    req(hType == HDictionaryBatch, s"arrow: expected dictionary batch, got $hType")
+    fbLong(meta, dbTab, 0, 0L)
+  }
 
   // ------------------------------------------------------------- whole-file
 
@@ -919,11 +929,12 @@ object ArrowIpc {
       .toDF()
   }
 
-  private def rangedOf(raf: java.io.RandomAccessFile): (Long, Int) => Array[Byte] =
+  private[sources] def rangedOf(raf: java.io.RandomAccessFile): (Long, Int) => Array[Byte] =
     (off, n) => {
+      req(n >= 0 && off >= 0, s"arrow: ranged read ($off,$n)")
       val out = new Array[Byte](n)
-      raf.seek(off)
-      raf.readFully(out)
+      try { raf.seek(off); raf.readFully(out) }
+      catch { case _: java.io.EOFException => fail(s"arrow: truncated at ranged read ($off,$n)") }
       out
     }
 

@@ -80,12 +80,7 @@ final class ArrowSource extends TableProvider with DataSourceRegister {
 private[sources] object ArrowSource {
   def footerOf(path: String): ArrowIpc.Footer = {
     val raf = new java.io.RandomAccessFile(path, "r")
-    try ArrowIpc.footer((off, n) => {
-      val out = new Array[Byte](n)
-      raf.seek(off)
-      raf.readFully(out)
-      out
-    }, raf.length())
+    try ArrowIpc.footer(ArrowIpc.rangedOf(raf), raf.length())
     finally raf.close()
   }
 }
@@ -165,26 +160,25 @@ private final class ArrowPartitionReader(path: String, batchIdx: Int, required: 
   private val rows: Iterator[InternalRow] = {
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
-      val ranged: (Long, Int) => Array[Byte] = (off, n) => {
-        val out = new Array[Byte](n)
-        raf.seek(off)
-        raf.readFully(out)
-        out
-      }
+      val ranged = ArrowIpc.rangedOf(raf)
       val f = ArrowIpc.footer(ranged, raf.length())
       val wantedNames = required.fieldNames.toSet
       val fieldIdx = f.schema.fields.zipWithIndex.filter { case (fld, _) => wantedNames.contains(fld.name) }
       require(fieldIdx.length == required.length, s"arrowipc: schema drift in $path")
       val wanted = fieldIdx.map(_._2).toSet
-      // dictionaries referenced by a WANTED field must decode; others
-      // are skipped like any pruned data
-      val neededDictIds = fieldIdx.map(_._1).filter(_.dictId >= 0).map(_.dictId).toSet
+      // dictionaries referenced anywhere in a WANTED field's subtree
+      // must decode; others are skipped by id BEFORE any body (or
+      // codec) work — pruning applies to dictionaries too
+      val neededDictIds =
+        fieldIdx.map(_._1).flatMap(ArrowIpc.flatten).filter(_.dictId >= 0).map(_.dictId).toSet
       val dicts = f.dictionaries.flatMap { blk =>
-        val msg = ranged(blk.offset, (blk.metaLen.toLong + blk.bodyLen).toInt)
-        // a dictionary batch names its id in the metadata; decode all
-        // (metadata-scale) but keep only the needed ones resident
-        val (id, col) = ArrowIpc.decodeDictionaryMessage(msg, 0, f.schema)
-        if (neededDictIds.contains(id)) Some(id -> col) else None
+        val head = ranged(blk.offset, blk.metaLen)
+        val id = ArrowIpc.dictionaryIdOf(head, 0)
+        if (!neededDictIds.contains(id)) None
+        else {
+          val msg = ranged(blk.offset, (blk.metaLen.toLong + blk.bodyLen).toInt)
+          Some(ArrowIpc.decodeDictionaryMessage(msg, 0, f.schema))
+        }
       }.toMap
       val blk = f.batches(batchIdx)
       val msg = ranged(blk.offset, (blk.metaLen.toLong + blk.bodyLen).toInt)
@@ -250,7 +244,11 @@ private object ArrowWriteSupport {
       case TimestampType =>
         v match {
           case t: java.sql.Timestamp =>
-            t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+            // Spark's fromJavaTimestamp formula — getTime already
+            // carries the sub-second millis (and floors correctly for
+            // pre-epoch instants); only the sub-milli remainder of
+            // getNanos may be added on top
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
         }
       case ArrayType(et, _) => v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(e => toRaw(et, e))

@@ -106,7 +106,7 @@ object Npy {
     def doubleAt(i: Int): Double = kind match {
       case 'f' =>
         width match {
-          case 2 => halfBitsToFloat(bits(i, 2).toInt).toDouble
+          case 2 => graft.multimodal.Rad.halfToFloat(bits(i, 2).toInt).toDouble
           case 4 => java.lang.Float.intBitsToFloat(bits(i, 4).toInt).toDouble
           case 8 => java.lang.Double.longBitsToDouble(bits(i, 8))
           case w => fail(s"npy: f$w")
@@ -144,16 +144,7 @@ object Npy {
     def longs: Array[Long] = Array.tabulate(n)(i => longAt(i))
   }
 
-  private def halfBitsToFloat(h: Int): Float = {
-    val sign = (h >> 15) & 1
-    val exp = (h >> 10) & 0x1f
-    val mant = h & 0x3ff
-    val f =
-      if (exp == 0) (math.pow(2, -14) * (mant / 1024.0)).toFloat
-      else if (exp == 0x1f) { if (mant == 0) Float.PositiveInfinity else Float.NaN }
-      else (math.pow(2, exp - 15) * (1.0 + mant / 1024.0)).toFloat
-    if (sign == 1) -f else f
-  }
+
 
   private val Magic = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y')
 
@@ -313,8 +304,15 @@ object Npy {
   // ------------------------------------------------------------------- npz
 
   /** Decode every member of an in-memory `.npz` through the in-tree
-    * ZIP walk (EOCD -> central directory -> per-entry extent). */
+    * ZIP walk (EOCD -> central directory -> per-entry extent).
+    * Container-layer failures surface as [[NpyError]] per this file's
+    * contract (the ZipError cause is named in the message). */
   def npzEntries(bytes: Array[Byte]): Map[String, NpyArray] = guarded("npz") {
+    try npzEntriesImpl(bytes)
+    catch { case e: Zip.ZipError => fail(s"npz container: ${e.getMessage}") }
+  }
+
+  private def npzEntriesImpl(bytes: Array[Byte]): Map[String, NpyArray] = {
     val ranged: (Long, Int) => Array[Byte] =
       (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
     val (cdOff, cdSize, count) = Zip.centralDirectoryExtent(ranged, bytes.length.toLong)

@@ -145,7 +145,7 @@ object Safetensors {
       case d => fail(s"safetensors: longAt on $d")
     }
     def doubleAt(i: Int): Double = info.dtype match {
-      case "F16" => halfToDouble(bits(i, 2).toInt)
+      case "F16" => graft.multimodal.Rad.halfToFloat(bits(i, 2).toInt).toDouble
       case "BF16" => java.lang.Float.intBitsToFloat(bits(i, 2).toInt << 16).toDouble
       case "F32" => java.lang.Float.intBitsToFloat(bits(i, 4).toInt).toDouble
       case "F64" => java.lang.Double.longBitsToDouble(bits(i, 8))
@@ -156,16 +156,7 @@ object Safetensors {
     def longs: Array[Long] = Array.tabulate(n)(i => longAt(i))
   }
 
-  private def halfToDouble(h: Int): Double = {
-    val sign = (h >> 15) & 1
-    val exp = (h >> 10) & 0x1f
-    val mant = h & 0x3ff
-    val f =
-      if (exp == 0) math.pow(2, -14) * (mant / 1024.0)
-      else if (exp == 0x1f) { if (mant == 0) Double.PositiveInfinity else Double.NaN }
-      else math.pow(2, exp - 15) * (1.0 + mant / 1024.0)
-    if (sign == 1) -f else f
-  }
+
 
   /** Decode a whole in-memory file into name -> Tensor. */
   def readBytes(bytes: Array[Byte]): (Header, Map[String, Tensor]) = guarded("file") {

@@ -248,8 +248,9 @@ object TfRecord {
         case (_, wt) => w.skip(wt)
       }
     }
-    req(out != null, "tfrecord: Feature with no list")
-    out
+    // a kind-unset Feature (zero-length value — protobuf map
+    // serializers always emit the value field) is valid and empty
+    if (out == null) BytesList(Nil) else out
   }
 
   // ------------------------------------------------------------ proto write

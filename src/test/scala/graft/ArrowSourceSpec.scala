@@ -175,6 +175,79 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(mentions(e), s"unexpected: $e")
   }
 
+  test("write side: pre-epoch fractional timestamps round-trip exactly (floor, not truncate)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("arrowts").resolve("out").toString
+    val df = spark.sql(
+      """select * from values
+        |  (timestamp'1969-12-31 23:59:59.5'),
+        |  (timestamp'1969-12-31 23:59:59.000001'),
+        |  (timestamp'1970-01-01 00:00:00.5'),
+        |  (timestamp'1905-03-02 01:02:03.25')
+        |as t(ts)""".stripMargin)
+    df.write.format("arrowipc").mode("append").save(dir)
+    val back = spark.read.format("arrowipc").load(dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).collect().map(_.getString(0)).sorted
+    assert(back.toSeq == Seq(
+      "1905-03-02 01:02:03.250000",
+      "1969-12-31 23:59:59.000001",
+      "1969-12-31 23:59:59.500000",
+      "1970-01-01 00:00:00.500000"))
+  }
+
+  test("dictionary-encoded CHILD column (list<dict<utf8>>) through the DSv2 face") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowdictn")
+    try {
+      val p = dir.resolve("n.arrow")
+      val in = getClass.getResourceAsStream("/graft/arrow/dict_nested.arrow")
+      java.nio.file.Files.write(p, in.readAllBytes()); in.close()
+      val words = Seq("red", "green", "blue", "ünicode")
+      val df = spark.read.format("arrowipc").load(p.toString).select("tags") // pruned to the dict child
+      val got = df.collect().map(r => Option(r.getSeq[String](0)))
+      assert(got.length == 40)
+      for (i <- 0 until 40) {
+        if (i % 6 == 5) assert(got(i).isEmpty, s"row $i")
+        else assert(got(i).get == (0 until i % 3).map(j => words(j % 4)), s"row $i")
+      }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("hostile footer: block extents outside the file refuse as ArrowError at plan time") {
+    val good = laneFile(50, codec = -1)
+    // patch the first batch Block's bodyLength (footer struct field at
+    // offset+16) to a huge value: find the footer region and flip the
+    // recordBatches vector's first entry — simpler: binary-search for
+    // the EXACT 24-byte block struct (offset=8 is the schema message,
+    // so the first batch block offset is a small positive multiple of 8)
+    val fLen = {
+      val t = good.length - 10
+      (good(t) & 0xff) | ((good(t + 1) & 0xff) << 8) | ((good(t + 2) & 0xff) << 16) | ((good(t + 3) & 0xff) << 24)
+    }
+    val footerStart = good.length - 10 - fLen
+    var patchedAny = false
+    // brute-force: for every 8-aligned i64 position in the footer,
+    // try patching it to 2^40 and see that footer() REFUSES rather
+    // than letting a fetch task blow up later; unpatchable positions
+    // (schema bytes etc.) may still parse — we only need one refusal
+    val raf: (Array[Byte]) => Unit = { b =>
+      val ranged: (Long, Int) => Array[Byte] =
+        (off, n) => java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + n)
+      ArrowIpc.footer(ranged, b.length.toLong); ()
+    }
+    for (p <- footerStart until good.length - 18) {
+      val b = good.clone()
+      b(p + 5) = 0x01 // push a high byte into some i64 in the footer
+      try { raf(b) }
+      catch {
+        case _: ArrowIpc.ArrowError => patchedAny = true
+        case e: Throwable => fail(s"hostile footer escaped as ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    assert(patchedAny, "no footer mutation was rejected — extent validation missing")
+  }
+
   test("one InputPartition per record batch") {
     val dir = java.nio.file.Files.createTempDirectory("arrowparts")
     try {

@@ -109,6 +109,16 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back("id") == Int64List(Seq(42L, -7L, 1L << 40)))
   }
 
+  test("kind-unset Feature (zero-length value, the protobuf-map shape) parses as an empty BytesList") {
+    // python proto map autovivification serializes a touched-but-
+    // unassigned Feature as key + a zero-length value field
+    val entry = msg { c => c.writeString(1, "ghost"); c.writeByteArray(2, Array.emptyByteArray) }
+    val feats = msg(c => c.writeByteArray(1, entry))
+    val rec = msg(c => c.writeByteArray(1, feats))
+    val ex = TfRecord.parseExample(rec)
+    assert(ex == Map("ghost" -> BytesList(Nil)))
+  }
+
   test("framing: round-trip, empty records, gz shard") {
     val recs = Seq(
       "first".getBytes("UTF-8"),

@@ -117,6 +117,15 @@ def main():
     })
     write_file("dict.arrow", dic)
 
+    nested = pa.table({
+        "tags": pa.array(
+            [None if i % 6 == 5 else [["red", "green", "blue", "ünicode"][j % 4] for j in range(i % 3)]
+             for i in range(40)],
+            type=pa.list_(pa.dictionary(pa.int16(), pa.utf8()))),
+        "k": pa.array(list(range(40)), type=pa.int64()),
+    })
+    write_file("dict_nested.arrow", nested)
+
     write_stream("types.arrows", t, batch_rows=7)
     write_stream("comp_zstd.arrows", big, compression="zstd", batch_rows=1500)
 
