@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * Flatbuffers are parsed/built by hand (vtable walk both ways) — no
   * generated code; layouts follow the published Schema.fbs /
   * Message.fbs / File.fbs (arrow-format). Supported column types:
-  * all signed/unsigned ints (u64 refuses — no lossless JVM carrier),
+  * all signed/unsigned ints (u64 reads as decimal(20,0), the lossless
+  * carrier),
   * half/single/double floats, bool, utf8/binary (+ Large variants),
   * fixed-size binary, decimal128, date32/64, time32/64, timestamp
   * (all units), duration, list / large-list / fixed-size-list,
@@ -453,7 +454,13 @@ object ArrowIpc {
             case (32, true) => java.lang.Integer.valueOf(i32(d, 4 * i))
             case (32, false) => java.lang.Long.valueOf(i32(d, 4 * i) & 0xffffffffL)
             case (64, true) => java.lang.Long.valueOf(i64(d, 8 * i))
-            case (64, false) => fail(s"arrow: uint64 field '${f.name}' has no lossless JVM carrier")
+            case (64, false) =>
+              // lossless carrier: unsigned 64 -> BigDecimal(20,0)
+              val v = i64(d, 8 * i)
+              val big =
+                if (v >= 0) java.math.BigInteger.valueOf(v)
+                else java.math.BigInteger.valueOf(v).add(java.math.BigInteger.ONE.shiftLeft(64))
+              new java.math.BigDecimal(big)
             case _ => fail(s"arrow: int width $bits")
           }
           i += 1
@@ -805,6 +812,7 @@ object ArrowIpc {
     case AInt(32, true) => IntegerType
     case AInt(32, false) => LongType
     case AInt(64, true) => LongType
+    case AInt(64, false) => DecimalType(20, 0) // lossless u64 carrier
     case AInt(b, s) => fail(s"arrow: no Spark type for int($b, signed=$s)")
     case AFloat(0) | AFloat(1) => FloatType
     case AFloat(_) => DoubleType

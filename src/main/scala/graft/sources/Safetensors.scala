@@ -16,8 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * non-overlapping, the buffer covered exactly (no holes — a hole is
   * how a malicious file smuggles bytes), element count x width ==
   * extent length. Dtypes: BOOL, I8/U8, I16/U16, F16, BF16, I32/U32,
-  * F32, F64, I64. U64 (no lossless JVM carrier) and the F8 variants
-  * refuse loudly by name.
+  * F32, F64, I64, and the OCP FP8 pair F8_E4M3/F8_E5M2 (every FP8
+  * value is exactly representable in Float). U64 (no lossless JVM
+  * carrier) refuses loudly by name.
   *
   * No conforming implementation ships in this container (python
   * `safetensors`/`torch` absent — probe in NOTES_r17), so
@@ -53,13 +54,34 @@ object Safetensors {
   final case class Header(tensors: Seq[TensorInfo], metadata: Map[String, String], dataStart: Long)
 
   def dtypeWidth(d: String): Int = d match {
-    case "BOOL" | "I8" | "U8" => 1
+    case "BOOL" | "I8" | "U8" | "F8_E4M3" | "F8_E5M2" => 1
     case "I16" | "U16" | "F16" | "BF16" => 2
     case "I32" | "U32" | "F32" => 4
     case "I64" | "F64" => 8
     case "U64" => fail("safetensors: U64 has no lossless JVM carrier")
-    case "F8_E4M3" | "F8_E5M2" => fail(s"safetensors: $d is not supported")
     case other => fail(s"safetensors: unknown dtype '$other'")
+  }
+
+  /** OCP FP8 E4M3 (bias 7, NO infinities, S.1111.111 = NaN): every
+    * value is exactly representable in Float. */
+  private[sources] def e4m3ToFloat(b: Int): Float = {
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val exp = (b >> 3) & 0xf
+    val mant = b & 7
+    if (exp == 0xf && mant == 7) Float.NaN
+    else if (exp == 0) sign * mant * math.pow(2, -9).toFloat
+    else sign * (1f + mant / 8f) * math.pow(2, exp - 7).toFloat
+  }
+
+  /** FP8 E5M2 (half-precision layout truncated to 2 mantissa bits:
+    * bias 15, infinities and NaNs as in IEEE). */
+  private[sources] def e5m2ToFloat(b: Int): Float = {
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val exp = (b >> 2) & 0x1f
+    val mant = b & 3
+    if (exp == 0x1f) { if (mant == 0) sign * Float.PositiveInfinity else Float.NaN }
+    else if (exp == 0) sign * mant * math.pow(2, -16).toFloat
+    else sign * (1f + mant / 4f) * math.pow(2, exp - 15).toFloat
   }
 
   @inline private def le64(b: Array[Byte], i: Int): Long = {
@@ -147,6 +169,8 @@ object Safetensors {
     def doubleAt(i: Int): Double = info.dtype match {
       case "F16" => graft.multimodal.Rad.halfToFloat(bits(i, 2).toInt).toDouble
       case "BF16" => java.lang.Float.intBitsToFloat(bits(i, 2).toInt << 16).toDouble
+      case "F8_E4M3" => e4m3ToFloat(raw(off + i) & 0xff).toDouble
+      case "F8_E5M2" => e5m2ToFloat(raw(off + i) & 0xff).toDouble
       case "F32" => java.lang.Float.intBitsToFloat(bits(i, 4).toInt).toDouble
       case "F64" => java.lang.Double.longBitsToDouble(bits(i, 8))
       case _ => longAt(i).toDouble

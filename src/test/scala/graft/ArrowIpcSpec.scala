@@ -128,6 +128,36 @@ class ArrowIpcSpec extends AnyFunSuite {
     } finally a.close()
   }
 
+  test("uint64: Arrow Java writer -> our reader carries values losslessly as decimal(20,0)") {
+    import org.apache.arrow.vector._
+    val a = alloc()
+    try {
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(java.util.Arrays.asList(
+        org.apache.arrow.vector.types.pojo.Field.nullable("u", new org.apache.arrow.vector.types.pojo.ArrowType.Int(64, false))))
+      val root = VectorSchemaRoot.create(schema, a)
+      try {
+        root.allocateNew()
+        val uv = root.getVector("u").asInstanceOf[UInt8Vector]
+        uv.setSafe(0, 7L)
+        uv.setSafe(1, Long.MaxValue)
+        uv.setSafe(2, -1L) // raw bits: 2^64 - 1
+        uv.setSafe(3, Long.MinValue) // 2^63
+        root.setRowCount(5) // row 4 null
+        val bos = new java.io.ByteArrayOutputStream()
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+        w.start(); w.writeBatch(); w.end(); w.close()
+        val (as, batches) = ArrowIpc.readFileBytes(bos.toByteArray)
+        assert(ArrowIpc.sparkType(as.fields.head) == org.apache.spark.sql.types.DecimalType(20, 0))
+        val c = batches.head.columns(0)
+        assert(c(0) == java.math.BigDecimal.valueOf(7L))
+        assert(c(1) == new java.math.BigDecimal(Long.MaxValue))
+        assert(c(2) == new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
+        assert(c(3) == new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63)))
+        assert(c(4) == null)
+      } finally root.close()
+    } finally a.close()
+  }
+
   test("dictionary-encoded utf8: Arrow Java writer -> our reader resolves indices") {
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}

@@ -112,11 +112,33 @@ class SafetensorsSpec extends AnyFunSuite {
     mustFail(file("""{"a":{"dtype":"I64","shape":[3],"data_offsets":[0,16]}}""", 16), "shape bytes mismatch")
     // refusals by dtype
     mustFail(file("""{"a":{"dtype":"U64","shape":[2],"data_offsets":[0,16]}}""", 16), "U64")
-    mustFail(file("""{"a":{"dtype":"F8_E4M3","shape":[16],"data_offsets":[0,16]}}""", 16), "F8")
     mustFail(file("""{"a":{"dtype":"Q4","shape":[16],"data_offsets":[0,16]}}""", 16), "unknown dtype")
     // header length lies
     mustFail(Array[Byte](-1, -1, -1, -1, -1, -1, -1, 0x7f), "absurd header length")
     mustFail(Array.emptyByteArray, "empty")
+  }
+
+  test("OCP FP8: E4M3 and E5M2 decode against hand-computed spec vectors") {
+    // E4M3: bias 7, no infinities, 0x7F/0xFF = NaN, max finite 448
+    val e4 = Array[Byte](0x00, 0x80.toByte, 0x38, 0x30, 0xC8.toByte, 0x7E, 0x01, 0x81.toByte)
+    // E5M2: bias 15, IEEE infinities/NaN, max finite 57344
+    val e5 = Array[Byte](0x3C, 0x3E, 0x7B, 0x34, 0x01, 0xFC.toByte, 0x7C)
+    val bytes = Safetensors.encode(Seq(
+      ("a", "F8_E4M3", Seq(e4.length.toLong), e4),
+      ("b", "F8_E5M2", Seq(e5.length.toLong), e5)))
+    val (_, ts) = Safetensors.readBytes(bytes)
+    val a = ts("a"); val b = ts("b")
+    assert(a.doubleAt(0) == 0.0 && (1.0 / a.doubleAt(1)).isNegInfinity) // -0.0
+    assert(a.doubleAt(2) == 1.0 && a.doubleAt(3) == 0.5)
+    assert(a.doubleAt(4) == -4.0 && a.doubleAt(5) == 448.0)
+    assert(a.doubleAt(6) == math.pow(2, -9) && a.doubleAt(7) == -math.pow(2, -9))
+    // 0x7F is NaN, not infinity, in E4M3
+    val nan = Safetensors.encode(Seq(("n", "F8_E4M3", Seq(1L), Array[Byte](0x7F))))
+    assert(Safetensors.readBytes(nan)._2("n").doubleAt(0).isNaN)
+    assert(b.doubleAt(0) == 1.0 && b.doubleAt(1) == 1.5)
+    assert(b.doubleAt(2) == 57344.0 && b.doubleAt(3) == 0.25)
+    assert(b.doubleAt(4) == math.pow(2, -16))
+    assert(b.doubleAt(5).isNegInfinity && b.doubleAt(6).isPosInfinity)
   }
 
   test("empty tensors and an empty file body are valid (coverage of a 0-length buffer)") {
