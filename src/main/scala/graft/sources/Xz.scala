@@ -408,8 +408,8 @@ object Xz {
           fail("xz: filter fields overrun block header")
         if (id == 0x21 && f == numFilters - 1) lzma2 = true
         else if (id == 0x03 && propsLen == 1) pre += ((id, (b(q3) & 0xff) + 1L))
-        else if (id >= 0x04 && id <= 0x0a && propsLen == 0) pre += ((id, 0L))
-        else if (id >= 0x04 && id <= 0x0a && propsLen == 4) {
+        else if (id >= 0x04 && id <= 0x0b && propsLen == 0) pre += ((id, 0L))
+        else if (id >= 0x04 && id <= 0x0b && propsLen == 4) {
           // spec: a BCJ start offset must be a multiple of the filter's
           // instruction alignment (liblzma rejects misaligned offsets)
           val start = le32(b, q3) & 0xffffffffL
@@ -497,7 +497,7 @@ object Xz {
     (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
 
   // ------------------------------------------------------------------
-  // BCJ branch filters (the xz "simple" filters, ids 0x04..0x0A):
+  // BCJ branch filters (the xz "simple" filters, ids 0x04..0x0B):
   // position-dependent rewrites of relative branch/call targets to
   // absolute form so identical call sites compress alike. Algorithms
   // per the published xz file format / public-domain xz-utils simple
@@ -517,6 +517,7 @@ object Xz {
     case 0x08 => 2 // ARM-Thumb
     case 0x09 => 4 // SPARC
     case 0x0a => 4 // ARM64
+    case 0x0b => 2 // RISC-V (compressed instructions are 2-byte)
     case _ => 1
   }
 
@@ -533,6 +534,7 @@ object Xz {
       case 0x08 => bcjArmThumb(b, off, len, start.toInt, encode)
       case 0x09 => bcjSparc(b, off, len, start.toInt, encode)
       case 0x0a => bcjArm64(b, off, len, start.toInt, encode)
+      case 0x0b => bcjRiscV(b, off, len, start.toInt, encode)
       case other => fail(s"xz: unsupported BCJ filter id $other")
     }
 
@@ -744,6 +746,99 @@ object Xz {
         }
       }
       i += 4
+    }
+  }
+
+  /** RISC-V (id 0x0B, alignment 2): converts the targets of JAL with
+    * rd = x1/x5 (the link registers) and of AUIPC + 12-bit-immediate
+    * pairs (rs1 of the next instruction == AUIPC's rd, rd not x0/x2)
+    * to absolute form. JAL stores the 20-bit halved target big-endian
+    * across the upper 2.5 bytes; a pair packs into a fake
+    * `auipc x2`-shaped word (0x117 | inst2<<12) + the byte-swapped
+    * 32-bit address. Raw input that LOOKS like a packed artifact is
+    * escaped with the arithmetic-free reshuffle of the opposite map,
+    * so encode/decode stay mutually inverse on every byte sequence.
+    *
+    * No published spec text documents this conversion (it postdates
+    * the xz file-format spec's algorithm sections); the algorithm here
+    * was extracted BEHAVIORALLY from the in-container liblzma 5.8.2
+    * via chosen-plaintext differential probing (single-bit basis over
+    * every field, branch/step probes through the CLI with the LZMA2
+    * layer stripped), then validated byte-exact against the CLI on
+    * 1200 adversarial corpora in both directions — fixtures pinned by
+    * tools/gen_bcj_fixtures.py, probe log in NOTES_r17. */
+  private def bcjRiscV(b: Array[Byte], off: Int, len: Int, nowPos0: Int, enc: Boolean): Unit = {
+    @inline def wr32(i: Int, v: Int): Unit = {
+      b(off + i) = v.toByte
+      b(off + i + 1) = (v >>> 8).toByte
+      b(off + i + 2) = (v >>> 16).toByte
+      b(off + i + 3) = (v >>> 24).toByte
+    }
+    var i = 0
+    while (i + 8 <= len) {
+      val b0 = b(off + i) & 0xff
+      if (b0 == 0xEF) {
+        val b1 = b(off + i + 1) & 0xff
+        if ((b1 & 0x0D) != 0) i += 2 // rd is not x1/x5
+        else {
+          val pc = nowPos0 + i
+          val w = le32(b, off + i)
+          if (enc) {
+            // J-immediate: inst[31]=imm20, [30:21]=imm10:1, [20]=imm11, [19:12]=imm19:12
+            val imm = (((w >>> 31) & 1) << 20) | (((w >>> 21) & 0x3FF) << 1) |
+              (((w >>> 20) & 1) << 11) | (((w >>> 12) & 0xFF) << 12)
+            val a = ((imm + pc) & 0x1FFFFF) >>> 1 // 20-bit halved target
+            wr32(i, (w & 0x0FFF) | (((a >>> 16) & 0xF) << 12) | (((a >>> 8) & 0xFF) << 16) | ((a & 0xFF) << 24))
+          } else {
+            val a = (((w >>> 12) & 0xF) << 16) | (((w >>> 16) & 0xFF) << 8) | ((w >>> 24) & 0xFF)
+            val imm = ((a << 1) - pc) & 0x1FFFFF
+            wr32(i, (w & 0x0FFF) | (((imm >>> 20) & 1) << 31) | (((imm >>> 1) & 0x3FF) << 21) |
+              (((imm >>> 11) & 1) << 20) | (((imm >>> 12) & 0xFF) << 12))
+          }
+          i += 4
+        }
+      } else if ((b0 & 0x7F) == 0x17) {
+        val w1 = le32(b, off + i)
+        val w2 = le32(b, off + i + 4)
+        val rd = (w1 >>> 7) & 0x1F
+        val pc = nowPos0 + i
+        // real pair (rd not x0/x2, next insn is 32-bit with rs1 == rd)
+        val pairOk = (w1 & 0xE80) != 0 && ((w2 >>> 15) & 0x1F) == rd && (w2 & 3) == 3
+        // packed-artifact shape (fake auipc x2, inst2 low bits 11, fake rs1 not x0/x2)
+        val artOk = (w1 & 0xE80) == 0 && (w1 & 0x3F80) == 0x3100 && (w1 & 0xE8000000) != 0
+        def pack(): Unit = { // forward pair conversion (address arithmetic)
+          val imm12 = w2 >>> 20
+          val s = if ((imm12 & 0x800) != 0) imm12 - 0x1000 else imm12
+          val addr = (w1 & 0xFFFFF000) + s + pc
+          wr32(i, 0x117 | (w2 << 12))
+          wr32(i + 4, Integer.reverseBytes(addr))
+        }
+        def unpack(): Unit = { // inverse pair conversion
+          val lo20 = w1 >>> 12
+          val addr = Integer.reverseBytes(w2) - pc
+          val hi = ((addr + 0x800) >>> 12) & 0xFFFFF
+          wr32(i, (hi << 12) | (((lo20 >>> 15) & 0x1F) << 7) | 0x17)
+          wr32(i + 4, ((addr & 0xFFF) << 20) | lo20)
+        }
+        def reshUnpack(): Unit = { // arithmetic-free escape of artifact-shaped raw bytes
+          val lo20 = w1 >>> 12
+          wr32(i, (w2 & 0xFFFFF000) | (((lo20 >>> 15) & 0x1F) << 7) | 0x17)
+          wr32(i + 4, ((w2 & 0xFFF) << 20) | lo20)
+        }
+        def reshPack(): Unit = { // arithmetic-free inverse escape
+          wr32(i, ((w2 & 0xFFFFF) << 12) | 0x117)
+          wr32(i + 4, (w1 & 0xFFFFF000) | ((w2 >>> 20) & 0xFFF))
+        }
+        if (enc) {
+          if (pairOk) { pack(); i += 8 }
+          else if (artOk) { reshUnpack(); i += 8 }
+          else i += (if ((w1 & 0xE80) != 0) 6 else 4)
+        } else {
+          if (artOk) { unpack(); i += 8 }
+          else if (pairOk) { reshPack(); i += 8 }
+          else i += (if ((w1 & 0xE80) != 0) 6 else 4)
+        }
+      } else i += 2
     }
   }
 
@@ -1095,11 +1190,11 @@ object Xz {
       // filtered-stream lane (r15 verdict #5): the four streams cycle
       // through BCJ chains — plain, x86, ARM, ARM64 — so every decode
       // exercises the branch-filter undo path, not just plain LZMA2
-      val bcjLane = Array(0L, 0x04L, 0x07L, 0x0aL)
+      val bcjLane = Array(0L, 0x04L, 0x07L, 0x0aL, 0x0bL)
       val file = {
         val o = new java.io.ByteArrayOutputStream()
         groups.zipWithIndex.foreach { case (g, i) =>
-          o.write(encodeRawXz(g.mkString("", "\n", "\n").getBytes(utf8), bcjLane(i % 4)))
+          o.write(encodeRawXz(g.mkString("", "\n", "\n").getBytes(utf8), bcjLane(i % 5)))
           if (i % 2 == 1) o.write(new Array[Byte](4))
         }
         o.toByteArray

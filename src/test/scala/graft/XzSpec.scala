@@ -74,15 +74,15 @@ class XzSpec extends SparkSuite {
     intercept[Xz.XzError](Xz.decode(bad))
   }
 
-  test("BCJ filters: all eight real-liblzma fixtures present, byte-exact, and transforms round-trip") {
+  test("BCJ filters: all ten real-liblzma fixtures present, byte-exact, and transforms round-trip") {
     // fixture sweep above already decodes these byte-exactly; this
     // pins COVERAGE (a deleted fixture may not silently shrink the
     // conformance surface) and the transform identities
     val expected = Seq("bcj_x86", "bcj_x86_start16", "bcj_powerpc", "bcj_ia64",
-      "bcj_arm", "bcj_armthumb", "bcj_sparc", "bcj_arm64")
+      "bcj_arm", "bcj_armthumb", "bcj_sparc", "bcj_arm64", "bcj_riscv", "bcj_riscv_start64")
     expected.foreach(n => assert(fixtures.contains(n), s"missing BCJ fixture $n"))
     // encode→decode identity per filter over branch-dense bytes
-    val ids = Seq(0x04L, 0x05L, 0x06L, 0x07L, 0x08L, 0x09L, 0x0aL)
+    val ids = Seq(0x04L, 0x05L, 0x06L, 0x07L, 0x08L, 0x09L, 0x0aL, 0x0bL)
     val base = Files.readAllBytes(new java.io.File(dir, "bcj_x86.bin").toPath)
     for (id <- ids; start <- Seq(0L, 4096L)) {
       val enc = base.clone()
@@ -90,8 +90,18 @@ class XzSpec extends SparkSuite {
       Xz.Bcj(id, enc, 0, enc.length, start, encode = false)
       assert(java.util.Arrays.equals(enc, base), s"BCJ $id start=$start round-trip drift")
     }
+    // riscv ENCODER pinned byte-exact against liblzma's own filter
+    // output (the CLI's riscv+lzma2 raw stream with the LZMA2 layer
+    // stripped at capture — see gen_bcj_fixtures.py provenance)
+    val rvBin = Files.readAllBytes(new java.io.File(dir, "bcj_riscv.bin").toPath)
+    val rvValidated = Files.readAllBytes(new java.io.File(dir, "bcj_riscv_filtered.validated").toPath)
+    val rvEnc = rvBin.clone()
+    Xz.Bcj(0x0bL, rvEnc, 0, rvEnc.length, 0L, encode = true)
+    assert(java.util.Arrays.equals(rvEnc, rvValidated), "riscv encode drifts from liblzma's filter output")
+    Xz.Bcj(0x0bL, rvEnc, 0, rvEnc.length, 0L, encode = false)
+    assert(java.util.Arrays.equals(rvEnc, rvBin), "riscv decode does not invert")
     // unknown filter id refuses cleanly
-    intercept[Xz.XzError](Xz.Bcj(0x0bL, base.clone(), 0, base.length, 0L, encode = false))
+    intercept[Xz.XzError](Xz.Bcj(0x0cL, base.clone(), 0, base.length, 0L, encode = false))
   }
 
   test("encodeRawXz: BCJ-chained streams decode back and match the liblzma-validated bytes") {

@@ -99,6 +99,48 @@ open(os.path.join(OUT, "bcj_x86_start16.xz"), "wb").write(xz_bytes)
 open(os.path.join(OUT, "bcj_x86_start16.bin"), "wb").write(data)
 print("x86 start=16 ok", len(xz_bytes))
 
+# riscv via the CLI (python binding predates the constant; xz >= 5.6)
+def riscv_payload(n=8192):
+    b = prng("bcj:riscv", n)
+    for k in range(0, n - 20, 24):
+        a = k - (k % 2)
+        tgt = (k * 7919) & 0xFFFFE
+        if (k // 24) % 3 == 0:
+            # jal ra, tgt (J-scrambled immediate)
+            imm = tgt
+            inst = (((imm >> 20) & 1) << 31) | (((imm >> 1) & 0x3FF) << 21) | \
+                   (((imm >> 11) & 1) << 20) | (((imm >> 12) & 0xFF) << 12) | (1 << 7) | 0x6F
+            b[a:a+4] = struct.pack("<I", inst)
+        elif (k // 24) % 3 == 1 and a + 8 <= n:
+            # auipc t1, hi ; ld t2, lo(t1)
+            rd = 6
+            auipc = ((tgt & 0xFFFFF) << 12) | (rd << 7) | 0x17
+            ld = ((k & 0x7FF) << 20) | (rd << 15) | (3 << 12) | (7 << 7) | 0x03
+            b[a:a+4] = struct.pack("<I", auipc)
+            b[a+4:a+8] = struct.pack("<I", ld)
+    return bytes(b)
+
+data = riscv_payload()
+open("/tmp/bcj_riscv.raw", "wb").write(data)
+subprocess.run(["xz", "-zkf", "--riscv", "--lzma2=preset=6", "-S", ".rvxz", "/tmp/bcj_riscv.raw"], check=True)
+xz_bytes = open("/tmp/bcj_riscv.raw.rvxz", "rb").read()
+plain = lzma.compress(data, format=lzma.FORMAT_XZ, filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+# python's bundled liblzma predates the riscv filter: self-check via the CLI
+back = subprocess.run(["xz", "-d", "-c"], input=xz_bytes, capture_output=True, check=True).stdout
+assert xz_bytes != plain and back == data
+open(os.path.join(OUT, "bcj_riscv.xz"), "wb").write(xz_bytes)
+open(os.path.join(OUT, "bcj_riscv.bin"), "wb").write(data)
+print("riscv ok", len(xz_bytes))
+
+# riscv with a non-zero (2-aligned) start offset
+subprocess.run(["xz", "-zkf", "--riscv=start=64", "--lzma2=preset=6", "-S", ".rvsxz", "/tmp/bcj_riscv.raw"], check=True)
+xz_bytes = open("/tmp/bcj_riscv.raw.rvsxz", "rb").read()
+back = subprocess.run(["xz", "-d", "-c"], input=xz_bytes, capture_output=True, check=True).stdout
+assert back == data
+open(os.path.join(OUT, "bcj_riscv_start64.xz"), "wb").write(xz_bytes)
+open(os.path.join(OUT, "bcj_riscv_start64.bin"), "wb").write(data)
+print("riscv start=64 ok", len(xz_bytes))
+
 # arm64 via the CLI (python binding predates the constant)
 data = payload("arm64")
 open("/tmp/bcj_arm64.raw", "wb").write(data)
