@@ -100,6 +100,16 @@ class XzSpec extends SparkSuite {
     assert(java.util.Arrays.equals(rvEnc, rvValidated), "riscv encode drifts from liblzma's filter output")
     Xz.Bcj(0x0bL, rvEnc, 0, rvEnc.length, 0L, encode = false)
     assert(java.util.Arrays.equals(rvEnc, rvBin), "riscv decode does not invert")
+    // riscv over the ADVERSARIAL corpus (artifact shapes, escapes,
+    // dual-match corners — the differential-fuzz generator family):
+    // encoder matches liblzma byte-exactly, decoder inverts
+    val adv = Files.readAllBytes(new java.io.File(dir, "bcj_riscv_adv.bin").toPath)
+    val advValidated = Files.readAllBytes(new java.io.File(dir, "bcj_riscv_adv.validated").toPath)
+    val advEnc = adv.clone()
+    Xz.Bcj(0x0bL, advEnc, 0, advEnc.length, 0L, encode = true)
+    assert(java.util.Arrays.equals(advEnc, advValidated), "riscv adversarial encode drifts from liblzma")
+    Xz.Bcj(0x0bL, advEnc, 0, advEnc.length, 0L, encode = false)
+    assert(java.util.Arrays.equals(advEnc, adv), "riscv adversarial decode does not invert")
     // unknown filter id refuses cleanly
     intercept[Xz.XzError](Xz.Bcj(0x0cL, base.clone(), 0, base.length, 0L, encode = false))
   }

@@ -151,3 +151,36 @@ assert xz_bytes != plain and lzma.decompress(xz_bytes) == data
 open(os.path.join(OUT, "bcj_arm64.xz"), "wb").write(xz_bytes)
 open(os.path.join(OUT, "bcj_arm64.bin"), "wb").write(data)
 print("arm64 ok", len(xz_bytes))
+
+# riscv ADVERSARIAL corpus: artifact-shaped words, escape shapes, pairs,
+# JALs, dual-match corners — the generator family that drove the
+# 1200-run differential fuzz (NOTES_r17). The .validated pair is the
+# CLI's exact BCJ-layer output (LZMA2 stripped), pinning the encoder
+# over the tricky branches forever.
+import random
+random.seed(2026)
+adv = bytearray()
+while len(adv) < 65536:
+    k = random.random()
+    if k < 0.22:
+        rd = random.randrange(32)
+        w1 = (random.getrandbits(20) << 12) | (rd << 7) | 0x17
+        w2 = (random.getrandbits(12) << 20) | (rd << 15) | (random.getrandbits(3) << 12) | (random.getrandbits(5) << 7) | random.choice([3, 3, 1, 0])
+        adv += w1.to_bytes(4, "little") + w2.to_bytes(4, "little")
+    elif k < 0.42:
+        w1 = (random.getrandbits(18) << 14) | 0x3117
+        adv += w1.to_bytes(4, "little") + random.getrandbits(32).to_bytes(4, "little")
+    elif k < 0.62:
+        adv += bytes([0xEF, random.choice([0, 2, 1, 4, 8]) | (random.getrandbits(4) << 4), random.getrandbits(8), random.getrandbits(8)])
+    elif k < 0.72:
+        adv += bytes([0x97, random.getrandbits(8), random.getrandbits(8), random.getrandbits(8)])
+    else:
+        adv += bytes([random.getrandbits(8) for _ in range(random.choice([1, 2, 3]))])
+adv = bytes(adv[:65536])
+pr = subprocess.run(["xz", "--format=raw", "--riscv", "--lzma2=preset=0", "-c", "-q", "-q"], input=adv, capture_output=True)
+assert pr.returncode == 0
+adv_f = lzma.decompress(pr.stdout, format=lzma.FORMAT_RAW, filters=[{"id": lzma.FILTER_LZMA2, "preset": 0}])
+assert len(adv_f) == len(adv) and adv_f != adv
+open(os.path.join(OUT, "bcj_riscv_adv.bin"), "wb").write(adv)
+open(os.path.join(OUT, "bcj_riscv_adv.validated"), "wb").write(adv_f)
+print("riscv adversarial ok", sum(1 for a, b in zip(adv, adv_f) if a != b), "bytes converted")
