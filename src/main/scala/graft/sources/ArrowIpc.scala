@@ -297,9 +297,11 @@ object ArrowIpc {
     // footer must fail here as ArrowError, never as a raw IO/array
     // error inside a fetch task
     (f.dictionaries ++ f.batches).foreach { blk =>
+      // overflow-safe: subtract the (already-bounded) lengths from the
+      // file size instead of summing hostile u64s
       req(blk.offset >= 8 && blk.metaLen >= 0 && blk.bodyLen >= 0 &&
         blk.metaLen.toLong + blk.bodyLen <= Int.MaxValue &&
-        blk.offset + blk.metaLen + blk.bodyLen <= len - 10 - fLen,
+        blk.offset <= len - 10 - fLen - blk.metaLen - blk.bodyLen,
         s"arrow: block extent (${blk.offset},${blk.metaLen},${blk.bodyLen}) outside file of $len")
     }
     f
@@ -1171,7 +1173,7 @@ object ArrowIpc {
     }
     def le64b(v: Long, a: Array[Byte], p: Int): Unit = { le32b(v.toInt, a, p); le32b((v >>> 32).toInt, a, p + 4) }
     f.tpe match {
-      case AInt(bits, true) =>
+      case AInt(bits, _) => // unsigned widths take raw low bits (u64 = the decimal carrier's two's complement)
         bufs += bm
         val w = bits / 8
         val d = new Array[Byte](n * w)

@@ -176,8 +176,9 @@ private final class ArrowPartitionReader(path: String, batchIdx: Int, required: 
         val id = ArrowIpc.dictionaryIdOf(head, 0)
         if (!neededDictIds.contains(id)) None
         else {
-          val msg = ranged(blk.offset, (blk.metaLen.toLong + blk.bodyLen).toInt)
-          Some(ArrowIpc.decodeDictionaryMessage(msg, 0, f.schema))
+          // body only — the metadata bytes were already read
+          val body = ranged(blk.offset + blk.metaLen, blk.bodyLen.toInt)
+          Some(ArrowIpc.decodeDictionaryMessage(head ++ body, 0, f.schema))
         }
       }.toMap
       val blk = f.batches(batchIdx)
@@ -221,6 +222,8 @@ private object ArrowWriteSupport {
       case StringType => (ArrowIpc.AUtf8, Nil)
       case BinaryType => (ArrowIpc.ABinary, Nil)
       case BooleanType => (ArrowIpc.ABool, Nil)
+      case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+        (ArrowIpc.AInt(64, signed = false), Nil) // the u64 carrier round-trips
       case DateType => (ArrowIpc.ADate(0), Nil)
       case TimestampType => (ArrowIpc.ATimestamp(2, "UTC"), Nil)
       case ArrayType(et, nullable) =>
@@ -251,6 +254,10 @@ private object ArrowWriteSupport {
             t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
         }
+      case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+        val big = v.asInstanceOf[java.math.BigDecimal].toBigIntegerExact
+        require(big.signum >= 0 && big.bitLength <= 64, s"arrowipc write: $big outside uint64")
+        java.lang.Long.valueOf(big.longValue) // raw two's-complement low 64 bits
       case ArrayType(et, _) => v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(e => toRaw(et, e))
       case st: StructType =>
         val r = v.asInstanceOf[Row]

@@ -197,6 +197,7 @@ object TfRecord {
   private def parseFeature(b: Array[Byte], from: Int, until: Int): Feature = {
     val w = new Wire(b, from, until)
     var out: Feature = null
+    var skippedAny = false
     while (w.hasMore) {
       val tag = w.varint()
       ((tag >>> 3).toInt, (tag & 7).toInt) match {
@@ -245,12 +246,18 @@ object TfRecord {
             }
           }
           out = Int64List(vals.toSeq)
-        case (_, wt) => w.skip(wt)
+        case (_, wt) => skippedAny = true; w.skip(wt)
       }
     }
     // a kind-unset Feature (zero-length value — protobuf map
-    // serializers always emit the value field) is valid and empty
-    if (out == null) BytesList(Nil) else out
+    // serializers always emit the value field) is valid and empty;
+    // but a Feature whose ONLY content is fields we don't recognize
+    // carries data of an unknown future kind — refuse loudly rather
+    // than silently reading populated values as empty
+    if (out == null) {
+      req(!skippedAny, "tfrecord: Feature carries only unknown-kind fields")
+      BytesList(Nil)
+    } else out
   }
 
   // ------------------------------------------------------------ proto write

@@ -248,6 +248,57 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(patchedAny, "no footer mutation was rejected — extent validation missing")
   }
 
+  test("hostile footer: Long-overflow block extents refuse at footer parse (not in fetch tasks)") {
+    val good = laneFile(20, codec = -1)
+    // locate the first record-batch Block struct in the footer by its
+    // known offset value (the batch message starts right after the
+    // schema message: 8 + 8 + paddedSchemaFbLen)
+    val schemaMetaLen = (good(12) & 0xff) | ((good(13) & 0xff) << 8) | ((good(14) & 0xff) << 16) | ((good(15) & 0xff) << 24)
+    val batchOffset = 8L + 8L + schemaMetaLen
+    val fLen = {
+      val t = good.length - 10
+      (good(t) & 0xff) | ((good(t + 1) & 0xff) << 8) | ((good(t + 2) & 0xff) << 16) | ((good(t + 3) & 0xff) << 24)
+    }
+    val footerStart = good.length - 10 - fLen
+    // find the i64 LE batchOffset inside the footer and overwrite it
+    // with a value that wraps offset+metaLen+bodyLen negative
+    var pos = -1
+    for (p <- footerStart until good.length - 8 if pos < 0) {
+      var v = 0L
+      for (j <- 0 until 8) v |= (good(p + j) & 0xffL) << (8 * j)
+      if (v == batchOffset) pos = p
+    }
+    assert(pos > 0, "could not locate the block offset in the footer")
+    val bomb = good.clone()
+    val huge = 0x7FFFFFFFFFFFFF00L
+    for (j <- 0 until 8) bomb(pos + j) = ((huge >> (8 * j)) & 0xff).toByte
+    val ranged: (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(bomb, off.toInt, off.toInt + n)
+    intercept[ArrowIpc.ArrowError] { ArrowIpc.footer(ranged, bomb.length.toLong) }
+  }
+
+  test("uint64 round-trip: decimal(20,0) carrier writes back as real arrow u64") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowu64").resolve("out").toString
+    val df = spark.sql(
+      """select * from values
+        |  (cast(18446744073709551615 as decimal(20,0))),
+        |  (cast(9223372036854775808 as decimal(20,0))),
+        |  (cast(7 as decimal(20,0))),
+        |  (cast(null as decimal(20,0)))
+        |as t(u)""".stripMargin)
+    df.write.format("arrowipc").mode("append").save(dir)
+    // the written field is genuine unsigned 64
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val (as, _) = ArrowIpc.readFileBytes(bytes)
+    assert(as.fields.head.tpe == AInt(64, signed = false))
+    val back = spark.read.format("arrowipc").load(dir)
+    val got = back.collect().map(r => Option(r.getDecimal(0)).map(_.toBigInteger.toString).orNull).sorted(
+      Ordering[String].on((s: String) => if (s == null) "" else s))
+    assert(got.contains("18446744073709551615") && got.contains("9223372036854775808") && got.contains("7"))
+    assert(got.contains(null) || got.exists(_ == null))
+  }
+
   test("one InputPartition per record batch") {
     val dir = java.nio.file.Files.createTempDirectory("arrowparts")
     try {

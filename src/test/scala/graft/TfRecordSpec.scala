@@ -117,6 +117,13 @@ class TfRecordSpec extends AnyFunSuite {
     val rec = msg(c => c.writeByteArray(1, feats))
     val ex = TfRecord.parseExample(rec)
     assert(ex == Map("ghost" -> BytesList(Nil)))
+    // but a Feature whose ONLY content is an unknown future kind
+    // carries real data — reading it as empty would be silent loss
+    val unknownKind = msg(c => c.writeByteArray(4, "future-data".getBytes("UTF-8")))
+    val entry2 = msg { c => c.writeString(1, "mystery"); c.writeByteArray(2, unknownKind) }
+    val feats2 = msg(c => c.writeByteArray(1, entry2))
+    val rec2 = msg(c => c.writeByteArray(1, feats2))
+    intercept[TfRecord.TfRecordError] { TfRecord.parseExample(rec2) }
   }
 
   test("framing: round-trip, empty records, gz shard") {
