@@ -362,7 +362,10 @@ object ArrowIpc {
     def next(): Array[Byte] = {
       req(i < entries.length, "arrow: batch consumes more buffers than declared")
       val (off, len) = entries(i); i += 1
-      req(off >= 0 && len >= 0 && bodyStart + off + len <= body.length,
+      // bound each term before summing: a hostile 2^62-scale off/len pair
+      // would wrap Long in `bodyStart + off + len` and slip past a summed check
+      req(off >= 0 && off <= body.length.toLong - bodyStart &&
+          len >= 0 && len <= body.length.toLong - bodyStart - off,
         s"arrow: buffer extent ($off,$len) outside body")
       val start = bodyStart + off.toInt
       if (len == 0) Array.emptyByteArray
@@ -598,10 +601,15 @@ object ArrowIpc {
         // a field-less struct has no backing bytes — cap like ANull
         req(f.children.nonEmpty || n <= (1 << 26), s"arrow: empty struct of $n rows")
         val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts))
+        // every child node must declare exactly the struct's length — a short
+        // child means a malformed file, not implicit null padding
+        kids.zip(f.children).foreach { case (k, c) =>
+          req(k.length == n, s"arrow: struct '${f.name}' child '${c.name}' length ${k.length} != $n")
+        }
         val out = new Array[Any](n)
         var i = 0
         while (i < n) {
-          if (isValid(validity, i, nullCount)) out(i) = kids.map(k => if (i < k.length) k(i) else null).toVector
+          if (isValid(validity, i, nullCount)) out(i) = kids.map(k => k(i)).toVector
           i += 1
         }
         out

@@ -233,7 +233,9 @@ object Npy {
     }
     req(descr != null && fortran != null && shape != null, "npy header: missing required keys")
     req(!descr.contains("O"), "npy: object arrays are pickled code, refusing")
-    val prod = shape.foldLeft(1L)((a, d) => { req(d >= 0, "npy: negative dim"); a * math.max(1, d) })
+    // multiplyExact: a crafted header with many huge dims would wrap a plain
+    // Long product past the Int.MaxValue check (guarded() maps the throw to NpyError)
+    val prod = shape.foldLeft(1L)((a, d) => { req(d >= 0, "npy: negative dim"); Math.multiplyExact(a, math.max(1L, d.toLong)) })
     req(prod <= Int.MaxValue, s"npy: $prod elements")
     Header(descr, fortran, shape)
   }
