@@ -26,8 +26,11 @@ import org.apache.spark.sql.types._
   * half/single/double floats, bool, utf8/binary (+ Large variants),
   * fixed-size binary, decimal128, date32/64, time32/64, timestamp
   * (all units), duration, list / large-list / fixed-size-list,
-  * struct, and non-delta dictionary encoding. Unions, maps,
-  * run-end-encoded and the view types refuse loudly by name.
+  * struct, map (Spark MapType), dense + sparse unions (faced as a
+  * `{type_id, variant...}` struct — Spark has no union type), and
+  * non-delta dictionary encoding. Run-end-encoded and the view types
+  * refuse loudly by name (probe: no common producer pressure —
+  * pyarrow 16.1 emits them only on request, never by default).
   *
   * Conformance: ArrowIpcSpec pins BOTH directions LIVE against Arrow
   * Java (ships on the Spark classpath) — our reader over
@@ -151,6 +154,12 @@ object ArrowIpc {
   case object ALargeList extends AType
   final case class AFixedSizeList(listSize: Int) extends AType
   case object AStruct extends AType
+  /** Physically list-of-struct: one non-nullable `entries` child
+    * carrying non-nullable `key` + `value` children (Schema.fbs Map). */
+  final case class AMap(keysSorted: Boolean) extends AType
+  /** `typeIds(j)` is the int8 tag in the types buffer selecting child
+    * j; dense adds a per-slot int32 offsets buffer into that child. */
+  final case class AUnion(dense: Boolean, typeIds: Seq[Int]) extends AType
 
   /** dictId = -1 when not dictionary-encoded; for encoded fields,
     * `tpe`/`children` describe the VALUE type and the record-batch
@@ -240,8 +249,29 @@ object ArrowIpc {
       case TStruct => AStruct
       case TLargeBinary => ALargeBinary
       case TLargeUtf8 => ALargeUtf8
-      case TUnion => fail(s"arrow: union field '$name' is not supported")
-      case TMap => fail(s"arrow: map field '$name' is not supported")
+      case TUnion =>
+        req(children.nonEmpty, s"arrow: union '$name' with no children")
+        val mode = if (typeTab < 0) 0 else fbShort(b, typeTab, 0, 0)
+        req(mode == 0 || mode == 1, s"arrow: union '$name' mode $mode")
+        val tids: Seq[Int] = {
+          val p = if (typeTab < 0) -1 else fbField(b, typeTab, 1)
+          if (p < 0) children.indices // spec default: 0..n-1
+          else {
+            val (k, base) = fbVector(b, p, 4)
+            (0 until k).map(i => i32(b, base + 4 * i))
+          }
+        }
+        req(tids.length == children.length,
+          s"arrow: union '$name' declares ${tids.length} type ids for ${children.length} children")
+        req(tids.forall(t => t >= 0 && t <= 127), s"arrow: union '$name' type ids $tids outside int8")
+        req(tids.distinct.length == tids.length, s"arrow: union '$name' has duplicate type ids")
+        AUnion(mode == 1, tids)
+      case TMap =>
+        req(children.length == 1 && children.head.children.length == 2,
+          s"arrow: map '$name' must carry one entries child with key + value")
+        req(!children.head.nullable && !children.head.children.head.nullable,
+          s"arrow: map '$name' entries and key must be non-nullable")
+        AMap(if (typeTab < 0) false else fbBool(b, typeTab, 0, dflt = false))
       case TInterval => fail(s"arrow: interval field '$name' is not supported")
       case TRunEndEncoded => fail(s"arrow: run-end-encoded field '$name' is not supported")
       case t => fail(s"arrow: unsupported type tag $t for field '$name'")
@@ -613,6 +643,62 @@ object ArrowIpc {
           i += 1
         }
         out
+      case AMap(_) =>
+        // physically list<entries: struct<key, value>> — list layout,
+        // plus the map contract: entries and keys are never null
+        val validity = checkedValidity(bufs.next()); val offs = bufs.next()
+        req(offs.length >= 4L * (n + 1) || n == 0, s"arrow: map offsets short for '${f.name}'")
+        val entries = decodeColumn(f.children.head, nodes, bufs, dicts)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (isValid(validity, i, nullCount)) {
+            val a = i32(offs, 4 * i); val b2 = i32(offs, 4 * (i + 1))
+            req(a >= 0 && b2 >= a && b2 <= entries.length, s"arrow: map extent [$a,$b2) for '${f.name}'")
+            var j = a
+            while (j < b2) {
+              val e = entries(j)
+              req(e != null && e.asInstanceOf[Seq[Any]].head != null,
+                s"arrow: map '${f.name}' has a null entry or key at $j")
+              j += 1
+            }
+            out(i) = entries.slice(a, b2).toVector
+          }
+          i += 1
+        }
+        out
+      case AUnion(dense, typeIds) =>
+        // unions carry no validity buffer — nulls live in the children
+        req(nullCount == 0, s"arrow: union '${f.name}' declares $nullCount top-level nulls")
+        val types = bufs.next()
+        req(types.length >= n || n == 0, s"arrow: union types buffer short for '${f.name}'")
+        val offs = if (!dense) null else {
+          val o = bufs.next()
+          req(o.length >= 4L * n || n == 0, s"arrow: union offsets short for '${f.name}'")
+          o
+        }
+        val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts))
+        if (!dense) kids.zip(f.children).foreach { case (k, c) =>
+          req(k.length == n, s"arrow: sparse union '${f.name}' child '${c.name}' length ${k.length} != $n")
+        }
+        val tidToChild = typeIds.zipWithIndex.toMap
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val tid = types(i).toInt
+          val ci = tidToChild.getOrElse(tid, fail(s"arrow: union '${f.name}' slot $i has undeclared type id $tid"))
+          val slot =
+            if (!dense) i
+            else {
+              val o = i32(offs, 4 * i)
+              req(o >= 0 && o < kids(ci).length,
+                s"arrow: union '${f.name}' offset $o outside child of ${kids(ci).length}")
+              o
+            }
+          out(i) = Vector(tid, kids(ci)(slot))
+          i += 1
+        }
+        out
     }
 
     if (f.dictId < 0) raw
@@ -648,7 +734,7 @@ object ArrowIpc {
           ADate(_) | ATime(_, _) | ATimestamp(_, _) | ADuration(_) =>
         bufs.skip(2)
       case AUtf8 | ABinary | ALargeUtf8 | ALargeBinary => bufs.skip(3)
-      case AList | ALargeList =>
+      case AList | ALargeList | AMap(_) =>
         bufs.skip(2)
         skipColumn(f.children.head, nodes, bufs)
       case AFixedSizeList(_) =>
@@ -656,6 +742,9 @@ object ArrowIpc {
         skipColumn(f.children.head, nodes, bufs)
       case AStruct =>
         bufs.skip(1)
+        f.children.foreach(c => skipColumn(c, nodes, bufs))
+      case AUnion(dense, _) =>
+        bufs.skip(if (dense) 2 else 1) // types (+ offsets); no validity
         f.children.foreach(c => skipColumn(c, nodes, bufs))
     }
   }
@@ -838,6 +927,14 @@ object ArrowIpc {
     case AList | ALargeList | AFixedSizeList(_) =>
       ArrayType(sparkType(f.children.head), containsNull = f.children.head.nullable)
     case AStruct => StructType(f.children.map(c => StructField(c.name, sparkType(c), c.nullable)))
+    case AMap(_) =>
+      val e = f.children.head
+      MapType(sparkType(e.children(0)), sparkType(e.children(1)), valueContainsNull = e.children(1).nullable)
+    case AUnion(_, _) =>
+      // Spark has no union type; face it the Avro-union way — a struct
+      // of the selecting tag plus one nullable field per variant
+      StructType(StructField("type_id", ByteType, nullable = false) +:
+        f.children.map(c => StructField(c.name, sparkType(c), nullable = true)))
   }
 
   def sparkSchema(s: ASchema): StructType =
@@ -862,6 +959,19 @@ object ArrowIpc {
           v.asInstanceOf[Seq[Any]].map(e => toRowValue(f.children.head, e))
         case AStruct =>
           Row.fromSeq(f.children.zip(v.asInstanceOf[Seq[Any]]).map { case (c, e) => toRowValue(c, e) })
+        case AMap(_) =>
+          val e = f.children.head
+          val kf = e.children(0); val vf = e.children(1)
+          v.asInstanceOf[Seq[Any]].map { entry =>
+            val p = entry.asInstanceOf[Seq[Any]]
+            toRowValue(kf, p(0)) -> toRowValue(vf, p(1))
+          }.toMap
+        case AUnion(_, typeIds) =>
+          val p = v.asInstanceOf[Seq[Any]]
+          val tid = p(0).asInstanceOf[Int]
+          val ci = typeIds.indexOf(tid)
+          Row.fromSeq(java.lang.Byte.valueOf(tid.toByte) +:
+            f.children.zipWithIndex.map { case (c, j) => if (j == ci) toRowValue(c, p(1)) else null })
         case _ => v
       }
   }
@@ -998,6 +1108,8 @@ object ArrowIpc {
     }
 
     def prependInt(v: Int): Unit = { prep(4, 0); putInt(v) }
+    /** 4 LE bytes, no prep — for elements inside a startVector'd span. */
+    def putIntRaw(v: Int): Unit = putInt(v)
     /** 8 LE bytes, back-to-front safe: high word first so the low
       * word lands at the lower address. Caller must have prep'd. */
     def prependLongRaw(v: Long): Unit = { putInt((v >>> 32).toInt); putInt(v.toInt) }
@@ -1093,6 +1205,15 @@ object ArrowIpc {
     case AList => bld.startTable(0); (TList, bld.endTable())
     case AFixedSizeList(k) => bld.startTable(1); bld.slotInt(0, k); (TFixedSizeList, bld.endTable())
     case AStruct => bld.startTable(0); (TStruct, bld.endTable())
+    case AMap(sorted) => bld.startTable(1); bld.slotBool(0, sorted); (TMap, bld.endTable())
+    case AUnion(dense, typeIds) =>
+      bld.startVector(4, typeIds.length, 4)
+      typeIds.reverse.foreach(bld.putIntRaw)
+      val vec = bld.endVector(typeIds.length)
+      bld.startTable(2)
+      bld.slotShort(0, if (dense) 1 else 0)
+      bld.slotUOffset(1, vec)
+      (TUnion, bld.endTable())
     case t => fail(s"arrow writer: unsupported type $t")
   }
 
@@ -1313,6 +1434,63 @@ object ArrowIpc {
           }
           encodeColumn(c, kid, nodes, bufs)
         }
+      case AMap(_) =>
+        // list layout over the entries struct; values are the reader's
+        // shape — a Seq of Vector(key, value) entries
+        req(f.children.length == 1, "arrow writer: map needs one entries child")
+        bufs += bm
+        val offs = new Array[Byte](4 * (n + 1))
+        val flat = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var i = 0
+        while (i < n) {
+          le32b(flat.length, offs, 4 * i)
+          vals(i) match {
+            case null => ()
+            case s: Seq[_] =>
+              s.foreach { e =>
+                req(e != null && e.asInstanceOf[Seq[Any]].head != null,
+                  "arrow writer: map entries and keys must be non-null")
+                flat += e
+              }
+            case x => fail(s"arrow writer: map value ${x.getClass.getSimpleName}")
+          }
+          i += 1
+        }
+        le32b(flat.length, offs, 4 * n)
+        bufs += offs
+        encodeColumn(f.children.head, flat.toArray, nodes, bufs)
+      case AUnion(dense, typeIds) =>
+        // no validity buffer — the node was recorded above; a union
+        // slot is Vector(typeId, value) with nulls carried by the child
+        req(nulls == 0, "arrow writer: union slots must be Vector(typeId, value); nulls go in the child")
+        val tidToChild = typeIds.zipWithIndex.toMap
+        val types = new Array[Byte](n)
+        val offs = if (dense) new Array[Byte](4 * n) else null
+        val perChild = Array.fill(f.children.length)(scala.collection.mutable.ArrayBuffer.empty[Any])
+        var i = 0
+        while (i < n) {
+          vals(i) match {
+            case s: Seq[_] if s.length == 2 =>
+              val tid = s.head match {
+                case x: java.lang.Number => x.intValue
+                case x => fail(s"arrow writer: union type id ${x.getClass.getSimpleName}")
+              }
+              val ci = tidToChild.getOrElse(tid, fail(s"arrow writer: undeclared union type id $tid"))
+              types(i) = tid.toByte
+              if (dense) {
+                le32b(perChild(ci).length, offs, 4 * i)
+                perChild(ci) += s(1)
+              } else {
+                var j = 0
+                while (j < perChild.length) { perChild(j) += (if (j == ci) s(1) else null); j += 1 }
+              }
+            case x => fail(s"arrow writer: union value $x")
+          }
+          i += 1
+        }
+        bufs += types
+        if (dense) bufs += offs
+        f.children.zip(perChild).foreach { case (c, vs) => encodeColumn(c, vs.toArray, nodes, bufs) }
       case t => fail(s"arrow writer: unsupported type $t")
     }
   }
@@ -1488,6 +1666,28 @@ object ArrowIpc {
           while (r2 < b2.rows) {
             require(b2.columns(0)(r2).asInstanceOf[Long] == sorted(j), "arrow lane: compressed value drift")
             j += 1; r2 += 1
+          }
+        }
+        // require-only map lane: map<utf8,int64> of {"id"-><id>, "mod"-><id%97>}
+        // round-trips our writer (ZSTD) -> our reader entry-for-entry
+        val mapLane = ASchema(Seq(AField("m", nullable = false, AMap(keysSorted = false), Seq(
+          AField("entries", nullable = false, AStruct, Seq(
+            AField("key", nullable = false, AUtf8),
+            AField("value", nullable = true, AInt(64, signed = true))))))))
+        val mapCols: Array[Array[Any]] = Array(sorted.take(k).map(x =>
+          Vector(Vector[Any]("id", java.lang.Long.valueOf(x)), Vector[Any]("mod", java.lang.Long.valueOf(x % 97))): Any))
+        val mapEnc = encodeFile(mapLane, Seq((mapCols, k)), codec = 1)
+        val (_, mapBack) = readFileBytes(mapEnc)
+        require(mapBack.map(_.rows).sum == k, "arrow lane: map row drift")
+        var mj = 0
+        mapBack.foreach { b2 =>
+          var r2 = 0
+          while (r2 < b2.rows) {
+            val entries = b2.columns(0)(r2).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Seq[Any]])
+            require(entries.length == 2 &&
+              entries(0) == Vector[Any]("id", sorted(mj)) &&
+              entries(1) == Vector[Any]("mod", sorted(mj) % 97), "arrow lane: map entry drift")
+            mj += 1; r2 += 1
           }
         }
       }

@@ -229,6 +229,9 @@ private object ArrowWriteSupport {
       case ArrayType(et, nullable) =>
         (ArrowIpc.AList, Seq(toAField(StructField("item", et, nullable))))
       case st: StructType => (ArrowIpc.AStruct, st.fields.toSeq.map(toAField))
+      case MapType(kt, vt, vcn) =>
+        (ArrowIpc.AMap(keysSorted = false), Seq(ArrowIpc.AField("entries", nullable = false, ArrowIpc.AStruct,
+          Seq(toAField(StructField("key", kt, nullable = false)), toAField(StructField("value", vt, vcn))))))
       case dt => throw new IllegalArgumentException(s"arrowipc write: unsupported type $dt for '${f.name}'")
     }
     ArrowIpc.AField(f.name, f.nullable, tpe._1, tpe._2)
@@ -262,6 +265,9 @@ private object ArrowWriteSupport {
       case st: StructType =>
         val r = v.asInstanceOf[Row]
         st.fields.toIndexedSeq.zipWithIndex.map { case (f, i) => toRaw(f.dataType, r.get(i)) }
+      case MapType(kt, vt, _) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].toVector
+          .map { case (k, mv) => Vector(toRaw(kt, k), toRaw(vt, mv)) }
       case _ => v
     }
   }

@@ -131,6 +131,49 @@ def main():
 
     write_file("empty.arrow", types_table(0))
 
+    # map<utf8, int64>: null map when i%6==5, else i%4 entries k{i}_{j} -> i*10+j
+    # (nullable values: value is null when (i+j)%5==4); plus a zstd twin
+    n = 37
+    maps = pa.table({
+        "m": pa.array(
+            [None if i % 6 == 5 else
+             [(f"k{i}_{j}", None if (i + j) % 5 == 4 else i * 10 + j) for j in range(i % 4)]
+             for i in range(n)],
+            type=pa.map_(pa.string(), pa.int64())),
+        "k": pa.array(list(range(n)), type=pa.int64()),
+    })
+    write_file("map.arrow", maps, batch_rows=16)
+    write_file("map_zstd.arrow", maps, compression="zstd")
+
+    # dense union <num: int64 = 2, word: utf8 = 5> (non-contiguous ids):
+    # slot i is num(i*7) when i%3==0, null num when i%9==3... keep it
+    # simple: num slots at i%3==0 (value i*7, null when i%12==6),
+    # word slots otherwise ("w{i%11}", null when i%10==7)
+    tids = pa.array([2 if i % 3 == 0 else 5 for i in range(n)], type=pa.int8())
+    offsets, nums, words = [], [], []
+    for i in range(n):
+        if i % 3 == 0:
+            offsets.append(len(nums))
+            nums.append(None if i % 12 == 6 else i * 7)
+        else:
+            offsets.append(len(words))
+            words.append(None if i % 10 == 7 else f"w{i % 11}")
+    dense = pa.UnionArray.from_dense(
+        tids, pa.array(offsets, type=pa.int32()),
+        [pa.array(nums, type=pa.int64()), pa.array(words, type=pa.utf8())],
+        ["num", "word"], [2, 5])
+    ud = pa.table({"u": dense, "k": pa.array(list(range(n)), type=pa.int64())})
+    write_file("union_dense.arrow", ud, batch_rows=20)
+
+    # sparse union <num: int64 = 0, word: utf8 = 1> (default ids):
+    # every child is full length; selected child per slot as above
+    stids = pa.array([0 if i % 3 == 0 else 1 for i in range(n)], type=pa.int8())
+    snums = pa.array([None if i % 12 == 6 else i * 7 for i in range(n)], type=pa.int64())
+    swords = pa.array([None if i % 10 == 7 else f"w{i % 11}" for i in range(n)], type=pa.utf8())
+    sparse = pa.UnionArray.from_sparse(stids, [snums, swords], ["num", "word"])
+    us = pa.table({"u": sparse, "k": pa.array(list(range(n)), type=pa.int64())})
+    write_file("union_sparse.arrow", us, batch_rows=20)
+
 
 if __name__ == "__main__":
     main()
