@@ -102,6 +102,38 @@ object Bench {
     val gateVerdict =
       if (gatedLoad < 0) "unknown" else if (gatedLoad <= loadGateMax) "clean" else "noisy"
 
+    // steal-aware provenance (r17 verdict #3): guest-visible load was
+    // clean across a session whose totals drifted 166.7 -> 208.8 s —
+    // the cause was HOST-level steal, invisible to load_avg. Record
+    // the /proc/stat steal-tick delta and this process's involuntary
+    // context-switch delta ACROSS the run, so a degraded window is
+    // stamped in the artifact instead of reconstructed in notes.
+    def stealTicks(): Long =
+      try {
+        val cpu = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+          .toArray.map(_.toString).find(_.startsWith("cpu "))
+        // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
+        cpu.map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    def nonvolCtxt(): Long =
+      try {
+        // /proc/self/status covers only the main thread; the executor
+        // threads do the work — sum across every task of this process
+        val tasks = java.nio.file.Files.list(java.nio.file.Paths.get("/proc/self/task"))
+        try {
+          tasks.toArray.map(_.asInstanceOf[java.nio.file.Path]).map { t =>
+            try {
+              java.nio.file.Files.readAllLines(t.resolve("status"))
+                .toArray.map(_.toString).find(_.startsWith("nonvoluntary_ctxt_switches"))
+                .map(_.split("\\s+")(1).toLong).getOrElse(0L)
+            } catch { case _: Throwable => 0L } // thread exited mid-walk
+          }.sum
+        } finally tasks.close()
+      } catch { case _: Throwable => -1L }
+    val stealStart = stealTicks()
+    val ctxtStart = nonvolCtxt()
+    val runStartNanos = System.nanoTime()
+
     // three full passes, per-query min: -1 (error) never masks a clean run
     var passes = Vector(pass(), pass(), pass())
     val loadGate =
@@ -155,6 +187,26 @@ object Bench {
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noiseGate =
       s""""noise_gate":{"first_noisy":${noisyFirst.size},"rerun":$rerunTriggered,"final_noisy":${noisy.size},"verdict":"$noiseVerdict"}"""
+
+    // host_noise verdict: steal ticks as a fraction of the total CPU
+    // ticks that elapsed across the passes (USER_HZ=100 on Linux).
+    // >2% of the box stolen during the run = a degraded window; the
+    // per-query min-of-N protocol absorbs brief spikes, but the stamp
+    // makes sustained steal visible in the artifact itself.
+    val hostNoise = {
+      val stealEnd = stealTicks()
+      val ctxtEnd = nonvolCtxt()
+      val elapsedSec = (System.nanoTime() - runStartNanos) / 1e9
+      val cpusN = Runtime.getRuntime.availableProcessors
+      val stealDelta = if (stealStart >= 0 && stealEnd >= 0) stealEnd - stealStart else -1L
+      val ctxtDelta = if (ctxtStart >= 0 && ctxtEnd >= 0) ctxtEnd - ctxtStart else -1L
+      val stealPct =
+        if (stealDelta < 0 || elapsedSec <= 0) -1.0
+        else 100.0 * stealDelta / (elapsedSec * 100.0 * cpusN)
+      val verdict =
+        if (stealDelta < 0) "unknown" else if (stealPct > 2.0) "stolen" else "clean"
+      f""""host_noise":{"steal_ticks":$stealDelta,"steal_pct":$stealPct%.3f,"nonvol_ctxt_delta":$ctxtDelta,"elapsed_sec":$elapsedSec%.1f,"verdict":"$verdict"}"""
+    }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -181,7 +233,7 @@ object Bench {
         if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
       } catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${passes.size}pass-cold-min-v3-noop","git_sha":"$gitSha",$machine,$loadGate,$noiseGate,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${passes.size}pass-cold-min-v3-noop","git_sha":"$gitSha",$machine,$loadGate,$noiseGate,$hostNoise,"noisy_queries":$noisyJson,"query_passes":$passesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Self-capture: the driver tails stdout and has truncated the head
     // two rounds running; the file copy preserves every entry.
