@@ -17,12 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lz4/xz shards; non-solid archives (one folder per file, bsdtar's
   * store/copy shape) parallelize per folder.
   *
-  * Payload coders: Copy, LZMA1, LZMA2, bzip2, Deflate, Delta and the
+  * Payload coders: Copy, LZMA1, LZMA2, bzip2, Deflate, Delta, the
   * seven BCJ branch filters — ALL already in-tree ([[Xz]], [[Bzip2]],
-  * the JDK) — composed through the folder's bind-pair graph.
-  * BCJ2 (4-input coder), PPMd, AES and anything else refuse loudly by
-  * codec id. Header layout per the published 7zFormat.txt that ships
-  * with 7-Zip.
+  * the JDK) — and the 4-stream BCJ2 x86 coder ([[Bcj2]], any bind
+  * topology), composed through the folder's bind-pair graph.
+  * PPMd, AES and anything else refuse loudly by codec id. Header
+  * layout per the published 7zFormat.txt that ships with 7-Zip.
+  * BCJ2 is additionally WRITTEN ([[buildBcj2Archive]]) in the
+  * 2-coder folder form libarchive reads — Bcj2Spec pins bsdtar
+  * extraction of our archives byte-exact over an adversarial corpus.
   *
   * Conformance: SevenZipSpec pins the reader against REAL libarchive
   * (bsdtar 3.8.2) archives — one per payload codec incl. encoded
@@ -475,16 +478,25 @@ object SevenZip {
         val ci = outToCoder(o)
         val coder = folder.coders(ci)
         if (coder.numOut != 1) fail("7z: multi-output coders unsupported")
-        if (coder.id == IdBcj2) fail("7z: BCJ2 coder unsupported (4-input branch filter)")
-        if (coder.numIn != 1) fail(s"7z: multi-input coder id 0x${coder.id.toHexString} unsupported")
         val gIn = inBase(ci)
-        val input = byInIndex.getOrElse(gIn,
-          folder.bindPairs.find(_._1 == gIn) match {
+        def inputAt(k: Int): Array[Byte] = byInIndex.getOrElse(gIn + k,
+          folder.bindPairs.find(_._1 == gIn + k) match {
             case Some((_, srcOut)) => evalOut(srcOut)
             case None => fail("7z: coder input neither packed nor bound")
           })
         val want = folder.unpackSizes(o)
         if (want < 0 || want > Int.MaxValue - 8) fail("7z: folder output too large for one buffer")
+        if (coder.id == IdBcj2) {
+          if (coder.numIn != 4) fail(s"7z: BCJ2 coder declares ${coder.numIn} inputs, needs 4")
+          val bcjOut =
+            try Bcj2.decode(inputAt(0), inputAt(1), inputAt(2), inputAt(3), want.toInt)
+            catch { case e: Bcj2.Bcj2Error => fail(s"7z: ${e.getMessage}") }
+          memo(o) = bcjOut
+          inProgress(o) = false
+          return bcjOut
+        }
+        if (coder.numIn != 1) fail(s"7z: multi-input coder id 0x${coder.id.toHexString} unsupported")
+        val input = inputAt(0)
         val out: Array[Byte] = coder.id match {
           case IdCopy => input
           case IdLzma2 => Xz.decodeLzma2Raw(input, want)
@@ -731,13 +743,145 @@ object SevenZip {
     out.toByteArray
   }
 
+  /** Assemble a one-folder archive whose payload rides a BCJ2 chain
+    * ([[Bcj2.encode]] splits it into main/call/jump/rc). `shape`:
+    *  - "copy":   coders [Copy, Copy, Copy, BCJ2] with bind pairs
+    *              feeding BCJ2's first three inputs (the real-archive
+    *              topology, inner coders as Copy), rc packed directly
+    *  - "packed": a single BCJ2 coder with all four inputs packed —
+    *              the minimal legal folder
+    * Both shapes are extracted byte-exactly by bsdtar/libarchive
+    * (Bcj2Spec pins; tools/gen_bcj2_pins.sh captured the probe). */
+  private[graft] def buildBcj2Archive(entries: Seq[(String, Array[Byte])], shape: String): Array[Byte] = {
+    val payload = {
+      val o = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (_, b) => o.write(b) }
+      o.toByteArray
+    }
+    val (main, call, jump, rc) = Bcj2.encode(payload)
+    val packs = Seq(main, call, jump, rc)
+    val hdr = new java.io.ByteArrayOutputStream()
+    def wNum(v: Long): Unit = {
+      var i = 0
+      while (i < 8 && v >= (1L << (7 * (i + 1)))) i += 1
+      if (i == 8) {
+        hdr.write(0xff)
+        (0 until 8).foreach(j => hdr.write(((v >> (8 * j)) & 0xff).toInt))
+      } else {
+        hdr.write(((0xff << (8 - i)) & 0xff) | (v >> (8 * i)).toInt)
+        (0 until i).foreach(j => hdr.write(((v >> (8 * j)) & 0xff).toInt))
+      }
+    }
+    def w32(v: Long): Unit = (0 until 4).foreach(j => hdr.write(((v >> (8 * j)) & 0xff).toInt))
+    def wCoder(id: Long, nin: Int, nout: Int): Unit = {
+      val idBytes = {
+        var n = 1
+        while ((id >> (8 * n)) != 0) n += 1
+        (n - 1 to 0 by -1).map(j => ((id >> (8 * j)) & 0xff).toInt)
+      }
+      val complex = nin != 1 || nout != 1
+      hdr.write(idBytes.length | (if (complex) 0x10 else 0))
+      idBytes.foreach(hdr.write)
+      if (complex) { wNum(nin.toLong); wNum(nout.toLong) }
+    }
+    hdr.write(KHeader)
+    hdr.write(KMainStreamsInfo)
+    hdr.write(KPackInfo); wNum(0L); wNum(4L)
+    hdr.write(KSize); packs.foreach(p => wNum(p.length.toLong))
+    hdr.write(KEnd)
+    hdr.write(KUnpackInfo)
+    hdr.write(KFolder); wNum(1L); hdr.write(0) // one folder, inline
+    shape match {
+      case "packed" =>
+        wNum(1L) // one coder: BCJ2(4 in, 1 out), inputs = packs 0..3
+        wCoder(IdBcj2, 4, 1)
+        // no bind pairs (totalOut-1 = 0); 4 packed inputs listed
+        Seq(0, 1, 2, 3).foreach(k => wNum(k.toLong))
+        hdr.write(KCodersUnpackSize); wNum(payload.length.toLong)
+      case "copy" =>
+        wNum(4L) // Copy(main) Copy(call) Copy(jump) BCJ2
+        wCoder(IdCopy, 1, 1); wCoder(IdCopy, 1, 1); wCoder(IdCopy, 1, 1)
+        wCoder(IdBcj2, 4, 1)
+        // bind pairs (inIndex, outIndex): BCJ2 ins 3,4,5 <- copy outs 0,1,2
+        Seq((3, 0), (4, 1), (5, 2)).foreach { case (in, out) => wNum(in.toLong); wNum(out.toLong) }
+        // packed in-indices: the three copy inputs + BCJ2's rc input
+        Seq(0, 1, 2, 6).foreach(k => wNum(k.toLong))
+        hdr.write(KCodersUnpackSize)
+        Seq(main.length, call.length, jump.length, payload.length).foreach(n => wNum(n.toLong))
+      case "two" =>
+        wNum(2L) // Copy(main) BCJ2 — call/jump/rc packed raw
+        wCoder(IdCopy, 1, 1)
+        wCoder(IdBcj2, 4, 1)
+        // ins: copy.in=0; bcj2 ins 1,2,3,4; bind bcj2.main(1) <- copy.out(0)
+        Seq((1, 0)).foreach { case (in, out) => wNum(in.toLong); wNum(out.toLong) }
+        // packs: main->copy.in(0), call(2), jump(3), rc(4)
+        Seq(0, 2, 3, 4).foreach(k => wNum(k.toLong))
+        hdr.write(KCodersUnpackSize)
+        Seq(main.length, payload.length).foreach(n => wNum(n.toLong))
+      case "first" =>
+        wNum(4L) // BCJ2 Copy(main) Copy(call) Copy(jump)
+        wCoder(IdBcj2, 4, 1)
+        wCoder(IdCopy, 1, 1); wCoder(IdCopy, 1, 1); wCoder(IdCopy, 1, 1)
+        // BCJ2 global ins 0..3; copies ins 4,5,6; outs: bcj2=0, copies 1,2,3
+        Seq((0, 1), (1, 2), (2, 3)).foreach { case (in, out) => wNum(in.toLong); wNum(out.toLong) }
+        // packs: main->copy0.in(4), call->copy1.in(5), jump->copy2.in(6), rc->bcj2.in3
+        Seq(4, 5, 6, 3).foreach(k => wNum(k.toLong))
+        hdr.write(KCodersUnpackSize)
+        Seq(payload.length, main.length, call.length, jump.length).foreach(n => wNum(n.toLong))
+      case other => fail(s"7z: bcj2 builder shape $other")
+    }
+    hdr.write(KEnd)
+    if (entries.nonEmpty) {
+      hdr.write(KSubStreamsInfo)
+      hdr.write(KNumUnpackStream); wNum(entries.length.toLong)
+      if (entries.length > 1) {
+        hdr.write(KSize)
+        entries.init.foreach { case (_, b) => wNum(b.length.toLong) }
+      }
+      hdr.write(KCrc); hdr.write(1) // all defined
+      entries.foreach { case (_, b) => w32(crc32(b, 0, b.length)) }
+      hdr.write(KEnd)
+    }
+    hdr.write(KEnd) // end MainStreamsInfo
+    hdr.write(KFilesInfo); wNum(entries.length.toLong)
+    val nameBytes = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0) // inline
+      entries.foreach { case (n, _) =>
+        o.write(n.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)); o.write(0); o.write(0)
+      }
+      o.toByteArray
+    }
+    hdr.write(KName); wNum(nameBytes.length.toLong); hdr.write(nameBytes)
+    hdr.write(KEnd) // end FilesInfo
+    hdr.write(KEnd) // end header
+    val h = hdr.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    out.write(0); out.write(4) // version
+    val packedLen = packs.map(_.length.toLong).sum
+    val tail = new Array[Byte](20)
+    def p64(v: Long, at: Int): Unit = (0 until 8).foreach(j => tail(at + j) = ((v >> (8 * j)) & 0xff).toByte)
+    p64(packedLen, 0) // next header offset (right after pack data)
+    p64(h.length.toLong, 8)
+    val hCrc = crc32(h, 0, h.length)
+    (0 until 4).foreach(j => tail(16 + j) = ((hCrc >> (8 * j)) & 0xff).toByte)
+    val startCrc = crc32(tail, 0, 20)
+    (0 until 4).foreach(j => out.write(((startCrc >> (8 * j)) & 0xff).toInt))
+    out.write(tail)
+    packs.foreach(out.write)
+    out.write(h)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // q_7z — oracle-checked cycle
   // ------------------------------------------------------------------
 
   /** Per (event_type, id DIV 4096 bucket — SF-invariant task size):
     * the bucket's documents become entries of a SOLID archive cycling
-    * three coders (copy, bzip2, LZMA2) through the builder, then OUR
+    * three coders (copy, bzip2, LZMA2) plus the BCJ2 4-stream folder
+    * in all three built shapes through the builders, then OUR
     * reader runs end to end — signature walk, header parse, folder
     * decode, substream split, per-substream CRC — byte-equal per
     * entry. Counts/char sums have closed forms the oracle states.
@@ -762,6 +906,16 @@ object SevenZip {
         got.zip(lane).foreach { case ((gn, gb), (wn, wb)) =>
           require(gn == wn && java.util.Arrays.equals(gb, wb), s"7z: $codec payload drift for $gn")
           if (i == 0) chars += gb.length
+        }
+      }
+      // BCJ2 lane (require-only, 64-entry prefix): the 4-stream x86
+      // branch coder through the libarchive-validated 2-coder folder
+      Seq("two", "copy", "packed").foreach { shape =>
+        val lane = files.take(64)
+        val got = unpackAll(buildBcj2Archive(lane, shape))
+        require(got.length == lane.length, s"7z: bcj2/$shape entry count drift")
+        got.zip(lane).foreach { case ((gn, gb), (wn, wb)) =>
+          require(gn == wn && java.util.Arrays.equals(gb, wb), s"7z: bcj2/$shape payload drift for $gn")
         }
       }
       Seq(sorted.length.toLong, chars)
