@@ -157,7 +157,14 @@ object TfRecord {
 
   /** Parse a tf.train.Example payload into name -> Feature. Unknown
     * fields at every level are skipped, per the protobuf spec. */
-  def parseExample(rec: Array[Byte]): Map[String, Feature] = guarded("example") {
+  def parseExample(rec: Array[Byte]): Map[String, Feature] = parseExample(rec, null)
+
+  /** Wire-level pruned parse: when `wanted` is non-null, a feature
+    * whose key is not in it has its VALUE BYTES SKIPPED outright
+    * (length-delimited skip — never decoded, never validated). The
+    * DSv2 face pushes column pruning down to here; TfRecordSourceSpec
+    * proves it by poisoning a pruned feature's payload. */
+  def parseExample(rec: Array[Byte], wanted: String => Boolean): Map[String, Feature] = guarded("example") {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Feature]
     val ex = new Wire(rec, 0, rec.length)
     while (ex.hasMore) {
@@ -172,7 +179,7 @@ object TfRecord {
             val (ms, me) = feats.lenDelim()
             val entry = new Wire(rec, ms, me)
             var key: String = null
-            var value: Feature = null
+            var valueExtent: (Int, Int) = null
             while (entry.hasMore) {
               val t3 = entry.varint()
               ((t3 >>> 3).toInt, (t3 & 7).toInt) match {
@@ -180,13 +187,15 @@ object TfRecord {
                   val (ks, ke) = entry.lenDelim()
                   key = new String(rec, ks, ke - ks, java.nio.charset.StandardCharsets.UTF_8)
                 case (2, 2) =>
-                  val (vs, ve) = entry.lenDelim()
-                  value = parseFeature(rec, vs, ve)
+                  valueExtent = entry.lenDelim() // extent only — decode is deferred
                 case (_, w) => entry.skip(w)
               }
             }
             req(key != null, "tfrecord: map entry without key")
-            out(key) = if (value == null) BytesList(Nil) else value
+            if (wanted == null || wanted(key))
+              out(key) =
+                if (valueExtent == null) BytesList(Nil)
+                else parseFeature(rec, valueExtent._1, valueExtent._2)
           } else feats.skip((t2 & 7).toInt)
         }
       } else ex.skip(wt)
