@@ -72,6 +72,15 @@ object SuffixDedup {
     * 32), which shrinks every later round's working set. */
   val InitPrefix = 32
 
+  /** SF-adaptive shuffle width: ~128K corpus positions per partition,
+    * floored at 8 (parallelism for the lcp/compare work), capped at
+    * 2048 (scratch-bounded tasks at 100x, the r16 design point). A
+    * 1.5M-char sf0.1 corpus gets ~11 partitions instead of a fixed 32
+    * (measured 3.6 s vs 4.9 s for the extent pipeline); a 150M-char
+    * sf10 corpus grows to ~1100 bounded tasks instead of 32 giants. */
+  private def adaptiveParts(chars: Long): Int =
+    math.min(2048L, math.max(8L, chars / 131072L)).toInt
+
   /** Initial sparse ranks from ONE range-partitioned sort of the
     * (window, doc, pos) rows: rank(row) = global index of the first row
     * sharing its window, fin = the window is unique corpus-wide. Key
@@ -84,10 +93,9 @@ object SuffixDedup {
     * a heavily-duplicated window still spreads across partitions; all
     * its rows rank at the run's stitched global start, as sparse ranks
     * require. */
-  private def initialRanks(withWin: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+  private def initialRanks(withWin: DataFrame, parts: Int): (DataFrame, Seq[RDD[_]]) = {
     val spark = withWin.sparkSession
     import spark.implicits._
-    val parts = spark.sparkContext.defaultParallelism
     // the global sort runs as a Tungsten range shuffle (repartitionByRange
     // + sortWithinPartitions), NOT RDD.sortBy — the row payload never
     // round-trips through Java serialization; only the two stitch passes
@@ -179,13 +187,15 @@ object SuffixDedup {
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
       directFinishBytes: Long = DirectFinishBytes): DataFrame = {
     val d = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t")).filter(length(col("t")) >= 1)
-    val maxLen = d.agg(max(length(col("t")))).head().getInt(0)
+    val lenRow = d.agg(max(length(col("t"))), sum(length(col("t")))).head()
+    val maxLen = lenRow.getInt(0)
+    val aparts = adaptiveParts(lenRow.getLong(1))
 
     // one pass: every (doc, 1-based pos) with its InitPrefix-char window
     val withWin = d
       .select(col("d"), col("t"), explode(sequence(lit(1), length(col("t")))).as("p"))
       .select(col("d"), col("p"), expr(s"substring(t, p, $InitPrefix)").as("k"))
-    val (ranked0, sortedBlocks) = initialRanks(withWin)
+    val (ranked0, sortedBlocks) = initialRanks(withWin, aparts)
     val (r0, r0Blocks) = graft.operators.Staged.checkpointOwned(ranked0) // eager
     // the range-sorted stage backed ranked0 only until this checkpoint:
     // release it NOW (corpus-sized persist + its shuffle dependency)
@@ -203,7 +213,7 @@ object SuffixDedup {
     // never re-shuffles after its one repartition (the r16 sf10 probe
     // diagnosed exactly that per-round corpus shuffle as the
     // single-box scratch constraint: rounds × ~25 GiB at 1 G chars).
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = aparts
     // Freezing = caching the piece hash-partitioned AND sorted on the
     // lookup key: every later round's sort-merge join then neither
     // exchanges nor re-sorts the cached side (InMemoryTableScan
@@ -251,6 +261,7 @@ object SuffixDedup {
         val tails = work
           .join(d, "d")
           .select(col("d"), col("p"), col("rank"), expr("substring(t, p, 2147483647)").as("tail"))
+          .repartition(aparts, col("rank")) // satisfies the window distribution at adaptive width
         val w = Window.partitionBy("rank").orderBy("tail")
         work = tails.select(col("d"), col("p"), (col("rank") + rank().over(w) - 1).as("rank"))
         workCount = 0
@@ -319,7 +330,7 @@ object SuffixDedup {
   /** LCP in CODE POINTS (positions are Spark/SQL character positions,
     * which count code points — a UTF-16 charAt walk would drift on
     * supplementary-plane text and could stop mid-surrogate-pair). */
-  private val lcpUdf = udf { (a: String, pa: Int, b: String, pb: Int) =>
+  private def lcpFrom(a: String, pa: Int, b: String, pb: Int): Long = {
     var ia = a.offsetByCodePoints(0, pa - 1)
     var ib = b.offsetByCodePoints(0, pb - 1)
     var n = 0L
@@ -332,6 +343,10 @@ object SuffixDedup {
       } else go = false
     }
     n
+  }
+
+  private val lcpUdf = udf { (a: String, pa: Int, b: String, pb: Int) =>
+    lcpFrom(a, pa, b, pb)
   }
 
   /** Per corpus position, the EXACT longest duplicate extent: the
@@ -352,20 +367,60 @@ object SuffixDedup {
     // (including the non-checkpointed finish window) re-executes 4x
     val adj =
       if (cap > 0) {
-        val wins = docs
-          .select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
-          .select(col("d"), explode(sequence(lit(1), length(col("t")))).as("p"), col("t"))
-          .select(col("d"), col("p"), expr(s"substring(t, p, $cap)").as("win"))
-        val w = Window.partitionBy("rank").orderBy("d", "p")
-        val sfx = graft.operators.Staged.persist(
-          suffixRanks(docs, idCol, textCol, directFinishBytes)
-            .join(wins, Seq("d", "p"))
-            .select(col("d"), col("p"), (col("rank") + row_number().over(w) - 1).as("ord"), col("win"))
-        )
-        val nxt = sfx.select((col("ord") - 1).as("ord"), col("d").as("d2"), col("p").as("p2"), col("win").as("wb"))
-        sfx
-          .join(nxt, "ord")
-          .select(col("d"), col("p"), col("d2"), col("p2"), lcpUdf(col("win"), lit(1), col("wb"), lit(1)).as("l"))
+        // suffix-order adjacency from ONE range sort plus a
+        // numPartitions-sized boundary stitch (initialRanks' two-pass
+        // trick): the former spelling (exploded-window (d,p) join,
+        // Window(total order), ord self-join) moved the full corpus
+        // through THREE extra shuffles for the same adjacent pairs.
+        // Windows are cut AFTER a by-d join against the docs table
+        // (docs-table scale, Catalyst broadcasts small corpora), so
+        // the cap-char payload rides only the one range shuffle.
+        val spark = docs.sparkSession
+        val texts = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
+        val sfx = suffixRanks(docs, idCol, textCol, directFinishBytes)
+          .join(texts, "d")
+          .select(col("d"), col("p"), col("rank"), expr(s"substring(t, p, $cap)").as("win"))
+        val parts = adaptiveParts(
+          texts.agg(sum(length(col("t")))).head().getLong(0))
+        val sorted = sfx
+          .repartitionByRange(parts, col("rank"), col("d"), col("p"))
+          .sortWithinPartitions("rank", "d", "p")
+          .select(col("d"), col("p"), col("win"))
+        val rdd = sorted.rdd
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        graft.operators.Staged.register(Seq(rdd))
+        val inner: RDD[(Long, Int, Long, Int, Long)] = rdd.mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else new Iterator[(Long, Int, Long, Int, Long)] {
+            private var prev = it.next()
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, Int, Long, Int, Long) = {
+              val cur = it.next()
+              val out = (prev._1, prev._2, cur._1, cur._2, lcpFrom(prev._3, 1, cur._3, 1))
+              prev = cur
+              out
+            }
+          }
+        }
+        // seams: last row of each non-empty partition pairs with the
+        // next non-empty partition's first row — numPartitions-sized
+        // driver data (win strings are cap chars), never corpus-sized
+        val edges = rdd.mapPartitionsWithIndex { (i, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val first = it.next()
+            var last = first
+            it.foreach(last = _)
+            Iterator((i, first, last))
+          }
+        }.collect().sortBy(_._1)
+        val boundary = edges.zip(edges.drop(1)).map { case ((_, _, la), (_, fb, _)) =>
+          (la._1, la._2, fb._1, fb._2, lcpFrom(la._3, 1, fb._3, 1))
+        }
+        import spark.implicits._
+        inner.union(spark.sparkContext.parallelize(boundary.toSeq, 1))
+          .toDF("d", "p", "d2", "p2", "l")
       } else {
         val texts = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
         val sfx = graft.operators.Staged.persist(suffixOrder(docs, idCol, textCol, directFinishBytes))
