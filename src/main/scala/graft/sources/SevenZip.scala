@@ -909,8 +909,12 @@ object SevenZip {
         }
       }
       // BCJ2 lane (require-only, 64-entry prefix): the 4-stream x86
-      // branch coder through the libarchive-validated 2-coder folder
-      Seq("two", "copy", "packed").foreach { shape =>
+      // branch coder; folder shape cycles per bucket so all three
+      // (libarchive-validated "two", copy-bound, direct-packed) stay
+      // exercised across the run at one archive per bucket —
+      // Bcj2Spec runs the full corpus x all shapes every test run
+      locally {
+        val shape = Seq("two", "copy", "packed")((sorted.headOption.getOrElse(0L) % 3L).toInt)
         val lane = files.take(64)
         val got = unpackAll(buildBcj2Archive(lane, shape))
         require(got.length == lane.length, s"7z: bcj2/$shape entry count drift")
