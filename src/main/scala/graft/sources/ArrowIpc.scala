@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   * fixed-size binary, decimal128, date32/64, time32/64, timestamp
   * (all units), duration, list / large-list / fixed-size-list,
   * struct, map (Spark MapType), dense + sparse unions (faced as a
-  * `{type_id, variant...}` struct — Spark has no union type), and
-  * non-delta dictionary encoding. Run-end-encoded and the view types
-  * refuse loudly by name (probe: no common producer pressure —
-  * pyarrow 16.1 emits them only on request, never by default).
+  * `{type_id, variant...}` struct — Spark has no union type),
+  * utf8/binary VIEWS (16-byte view structs over variadic data
+  * buffers, the variadicBufferCounts message field both directions),
+  * and non-delta dictionary encoding. Run-end-encoded (the
+  * in-container pyarrow binding is broken — no producer) and the
+  * list-view types (no producer pressure) refuse loudly by name.
   *
   * Conformance: ArrowIpcSpec pins BOTH directions LIVE against Arrow
   * Java (ships on the Spark classpath) — our reader over
@@ -160,6 +162,10 @@ object ArrowIpc {
   /** `typeIds(j)` is the int8 tag in the types buffer selecting child
     * j; dense adds a per-slot int32 offsets buffer into that child. */
   final case class AUnion(dense: Boolean, typeIds: Seq[Int]) extends AType
+  /** Utf8View / BinaryView: 16-byte view structs (len + inline-or-
+    * (prefix, bufIdx, off)) over a VARIABLE number of data buffers —
+    * the count travels in the RecordBatch's variadicBufferCounts. */
+  final case class AView(utf8: Boolean) extends AType
 
   /** dictId = -1 when not dictionary-encoded; for encoded fields,
     * `tpe`/`children` describe the VALUE type and the record-batch
@@ -190,6 +196,8 @@ object ArrowIpc {
   private val TFixedSizeList = 16; private val TMap = 17; private val TDuration = 18
   private val TLargeBinary = 19; private val TLargeUtf8 = 20; private val TLargeList = 21
   private val TRunEndEncoded = 22
+  private val TBinaryView = 23; private val TUtf8View = 24
+  private val TListView = 25; private val TLargeListView = 26
 
   // MessageHeader union tags
   private val HSchema = 1; private val HDictionaryBatch = 2; private val HRecordBatch = 3
@@ -273,7 +281,10 @@ object ArrowIpc {
           s"arrow: map '$name' entries and key must be non-nullable")
         AMap(if (typeTab < 0) false else fbBool(b, typeTab, 0, dflt = false))
       case TInterval => fail(s"arrow: interval field '$name' is not supported")
-      case TRunEndEncoded => fail(s"arrow: run-end-encoded field '$name' is not supported")
+      case TRunEndEncoded => fail(s"arrow: run-end-encoded field '$name' is not supported (no working in-container producer — pyarrow 16.1's RunEndEncodedArray binding is broken)")
+      case TBinaryView => AView(utf8 = false)
+      case TUtf8View => AView(utf8 = true)
+      case TListView | TLargeListView => fail(s"arrow: list-view field '$name' is not supported (no producer pressure)")
       case t => fail(s"arrow: unsupported type tag $t for field '$name'")
     }
     // DictionaryEncoding: id(long)=0, indexType(Int)=1, isOrdered=2
@@ -440,7 +451,8 @@ object ArrowIpc {
       f: AField,
       nodes: Iterator[(Long, Long)],
       bufs: BufCursor,
-      dicts: Map[Long, Array[Any]]): Array[Any] = {
+      dicts: Map[Long, Array[Any]],
+      varCounts: Iterator[Long]): Array[Any] = {
     req(nodes.hasNext, s"arrow: missing field node for '${f.name}'")
     val (lenL, nullCount) = nodes.next()
     req(lenL >= 0 && lenL <= Int.MaxValue - 8, s"arrow: field '${f.name}' length $lenL")
@@ -602,7 +614,7 @@ object ArrowIpc {
         req((if (wide) offs.length >= 8L * (n + 1) else offs.length >= 4L * (n + 1)) || n == 0,
           s"arrow: list offsets short for '${f.name}'")
         req(f.children.length == 1, s"arrow: list '${f.name}' needs exactly one child")
-        val child = decodeColumn(f.children.head, nodes, bufs, dicts)
+        val child = decodeColumn(f.children.head, nodes, bufs, dicts, varCounts)
         val out = new Array[Any](n)
         var i = 0
         while (i < n) {
@@ -619,7 +631,7 @@ object ArrowIpc {
         req(k >= 0 && k <= (1 << 20), s"arrow: fixed list size $k")
         val validity = checkedValidity(bufs.next())
         req(f.children.length == 1, s"arrow: fixed-size list '${f.name}' needs exactly one child")
-        val child = decodeColumn(f.children.head, nodes, bufs, dicts)
+        val child = decodeColumn(f.children.head, nodes, bufs, dicts, varCounts)
         req(child.length >= n.toLong * k || nullCount == lenL,
           s"arrow: fixed list child ${child.length} < ${n.toLong * k}")
         val out = new Array[Any](n)
@@ -630,7 +642,7 @@ object ArrowIpc {
         val validity = checkedValidity(bufs.next())
         // a field-less struct has no backing bytes — cap like ANull
         req(f.children.nonEmpty || n <= (1 << 26), s"arrow: empty struct of $n rows")
-        val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts))
+        val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts, varCounts))
         // every child node must declare exactly the struct's length — a short
         // child means a malformed file, not implicit null padding
         kids.zip(f.children).foreach { case (k, c) =>
@@ -648,7 +660,7 @@ object ArrowIpc {
         // plus the map contract: entries and keys are never null
         val validity = checkedValidity(bufs.next()); val offs = bufs.next()
         req(offs.length >= 4L * (n + 1) || n == 0, s"arrow: map offsets short for '${f.name}'")
-        val entries = decodeColumn(f.children.head, nodes, bufs, dicts)
+        val entries = decodeColumn(f.children.head, nodes, bufs, dicts, varCounts)
         val out = new Array[Any](n)
         var i = 0
         while (i < n) {
@@ -677,7 +689,7 @@ object ArrowIpc {
           req(o.length >= 4L * n || n == 0, s"arrow: union offsets short for '${f.name}'")
           o
         }
-        val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts))
+        val kids = f.children.map(c => decodeColumn(c, nodes, bufs, dicts, varCounts))
         if (!dense) kids.zip(f.children).foreach { case (k, c) =>
           req(k.length == n, s"arrow: sparse union '${f.name}' child '${c.name}' length ${k.length} != $n")
         }
@@ -696,6 +708,44 @@ object ArrowIpc {
               o
             }
           out(i) = Vector(tid, kids(ci)(slot))
+          i += 1
+        }
+        out
+      case AView(utf8) =>
+        val validity = checkedValidity(bufs.next())
+        val views = bufs.next()
+        req(views.length >= 16L * n || n == 0, s"arrow: views buffer short for '${f.name}'")
+        req(varCounts.hasNext, s"arrow: view field '${f.name}' has no variadic buffer count")
+        val k = varCounts.next()
+        req(k >= 0 && k <= 4096, s"arrow: view field '${f.name}' declares $k data buffers")
+        val data = Array.fill(k.toInt)(bufs.next())
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (isValid(validity, i, nullCount)) {
+            val base = 16 * i
+            val len = i32(views, base)
+            req(len >= 0, s"arrow: view length $len for '${f.name}'")
+            val bytes =
+              if (len <= 12) java.util.Arrays.copyOfRange(views, base + 4, base + 4 + len)
+              else {
+                val bufIdx = i32(views, base + 8)
+                val off = i32(views, base + 12)
+                req(bufIdx >= 0 && bufIdx < data.length, s"arrow: view buffer index $bufIdx for '${f.name}'")
+                val d = data(bufIdx)
+                req(off >= 0 && len <= d.length - off, s"arrow: view extent ($off,$len) for '${f.name}'")
+                // spec: the 4-byte prefix must mirror the data's first bytes
+                var j = 0
+                while (j < 4) {
+                  req(views(base + 4 + j) == d(off + j), s"arrow: view prefix mismatch at row $i of '${f.name}'")
+                  j += 1
+                }
+                java.util.Arrays.copyOfRange(d, off, off + len)
+              }
+            out(i) =
+              if (utf8) new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              else bytes
+          }
           i += 1
         }
         out
@@ -723,7 +773,8 @@ object ArrowIpc {
 
   /** Column-pruning walk: consume a field's nodes and buffers WITHOUT
     * decoding (and, crucially, without decompressing) them. */
-  private def skipColumn(f: AField, nodes: Iterator[(Long, Long)], bufs: BufCursor): Unit = {
+  private def skipColumn(f: AField, nodes: Iterator[(Long, Long)], bufs: BufCursor,
+      varCounts: Iterator[Long]): Unit = {
     req(nodes.hasNext, s"arrow: missing field node for '${f.name}'")
     nodes.next()
     val effType: AType =
@@ -736,21 +787,27 @@ object ArrowIpc {
       case AUtf8 | ABinary | ALargeUtf8 | ALargeBinary => bufs.skip(3)
       case AList | ALargeList | AMap(_) =>
         bufs.skip(2)
-        skipColumn(f.children.head, nodes, bufs)
+        skipColumn(f.children.head, nodes, bufs, varCounts)
       case AFixedSizeList(_) =>
         bufs.skip(1)
-        skipColumn(f.children.head, nodes, bufs)
+        skipColumn(f.children.head, nodes, bufs, varCounts)
       case AStruct =>
         bufs.skip(1)
-        f.children.foreach(c => skipColumn(c, nodes, bufs))
+        f.children.foreach(c => skipColumn(c, nodes, bufs, varCounts))
       case AUnion(dense, _) =>
         bufs.skip(if (dense) 2 else 1) // types (+ offsets); no validity
-        f.children.foreach(c => skipColumn(c, nodes, bufs))
+        f.children.foreach(c => skipColumn(c, nodes, bufs, varCounts))
+      case AView(_) =>
+        req(varCounts.hasNext, s"arrow: view field '${f.name}' has no variadic buffer count")
+        val k = varCounts.next()
+        req(k >= 0 && k <= 4096, s"arrow: view field '${f.name}' declares $k data buffers")
+        bufs.skip(2 + k.toInt) // validity + views + k data buffers
     }
   }
 
-  /** RecordBatch table -> nodes + buffers + compression codec. */
-  private def batchParts(meta: Array[Byte], rbTab: Int): (Long, IndexedSeq[(Long, Long)], IndexedSeq[(Long, Long)], Int) = {
+  /** RecordBatch table -> nodes + buffers + compression codec +
+    * per-view-column variadic buffer counts (field 4, [long]). */
+  private def batchParts(meta: Array[Byte], rbTab: Int): (Long, IndexedSeq[(Long, Long)], IndexedSeq[(Long, Long)], Int, IndexedSeq[Long]) = {
     val rows = fbLong(meta, rbTab, 0, 0L)
     def structVec(id: Int): IndexedSeq[(Long, Long)] = {
       val p = fbField(meta, rbTab, id)
@@ -772,7 +829,15 @@ object ArrowIpc {
         fbByte(meta, cTab, 0, 0)
       }
     }
-    (rows, nodes, buffers, codec)
+    val varCounts: IndexedSeq[Long] = {
+      val p = fbField(meta, rbTab, 4)
+      if (p < 0) Vector.empty
+      else {
+        val (n, base) = fbVector(meta, p, 8)
+        (0 until n).map(i => i64(meta, base + 8 * i))
+      }
+    }
+    (rows, nodes, buffers, codec, varCounts)
   }
 
   /** Decode the record-batch message at `off` in `b` (framing
@@ -797,14 +862,15 @@ object ArrowIpc {
       wanted: Int => Boolean): Batch = guarded("record batch") {
     val (hType, rbTab, meta, bodyStart) = parseMessage(b, off)
     req(hType == HRecordBatch, s"arrow: expected record batch, got header type $hType")
-    val (rows, nodes, buffers, codec) = batchParts(meta, rbTab)
+    val (rows, nodes, buffers, codec, varCounts) = batchParts(meta, rbTab)
     req(rows >= 0 && rows <= Int.MaxValue - 8, s"arrow: batch of $rows rows")
     val nodeIt = nodes.iterator
+    val varIt = varCounts.iterator
     val cursor = new BufCursor(b, bodyStart, buffers, codec)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      if (!wanted(i)) { skipColumn(f, nodeIt, cursor); null }
+      if (!wanted(i)) { skipColumn(f, nodeIt, cursor, varIt); null }
       else {
-        val col = decodeColumn(f, nodeIt, cursor, dicts)
+        val col = decodeColumn(f, nodeIt, cursor, dicts, varIt)
         req(col.length == rows.toInt, s"arrow: column '${f.name}' length ${col.length} != $rows")
         col
       }
@@ -827,10 +893,10 @@ object ArrowIpc {
         .flatMap(flatten)
         .find(_.dictId == dictId)
         .getOrElse(fail(s"arrow: dictionary $dictId matches no schema field"))
-      val (rows, nodes, buffers, codec) = batchParts(meta, rbTab)
+      val (rows, nodes, buffers, codec, varCounts) = batchParts(meta, rbTab)
       req(rows >= 0 && rows <= (1 << 28), s"arrow: dictionary of $rows values")
       val bare = valueField.copy(dictId = -1L)
-      val col = decodeColumn(bare, nodes.iterator, new BufCursor(b, bodyStart, buffers, codec), Map.empty)
+      val col = decodeColumn(bare, nodes.iterator, new BufCursor(b, bodyStart, buffers, codec), Map.empty, varCounts.iterator)
       req(col.length == rows.toInt, "arrow: dictionary column length drift")
       (dictId, col)
     }
@@ -935,6 +1001,7 @@ object ArrowIpc {
       // of the selecting tag plus one nullable field per variant
       StructType(StructField("type_id", ByteType, nullable = false) +:
         f.children.map(c => StructField(c.name, sparkType(c), nullable = true)))
+    case AView(utf8) => if (utf8) StringType else BinaryType
   }
 
   def sparkSchema(s: ASchema): StructType =
@@ -1206,6 +1273,7 @@ object ArrowIpc {
     case AFixedSizeList(k) => bld.startTable(1); bld.slotInt(0, k); (TFixedSizeList, bld.endTable())
     case AStruct => bld.startTable(0); (TStruct, bld.endTable())
     case AMap(sorted) => bld.startTable(1); bld.slotBool(0, sorted); (TMap, bld.endTable())
+    case AView(utf8) => bld.startTable(0); (if (utf8) TUtf8View else TBinaryView, bld.endTable())
     case AUnion(dense, typeIds) =>
       bld.startVector(4, typeIds.length, 4)
       typeIds.reverse.foreach(bld.putIntRaw)
@@ -1293,7 +1361,8 @@ object ArrowIpc {
       f: AField,
       vals: Array[Any],
       nodes: scala.collection.mutable.ArrayBuffer[(Long, Long)],
-      bufs: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Unit = {
+      bufs: scala.collection.mutable.ArrayBuffer[Array[Byte]],
+      varCounts: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
     val n = vals.length
     val (bm, nulls) = validityOf(vals)
     nodes += ((n.toLong, nulls))
@@ -1402,7 +1471,7 @@ object ArrowIpc {
         }
         le32b(flat.length, offs, 4 * n)
         bufs += offs
-        encodeColumn(f.children.head, flat.toArray, nodes, bufs)
+        encodeColumn(f.children.head, flat.toArray, nodes, bufs, varCounts)
       case AFixedSizeList(k) =>
         req(f.children.length == 1, "arrow writer: fixed-size list needs one child")
         bufs += bm
@@ -1418,7 +1487,7 @@ object ArrowIpc {
           }
           i += 1
         }
-        encodeColumn(f.children.head, flat, nodes, bufs)
+        encodeColumn(f.children.head, flat, nodes, bufs, varCounts)
       case AStruct =>
         bufs += bm
         f.children.zipWithIndex.foreach { case (c, ci) =>
@@ -1432,7 +1501,7 @@ object ArrowIpc {
             }
             i += 1
           }
-          encodeColumn(c, kid, nodes, bufs)
+          encodeColumn(c, kid, nodes, bufs, varCounts)
         }
       case AMap(_) =>
         // list layout over the entries struct; values are the reader's
@@ -1458,7 +1527,7 @@ object ArrowIpc {
         }
         le32b(flat.length, offs, 4 * n)
         bufs += offs
-        encodeColumn(f.children.head, flat.toArray, nodes, bufs)
+        encodeColumn(f.children.head, flat.toArray, nodes, bufs, varCounts)
       case AUnion(dense, typeIds) =>
         // no validity buffer — the node was recorded above; a union
         // slot is Vector(typeId, value) with nulls carried by the child
@@ -1490,7 +1559,38 @@ object ArrowIpc {
         }
         bufs += types
         if (dense) bufs += offs
-        f.children.zip(perChild).foreach { case (c, vs) => encodeColumn(c, vs.toArray, nodes, bufs) }
+        f.children.zip(perChild).foreach { case (c, vs) => encodeColumn(c, vs.toArray, nodes, bufs, varCounts) }
+      case AView(utf8) =>
+        // one variadic data buffer carries every non-inline value;
+        // <=12-byte values inline into the 16-byte view struct
+        bufs += bm
+        val views = new Array[Byte](16 * n)
+        val data = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < n) {
+          val bytes: Array[Byte] = vals(i) match {
+            case null => Array.emptyByteArray
+            case v: String =>
+              req(utf8, "arrow writer: string value in a binary-view column")
+              v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case v: Array[Byte] =>
+              req(!utf8, "arrow writer: binary value in a utf8-view column")
+              v
+            case x => fail(s"arrow writer: view value ${x.getClass.getSimpleName}")
+          }
+          le32b(bytes.length, views, 16 * i)
+          if (bytes.length <= 12) System.arraycopy(bytes, 0, views, 16 * i + 4, bytes.length)
+          else {
+            System.arraycopy(bytes, 0, views, 16 * i + 4, 4) // prefix
+            le32b(0, views, 16 * i + 8) // buffer index
+            le32b(data.size, views, 16 * i + 12)
+            data.write(bytes)
+          }
+          i += 1
+        }
+        bufs += views
+        bufs += data.toByteArray
+        varCounts += 1L
       case t => fail(s"arrow writer: unsupported type $t")
     }
   }
@@ -1502,9 +1602,10 @@ object ArrowIpc {
   private def encodeBatch(schema: ASchema, columns: Array[Array[Any]], rows: Int, codec: Int): Array[Byte] = {
     val nodes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val rawBufs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val varCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       req(columns(i).length == rows, s"arrow writer: column '${f.name}' length drift")
-      encodeColumn(f, columns(i), nodes, rawBufs)
+      encodeColumn(f, columns(i), nodes, rawBufs, varCounts)
     }
     val outBufs = rawBufs.map { raw =>
       if (codec < 0 || raw.isEmpty) raw
@@ -1543,11 +1644,19 @@ object ArrowIpc {
       bld.startVector(16, nodes.length, 8)
       nodes.reverse.foreach { case (l, nc) => bld.prependLongRaw(nc); bld.prependLongRaw(l) }
       val nodeVec = bld.endVector(nodes.length)
-      bld.startTable(4)
+      val varVec =
+        if (varCounts.isEmpty) 0
+        else {
+          bld.startVector(8, varCounts.length, 8)
+          varCounts.reverse.foreach(bld.prependLongRaw)
+          bld.endVector(varCounts.length)
+        }
+      bld.startTable(5)
       bld.slotLong(0, rows.toLong)
       bld.slotUOffset(1, nodeVec)
       bld.slotUOffset(2, bufVec)
       bld.slotUOffset(3, compOff)
+      bld.slotUOffset(4, varVec)
       bld.endTable()
     }, bodyBytes.length.toLong)
 

@@ -174,6 +174,20 @@ def main():
     us = pa.table({"u": sparse, "k": pa.array(list(range(n)), type=pa.int64())})
     write_file("union_sparse.arrow", us, batch_rows=20)
 
+    # string_view / binary_view: inline (<=12B) and out-of-line values
+    # with nulls; sv[i] = "s{i}" if i%3 else a 40+-byte payload; null i%7==3
+    views = pa.table({
+        "sv": pa.array(
+            [None if i % 7 == 3 else (f"s{i}" if i % 3 else f"long-string-payload-beyond-twelve-bytes-{i}")
+             for i in range(n)], type=pa.string_view()),
+        "bv": pa.array(
+            [None if i % 5 == 2 else bytes((i + j) % 256 for j in range(i % 19))
+             for i in range(n)], type=pa.binary_view()),
+        "k": pa.array(list(range(n)), type=pa.int64()),
+    })
+    write_file("views.arrow", views, batch_rows=16)
+    write_file("views_zstd.arrow", views, compression="zstd")
+
 
 if __name__ == "__main__":
     main()
