@@ -30,9 +30,12 @@ import org.apache.spark.sql.types._
   * `{type_id, variant...}` struct — Spark has no union type),
   * utf8/binary VIEWS (16-byte view structs over variadic data
   * buffers, the variadicBufferCounts message field both directions),
-  * and non-delta dictionary encoding. Run-end-encoded (the
-  * in-container pyarrow binding is broken — no producer) and the
-  * list-view types (no producer pressure) refuse loudly by name.
+  * RUN-END-ENCODED (decode expands runs to the values type; the
+  * writer run-length compresses adjacent equal values — producer/
+  * validator is Arrow Java's RunEndEncodedVector, the in-container
+  * pyarrow 16.1 binding being broken), and non-delta dictionary
+  * encoding. The list-view types (no producer pressure) refuse
+  * loudly by name.
   *
   * Conformance: ArrowIpcSpec pins BOTH directions LIVE against Arrow
   * Java (ships on the Spark classpath) — our reader over
@@ -166,6 +169,11 @@ object ArrowIpc {
     * (prefix, bufIdx, off)) over a VARIABLE number of data buffers —
     * the count travels in the RecordBatch's variadicBufferCounts. */
   final case class AView(utf8: Boolean) extends AType
+  /** RunEndEncoded: the parent owns NO buffers and a 0 null count;
+    * child 0 is `run_ends` (int16/32/64, non-nullable, strictly
+    * increasing cumulative end positions), child 1 is `values` (any
+    * type — nulls live here as null runs). Decode expands runs. */
+  case object ARee extends AType
 
   /** dictId = -1 when not dictionary-encoded; for encoded fields,
     * `tpe`/`children` describe the VALUE type and the record-batch
@@ -281,7 +289,17 @@ object ArrowIpc {
           s"arrow: map '$name' entries and key must be non-nullable")
         AMap(if (typeTab < 0) false else fbBool(b, typeTab, 0, dflt = false))
       case TInterval => fail(s"arrow: interval field '$name' is not supported")
-      case TRunEndEncoded => fail(s"arrow: run-end-encoded field '$name' is not supported (no working in-container producer — pyarrow 16.1's RunEndEncodedArray binding is broken)")
+      case TRunEndEncoded =>
+        req(children.length == 2,
+          s"arrow: run-end-encoded '$name' needs run_ends + values children, got ${children.length}")
+        val re = children.head
+        re.tpe match {
+          case AInt(b, true) if b == 16 || b == 32 || b == 64 => ()
+          case t => fail(s"arrow: run-end-encoded '$name' run_ends must be int16/32/64, got $t")
+        }
+        req(!re.nullable && re.dictId < 0,
+          s"arrow: run-end-encoded '$name' run_ends child must be plain and non-nullable")
+        ARee
       case TBinaryView => AView(utf8 = false)
       case TUtf8View => AView(utf8 = true)
       case TListView | TLargeListView => fail(s"arrow: list-view field '$name' is not supported (no producer pressure)")
@@ -749,6 +767,31 @@ object ArrowIpc {
           i += 1
         }
         out
+      case ARee =>
+        // the parent carries no buffers; expand run_ends/values to plain
+        req(nullCount == 0, s"arrow: run-end-encoded '${f.name}' declares $nullCount top-level nulls")
+        val runEnds = decodeColumn(f.children.head, nodes, bufs, dicts, varCounts)
+        val values = decodeColumn(f.children(1), nodes, bufs, dicts, varCounts)
+        req(runEnds.length == values.length,
+          s"arrow: run-end-encoded '${f.name}' has ${runEnds.length} run ends for ${values.length} values")
+        val out = new Array[Any](n)
+        var prev = 0L
+        var i = 0
+        while (i < runEnds.length) {
+          val end = runEnds(i) match {
+            case x: java.lang.Number => x.longValue
+            case x => fail(s"arrow: run end of ${x.getClass.getSimpleName} in '${f.name}'")
+          }
+          req(end > prev && end <= Int.MaxValue,
+            s"arrow: run ends of '${f.name}' must be strictly increasing positive ints (got $end after $prev)")
+          var p = prev
+          val stop = math.min(end, n.toLong)
+          while (p < stop) { out(p.toInt) = values(i); p += 1 }
+          prev = end
+          i += 1
+        }
+        req(prev >= n, s"arrow: run-end-encoded '${f.name}' runs cover only $prev of $n rows")
+        out
     }
 
     if (f.dictId < 0) raw
@@ -802,6 +845,9 @@ object ArrowIpc {
         val k = varCounts.next()
         req(k >= 0 && k <= 4096, s"arrow: view field '${f.name}' declares $k data buffers")
         bufs.skip(2 + k.toInt) // validity + views + k data buffers
+      case ARee =>
+        // no buffers of its own; consume both children
+        f.children.foreach(c => skipColumn(c, nodes, bufs, varCounts))
     }
   }
 
@@ -991,21 +1037,29 @@ object ArrowIpc {
     case ATime(_, _) => LongType
     case ADuration(_) => LongType
     case AList | ALargeList | AFixedSizeList(_) =>
-      ArrayType(sparkType(f.children.head), containsNull = f.children.head.nullable)
-    case AStruct => StructType(f.children.map(c => StructField(c.name, sparkType(c), c.nullable)))
+      ArrayType(sparkType(f.children.head), containsNull = effNullable(f.children.head))
+    case AStruct => StructType(f.children.map(c => StructField(c.name, sparkType(c), effNullable(c))))
     case AMap(_) =>
       val e = f.children.head
-      MapType(sparkType(e.children(0)), sparkType(e.children(1)), valueContainsNull = e.children(1).nullable)
+      MapType(sparkType(e.children(0)), sparkType(e.children(1)), valueContainsNull = effNullable(e.children(1)))
     case AUnion(_, _) =>
       // Spark has no union type; face it the Avro-union way — a struct
       // of the selecting tag plus one nullable field per variant
       StructType(StructField("type_id", ByteType, nullable = false) +:
         f.children.map(c => StructField(c.name, sparkType(c), nullable = true)))
     case AView(utf8) => if (utf8) StringType else BinaryType
+    case ARee => sparkType(f.children(1)) // decode expands to the values type
+  }
+
+  /** A run-end-encoded field yields nulls whenever its VALUES child
+    * does, regardless of the parent's declared nullability. */
+  private def effNullable(f: AField): Boolean = f.tpe match {
+    case ARee => f.nullable || effNullable(f.children(1))
+    case _ => f.nullable
   }
 
   def sparkSchema(s: ASchema): StructType =
-    StructType(s.fields.map(f => StructField(f.name, sparkType(f), f.nullable)))
+    StructType(s.fields.map(f => StructField(f.name, sparkType(f), effNullable(f))))
 
   /** Raw decoded value -> Spark external-row value. */
   private[sources] def toRowValue(f: AField, v: Any): Any = v match {
@@ -1039,6 +1093,7 @@ object ArrowIpc {
           val ci = typeIds.indexOf(tid)
           Row.fromSeq(java.lang.Byte.valueOf(tid.toByte) +:
             f.children.zipWithIndex.map { case (c, j) => if (j == ci) toRowValue(c, p(1)) else null })
+        case ARee => toRowValue(f.children(1), v) // already expanded to values
         case _ => v
       }
   }
@@ -1282,6 +1337,7 @@ object ArrowIpc {
       bld.slotShort(0, if (dense) 1 else 0)
       bld.slotUOffset(1, vec)
       (TUnion, bld.endTable())
+    case ARee => bld.startTable(0); (TRunEndEncoded, bld.endTable())
     case t => fail(s"arrow writer: unsupported type $t")
   }
 
@@ -1591,6 +1647,22 @@ object ArrowIpc {
         bufs += views
         bufs += data.toByteArray
         varCounts += 1L
+      case ARee =>
+        // run-length compress adjacent equal values; the parent owns
+        // no buffers and reports 0 nulls (null runs live in `values`)
+        req(f.children.length == 2, "arrow writer: run-end-encoded needs run_ends + values children")
+        nodes(nodes.length - 1) = ((n.toLong, 0L))
+        val ends = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val runVals = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var i = 0
+        while (i < n) {
+          if (runVals.nonEmpty && java.util.Objects.deepEquals(runVals.last, vals(i)))
+            ends(ends.length - 1) = java.lang.Long.valueOf(i + 1L)
+          else { runVals += vals(i); ends += java.lang.Long.valueOf(i + 1L) }
+          i += 1
+        }
+        encodeColumn(f.children.head, ends.toArray, nodes, bufs, varCounts)
+        encodeColumn(f.children(1), runVals.toArray, nodes, bufs, varCounts)
       case t => fail(s"arrow writer: unsupported type $t")
     }
   }
@@ -1797,6 +1869,24 @@ object ArrowIpc {
               entries(0) == Vector[Any]("id", sorted(mj)) &&
               entries(1) == Vector[Any]("mod", sorted(mj) % 97), "arrow lane: map entry drift")
             mj += 1; r2 += 1
+          }
+        }
+        // require-only REE lane: run-end-encoded (id DIV 16) — naturally
+        // runny over the sorted bucket — round-trips writer (ZSTD) ->
+        // reader with the runs expanded back element-for-element
+        val reeLane = ASchema(Seq(AField("r", nullable = false, ARee, Seq(
+          AField("run_ends", nullable = false, AInt(32, signed = true)),
+          AField("values", nullable = false, AInt(64, signed = true))))))
+        val reeCols: Array[Array[Any]] = Array(sorted.take(k).map(x => java.lang.Long.valueOf(x / 16): Any))
+        val reeEnc = encodeFile(reeLane, Seq((reeCols, k)), codec = 1)
+        val (_, reeBack) = readFileBytes(reeEnc)
+        require(reeBack.map(_.rows).sum == k, "arrow lane: ree row drift")
+        var rj = 0
+        reeBack.foreach { b2 =>
+          var r2 = 0
+          while (r2 < b2.rows) {
+            require(b2.columns(0)(r2).asInstanceOf[Long] == sorted(rj) / 16, "arrow lane: ree value drift")
+            rj += 1; r2 += 1
           }
         }
       }
