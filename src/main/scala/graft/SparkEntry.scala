@@ -192,6 +192,7 @@ object SparkEntry {
     "q_zip" -> (graft.sources.Zip.zipQuery _),
     "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
     "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
+    "q_avro" -> (graft.sources.AvroOcf.avroQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
@@ -3032,6 +3033,19 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(1 + length(CAST(event_id % 101 AS VARCHAR))) AS BIGINT) AS tag_chars,
         |  CAST(sum(event_id % 7) AS BIGINT) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Avro OCF cycle: each (event_type, shard) bucket is serialized by
+    // avro-java (the LIVE reference implementation) as a deflate-codec
+    // object container file and read back by OUR container walk +
+    // binary decoder (requires verify id/tag/val/flag per row), plus a
+    // require-only zstandard lane (our writer -> our reader). Closed
+    // forms: tag = "a"+(id%89), val = id%11. Six-codec two-direction
+    // conformance + ranged-split scan contract: AvroOcfSpec.
+    "q_avro" ->
+      """SELECT event_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(1 + length(CAST(event_id % 89 AS VARCHAR))) AS BIGINT) AS tag_chars,
+        |  CAST(sum(event_id % 11) AS BIGINT) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // NumPy .npz cycle: each (event_type, shard) bucket's ids become a
     // real zip-of-.npy archive (JDK ZipOutputStream container, OUR
