@@ -193,6 +193,7 @@ object SparkEntry {
     "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
     "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
     "q_avro" -> (graft.sources.AvroOcf.avroQuery _),
+    "q_zstd_dict" -> (graft.sources.ZstdDict.dictQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
@@ -3046,6 +3047,21 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(1 + length(CAST(event_id % 89 AS VARCHAR))) AS BIGINT) AS tag_chars,
         |  CAST(sum(event_id % 11) AS BIGINT) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Zstd dictionary training: each (event_type, shard) bucket
+    // expands its ids to templated JSON docs, trains a FastCover-style
+    // raw-content dictionary on them, compresses every doc with it
+    // through OUR encoder, and zstd-jni LIVE-decompresses each back
+    // byte-exactly with the same dict (plus a dict-must-help require).
+    // The oracle restates the doc template so total_chars is closed
+    // form. Trainer conformance both directions: ZstdDictSpec.
+    "q_zstd_dict" ->
+      """SELECT event_type,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length('{"id":' || CAST(event_id AS VARCHAR) ||
+        |    ',"type":"evt","payload":"p' || CAST(event_id % 13 AS VARCHAR) ||
+        |    '","flag":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+        |    '}')) AS BIGINT) AS total_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // NumPy .npz cycle: each (event_type, shard) bucket's ids become a
     // real zip-of-.npy archive (JDK ZipOutputStream container, OUR
