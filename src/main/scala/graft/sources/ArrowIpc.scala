@@ -33,9 +33,11 @@ import org.apache.spark.sql.types._
   * RUN-END-ENCODED (decode expands runs to the values type; the
   * writer run-length compresses adjacent equal values — producer/
   * validator is Arrow Java's RunEndEncodedVector, the in-container
-  * pyarrow 16.1 binding being broken), and non-delta dictionary
-  * encoding. The list-view types (no producer pressure) refuse
-  * loudly by name.
+  * pyarrow 16.1 binding being broken), LIST-VIEW / LARGE-LIST-VIEW
+  * (offsets + sizes buffers; reads handle overlapping/reordered
+  * views, the writer emits the canonical dense form), and non-delta
+  * dictionary encoding. Interval remains the one refused type (no
+  * Spark-facing carrier).
   *
   * Conformance: ArrowIpcSpec pins BOTH directions LIVE against Arrow
   * Java (ships on the Spark classpath) — our reader over
@@ -174,6 +176,11 @@ object ArrowIpc {
     * increasing cumulative end positions), child 1 is `values` (any
     * type — nulls live here as null runs). Decode expands runs. */
   case object ARee extends AType
+  /** ListView / LargeListView: validity + OFFSETS + SIZES buffers
+    * over one child — unlike List, views may overlap, nest out of
+    * order, or leave child gaps; each is independently bounded
+    * against the child length. Decode materializes each view. */
+  final case class AListView(wide: Boolean) extends AType
 
   /** dictId = -1 when not dictionary-encoded; for encoded fields,
     * `tpe`/`children` describe the VALUE type and the record-batch
@@ -302,7 +309,9 @@ object ArrowIpc {
         ARee
       case TBinaryView => AView(utf8 = false)
       case TUtf8View => AView(utf8 = true)
-      case TListView | TLargeListView => fail(s"arrow: list-view field '$name' is not supported (no producer pressure)")
+      case TListView | TLargeListView =>
+        req(children.length == 1, s"arrow: list-view '$name' needs exactly one child")
+        AListView(wide = typeTag == TLargeListView)
       case t => fail(s"arrow: unsupported type tag $t for field '$name'")
     }
     // DictionaryEncoding: id(long)=0, indexType(Int)=1, isOrdered=2
@@ -767,6 +776,28 @@ object ArrowIpc {
           i += 1
         }
         out
+      case AListView(wide) =>
+        val validity = checkedValidity(bufs.next())
+        val offs = bufs.next()
+        val sizes = bufs.next()
+        val w = if (wide) 8 else 4
+        req((offs.length >= w.toLong * n && sizes.length >= w.toLong * n) || n == 0 || nullCount == lenL,
+          s"arrow: list-view buffers short for '${f.name}'")
+        req(f.children.length == 1, s"arrow: list-view '${f.name}' needs exactly one child")
+        val child = decodeColumn(f.children.head, nodes, bufs, dicts, varCounts)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (isValid(validity, i, nullCount)) {
+            val a = if (wide) i64(offs, 8 * i) else i32(offs, 4 * i).toLong
+            val sz = if (wide) i64(sizes, 8 * i) else i32(sizes, 4 * i).toLong
+            req(a >= 0 && sz >= 0 && a + sz <= child.length,
+              s"arrow: list-view extent ($a,$sz) outside child of ${child.length} for '${f.name}'")
+            out(i) = child.slice(a.toInt, (a + sz).toInt).toVector
+          }
+          i += 1
+        }
+        out
       case ARee =>
         // the parent carries no buffers; expand run_ends/values to plain
         req(nullCount == 0, s"arrow: run-end-encoded '${f.name}' declares $nullCount top-level nulls")
@@ -848,6 +879,9 @@ object ArrowIpc {
       case ARee =>
         // no buffers of its own; consume both children
         f.children.foreach(c => skipColumn(c, nodes, bufs, varCounts))
+      case AListView(_) =>
+        bufs.skip(3) // validity + offsets + sizes
+        skipColumn(f.children.head, nodes, bufs, varCounts)
     }
   }
 
@@ -1036,7 +1070,7 @@ object ArrowIpc {
     case ATime(_, 32) => IntegerType
     case ATime(_, _) => LongType
     case ADuration(_) => LongType
-    case AList | ALargeList | AFixedSizeList(_) =>
+    case AList | ALargeList | AFixedSizeList(_) | AListView(_) =>
       ArrayType(sparkType(f.children.head), containsNull = effNullable(f.children.head))
     case AStruct => StructType(f.children.map(c => StructField(c.name, sparkType(c), effNullable(c))))
     case AMap(_) =>
@@ -1076,7 +1110,7 @@ object ArrowIpc {
             case 2 => java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L), Math.floorMod(t, 1000000L) * 1000L)
             case _ => java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000000L), Math.floorMod(t, 1000000000L))
           }
-        case AList | ALargeList | AFixedSizeList(_) =>
+        case AList | ALargeList | AFixedSizeList(_) | AListView(_) =>
           v.asInstanceOf[Seq[Any]].map(e => toRowValue(f.children.head, e))
         case AStruct =>
           Row.fromSeq(f.children.zip(v.asInstanceOf[Seq[Any]]).map { case (c, e) => toRowValue(c, e) })
@@ -1338,6 +1372,8 @@ object ArrowIpc {
       bld.slotUOffset(1, vec)
       (TUnion, bld.endTable())
     case ARee => bld.startTable(0); (TRunEndEncoded, bld.endTable())
+    case AListView(wide) =>
+      bld.startTable(0); (if (wide) TLargeListView else TListView, bld.endTable())
     case t => fail(s"arrow writer: unsupported type $t")
   }
 
@@ -1647,6 +1683,31 @@ object ArrowIpc {
         bufs += views
         bufs += data.toByteArray
         varCounts += 1L
+      case AListView(wide) =>
+        // dense layout (offsets cumulative, sizes = lengths) — valid
+        // list-view form; readers must handle arbitrary views, writers
+        // may emit the canonical dense one
+        req(f.children.length == 1, "arrow writer: list-view needs one child")
+        bufs += bm
+        val w = if (wide) 8 else 4
+        val offs = new Array[Byte](w * n)
+        val sizes = new Array[Byte](w * n)
+        val flat = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var i = 0
+        while (i < n) {
+          val start = flat.length
+          vals(i) match {
+            case null => ()
+            case s: Seq[_] => s.foreach(flat += _)
+            case x => fail(s"arrow writer: list-view value ${x.getClass.getSimpleName}")
+          }
+          if (wide) { le64b(start.toLong, offs, 8 * i); le64b((flat.length - start).toLong, sizes, 8 * i) }
+          else { le32b(start, offs, 4 * i); le32b(flat.length - start, sizes, 4 * i) }
+          i += 1
+        }
+        bufs += offs
+        bufs += sizes
+        encodeColumn(f.children.head, flat.toArray, nodes, bufs, varCounts)
       case ARee =>
         // run-length compress adjacent equal values; the parent owns
         // no buffers and reports 0 nulls (null runs live in `values`)
