@@ -298,6 +298,77 @@ object AvroOcf {
     n.toInt
   }
 
+  /** Wire-level skip: advance past a value HONORING lengths but never
+    * materializing or validating content — no UTF-8 decode, no bool/
+    * enum range checks, and negative-count array/map blocks skip by
+    * their declared byte size without touching the items. This is
+    * what column pruning in the DSv2 face rides on (AvroSourceSpec
+    * proves it by poisoning a pruned field's value). */
+  private def skipValue(t: AvType, d: Dec, depth: Int): Unit = {
+    req(depth < 64, "avro: value nesting deeper than 64")
+    t match {
+      case VNull => ()
+      case VBool =>
+        req(d.pos < d.end, "avro: truncated boolean")
+        d.pos += 1 // content byte not validated — skip semantics
+      case VInt | VLong => d.varLong()
+      case VFloat => skipN(d, 4)
+      case VDouble => skipN(d, 8)
+      case VBytes | VString => skipN(d, longLen(d))
+      case VFixed(_, size) => skipN(d, size)
+      case VEnum(_, _) => d.varLong() // index not range-checked — skip semantics
+      case r: VRecord => r.fields.foreach(f => skipValue(f.tpe, d, depth + 1))
+      case VArray(items) => skipBlocks(d, depth, bd => skipValue(items, bd, depth + 1))
+      case VMap(values) => skipBlocks(d, depth, bd => { skipN(bd, longLen(bd)); skipValue(values, bd, depth + 1) })
+      case VUnion(branches) =>
+        val idx = d.varInt()
+        req(idx >= 0 && idx < branches.length, s"avro: union branch $idx of ${branches.length}")
+        skipValue(branches(idx), d, depth + 1)
+    }
+  }
+
+  @inline private def skipN(d: Dec, n: Int): Unit = {
+    req(n >= 0 && n <= d.end - d.pos, s"avro: skip of $n with ${d.end - d.pos} bytes left")
+    d.pos += n
+  }
+
+  private def skipBlocks(d: Dec, depth: Int, one: Dec => Unit): Unit = {
+    var count = d.varLong()
+    while (count != 0) {
+      if (count < 0) {
+        val size = d.varLong() // sized block: skip wholesale, items untouched
+        skipN(d, { req(size >= 0 && size <= Int.MaxValue, s"avro: block size $size"); size.toInt })
+      } else {
+        req(count <= d.end - d.pos, s"avro: block of $count items with ${d.end - d.pos} bytes left")
+        var i = 0L
+        while (i < count) { one(d); i += 1 }
+      }
+      count = d.varLong()
+    }
+  }
+
+  /** Decode `count` records from an inflated block, materializing
+    * ONLY the fields `wanted` accepts; the rest wire-skip. Top level
+    * must be a record. */
+  def decodeBlockPruned(schema: AvType, data: Array[Byte], count: Long,
+      wanted: String => Boolean): Iterator[Map[String, Any]] = {
+    val rec = schema match {
+      case r: VRecord => r
+      case t => fail(s"avro: pruned decode needs a top-level record, got $t")
+    }
+    val d = new Dec(data, 0, data.length)
+    (0L until count).iterator.map { _ =>
+      guarded("block") {
+        val m = Map.newBuilder[String, Any]
+        rec.fields.foreach { f =>
+          if (wanted(f.name)) m += f.name -> decodeValue(f.tpe, d, 0)
+          else skipValue(f.tpe, d, 0)
+        }
+        m.result()
+      }
+    }
+  }
+
   // -------------------------------------------------------- binary encode
 
   private def putVarLong(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
@@ -648,7 +719,7 @@ object AvroOcf {
     case _ => false
   }
 
-  private def toRowValue(t: AvType, v: Any): Any = (t, v) match {
+  private[sources] def toRowValue(t: AvType, v: Any): Any = (t, v) match {
     case (_, null) => null
     case (r: VRecord, s: Seq[_]) =>
       Row.fromSeq(r.fields.zip(s).map { case (f, x) => toRowValue(f.tpe, x) })
