@@ -194,6 +194,7 @@ object SparkEntry {
     "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
     "q_avro" -> (graft.sources.AvroOcf.avroQuery _),
     "q_zstd_dict" -> (graft.sources.ZstdDict.dictQuery _),
+    "q_parquet_meta" -> (graft.sources.ParquetMeta.metaQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
@@ -3048,6 +3049,18 @@ object SparkEntry {
         |  CAST(sum(1 + length(CAST(event_id % 89 AS VARCHAR))) AS BIGINT) AS tag_chars,
         |  CAST(sum(event_id % 11) AS BIGINT) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Parquet footer introspection: OUR hand-rolled thrift-compact
+    // footer parser reads the events table's parquet tails only (no
+    // page data) and aggregates row-group rows + chunk-stat min/max of
+    // event_id; the oracle restates those relationally over the same
+    // table DuckDB reads. A distributed require gates num_values ==
+    // rg rows per chunk. Field-for-field conformance vs parquet-hadoop
+    // across codecs: ParquetMetaSpec.
+    "q_parquet_meta" ->
+      """SELECT count(*) AS total_rows,
+        |  min(event_id) AS min_event_id,
+        |  max(event_id) AS max_event_id
+        |FROM events""".stripMargin,
     // Zstd dictionary training: each (event_type, shard) bucket
     // expands its ids to templated JSON docs, trains a FastCover-style
     // raw-content dictionary on them, compresses every doc with it
