@@ -351,8 +351,7 @@ object Graph {
       .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val nodes = s.range(500).select(col("id"))
-    pageRank(nodes, edges).select(col("id").as("node"), col("r").as("rank_e12"))
+    pageRankBounded(500, edges).select(col("id").as("node"), col("r").as("rank_e12"))
   }
 
   /** Deterministic random walks — the graph-sampling primitive under
@@ -464,7 +463,7 @@ object Graph {
       .select((col("event_id") % 500).as("src"), (col("event_id") * 7919 % 500).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    labelPropagation(s.range(500).select(col("id")), edges, rounds = 5)
+    labelPropagationBounded(500, edges, rounds = 5)
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_id_sum"))
       .select(col("lab").as("community"), col("n_members"), col("member_id_sum"))
@@ -529,7 +528,8 @@ object Graph {
   /** ◆ q_kcore — the 20-core of a deterministic md5-skewed attachment
     * graph over the events (low ids accumulate degree, so peeling
     * strips the high-id fringe over several rounds: 8 synchronous
-    * rounds reach the fixpoint at sf0.01). */
+    * rounds reach the fixpoint at sf0.01). Domain is 500 nodes by
+    * construction → the bounded single-task replay. */
   def kCoreQuery(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.eventsRaw(s, dir)
     def h60(prefix: String): org.apache.spark.sql.Column =
@@ -540,6 +540,176 @@ object Graph {
       .select(col("src"), (h60("kd:") % (col("src") + 1)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    kCore(edges, k = 20, rounds = 8)
+    kCoreBounded(edges, k = 20, rounds = 8, maxNodes = 512)
+  }
+
+  // ------------------------------------------- bounded-domain twins
+
+  /** Single-task synchronous replays for DOMAIN-BOUNDED graphs.
+    *
+    * When the node domain is capped by construction (the q lanes
+    * derive ≤500-node graphs via mod), the 100 TB-correct plan keeps
+    * the BIG stage distributed — the events-scale edge dedup feeding
+    * these calls, which scales with the data — but runs the rounds in
+    * ONE bounded task instead of rounds × shuffles over an
+    * SF-invariant frame: the iteration cost is a property of the
+    * domain, not the data. The trajectory is the same synchronous,
+    * deterministic one, so rows are IDENTICAL to the distributed
+    * twins (GraphBoundedSpec gates row-for-row equality on the same
+    * derivations). A graph that overflows `maxNodes` fails loudly —
+    * use the distributed operator for unbounded graphs.
+    *
+    * The `repartition(1)` sits AFTER the parallel dedup, so the one
+    * task receives only the bounded distinct edge set. */
+  def kCoreBounded(edges: DataFrame, k: Int, rounds: Int, maxNodes: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    sym
+      .repartition(1)
+      .as[E]
+      .mapPartitions { it =>
+        val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        it.foreach { e =>
+          adj.computeIfAbsent(e.src, _ => new java.util.ArrayList[Long]()).add(e.dst)
+          require(adj.size <= maxNodes, s"kCoreBounded: domain overflow (> $maxNodes nodes) — use kCore")
+        }
+        val surv = new java.util.HashSet[Long](adj.keySet())
+        var t = 0
+        while (t < rounds) {
+          val next = new java.util.HashSet[Long]()
+          val sIt = surv.iterator()
+          while (sIt.hasNext) {
+            val v = sIt.next()
+            val nbrs = adj.get(v)
+            var d = 0
+            var i = 0
+            while (i < nbrs.size()) { if (surv.contains(nbrs.get(i))) d += 1; i += 1 }
+            if (d >= k) next.add(v)
+          }
+          surv.clear()
+          surv.addAll(next)
+          t += 1
+        }
+        // within-core degree of the survivors; like the distributed
+        // twin's final keyed count, zero-degree survivors emit no row
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val sIt = surv.iterator()
+        while (sIt.hasNext) {
+          val v = sIt.next()
+          val nbrs = adj.get(v)
+          var d = 0L
+          var i = 0
+          while (i < nbrs.size()) { if (surv.contains(nbrs.get(i))) d += 1; i += 1 }
+          if (d > 0) out += ((v, d))
+        }
+        out.iterator
+      }
+      .toDF("node", "core_deg")
+  }
+
+  /** Bounded twin of [[pageRank]] over the dense node domain
+    * 0..numNodes-1: identical integer arithmetic (scaled longs,
+    * truncating division — order-independent, so serial replay is
+    * bit-identical to the distributed rounds). */
+  def pageRankBounded(
+      numNodes: Int,
+      edges: DataFrame,
+      iters: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(numNodes > 0 && numNodes <= (1 << 20), s"pageRankBounded: $numNodes nodes")
+    val s = edges.sparkSession
+    import s.implicits._
+    val n = numNodes.toLong
+    val basePart = 15L * scale / (100L * n)
+    edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(1)
+      .as[E]
+      .mapPartitions { it =>
+        val deg = new Array[Long](numNodes)
+        val es = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        it.foreach { e =>
+          require(e.src >= 0 && e.src < n && e.dst >= 0 && e.dst < n,
+            s"pageRankBounded: edge (${e.src},${e.dst}) outside domain [0,$n)")
+          deg(e.src.toInt) += 1
+          es += ((e.src.toInt, e.dst.toInt))
+        }
+        var r = Array.fill(numNodes)(scale / n)
+        var t = 0
+        while (t < iters) {
+          var dang = 0L
+          var v = 0
+          while (v < numNodes) { if (deg(v) == 0) dang += r(v); v += 1 }
+          val next = new Array[Long](numNodes)
+          es.foreach { case (src, dst) => next(dst) += (85L * r(src)) / (100L * deg(src)) }
+          val add = basePart + (85L * dang) / (100L * n)
+          v = 0
+          while (v < numNodes) { next(v) += add; v += 1 }
+          r = next
+          t += 1
+        }
+        (0 until numNodes).iterator.map(v => (v.toLong, r(v)))
+      }
+      .toDF("id", "r")
+  }
+
+  /** Bounded twin of [[labelPropagation]] over the dense node domain
+    * 0..numNodes-1: same synchronous rounds, same (count desc, label
+    * asc) tie order, isolated nodes keep their own label. */
+  def labelPropagationBounded(numNodes: Int, edges: DataFrame, rounds: Int): DataFrame = {
+    require(numNodes > 0 && numNodes <= (1 << 20), s"labelPropagationBounded: $numNodes nodes")
+    val s = edges.sparkSession
+    import s.implicits._
+    val n = numNodes.toLong
+    val sym = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+    sym
+      .repartition(1)
+      .as[E]
+      .mapPartitions { it =>
+        val adj = Array.fill(numNodes)(new java.util.ArrayList[Int]())
+        it.foreach { e =>
+          require(e.src >= 0 && e.src < n && e.dst >= 0 && e.dst < n,
+            s"labelPropagationBounded: edge (${e.src},${e.dst}) outside domain [0,$n)")
+          adj(e.src.toInt).add(e.dst.toInt)
+        }
+        var labels = Array.tabulate(numNodes)(_.toLong)
+        var t = 0
+        while (t < rounds) {
+          val next = new Array[Long](numNodes)
+          var v = 0
+          while (v < numNodes) {
+            val nbrs = adj(v)
+            if (nbrs.isEmpty) next(v) = labels(v)
+            else {
+              val cnt = new java.util.HashMap[Long, Long]()
+              var i = 0
+              while (i < nbrs.size()) { cnt.merge(labels(nbrs.get(i)), 1L, _ + _); i += 1 }
+              var bestLab = Long.MaxValue
+              var bestCnt = -1L
+              val cIt = cnt.entrySet().iterator()
+              while (cIt.hasNext) {
+                val e2 = cIt.next()
+                if (e2.getValue > bestCnt || (e2.getValue == bestCnt && e2.getKey < bestLab)) {
+                  bestCnt = e2.getValue
+                  bestLab = e2.getKey
+                }
+              }
+              next(v) = bestLab
+            }
+            v += 1
+          }
+          labels = next
+          t += 1
+        }
+        (0 until numNodes).iterator.map(v => (v.toLong, labels(v)))
+      }
+      .toDF("id", "lab")
   }
 }
