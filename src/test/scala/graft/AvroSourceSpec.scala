@@ -72,6 +72,64 @@ class AvroSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("write path: df.write -> shards avro-java reads back; spark round-trip equal") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("avro_write").toFile
+    val out = new java.io.File(dir, "out").getPath
+    try {
+      val df = spark.range(100).select(
+        col("id"),
+        concat(lit("s"), col("id")).as("s"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2).as("opt"),
+        array(col("id"), col("id") + 1).as("arr"),
+        map(lit("k"), col("id")).as("m"),
+        struct(col("id").as("x"), (col("id") % 3).as("y")).as("st"))
+      df.repartition(3).write.format("avroocf").option("codec", "zstandard")
+        .mode("append").save(out)
+      val parts = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
+      assert(parts.length == 3)
+      // LIVE: avro-java reads every shard
+      import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      var total = 0L
+      parts.foreach { p =>
+        val r = new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(java.nio.file.Files.readAllBytes(p.toPath)),
+          new GenericDatumReader[GenericRecord]())
+        try {
+          while (r.hasNext) {
+            val rec = r.next()
+            val id = rec.get("id").asInstanceOf[Long]
+            assert(rec.get("s").toString == s"s$id")
+            if (id % 7 == 0) assert(rec.get("opt") == null) else assert(rec.get("opt") == id * 2)
+            val st = rec.get("st").asInstanceOf[GenericRecord]
+            assert(st.get("x") == id && st.get("y") == id % 3)
+            total += 1
+          }
+        } finally r.close()
+      }
+      assert(total == 100)
+      // spark round-trip
+      val back = spark.read.format("avroocf").load(out)
+      assert(back.count() == 100)
+      val row = back.where(col("id") === 22).collect()(0)
+      assert(row.getAs[Long]("opt") == 44L)
+      assert(row.getAs[scala.collection.Seq[Long]]("arr").toSeq == Seq(22L, 23L))
+      assert(row.getAs[Map[String, Long]]("m") == Map("k" -> 22L))
+      assert(back.where(col("id") === 21).collect()(0).isNullAt(2)) // 21 % 7 == 0
+      // truncate overwrite
+      spark.range(5).select(col("id"), lit("t").as("s"), col("id").as("opt"),
+        array(col("id")).as("arr"), map(lit("k"), col("id")).as("m"),
+        struct(col("id").as("x"), col("id").as("y")).as("st"))
+        .coalesce(1).write.format("avroocf").mode("overwrite").save(out)
+      assert(spark.read.format("avroocf").load(out).count() == 5)
+    } finally {
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(dir)
+    }
+  }
+
   test("POISON PROOF: corrupt pruned field decodes around; full read fails") {
     val spark = TestSpark.spark
     // {k:int, e:enum} — single null-codec block, fully deterministic
