@@ -74,11 +74,19 @@ object Bloom {
   /** The md5-60 hash pair evaluated driver/executor-side — EXACTLY the
     * integer semantics of the [[h1]]/[[h2]] column expressions (hex
     * md5, first 15 nibbles, base-16 parse), so the closure probe and
-    * the relational probe agree bit for bit. */
+    * the relational probe agree bit for bit. The first 15 hex nibbles
+    * are the digest's top 60 bits, read straight off the bytes — no
+    * hex string is materialized (this runs twice per probed row). */
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
   private def jvmHash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
   /** Scan-side probe: collect the (bounded, m/32-word) filter into a

@@ -856,6 +856,53 @@ object AvroOcf {
       .orderBy($"event_type")
   }
 
+  /** Streaming twin: continuously ingest `.avro` shards dropped into
+    * a landing directory. Structured Streaming is fixed-schema, so
+    * the TOP-LEVEL RECORD's Spark schema must be declared up front;
+    * shards whose header schema faces differently fail loudly with
+    * the path named. Each micro-batch decodes whole files (the
+    * binaryFile source's unit); the ranged-split scan stays the batch
+    * path. */
+  def rowsStream(
+      spark: SparkSession,
+      dir: String,
+      expected: StructType,
+      globFilter: String = "*.avro"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val outSchema = StructType(StructField("path", StringType) +: expected.fields)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pairEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY)
+    spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", globFilter)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](pairEnc)
+      .flatMap { case (path, content) =>
+        val (h, values) = readFileBytes(content)
+        val rec = h.schema match {
+          case r: VRecord => r
+          case t => fail(s"avro stream: $path top level is $t, need a record")
+        }
+        val got = sparkType(rec) match {
+          case s: StructType => s
+          case t => fail(s"avro stream: $path faces as $t")
+        }
+        req(got == expected, s"avro stream: schema drift — $path has $got, stream declared $expected")
+        values.iterator.map { v =>
+          Row.fromSeq(path +: toRowValue(rec, v).asInstanceOf[Row].toSeq)
+        }
+      }(outEnc)
+      .toDF()
+  }
+
   /** avro-java producer for the lane (runs on executors — the library
     * ships on the Spark classpath). */
   private def buildWithAvroJava(ids: Array[Long]): Array[Byte] = {

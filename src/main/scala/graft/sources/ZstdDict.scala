@@ -106,36 +106,51 @@ object ZstdDict {
     s"""{"id":$id,"type":"evt","payload":"p${id % 13}","flag":${id % 2 == 0}}"""
 
   /** Per (event_type, id DIV 4096) bucket: expand ids to templated
-    * JSON docs, train a bucket dictionary, compress every doc with it
-    * through OUR encoder, and require zstd-jni (LIVE) to decompress
-    * each back byte-exactly with the same dict; require the dict to
-    * actually help (total dict-compressed < total dict-less) — the
-    * templated corpus makes that deterministic. Output closed forms:
-    * n_docs + total doc chars per event_type. */
+    * JSON docs, train a bucket dictionary, and round-trip EVERY doc
+    * through the dict — compressed by zstd-jni with the bucket dict
+    * loaded once (the amortized-CDict shape a real shard pipeline
+    * uses), decompressed back byte-exactly by OUR decoder with the
+    * same dict. A 1-in-8 sample additionally goes through OUR
+    * dict-aware encoder (whose per-call cost is O(dict+doc) — it
+    * re-hashes the prefix, so sampling keeps the lane work-linear)
+    * with zstd-jni as the live reader, and the same sample carries
+    * the dict-must-help require (dict-compressed < dict-less on
+    * identical docs). Output closed forms: n_docs + total doc chars
+    * per event_type. */
   def dictQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val cycle = udf { ids: Seq[Long] =>
       val sorted = ids.sorted.toArray
       val docs = sorted.map(id => docOf(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val dict = train(docs.toSeq, dictSize = 4096, k = 64)
+      val dict = train(docs.toSeq, dictSize = 1024, k = 64)
       var chars = 0L
       var withDict = 0L
       var without = 0L
-      val jniCtx = new com.github.luben.zstd.ZstdDecompressCtx()
+      val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
       try {
-        if (dict.nonEmpty) jniCtx.loadDict(dict)
-        docs.foreach { doc =>
+        if (dict.nonEmpty) { cctx.loadDict(dict); dctx.loadDict(dict) }
+        var i = 0
+        while (i < docs.length) {
+          val doc = docs(i)
           chars += doc.length
-          val comp = Zstd.encode(doc, dict = dict)
-          withDict += comp.length
-          without += Zstd.encode(doc).length
-          // LIVE: zstd-jni must read our dict-compressed frame back
-          val back = jniCtx.decompress(comp, doc.length)
-          require(java.util.Arrays.equals(back, doc), "zstd dict lane: live round-trip drift")
+          // every doc: jni compress with the bucket dict -> OUR decode
+          val jniFrame = cctx.compress(doc)
+          require(java.util.Arrays.equals(Zstd.decode(jniFrame, dict), doc),
+            "zstd dict lane: our decoder drifted on a jni dict frame")
+          if (i % 8 == 0) {
+            // sample: OUR dict-aware encoder -> jni decompress
+            val ours = Zstd.encode(doc, dict = dict)
+            withDict += ours.length
+            without += Zstd.encode(doc).length
+            require(java.util.Arrays.equals(dctx.decompress(ours, doc.length), doc),
+              "zstd dict lane: jni drifted on our dict frame")
+          }
+          i += 1
         }
-      } finally jniCtx.close()
-      if (docs.length >= 32)
+      } finally { cctx.close(); dctx.close() }
+      if (docs.length >= 256)
         require(withDict < without, s"zstd dict lane: dictionary did not help ($withDict vs $without)")
       Seq(docs.length.toLong, chars)
     }
