@@ -195,6 +195,7 @@ object SparkEntry {
     "q_avro" -> (graft.sources.AvroOcf.avroQuery _),
     "q_zstd_dict" -> (graft.sources.ZstdDict.dictQuery _),
     "q_parquet_meta" -> (graft.sources.ParquetMeta.metaQuery _),
+    "q_orc_meta" -> (graft.sources.OrcMeta.metaQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
@@ -3057,6 +3058,18 @@ object SparkEntry {
     // rg rows per chunk. Field-for-field conformance vs parquet-hadoop
     // across codecs: ParquetMetaSpec.
     "q_parquet_meta" ->
+      """SELECT count(*) AS total_rows,
+        |  min(event_id) AS min_event_id,
+        |  max(event_id) AS max_event_id
+        |FROM events""".stripMargin,
+    // ORC footer introspection, the ParquetMeta twin: the lane writes
+    // events as zstd ORC once per run, then OUR tail parser (chunked-
+    // framing decompress + generic protobuf wire walk) reads ONLY the
+    // postscripts/footers back; stripe rows must sum to the file count
+    // and event_id's footer LONG statistics aggregate to min/max —
+    // restated relationally by the oracle. Field-for-field conformance
+    // vs orc-core across codecs: OrcMetaSpec.
+    "q_orc_meta" ->
       """SELECT count(*) AS total_rows,
         |  min(event_id) AS min_event_id,
         |  max(event_id) AS max_event_id
