@@ -284,6 +284,44 @@ class EncoderDifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("avro writer over hostile bytes/strings at every codec -> avro-java DataFileReader") {
+    import graft.sources.AvroOcf
+    import graft.sources.AvroOcf._
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val schema = AvroOcf.parseSchema(
+      """{"type":"record","name":"H","fields":[
+        |{"name":"raw","type":"bytes"},{"name":"txt","type":["null","string"]}]}""".stripMargin)
+    val nonAscii = new String(corpus.collectFirst { case ("non_ascii_utf8", d) => d }.get, Utf8)
+    def prefix(k: Int): String = {
+      val end = if (k < nonAscii.length && Character.isHighSurrogate(nonAscii.charAt(k - 1))) k - 1 else k
+      nonAscii.substring(0, end)
+    }
+    val rows = corpus.zipWithIndex.map { case ((_, data), i) =>
+      Vector[Any](data, if (i % 7 == 3) null else prefix(1 + i * 601 % nonAscii.length))
+    }
+    for (codec <- Seq("null", "deflate", "snappy", "bzip2", "xz", "zstandard")) {
+      val bytes = AvroOcf.encodeFile(schema, rows, codec, blockRows = 5)
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+      try {
+        var i = 0
+        while (r.hasNext) {
+          val rec = r.next()
+          val bb = rec.get("raw").asInstanceOf[java.nio.ByteBuffer]
+          val raw = new Array[Byte](bb.remaining); bb.get(raw)
+          same(raw, corpus(i)._2, s"avro/codec=$codec raw[$i] (${corpus(i)._1})")
+          val txt = rec.get("txt")
+          val exp = rows(i)(1)
+          assert((txt == null && exp == null) || (txt != null && txt.toString == exp),
+            s"avro/codec=$codec txt[$i]")
+          i += 1
+        }
+        assert(i == corpus.length, s"avro/codec=$codec row count")
+      } finally r.close()
+    }
+  }
+
   // ----------------------------------------- self-round-trip-only lanes
 
   test("brotli + npy writers over the hostile corpus: self round-trip (no in-JVM reference decoder)") {
