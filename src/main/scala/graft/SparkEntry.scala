@@ -193,6 +193,7 @@ object SparkEntry {
     "q_7z" -> (graft.sources.SevenZip.sevenZipQuery _),
     "q_arrow" -> (graft.sources.ArrowIpc.arrowQuery _),
     "q_avro" -> (graft.sources.AvroOcf.avroQuery _),
+    "q_seqfile" -> (graft.sources.SeqFile.seqFileQuery _),
     "q_zstd_dict" -> (graft.sources.ZstdDict.dictQuery _),
     "q_parquet_meta" -> (graft.sources.ParquetMeta.metaQuery _),
     "q_orc_meta" -> (graft.sources.OrcMeta.metaQuery _),
@@ -3062,6 +3063,18 @@ object SparkEntry {
         |  min(event_id) AS min_event_id,
         |  max(event_id) AS max_event_id
         |FROM events""".stripMargin,
+    // Hadoop SequenceFile cycle: each (event_type, shard) bucket is
+    // serialized by hadoop-client's own SequenceFile.Writer (LIVE,
+    // record-compressed DefaultCodec, LongWritable -> Text) and read
+    // back by OUR header/record walk (requires verify id/tag per
+    // record), plus a require-only gzip lane (our writer -> our
+    // reader, small sync interval). Closed form: tag = "s"+(id%53).
+    // Both-direction conformance + ranged-split ownership: SeqFileSpec.
+    "q_seqfile" ->
+      """SELECT event_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(1 + length(CAST(event_id % 53 AS VARCHAR))) AS BIGINT) AS tag_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ORC footer introspection, the ParquetMeta twin: the lane writes
     // events as zstd ORC once per run, then OUR tail parser (chunked-
     // framing decompress + generic protobuf wire walk) reads ONLY the
