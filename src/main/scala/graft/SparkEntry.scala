@@ -205,6 +205,7 @@ object SparkEntry {
     "q_warc_zst" -> (graft.sources.WarcZst.warcZstQuery _),
     "q_shards" -> (graft.sources.TextShards.shardsQuery _),
     "q_bloom" -> ((s: SparkSession, d: String) => graft.operators.Bloom.bloomQuery(s, d)),
+    "q_roaring" -> ((s: SparkSession, d: String) => graft.operators.Roaring.bitmapQuery(s, d)),
     "q_hll" -> ((s: SparkSession, d: String) => graft.operators.Hll.hllQuery(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pageRankQuery(s, d)),
     "q_random_walk" -> ((s: SparkSession, d: String) => graft.operators.Graph.randomWalkQuery(s, d)),
@@ -3212,6 +3213,18 @@ object SparkEntry {
         |  count(*) AS n_samples,
         |  CAST(sum(10 + length(CAST(event_id AS VARCHAR)) + event_id % 23) AS BIGINT) AS txt_chars
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Roaring bitmap set algebra: per-event-type user-id bitmaps built
+    // by the one-shuffle word bit_or, every pairwise intersection
+    // cardinality computed by word AND after a round-trip through the
+    // PORTABLE wire format (both cookie layouts) — the oracle
+    // re-derives each count with a distinct self-join. Wire-format
+    // conformance vs the live org.roaringbitmap: RoaringSpec.
+    "q_roaring" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Bloom membership: same md5 double-hash probe positions, same
     // 32-bit filter words via bit_or, same all-bits-set decision.
     "q_bloom" ->
