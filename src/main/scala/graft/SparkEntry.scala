@@ -197,6 +197,7 @@ object SparkEntry {
     "q_zstd_dict" -> (graft.sources.ZstdDict.dictQuery _),
     "q_parquet_meta" -> (graft.sources.ParquetMeta.metaQuery _),
     "q_orc_meta" -> (graft.sources.OrcMeta.metaQuery _),
+    "q_orc_read" -> (graft.sources.OrcData.readQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
@@ -3088,6 +3089,22 @@ object SparkEntry {
         |  min(event_id) AS min_event_id,
         |  max(event_id) AS max_event_id
         |FROM events""".stripMargin,
+    // Full ORC data read: five event columns written as zstd ORC by
+    // Spark's own writer (= orc-core), decoded back by OUR stripe
+    // reader (driver reads tails, one task per stripe, per-stream
+    // ranged fetches — RLEv2 ints, dictionary strings, doubles,
+    // timestamp seconds+nanos, NTZ-over-LONG attribute), aggregated
+    // per type; DuckDB re-derives everything from the source parquet.
+    // Row-for-row conformance vs spark.read.orc: OrcDataSpec.
+    "q_orc_read" ->
+      """SELECT event_type,
+        |  count(*) AS n_rows,
+        |  min(event_id) AS min_id,
+        |  max(event_id) AS max_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  max(ts) AS max_ts,
+        |  round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Zstd dictionary training: each (event_type, shard) bucket
     // expands its ids to templated JSON docs, trains a FastCover-style
     // raw-content dictionary on them, compresses every doc with it

@@ -27,8 +27,8 @@ import org.apache.spark.sql.types._
 object OrcMeta {
 
   final class OrcMetaError(msg: String) extends RuntimeException(msg)
-  private def fail(msg: String): Nothing = throw new OrcMetaError(msg)
-  @inline private def req(c: Boolean, msg: => String): Unit = if (!c) fail(msg)
+  private[sources] def fail(msg: String): Nothing = throw new OrcMetaError(msg)
+  @inline private[sources] def req(c: Boolean, msg: => String): Unit = if (!c) fail(msg)
 
   private def guarded[T](what: String)(f: => T): T =
     try f
@@ -39,7 +39,7 @@ object OrcMeta {
 
   // -------------------------------------------------- protobuf wire walk
 
-  private final class Wire(val b: Array[Byte], var p: Int, val until: Int) {
+  private[sources] final class Wire(val b: Array[Byte], var p: Int, val until: Int) {
     def hasMore: Boolean = p < until
     def varint(): Long = {
       var shift = 0
@@ -75,7 +75,7 @@ object OrcMeta {
 
   /** Walk a message; `handle(fieldNum, wireType, wire)` returns true
     * when it consumed the value. */
-  private def walk(w: Wire)(handle: (Int, Int, Wire) => Boolean): Unit =
+  private[sources] def walk(w: Wire)(handle: (Int, Int, Wire) => Boolean): Unit =
     while (w.hasMore) {
       val tag = w.varint()
       val num = (tag >>> 3).toInt
@@ -87,7 +87,9 @@ object OrcMeta {
 
   final case class OmStripe(offset: Long, indexLength: Long, dataLength: Long,
       footerLength: Long, numberOfRows: Long)
-  final case class OmType(kind: Int, subtypes: Seq[Int], fieldNames: Seq[String])
+  final case class OmType(kind: Int, subtypes: Seq[Int], fieldNames: Seq[String],
+      precision: Int = 0, scale: Int = 0, maxLength: Int = 0,
+      attributes: Seq[(String, String)] = Nil)
   final case class OmIntStats(min: Option[Long], max: Option[Long], sum: Option[Long])
   final case class OmColStats(numberOfValues: Long, hasNull: Boolean, intStats: Option[OmIntStats])
   final case class OmFooter(
@@ -136,7 +138,7 @@ object OrcMeta {
   }
 
   /** Undo ORC's chunked compression framing. */
-  private def decompressed(b: Array[Byte], from: Int, until: Int, codec: Int, blockSize: Long): Array[Byte] =
+  private[sources] def decompressed(b: Array[Byte], from: Int, until: Int, codec: Int, blockSize: Long): Array[Byte] =
     codec match {
       case 0 => java.util.Arrays.copyOfRange(b, from, until)
       case _ =>
@@ -197,6 +199,10 @@ object OrcMeta {
 
   private def parseType(w: Wire, from: Int, until: Int): OmType = {
     var kind = -1
+    var precision = 0
+    var scale = 0
+    var maxLen = 0
+    val attrs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val subs = scala.collection.mutable.ArrayBuffer.empty[Int]
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     walk(new Wire(w.b, from, until)) { (num, wt, d) =>
@@ -214,11 +220,35 @@ object OrcMeta {
           val (f, u) = d.lenDelim()
           names += new String(d.b, f, u - f, java.nio.charset.StandardCharsets.UTF_8)
           true
+        case 4 => maxLen = d.varint().toInt; true
+        case 5 => precision = d.varint().toInt; true
+        case 6 => scale = d.varint().toInt; true
+        case 7 =>
+          req(wt == 2, "orc: attribute wire type")
+          val (f, u) = d.lenDelim()
+          var key = ""; var value = ""
+          walk(new Wire(d.b, f, u)) { (an, awt, ad) =>
+            an match {
+              case 1 =>
+                req(awt == 2, "orc: attribute key wire type")
+                val (kf, ku) = ad.lenDelim()
+                key = new String(ad.b, kf, ku - kf, java.nio.charset.StandardCharsets.UTF_8)
+                true
+              case 2 =>
+                req(awt == 2, "orc: attribute value wire type")
+                val (vf, vu) = ad.lenDelim()
+                value = new String(ad.b, vf, vu - vf, java.nio.charset.StandardCharsets.UTF_8)
+                true
+              case _ => false
+            }
+          }
+          attrs += ((key, value))
+          true
         case _ => false
       }
     }
     req(kind >= 0, "orc: type without kind")
-    OmType(kind, subs.toSeq, names.toSeq)
+    OmType(kind, subs.toSeq, names.toSeq, precision, scale, maxLen, attrs.toSeq)
   }
 
   private def parseColStats(w: Wire, from: Int, until: Int): OmColStats = {
