@@ -368,6 +368,11 @@ object Lz4 {
     * 4-byte hash table, 64 KiB window, last-5-literals / no-match-in-
     * last-12 end rules). Returns null when incompressible (caller
     * stores the block raw, as the reference CLI does). */
+  /** Raw-block compress (no frame): null when incompressible — the
+    * ORC/Hadoop chunk shape. */
+  private[sources] def encodeRawBlock(src: Array[Byte], soff: Int, slen: Int): Array[Byte] =
+    compressBlock(src, soff, slen)
+
   private def compressBlock(src: Array[Byte], soff: Int, slen: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(slen / 2 + 16)
     @inline def r32(p: Int): Int =

@@ -456,9 +456,12 @@ object OrcData {
           val nanos = parseNanos(nanoRaw(i))
           req(nanos >= 0 && nanos <= 999999999L, s"orc data: nanos $nanos out of range")
           var s = secs(i) + TsBaseSeconds
-          // the writer truncated seconds toward zero when splitting
-          // sub-second parts off a pre-base instant; borrow it back
-          if (secs(i) + TsBaseSeconds < 0 && nanos != 0) s -= 1
+          // the writer truncated MILLIS toward zero when splitting the
+          // sub-second part off a pre-1970 instant; borrow the second
+          // back — but only when the nano part carries >= 1 ms (probe:
+          // orc-core leaves sub-millisecond nanos unborrowed, because
+          // its own truncation happened at millisecond granularity)
+          if (s < 0 && nanos > 999999L) s -= 1
           java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s, nanos)): Any
         }.toArray
       case 14 => // DECIMAL
@@ -665,22 +668,20 @@ object OrcData {
 
   // ------------------------------------------------------------- q lane
 
-  /** ◆ Full ORC data read under the oracle: write five event columns as
-    * zstd ORC once per run (Spark's own writer = orc-core), read them
-    * back with OUR stripe decoder (tails on the driver, one task per
-    * stripe, ranged stream fetches), and aggregate per event type —
-    * every value re-derived by DuckDB from the same parquet the ORC
-    * was written from. Exercises RLEv2 ints, dictionary strings,
-    * doubles and timestamp seconds+nanos on real data. */
+  /** ◆ Full ORC cycle under the oracle, BOTH directions: (A) Spark's
+    * writer (= orc-core) → OUR stripe decoder; (B) OUR writer → Spark's
+    * reader — the same aggregation over both paths, required row-equal
+    * in-lane, so a drift in either the reader or the writer fails the
+    * oracle, not just the spec. Driver reads tails only, one task per
+    * stripe, ranged stream fetches; every value re-derived by DuckDB
+    * from the parquet the ORC was written from. Exercises RLEv2 ints,
+    * dictionary strings, doubles and timestamp seconds+nanos. */
   def readQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val out = s"/tmp/graft_orc_data/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    graft.Tables.events(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val src = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").option("compression", "zstd").orc(out)
-    val files = new java.io.File(out).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".orc")).map(_.getPath).sorted.toSeq
-    read(s, files)
+    def agg(df: DataFrame): DataFrame = df
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -690,5 +691,18 @@ object OrcData {
         max(col("ts")).as("max_ts"),
         round(sum(col("value")), 3).as("sum_value"))
       .orderBy(col("event_type"))
+    val outA = s"/tmp/graft_orc_data/$tag"
+    src.write.mode("overwrite").option("compression", "zstd").orc(outA)
+    val filesA = new java.io.File(outA).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".orc")).map(_.getPath).sorted.toSeq
+    val resA = agg(read(s, filesA))
+    val outB = s"/tmp/graft_orc_data_w/$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outB))
+    OrcWrite.writeShards(src, outB, codec = "zlib")
+    val resB = agg(s.read.orc(outB))
+    val a = resA.collect().toSeq
+    val b = resB.collect().toSeq
+    require(a == b, s"orc cycle drift: our-read gave $a, our-write gave $b")
+    resA
   }
 }
