@@ -198,6 +198,7 @@ object SparkEntry {
     "q_parquet_meta" -> (graft.sources.ParquetMeta.metaQuery _),
     "q_orc_meta" -> (graft.sources.OrcMeta.metaQuery _),
     "q_orc_read" -> (graft.sources.OrcData.readQuery _),
+    "q_parquet_read" -> (graft.sources.ParquetData.readQuery _),
     "q_npz" -> (graft.sources.Npy.npzQuery _),
     "q_safetensors" -> (graft.sources.Safetensors.safetensorsQuery _),
     "q_tfrecord" -> (graft.sources.TfRecord.tfRecordQuery _),
@@ -3097,6 +3098,21 @@ object SparkEntry {
     // per type; DuckDB re-derives everything from the source parquet.
     // Row-for-row conformance vs spark.read.orc: OrcDataSpec.
     "q_orc_read" ->
+      """SELECT event_type,
+        |  count(*) AS n_rows,
+        |  min(event_id) AS min_id,
+        |  max(event_id) AS max_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  max(ts) AS max_ts,
+        |  round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Native parquet read: OUR page decoder (thrift page headers,
+    // RLE-hybrid levels, dictionary + PLAIN fallback, Dremel assembly)
+    // reads the SAME pyarrow-written events.parquet DuckDB scans, one
+    // task per row group; the aggregate must hash-match DuckDB's own
+    // scan. Row-for-row conformance vs spark.read.parquet on both
+    // producers: ParquetDataSpec.
+    "q_parquet_read" ->
       """SELECT event_type,
         |  count(*) AS n_rows,
         |  min(event_id) AS min_id,

@@ -1,0 +1,696 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.sources.ParquetMeta._
+
+/** Parquet DATA decode — completes [[ParquetMeta]]'s footer catalog
+  * into a full reader for THE lake format, hand-rolled from the
+  * published parquet-format specification: thrift-compact page
+  * headers, v1 data pages (RLE/bit-packed hybrid levels, PLAIN and
+  * RLE_DICTIONARY values with the mid-chunk PLAIN fallback parquet
+  * writers take when a dictionary overflows), dictionary pages,
+  * Dremel repetition/definition record assembly for arbitrarily
+  * nested struct/list/map schemas, logical types (decimal over
+  * int32/int64/binary/fixed, date, timestamp MILLIS/MICROS with the
+  * isAdjustedToUTC split that Spark maps to LTZ vs NTZ, int8/16, and
+  * the legacy INT96 julian-day+nanos timestamps Spark still writes by
+  * default), and page compression over UNCOMPRESSED/SNAPPY/GZIP/ZSTD/
+  * LZ4_RAW plus the legacy Hadoop-framed LZ4 — all in-tree/JDK codecs.
+  *
+  * Scale shape: the DRIVER reads footers only; each TASK owns ONE row
+  * group and issues ranged reads for exactly the column chunks it was
+  * asked for — a pruned column's chunk is never fetched, never
+  * decompressed (poison-proven, like the Arrow/Avro/ORC faces). One
+  * row group = one task is parquet's native parallel unit.
+  *
+  * Validators, all LIVE: `spark.read.parquet` (parquet-mr) must agree
+  * row-for-row on Spark-written files across codecs and on the
+  * pyarrow-written driver testdata — two independent reference
+  * producers; ParquetDataSpec also proves both value encodings and
+  * the dictionary-overflow fallback actually occur in the fixtures.
+  *
+  * Untrusted-bytes contract: malformed pages raise
+  * [[ParquetData.ParquetDataError]] (or ParquetMetaError from the
+  * shared footer layer) naming the violation. DATA_PAGE_V2,
+  * BYTE_STREAM_SPLIT and the DELTA_* encodings refuse by name —
+  * Spark's and pyarrow's default writers emit none of them. */
+object ParquetData {
+
+  final class ParquetDataError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new ParquetDataError(msg)
+  @inline private def req(c: Boolean, msg: => String): Unit = if (!c) fail(msg)
+
+  private def guarded[T](what: String)(f: => T): T =
+    try f
+    catch {
+      case e: ParquetDataError => throw e
+      case e: ParquetMetaError => throw e
+      case e: Exception => fail(s"parquet data: malformed $what (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  // -------------------------------------------------------- page headers
+
+  private final case class PageHeader(
+      pageType: Int, uncompressedSize: Int, compressedSize: Int,
+      numValues: Int, valueEncoding: Int, defEncoding: Int, repEncoding: Int)
+
+  private def parsePageHeader(in: TIn): PageHeader = {
+    var pt = -1; var usz = -1; var csz = -1
+    var nv = -1; var enc = -1; var defEnc = -1; var repEnc = -1
+    walkStruct(in, 0) { (id, t, d) =>
+      id match {
+        case 1 => pt = i32Of(t, d); true
+        case 2 => usz = i32Of(t, d); true
+        case 3 => csz = i32Of(t, d); true
+        case 5 => // DataPageHeader (v1)
+          ParquetMeta.req(t == TStruct, "parquet data: data page header type")
+          walkStruct(d, 1) { (f, ft, dd) =>
+            f match {
+              case 1 => nv = i32Of(ft, dd); true
+              case 2 => enc = i32Of(ft, dd); true
+              case 3 => defEnc = i32Of(ft, dd); true
+              case 4 => repEnc = i32Of(ft, dd); true
+              case _ => false
+            }
+          }
+          true
+        case 7 => // DictionaryPageHeader
+          ParquetMeta.req(t == TStruct, "parquet data: dict page header type")
+          walkStruct(d, 1) { (f, ft, dd) =>
+            f match {
+              case 1 => nv = i32Of(ft, dd); true
+              case 2 => enc = i32Of(ft, dd); true
+              case _ => false
+            }
+          }
+          true
+        case 8 => fail("parquet data: DATA_PAGE_V2 is not supported (v1 writer paths only)")
+        case _ => false
+      }
+    }
+    req(pt >= 0 && usz >= 0 && csz >= 0, "parquet data: page header missing type/sizes")
+    PageHeader(pt, usz, csz, nv, enc, defEnc, repEnc)
+  }
+
+  // ------------------------------------------------------------- codecs
+
+  private def decompress(codec: Int, b: Array[Byte], from: Int, until: Int, outLen: Int): Array[Byte] =
+    codec match {
+      case 0 => java.util.Arrays.copyOfRange(b, from, until)
+      case 1 => Snappy.rawDecode(b, from, until, maxLen = outLen)
+      case 2 =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b, from, until - from))
+        val out = new java.io.ByteArrayOutputStream(outLen)
+        val buf = new Array[Byte](64 << 10)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      case 5 =>
+        // legacy Hadoop-framed LZ4: [BE4 uncompressed][BE4 compressed][raw block]...
+        val out = new java.io.ByteArrayOutputStream(outLen)
+        var p = from
+        while (p < until) {
+          req(until - p >= 8, "parquet data: truncated hadoop-lz4 frame")
+          def be4(i: Int): Int =
+            ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          val un = be4(p); var left = un; p += 4
+          req(un >= 0 && un <= outLen, s"parquet data: hadoop-lz4 declares $un bytes")
+          while (left > 0) {
+            req(until - p >= 4, "parquet data: truncated hadoop-lz4 chunk")
+            val cn = be4(p); p += 4
+            req(cn > 0 && cn <= until - p, s"parquet data: hadoop-lz4 chunk of $cn")
+            val dec = Lz4.decodeRawBlock(b, p, p + cn, maxOut = left)
+            out.write(dec, 0, dec.length)
+            left -= dec.length
+            p += cn
+          }
+        }
+        out.toByteArray
+      case 6 => Zstd.decode(java.util.Arrays.copyOfRange(b, from, until))
+      case 7 => Lz4.decodeRawBlock(b, from, until, maxOut = outLen)
+      case c => fail(s"parquet data: unsupported codec ${CodecNames.getOrElse(c, c.toString)}")
+    }
+
+  // --------------------------------------------- RLE / bit-packed hybrid
+
+  /** Decode `count` values of `bitWidth` from the RLE/bit-packed hybrid
+    * at b[from, until). */
+  private def rleHybrid(b: Array[Byte], from: Int, until: Int, bitWidth: Int, count: Int): Array[Int] = {
+    val out = new Array[Int](count)
+    if (bitWidth == 0) return out
+    var p = from
+    var produced = 0
+    val byteW = (bitWidth + 7) / 8
+    while (produced < count) {
+      req(p < until, s"parquet data: rle-hybrid exhausted at $produced of $count")
+      // varint header
+      var header = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        req(p < until, "parquet data: truncated rle header")
+        val x = b(p) & 0xff; p += 1
+        header |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      if ((header & 1) == 0) { // RLE run
+        val n = (header >>> 1).toInt
+        req(n >= 0 && produced + n <= count, s"parquet data: rle run of $n overruns $count")
+        req(until - p >= byteW, "parquet data: truncated rle value")
+        var v = 0
+        var i = 0; while (i < byteW) { v |= (b(p + i) & 0xff) << (8 * i); i += 1 }
+        p += byteW
+        i = 0; while (i < n) { out(produced + i) = v; i += 1 }
+        produced += n
+      } else { // bit-packed groups of 8
+        val groups = (header >>> 1).toInt
+        val total = groups * 8
+        req(until - p >= (total * bitWidth + 7) / 8, "parquet data: truncated bit-packed run")
+        var bitPos = 0
+        var i = 0
+        while (i < total && produced < count) {
+          var v = 0
+          var got = 0
+          while (got < bitWidth) {
+            val byteIdx = p + ((bitPos + got) >>> 3)
+            val bitIdx = (bitPos + got) & 7
+            val avail = 8 - bitIdx
+            val take = math.min(bitWidth - got, avail)
+            v |= (((b(byteIdx) & 0xff) >>> bitIdx) & ((1 << take) - 1)) << got
+            got += take
+          }
+          out(produced) = v
+          produced += 1
+          bitPos += bitWidth
+          i += 1
+        }
+        // the final group may carry padding past `count`
+        p += (total * bitWidth + 7) / 8
+      }
+    }
+    out
+  }
+
+  // --------------------------------------------------------- schema tree
+
+  private val KindPrim = 0
+  private val KindStruct = 1
+  private val KindList = 2
+  private val KindMap = 3
+
+  private[sources] final case class PNode(
+      name: String, repetition: Int, kind: Int, children: IndexedSeq[PNode],
+      defLevel: Int, repLevel: Int, leafIdx: Int,
+      physType: Int, typeLength: Int, elem: PmSchemaElement) {
+    def firstLeaf: Int = if (leafIdx >= 0) leafIdx else children.head.firstLeaf
+    def leaves: Seq[Int] = if (leafIdx >= 0) Seq(leafIdx) else children.flatMap(_.leaves)
+  }
+
+  /** Build the node tree from the footer's flat depth-first schema. */
+  private[sources] def buildTree(schema: Seq[PmSchemaElement]): PNode = {
+    var pos = 0
+    var leafCount = 0
+    def build(defL: Int, repL: Int, isRoot: Boolean): PNode = {
+      val e = schema(pos); pos += 1
+      val repetition = if (isRoot) 0 else e.repetition.getOrElse(0)
+      val dd = defL + (if (isRoot || repetition == 0) 0 else 1)
+      val rr = repL + (if (repetition == 2) 1 else 0)
+      e.numChildren match {
+        case None | Some(0) =>
+          val idx = leafCount; leafCount += 1
+          PNode(e.name, repetition, KindPrim, IndexedSeq.empty, dd, rr, idx,
+            e.tpe.getOrElse(fail(s"parquet data: leaf ${e.name} without physical type")),
+            e.typeLength.getOrElse(0), e)
+        case Some(n) =>
+          val kids = (0 until n).map(_ => build(dd, rr, isRoot = false)).toIndexedSeq
+          val conv = e.convertedType
+          val logicalMember = e.logical.map(_.member)
+          val kind =
+            if (isRoot) KindStruct
+            else if (conv.contains(3) || logicalMember.contains(3)) KindList
+            else if (conv.contains(1) || logicalMember.contains(2)) KindMap
+            else KindStruct
+          if (kind == KindList || kind == KindMap) {
+            req(kids.length == 1 && kids.head.repetition == 2,
+              s"parquet data: ${e.name} is not a 3-level list/map")
+            if (kind == KindMap)
+              req(kids.head.children.length == 2, s"parquet data: map ${e.name} key_value arity")
+          }
+          PNode(e.name, repetition, kind, kids, dd, rr, -1, -1, 0, e)
+      }
+    }
+    val root = build(0, 0, isRoot = true)
+    req(pos == schema.length, s"parquet data: schema tree consumed $pos of ${schema.length} elements")
+    // a repeated child is only legal under a LIST/MAP wrapper — a bare
+    // repeated field on a plain struct is the legacy 2-level layout
+    def validate(n: PNode, parentIsWrapper: Boolean): Unit = {
+      n.children.foreach { c =>
+        req(c.repetition != 2 || n.kind == KindList || n.kind == KindMap,
+          s"parquet data: bare repeated field '${c.name}' (legacy 2-level layouts are not supported)")
+        validate(c, parentIsWrapper = n.kind == KindList || n.kind == KindMap)
+      }
+    }
+    validate(root, parentIsWrapper = false)
+    root
+  }
+
+  // ------------------------------------------------------- Spark mapping
+
+  private[sources] def sparkTypeOf(n: PNode): DataType = n.kind match {
+    case KindStruct => StructType(n.children.map(c => StructField(c.name, sparkTypeOf(c))))
+    case KindList => ArrayType(sparkTypeOf(listElement(n)))
+    case KindMap =>
+      val kv = n.children.head
+      MapType(sparkTypeOf(kv.children(0)), sparkTypeOf(kv.children(1)))
+    case KindPrim =>
+      val e = n.elem
+      val conv = e.convertedType
+      val lg = e.logical
+      n.physType match {
+        case 0 => BooleanType
+        case 1 =>
+          if (conv.contains(6) || lg.exists(_.member == 6)) DateType
+          else if (conv.contains(5) || lg.exists(_.member == 5))
+            DecimalType(precOf(e), scaleOf(e))
+          else if (conv.contains(15) || lg.exists(l => l.member == 10 && l.intBits == 8 && l.intSigned)) ByteType
+          else if (conv.contains(16) || lg.exists(l => l.member == 10 && l.intBits == 16 && l.intSigned)) ShortType
+          else if (lg.exists(l => l.member == 10 && !l.intSigned)) fail(s"parquet data: unsigned int32 column '${n.name}' is not supported")
+          else IntegerType
+        case 2 =>
+          if (conv.contains(5) || lg.exists(_.member == 5)) DecimalType(precOf(e), scaleOf(e))
+          else if (lg.exists(_.member == 8)) {
+            if (lg.get.tsAdjustedToUtc) TimestampType else TimestampNTZType
+          }
+          else if (conv.contains(10) || conv.contains(9)) TimestampType // legacy annotation = instant
+          else if (lg.exists(l => l.member == 10 && !l.intSigned)) fail(s"parquet data: unsigned int64 column '${n.name}' is not supported")
+          else LongType
+        case 3 => TimestampType // legacy INT96 julian-day + nanos-of-day
+        case 4 => FloatType
+        case 5 => DoubleType
+        case 6 =>
+          if (conv.contains(0) || lg.exists(l => l.member == 1 || l.member == 4 || l.member == 12)) StringType
+          else if (conv.contains(5) || lg.exists(_.member == 5)) DecimalType(precOf(e), scaleOf(e))
+          else BinaryType
+        case 7 =>
+          if (conv.contains(5) || lg.exists(_.member == 5)) DecimalType(precOf(e), scaleOf(e))
+          else if (lg.exists(_.member == 15)) fail(s"parquet data: FLOAT16 column '${n.name}' is not supported")
+          else BinaryType
+        case t => fail(s"parquet data: physical type $t")
+      }
+  }
+
+  private def listElement(n: PNode): PNode = {
+    val rep = n.children.head
+    if (rep.kind == KindStruct && rep.children.length == 1 && rep.leafIdx < 0 &&
+      (rep.name == "list" || rep.name == "array" || rep.name.endsWith("_tuple")) &&
+      rep.elem.convertedType.isEmpty && rep.elem.logical.isEmpty) rep.children.head
+    else rep // repeated element directly holding the value group (rare but legal 3-level variant)
+  }
+
+  private def scaleOf(e: PmSchemaElement): Int = e.logical.map(_.decScale).filter(_ > 0).orElse(e.scale).getOrElse(e.logical.map(_.decScale).getOrElse(0))
+  private def precOf(e: PmSchemaElement): Int = e.logical.map(_.decPrecision).filter(_ > 0).orElse(e.precision).getOrElse(10)
+
+  // --------------------------------------------------------- leaf decode
+
+  private final class Leaf(val maxDef: Int, val maxRep: Int) {
+    var reps: Array[Int] = _
+    var defs: Array[Int] = _
+    var values: Array[Any] = _
+    var p = 0
+    var vp = 0
+    def hasNext: Boolean = p < defs.length
+    def peekRep: Int = if (maxRep == 0) 0 else reps(p)
+    def peekDef: Int = defs(p)
+    def advance(): Any = {
+      val d = defs(p); p += 1
+      if (d == maxDef) { val v = values(vp); vp += 1; v } else null
+    }
+  }
+
+  /** Convert one value from its raw decoded form to the Spark-facing
+    * object, per the leaf's logical type. */
+  private def convertValue(n: PNode, raw: Any): Any = {
+    val e = n.elem
+    val conv = e.convertedType
+    val lg = e.logical
+    n.physType match {
+      case 1 =>
+        val v = raw.asInstanceOf[Int]
+        if (conv.contains(6) || lg.exists(_.member == 6)) java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+        else if (conv.contains(5) || lg.exists(_.member == 5)) java.math.BigDecimal.valueOf(v.toLong, scaleOf(e))
+        else if (conv.contains(15) || lg.exists(l => l.member == 10 && l.intBits == 8)) v.toByte
+        else if (conv.contains(16) || lg.exists(l => l.member == 10 && l.intBits == 16)) v.toShort
+        else v
+      case 2 =>
+        val v = raw.asInstanceOf[Long]
+        if (conv.contains(5) || lg.exists(_.member == 5)) java.math.BigDecimal.valueOf(v, scaleOf(e))
+        else if (lg.exists(_.member == 8)) {
+          val unit = lg.get.tsUnit
+          val us = unit match {
+            case 1 => Math.multiplyExact(v, 1000L) // MILLIS
+            case 2 => v // MICROS
+            case 3 => Math.floorDiv(v, 1000L) // NANOS
+            case u => fail(s"parquet data: timestamp unit $u")
+          }
+          if (lg.get.tsAdjustedToUtc)
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+          else
+            java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+        }
+        else if (conv.contains(10)) java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+        else if (conv.contains(9)) new java.sql.Timestamp(v)
+        else v
+      case 6 | 7 =>
+        val b = raw.asInstanceOf[Array[Byte]]
+        if (conv.contains(0) || lg.exists(l => l.member == 1 || l.member == 4 || l.member == 12))
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        else if (conv.contains(5) || lg.exists(_.member == 5))
+          new java.math.BigDecimal(new java.math.BigInteger(b), scaleOf(e))
+        else b
+      case _ => raw
+    }
+  }
+
+  /** Decode one column chunk into its leaf cursor. */
+  private def decodeChunk(n: PNode, chunk: PmColumnChunk, file: java.io.RandomAccessFile): Leaf = {
+    val leaf = new Leaf(n.defLevel, n.repLevel)
+    val start = chunk.dictionaryPageOffset.filter(_ < chunk.dataPageOffset).getOrElse(chunk.dataPageOffset)
+    req(chunk.totalCompressedSize <= Int.MaxValue && chunk.totalCompressedSize > 0,
+      "parquet data: chunk size")
+    val raw = new Array[Byte](chunk.totalCompressedSize.toInt)
+    file.seek(start)
+    file.readFully(raw)
+
+    var dict: Array[Any] = null
+    val reps = new Array[Int](chunk.numValues.toInt)
+    val defs = new Array[Int](chunk.numValues.toInt)
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var slot = 0
+
+    def plainValues(b: Array[Byte], from: Int, until: Int, count: Int): Array[Any] = {
+      val out = new Array[Any](count)
+      var p = from
+      n.physType match {
+        case 0 =>
+          var i = 0
+          while (i < count) {
+            req(p + (i >>> 3) < until, "parquet data: boolean page short")
+            out(i) = (((b(p + (i >>> 3)) & 0xff) >>> (i & 7)) & 1) == 1
+            i += 1
+          }
+        case 1 =>
+          req(until - p >= 4 * count, "parquet data: int32 page short")
+          var i = 0
+          while (i < count) {
+            out(i) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+            p += 4; i += 1
+          }
+        case 2 =>
+          req(until - p >= 8 * count, "parquet data: int64 page short")
+          var i = 0
+          while (i < count) {
+            var v = 0L
+            var j = 7
+            while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+            out(i) = v; p += 8; i += 1
+          }
+        case 4 =>
+          req(until - p >= 4 * count, "parquet data: float page short")
+          var i = 0
+          while (i < count) {
+            out(i) = java.lang.Float.intBitsToFloat(
+              (b(p + 4 * i) & 0xff) | ((b(p + 4 * i + 1) & 0xff) << 8) |
+                ((b(p + 4 * i + 2) & 0xff) << 16) | ((b(p + 4 * i + 3) & 0xff) << 24))
+            i += 1
+          }
+        case 5 =>
+          req(until - p >= 8 * count, "parquet data: double page short")
+          var i = 0
+          while (i < count) {
+            var v = 0L
+            var j = 7
+            while (j >= 0) { v = (v << 8) | (b(p + 8 * i + j) & 0xffL); j -= 1 }
+            out(i) = java.lang.Double.longBitsToDouble(v); i += 1
+          }
+        case 6 =>
+          var i = 0
+          while (i < count) {
+            req(until - p >= 4, "parquet data: byte-array length short")
+            val len = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+            p += 4
+            req(len >= 0 && len <= until - p, s"parquet data: byte-array of $len overruns")
+            out(i) = java.util.Arrays.copyOfRange(b, p, p + len)
+            p += len; i += 1
+          }
+        case 7 =>
+          val w = n.typeLength
+          req(w > 0 && until - p >= w * count, "parquet data: fixed page short")
+          var i = 0
+          while (i < count) { out(i) = java.util.Arrays.copyOfRange(b, p, p + w); p += w; i += 1 }
+        case 3 => // INT96: 8-byte LE nanos-of-day + 4-byte LE julian day
+          req(until - p >= 12 * count, "parquet data: int96 page short")
+          var i = 0
+          while (i < count) {
+            var nod = 0L
+            var j = 7
+            while (j >= 0) { nod = (nod << 8) | (b(p + 12 * i + j) & 0xffL); j -= 1 }
+            val jd = (b(p + 12 * i + 8) & 0xff) | ((b(p + 12 * i + 9) & 0xff) << 8) |
+              ((b(p + 12 * i + 10) & 0xff) << 16) | ((b(p + 12 * i + 11) & 0xff) << 24)
+            out(i) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              (jd.toLong - 2440588L) * 86400L + nod / 1000000000L, nod % 1000000000L))
+            i += 1
+          }
+        case t => fail(s"parquet data: physical type $t in plain page")
+      }
+      out
+    }
+
+    var p = 0
+    while (slot < chunk.numValues) {
+      val in = new TIn(raw, p, raw.length)
+      val h = parsePageHeader(in)
+      val bodyStart = in.pos
+      req(h.compressedSize >= 0 && bodyStart + h.compressedSize <= raw.length,
+        s"parquet data: page body overruns the chunk")
+      val body = decompress(chunk.codec, raw, bodyStart, bodyStart + h.compressedSize, h.uncompressedSize)
+      req(body.length == h.uncompressedSize,
+        s"parquet data: page inflated to ${body.length}, declared ${h.uncompressedSize}")
+      p = bodyStart + h.compressedSize
+      h.pageType match {
+        case 2 => // dictionary page
+          req(dict == null, "parquet data: second dictionary page")
+          req(h.valueEncoding == 0 || h.valueEncoding == 2, s"parquet data: dictionary encoding ${h.valueEncoding}")
+          dict = plainValues(body, 0, body.length, h.numValues)
+        case 0 => // data page v1
+          req(h.numValues >= 0 && slot + h.numValues <= chunk.numValues,
+            "parquet data: page values overrun the chunk count")
+          var q = 0
+          def bitWidthFor(m: Int): Int = 32 - Integer.numberOfLeadingZeros(m)
+          val pageReps: Array[Int] =
+            if (n.repLevel > 0) {
+              req(h.repEncoding == 3, s"parquet data: rep-level encoding ${h.repEncoding}")
+              req(body.length - q >= 4, "parquet data: rep level length short")
+              val len = (body(q) & 0xff) | ((body(q + 1) & 0xff) << 8) | ((body(q + 2) & 0xff) << 16) | ((body(q + 3) & 0xff) << 24)
+              q += 4
+              req(len >= 0 && len <= body.length - q, "parquet data: rep levels overrun")
+              val r = rleHybrid(body, q, q + len, bitWidthFor(n.repLevel), h.numValues)
+              q += len; r
+            } else null
+          val pageDefs: Array[Int] =
+            if (n.defLevel > 0) {
+              req(h.defEncoding == 3, s"parquet data: def-level encoding ${h.defEncoding}")
+              req(body.length - q >= 4, "parquet data: def level length short")
+              val len = (body(q) & 0xff) | ((body(q + 1) & 0xff) << 8) | ((body(q + 2) & 0xff) << 16) | ((body(q + 3) & 0xff) << 24)
+              q += 4
+              req(len >= 0 && len <= body.length - q, "parquet data: def levels overrun")
+              val r = rleHybrid(body, q, q + len, bitWidthFor(n.defLevel), h.numValues)
+              q += len; r
+            } else null
+          var present = 0
+          var i = 0
+          while (i < h.numValues) {
+            defs(slot + i) = if (pageDefs == null) n.defLevel else pageDefs(i)
+            if (pageReps != null) reps(slot + i) = pageReps(i)
+            if (defs(slot + i) == n.defLevel) present += 1
+            i += 1
+          }
+          h.valueEncoding match {
+            case 0 => // PLAIN (also the dictionary-overflow fallback)
+              values ++= plainValues(body, q, body.length, present).map(convertValue(n, _))
+            case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY
+              req(dict != null, "parquet data: dictionary-encoded page before any dictionary")
+              req(body.length - q >= 1, "parquet data: dict bit width missing")
+              val bw = body(q) & 0xff; q += 1
+              req(bw <= 32, s"parquet data: dictionary bit width $bw")
+              val idx = rleHybrid(body, q, body.length, bw, present)
+              var k = 0
+              while (k < present) {
+                val ix = idx(k)
+                req(ix >= 0 && ix < dict.length, s"parquet data: dictionary index $ix of ${dict.length}")
+                values += convertValue(n, dict(ix))
+                k += 1
+              }
+            case e => fail(s"parquet data: value encoding ${EncodingNames.getOrElse(e, e.toString)} is not supported")
+          }
+          slot += h.numValues
+        case 1 => () // index page: skip
+        case 3 => fail("parquet data: DATA_PAGE_V2 is not supported")
+        case t => fail(s"parquet data: page type $t")
+      }
+    }
+    leaf.reps = reps
+    leaf.defs = defs
+    leaf.values = values.toArray
+    leaf
+  }
+
+  // ---------------------------------------------------- record assembly
+
+  /** Dremel assembly: one value for `node`, with all its leaves aligned
+    * at the next entry. */
+  private def assemble(node: PNode, leaves: IndexedSeq[Leaf]): Any = {
+    val first = leaves(node.firstLeaf)
+    node.kind match {
+      case KindPrim =>
+        convertedAdvance(node, first)
+      case KindStruct =>
+        if (node.repetition == 1 && first.peekDef < node.defLevel) { consumeOne(node, leaves); null }
+        else Row.fromSeq(node.children.map(c => assemble(c, leaves)))
+      case KindList =>
+        val repNode = node.children.head
+        if (first.peekDef < node.defLevel) { consumeOne(node, leaves); null }
+        else if (first.peekDef < repNode.defLevel) { consumeOne(node, leaves); Seq.empty[Any] }
+        else {
+          val elemNode = listElement(node)
+          val wrapped = elemNode ne repNode
+          val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var more = true
+          while (more) {
+            out += (if (wrapped) assembleListSlot(repNode, elemNode, leaves) else assemble(repNode, leaves))
+            more = first.hasNext && first.peekRep == repNode.repLevel
+          }
+          out.toSeq
+        }
+      case KindMap =>
+        val repNode = node.children.head
+        if (first.peekDef < node.defLevel) { consumeOne(node, leaves); null }
+        else if (first.peekDef < repNode.defLevel) { consumeOne(node, leaves); Map.empty[Any, Any] }
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+          var more = true
+          while (more) {
+            val k = assemble(repNode.children(0), leaves)
+            val v = assemble(repNode.children(1), leaves)
+            out += ((k, v))
+            more = first.hasNext && first.peekRep == repNode.repLevel
+          }
+          out.toMap
+        }
+    }
+  }
+
+  /** One list slot through the 3-level wrapper: the repeated group is
+    * structural; the element child carries the value (possibly null at
+    * def == repNode.defLevel). */
+  private def assembleListSlot(repNode: PNode, elemNode: PNode, leaves: IndexedSeq[Leaf]): Any =
+    assemble(elemNode, leaves)
+
+  private def convertedAdvance(node: PNode, leaf: Leaf): Any = {
+    if (leaf.peekDef < node.defLevel) { leaf.advance(); null }
+    else leaf.advance()
+  }
+
+  private def consumeOne(node: PNode, leaves: IndexedSeq[Leaf]): Unit =
+    node.leaves.foreach(i => leaves(i).advance())
+
+  // ---------------------------------------------------------- Spark face
+
+  private final case class GroupDesc(path: String, groupIdx: Int)
+
+  /** Read parquet files with OUR decoder: driver reads footers only,
+    * one task per row group, per-column-chunk ranged reads; `columns`
+    * prunes whole chunks (never fetched). */
+  def read(spark: SparkSession, paths: Seq[String], columns: Seq[String] = Nil): DataFrame = {
+    req(paths.nonEmpty, "parquet data: no paths")
+    val footer0 = ParquetMeta.readFooter(paths.head)
+    val rootAll = buildTree(footer0.schema)
+    val wanted: Option[Set[String]] = if (columns.isEmpty) None else Some(columns.toSet)
+    val root = wanted match {
+      case None => rootAll
+      case Some(ws) =>
+        val kids = rootAll.children.filter(c => ws.contains(c.name))
+        req(kids.map(_.name).toSet == ws, s"parquet data: unknown columns ${ws -- kids.map(_.name).toSet}")
+        rootAll.copy(children = kids)
+    }
+    val schema = sparkTypeOf(root).asInstanceOf[StructType]
+    val descs = paths.flatMap { p =>
+      val f = if (p == paths.head) footer0 else ParquetMeta.readFooter(p)
+      req(f.schema == footer0.schema, s"parquet data: schema drift in $p")
+      f.rowGroups.indices.map(i => GroupDesc(p, i))
+    }
+    val colNames = root.children.map(_.name)
+    val rdd = spark.sparkContext
+      .parallelize(descs, math.max(1, descs.length))
+      .flatMap { d =>
+        guarded(s"row group ${d.groupIdx} of ${d.path}") {
+          val f = ParquetMeta.readFooter(d.path)
+          val tree = buildTree(f.schema)
+          val pruned = tree.copy(children = tree.children.filter(c => colNames.contains(c.name)))
+          val rg = f.rowGroups(d.groupIdx)
+          val chunkByPath = rg.columns.map(c => c.pathInSchema -> c).toMap
+          val raf = new java.io.RandomAccessFile(d.path, "r")
+          try {
+            // leaf index -> decoded cursor, only for wanted subtrees
+            val leaves = new Array[Leaf](f.schema.count(e => e.numChildren.forall(_ == 0)) max tree.leaves.length)
+            def walkDecode(n: PNode, path: List[String]): Unit = n.kind match {
+              case KindPrim =>
+                val chunk = chunkByPath.getOrElse((n.name :: path).reverse,
+                  fail(s"parquet data: no chunk for ${(n.name :: path).reverse.mkString(".")}"))
+                leaves(n.leafIdx) = decodeChunk(n, chunk, raf)
+              case _ => n.children.foreach(c => walkDecode(c, n.name :: path))
+            }
+            pruned.children.foreach(c => walkDecode(c, Nil))
+            val cursors = leaves.toIndexedSeq
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var r = 0L
+            while (r < rg.numRows) {
+              out += Row.fromSeq(pruned.children.map(c => assemble(c, cursors)))
+              r += 1
+            }
+            pruned.leaves.foreach { i =>
+              if (cursors(i).hasNext) fail(s"parquet data: leaf $i has trailing entries after ${rg.numRows} rows")
+            }
+            out.iterator
+          } finally raf.close()
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // -------------------------------------------------------------- q lane
+
+  /** ◆ Native parquet read under the oracle: OUR reader decodes the
+    * SAME events.parquet file DuckDB reads (pyarrow-written driver
+    * testdata — a second independent producer), one task per row
+    * group, and the aggregate must hash-match DuckDB's own scan of
+    * that file. Row-for-row conformance vs spark.read.parquet:
+    * ParquetDataSpec. */
+  def readQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(s, Seq(s"$dir/events.parquet"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("user_id")).as("sum_uid"),
+        max(col("ts")).as("max_ts"),
+        round(sum(col("value")), 3).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -30,8 +30,8 @@ import org.apache.spark.sql.types._
 object ParquetMeta {
 
   final class ParquetMetaError(msg: String) extends RuntimeException(msg)
-  private def fail(msg: String): Nothing = throw new ParquetMetaError(msg)
-  @inline private def req(c: Boolean, msg: => String): Unit = if (!c) fail(msg)
+  private[sources] def fail(msg: String): Nothing = throw new ParquetMetaError(msg)
+  @inline private[sources] def req(c: Boolean, msg: => String): Unit = if (!c) fail(msg)
 
   private def guarded[T](what: String)(f: => T): T =
     try f
@@ -42,7 +42,7 @@ object ParquetMeta {
 
   // ------------------------------------------- thrift compact protocol
 
-  private final class TIn(val b: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class TIn(val b: Array[Byte], var pos: Int, val end: Int) {
     def u8(): Int = { req(pos < end, "parquet: truncated footer"); val x = b(pos) & 0xff; pos += 1; x }
     def varU(): Long = {
       var acc = 0L
@@ -67,21 +67,21 @@ object ParquetMeta {
     }
   }
 
-  private final val TStop = 0
-  private final val TTrue = 1
-  private final val TFalse = 2
-  private final val TByte = 3
-  private final val TI16 = 4
-  private final val TI32 = 5
-  private final val TI64 = 6
-  private final val TDouble = 7
-  private final val TBinary = 8
-  private final val TList = 9
-  private final val TSet = 10
-  private final val TMap = 11
-  private final val TStruct = 12
+  private[sources] final val TStop = 0
+  private[sources] final val TTrue = 1
+  private[sources] final val TFalse = 2
+  private[sources] final val TByte = 3
+  private[sources] final val TI16 = 4
+  private[sources] final val TI32 = 5
+  private[sources] final val TI64 = 6
+  private[sources] final val TDouble = 7
+  private[sources] final val TBinary = 8
+  private[sources] final val TList = 9
+  private[sources] final val TSet = 10
+  private[sources] final val TMap = 11
+  private[sources] final val TStruct = 12
 
-  private def skipType(t: Int, in: TIn, depth: Int): Unit = {
+  private[sources] def skipType(t: Int, in: TIn, depth: Int): Unit = {
     req(depth < 64, "parquet: thrift nesting deeper than 64")
     t match {
       case TTrue | TFalse => ()
@@ -107,7 +107,7 @@ object ParquetMeta {
     }
   }
 
-  private def listHeader(in: TIn): (Long, Int) = {
+  private[sources] def listHeader(in: TIn): (Long, Int) = {
     val h = in.u8()
     val et = h & 0xf
     val short = (h >> 4) & 0xf
@@ -119,7 +119,7 @@ object ParquetMeta {
   /** Walk a compact-protocol struct; `handle(fieldId, type, in)`
     * returns true when it consumed the value, false to skip it
     * (the unknown-field forward-compat path). */
-  private def walkStruct(in: TIn, depth: Int)(handle: (Int, Int, TIn) => Boolean): Unit = {
+  private[sources] def walkStruct(in: TIn, depth: Int)(handle: (Int, Int, TIn) => Boolean): Unit = {
     req(depth < 64, "parquet: thrift nesting deeper than 64")
     var fieldId = 0
     var continue = true
@@ -135,9 +135,9 @@ object ParquetMeta {
     }
   }
 
-  private def i32Of(t: Int, in: TIn): Int = { req(t == TI16 || t == TI32, s"parquet: wanted i32, got type $t"); in.zig().toInt }
-  private def i64Of(t: Int, in: TIn): Long = { req(t == TI64 || t == TI32 || t == TI16, s"parquet: wanted i64, got type $t"); in.zig() }
-  private def strOf(t: Int, in: TIn): String = { req(t == TBinary, s"parquet: wanted binary, got type $t"); new String(in.bytes(), java.nio.charset.StandardCharsets.UTF_8) }
+  private[sources] def i32Of(t: Int, in: TIn): Int = { req(t == TI16 || t == TI32, s"parquet: wanted i32, got type $t"); in.zig().toInt }
+  private[sources] def i64Of(t: Int, in: TIn): Long = { req(t == TI64 || t == TI32 || t == TI16, s"parquet: wanted i64, got type $t"); in.zig() }
+  private[sources] def strOf(t: Int, in: TIn): String = { req(t == TBinary, s"parquet: wanted binary, got type $t"); new String(in.bytes(), java.nio.charset.StandardCharsets.UTF_8) }
 
   // ------------------------------------------------------ metadata model
 
@@ -160,7 +160,14 @@ object ParquetMeta {
   final case class PmRowGroup(numRows: Long, totalByteSize: Long, columns: Seq[PmColumnChunk])
 
   final case class PmSchemaElement(name: String, tpe: Option[Int], typeLength: Option[Int],
-      repetition: Option[Int], numChildren: Option[Int], convertedType: Option[Int])
+      repetition: Option[Int], numChildren: Option[Int], convertedType: Option[Int],
+      scale: Option[Int] = None, precision: Option[Int] = None,
+      logical: Option[PmLogical] = None)
+
+  /** The LogicalType union fields a reader needs beyond convertedType:
+    * which member was set, and the timestamp/int/decimal payloads. */
+  final case class PmLogical(member: Int, tsAdjustedToUtc: Boolean = false, tsUnit: Int = 0,
+      intBits: Int = 0, intSigned: Boolean = true, decScale: Int = 0, decPrecision: Int = 0)
 
   final case class PmFooter(
       version: Int,
@@ -281,6 +288,9 @@ object ParquetMeta {
     var rep: Option[Int] = None
     var kids: Option[Int] = None
     var conv: Option[Int] = None
+    var scale: Option[Int] = None
+    var precision: Option[Int] = None
+    var logical: Option[PmLogical] = None
     walkStruct(in, depth) { (id, t, d) =>
       id match {
         case 1 => tpe = Some(i32Of(t, d)); true
@@ -289,11 +299,71 @@ object ParquetMeta {
         case 4 => name = strOf(t, d); true
         case 5 => kids = Some(i32Of(t, d)); true
         case 6 => conv = Some(i32Of(t, d)); true
+        case 7 => scale = Some(i32Of(t, d)); true
+        case 8 => precision = Some(i32Of(t, d)); true
+        case 10 =>
+          req(t == TStruct, "parquet: logicalType wire type")
+          var lg: Option[PmLogical] = None
+          walkStruct(d, depth + 1) { (member, mt, dd) =>
+            member match {
+              case 5 => // DECIMAL
+                req(mt == TStruct, "parquet: decimal logical type")
+                var sc = 0; var pr = 0
+                walkStruct(dd, depth + 2) { (f, ft, ddd) =>
+                  f match {
+                    case 1 => sc = i32Of(ft, ddd); true
+                    case 2 => pr = i32Of(ft, ddd); true
+                    case _ => false
+                  }
+                }
+                lg = Some(PmLogical(5, decScale = sc, decPrecision = pr))
+                true
+              case 8 => // TIMESTAMP
+                req(mt == TStruct, "parquet: timestamp logical type")
+                var utc = false; var unit = 0
+                walkStruct(dd, depth + 2) { (f, ft, ddd) =>
+                  f match {
+                    case 1 => utc = ft == TTrue; true
+                    case 2 => // TimeUnit union: set member id IS the unit
+                      req(ft == TStruct, "parquet: time unit type")
+                      walkStruct(ddd, depth + 3) { (u, ut, d4) =>
+                        unit = u
+                        if (ut == TStruct) walkStruct(d4, depth + 4)((_, _, _) => false)
+                        else skipType(ut, d4, depth + 4)
+                        true
+                      }
+                      true
+                    case _ => false
+                  }
+                }
+                lg = Some(PmLogical(8, tsAdjustedToUtc = utc, tsUnit = unit))
+                true
+              case 10 => // INTEGER
+                req(mt == TStruct, "parquet: integer logical type")
+                var bits = 0; var signed = true
+                walkStruct(dd, depth + 2) { (f, ft, ddd) =>
+                  f match {
+                    case 1 => req(ft == TByte, "parquet: int bitWidth type"); bits = ddd.u8(); true
+                    case 2 => signed = ft == TTrue; true
+                    case _ => false
+                  }
+                }
+                lg = Some(PmLogical(10, intBits = bits, intSigned = signed))
+                true
+              case other =>
+                if (mt == TStruct) walkStruct(dd, depth + 2)((_, _, _) => false)
+                else skipType(mt, dd, depth + 2)
+                lg = Some(PmLogical(other))
+                true
+            }
+          }
+          logical = lg
+          true
         case _ => false
       }
     }
     req(name != null, "parquet: schema element without name")
-    PmSchemaElement(name, tpe, tlen, rep, kids, conv)
+    PmSchemaElement(name, tpe, tlen, rep, kids, conv, scale, precision, logical)
   }
 
   def parseFooter(footer: Array[Byte]): PmFooter = guarded("footer") {
