@@ -674,15 +674,17 @@ object ParquetData {
 
   // -------------------------------------------------------------- q lane
 
-  /** ◆ Native parquet read under the oracle: OUR reader decodes the
-    * SAME events.parquet file DuckDB reads (pyarrow-written driver
-    * testdata — a second independent producer), one task per row
-    * group, and the aggregate must hash-match DuckDB's own scan of
-    * that file. Row-for-row conformance vs spark.read.parquet:
-    * ParquetDataSpec. */
+  /** ◆ Native parquet cycle under the oracle, BOTH directions: (A) OUR
+    * reader decodes the SAME pyarrow-written events.parquet DuckDB
+    * scans, one task per row group; (B) OUR writer re-materializes the
+    * five columns and Spark's reader (parquet-mr) reads them back —
+    * both paths aggregated identically and required row-equal in-lane,
+    * so a drift in either direction fails the oracle, not just the
+    * spec. Row-for-row conformance on both producers: ParquetDataSpec
+    * / ParquetWriteSpec. */
   def readQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    read(s, Seq(s"$dir/events.parquet"))
+    def agg(df: DataFrame): DataFrame = df
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -692,5 +694,16 @@ object ParquetData {
         max(col("ts")).as("max_ts"),
         round(sum(col("value")), 3).as("sum_value"))
       .orderBy(col("event_type"))
+    val src = read(s, Seq(s"$dir/events.parquet"),
+      columns = Seq("event_id", "ts", "user_id", "event_type", "value"))
+    val resA = agg(src)
+    val outB = s"/tmp/graft_pq_w/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outB))
+    ParquetWrite.writeShards(src, outB, codec = "snappy")
+    val resB = agg(s.read.parquet(outB))
+    val a = resA.collect().toSeq
+    val b = resB.collect().toSeq
+    require(a == b, s"parquet cycle drift: our-read gave $a, our-write gave $b")
+    resA
   }
 }

@@ -373,6 +373,37 @@ class EncoderDifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet writer over hostile bytes/strings at every codec -> parquet-mr (via Spark)") {
+    import graft.sources.ParquetWrite
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("raw", BinaryType), StructField("txt", StringType)))
+    val nonAscii = new String(corpus.collectFirst { case ("non_ascii_utf8", d) => d }.get, Utf8)
+    def prefix(k: Int): String = {
+      val end = if (k < nonAscii.length && Character.isHighSurrogate(nonAscii.charAt(k - 1))) k - 1 else k
+      nonAscii.substring(0, end)
+    }
+    val rows = corpus.zipWithIndex.map { case ((_, data), i) =>
+      Row(i, data, if (i % 7 == 3) null else prefix(1 + i * 601 % nonAscii.length))
+    }
+    for (codec <- Seq("none", "snappy", "gzip", "zstd")) {
+      val bytes = ParquetWrite.encodeFile(rows, schema, codec, rowGroupRows = 5)
+      val tmp = java.io.File.createTempFile("pqfuzz", ".parquet")
+      java.nio.file.Files.write(tmp.toPath, bytes)
+      try {
+        val back = spark.read.parquet(tmp.getPath).collect().sortBy(_.getInt(0))
+        assert(back.length == corpus.length, s"parquet/codec=$codec row count")
+        back.zipWithIndex.foreach { case (r, i) =>
+          same(r.getAs[Array[Byte]]("raw"), corpus(i)._2, s"parquet/codec=$codec raw[$i] (${corpus(i)._1})")
+          val expTxt = rows(i).get(2)
+          assert(r.getAs[String]("txt") == expTxt, s"parquet/codec=$codec txt[$i]")
+        }
+      } finally tmp.delete()
+    }
+  }
+
   // ----------------------------------------- self-round-trip-only lanes
 
   test("brotli + npy writers over the hostile corpus: self round-trip (no in-JVM reference decoder)") {
