@@ -615,8 +615,18 @@ object ParquetData {
   /** Read parquet files with OUR decoder: driver reads footers only,
     * one task per row group, per-column-chunk ranged reads; `columns`
     * prunes whole chunks (never fetched). */
-  def read(spark: SparkSession, paths: Seq[String], columns: Seq[String] = Nil): DataFrame = {
-    req(paths.nonEmpty, "parquet data: no paths")
+  def read(spark: SparkSession, paths0: Seq[String], columns: Seq[String] = Nil): DataFrame = {
+    req(paths0.nonEmpty, "parquet data: no paths")
+    // a directory (Spark-written dataset) expands to its part files
+    val paths = paths0.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory) {
+        val parts = f.listFiles().filter(c => c.isFile && c.getName.endsWith(".parquet"))
+          .map(_.getPath).sorted.toSeq
+        req(parts.nonEmpty, s"parquet data: no .parquet files under $p")
+        parts
+      } else Seq(p)
+    }
     val footer0 = ParquetMeta.readFooter(paths.head)
     val rootAll = buildTree(footer0.schema)
     val wanted: Option[Set[String]] = if (columns.isEmpty) None else Some(columns.toSet)
@@ -697,13 +707,14 @@ object ParquetData {
     val src = read(s, Seq(s"$dir/events.parquet"),
       columns = Seq("event_id", "ts", "user_id", "event_type", "value"))
     val resA = agg(src)
+    // writer require-lane on a deterministic slice (~1/7)
+    val slice = src.filter(col("event_id") % 7 === 0)
     val outB = s"/tmp/graft_pq_w/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outB))
-    ParquetWrite.writeShards(src, outB, codec = "snappy")
-    val resB = agg(s.read.parquet(outB))
-    val a = resA.collect().toSeq
-    val b = resB.collect().toSeq
-    require(a == b, s"parquet cycle drift: our-read gave $a, our-write gave $b")
+    ParquetWrite.writeShards(slice, outB, codec = "snappy")
+    val a = agg(slice).collect().toSeq
+    val b = agg(s.read.parquet(outB)).collect().toSeq
+    require(a == b, s"parquet cycle drift: our-read slice gave $a, our-write cycle gave $b")
     resA
   }
 }
