@@ -591,7 +591,7 @@ object OrcData {
     } finally raf.close()
   }
 
-  private final case class StripeDesc(path: String, offset: Long, indexLength: Long,
+  private[graft] final case class StripeDesc(path: String, offset: Long, indexLength: Long,
       dataLength: Long, footerLength: Long, rows: Long, codec: Int, blockSize: Long)
 
   /** Decode one stripe: ranged stripe-footer read, then per-wanted-column
@@ -634,7 +634,44 @@ object OrcData {
   /** Read ORC files as a DataFrame: driver touches TAILS only, one task
     * per stripe, per-stream ranged reads; `columns` prunes at the
     * STREAM level (a pruned column's bytes are never fetched). */
-  def read(spark: SparkSession, paths: Seq[String], columns: Seq[String] = Nil): DataFrame = {
+  /** Inclusive range predicate on an integer-statistics column, used
+    * for STRIPE pruning: a stripe whose [min,max] cannot intersect
+    * [lo,hi] is never read. Advisory — callers still apply the exact
+    * predicate on the returned rows (stats are coarse), exactly like
+    * Spark's PushedFilters + Filter node split. */
+  final case class ColRange(column: String, lo: Long, hi: Long)
+
+  /** The stripe plan under a filter: (kept descriptors, total stripes).
+    * Exposed so the pruning claim is spec-checkable, and used by
+    * [[read]] itself — one source of truth. */
+  private[graft] def planStripes(tails: Seq[(String, OmFile)], types0: IndexedSeq[OmType],
+      filter: Option[ColRange]): (Seq[StripeDesc], Int) = {
+    val all = tails.flatMap { case (p, f) =>
+      val statsByStripe: Seq[Seq[OmColStats]] =
+        filter.map(_ => OrcMeta.readStripeStats(p, f)).getOrElse(Nil)
+      f.footer.stripes.zipWithIndex.map { case (s, i) =>
+        val keep = filter match {
+          case None => true
+          case Some(cr) =>
+            val fieldIdx = types0(0).fieldNames.indexOf(cr.column)
+            req(fieldIdx >= 0, s"orc data: filter column '${cr.column}' not found")
+            val colId = types0(0).subtypes(fieldIdx)
+            statsByStripe.lift(i).flatMap(_.lift(colId)).flatMap(_.intStats) match {
+              case Some(is) =>
+                // unknown min/max -> keep (prune only on proof)
+                !(is.max.exists(_ < cr.lo) || is.min.exists(_ > cr.hi))
+              case None => true
+            }
+        }
+        (keep, StripeDesc(p, s.offset, s.indexLength, s.dataLength, s.footerLength, s.numberOfRows,
+          f.postScript.compression, f.postScript.compressionBlockSize))
+      }
+    }
+    (all.collect { case (true, d) => d }, all.length)
+  }
+
+  def read(spark: SparkSession, paths: Seq[String], columns: Seq[String] = Nil,
+      filter: Option[ColRange] = None): DataFrame = {
     req(paths.nonEmpty, "orc data: no paths")
     val tails = paths.map(p => p -> OrcMeta.readTail(p))
     val types0 = tails.head._2.footer.types.toIndexedSeq
@@ -653,12 +690,7 @@ object OrcData {
       case Some(ws) => StructType(fullSchema.fields.zipWithIndex.collect {
         case (f, i) if ws.contains(i) => f })
     }
-    val descs = tails.flatMap { case (p, f) =>
-      f.footer.stripes.map { s =>
-        StripeDesc(p, s.offset, s.indexLength, s.dataLength, s.footerLength, s.numberOfRows,
-          f.postScript.compression, f.postScript.compressionBlockSize)
-      }
-    }
+    val (descs, _) = planStripes(tails, types0, filter)
     val typesB = types0
     val rdd = spark.sparkContext
       .parallelize(descs, math.max(1, descs.length))

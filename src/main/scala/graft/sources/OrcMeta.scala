@@ -303,6 +303,52 @@ object OrcMeta {
 
   final case class OmFile(postScript: OmPostScript, footer: OmFooter)
 
+  /** Per-stripe column statistics from the METADATA section (between
+    * the stripes and the footer — still a tail-scale ranged read):
+    * result(stripe)(column). Empty when the writer emitted none. */
+  def readStripeStats(path: String, f: OmFile): Seq[Seq[OmColStats]] = guarded("metadata") {
+    val metaLen = f.postScript.metadataLength
+    if (metaLen <= 0) return Nil
+    req(metaLen <= Int.MaxValue, s"orc: metadata of $metaLen bytes")
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      val psLen = 1 + {
+        raf.seek(len - 1)
+        raf.read()
+      }
+      val start = len - psLen - f.postScript.footerLength - metaLen
+      req(start >= 0, "orc: metadata start before file begin")
+      val raw = new Array[Byte](metaLen.toInt)
+      raf.seek(start)
+      raf.readFully(raw)
+      val b = decompressed(raw, 0, raw.length, f.postScript.compression, f.postScript.compressionBlockSize)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[OmColStats]]
+      walk(new Wire(b, 0, b.length)) { (num, wt, w) =>
+        num match {
+          case 1 => // StripeStatistics
+            req(wt == 2, "orc: stripe statistics wire type")
+            val (f2, u2) = w.lenDelim()
+            val cols = scala.collection.mutable.ArrayBuffer.empty[OmColStats]
+            walk(new Wire(w.b, f2, u2)) { (n2, wt2, d) =>
+              n2 match {
+                case 1 =>
+                  req(wt2 == 2, "orc: column statistics wire type")
+                  val (f3, u3) = d.lenDelim()
+                  cols += parseColStats(d, f3, u3)
+                  true
+                case _ => false
+              }
+            }
+            out += cols.toSeq
+            true
+          case _ => false
+        }
+      }
+      out.toSeq
+    } finally raf.close()
+  }
+
   /** Read postscript + footer via tail-only ranged reads. */
   def readTail(raf: java.io.RandomAccessFile): OmFile = guarded("file") {
     val len = raf.length()

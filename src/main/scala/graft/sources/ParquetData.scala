@@ -610,12 +610,44 @@ object ParquetData {
 
   // ---------------------------------------------------------- Spark face
 
-  private final case class GroupDesc(path: String, groupIdx: Int)
+  private[graft] final case class GroupDesc(path: String, groupIdx: Int)
+
+  /** Inclusive range predicate on an integer-statistics column, used
+    * for ROW-GROUP pruning: a group whose chunk [min,max] cannot
+    * intersect [lo,hi] is never read. Advisory — callers apply the
+    * exact predicate on the returned rows, like Spark's PushedFilters
+    * + Filter split. */
+  final case class ColRange(column: String, lo: Long, hi: Long)
+
+  /** The row-group plan under a filter: (kept, total). Spec-checkable
+    * and used by [[read]] — one source of truth. */
+  private[graft] def planGroups(footers: Seq[(String, PmFooter)],
+      filter: Option[ColRange]): (Seq[GroupDesc], Int) = {
+    val all = footers.flatMap { case (p, f) =>
+      f.rowGroups.zipWithIndex.map { case (rg, i) =>
+        val keep = filter match {
+          case None => true
+          case Some(cr) =>
+            rg.columns.find(_.pathInSchema == Seq(cr.column)) match {
+              case None => fail(s"parquet data: filter column '${cr.column}' not found")
+              case Some(chunk) =>
+                val mins = chunk.stats.flatMap(_.min).flatMap(b => decodeStatLong(chunk.physicalType, b))
+                val maxs = chunk.stats.flatMap(_.max).flatMap(b => decodeStatLong(chunk.physicalType, b))
+                !(maxs.exists(_ < cr.lo) || mins.exists(_ > cr.hi))
+            }
+        }
+        (keep, GroupDesc(p, i))
+      }
+    }
+    (all.collect { case (true, d) => d }, all.length)
+  }
 
   /** Read parquet files with OUR decoder: driver reads footers only,
     * one task per row group, per-column-chunk ranged reads; `columns`
-    * prunes whole chunks (never fetched). */
-  def read(spark: SparkSession, paths0: Seq[String], columns: Seq[String] = Nil): DataFrame = {
+    * prunes whole chunks (never fetched); `filter` prunes whole ROW
+    * GROUPS by their footer statistics. */
+  def read(spark: SparkSession, paths0: Seq[String], columns: Seq[String] = Nil,
+      filter: Option[ColRange] = None): DataFrame = {
     req(paths0.nonEmpty, "parquet data: no paths")
     // a directory (Spark-written dataset) expands to its part files
     val paths = paths0.flatMap { p =>
@@ -638,11 +670,12 @@ object ParquetData {
         rootAll.copy(children = kids)
     }
     val schema = sparkTypeOf(root).asInstanceOf[StructType]
-    val descs = paths.flatMap { p =>
+    val footers = paths.map { p =>
       val f = if (p == paths.head) footer0 else ParquetMeta.readFooter(p)
       req(f.schema == footer0.schema, s"parquet data: schema drift in $p")
-      f.rowGroups.indices.map(i => GroupDesc(p, i))
+      p -> f
     }
+    val (descs, _) = planGroups(footers, filter)
     val colNames = root.children.map(_.name)
     val rdd = spark.sparkContext
       .parallelize(descs, math.max(1, descs.length))

@@ -179,4 +179,28 @@ class OrcDataSpec extends SparkSuite {
     val e = intercept[Exception] { OrcData.read(spark, Seq(cut.getPath)).collect() }
     assert(e.getMessage != null && e.getMessage.toLowerCase.contains("orc"))
   }
+
+  test("stats-based stripe pruning: excluded stripes are never planned, results exact") {
+    import spark.implicits._
+    import graft.sources.OrcData.ColRange
+    // sorted ids -> disjoint per-stripe [min,max] ranges
+    val df = (0 until 200000).map(i => (i.toLong, s"pad-${"w" * 30}-$i")).toDF("id", "pad")
+      .sortWithinPartitions("id").coalesce(1).sortWithinPartitions("id")
+    val out = java.nio.file.Files.createTempDirectory("orcdata_prune").toFile.getPath
+    df.write.mode("overwrite").option("compression", "zlib")
+      .option("orc.stripe.size", (256 * 1024).toString).orc(out)
+    val paths = orcFiles(out)
+    val tails = paths.map(p => p -> OrcMeta.readTail(p))
+    val total = tails.map(_._2.footer.stripes.length).sum
+    assert(total > 3, s"need several stripes, got $total")
+    val filt = Some(ColRange("id", 10000L, 20000L))
+    val types0 = tails.head._2.footer.types.toIndexedSeq
+    val (kept, planned) = graft.sources.OrcData.planStripes(tails, types0, filt)
+    assert(planned == total)
+    assert(kept.length < total, s"pruning kept ${kept.length} of $total")
+    // pruned read + residual predicate == spark's filtered read
+    val ours = OrcData.read(spark, paths, filter = filt).filter("id between 10000 and 20000")
+    val ref = spark.read.orc(out).filter("id between 10000 and 20000")
+    assertSameRows(ours, ref, "prune")
+  }
 }

@@ -180,4 +180,24 @@ class ParquetDataSpec extends SparkSuite {
     val e = intercept[Exception] { ParquetData.read(spark, Seq(cut.getPath)).collect() }
     assert(e.getMessage != null && e.getMessage.toLowerCase.contains("parquet"))
   }
+
+  test("stats-based row-group pruning: excluded groups are never planned, results exact") {
+    import spark.implicits._
+    import graft.sources.ParquetData.ColRange
+    val df = (0 until 200000).map(i => (i.toLong, s"pad-${"w" * 30}-$i")).toDF("id", "pad").coalesce(1)
+    val out = java.nio.file.Files.createTempDirectory("pqd_prune").toFile.getPath
+    df.write.mode("overwrite").option("compression", "snappy")
+      .option("parquet.block.size", (256 * 1024).toString).parquet(out)
+    val paths = pqFiles(out)
+    val footers = paths.map(p => p -> ParquetMeta.readFooter(p))
+    val total = footers.map(_._2.rowGroups.length).sum
+    assert(total > 3, s"need several row groups, got $total")
+    val filt = Some(ColRange("id", 10000L, 20000L))
+    val (kept, planned) = graft.sources.ParquetData.planGroups(footers, filt)
+    assert(planned == total)
+    assert(kept.length < total, s"pruning kept ${kept.length} of $total")
+    val ours = ParquetData.read(spark, paths, filter = filt).filter("id between 10000 and 20000")
+    val ref = spark.read.parquet(out).filter("id between 10000 and 20000")
+    assertSameRows(ours, ref, "prune")
+  }
 }
