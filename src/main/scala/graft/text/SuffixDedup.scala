@@ -357,87 +357,112 @@ object SuffixDedup {
     * ord±1, two text lookups, and a per-pair character walk bounded by
     * the true LCP — no pair table, no quadratic anything. */
   def dupExtents(docs: DataFrame, idCol: String, textCol: String, cap: Int = 0,
-      directFinishBytes: Long = DirectFinishBytes): DataFrame = {
-    // cap > 0: carry the suffix's own cap-char WINDOW through the order
-    // stage instead of joining whole doc texts afterwards — extents
-    // saturate at cap, the neighbor self-join already holds both
-    // windows, and the two per-side text joins disappear entirely.
-    // sfx feeds both sides of the neighbor join and adj feeds both
-    // sides of the position union — staged, or the whole SA plan
-    // (including the non-checkpointed finish window) re-executes 4x
-    val adj =
-      if (cap > 0) {
-        // suffix-order adjacency from ONE range sort plus a
-        // numPartitions-sized boundary stitch (initialRanks' two-pass
-        // trick): the former spelling (exploded-window (d,p) join,
-        // Window(total order), ord self-join) moved the full corpus
-        // through THREE extra shuffles for the same adjacent pairs.
-        // Windows are cut AFTER a by-d join against the docs table
-        // (docs-table scale, Catalyst broadcasts small corpora), so
-        // the cap-char payload rides only the one range shuffle.
-        val spark = docs.sparkSession
-        val texts = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
-        val sfx = suffixRanks(docs, idCol, textCol, directFinishBytes)
-          .join(texts, "d")
-          .select(col("d"), col("p"), col("rank"), expr(s"substring(t, p, $cap)").as("win"))
-        val parts = adaptiveParts(
-          texts.agg(sum(length(col("t")))).head().getLong(0))
-        val sorted = sfx
-          .repartitionByRange(parts, col("rank"), col("d"), col("p"))
-          .sortWithinPartitions("rank", "d", "p")
-          .select(col("d"), col("p"), col("win"))
-        val rdd = sorted.rdd
-          .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        graft.operators.Staged.register(Seq(rdd))
-        val inner: RDD[(Long, Int, Long, Int, Long)] = rdd.mapPartitions { it =>
-          if (!it.hasNext) Iterator.empty
-          else new Iterator[(Long, Int, Long, Int, Long)] {
-            private var prev = it.next()
-            def hasNext: Boolean = it.hasNext
-            def next(): (Long, Int, Long, Int, Long) = {
-              val cur = it.next()
-              val out = (prev._1, prev._2, cur._1, cur._2, lcpFrom(prev._3, 1, cur._3, 1))
-              prev = cur
-              out
-            }
-          }
-        }
-        // seams: last row of each non-empty partition pairs with the
-        // next non-empty partition's first row — numPartitions-sized
-        // driver data (win strings are cap chars), never corpus-sized
-        val edges = rdd.mapPartitionsWithIndex { (i, it) =>
-          if (!it.hasNext) Iterator.empty
-          else {
-            val first = it.next()
-            var last = first
-            it.foreach(last = _)
-            Iterator((i, first, last))
-          }
-        }.collect().sortBy(_._1)
-        val boundary = edges.zip(edges.drop(1)).map { case ((_, _, la), (_, fb, _)) =>
-          (la._1, la._2, fb._1, fb._2, lcpFrom(la._3, 1, fb._3, 1))
-        }
-        import spark.implicits._
-        inner.union(spark.sparkContext.parallelize(boundary.toSeq, 1))
-          .toDF("d", "p", "d2", "p2", "l")
-      } else {
-        val texts = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
-        val sfx = graft.operators.Staged.persist(suffixOrder(docs, idCol, textCol, directFinishBytes))
-        val nxt = sfx.select((col("ord") - 1).as("ord"), col("d").as("d2"), col("p").as("p2"))
-        sfx
-          .join(nxt, "ord")
-          .join(texts, "d")
-          .withColumnRenamed("t", "ta")
-          .join(texts.select(col("d").as("d2"), col("t").as("tb")), "d2")
-          .select(col("d"), col("p"), col("d2"), col("p2"), lcpUdf(col("ta"), col("p"), col("tb"), col("p2")).as("l"))
+      directFinishBytes: Long = DirectFinishBytes): DataFrame =
+    if (cap > 0) cappedExtents(docs, idCol, textCol, cap)
+    else {
+      // sfx feeds both sides of the neighbor join and adj feeds both
+      // sides of the position union — staged, or the whole SA plan
+      // (including the non-checkpointed finish window) re-executes 4x
+      val texts = docs.select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
+      val sfx = graft.operators.Staged.persist(suffixOrder(docs, idCol, textCol, directFinishBytes))
+      val nxt = sfx.select((col("ord") - 1).as("ord"), col("d").as("d2"), col("p").as("p2"))
+      val adj = sfx
+        .join(nxt, "ord")
+        .join(texts, "d")
+        .withColumnRenamed("t", "ta")
+        .join(texts.select(col("d").as("d2"), col("t").as("tb")), "d2")
+        .select(col("d"), col("p"), col("d2"), col("p2"), lcpUdf(col("ta"), col("p"), col("tb"), col("p2")).as("l"))
+      val staged = graft.operators.Staged.persist(adj)
+      staged
+        .select(col("d"), col("p"), col("l"))
+        .union(staged.select(col("d2").as("d"), col("p2").as("p"), col("l")))
+        .groupBy("d", "p")
+        .agg(max(col("l")).as("extent"))
+    }
+
+  /** Capped extents from ONE range sort of the cap-char windows — no
+    * sparse-SA build at all. min(extent, cap) is fully determined by
+    * the windows: LCP_win(a,b) = min(LCP_true(a,b), cap) for every
+    * suffix pair (equal-or-shorter windows walk to the shorter tail's
+    * end, which IS the true LCP there), and in any lexicographic order
+    * of the windows the sorted-strings identity max-LCP-over-all =
+    * max-LCP-with-adjacent still holds. Within an equal-window tie
+    * block every member sees the block's shared LCP from ANY in-block
+    * neighbor, and block-boundary LCPs are fixed by the windows alone —
+    * so sorting by (win, d, p) yields position-for-position the same
+    * capped extents as sorting by the true suffix order (the same
+    * argument [[OracleWindow]] documents for the windowed SQL oracle;
+    * SuffixDedupSpec's capped-vs-full test gates it).
+    *
+    * Per-position extents are emitted in the SAME partition pass that
+    * walks the adjacency (extent = max(LCP with prev, LCP with next),
+    * partition seams stitched from a numPartitions-sized driver
+    * collect) — the former adjacency-pair union + groupBy(d,p) max
+    * re-shuffled the whole corpus once more for a value each sorted
+    * run already knows locally. */
+  private def cappedExtents(docs: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs
+      .select(col(idCol).cast("long").as("d"), col(textCol).as("t"))
+      .filter(length(col("t")) >= 1)
+    val parts = adaptiveParts(d.agg(sum(length(col("t")))).head().getLong(0))
+    // one pass: every (doc, 1-based pos) with its cap-char window, range
+    // sorted — the cap-char payload rides exactly one shuffle
+    val sorted = d
+      .select(col("d"), col("t"), explode(sequence(lit(1), length(col("t")))).as("p"))
+      .select(col("d"), col("p"), expr(s"substring(t, p, $cap)").as("win"))
+      .repartitionByRange(parts, col("win"), col("d"), col("p"))
+      .sortWithinPartitions("win", "d", "p")
+    val rdd = sorted.rdd
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Staged.register(Seq(rdd))
+    // seams: last row of each non-empty partition pairs with the next
+    // non-empty partition's first row — numPartitions-sized driver data
+    // (win strings are cap chars), never corpus-sized
+    val edges = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var last = first
+        it.foreach(last = _)
+        Iterator((i, first, last))
       }
-    val staged = graft.operators.Staged.persist(adj)
-    staged
-      .select(col("d"), col("p"), col("l"))
-      .union(staged.select(col("d2").as("d"), col("p2").as("p"), col("l")))
-      .groupBy("d", "p")
-      .agg(max(col("l")).as("extent"))
+    }.collect().sortBy(_._1)
+    val nParts = rdd.getNumPartitions
+    val seamIn = new Array[Long](nParts) // LCP of partition's first row with global predecessor
+    val seamOut = new Array[Long](nParts) // LCP of partition's last row with global successor
+    edges.zip(edges.drop(1)).foreach { case ((ia, _, la), (ib, fb, _)) =>
+      val l = lcpFrom(la._3, 1, fb._3, 1)
+      seamOut(ia) = l
+      seamIn(ib) = l
+    }
+    val bc = spark.sparkContext.broadcast((seamIn, seamOut))
+    val extents = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (in, out) = bc.value
+      if (!it.hasNext) Iterator.empty
+      else new Iterator[(Long, Int, Long)] {
+        private var cur = it.next()
+        private var lcpPrev = in(i) // first row's LCP with the previous partition's last
+        private var done = false
+        def hasNext: Boolean = !done
+        def next(): (Long, Int, Long) = {
+          if (it.hasNext) {
+            val nxt = it.next()
+            val l = lcpFrom(cur._3, 1, nxt._3, 1)
+            val res = (cur._1, cur._2, math.max(lcpPrev, l))
+            cur = nxt
+            lcpPrev = l
+            res
+          } else {
+            done = true
+            (cur._1, cur._2, math.max(lcpPrev, out(i)))
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    extents.toDF("d", "p", "extent")
   }
 
   /** Per-doc exact dup profile: longest duplicated substring length and
