@@ -62,16 +62,30 @@ object Dbscan {
         )
         .select(col("id").as("ia"), col("ib"))
     )
-    val core = pairs
-      .groupBy(col("ia"))
-      .agg(count(lit(1)).as("nn"))
-      .filter(col("nn") >= minPts)
-      .select(col("ia").as("id"))
+    // core feeds three consumers (both coreEdges sides + the border
+    // anti-join) and each un-staged read re-ran the neighbor-count agg
+    // over the pair cache — persist the small id set instead
+    val core = graft.operators.Staged.persist(
+      pairs
+        .groupBy(col("ia"))
+        .agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= minPts)
+        .select(col("ia").as("id"))
+    )
     val coreEdges = pairs
       .join(core.select(col("id").as("ia")), Seq("ia"))
       .join(core.select(col("id").as("ib")), Seq("ib"))
       .select(col("ia").as("src"), col("ib").as("dst"))
-    val labels = Graph.components(core, coreEdges) // (id, lab); isolated cores self-label
+    // components() sizes its union-find from edges.count(), which would
+    // execute the whole coreEdges plan once for the count and again for
+    // the build. The cached pair count is a free upper bound on the
+    // core-core edge count (coreEdges ⊆ pairs), so pass the partition
+    // width explicitly — same ~2M-edges-per-task bound, one execution.
+    val pairCount = pairs.count()
+    val ufParts = math.max(1L, math.min(
+      pts.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
+      pairCount / 2000000L + 1L)).toInt
+    val labels = Graph.components(core, coreEdges, Some(ufParts)) // (id, lab); isolated cores self-label
     val borders = pairs
       .join(core.select(col("id").as("ia"), lit(true).as("__ac")), Seq("ia"), "left")
       .filter(col("__ac").isNull)

@@ -21,25 +21,8 @@ object ProfScratch {
           si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime))
       }
     })
-    def pts = {
-      import spark.implicits._
-      graft.Tables.eventsRaw(spark, sf).select(
-        $"event_id".as("id"),
-        ($"event_id" % 1000000L).as("x"),
-        (($"user_id" * 7) % 1000000L).as("y"),
-        (($"event_id" * 13) % 500000L).as("z"),
-        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.concat(
-          org.apache.spark.sql.functions.lit("oct:"), $"event_id".cast("string"))).as("okey")
-      )
-    }
-    val stages: Seq[(String, () => Unit)] = Seq(
-      "depth1" -> (() => noop(graft.geo.PcTiler.octreeAssign(pts, cap = 500, maxDepth = 1))),
-      "depth2" -> (() => noop(graft.geo.PcTiler.octreeAssign(pts, cap = 500, maxDepth = 2))),
-      "depth3" -> (() => noop(graft.geo.PcTiler.octreeAssign(pts, cap = 500, maxDepth = 3))),
-      "depth4" -> (() => noop(graft.geo.PcTiler.octreeAssign(pts, cap = 500, maxDepth = 4))),
-      "depth5" -> (() => noop(graft.geo.PcTiler.octreeAssign(pts, cap = 500, maxDepth = 5))),
-      "fullQuery" -> (() => noop(graft.SparkEntry.queries("q_pctiler")(spark, sf)))
-    )
+    val stages: Seq[(String, () => Unit)] =
+      args.toSeq.map(q => q -> (() => noop(graft.SparkEntry.queries(q)(spark, sf))))
     (1 to 3).foreach { pass =>
       stages.foreach { case (name, fn) =>
         stageTimes.clear()
