@@ -289,18 +289,15 @@ object PcTiler {
         dec.map(_.z.toLong).sum,
         dec.map(_.gpsTime.toLong).sum
       )
-    }
-    // The LAZ cycle is CPU-heavy on tiny bytes: the node table is a few
-    // MB however many points feed it, so AQE's byte-based coalescing
-    // folds the post-agg exchange into ONE partition and the whole
-    // kernel column runs serially in a single task (measured: a 13 s
-    // one-task stage at sf0.1). An explicit keyed repartition at the
-    // session shuffle width (scale-adaptive via conf, 32 locally) is
-    // not coalescable, so nodes encode in parallel.
-    assigned
-      .groupBy($"level", $"vx", $"vy", $"vz")
-      .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts"))
-      .repartition(s.sessionState.conf.numShufflePartitions, $"level", $"vx", $"vy", $"vz")
+    }.asNondeterministic() // pins the kernel ABOVE the Spread exchange (see Spread)
+    // The LAZ cycle is CPU-heavy on tiny bytes — without the Spread
+    // repartition AQE folds the node table into ONE task (a measured
+    // 13 s serial stage at sf0.1; see operators.Spread).
+    graft.operators.Spread.byKeys(
+      assigned
+        .groupBy($"level", $"vx", $"vy", $"vz")
+        .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts")),
+      $"level", $"vx", $"vy", $"vz")
       .withColumn("a", kernel($"pts"))
       .select(
         $"level",

@@ -365,7 +365,7 @@ object Multimodal {
         val (ow, oh) = thumbTarget(mw, mh, tsz)
         (ow, oh, StubCodecs.resize(p, ow * oh))
     }
-  }
+  }.asNondeterministic() // pins the kernel ABOVE a Spread exchange (see operators.Spread)
 
   /** ◆ Thumbnail generation (`thumbs.cpp` minus GDAL): PNG payloads get
     * a REAL decoded, aspect-fit, re-encoded thumbnail; undecodable
@@ -389,7 +389,10 @@ object Multimodal {
       // constant 64×64 — useless for exercising the aspect math)
       .withColumn("width", (lit(100) + col("media_id") % 900).cast("int"))
       .withColumn("height", (lit(100) + (col("media_id") * 7) % 900).cast("int"))
-    thumbnails(media, 256)
+    // the 500-row media frame reads as ONE scan task (single small
+    // parquet file) and the resize kernel is the whole lane cost — the
+    // Spread exchange moves ~10 MB once so the kernel runs 32-wide
+    thumbnails(graft.operators.Spread.byKeys(media), 256)
       .select(col("media_id"), col("thumb_w"), col("thumb_h"), md5(col("thumb")).as("thumb_md5"))
       .orderBy(col("media_id"))
   }

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Keyed repartition at the session shuffle width for kernel-heavy
+  * bucket tables.
+  *
+  * The codec-cycle lanes group rows into buckets (`collect_list` per
+  * key) and run a CPU-heavy per-bucket kernel UDF. The bucket table is
+  * a few MB however much data feeds it, so AQE's byte-based partition
+  * coalescing folds the post-agg exchange into one or two tasks and
+  * the kernel column runs serially (measured: a 13 s one-task stage on
+  * q_pctiler, 2.4 s on q_seqfile at sf0.1). An explicit keyed
+  * repartition is user-specified partitioning, which AQE does not
+  * coalesce, so buckets spread across the session shuffle width —
+  * scale-adaptive via conf (the bench's driver contract sets it to the
+  * core count locally), never a hard-coded constant. At 100 TB the
+  * extra exchange moves bucket rows once more, which is exactly the
+  * byte volume the kernel itself reads — noise next to the kernel
+  * cost it parallelizes.
+  */
+object Spread {
+  /** Round-robin, NOT keyed: a keyed repartition on the grouping keys
+    * is satisfied by the aggregation's own hash partitioning, so the
+    * planner removes it and the coalescible agg exchange is all that
+    * remains (observed on q_seqfile — the plan lost the node). The
+    * kernel projection itself must be non-deterministic (`udf(...)
+    * .asNondeterministic()`), or the optimizer collapses it below this
+    * exchange and the kernel still runs in the coalesced agg stage.
+    * `keys` is kept in the signature as documentation of the bucket
+    * identity; the row-to-task assignment does not need it. */
+  def byKeys(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+}

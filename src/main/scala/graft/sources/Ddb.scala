@@ -395,7 +395,7 @@ object Ddb {
         got.flatMap(_.pointGeom).map(_._1.toLong).sum,
         got.flatMap(_.pointGeom).map(_._2.toLong).sum
       )
-    }
+    }.asNondeterministic() // pins the kernel ABOVE the Spread exchange (see Spread)
     // Sub-sharded like the other codec cycles: (ds, o_orderkey DIV 4096)
     // keys make the per-task SQLite file SF-INVARIANT (~256 orders per
     // database at any scale — the bucket width is fixed, the bucket
@@ -403,10 +403,12 @@ object Ddb {
     // count from sf0.01 up. Everything re-aggregates additively per ds;
     // hash_distinct is the per-bucket distinct count summed (the oracle
     // states the same two-level form).
-    graft.Tables
-      .orders(s, dir)
-      .groupBy(($"o_custkey" % 16).as("ds"), expr("o_orderkey DIV 4096").as("bkt"))
-      .agg(collect_list(struct($"o_orderkey", $"o_custkey")).as("rows"))
+    graft.operators.Spread.byKeys(
+      graft.Tables
+        .orders(s, dir)
+        .groupBy(($"o_custkey" % 16).as("ds"), expr("o_orderkey DIV 4096").as("bkt"))
+        .agg(collect_list(struct($"o_orderkey", $"o_custkey")).as("rows")),
+      $"ds", $"bkt")
       .select($"ds", cycle($"rows").as("a"))
       .groupBy($"ds")
       .agg(

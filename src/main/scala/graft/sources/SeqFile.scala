@@ -515,11 +515,13 @@ object SeqFile {
         }
       }
       Seq(sorted.length.toLong, chars)
-    }
-    graft.Tables
-      .eventsRaw(s, dir)
-      .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
-      .agg(collect_list($"event_id").as("ids"))
+    }.asNondeterministic() // pins the kernel ABOVE the Spread exchange (see Spread)
+    graft.operators.Spread.byKeys(
+      graft.Tables
+        .eventsRaw(s, dir)
+        .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
+        .agg(collect_list($"event_id").as("ids")),
+      $"event_type", $"shard")
       .withColumn("c", cycle($"ids"))
       .groupBy($"event_type")
       .agg(

@@ -153,11 +153,13 @@ object ZstdDict {
       if (docs.length >= 256)
         require(withDict < without, s"zstd dict lane: dictionary did not help ($withDict vs $without)")
       Seq(docs.length.toLong, chars)
-    }
-    graft.Tables
-      .eventsRaw(s, dir)
-      .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
-      .agg(collect_list($"event_id").as("ids"))
+    }.asNondeterministic() // pins the kernel ABOVE the Spread exchange (see Spread)
+    graft.operators.Spread.byKeys(
+      graft.Tables
+        .eventsRaw(s, dir)
+        .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
+        .agg(collect_list($"event_id").as("ids")),
+      $"event_type", $"shard")
       .withColumn("c", cycle($"ids"))
       .groupBy($"event_type")
       .agg(
