@@ -69,7 +69,8 @@ object PcTiler {
       .withColumn("vz", least(expr("(z - minz) div size"), lit(0L)))
     val kept = ArrayBuffer.empty[DataFrame]
     var depth = 0
-    while (depth < maxDepth) {
+    var drained = false
+    while (!drained && depth < maxDepth) {
       // Exact per-node top-`cap` in two phases (the two-phase top-k
       // pattern): phase 1 ranks within (node, input-partition) — fully
       // parallel however few nodes exist (the root level has ONE) —
@@ -77,19 +78,14 @@ object PcTiler {
       // the ≤ cap·P survivors per node. A node's true top-cap always
       // survives phase 1, so the result is exact while no task ever
       // sorts more than max(partition, cap·P) rows. The phase-1 frame
-      // is the one staged cache per level: every consumer (keep set,
+      // is the one checkpoint per level: every consumer (keep set,
       // overflow, next level) reads it instead of re-running the big
       // window; overflow is phase-1 losers ∪ phase-2 losers, never an
-      // anti-join back over the full level. The whole level chain is
-      // LAZY (persist, not eager checkpoint, and no per-level drain
-      // probe): levels run as one DAG at action time instead of
-      // 2×maxDepth sequential driver-blocking jobs — levels past the
-      // drain point are empty frames whose exchanges are no-ops, and
-      // the terminal `cur` append keeps the operator total either way.
+      // anti-join back over the full level.
       val nodeKeys = Seq(col("level"), col("vx"), col("vy"), col("vz"))
       val w1 = Window.partitionBy(nodeKeys :+ col("pid"): _*).orderBy(col("okey"))
       val w2 = Window.partitionBy(nodeKeys: _*).orderBy(col("okey"))
-      val staged = graft.operators.Staged.persist(
+      val staged = graft.operators.Staged.checkpoint(
         cur
           .withColumn("pid", spark_partition_id())
           .withColumn("rk1", row_number().over(w1))
@@ -100,15 +96,18 @@ object PcTiler {
         .filter(col("rk1") > cap)
         .drop("pid", "rk1")
         .unionByName(locals.filter(col("rk") > cap).drop("pid", "rk1", "rk"))
-      val p = 1L << (depth + 1)
-      cur = over
-        .withColumn("level", lit(depth + 1))
-        .withColumn("vx", least(expr(s"((x - minx) * $p) div size"), lit(p - 1)))
-        .withColumn("vy", least(expr(s"((y - miny) * $p) div size"), lit(p - 1)))
-        .withColumn("vz", least(expr(s"((z - minz) * $p) div size"), lit(p - 1)))
-      depth += 1
+      if (over.head(1).isEmpty) drained = true
+      else {
+        val p = 1L << (depth + 1)
+        cur = over
+          .withColumn("level", lit(depth + 1))
+          .withColumn("vx", least(expr(s"((x - minx) * $p) div size"), lit(p - 1)))
+          .withColumn("vy", least(expr(s"((y - miny) * $p) div size"), lit(p - 1)))
+          .withColumn("vz", least(expr(s"((z - minz) * $p) div size"), lit(p - 1)))
+        depth += 1
+      }
     }
-    kept += cur // terminal level keeps everything (cap-free)
+    if (!drained) kept += cur // terminal level keeps everything
     kept
       .reduce(_ unionByName _)
       .select(col("id"), col("x"), col("y"), col("z"), col("level"), col("vx"), col("vy"), col("vz"))

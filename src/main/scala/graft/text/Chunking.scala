@@ -142,7 +142,7 @@ object Chunking {
     * kernel; [[gearChunks]] is the relational equivalent (spec-equal). */
   def cdcQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = gearChunksNative(graft.Tables.documentsWide(s, dir).select($"doc_id", $"text"))
+    val chunks = gearChunksNative(graft.Tables.documents(s, dir).select($"doc_id", $"text"))
     val freq = chunks.groupBy($"digest").agg(countDistinct($"doc_id").as("ndocs"))
     chunks
       .join(freq, "digest")

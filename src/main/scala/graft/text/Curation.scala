@@ -147,7 +147,7 @@ object Curation {
 
   def dedupClusterQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    dedupClusters(Tables.documentsWide(s, dir), "doc_id", "text").orderBy($"cluster_id")
+    dedupClusters(Tables.documents(s, dir), "doc_id", "text").orderBy($"cluster_id")
   }
 
   /** ◆ Eval-set decontamination: flag training documents that share at

@@ -194,7 +194,7 @@ object Dedup {
   /** MinHash near-dup summary over the documents table. */
   def minhashQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    minhashCandidates(Tables.documentsWide(s, dir), "doc_id", "text") // spread the single-file scan before the sig kernel
+    minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
       .orderBy($"id_a", $"id_b")
   }
 
@@ -364,7 +364,7 @@ object Dedup {
 
   def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ngramJaccard(Tables.documentsWide(s, dir), "doc_id", "text", n = 3, threshold = 0.6) // wide: shingle kernel off the 1-task scan
+    ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.6)
       .orderBy($"id_a", $"id_b")
   }
 }

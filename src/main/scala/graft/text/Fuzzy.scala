@@ -53,9 +53,13 @@ object Fuzzy {
     * key-explode → equi-join → distinct pair → one exact verify.
     * Returns (wa, wb, dist) with wa < wb. */
   def fuzzyPairs(dict: DataFrame): DataFrame = {
+    // deletionKeysSerial dedups keys within a word (LinkedHashSet), so
+    // with the distinct dict both callers pass, (w, k) rows are unique
+    // by construction — the former .distinct() here was a full extra
+    // shuffle that removed nothing. Pair-level dedup below still
+    // guarantees the output either way.
     val keyed = dict
       .select(col("w"), explode(deletionKeys(col("w"))).as("k"))
-      .distinct()
     keyed
       .as("a")
       .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.w") < col("b.w"))
@@ -72,11 +76,14 @@ object Fuzzy {
     * verifies with its own `levenshtein`. */
   def fuzzyJoinQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables
-      .documents(s, dir)
-      .select(explode(split(lower($"text"), "\\W+")).as("w"))
-      .filter($"w" =!= "")
-      .distinct()
+    // staged: words feeds the typo derivation AND the union — without
+    // the cache the full-corpus explode + distinct runs twice
+    val words = graft.operators.Staged.persist(
+      Tables
+        .documentsWide(s, dir) // spread the single-file scan before the explode
+        .select(explode(split(lower($"text"), "\\W+")).as("w"))
+        .filter($"w" =!= "")
+        .distinct())
     val typos = words
       .filter(length($"w") >= 4)
       .select(concat($"w".substr(1, 1), $"w".substr(lit(3), length($"w"))).as("w"))

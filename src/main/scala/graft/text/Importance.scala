@@ -79,7 +79,7 @@ object Importance {
     * components + the exact rational probability. */
   def knLmQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bigrams = this.bigrams(Tables.documentsWide(s, dir))
+    val bigrams = this.bigrams(Tables.documents(s, dir))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
     val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))

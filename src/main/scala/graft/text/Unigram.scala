@@ -304,7 +304,7 @@ object Unigram {
     * the DuckDB oracle replays the identical seed, smoothing, Viterbi
     * tie-breaks and backtrack, position-unrolled. */
   def unigramQuery(s: SparkSession, dir: String): DataFrame = {
-    val vocab = trainHard(s, graft.Tables.documentsWide(s, dir), "text", rounds = 2, nMulti = 120)
+    val vocab = trainHard(s, graft.Tables.documents(s, dir), "text", rounds = 2, nMulti = 120)
     vocab
       .orderBy(col("cnt").desc, col("piece").asc)
       .limit(30)

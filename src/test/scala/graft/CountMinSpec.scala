@@ -25,6 +25,13 @@ class CountMinSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .toSet
 
+  test("sketchWeighted over (key, count) rows == sketch of the occurrence stream, exactly") {
+    val occ = key(CountMin.sketch(stream, Seq("g"), "tok"))
+    val pre = stream.groupBy("g", "tok").agg(count(lit(1)).as("n"))
+    val wtd = key(CountMin.sketchWeighted(pre, Seq("g"), "tok", "n"))
+    assert(wtd === occ)
+  }
+
   test("merge of per-shard sketches == re-sketch of the union, exactly") {
     val Array(a, b) = stream.randomSplit(Array(0.5, 0.5), seed = 7)
     val merged = key(CountMin.merge(CountMin.sketch(a, Seq("g"), "tok").unionByName(CountMin.sketch(b, Seq("g"), "tok")), Seq("g")))
