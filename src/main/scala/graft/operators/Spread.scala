@@ -24,11 +24,13 @@ object Spread {
     * is satisfied by the aggregation's own hash partitioning, so the
     * planner removes it and the coalescible agg exchange is all that
     * remains (observed on q_seqfile — the plan lost the node). The
-    * kernel projection itself must be non-deterministic (`udf(...)
-    * .asNondeterministic()`), or the optimizer collapses it below this
-    * exchange and the kernel still runs in the coalesced agg stage.
-    * `keys` is kept in the signature as documentation of the bucket
-    * identity; the row-to-task assignment does not need it. */
+    * older codec lanes' former literal repartition-by-32 kept a
+    * deterministic kernel above it too (q_wet's plan shows the UDF
+    * project above the RoundRobinPartitioning exchange); callers here
+    * additionally mark their kernels `.asNondeterministic()` so the
+    * placement is pinned by contract, not by the current optimizer's
+    * rule inventory. `keys` is kept in the signature as documentation
+    * of the bucket identity; round-robin does not need it. */
   def byKeys(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }
