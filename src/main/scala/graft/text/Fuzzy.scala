@@ -76,14 +76,14 @@ object Fuzzy {
     * verifies with its own `levenshtein`. */
   def fuzzyJoinQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // staged: words feeds the typo derivation AND the union — without
-    // the cache the full-corpus explode + distinct runs twice
-    val words = graft.operators.Staged.persist(
-      Tables
-        .documentsWide(s, dir) // spread the single-file scan before the explode
-        .select(explode(split(lower($"text"), "\\W+")).as("w"))
-        .filter($"w" =!= "")
-        .distinct())
+    // NOT staged: caching the vocabulary was A/B-measured at +0.5 s on
+    // this lane (cache build + columnar encode cost more than the
+    // second explode+distinct it saves — the distinct output is small)
+    val words = Tables
+      .documents(s, dir)
+      .select(explode(split(lower($"text"), "\\W+")).as("w"))
+      .filter($"w" =!= "")
+      .distinct()
     val typos = words
       .filter(length($"w") >= 4)
       .select(concat($"w".substr(1, 1), $"w".substr(lit(3), length($"w"))).as("w"))
