@@ -306,13 +306,12 @@ object Relational {
       .lineitem(s, dir)
       .groupBy($"l_returnflag", $"l_extendedprice")
       .agg(count(lit(1)).as("c"))
-    val wCum = Window
-      .partitionBy($"l_returnflag")
-      .orderBy($"l_extendedprice".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val median = counted
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("cnt", sum($"c").over(Window.partitionBy($"l_returnflag")))
+    // cum/cnt via the two-phase blocked prefix sum (Windows.
+    // blockedCumCounts): bit-identical running counts, but parallelism
+    // = flags × price blocks instead of the 3 flag groups — the
+    // group-bounded 3-task window stage the r18 verdict flagged
+    val median = Windows
+      .blockedCumCounts(counted, "l_returnflag", "l_extendedprice", blockWidth = 2048L)
       .groupBy($"l_returnflag")
       // k = (n+1) div 2, the 1-based discrete-median position; the
       // median is the first price whose cumulative count reaches k
