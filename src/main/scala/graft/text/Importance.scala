@@ -74,17 +74,63 @@ object Importance {
     }
   }
 
+  /** Per-document feature-count row (public: Catalyst's generated
+    * deserializer must be able to instantiate it). */
+  final case class FeatCount(f: Long, cf: Long)
+
+  /** One-pass per-document DSIR feature-count kernel: tokens → md5
+    * bucket `md5₆₀("ds:" ∥ w) mod 1024` → (feature, count) pairs in
+    * first-occurrence order. Value-identical, after explode, to the
+    * (doc, feature) count over the exploded token stream
+    * (ImportanceSpec proves the per-doc identity), but one md5 per
+    * DISTINCT token per document instead of per occurrence, no
+    * per-occurrence rows, and no (doc, f) aggregation exchange. */
+  private[graft] val dsirFeatCountsSerial = udf { text: String =>
+    if (text == null) Seq.empty[FeatCount]
+    else {
+      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
+      val toks = new java.util.LinkedHashMap[String, Long]()
+      while (m.find()) {
+        val w = m.group()
+        toks.put(w, toks.getOrDefault(w, 0L) + 1L)
+      }
+      val feats = new java.util.LinkedHashMap[Long, Long]()
+      val it = toks.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val f = TextOps.md5Hash60("ds:" + e.getKey) % 1024L
+        feats.put(f, feats.getOrDefault(f, 0L) + e.getValue)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[FeatCount](feats.size())
+      val it2 = feats.entrySet().iterator()
+      while (it2.hasNext) { val e = it2.next(); out += FeatCount(e.getKey, e.getValue) }
+      out.toSeq
+    }
+  }
+
+
   /** q_kn_lm: interpolated Kneser-Ney bigram statistics, top 15 bigram
     * types by count (deterministic tiebreak), emitted as exact integer
     * components + the exact rational probability. */
   def knLmQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bigrams = this.bigrams(Tables.documents(s, dir))
-      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
-    val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val contRight = bigrams.groupBy($"w1").agg(countDistinct($"w2").as("cont_right"))
-    val contLeft = bigrams.groupBy($"w2").agg(countDistinct($"w1").as("cont_left"))
+    // Every statistic below is a function of the bigram TYPE table
+    // (guide §2.3 — aggregate before you shuffle): c1 = Σ_w2 c12 (the
+    // count of w1-as-first-word occurrences), N1+(w1·) = the number of
+    // (w1, ·) types, N1+(·w2) = the number of (·, w2) types, T = the
+    // type count. The former shape staged the bigram OCCURRENCE stream
+    // and ran four separate passes over it (two of them countDistinct,
+    // i.e. two-phase distinct aggs); deriving everything from c12
+    // shuffles one partially-aggregated type table instead, and the
+    // identical c12 subtrees share one exchange (AQE exchange reuse).
+    // Counts are integer-exact and bit-identical by construction.
+    val c12 = this
+      .bigrams(Tables.documents(s, dir))
+      .groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val contRight = c12.groupBy($"w1").agg(count(lit(1)).as("cont_right"))
+    val contLeft = c12.groupBy($"w2").agg(count(lit(1)).as("cont_left"))
     val types = c12.agg(count(lit(1)).as("types_total"))
     c12
       .join(c1, Seq("w1"))
@@ -139,21 +185,26 @@ object Importance {
     * ratio, per-source roll-up of exact integer document scores. */
   def dsirQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = tokens(s, dir)
-      .select(
-        $"doc_id", $"source",
-        (conv(substring(md5(concat(lit("ds:"), $"w")), 1, 15), 16, 10).cast("long") % 1024).as("f")
-      )
+    // ONE corpus tokenize+md5 pass (guide §2.3 — aggregate before you
+    // shuffle): the serial kernel emits per-doc (feature, count) pairs
+    // (one md5 per DISTINCT token), so the staged frame is DOC-sized
+    // instead of an occurrence-level cache. Every consumer reads it:
+    // target/corpus feature totals are Σ cf, and the doc-score pass
+    // starts from the same (doc, feature) rows.
+    val per = Tables
+      .documents(s, dir)
+      .select($"doc_id", $"source", dsirFeatCountsSerial($"text").as("fc"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
-    val target = feats.filter($"source" === "src0").groupBy($"f").agg(count(lit(1)).as("ct"))
-    val all = feats.groupBy($"f").agg(count(lit(1)).as("cs"))
+    val docf = per
+      .select($"doc_id", $"source", explode($"fc").as("x"))
+      .select($"doc_id", $"source", $"x.f".as("f"), $"x.cf".as("cf"))
+    val target = docf.filter($"source" === "src0").groupBy($"f").agg(sum($"cf").as("ct"))
+    val all = docf.groupBy($"f").agg(sum($"cf").as("cs"))
     val ratio = all
       .join(target, Seq("f"), "left_outer")
       // floor integer division (`div`), exact in both engines
       .select($"f", expr("(coalesce(ct, 0) + 1) * 1000000 div (cs + 1)").cast("long").as("a"))
-    val docScores = feats
-      .groupBy($"doc_id", $"source", $"f")
-      .agg(count(lit(1)).as("cf"))
+    val docScores = docf
       .join(broadcast(ratio), Seq("f"))
       .groupBy($"doc_id", $"source")
       .agg(sum($"cf" * $"a").cast("long").as("score"))

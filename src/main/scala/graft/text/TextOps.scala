@@ -251,6 +251,36 @@ object TextOps {
     v >>> 4
   }
 
+  /** Per-document term-count row (public: Catalyst's generated
+    * deserializer must be able to instantiate it). */
+  final case class TermCount(w: String, c: Long)
+
+  /** One-pass per-document term-count kernel: tokens (the shared
+    * `\w+`-on-lowercase tokenization) → (term, count) pairs in
+    * first-occurrence order — value-identical, after explode, to
+    * `groupBy(doc, term).count()` over the exploded token stream
+    * (TextSpec proves the per-doc identity), but with no per-occurrence
+    * rows in the plan and no (doc, term) aggregation exchange. One
+    * corpus pass feeds every count-table consumer: the per-(doc, term)
+    * frame is the finest statistic the tf-idf/BM25 family ever needs
+    * (term frequency = Σ c, document frequency = row count per term,
+    * document length = Σ c per doc). */
+  private[graft] val termCountsSerial = udf { text: String =>
+    if (text == null) Seq.empty[TermCount]
+    else {
+      val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
+      val counts = new java.util.LinkedHashMap[String, Long]()
+      while (m.find()) {
+        val w = m.group()
+        counts.put(w, counts.getOrDefault(w, 0L) + 1L)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[TermCount](counts.size())
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); out += TermCount(e.getKey, e.getValue) }
+      out.toSeq
+    }
+  }
+
   /** Rolling-hash document fingerprinting (winnowing, window w=4 over
     * word 3-gram hashes): per-document set of selected hashes. Used by
     * near-dup candidate generation. Deterministic, md5-based so the
@@ -279,12 +309,23 @@ object TextOps {
   def tfidfQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val termRows = docs
-      .select($"source", $"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("term"))
+    // ONE corpus tokenize pass (guide §2.3 — aggregate before you
+    // shuffle): the serial kernel emits per-doc (term, count) pairs, so
+    // the staged frame is DOC-sized (one row per document, arrays
+    // bounded by doc vocabulary) instead of an occurrence-level cache.
+    // Both count tables and the corpus doc count read it: per-source
+    // term frequency = Σ c, document frequency = (doc, term) row count
+    // per term (the distinct is implied by the per-doc counting), and
+    // nd = the row count of the staged frame itself.
+    val per = docs
+      .select($"source", $"doc_id", termCountsSerial($"text").as("tc"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
-    val tf = termRows.groupBy($"source", $"term").agg(count(lit(1)).as("stf"))
-    val dfT = termRows.select($"term", $"doc_id").distinct().groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("nd"))
+    val dt = per
+      .select($"source", explode($"tc").as("t"))
+      .select($"source", $"t.w".as("term"), $"t.c".as("c"))
+    val tf = dt.groupBy($"source", $"term").agg(sum($"c").as("stf"))
+    val dfT = dt.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = per.agg(count(lit(1)).as("nd"))
     val scored = tf
       .join(dfT, Seq("term"))
       .crossJoin(broadcast(n))
@@ -317,17 +358,28 @@ object TextOps {
     val k = 20
     val terms = Seq("fast", "spark", "join")
     val docs = Tables.documentsWide(s, dir) // spread the single-row-group scan before the per-row token work
-    val tr = docs
-      .select($"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("term"))
+    // ONE corpus tokenize pass (guide §2.3): the serial kernel emits
+    // per-doc (term, count) pairs, so the staged frame is DOC-sized
+    // (one row per document) instead of an occurrence-level cache.
+    // Every statistic derives from it: document length = Σ c per doc
+    // (docs with zero tokens emit no pairs, exactly like the explode
+    // path), query-term tf IS the c of the filtered pairs, and df per
+    // term is the (doc, term) row count — the distinct is implied by
+    // the per-doc counting.
+    val per = docs
+      .select($"doc_id", termCountsSerial($"text").as("tc"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
-    val dl = tr.groupBy($"doc_id").agg(count(lit(1)).as("dlen"))
+    val dt = per
+      .select($"doc_id", explode($"tc").as("t"))
+      .select($"doc_id", $"t.w".as("term"), $"t.c".as("c"))
+    val dl = dt.groupBy($"doc_id").agg(sum($"c").as("dlen"))
     val stats = dl.agg(
       (sum($"dlen").cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("nd")
     )
-    val hits = tr.filter($"term".isin(terms: _*))
-    val tf = hits.groupBy($"doc_id", $"term").agg(count(lit(1)).as("f"))
-    val dfT = hits.select($"term", $"doc_id").distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+    val hits = dt.filter($"term".isin(terms: _*))
+    val tf = hits.select($"doc_id", $"term", $"c".as("f"))
+    val dfT = hits.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfT), Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -632,18 +684,28 @@ object TextOps {
     * shuffle-joins at corpus scale), everything else column math. */
   def lmScoreQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Bigrams come from the per-row serial kernel (each document is
+    // self-contained — ImportanceSpec proves the kernel equals the
+    // token-array derivation), NOT a lead() window: the former shape
+    // shuffled + sorted the token-occurrence stream by doc_id just to
+    // pair adjacent rows, and staged the occurrence cache for four
+    // consumers (a doc-level counted cache was also measured — the
+    // nested-array columnar encode cost more than the two plain
+    // kernel passes it saved). The unigram counts still need one token
+    // explode (the final token of each doc is counted in c1 but starts
+    // no bigram); the vocabulary size is the c1 ROW count — no
+    // countDistinct pass.
+    val bg = Tables
+      .documents(s, dir)
+      .select($"doc_id", $"lang", explode(Importance.bigramsSerial($"text")).as("b"))
+      .select($"doc_id", $"lang", $"b.w1".as("w"), $"b.w2".as("w2"))
+    val c12 = bg.groupBy($"w", $"w2").agg(count(lit(1)).as("c12"))
     val toks = Tables
       .documents(s, dir)
-      .select($"doc_id", $"lang", posexplode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as(Seq("pos", "w")))
-      .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val bigrams = toks
-      .withColumn("w2", lead($"w", 1).over(w))
-      .filter($"w2".isNotNull)
-    val c12 = bigrams.groupBy($"w", $"w2").agg(count(lit(1)).as("c12"))
+      .select(explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("w"))
     val c1 = toks.groupBy($"w").agg(count(lit(1)).as("c1"))
-    val vocab = toks.agg(countDistinct($"w").as("v"))
-    bigrams
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    bg
       .join(c12, Seq("w", "w2"))
       .join(c1, Seq("w"))
       .crossJoin(broadcast(vocab))

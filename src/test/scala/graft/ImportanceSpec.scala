@@ -29,6 +29,35 @@ class ImportanceSpec extends SparkSuite {
     assert(serial === hof)
   }
 
+  test("dsirFeatCountsSerial equals the per-occurrence md5-bucket counting, per doc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "one"),
+      (3L, ""),
+      (4L, "Case FOLDS and punct, splits; tokens 1 2 3 tokens tokens"),
+      (5L, "Üñïçôdé wörter bleiben gleich wörter")
+    ).toDF("doc_id", "text")
+    val occ = docs
+      .select(
+        $"doc_id",
+        explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("w")
+      )
+      .select(
+        $"doc_id",
+        (conv(substring(md5(concat(lit("ds:"), $"w")), 1, 15), 16, 10).cast("long") % 1024).as("f")
+      )
+      .groupBy($"doc_id", $"f")
+      .agg(count(lit(1)).as("cf"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val serial = docs
+      .select($"doc_id", explode(Importance.dsirFeatCountsSerial($"text")).as("x"))
+      .select($"doc_id", $"x.f", $"x.cf")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(serial === occ)
+  }
+
   test("Kneser-Ney components: valid probability rationals, consistent counts, ordered emission") {
     val rows = Importance.knLmQuery(spark, dir).collect()
     assert(rows.length == 15)

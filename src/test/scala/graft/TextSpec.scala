@@ -29,6 +29,26 @@ class TextSpec extends SparkSuite {
     assert(m(1L).distinct.size === m(1L).size)
   }
 
+  test("termCountsSerial equals the exploded-token groupBy counting, per doc") {
+    val edge = Seq(
+      (10L, "a b a B A c"),
+      (11L, ""),
+      (12L, "Case FOLDS, punct; splits 1 2 3 case case"),
+      (13L, "Üñïçôdé wörter bleiben gleich wörter")
+    ).toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val expect = all
+      .select($"doc_id", explode(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).as("w"))
+      .groupBy($"doc_id", $"w")
+      .agg(count(lit(1)).as("c"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val got = all
+      .select($"doc_id", explode(TextOps.termCountsSerial($"text")).as("t"))
+      .select($"doc_id", $"t.w", $"t.c")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got === expect)
+  }
+
   test("shingleHashesSerial equals the relational explode+md5 derivation, per doc") {
     import org.apache.spark.sql.functions._
     for (n <- Seq(3, 8)) {
