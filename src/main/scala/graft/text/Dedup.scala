@@ -36,10 +36,22 @@ object Dedup {
     * in the plan. null when the document has fewer than n tokens
     * (like the relational path, which then emits no grams). Shared by
     * [[ngramJaccard]] and [[Curation.decontaminate]]. */
-  private[graft] def shingleHashesSerial(text: String, n: Int): Array[Long] = {
+  private[graft] def shingleHashesSerial(text: String, n: Int): Array[Long] =
+    shingleHashesFromToks(tokensOf(text), n)
+
+  /** The shared `\w+`-on-lowercase tokenization every serial text
+    * kernel uses — extracted so a fused multi-output kernel (the
+    * q_curate one-pass) tokenizes ONCE and feeds each hash family the
+    * same token array. */
+  private[graft] def tokensOf(text: String): Array[String] = {
     val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     while (m.find()) toks += m.group()
+    toks.toArray
+  }
+
+  /** [[shingleHashesSerial]] body over a pre-tokenized array. */
+  private[graft] def shingleHashesFromToks(toks: Array[String], n: Int): Array[Long] = {
     if (toks.length < n) return null
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -131,10 +143,11 @@ object Dedup {
     * shuffle — the k×shingle multiply-min loop runs in place. Docs
     * with fewer than nGram tokens drop out, exactly like the explode
     * path. */
-  private[text] def minhashSigSerial(text: String, nGram: Int, k: Int): Array[Long] = {
-    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
-    val toks = new scala.collection.mutable.ArrayBuffer[String]()
-    while (m.find()) toks += m.group()
+  private[graft] def minhashSigSerial(text: String, nGram: Int, k: Int): Array[Long] =
+    minhashSigFromToks(tokensOf(text), nGram, k)
+
+  /** [[minhashSigSerial]] body over a pre-tokenized array. */
+  private[graft] def minhashSigFromToks(toks: Array[String], nGram: Int, k: Int): Array[Long] = {
     if (toks.length < nGram) return null
     val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -170,8 +183,25 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val sigUdf = udf((t: String) => minhashSigSerial(t, nGram, k))
-    val sig = docs
-      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    minhashCandidatesFromSigs(
+      docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig")),
+      k,
+      threshold
+    )
+  }
+
+  /** [[minhashCandidates]] over PRE-COMPUTED signatures `(id, sig)` —
+    * the entry point for pipelines that already ran the signature
+    * kernel in a fused corpus pass (q_curate): the candidate machinery
+    * is identical, only the signature projection is skipped. Null
+    * signatures (docs below nGram tokens) drop out exactly like the
+    * in-line path. */
+  def minhashCandidatesFromSigs(
+      sigs: DataFrame,
+      k: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sig = sigs
       .filter(col("sig").isNotNull)
       .select(col("id") +: (0 until k).map(i => col("sig").getItem(i).as(s"s$i")): _*)
     // melt to (id, position, value) — the inverted index feeds both

@@ -288,6 +288,43 @@ class CurationSpec extends SparkSuite {
     assert(kept(1L) && kept(3L)) // p = 1 for >= 128 tokens
   }
 
+  test("curateDocSerial: fused kernel field-identical to the three standalone derivations") {
+    import graft.text.{Dedup, TextOps}
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "short",
+      "",
+      null,
+      "exactly eight tokens one two three four five",
+      "seven tokens only one two three four",
+      "Üñïçôdé wörter bleiben GLEICH wörter und mehr davon hier stehen jetzt",
+      "a b a b a b a b a b a b a b a b"
+    )
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // n_tok must equal the relational tokenize the old gate used
+    val nTokExpect = docs
+      .select($"doc_id", size(regexp_extract_all(lower($"text"), lit("\\w+"), lit(0))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val rows = docs
+      .select($"doc_id", Curation.curateDocSerial($"text").as("k"))
+      .select($"doc_id", $"k.n_tok", $"k.sh8", $"k.sig")
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val t = texts(id.toInt)
+      // null text tokenizes to nothing relationally (size = -1 for null input arrays handled below)
+      val expectN = if (t == null) 0L else nTokExpect(id)
+      assert(r.getLong(1) === expectN, s"n_tok doc $id")
+      val sh8 = Option(r.getSeq[Long](2)).map(_.toSeq).orNull
+      val sig = Option(r.getSeq[Long](3)).map(_.toSeq).orNull
+      val expSh = if (t == null) null else Option(Dedup.shingleHashesSerial(t, 8)).map(_.toSeq).orNull
+      val expSig = if (t == null) null else Option(Dedup.minhashSigSerial(t, 3, 16)).map(_.toSeq).orNull
+      assert(sh8 === expSh, s"sh8 doc $id")
+      assert(sig === expSig, s"sig doc $id")
+    }
+    val _ = TextOps // keep import used
+  }
+
   test("curate: eval held out, short docs gated, contaminated dropped, dup keeper kept") {
     val run8 = "q w e r t y u i" // 8-token run planted in eval + one train doc
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
