@@ -66,10 +66,11 @@ object Curation {
     * STRING column materialized through the plan: only 8-byte longs
     * leave the projection. Same shape win as the r11 minhash/CDC
     * kernels — the inverted-index joins downstream are unchanged. */
-  private[graft] def gramHashesSerial(text: String, n: Int): Array[Long] = {
-    val m = java.util.regex.Pattern.compile("\\w+").matcher(text.toLowerCase(java.util.Locale.ROOT))
-    val toks = new scala.collection.mutable.ArrayBuffer[String]()
-    while (m.find()) toks += m.group()
+  private[graft] def gramHashesSerial(text: String, n: Int): Array[Long] =
+    gramHashesFromToks(Dedup.tokensOf(text), n)
+
+  /** [[gramHashesSerial]] body over a pre-tokenized array. */
+  private[graft] def gramHashesFromToks(toks: Array[String], n: Int): Array[Long] = {
     if (toks.length < n) return Array.emptyLongArray
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Long](toks.length - n + 1)
@@ -287,10 +288,29 @@ object Curation {
     * cross-document ever sits in one task). Token indices are 1-based
     * to match the SQL oracle's `generate_subscripts`.
     */
+  /** Per-document fused span payload (public: Catalyst instantiates
+    * it): the token array and the per-position n-gram hashes from ONE
+    * tokenization. */
+  final case class SpanDoc(toks: Array[String], hs: Array[Long])
+
+  private def spanDocSerial(n: Int) = udf { text: String =>
+    val toks = if (text == null) Array.empty[String] else Dedup.tokensOf(text)
+    SpanDoc(toks, gramHashesFromToks(toks, n))
+  }
+
   def cutDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
-    val toks = regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0))
-    val g = gramHashRows(docs, idCol, textCol, n)
+    // ONE corpus tokenize pass (guide §2.3/§6): the former shape ran
+    // the gram-hash kernel (tokenize + md5), a posexplode tokenize for
+    // the token rows, AND a third tokenize for the per-doc token count.
+    // The fused kernel emits the token array and the position hashes
+    // together; the staged frame is doc-sized and every consumer
+    // (inverted index, token rows, token counts) reads it.
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), spanDocSerial(n)(col(textCol)).as("k"))
       .transform(graft.operators.Staged.persist(_)) // staged: released by Staged.releaseAll
+    val g = perDoc
+      .select(col("doc_id"), posexplode(col("k.hs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
     val dfTab = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     // NO distinct here: left_anti tolerates duplicate keys on its right
     // side, so overlapping windows merge for free in the join instead
@@ -298,8 +318,8 @@ object Curation {
     val covered = g
       .join(dfTab.filter(col("nd") >= 2).select("h"), Seq("h"))
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
-    val tokRows = docs
-      .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("ti0", "tok")))
+    val tokRows = perDoc
+      .select(col("doc_id"), posexplode(col("k.toks")).as(Seq("ti0", "tok")))
       .select(col("doc_id"), (col("ti0") + 1).as("ti"), col("tok"))
     val kept = tokRows
       .join(covered, Seq("doc_id", "ti"), "left_anti")
@@ -311,8 +331,8 @@ object Curation {
           transform(array_sort(collect_list(struct(col("ti"), col("tok")))), x => x.getField("tok"))
         ).as("clean_text")
       )
-    docs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tokens"))
+    perDoc
+      .select(col("doc_id"), size(col("k.toks")).cast("long").as("n_tokens"))
       .join(kept, Seq("doc_id"), "left")
       .withColumn("n_cut", col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
       .filter(col("n_cut") > 0)
