@@ -81,10 +81,7 @@ object Dbscan {
     // the build. The cached pair count is a free upper bound on the
     // core-core edge count (coreEdges ⊆ pairs), so pass the partition
     // width explicitly — same ~2M-edges-per-task bound, one execution.
-    val pairCount = pairs.count()
-    val ufParts = math.max(1L, math.min(
-      pts.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
-      pairCount / 2000000L + 1L)).toInt
+    val ufParts = Graph.ufParts(pts.sparkSession, pairs.count())
     val labels = Graph.components(core, coreEdges, Some(ufParts)) // (id, lab); isolated cores self-label
     val borders = pairs
       .join(core.select(col("id").as("ia"), lit(true).as("__ac")), Seq("ia"), "left")

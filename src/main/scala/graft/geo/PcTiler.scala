@@ -292,11 +292,10 @@ object PcTiler {
     // The LAZ cycle is CPU-heavy on tiny bytes — without the Spread
     // repartition AQE folds the node table into ONE task (a measured
     // 13 s serial stage at sf0.1; see operators.Spread).
-    graft.operators.Spread.byKeys(
+    graft.operators.Spread.wide(
       assigned
         .groupBy($"level", $"vx", $"vy", $"vz")
-        .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts")),
-      $"level", $"vx", $"vy", $"vz")
+        .agg(collect_list(struct($"id", $"x", $"y", $"z")).as("pts")))
       .withColumn("a", kernel($"pts"))
       .select(
         $"level",

@@ -392,7 +392,7 @@ object Multimodal {
     // the 500-row media frame reads as ONE scan task (single small
     // parquet file) and the resize kernel is the whole lane cost — the
     // Spread exchange moves ~10 MB once so the kernel runs 32-wide
-    thumbnails(graft.operators.Spread.byKeys(media), 256)
+    thumbnails(graft.operators.Spread.wide(media), 256)
       .select(col("media_id"), col("thumb_w"), col("thumb_h"), md5(col("thumb")).as("thumb_md5"))
       .orderBy(col("media_id"))
   }

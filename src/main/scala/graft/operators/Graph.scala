@@ -19,6 +19,15 @@ object Graph {
     * deserializer must be able to instantiate it). */
   case class E(src: Long, dst: Long)
 
+  /** Union-find / fixpoint partition width for a row count: ~2M rows
+    * per task bounds phase-1 memory, capped at the session shuffle
+    * width. The ONE place this sizing lives (r18-advice: Dbscan carried
+    * a duplicated copy that could silently drift). */
+  def ufParts(s: SparkSession, rows: Long): Int =
+    math
+      .max(1L, math.min(s.conf.get("spark.sql.shuffle.partitions").toLong, rows / 2000000L + 1L))
+      .toInt
+
   /** Min-label connected components via local-CC + contraction
     * (Kiveris et al., "Connected Components in MapReduce") — the
     * preferred entry point: phase 1 runs a union-find over each EDGE
@@ -43,12 +52,7 @@ object Graph {
     // size the edge partitioning to the graph (~2M edges per union-find
     // task bounds phase-1 memory); callers can pin it (tests exercise
     // the contraction path that way)
-    val parts = partitions.getOrElse {
-      val m = edges.count()
-      math
-        .max(1L, math.min(s.conf.get("spark.sql.shuffle.partitions").toLong, m / 2000000L + 1L))
-        .toInt
-    }
+    val parts = partitions.getOrElse(ufParts(s, edges.count()))
     // phase 1: per-partition union-find over the edges that land there;
     // emits (node, local root) for every node the partition saw.
     // checkpointOwned: the blocks are released below, as soon as the
@@ -151,10 +155,7 @@ object Graph {
     // scheduler overhead. ~2M label rows per partition keeps tasks
     // executor-memory-safe at estate scale while a small graph runs
     // single-task rounds.
-    val n = nodes.count()
-    val parts = math
-      .max(1L, math.min(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L))
-      .toInt
+    val parts = ufParts(nodes.sparkSession, nodes.count())
     val (e, eBlocks) = Staged.checkpointOwned(edges.select(col("src"), col("dst")).repartition(parts, col("src")))
     // no edges → every node is its own component; skip the fixpoint
     if (e.isEmpty) {

@@ -20,8 +20,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * cost it parallelizes.
   */
 object Spread {
-  /** Round-robin, NOT keyed: a keyed repartition on the grouping keys
-    * is satisfied by the aggregation's own hash partitioning, so the
+  /** Round-robin repartition at the session shuffle width. NOT keyed —
+    * deliberately: a keyed repartition on the grouping keys is
+    * satisfied by the aggregation's own hash partitioning, so the
     * planner removes it and the coalescible agg exchange is all that
     * remains (observed on q_seqfile — the plan lost the node). The
     * older codec lanes' former literal repartition-by-32 kept a
@@ -29,8 +30,9 @@ object Spread {
     * project above the RoundRobinPartitioning exchange); callers here
     * additionally mark their kernels `.asNondeterministic()` so the
     * placement is pinned by contract, not by the current optimizer's
-    * rule inventory. `keys` is kept in the signature as documentation
-    * of the bucket identity; round-robin does not need it. */
-  def byKeys(df: DataFrame, keys: Column*): DataFrame =
+    * rule inventory. Callers must NOT rely on any key co-location of
+    * the output (r18-advice rename: the former `byKeys(df, keys*)`
+    * signature read like a keyed repartition). */
+  def wide(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }

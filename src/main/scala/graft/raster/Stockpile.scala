@@ -126,10 +126,7 @@ object Stockpile {
   def connectedComponentsTiled(fg: DataFrame, width: Int, tileRows: Int = 256): DataFrame = {
     val s = fg.sparkSession
     import s.implicits._
-    val n = fg.count()
-    val parts = math
-      .max(1L, math.min(s.conf.get("spark.sql.shuffle.partitions").toLong, n / 2000000L + 1L))
-      .toInt
+    val parts = graft.operators.Graph.ufParts(s, fg.count())
     val local = fg
       .select(col("id").cast("long").as("id"), col("x").cast("int").as("x"), col("y").cast("int").as("y"))
       .repartition(parts, floor(col("y") / tileRows))

@@ -403,12 +403,11 @@ object Ddb {
     // count from sf0.01 up. Everything re-aggregates additively per ds;
     // hash_distinct is the per-bucket distinct count summed (the oracle
     // states the same two-level form).
-    graft.operators.Spread.byKeys(
+    graft.operators.Spread.wide(
       graft.Tables
         .orders(s, dir)
         .groupBy(($"o_custkey" % 16).as("ds"), expr("o_orderkey DIV 4096").as("bkt"))
-        .agg(collect_list(struct($"o_orderkey", $"o_custkey")).as("rows")),
-      $"ds", $"bkt")
+        .agg(collect_list(struct($"o_orderkey", $"o_custkey")).as("rows")))
       .select($"ds", cycle($"rows").as("a"))
       .groupBy($"ds")
       .agg(

@@ -744,7 +744,7 @@ object Lz4 {
       // forms by type, so the grouping is free to change
       .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
       .agg(collect_list($"event_id").as("ids"))
-      .transform(d => graft.operators.Spread.byKeys(d)) // conf-width, not a local-core literal
+      .transform(d => graft.operators.Spread.wide(d)) // conf-width, not a local-core literal
       .select($"event_type", cycle($"ids").as("a"))
       .groupBy($"event_type")
       .agg(sum($"a".getItem(0)).as("n_lines"), sum($"a".getItem(1)).as("line_chars"))

@@ -398,7 +398,7 @@ object TopoJson {
       .eventsRaw(s, dir)
       .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
       .agg(collect_list($"event_id").as("ids"))
-      .transform(d => graft.operators.Spread.byKeys(d)) // conf-width, not a local-core literal
+      .transform(d => graft.operators.Spread.wide(d)) // conf-width, not a local-core literal
       .select($"event_type", cycle($"ids").as("a"))
       .groupBy($"event_type")
       .agg(

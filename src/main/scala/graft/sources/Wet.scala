@@ -208,7 +208,7 @@ object Wet {
       .eventsRaw(s, dir)
       .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
-      .transform(d => graft.operators.Spread.byKeys(d)) // conf-width, not a local-core literal
+      .transform(d => graft.operators.Spread.wide(d)) // conf-width, not a local-core literal
       .select($"event_type", cycle($"ids").as("a"))
       .groupBy($"event_type")
       .agg(sum($"a".getItem(0)).as("n_records"), sum($"a".getItem(1)).as("text_chars"))
@@ -259,7 +259,7 @@ object Wet {
       .eventsRaw(s, dir)
       .groupBy($"event_type", pmod($"event_id", lit(16L)).as("shard"))
       .agg(collect_list($"event_id").as("ids"))
-      .transform(d => graft.operators.Spread.byKeys(d)) // conf-width, not a local-core literal
+      .transform(d => graft.operators.Spread.wide(d)) // conf-width, not a local-core literal
       .select($"event_type", cycle($"ids").as("a"))
       .groupBy($"event_type")
       .agg(

@@ -154,12 +154,11 @@ object ZstdDict {
         require(withDict < without, s"zstd dict lane: dictionary did not help ($withDict vs $without)")
       Seq(docs.length.toLong, chars)
     }.asNondeterministic() // pins the kernel ABOVE the Spread exchange (see Spread)
-    graft.operators.Spread.byKeys(
+    graft.operators.Spread.wide(
       graft.Tables
         .eventsRaw(s, dir)
         .groupBy($"event_type", expr("event_id DIV 4096").as("shard"))
-        .agg(collect_list($"event_id").as("ids")),
-      $"event_type", $"shard")
+        .agg(collect_list($"event_id").as("ids")))
       .withColumn("c", cycle($"ids"))
       .groupBy($"event_type")
       .agg(

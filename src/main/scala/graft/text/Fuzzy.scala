@@ -51,7 +51,14 @@ object Fuzzy {
 
   /** All pairs of `dict("w")` within Levenshtein distance 1:
     * key-explode → equi-join → distinct pair → one exact verify.
-    * Returns (wa, wb, dist) with wa < wb. */
+    * Returns (wa, wb, dist) with wa < wb.
+    *
+    * PRECONDITION: `dict` must be DISTINCT on `w`. The deletion-key
+    * kernel dedups its keys per word and the pair-level distinct below
+    * keeps the RESULT correct for a non-distinct input, but duplicate
+    * dictionary rows inflate the candidate equi-join quadratically in
+    * the duplicate count (r18 removed the key-level distinct that
+    * masked this — both in-repo callers pass distinct vocabularies). */
   def fuzzyPairs(dict: DataFrame): DataFrame = {
     // deletionKeysSerial dedups keys within a word (LinkedHashSet), so
     // with the distinct dict both callers pass, (w, k) rows are unique

@@ -10,8 +10,10 @@ object ProfScratch {
   def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(32)
-    val sf = "/root/testdata/sf0.1"
+    // env-parameterized like the bench (r18-advice: this main hardcoded
+    // the machine-specific path and core count)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
